@@ -1,0 +1,64 @@
+"""Table catalog for the driver-provided TPC-H-ish parquet test tables.
+
+The engine treats a scale-factor directory as a database: each table is
+one parquet file (TESTDATA.md). Reads go through here so every query
+benefits from a single place to attach schema expectations, and so a
+future move to a real catalog (Hive metastore / Delta / Iceberg) is a
+one-file change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Parquet scan → column pruning + predicate
+    pushdown are automatic once the caller selects/filters.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as raw nanos (legacy long mode) and
+    convert to a microsecond timestamp (floor division — matches
+    DuckDB's ns→us truncation).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Timestamps in the test parquet are timezone-naive; pin the session
+    # to UTC so date casts are stable regardless of the host session TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a temp view so ``spark.sql`` works directly."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)

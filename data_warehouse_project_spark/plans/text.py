@@ -1,0 +1,435 @@
+"""Text-analysis and document-dedup queries over ``documents`` — the
+training-data-pipeline extension surface (beyond the reference, which is
+batch-relational only; SURVEY.md §7 step 9).
+
+Determinism notes: all ratios are computed from integer totals with a
+single final division (never averaged doubles); shingle/minhash
+signatures are md5 hex strings compared lexicographically, which is
+engine-portable (no integer-hash semantics to match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.plans.queries import register
+
+# Marker stopwords per language for the n-gram/stopword heuristic. The
+# test corpus is synthetic word soup, so these act as a deterministic
+# scoring function, not a real classifier.
+_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "fr": ("table", "column", "join"),
+    "de": ("row", "key", "hash"),
+}
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+@register(
+    "text_quality_profile",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             n_chars,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a'))) AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+           CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Quality scoring: token counts, char totals, stopword ratio per "
+    "language — integer totals with one final division (deterministic). "
+    "Per-doc metrics stay inside codegen (split/filter/size on the scan).",
+    tags=("text",),
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        "n_chars",
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens_per_doc"
+            ),
+            (F.sum("n_stop").cast("double") / F.sum("n_tokens")).alias(
+                "stopword_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_LANG_ID_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text,' '), t -> t IN ('the','a','fast','slow'))) AS s_en,
+         len(list_filter(string_split(text,' '), t -> t IN ('table','column','join'))) AS s_fr,
+         len(list_filter(string_split(text,' '), t -> t IN ('row','key','hash'))) AS s_de
+  FROM documents
+), guessed AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+              WHEN s_fr >= s_de THEN 'fr'
+              ELSE 'de' END AS guessed_lang
+  FROM scored
+)
+SELECT lang, guessed_lang, COUNT(*) AS n_docs
+FROM guessed
+GROUP BY lang, guessed_lang
+ORDER BY lang, guessed_lang
+"""
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=_LANG_ID_ORACLE,
+    doc="Language-ID heuristic: marker-word scores with a deterministic "
+    "argmax (ties broken by fixed precedence en>fr>de), cross-tabbed "
+    "against the labeled lang. The heuristic is a per-row expression — "
+    "no shuffle until the final tiny cross-tab.",
+    tags=("text",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def score(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score(_MARKERS["en"]).alias("s_en"),
+        score(_MARKERS["fr"]).alias("s_fr"),
+        score(_MARKERS["de"]).alias("s_de"),
+    )
+    guessed = scored.withColumn(
+        "guessed_lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_de")), "en"
+        )
+        .when(F.col("s_fr") >= F.col("s_de"), "fr")
+        .otherwise("de"),
+    )
+    return (
+        guessed.groupBy("lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "guessed_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT lang, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fingerprint) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT fingerprint) AS BIGINT) AS n_dup_docs
+    FROM fp GROUP BY lang ORDER BY lang
+    """,
+    doc="Document fingerprinting: md5 of whitespace-normalized lowercased "
+    "text (the rolling-hash fingerprint's exact-match core), rolled up "
+    "to a dup census per language.",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    return (
+        d.select("lang", fp.alias("fingerprint"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("n_dup_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+    groups AS (
+      SELECT fingerprint, COUNT(*) AS group_size, MIN(doc_id) AS keeper_doc_id
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(SUM(group_size) - COUNT(*) AS BIGINT) AS n_removable,
+           MAX(group_size) AS max_group_size
+    FROM groups
+    """,
+    doc="Exact dedup census: hash-groupBy on md5(text), keep min(doc_id) "
+    "per group. The at-scale pattern: fingerprint is computed on the "
+    "scan, the groupBy shuffles only (hash, doc_id) pairs — never text.",
+    tags=("text", "dedup"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    groups = (
+        d.select("doc_id", F.md5(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+        F.sum(F.when(F.col("group_size") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        (F.sum("group_size") - F.count(F.lit(1))).alias("n_removable"),
+        F.max("group_size").alias("max_group_size"),
+    )
+
+
+# Shared shingle CTE text for the oracle (3-word shingles, distinct per doc).
+_SHINGLES_SQL = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks WHERE len(t) >= 3
+  ),
+  doc_shingles AS (SELECT DISTINCT doc_id, shingle FROM sh),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct 3-word shingles — Spark twin of _SHINGLES_SQL."""
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+        ),
+    )
+    return (
+        d.filter(F.size(t) >= 3)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM doc_shingles a JOIN doc_shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared) AS jaccard
+    FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    bench=True,
+    doc="N-gram (3-word shingle) Jaccard near-dup detection: shingle "
+    "self-join → shared counts → exact Jaccard ≥ 0.5. The self-join on "
+    "shingle is the scale risk (hot shingles fan out); the production "
+    "path is dedup_minhash_lsh which bounds candidates via banding — "
+    "this exact variant doubles as its verifier.",
+    tags=("text", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _shingles(spark, sf_dir).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MINHASH_K = 8  # 4 bands x 2 rows
+_MINHASH_BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{k}:' || shingle)) AS h{k}" for k in range(_MINHASH_K))}
+      FROM doc_shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, md5(h{a} || h{b}) AS band_sig FROM mh"
+        for bi, (a, b) in enumerate(_MINHASH_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+        JOIN doc_shingles x ON x.doc_id = c.doc_a
+        JOIN doc_shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) AS jaccard
+    FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    bench=True,
+    doc="MinHash+LSH near-dup pipeline: shingle → 8 minhashes (string-min "
+    "of seeded md5, engine-portable) → 4 bands of 2 → bucket self-join on "
+    "band signature → exact-Jaccard verification of candidates only. "
+    "At 100 TB the band join shuffles only (band_sig, doc_id) pairs and "
+    "candidate verification touches a tiny fraction of the corpus; "
+    "band-bucket skew is bounded because identical band_sig implies "
+    "near-identical docs.",
+    tags=("text", "dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _shingles(spark, sf_dir).cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    mh = ds.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+            for k in range(_MINHASH_K)
+        ]
+    )
+    bands = None
+    for bi, (ha, hb) in enumerate(_MINHASH_BANDS):
+        band = mh.select(
+            "doc_id",
+            F.lit(bi).alias("band_id"),
+            F.md5(F.concat(F.col(f"h{ha}"), F.col(f"h{hb}"))).alias("band_sig"),
+        )
+        bands = band if bands is None else bands.union(band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = ds.alias("x")
+    y = ds.alias("y")
+    verified = (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y.doc_id"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        verified.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "token_stats_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS total_tokens,
+           COUNT(DISTINCT token) AS vocab_size,
+           MIN(token) AS first_token_alpha,
+           MAX(token) AS last_token_alpha
+    FROM tok GROUP BY source ORDER BY source
+    """,
+    doc="Token counting + vocabulary stats per source (whitespace "
+    "tokenizer). explode stays in the same stage as the scan; only "
+    "(source, token) pairs shuffle for the distinct.",
+    tags=("text",),
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("token").alias("vocab_size"),
+            F.min("token").alias("first_token_alpha"),
+            F.max("token").alias("last_token_alpha"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,157 @@
+"""Vector / embedding queries over ``embeddings`` (array<float>, 64-d):
+brute-force cosine top-k (the ANN baseline) and norm profiling.
+
+Cross-engine determinism: both engines compute the *same sequential
+left-fold* over the array (Spark ``aggregate`` ≡ DuckDB ``list_reduce``)
+on float→double-cast elements, so dot products are bit-identical; the
+cosine is still rounded to 6 decimals as a belt-and-braces margin before
+ranking, with vec_id tie-breaks.
+
+The scale path (LSH-bucketed ANN, random-hyperplane signatures) lives in
+operators/similarity.py; brute-force here is the exactness oracle for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.plans.queries import register
+
+N_QUERY_VECS = 5
+TOP_K = 5
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS q_id, e AS qe FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+    sims AS (
+      SELECT q.q_id, v.vec_id, v.label,
+             ROUND({_cos_sql('q.qe', 'v.e')}, 6) AS cos_sim
+      FROM qs q JOIN vecs v ON v.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+             ) AS rank
+      FROM sims
+    )
+    SELECT q_id AS query_id, CAST(rank AS INT) AS rank,
+           vec_id AS neighbor_id, label AS neighbor_label, cos_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    bench=True,
+    doc="Brute-force cosine top-k ANN baseline: broadcast the query "
+    "vectors against the corpus (no shuffle of the big side), per-row "
+    "fold dot products inside codegen, then a per-query top-k window on "
+    "the small similarity frame. At 100 TB the corpus side streams; "
+    "queries stay broadcast. The LSH/IVF variant prunes candidates first.",
+    tags=("vectors", "ann"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    qs = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    sims = (
+        vecs.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "cos_sim",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "embedding_norm_profile",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, label,
+             ROUND(sqrt({_DOT_SQL.format(a="(embedding::DOUBLE[])", b="(embedding::DOUBLE[])")}), 6) AS norm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(norm) AS min_norm,
+           MAX(norm) AS max_norm,
+           MIN(vec_id) AS first_vec_id
+    FROM vecs GROUP BY label ORDER BY label
+    """,
+    doc="Per-label embedding norm profile: per-row deterministic fold, "
+    "order-insensitive MIN/MAX aggregates only (no double sums).",
+    tags=("vectors",),
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(sq_norm(as_double(F.col("embedding")))), 6).alias("norm"),
+    )
+    return (
+        vecs.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+            F.min("vec_id").alias("first_vec_id"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,112 @@
+"""Spark-vs-DuckDB parity checker — a local replica of the driver's
+correctness gate (row count + schema + order-insensitive value compare),
+usable standalone:  python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import sys
+
+import duckdb
+
+
+def _canon(v):
+    """Canonicalize a cell for order-insensitive comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
+def df_rows_spark(df):
+    return [[_canon(v) for v in row] for row in df.collect()]
+
+
+def df_rows_duck(cur):
+    return [[_canon(v) for v in row] for row in cur.fetchall()]
+
+
+def compare(spark_df, duck_cols, duck_rows) -> list[str]:
+    """Return a list of problems (empty = match)."""
+    problems = []
+    s_cols = list(spark_df.columns)
+    if sorted(s_cols) != sorted(duck_cols):
+        problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(duck_cols)}")
+        return problems
+    s_rows = df_rows_spark(spark_df)
+    # reorder duck columns to spark order
+    idx = [duck_cols.index(c) for c in s_cols]
+    d_rows = [[r[i] for i in idx] for r in duck_rows]
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+    s_sorted = sorted(map(tuple, s_rows))
+    d_sorted = sorted(map(tuple, d_rows))
+    if s_sorted != d_sorted:
+        n_bad = 0
+        for a, b in zip(s_sorted, d_sorted):
+            if a != b:
+                n_bad += 1
+                if n_bad <= 3:
+                    problems.append(f"  spark row: {a}")
+                    problems.append(f"  duck  row: {b}")
+        extra = abs(len(s_sorted) - len(d_sorted))
+        problems.append(f"value mismatch in {n_bad} aligned rows (+{extra} unmatched)")
+    return problems
+
+
+def run(sf_dir: str, names: list[str] | None = None) -> int:
+    from data_warehouse_project_spark.plans import QUERIES
+    from data_warehouse_project_spark.session import get_spark
+
+    spark = get_spark("parity")
+    con = duckdb.connect()
+    from data_warehouse_project_spark.catalog import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    selected = names or list(QUERIES)
+    failures = 0
+    for name in selected:
+        q = QUERIES[name]
+        try:
+            sdf = q.fn(spark, sf_dir)
+            if q.oracle is None:
+                n = sdf.count()
+                print(f"  ~ {name}: no oracle, rows={n}")
+                continue
+            cur = con.execute(q.oracle)
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = df_rows_duck(cur)
+            problems = compare(sdf, duck_cols, duck_rows)
+        except Exception as e:  # noqa: BLE001
+            print(f"  ✗ {name}: ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if problems:
+            print(f"  ✗ {name}:")
+            for p in problems:
+                print(f"      {p}")
+            failures += 1
+        else:
+            print(f"  ✓ {name} ({len(duck_rows)} rows)")
+    print(f"{len(selected) - failures}/{len(selected)} queries match")
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    names = [a for a in args if "/" not in a] or None
+    sys.exit(1 if run(sf_dir, names) else 0)
