@@ -1,0 +1,58 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (collected) so the number includes the
+whole job, not just plan construction. A warm-up pass on a tiny scale
+factor triggers JVM/codegen warm-up outside the timed region.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from data_warehouse_project_spark.plans import QUERIES
+from data_warehouse_project_spark.session import get_spark
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
+
+    # Warm-up: one untimed pass per query at the target SF (JIT/codegen,
+    # parquet footers, file index) so timings measure steady-state engine
+    # throughput — comparable to the reference's warm-cache numbers.
+    for q in bench_queries.values():
+        q.fn(spark, WARMUP_SF_DIR).collect()
+        q.fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

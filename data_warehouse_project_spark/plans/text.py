@@ -225,20 +225,25 @@ _SHINGLES_SQL = """
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct 3-word shingles — Spark twin of _SHINGLES_SQL."""
+    """(doc_id, shingle) distinct 3-word shingles — Spark twin of _SHINGLES_SQL.
+
+    The token array is materialized in its own projection *before* the
+    shingle transform: if ``split(text)`` is left inline, Catalyst's
+    project-collapsing re-evaluates the split for every element_at —
+    O(tokens²) per document (measured 13x slower at sf0.1).
+    """
     d = table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 3
+    )
+    t = F.col("t")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(t) - 3),
         lambda i: F.concat_ws(
             " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
         ),
     )
-    return (
-        d.filter(F.size(t) >= 3)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
-        .distinct()
-    )
+    return toks.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
 
 
 @register(
@@ -259,7 +264,6 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared) >= 0.5
     ORDER BY doc_a, doc_b
     """,
-    bench=True,
     doc="N-gram (3-word shingle) Jaccard near-dup detection: shingle "
     "self-join → shared counts → exact Jaccard ≥ 0.5. The self-join on "
     "shingle is the scale risk (hot shingles fan out); the production "
