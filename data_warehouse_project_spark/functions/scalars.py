@@ -51,7 +51,8 @@ def split_part(col: Column | str, delim: str, part: int) -> Column:
     Parity: /root/reference/sql/3nf/load_3nf_ce_customers_scd_table_type1.sql:24-25.
     """
     c = F.col(col) if isinstance(col, str) else col
-    got = F.split(c, delim).getItem(part - 1)
+    # F.get (not getItem): ANSI mode throws on out-of-bounds indexes.
+    got = F.get(F.split(c, delim), part - 1)
     return F.coalesce(got, F.lit(""))
 
 
