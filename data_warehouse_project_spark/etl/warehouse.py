@@ -1,0 +1,103 @@
+"""Layered parquet warehouse with atomic table swaps and an ETL log.
+
+Replaces the reference's PostgreSQL schemas + transactions
+(staging/bl_3nf/bl_dm/bl_cl, readme.md:194-198) with a directory-per-
+layer parquet layout. Atomicity for full-snapshot rewrites comes from
+write-temp-then-rename (SURVEY.md §4: Spark lacks transactional upsert
+on plain parquet; Delta/Iceberg MERGE is the managed-platform upgrade
+path and slots in behind this same interface).
+
+Layout:  <root>/<layer>/<table>/   (parquet dir, optionally partitioned)
+         <root>/bl_cl/etl_log/     (append-only run log, O4/S8)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("log_ts", T.TimestampType()),
+        T.StructField("procedure_name", T.StringType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("rows_affected", T.LongType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+LAYERS = ("staging", "bl_3nf", "bl_dm", "bl_cl")
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # -- table IO ----------------------------------------------------------
+    def path(self, layer: str, name: str) -> Path:
+        return self.root / layer / name
+
+    def exists(self, layer: str, name: str) -> bool:
+        p = self.path(layer, name)
+        return p.exists() and any(p.iterdir())
+
+    def read(self, layer: str, name: str) -> DataFrame:
+        return self.spark.read.parquet(str(self.path(layer, name)))
+
+    def read_or_none(self, layer: str, name: str) -> DataFrame | None:
+        return self.read(layer, name) if self.exists(layer, name) else None
+
+    def overwrite(
+        self, df: DataFrame, layer: str, name: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Atomic snapshot swap: write to a temp dir, then rename into
+        place. Readers see either the old or the new table, never a
+        partial write (the reference gets this from transactions, O2)."""
+        final = self.path(layer, name)
+        tmp = final.parent / f".{name}.tmp-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(tmp))
+        n = self.spark.read.parquet(str(tmp)).count()
+        old = final.parent / f".{name}.old-{uuid.uuid4().hex[:8]}"
+        if final.exists():
+            final.rename(old)
+        tmp.rename(final)
+        if old.exists():
+            shutil.rmtree(old)
+        return n
+
+    def append(
+        self, df: DataFrame, layer: str, name: str, partition_by: list[str] | None = None
+    ) -> int:
+        n = df.count()
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(self.path(layer, name)))
+        return n
+
+    # -- etl log (O3/O4/S8) ------------------------------------------------
+    def log(
+        self,
+        procedure: str,
+        message: str,
+        rows: int = 0,
+        error: str | None = None,
+    ) -> None:
+        row = [(dt.datetime.now(), procedure, message, rows, error)]
+        self.spark.createDataFrame(row, LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(self.path("bl_cl", "etl_log")))
+
+    def read_log(self) -> DataFrame:
+        return self.read("bl_cl", "etl_log").orderBy(F.desc("log_ts"))

@@ -1,0 +1,97 @@
+"""Pipeline invariants — the reference's Critical/Extended test tiers
+(dw_etl_tests.py:200-302, :371-406): layer count conservation, no
+unresolved dimension references, SCD structure, idempotent re-run."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.etl import Warehouse, run_full_etl
+from tests.conftest import SF_SMOKE
+
+T0 = dt.datetime(2025, 1, 1)
+T1 = dt.datetime(2025, 2, 1)
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wh"))
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0)
+    return Warehouse(spark, root)
+
+
+def test_count_conservation(spark, warehouse):
+    staged = warehouse.read("staging", "sales").count()
+    pre_fact = warehouse.read("bl_3nf", "ce_sales").count()
+    fact = warehouse.read("bl_dm", "fct_sales").count()
+    assert staged == pre_fact == fact  # exact conservation (ref: ±10%)
+    assert fact > 0
+
+
+def test_no_unresolved_dim_references(spark, warehouse):
+    fct = warehouse.read("bl_dm", "fct_sales")
+    bad = fct.filter(
+        (F.col("customer_id") == -1)
+        | (F.col("product_id") == -1)
+        | (F.col("store_id") == -1)
+    ).count()
+    assert bad == 0
+
+
+def test_geo_dims_have_default_rows(spark, warehouse):
+    for name, id_col in (("ce_regions", "region_id"), ("ce_nations", "nation_id")):
+        dim = warehouse.read("bl_3nf", name)
+        assert dim.filter(F.col(id_col) == -1).count() == 1
+        # surrogate keys unique
+        assert dim.select(id_col).distinct().count() == dim.count()
+
+
+def test_scd2_single_active_version(spark, warehouse):
+    prods = warehouse.read("bl_3nf", "ce_products_scd")
+    per_key = (
+        prods.filter(F.col("is_active") == "Y").groupBy("product_src_id").count()
+    )
+    assert per_key.filter(F.col("count") != 1).count() == 0
+    # every version has a unique surrogate id
+    assert prods.select("product_id").distinct().count() == prods.count()
+
+
+def test_dim_denormalization_flattens_geo(spark, warehouse):
+    dimc = warehouse.read("bl_dm", "dim_customers")
+    assert {"nation_name", "region_name"} <= set(dimc.columns)
+    assert dimc.filter(F.col("region_name").isNull()).count() == 0
+
+
+def test_fact_partitioned_by_month(spark, warehouse):
+    path = warehouse.path("bl_dm", "fct_sales")
+    parts = [p.name for p in path.iterdir() if p.name.startswith("order_month=")]
+    assert len(parts) > 12  # ~6.5 years of orders → many monthly partitions
+
+
+def test_etl_log_written(spark, warehouse):
+    log = warehouse.read_log()
+    names = {r["procedure_name"] for r in log.collect()}
+    assert "load_staging_sales" in names
+    assert "run_full_etl" in names
+    assert log.filter(F.col("error_message").isNotNull()).count() == 0
+
+
+def test_idempotent_rerun(spark, warehouse):
+    before = {
+        (layer, t): warehouse.read(layer, t).count()
+        for layer, t in (
+            ("staging", "sales"),
+            ("bl_3nf", "ce_sales"),
+            ("bl_3nf", "ce_products_scd"),
+            ("bl_3nf", "ce_customers"),
+            ("bl_dm", "fct_sales"),
+        )
+    }
+    run_full_etl(spark, SF_SMOKE, str(warehouse.root), run_ts=T1)
+    after = {
+        (layer, t): warehouse.read(layer, t).count() for (layer, t) in before
+    }
+    assert before == after  # re-run adds nothing (Extended tier :371-406)
