@@ -1,0 +1,46 @@
+"""Vector arithmetic primitives as native Column expressions.
+
+Dot products are sequential left-folds (``aggregate`` over ``zip_with``)
+— deterministic evaluation order, so results are bit-identical to any
+engine that folds the same way (the DuckDB oracle uses ``list_reduce``).
+Elements are cast float→double before arithmetic on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+# SQL-text twins for the DuckDB oracle (identical fold order).
+DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+)
+
+
+def cos_sql(a: str, b: str) -> str:
+    d = DOT_SQL.format(a=a, b=b)
+    na = DOT_SQL.format(a=a, b=a)
+    nb = DOT_SQL.format(a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"

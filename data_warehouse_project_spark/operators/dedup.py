@@ -1,0 +1,116 @@
+"""Near-duplicate detection operators beyond MinHash: 64-bit SimHash
+with banded candidate generation — all native Column expressions (no
+UDFs), so signature computation stays inside whole-stage codegen and
+scales linearly with the corpus.
+
+SimHash here uses 60 bits (15 hex chars of md5 → bigint) so the token
+hash stays inside a signed 64-bit integer without sign complications.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 60
+
+
+def _masks() -> Column:
+    # built lazily: F.lit needs an active SparkContext
+    return F.array(*[F.lit(1 << i) for i in range(SIMHASH_BITS)])
+
+
+def token_hash(tok: Column) -> Column:
+    """Token → 60-bit integer hash (md5-derived, engine-portable)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_signature(tokens: Column) -> Column:
+    """60-char '0'/'1' signature of a token array.
+
+    Classic SimHash: each token votes +1/-1 per bit position of its
+    hash; the signature bit is the vote's sign. One sequential fold per
+    row; near-identical token multisets → small Hamming distance.
+    """
+    hashes = F.transform(tokens, token_hash)
+    zero = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    masks = _masks()
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda x, m: x
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.array_join(
+        F.transform(counts, lambda c: F.when(c > 0, "1").otherwise("0")), ""
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bit-string signatures."""
+    return F.aggregate(
+        F.zip_with(
+            F.split(a, ""),
+            F.split(b, ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with distance <= max_hamming.
+
+    LSH banding bounds the candidate set: a pair within ``max_hamming``
+    of 60 bits must agree exactly on at least one of ``n_bands``
+    15-bit bands whenever max_hamming < n_bands (pigeonhole), so the
+    band self-join finds all true pairs without the O(n²) scan. At
+    scale only (band_sig, id) pairs shuffle.
+    """
+    band_len = SIMHASH_BITS // n_bands
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_signature(F.split(F.col(text_col), " ")).alias("sig"),
+    )
+    bands = None
+    for i in range(n_bands):
+        band = sigs.select(
+            "doc_id",
+            F.lit(i).alias("band_id"),
+            F.substring("sig", i * band_len + 1, band_len).alias("band_sig"),
+        )
+        bands = band if bands is None else bands.union(band)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming(F.col("sa.sig"), F.col("sb.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

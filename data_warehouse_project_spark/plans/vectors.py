@@ -19,42 +19,16 @@ from pyspark.sql import functions as F
 from data_warehouse_project_spark.catalog import table
 from data_warehouse_project_spark.plans.queries import register
 
-N_QUERY_VECS = 5
-TOP_K = 5
-
-
-def as_double(arr: Column) -> Column:
-    return F.transform(arr, lambda x: x.cast("double"))
-
-
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product (deterministic order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def sq_norm(a: Column) -> Column:
-    return F.aggregate(
-        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
-
-
-_DOT_SQL = (
-    "list_reduce(list_transform(range(1, len({a}) + 1), "
-    "i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+from data_warehouse_project_spark.functions.vectors import (
+    DOT_SQL as _DOT_SQL,
+    as_double,
+    cos_sql as _cos_sql,
+    cosine,
+    sq_norm,
 )
 
-
-def _cos_sql(a: str, b: str) -> str:
-    d = _DOT_SQL.format(a=a, b=b)
-    na = _DOT_SQL.format(a=a, b=a)
-    nb = _DOT_SQL.format(a=b, b=b)
-    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+N_QUERY_VECS = 5
+TOP_K = 5
 
 
 @register(
@@ -155,3 +129,86 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _planes_sql() -> str:
+    """The deterministic hyperplanes as a DuckDB nested-list literal."""
+    from data_warehouse_project_spark.operators.similarity import HYPERPLANES
+
+    rows = ", ".join("[" + ", ".join(repr(v) for v in row) + "]" for row in HYPERPLANES)
+    return f"[{rows}]"
+
+
+def _register_lsh_ann() -> None:
+    from data_warehouse_project_spark.operators.similarity import (
+        N_BANDS,
+        N_PLANES,
+        lsh_ann_topk,
+    )
+
+    band_len = N_PLANES // N_BANDS
+    oracle = f"""
+    WITH planes AS (SELECT {_planes_sql()} AS p),
+    vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, label, e,
+             array_to_string(list_transform(range(1, {N_PLANES} + 1), k ->
+               CASE WHEN list_reduce(
+                      list_transform(range(1, {DIM_SQL} + 1), i -> e[i] * p[k][i]),
+                      (acc, x) -> acc + x) >= 0
+                    THEN '1' ELSE '0' END), '') AS sig
+      FROM vecs, planes
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT vec_id, {i} AS band_id, substr(sig, {i * band_len + 1}, {band_len}) AS band_sig FROM sigs" for i in range(N_BANDS))}
+    ),
+    qb AS (SELECT vec_id AS q_id, band_id, band_sig FROM bands WHERE vec_id < {N_QUERY_VECS}),
+    cand AS (
+      SELECT DISTINCT qb.q_id, b.vec_id
+      FROM bands b JOIN qb ON b.band_id = qb.band_id AND b.band_sig = qb.band_sig
+      WHERE b.vec_id <> qb.q_id
+    ),
+    qs AS (SELECT vec_id AS q_id, e AS qe FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+    sims AS (
+      SELECT c.q_id, c.vec_id, v.label,
+             ROUND({_cos_sql('q.qe', 'v.e')}, 6) AS cos_sim
+      FROM cand c
+        JOIN vecs v ON v.vec_id = c.vec_id
+        JOIN qs q ON q.q_id = c.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+             ) AS rank
+      FROM sims
+    )
+    SELECT q_id AS query_id, CAST(rank AS INT) AS rank,
+           vec_id AS neighbor_id, label AS neighbor_label, cos_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+    def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return lsh_ann_topk(
+            table(spark, sf_dir, "embeddings"),
+            query_ids_below=N_QUERY_VECS,
+            top_k=TOP_K,
+        )
+
+    register(
+        "ann_lsh_topk",
+        oracle=oracle,
+        bench=True,
+        doc="LSH-bucketed ANN (random-hyperplane signatures, 4 bands x 4 "
+        "bits) with exact-cosine rerank of candidates only — the 100 TB "
+        "scale path; the brute-force query is its recall baseline. The "
+        "oracle runs the identical deterministic algorithm in DuckDB.",
+        tags=("vectors", "ann", "lsh"),
+    )(ann_lsh_topk)
+
+
+DIM_SQL = 64
+_register_lsh_ann()

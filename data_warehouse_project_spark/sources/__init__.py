@@ -1,0 +1,5 @@
+from data_warehouse_project_spark.sources.csv import read_csv_with_encodings  # noqa: F401
+from data_warehouse_project_spark.sources.multimodal import (  # noqa: F401
+    extract_media_features,
+    media_schema,
+)

@@ -1,0 +1,6 @@
+from data_warehouse_project_spark.streaming.windows import (  # noqa: F401
+    sessionized_counts,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)

@@ -1,0 +1,89 @@
+"""Structured Streaming operators over the ``events`` stream — the
+beyond-reference extension surface (SURVEY.md §2.11: the reference is
+batch-only; its "incremental loading" is watermark-filtered batch).
+
+Each operator is a pure transformation on an *unbounded* DataFrame
+(works identically on ``readStream`` input and on a batch frame, which
+is how the tests verify semantics: run the same transform in a
+file-source stream with ``trigger(availableNow=True)`` and in batch,
+then compare results — Structured Streaming's unified-API guarantee).
+
+Watermarks bound state: every aggregation here declares how late an
+event may arrive; at cluster scale that is what keeps the state store
+finite over 100 TB/day streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count/aggregate per event_type with late-data
+    bound. Batch twin: plans/timeseries.events_tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "sum_value_micros"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value_micros",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based) per user — the streaming native of
+    plans/timeseries.sessionize_events. session_window closes a session
+    once watermark passes last_event + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids arriving
+    within the watermark horizon (stateful dedup; state expires with
+    the watermark, so memory is bounded)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

@@ -1,0 +1,92 @@
+"""Structured Streaming operators: run each transform as a real file
+stream (trigger availableNow → memory sink) and check it against the
+identical transform applied in batch — the unified-API equivalence that
+Structured Streaming guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.streaming import (
+    sessionized_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, tmp_path_factory):
+    """Events re-staged as micro-precision parquet (streamable)."""
+    path = str(tmp_path_factory.mktemp("events_src"))
+    batch = table(spark, SF_SMOKE, "events")
+    batch.write.mode("overwrite").parquet(path)
+    return path, spark.read.parquet(path)
+
+
+def _run_stream(spark, stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_counts_stream_equals_batch(spark, event_source):
+    path, batch = event_source
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got = _run_stream(spark, tumbling_counts(stream), "t_tumbling", "complete")
+    want = tumbling_counts(batch)
+    cols = ["window_start", "event_type", "n_events", "sum_value_micros"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+
+def test_sessionized_counts_stream_equals_batch(spark, event_source):
+    path, batch = event_source
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got = _run_stream(spark, sessionized_counts(stream), "t_sessions", "complete")
+    want = sessionized_counts(batch)
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+
+def test_streaming_dedup_drops_duplicates(spark, event_source):
+    path, batch = event_source
+    # duplicate the whole source: stream must emit each event_id once
+    dup = batch.union(batch)
+    dup_path = path + "_dup"
+    dup.write.mode("overwrite").parquet(dup_path)
+    stream = spark.readStream.schema(batch.schema).parquet(dup_path)
+    got = _run_stream(spark, streaming_dedup(stream), "t_dedup", "append")
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_watermark_bounds_state(spark, event_source):
+    path, batch = event_source
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        tumbling_counts(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_wm")
+        .outputMode("append")  # append emits only watermark-finalized windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    finalized = spark.table("t_wm")
+    total = tumbling_counts(batch).count()
+    # all but the last open windows are finalized
+    assert 0 < finalized.count() <= total
