@@ -8,11 +8,17 @@ Implementations live in ``data_warehouse_project_spark/plans/``.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_warehouse_project_spark.plans import QUERIES
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:  # tolerate any driver cwd
+    sys.path.insert(0, _REPO)
+
+from data_warehouse_project_spark.plans import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
