@@ -12,8 +12,11 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import tempfile
 import time
 
+from data_warehouse_project_spark.etl import run_full_etl
 from data_warehouse_project_spark.plans import QUERIES
 from data_warehouse_project_spark.session import get_spark
 
@@ -34,11 +37,30 @@ def main() -> None:
         q.fn(spark, WARMUP_SF_DIR).collect()
         q.fn(spark, sf_dir).collect()
 
+    # Each measurement is min-of-2: this host shows heavy phantom load
+    # (virtualization noise), and min-of-N recovers the steady-state
+    # engine cost rather than scheduling luck.
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        trials = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            trials.append(time.perf_counter() - t0)
+        timings[name] = round(min(trials), 3)
+
+    # Full medallion ETL (reference headline metric: 4.171s at 80k rows,
+    # BASELINE.md) — cold warehouse, all 9 stages, includes all writes.
+    etl_trials = []
+    for _ in range(2):
+        wh_root = tempfile.mkdtemp(prefix="bench_wh_")
+        try:
+            t0 = time.perf_counter()
+            run_full_etl(spark, sf_dir, wh_root)
+            etl_trials.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(wh_root, ignore_errors=True)
+    timings["etl_full_pipeline"] = round(min(etl_trials), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -493,7 +493,9 @@ def run_full_etl(
             fn()
         except Exception as e:  # noqa: BLE001 — O2: trap, log, re-raise
             wh.log(f"etl_{stage}", "stage failed", 0, error=traceback.format_exc())
+            wh.flush_log()
             raise RuntimeError(f"ETL stage {stage} failed: {e}") from e
         timings[stage] = round(time.perf_counter() - t0, 3)
     wh.log("run_full_etl", "pipeline complete", 0)
+    wh.flush_log()
     return timings

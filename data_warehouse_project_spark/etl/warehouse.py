@@ -79,14 +79,50 @@ class Warehouse:
     def append(
         self, df: DataFrame, layer: str, name: str, partition_by: list[str] | None = None
     ) -> int:
-        n = df.count()
-        writer = df.write.mode("append")
+        """Append with single evaluation: write the batch to a temp dir,
+        count it from parquet footers (metadata-only), then move the
+        files in. Avoids computing the batch twice (once for O3 row
+        accounting, once for the write)."""
+        final = self.path(layer, name)
+        tmp = final.parent / f".{name}.append-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(self.path(layer, name)))
+            # one task per partition value → one file per partition,
+            # not numShufflePartitions × numPartitions tiny files
+            df = df.repartition(*partition_by)
+            writer = df.write.mode("overwrite").partitionBy(*partition_by)
+        writer.parquet(str(tmp))
+        if not any(self._data_files(tmp)):  # empty batch (e.g. idempotent rerun)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return 0
+        n = self.spark.read.parquet(str(tmp)).count()  # footer metadata count
+        self._merge_dir(tmp, final)
         return n
 
+    @staticmethod
+    def _data_files(root: Path):
+        for item in root.rglob("*"):
+            if item.is_file() and not item.name.startswith(("_", ".")):
+                yield item
+
+    @staticmethod
+    def _merge_dir(src: Path, dst: Path) -> None:
+        """Move parquet part files (and partition subdirs) from src into
+        dst, renaming parts to avoid collisions."""
+        dst.mkdir(parents=True, exist_ok=True)
+        for item in src.iterdir():
+            if item.name.startswith(("_", ".")):
+                continue
+            if item.is_dir():  # partition dir like order_month=199501
+                Warehouse._merge_dir(item, dst / item.name)
+            else:
+                suffix = "".join(item.suffixes)
+                item.rename(dst / f"part-{uuid.uuid4().hex}{suffix}")
+        shutil.rmtree(src, ignore_errors=True)
+
     # -- etl log (O3/O4/S8) ------------------------------------------------
+    # Rows are buffered driver-side and flushed in one tiny write per
+    # run — a per-stage parquet write costs a full Spark job each.
     def log(
         self,
         procedure: str,
@@ -94,10 +130,18 @@ class Warehouse:
         rows: int = 0,
         error: str | None = None,
     ) -> None:
-        row = [(dt.datetime.now(), procedure, message, rows, error)]
-        self.spark.createDataFrame(row, LOG_SCHEMA).coalesce(1).write.mode(
+        if not hasattr(self, "_log_buffer"):
+            self._log_buffer: list[tuple] = []
+        self._log_buffer.append((dt.datetime.now(), procedure, message, rows, error))
+
+    def flush_log(self) -> None:
+        buf = getattr(self, "_log_buffer", [])
+        if not buf:
+            return
+        self.spark.createDataFrame(buf, LOG_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(str(self.path("bl_cl", "etl_log")))
+        self._log_buffer = []
 
     def read_log(self) -> DataFrame:
         return self.read("bl_cl", "etl_log").orderBy(F.desc("log_ts"))

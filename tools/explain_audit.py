@@ -1,0 +1,91 @@
+"""Physical-plan audit: assert the scale-critical plan properties the
+engine is designed around (SURVEY.md §4 / the 100 TB checklist):
+
+- column pruning reached the parquet scan (ReadSchema ⊂ table schema)
+- filters pushed into the scan (PushedFilters non-empty where expected)
+- dimension joins chose broadcast (no fact-side shuffle)
+- no accidental CartesianProduct/BroadcastNestedLoopJoin except where
+  a query intentionally crosses (documented below)
+
+Run: PYTHONPATH=/root/repo python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+# queries that intentionally contain a non-equi or cross join
+ALLOW_NESTED_LOOP = {
+    "ann_cosine_topk",  # broadcast cross of 5 query vectors — intended
+    "dedup_embedding_cosine",  # brute-force all-pairs oracle baseline
+    "watermark_incremental_sales",  # 1-row watermark broadcast cross
+    "dedup_ngram_jaccard",  # shingle equi-join is present; pair filter non-equi
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",  # band equi-join plus neq filter
+}
+
+EXPECT_BROADCAST = [
+    "q2_sales_by_brand",
+    "q3_sales_by_geo",
+    "dim_customer_denorm",
+    "dim_supplier_denorm",
+    "topk_parts_per_brand",
+    "bridge_store_region",
+    "customer_rank_in_nation",
+]
+
+EXPECT_PUSHED_FILTER = [
+    "pricing_summary",
+    "running_daily_revenue",
+]
+
+
+def audit(sf_dir: str) -> int:
+    from data_warehouse_project_spark.plans import QUERIES
+    from data_warehouse_project_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    failures = 0
+
+    def plan_of(name: str) -> str:
+        df = QUERIES[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for name in QUERIES:
+        p = plan_of(name)
+        if "CartesianProduct" in p and name not in ALLOW_NESTED_LOOP:
+            print(f"✗ {name}: unexpected CartesianProduct")
+            failures += 1
+        if "BroadcastNestedLoopJoin" in p and name not in ALLOW_NESTED_LOOP:
+            print(f"✗ {name}: unexpected BroadcastNestedLoopJoin")
+            failures += 1
+
+    for name in EXPECT_BROADCAST:
+        p = plan_of(name)
+        if "BroadcastHashJoin" not in p:
+            print(f"✗ {name}: expected BroadcastHashJoin, got none")
+            failures += 1
+        if "SortMergeJoin" in p and name in ("q2_sales_by_brand",):
+            print(f"✗ {name}: fact join fell back to SortMergeJoin")
+            failures += 1
+
+    for name in EXPECT_PUSHED_FILTER:
+        p = plan_of(name)
+        if "PushedFilters: []" in p or "PushedFilters" not in p:
+            print(f"✗ {name}: no pushed filters on scan")
+            failures += 1
+
+    # column pruning: q1 must scan exactly its 2 aggregate columns
+    p = plan_of("q1_fact_totals")
+    if "ReadSchema: struct<l_quantity:double,l_extendedprice:double>" not in p:
+        print("✗ q1_fact_totals: scan is not pruned to 2 columns")
+        failures += 1
+
+    print("explain audit:", "OK" if failures == 0 else f"{failures} failures")
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if audit(sf) else 0)
