@@ -124,13 +124,14 @@ def scd2_apply(
     open_end = F.lit(OPEN_END)
 
     upd = _latest_per_key(updates, key, change_order).select(key, *compare, *attrs)
+    out_cols = [key, *compare, *attrs, "start_dt", "end_dt", "is_active"]
 
     def as_version(df: DataFrame) -> DataFrame:
         return (
             df.withColumn("start_dt", ts)
             .withColumn("end_dt", open_end)
             .withColumn("is_active", F.lit("Y"))
-        )
+        ).select(*out_cols)
 
     if current is None:
         return as_version(upd)
@@ -156,4 +157,9 @@ def scd2_apply(
     untouched = current.join(
         to_expire.select(key, "start_dt"), on=[key, "start_dt"], how="left_anti"
     )
-    return untouched.unionByName(expired).unionByName(as_version(changed_keys))
+    # canonical column order regardless of which branch contributed
+    return (
+        untouched.select(*out_cols)
+        .unionByName(expired.select(*out_cols))
+        .unionByName(as_version(changed_keys))
+    )
