@@ -10,6 +10,7 @@ from data_warehouse_project_spark.plans.queries import QUERIES, Query  # noqa: F
 from data_warehouse_project_spark.plans import (  # noqa: F401,E402
     asof,
     dates,
+    extensions,
     relational,
     relational2,
     scd,

@@ -1,0 +1,194 @@
+"""Aggregation & text extensions the reference lacks but Spark gives
+for free (SURVEY.md §2.5 note): ROLLUP grouping sets, approximate
+distinct counts, a BPE-ish regex tokenizer, and rolling-hash document
+fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.plans.queries import (
+    _sql_exact_sum,
+    exact_sum,
+    register,
+)
+
+
+@register(
+    "rollup_geo_revenue",
+    oracle=f"""
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(n.n_name, 'ALL') AS nation,
+           COUNT(*) AS n_sales,
+           {_sql_exact_sum('l.l_extendedprice')} AS revenue
+    FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    ORDER BY region, nation
+    """,
+    doc="ROLLUP grouping sets: region/nation/grand-total in one pass — "
+    "subsumes the reference's separate per-level aggregation queries. "
+    "Spark expands rollup into a single partial-agg-friendly Expand; "
+    "NULL group markers are coalesced to 'ALL' for a stable contract.",
+    tags=("agg", "rollup"),
+)
+def rollup_geo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            exact_sum("l_extendedprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_sales",
+            "revenue",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs —
+# the GPT-2-style contraction-aware split, simplified to RE2-safe
+# syntax (no backrefs/lookarounds) so both engines run the same regex.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@register(
+    "token_bpe_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(text, '{BPE_PATTERN}')) AS piece
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS total_pieces,
+           COUNT(DISTINCT piece) AS vocab_size,
+           CAST(SUM(CASE WHEN piece ~ '^[0-9]+$' THEN 1 ELSE 0 END) AS BIGINT)
+             AS numeric_pieces,
+           CAST(SUM(length(piece)) AS BIGINT) AS total_chars
+    FROM tok GROUP BY lang ORDER BY lang
+    """,
+    doc="BPE-ish tokenizer stats: regex pre-tokenization (letters / "
+    "digits / punctuation runs, RE2-safe so Spark and DuckDB execute "
+    "the identical pattern) — the token-counting shape an LLM data "
+    "pipeline runs before BPE merges.",
+    tags=("text", "tokens"),
+)
+def token_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+        ).alias("piece"),
+    )
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_pieces"),
+            F.countDistinct("piece").alias("vocab_size"),
+            F.sum(
+                F.when(F.col("piece").rlike("^[0-9]+$"), 1).otherwise(0)
+            ).alias("numeric_pieces"),
+            F.sum(F.length("piece")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Rabin-Karp polynomial rolling hash over the token stream:
+# h = (h * B + hash(token)) mod M, with B=257 and M=2^31-1 so every
+# intermediate stays far inside a signed 64-bit integer in both engines.
+_RH_B = 257
+_RH_M = (1 << 31) - 1
+
+
+@register(
+    "doc_rolling_hash",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+               (acc, x) -> (acc * {_RH_B} + x) % {_RH_M}
+             ) AS rhash
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT rhash) AS n_distinct_hashes,
+           CAST(MIN(rhash) AS BIGINT) AS min_hash,
+           CAST(MAX(rhash) AS BIGINT) AS max_hash
+    FROM h GROUP BY lang ORDER BY lang
+    """,
+    doc="Rolling-hash document fingerprint (Rabin-Karp polynomial fold "
+    "over token hashes, mod 2^31-1): order-sensitive — permuted docs "
+    "get different fingerprints, unlike bag-of-words md5. One "
+    "sequential fold per row; identical integer arithmetic on both "
+    "engines.",
+    tags=("text", "fingerprint"),
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"),
+    )
+    rhash = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * _RH_B + x) % _RH_M,
+    )
+    h = d.select("doc_id", "lang", rhash.alias("rhash"))
+    return (
+        h.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rhash").alias("n_distinct_hashes"),
+            F.min("rhash").cast("bigint").alias("min_hash"),
+            F.max("rhash").cast("bigint").alias("max_hash"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "approx_distinct_profile",
+    oracle=None,  # HLL sketches are engine-specific — rows-only check;
+    # the pytest suite asserts <5% error vs the exact count instead.
+    doc="approx_count_distinct (HyperLogLog++) per order status — the "
+    "at-scale replacement for exact COUNT DISTINCT (no per-key state, "
+    "mergeable sketches). No SQL oracle: sketch estimates are "
+    "engine-specific; accuracy is asserted against the exact count in "
+    "tests/test_queries_oracle.py.",
+    tags=("agg", "approx"),
+)
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        )
+        .orderBy("status")
+    )

@@ -33,3 +33,24 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_approx_distinct_within_error(spark):
+    """approx_count_distinct (rsd=2%) must land within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_project_spark.catalog import table
+
+    approx = {
+        r["status"]: r["approx_customers"]
+        for r in QUERIES["approx_distinct_profile"].fn(spark, SF_SMOKE).collect()
+    }
+    o = table(spark, SF_SMOKE, "orders")
+    exact = {
+        r["status"]: r["n"]
+        for r in o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for status, n in exact.items():
+        assert abs(approx[status] - n) / n <= 0.05
