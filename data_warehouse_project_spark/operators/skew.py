@@ -1,0 +1,39 @@
+"""Skew-aware join: salting for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized partitions. Salting is the explicit
+pre-planned variant for the pathological case AQE can't fix: one join
+key so hot that even a split partition overwhelms an executor — the
+classic power-law key (null-like sentinel ids, celebrity users).
+
+`salted_join(big, small, key, salt)` replicates the *small* side
+``salt`` times and scatters the big side uniformly across the salt
+space, so the hot key's rows spread over ``salt`` reducers. Correct for
+inner/left joins on equality (each big row meets exactly one replica of
+its matching small row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equality join on ``key`` with the small side replicated over a
+    salt space. Output columns = big ∪ (small minus key), like
+    ``big.join(small, key, how)``."""
+    salted_big = big.withColumn(
+        "__salt", (F.abs(F.hash(F.col(key), F.monotonically_increasing_id())) % salt)
+    )
+    replicas = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_big.join(replicas, on=[key, "__salt"], how=how).drop("__salt")
+    return out

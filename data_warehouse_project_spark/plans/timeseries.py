@@ -162,3 +162,43 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "events_sliding_15min",
+    oracle="""
+    WITH win AS (
+      SELECT event_type,
+             unnest(list_transform(range(0, 4),
+               k -> make_timestamp(
+                      (epoch_us(ts) // 900000000) * 900000000 - k * 900000000)
+             )) AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events
+    FROM win
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Sliding 1-hour window, 15-min slide (batch twin of "
+    "streaming.sliding_counts): each event expands into the 4 window "
+    "instances that contain it — Spark's window() does this expansion "
+    "natively; the oracle derives the same instance starts by "
+    "15-min-bucketing ts shifted k slides back.",
+    tags=("events", "window-agg"),
+)
+def events_sliding_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.catalog import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+        .orderBy("window_start", "event_type")
+    )
