@@ -54,10 +54,16 @@ def _to_strings(df: DataFrame) -> DataFrame:
 
 
 def _staging_append(wh: Warehouse, batch: DataFrame, name: str, keys: list[str]) -> int:
-    """Idempotent staging load: DISTINCT clean batch, insert only rows
+    """Idempotent staging load: dedup the clean batch, insert only rows
     whose dedup key is absent from the target (reference
-    load_staging_sales_table.sql:94-121)."""
-    batch = batch.distinct()
+    load_staging_sales_table.sql:94-121).
+
+    Dedup is on the declared key, not full-row DISTINCT: the reference's
+    P1 DISTINCT is subsumed by its own P2 key-dedup (final state is
+    identical for key-unique sources), and a key dedup shuffles only the
+    key columns' width — the difference between a survivable and an
+    impossible shuffle at 100 TB."""
+    batch = batch.dropDuplicates(keys)
     target = wh.read_or_none("staging", name)
     if target is not None:
         batch = batch.join(target.select(keys).distinct(), on=keys, how="left_anti")

@@ -64,33 +64,63 @@ def hamming(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame,
+    features: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    feature_col: str = "feature",
     max_hamming: int = 6,
     n_bands: int = 4,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs with distance <= max_hamming.
+    """(doc_a, doc_b, hamming) pairs with distance <= max_hamming, from
+    a (doc, feature) frame — features are typically shingles (n-grams):
+    unigram features over a small shared vocabulary make every
+    signature similar and the bands collide quadratically (measured
+    272k candidates on 5k synthetic docs); shingles keep signatures
+    discriminative.
 
     LSH banding bounds the candidate set: a pair within ``max_hamming``
     of 60 bits must agree exactly on at least one of ``n_bands``
     15-bit bands whenever max_hamming < n_bands (pigeonhole), so the
     band self-join finds all true pairs without the O(n²) scan. At
     scale only (band_sig, id) pairs shuffle.
+
+    Signatures are computed columnar: one conditional-sum aggregate per
+    bit over the exploded feature rows — a single map-side-combining
+    pass (the per-row array fold in ``simhash_signature`` allocates a
+    60-array per feature; fine for ad-hoc rows, wrong shape for scale).
     """
     band_len = SIMHASH_BITS // n_bands
-    sigs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_signature(F.split(F.col(text_col), " ")).alias("sig"),
+    toks = features.select(
+        F.col(id_col).alias("doc_id"), token_hash(F.col(feature_col)).alias("h")
     )
-    bands = None
-    for i in range(n_bands):
-        band = sigs.select(
-            "doc_id",
-            F.lit(i).alias("band_id"),
-            F.substring("sig", i * band_len + 1, band_len).alias("band_sig"),
-        )
-        bands = band if bands is None else bands.union(band)
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sigs = votes.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"b{i}") > 0, "1").otherwise("0")
+                for i in range(SIMHASH_BITS)
+            ]
+        ).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.substring("sig", i * band_len + 1, band_len).alias("band_sig"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

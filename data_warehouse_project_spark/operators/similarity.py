@@ -80,14 +80,18 @@ def lsh_ann_topk(
         as_double(F.col(vec_col)).alias("e"),
     ).withColumn("sig", lsh_signature(F.col("e")))
 
-    bands = None
-    for i in range(N_BANDS):
-        band = vecs.select(
-            "vec_id",
-            F.lit(i).alias("band_id"),
-            F.substring("sig", i * band_len + 1, band_len).alias("band_sig"),
-        )
-        bands = band if bands is None else bands.union(band)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.substring("sig", i * band_len + 1, band_len).alias("band_sig"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    bands = vecs.select("vec_id", F.explode(band_structs).alias("b")).select(
+        "vec_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
+    )
 
     q_bands = bands.filter(F.col("vec_id") < query_ids_below).select(
         F.col("vec_id").alias("q_id"), "band_id", "band_sig"

@@ -360,14 +360,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_MINHASH_K)
         ]
     )
-    bands = None
-    for bi, (ha, hb) in enumerate(_MINHASH_BANDS):
-        band = mh.select(
-            "doc_id",
-            F.lit(bi).alias("band_id"),
-            F.md5(F.concat(F.col(f"h{ha}"), F.col(f"h{hb}"))).alias("band_sig"),
-        )
-        bands = band if bands is None else bands.union(band)
+    # one band row per (doc, band) via explode — a union of per-band
+    # selects would recompute the minhash aggregation once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(F.concat(F.col(f"h{ha}"), F.col(f"h{hb}"))).alias("band_sig"),
+            )
+            for bi, (ha, hb) in enumerate(_MINHASH_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -445,22 +451,24 @@ def _register_simhash() -> None:
         simhash_near_dup_pairs,
     )
 
-    n_bands, max_ham = 4, 3
+    # 6 bands x 10 bits: pigeonhole-complete for hamming <= 5 — a
+    # 0.95-jaccard pair flips ~5% of feature votes ≈ 4-6 bits of 60.
+    n_bands, max_ham = 6, 5
     band_len = SIMHASH_BITS // n_bands
     oracle = f"""
-    WITH toks AS (
+    WITH {_SHINGLES_SQL},
+    feats AS (
       SELECT doc_id,
-             list_transform(string_split(text, ' '),
-               tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs,
-             len(string_split(text, ' ')) AS n
-      FROM documents
+             list(('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS hs,
+             COUNT(*) AS n
+      FROM doc_shingles GROUP BY doc_id
     ),
     sigs AS (
       SELECT doc_id,
              array_to_string(list_transform(range(0, {SIMHASH_BITS}), b ->
                CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > n
                     THEN '1' ELSE '0' END), '') AS sig
-      FROM toks
+      FROM feats
     ),
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_id, substr(sig, {i * band_len + 1}, {band_len}) AS band_sig FROM sigs" for i in range(n_bands))}
@@ -485,8 +493,9 @@ def _register_simhash() -> None:
     """
 
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        feats = _shingles(spark, sf_dir).withColumnRenamed("shingle", "feature")
         pairs = simhash_near_dup_pairs(
-            table(spark, sf_dir, "documents"),
+            feats,
             max_hamming=max_ham,
             n_bands=n_bands,
         )
@@ -497,11 +506,11 @@ def _register_simhash() -> None:
     register(
         "dedup_simhash",
         oracle=oracle,
-        doc="SimHash near-dup pairs: 60-bit token-vote signatures (md5 "
+        doc="SimHash near-dup pairs: 60-bit shingle-vote signatures (md5 "
         "bit votes, engine-portable), 4-band LSH candidate join, exact "
-        "Hamming verification <= 3. Signature computation is one "
-        "sequential fold per row inside codegen; only (band_sig, id) "
-        "pairs shuffle.",
+        "Hamming verification <= 3. Signatures are computed as one "
+        "columnar conditional-sum pass over exploded shingles; only "
+        "(band_sig, id) pairs shuffle.",
         tags=("text", "dedup", "simhash"),
     )(dedup_simhash)
 
