@@ -212,3 +212,128 @@ def _register_lsh_ann() -> None:
 
 DIM_SQL = 64
 _register_lsh_ann()
+
+
+def _register_ivf_ann() -> None:
+    """IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    around coarse centroids, search only the query's nearest cells.
+
+    Deterministic stand-in for k-means training: centroids are the 16
+    lowest-id vectors (training is an offline concern; the *search*
+    dataflow — assignment lists, multi-probe, rerank — is what must
+    scale). At 100 TB the assignment table is the partitioning key:
+    each cell's vectors are co-located, and a query touches n_probe
+    cells instead of the corpus.
+    """
+    n_centroids, n_probe = 16, 4
+
+    oracle = f"""
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, e AS ce FROM vecs WHERE vec_id < {n_centroids}
+    ),
+    assign_sims AS (
+      SELECT v.vec_id, v.label, v.e, c.cent_id,
+             ROUND({_cos_sql('v.e', 'c.ce')}, 6) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id ORDER BY ROUND({_cos_sql('v.e', 'c.ce')}, 6) DESC, c.cent_id
+             ) AS rn
+      FROM vecs v, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, label, e, cent_id FROM assign_sims WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS q_id, e AS qe FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+    probe_sims AS (
+      SELECT q.q_id, q.qe, c.cent_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id ORDER BY ROUND({_cos_sql('q.qe', 'c.ce')}, 6) DESC, c.cent_id
+             ) AS rn
+      FROM qs q, cents c
+    ),
+    probes AS (SELECT q_id, qe, cent_id FROM probe_sims WHERE rn <= {n_probe}),
+    cand_sims AS (
+      SELECT p.q_id, a.vec_id, a.label,
+             ROUND({_cos_sql('p.qe', 'a.e')}, 6) AS cos_sim
+      FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+      WHERE a.vec_id <> p.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+             ) AS rank
+      FROM cand_sims
+    )
+    SELECT q_id AS query_id, CAST(rank AS INT) AS rank,
+           vec_id AS neighbor_id, label AS neighbor_label, cos_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+    def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        vecs = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double(F.col("embedding")).alias("e")
+        )
+        cents = vecs.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+        sim = F.round(cosine(F.col("e"), F.col("ce")), 6)
+        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+        assigned = (
+            vecs.join(F.broadcast(cents))
+            .withColumn("sim", sim)
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label", "e", "cent_id")
+        )
+        qs = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+            F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        )
+        q_sim = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+        w_probe = Window.partitionBy("q_id").orderBy(F.desc("qsim"), "cent_id")
+        probes = (
+            qs.join(F.broadcast(cents))
+            .withColumn("qsim", q_sim)
+            .withColumn("rn", F.row_number().over(w_probe))
+            .filter(F.col("rn") <= n_probe)
+            .select("q_id", "qe", "cent_id")
+        )
+        cand = (
+            probes.join(assigned, "cent_id")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                "label",
+                F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+            )
+        )
+        w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+        return (
+            cand.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= TOP_K)
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("rank").cast("int").alias("rank"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neighbor_label"),
+                "cos_sim",
+            )
+            .orderBy("query_id", "rank")
+        )
+
+    register(
+        "ann_ivf_topk",
+        oracle=oracle,
+        doc="IVF-style ANN: Voronoi-cell assignment to 16 deterministic "
+        "coarse centroids, 4-probe search, exact-cosine rerank of the "
+        "probed cells only. The assignment table doubles as the "
+        "co-location partitioning key at scale.",
+        tags=("vectors", "ann", "ivf"),
+    )(ann_ivf_topk)
+
+
+_register_ivf_ann()

@@ -53,3 +53,13 @@ def test_minhash_equals_exact_jaccard_above_threshold(spark):
     strong = _pairs(exact.filter(F.col("jaccard") >= 0.9))
     if strong:
         assert len(strong & mh_pairs) / len(strong) >= 0.9
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    brute = QUERIES["ann_cosine_topk"].fn(spark, SF_SMOKE)
+    ivf = QUERIES["ann_ivf_topk"].fn(spark, SF_SMOKE)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    # 4 of 16 cells probed: recall is bounded but must clearly beat chance
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"

@@ -23,6 +23,7 @@ ALLOW_NESTED_LOOP = {
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",  # band equi-join plus neq filter
+    "ann_ivf_topk",  # broadcast cross vs 16 centroids — intended
 }
 
 EXPECT_BROADCAST = [
