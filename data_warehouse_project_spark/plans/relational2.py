@@ -273,3 +273,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.95)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "revenue_forecast_filter",
+    oracle=f"""
+    SELECT {_sql_exact_sum('l_extendedprice * l_discount')} AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    bench=True,
+    doc="TPC-H Q6 shape: conjunctive range predicates + arithmetic "
+    "aggregate. All four predicates push into the parquet scan "
+    "(min/max row-group pruning does the heavy lifting at 100 TB); "
+    "the aggregate is a single map-side-combining pass.",
+    tags=("agg", "pushdown"),
+)
+def revenue_forecast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_lines,
+           {_sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_nationkey = c.c_nationkey
+      AND r.r_name = (SELECT MIN(r_name) FROM region)
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    doc="TPC-H Q5 shape: 6-way join with a local-supplier correlation "
+    "(supplier and customer in the same nation) and a scalar-subquery "
+    "region filter. Fact-fact join on orderkey is the only big "
+    "shuffle; customer/supplier/nation/region broadcast; the "
+    "same-nation predicate prunes before aggregation.",
+    tags=("join", "agg"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    min_region = r.agg(F.min("r_name").alias("rn"))
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(min_region), F.col("r_name") == F.col("rn"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(rev).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )

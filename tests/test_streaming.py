@@ -90,3 +90,38 @@ def test_watermark_bounds_state(spark, event_source):
     total = tumbling_counts(batch).count()
     # all but the last open windows are finalized
     assert 0 < finalized.count() <= total
+
+
+def test_stateful_running_totals(spark, event_source):
+    """applyInPandasWithState: final per-user state equals the batch
+    aggregate (exact integer micro-units)."""
+    from data_warehouse_project_spark.streaming.stateful import running_user_totals
+
+    path, batch = event_source
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_df = spark.table("t_state")
+    # update mode may emit several rows per user; counts are monotone →
+    # the final state is the row with the max n_events
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value_micros"])
+        for r in got_df.orderBy("n_events").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["sv"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("sv"),
+        )
+        .collect()
+    }
+    assert got == want
