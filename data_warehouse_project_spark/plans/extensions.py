@@ -192,3 +192,40 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "pivot_segment_by_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(SUM(CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS AUTOMOBILE,
+           CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS BUILDING,
+           CAST(SUM(CASE WHEN c.c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS FURNITURE,
+           CAST(SUM(CASE WHEN c.c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS HOUSEHOLD,
+           CAST(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS MACHINERY
+    FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+    doc="Pivot: customer counts, market segments as columns per region. "
+    "Explicit segment list (the TPC-H vocabulary) so the output schema "
+    "is static — dynamic pivot would need a collect to discover values, "
+    "which is exactly what a 100 TB plan must not do.",
+    tags=("pivot", "agg"),
+)
+def pivot_segment_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .pivot("c_mktsegment", segs)
+        .count()
+        .na.fill(0, segs)
+        .orderBy("region")
+    )
