@@ -229,3 +229,74 @@ def pivot_segment_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, segs)
         .orderBy("region")
     )
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderstatus AS status,
+             {_sql_exact_sum('o_totalprice')} AS total_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status, metric, value FROM m
+    UNPIVOT (value FOR metric IN (total_price, n_orders, n_customers))
+    ORDER BY status, metric
+    """,
+    doc="Unpivot (wide→long): per-status metrics melted into "
+    "(status, metric, value) rows via stack() — the inverse of pivot, "
+    "pure projection after the aggregate (no extra shuffle).",
+    tags=("pivot", "agg"),
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        exact_sum("o_totalprice").alias("total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return m.selectExpr(
+        "status",
+        "stack(3, 'total_price', total_price, 'n_orders', n_orders, "
+        "'n_customers', n_customers) AS (metric, value)",
+    ).orderBy("status", "metric")
+
+
+@register(
+    "case_insensitive_lang_join",
+    oracle="""
+    WITH lang_dim AS (
+      SELECT DISTINCT upper(lang) AS lang_code FROM documents
+    )
+    SELECT d.lang_code,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc.doc_id) AS BIGINT) AS first_doc
+    FROM documents doc
+      LEFT JOIN lang_dim d ON upper(doc.lang) = d.lang_code
+    GROUP BY d.lang_code
+    ORDER BY lang_code
+    """,
+    doc="J2: case-insensitive dimension lookup join (the reference joins "
+    "every geo dim ON UPPER(a)=UPPER(b), load_3nf_ce_countries_table"
+    ".sql:31-32). The upper() wrapping keeps the join an equi-join — "
+    "hashable/broadcastable, unlike a collation-based comparison.",
+    tags=("join", "functions"),
+)
+def case_insensitive_lang_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = table(spark, sf_dir, "documents")
+    lang_dim = doc.select(F.upper("lang").alias("lang_code")).distinct()
+    return (
+        doc.join(
+            F.broadcast(lang_dim),
+            F.upper(doc.lang) == lang_dim.lang_code,
+            "left",
+        )
+        .groupBy("lang_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("lang_code")
+    )
