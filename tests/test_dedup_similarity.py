@@ -63,3 +63,49 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     recall = len(truth & got) / len(truth)
     # 4 of 16 cells probed: recall is bounded but must clearly beat chance
     assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+
+def test_simhash_signature_implementations_agree(spark):
+    """The per-row array-fold signature (simhash_signature) and the
+    columnar conditional-sum path used by simhash_near_dup_pairs must
+    produce identical bits for the same feature sets."""
+    from data_warehouse_project_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_signature,
+        token_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "x")],
+        "doc_id int, text string",
+    )
+    fold = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", simhash_signature(F.split("text", " ")).alias("sig")
+        ).collect()
+    }
+    feats = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("feature")
+    ).select("doc_id", token_hash(F.col("feature")).alias("h"))
+    votes = feats.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    columnar = {
+        r["doc_id"]: r["sig"]
+        for r in votes.select(
+            "doc_id",
+            F.concat(
+                *[
+                    F.when(F.col(f"b{i}") > 0, "1").otherwise("0")
+                    for i in range(SIMHASH_BITS)
+                ]
+            ).alias("sig"),
+        ).collect()
+    }
+    assert fold == columnar
