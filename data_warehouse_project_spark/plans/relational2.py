@@ -363,3 +363,36 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "nation")
     )
+
+
+_ABOVE_AVG_SQL = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_above_avg,
+       CAST(MIN(c.c_custkey) AS BIGINT) AS first_customer
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE ROUND(c.c_acctbal * 100) >
+      (SELECT SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT)) * 1.0 / COUNT(*)
+       FROM customer c2
+       WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@register(
+    "above_avg_customers_sql",
+    oracle=_ABOVE_AVG_SQL,
+    doc="J5 as literal SQL: correlated scalar subquery (customers above "
+    "their nation's average balance) submitted through spark.sql() — "
+    "Catalyst decorrelates it into an aggregate + join; the reference "
+    "needed hand-written per-row subqueries for this shape "
+    "(load_3nf_ce_sales_pre_fact_table.sql:52-75). The average is "
+    "exact-integer-cents divided once, so both engines compare "
+    "identical doubles.",
+    tags=("sql", "join", "subquery"),
+)
+def above_avg_customers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_ABOVE_AVG_SQL)
