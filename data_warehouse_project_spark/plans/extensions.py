@@ -300,3 +300,71 @@ def case_insensitive_lang_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_code")
     )
+
+
+@register(
+    "except_lapsed_customers",
+    oracle="""
+    SELECT c_custkey AS customer_id FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) ORDER BY customer_id
+    """,
+    doc="EXCEPT set op (beyond the reference, which only has UNION/U1): "
+    "customers active in 1996 but lapsed in 1997. Spark plans EXCEPT as "
+    "a left-anti join on distinct keys — same shape as the engine's "
+    "incremental-insert guards.",
+    tags=("set",),
+)
+def except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def active_in(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("customer_id"))
+            .distinct()
+        )
+
+    return active_in(1996).exceptAll(active_in(1997)).orderBy("customer_id")
+
+
+@register(
+    "intersect_repeat_customers",
+    oracle="""
+    SELECT c_custkey AS customer_id FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) ORDER BY customer_id
+    """,
+    doc="INTERSECT set op: customers active in both 1996 and 1997 "
+    "(retention). Planned as a left-semi join on distinct keys.",
+    tags=("set",),
+)
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def active_in(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("customer_id"))
+            .distinct()
+        )
+
+    return active_in(1996).intersect(active_in(1997)).orderBy("customer_id")
