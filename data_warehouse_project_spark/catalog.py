@@ -40,11 +40,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # Timestamps in the test parquet are timezone-naive; pin the session
-    # to UTC so date casts are stable regardless of the host session TZ.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
+    # UTC timezone + nanosAsLong are preset in session.get_spark, making
+    # this check-then-set a no-op (read-only on session state, safe under
+    # concurrency) for engine-built sessions. The set branch only fires
+    # for foreign sessions — e.g. the correctness driver passes its own —
+    # once, on first use.
+    # (no string default here: Spark 4 validates conf.get's default as a
+    # timezone; timeZone always has a session value to read)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name == "events":
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 

@@ -120,6 +120,22 @@ class Warehouse:
                 item.rename(dst / f"part-{uuid.uuid4().hex}{suffix}")
         shutil.rmtree(src, ignore_errors=True)
 
+    def partitions(self, layer: str, name: str, col: str) -> list[str]:
+        """S9 catalog introspection: the partition values of a
+        partitioned table, read from the self-describing ``col=value``
+        directory layout — the SHOW PARTITIONS equivalent of the
+        reference's pg_inherits scan
+        (load_fct_sales_fact_table_dimensional_layer.sql:46-52)."""
+        p = self.path(layer, name)
+        if not p.exists():
+            return []
+        prefix = f"{col}="
+        return sorted(
+            d.name[len(prefix):]
+            for d in p.iterdir()
+            if d.is_dir() and d.name.startswith(prefix)
+        )
+
     # -- etl log (O3/O4/S8) ------------------------------------------------
     # Rows are buffered driver-side and flushed in one tiny write per
     # run — a per-stage parquet write costs a full Spark job each.
@@ -145,3 +161,22 @@ class Warehouse:
 
     def read_log(self) -> DataFrame:
         return self.read("bl_cl", "etl_log").orderBy(F.desc("log_ts"))
+
+    def log_rollup(self, since: dt.datetime | None = None) -> DataFrame:
+        """A11: per-procedure lineage rollup over the run log — run
+        count, rows loaded, last-run timestamp, error count (reference
+        audit-trail query, dw_etl_tests.py:554-564), optionally bounded
+        to runs after ``since``."""
+        log = self.read("bl_cl", "etl_log")
+        if since is not None:
+            log = log.filter(F.col("log_ts") >= F.lit(since))
+        return (
+            log.groupBy("procedure_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_runs"),
+                F.sum("rows_affected").alias("total_rows"),
+                F.max("log_ts").alias("last_run_ts"),
+                F.count("error_message").alias("n_errors"),
+            )
+            .orderBy("procedure_name")
+        )

@@ -67,8 +67,8 @@ def simhash_near_dup_pairs(
     features: DataFrame,
     id_col: str = "doc_id",
     feature_col: str = "feature",
-    max_hamming: int = 6,
-    n_bands: int = 4,
+    max_hamming: int = 5,
+    n_bands: int = 6,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with distance <= max_hamming, from
     a (doc, feature) frame — features are typically shingles (n-grams):
@@ -88,6 +88,12 @@ def simhash_near_dup_pairs(
     pass (the per-row array fold in ``simhash_signature`` allocates a
     60-array per feature; fine for ad-hoc rows, wrong shape for scale).
     """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: the pigeonhole "
+            "guarantee needs max_hamming < n_bands, otherwise a true pair can "
+            "differ in every band and be silently missed"
+        )
     band_len = SIMHASH_BITS // n_bands
     toks = features.select(
         F.col(id_col).alias("doc_id"), token_hash(F.col(feature_col)).alias("h")

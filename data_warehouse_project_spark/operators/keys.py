@@ -31,7 +31,12 @@ def with_surrogate_keys(
 ) -> DataFrame:
     """Assign surrogate ids ``start_at, start_at+1, ...`` in the total
     order given by ``order_by`` (must be a total order for
-    reproducibility)."""
+    reproducibility).
+
+    ⚠ The dense path funnels the whole batch through ONE task (global
+    window): correct only for provably tiny frames (a handful of
+    regions/nations). Every real loader uses ``with_distributed_keys``.
+    """
     if dense:
         w = Window.orderBy(*order_by)
         sk = (F.row_number().over(w) + F.lit(start_at - 1)).cast("bigint")
@@ -39,6 +44,75 @@ def with_surrogate_keys(
         # sparse but fully parallel: stable only within one run
         sk = (F.monotonically_increasing_id() + F.lit(start_at)).cast("bigint")
     return batch.withColumn(key_col, sk)
+
+
+def bucket_of(col: Column, n_buckets: int) -> Column:
+    """Deterministic, engine-portable bucket id in [0, n_buckets):
+    first 4 hex chars of md5 of the value's string form. The same
+    expression is writable in ANSI SQL/DuckDB
+    (``('0x' || substring(md5(x), 1, 4))::BIGINT % n``), so bucketed key
+    assignment stays oracle-checkable."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def with_distributed_keys(
+    batch: DataFrame,
+    key_col: str,
+    order_by: list[str],
+    start_at: int = 1,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Scale-safe dense surrogate ids: ``start_at .. start_at+N-1``,
+    deterministic, with NO global single-task sort.
+
+    Two-pass partition-offset assignment (the distributed replacement
+    for the reference's per-row NEXTVAL, and for a global
+    ``row_number() over (order by …)`` which serializes the batch
+    through one task):
+
+    1. bucket each row by an md5-prefix hash of its leading natural-key
+       column (``bucket_of`` — data-dependent, partitioning-independent,
+       so ids are stable across runs/cluster layouts);
+    2. ``row_number`` within each bucket over ``order_by`` — a hash
+       shuffle on the bucket id, n_buckets-way parallel;
+    3. add per-bucket starting offsets = exclusive cumulative counts in
+       bucket order. The count map is O(n_buckets) rows on the driver —
+       bounded by a constant, independent of data size (same class as
+       reading a watermark) — and is broadcast back.
+
+    Ids are dense overall but NOT sorted by the natural key across
+    buckets (bucket-major order). Every consumer treats surrogate ids as
+    opaque, so only determinism matters (SURVEY.md §7.2).
+
+    Note: computing the count map triggers one extra (count-only,
+    map-side-combined) pass over ``batch``; cache upstream if it is
+    expensive to recompute.
+    """
+    b = batch.withColumn("__kb", bucket_of(F.col(order_by[0]), n_buckets))
+    counts = {
+        r["__kb"]: r["cnt"]
+        for r in b.groupBy("__kb").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for bk in sorted(counts):
+        offsets.append((bk, acc))
+        acc += counts[bk]
+    spark = batch.sparkSession
+    off_df = spark.createDataFrame(offsets, "__kb bigint, __koff bigint")
+    w = Window.partitionBy("__kb").orderBy(*order_by)
+    return (
+        b.join(F.broadcast(off_df), "__kb", "left")
+        .withColumn(
+            key_col,
+            (F.row_number().over(w) + F.col("__koff") + F.lit(start_at - 1)).cast(
+                "bigint"
+            ),
+        )
+        .drop("__kb", "__koff")
+    )
 
 
 def next_key_offset(existing: DataFrame | None, key_col: str) -> int:

@@ -29,6 +29,12 @@ def salted_join(
     """Equality join on ``key`` with the small side replicated over a
     salt space. Output columns = big ∪ (small minus key), like
     ``big.join(small, key, how)``."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: replicating "
+            "the small side breaks right/full/semi/anti semantics (unmatched "
+            "small rows would appear once per salt replica)"
+        )
     salted_big = big.withColumn(
         "__salt", (F.abs(F.hash(F.col(key), F.monotonically_increasing_id())) % salt)
     )

@@ -31,7 +31,12 @@ def asof_join(
     right_vals: list[str],
 ) -> DataFrame:
     """For every left row, attach right_vals of the latest right row
-    with right_ts <= left_ts for the same key (NULLs if none)."""
+    with right_ts <= left_ts for the same key (NULLs if none).
+
+    When several right rows share the same (key, right_ts), the one with
+    the greatest ``struct(*right_vals)`` wins — a total, run-stable
+    tie-break (without it, which duplicate-timestamp row gets carried
+    forward would depend on partitioning/run order)."""
     l_tag = left.withColumn("__side", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
@@ -43,10 +48,15 @@ def asof_join(
     )
     l_cols = set(left.columns)
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # right rows sort before left rows at the same timestamp (__side 0<1)
+    # right rows sort before left rows at the same timestamp (__side 0<1);
+    # equal-timestamp right rows are totally ordered by their value tuple
+    # so the carried-forward row is deterministic across partitionings
+    tie = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(v) for v in right_vals])
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged

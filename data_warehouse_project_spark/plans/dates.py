@@ -57,24 +57,11 @@ ORDER BY date_id
 """
 
 
-@register(
-    "dim_dates",
-    oracle=_DIM_DATES_ORACLE,
-    doc="M5/D1-D17: auto-ranged generated date dimension, 17 attributes "
-    "per day. sequence()+explode generates the calendar in one task — "
-    "a date dim is tiny at any warehouse scale and is broadcast to "
-    "every fact join.",
-    tags=("dim", "generator"),
-)
-def dim_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").select(F.col("o_orderdate").cast("date").alias("d"))
-    bounds = o.agg(
-        F.add_months(F.min("d"), -1).alias("start_d"),
-        F.add_months(F.max("d"), 1).alias("end_d"),
-    )
-    days = bounds.select(
-        F.explode(F.sequence("start_d", "end_d")).alias("date_id")
-    )
+def date_attributes(days: DataFrame) -> DataFrame:
+    """D2-D17 projection: the full 17-attribute date dimension over a
+    frame with a ``date_id`` DATE column. Shared by the oracle-checked
+    ``dim_dates`` query and the ETL's ``load_dim_dates`` so both emit
+    the identical schema (load_dim_dates_dimension.sql:28-74)."""
     d = F.col("date_id")
     iso_dow = F.weekday(d) + F.lit(1)  # Mon=1..Sun=7 (PG EXTRACT(ISODOW))
     yr = F.year(d)
@@ -104,4 +91,25 @@ def dim_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(365)
         .alias("days_in_year"),
         F.date_sub(F.add_months(F.trunc(d, "year"), 12), 1).alias("end_of_year"),
-    ).orderBy("date_id")
+    )
+
+
+@register(
+    "dim_dates",
+    oracle=_DIM_DATES_ORACLE,
+    doc="M5/D1-D17: auto-ranged generated date dimension, 17 attributes "
+    "per day. sequence()+explode generates the calendar in one task — "
+    "a date dim is tiny at any warehouse scale and is broadcast to "
+    "every fact join.",
+    tags=("dim", "generator"),
+)
+def dim_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderdate").cast("date").alias("d"))
+    bounds = o.agg(
+        F.add_months(F.min("d"), -1).alias("start_d"),
+        F.add_months(F.max("d"), 1).alias("end_d"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("start_d", "end_d")).alias("date_id")
+    )
+    return date_attributes(days).orderBy("date_id")

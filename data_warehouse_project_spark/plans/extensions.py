@@ -173,13 +173,23 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_profile",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check;
-    # the pytest suite asserts <5% error vs the exact count instead.
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+           TRUE AS approx_within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
     doc="approx_count_distinct (HyperLogLog++) per order status — the "
     "at-scale replacement for exact COUNT DISTINCT (no per-key state, "
-    "mergeable sketches). No SQL oracle: sketch estimates are "
-    "engine-specific; accuracy is asserted against the exact count in "
-    "tests/test_queries_oracle.py.",
+    "mergeable sketches). The raw sketch estimate is engine-specific, so "
+    "it is not emitted directly; instead the oracle checks the exact "
+    "COUNT DISTINCT twin plus approx_within_5pct, a boolean the Spark "
+    "side computes as |hll - exact| <= 5% * exact and the oracle pins to "
+    "TRUE — the error bound is hash-checked, not just asserted in pytest "
+    "(HLL++ is deterministic for fixed data, so the flag is stable).",
     tags=("agg", "approx"),
 )
 def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,7 +198,17 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("n_customers_exact"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("__approx"),
+        )
+        .select(
+            "status",
+            "n_orders",
+            "n_customers_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_customers_exact"))
+                <= 0.05 * F.col("n_customers_exact")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("status")
     )

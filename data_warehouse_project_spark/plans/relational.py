@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.operators.keys import with_distributed_keys
 from data_warehouse_project_spark.plans.queries import (
     _sql_exact_sum,
     exact_sum,
@@ -240,29 +241,51 @@ def watermark_incremental_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "surrogate_keys_nation",
     oracle="""
+    WITH base AS (
+      SELECT n_name, n_nationkey,
+             CAST(('0x' || substring(md5(n_name), 1, 4)) AS BIGINT) % 8 AS bk
+      FROM nation
+    ), counts AS (
+      SELECT bk, COUNT(*) AS cnt FROM base GROUP BY bk
+    ), offs AS (
+      SELECT bk, COALESCE(SUM(cnt) OVER (
+               ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS off
+      FROM counts
+    )
     SELECT -1 AS nation_surr_id, 'n.a.' AS nation_name, -1 AS nation_src_id
     UNION ALL
-    SELECT 1000 + ROW_NUMBER() OVER (ORDER BY n_name, n_nationkey) AS nation_surr_id,
-           n_name AS nation_name,
-           n_nationkey AS nation_src_id
-    FROM nation
+    SELECT 1000 + o.off + ROW_NUMBER() OVER (
+             PARTITION BY b.bk ORDER BY b.n_name, b.n_nationkey
+           ) AS nation_surr_id,
+           b.n_name AS nation_name,
+           b.n_nationkey AS nation_src_id
+    FROM base b JOIN offs o ON b.bk = o.bk
     ORDER BY nation_surr_id
     """,
-    doc="W2/P7/F14: deterministic surrogate keys — row_number over a "
-    "stable total order + offset replaces NEXTVAL (reference sequences, "
+    doc="W2/P7/F14: deterministic surrogate keys at scale — bucketed "
+    "partition-offset assignment (operators/keys.py "
+    "with_distributed_keys) replaces NEXTVAL (reference sequences, "
     "create_ddl_objects_3NF_layer.sql:16-25), plus the seeded -1 default "
-    "row (load_3nf_ce_continents_table.sql:48-69). Global row_number on a "
-    "dim is fine; for billion-row keys use zipWithIndex-style "
-    "per-partition offsets instead.",
+    "row (load_3nf_ce_continents_table.sql:48-69). No global single-task "
+    "row_number: rows hash to md5-prefix buckets (engine-portable, so "
+    "the oracle replays the identical assignment), row_number runs "
+    "per-bucket in parallel, and dense ids come from exclusive "
+    "cumulative bucket counts (O(n_buckets) driver state).",
     tags=("keys",),
 )
 def surrogate_keys_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
-    w = Window.orderBy("n_name", "n_nationkey")
-    keyed = n.select(
-        (F.lit(1000) + F.row_number().over(w)).cast("bigint").alias("nation_surr_id"),
+    keyed = with_distributed_keys(
+        n.select("n_name", F.col("n_nationkey").cast("bigint")),
+        "nation_surr_id",
+        ["n_name", "n_nationkey"],
+        start_at=1001,
+        n_buckets=8,
+    ).select(
+        "nation_surr_id",
         F.col("n_name").alias("nation_name"),
-        F.col("n_nationkey").cast("bigint").alias("nation_src_id"),
+        F.col("n_nationkey").alias("nation_src_id"),
     )
     default_row = n.sparkSession.createDataFrame(
         [(-1, "n.a.", -1)], "nation_surr_id bigint, nation_name string, nation_src_id bigint"

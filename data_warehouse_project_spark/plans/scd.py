@@ -93,9 +93,9 @@ def scd1_current_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(version_id AS INT) AS version_id, event_type,
            start_ts,
-           COALESCE(LEAD(start_ts) OVER (
+           COALESCE(strftime(LEAD(start_ts) OVER (
              PARTITION BY user_id ORDER BY version_id
-           ), TIMESTAMP '9999-12-31 00:00:00') AS end_ts,
+           ), '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS end_ts,
            CASE WHEN LEAD(start_ts) OVER (
              PARTITION BY user_id ORDER BY version_id
            ) IS NULL THEN 'Y' ELSE 'N' END AS is_active,
@@ -107,8 +107,11 @@ def scd1_current_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each user's consecutive same-type events into contiguous "
     "[start_ts, end_ts) validity intervals with the reference's "
     "9999-12-31 open-end + IS_ACTIVE flag sentinels "
-    "(load_3nf_ce_products_scd_table_type2.sql:86-100). Three windows, "
-    "all partitioned by user_id: one shuffle, reused across stages.",
+    "(load_3nf_ce_products_scd_table_type2.sql:86-100). end_ts is carried "
+    "as an ISO second-resolution string: the sentinel overflows "
+    "datetime64[ns] (pandas caps at 2262), so a TIMESTAMP carrier breaks "
+    "every Arrow/pandas consumer downstream. Three windows, all "
+    "partitioned by user_id: one shuffle, reused across stages.",
     tags=("scd", "window"),
 )
 def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +140,8 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "start_ts",
         F.coalesce(
-            lead_start, F.lit("9999-12-31 00:00:00").cast("timestamp")
+            F.date_format(lead_start, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
         ).alias("end_ts"),
         F.when(lead_start.isNull(), "Y").otherwise("N").alias("is_active"),
         F.col("n_events").cast("bigint").alias("n_events"),

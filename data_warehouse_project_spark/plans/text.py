@@ -507,8 +507,9 @@ def _register_simhash() -> None:
         "dedup_simhash",
         oracle=oracle,
         doc="SimHash near-dup pairs: 60-bit shingle-vote signatures (md5 "
-        "bit votes, engine-portable), 4-band LSH candidate join, exact "
-        "Hamming verification <= 3. Signatures are computed as one "
+        "bit votes, engine-portable), 6-band x 10-bit LSH candidate "
+        "join, exact Hamming verification <= 5 (pigeonhole-complete: "
+        "max_hamming < n_bands). Signatures are computed as one "
         "columnar conditional-sum pass over exploded shingles; only "
         "(band_sig, id) pairs shuffle.",
         tags=("text", "dedup", "simhash"),

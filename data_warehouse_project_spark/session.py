@@ -39,8 +39,17 @@ def get_spark(app_name: str = "dwp-spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read nanos as long session-wide (catalog.table
+        # converts to a microsecond timestamp). Set once here so table()
+        # stays read-only on session state (safe under concurrency).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # keep order_month=yyyyMM partition values as strings on read:
+        # type inference would flip them to INT and break the (stringly
+        # monotonic) watermark comparisons against date_format output
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # container niceties: avoid slow reverse-DNS + blocking entropy reads
         .config("spark.driver.host", "127.0.0.1")

@@ -49,6 +49,52 @@ def test_geo_dims_have_default_rows(spark, warehouse):
         assert dim.select(id_col).distinct().count() == dim.count()
 
 
+def test_hierarchy_fk_integrity(spark, warehouse):
+    """J11: every FK along the 4-level geo chain and the product chain
+    resolves (left_anti orphan count == 0 — the reference's declared FK
+    constraints, create_ddl_objects_3NF_layer.sql:52-128, recreated as
+    post-load checks)."""
+    chains = (
+        ("ce_cities", "state_id", "ce_states"),
+        ("ce_states", "nation_id", "ce_nations"),
+        ("ce_nations", "region_id", "ce_regions"),
+        ("ce_customers", "city_id", "ce_cities"),
+        ("ce_subcategories", "category_id", "ce_categories"),
+        ("ce_products_scd", "subcategory_id", "ce_subcategories"),
+    )
+    for child, fk, parent in chains:
+        c = warehouse.read("bl_3nf", child)
+        p = warehouse.read("bl_3nf", parent)
+        orphans = c.join(p.select(F.col(fk)), on=fk, how="left_anti").count()
+        assert orphans == 0, f"{child}.{fk} has {orphans} orphans vs {parent}"
+
+
+def test_geo_chain_resolves_4_deep(spark, warehouse):
+    """A customer walks city→state→nation→region to a real region (the
+    denormalized dim carries all four levels, none NULL)."""
+    dimc = warehouse.read("bl_dm", "dim_customers")
+    assert {"district", "state_segment", "nation_name", "region_name"} <= set(
+        dimc.columns
+    )
+    resolved = dimc.filter(
+        (F.col("region_name") != "n.a.") & (F.col("district") != "n.a.")
+    ).count()
+    assert resolved > 0
+    for col in ("district", "state_segment", "nation_name", "region_name"):
+        assert dimc.filter(F.col(col).isNull()).count() == 0
+
+
+def test_product_hierarchy_flattened(spark, warehouse):
+    dimp = warehouse.read("bl_dm", "dim_products_scd")
+    assert {"subcategory_name", "category_name"} <= set(dimp.columns)
+    # TPC-H invariant: Brand#ij nests under category Brand#i
+    mismatched = dimp.filter(
+        (F.col("category_name") != "n.a.")
+        & (F.substring("subcategory_name", 1, 7) != F.col("category_name"))
+    ).count()
+    assert mismatched == 0
+
+
 def test_scd2_single_active_version(spark, warehouse):
     prods = warehouse.read("bl_3nf", "ce_products_scd")
     per_key = (
@@ -77,6 +123,30 @@ def test_etl_log_written(spark, warehouse):
     assert "load_staging_sales" in names
     assert "run_full_etl" in names
     assert log.filter(F.col("error_message").isNotNull()).count() == 0
+
+
+def test_log_rollup(spark, warehouse):
+    """A11: the lineage rollup aggregates the run log per procedure —
+    golden-checked here because etl_log is not a driver oracle table."""
+    roll = {r["procedure_name"]: r for r in warehouse.log_rollup().collect()}
+    assert "load_staging_sales" in roll
+    assert "load_3nf_ce_cities" in roll
+    for name, r in roll.items():
+        assert r["n_runs"] >= 1, name
+        assert r["n_errors"] == 0, name
+        assert r["last_run_ts"] is not None, name
+    assert roll["load_staging_sales"]["total_rows"] > 0
+
+
+def test_partition_introspection(spark, warehouse):
+    """S9: partitions() lists the fact's order_month values from the
+    self-describing directory layout."""
+    months = warehouse.partitions("bl_dm", "fct_sales", "order_month")
+    assert len(months) > 12
+    assert months == sorted(months)
+    assert all(len(m) == 6 and m.isdigit() for m in months)
+    # the 3NF pre-fact is partitioned the same way for the pruned anti-join
+    assert len(warehouse.partitions("bl_3nf", "ce_sales", "order_month")) > 12
 
 
 def test_idempotent_rerun(spark, warehouse):

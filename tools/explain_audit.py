@@ -41,6 +41,13 @@ EXPECT_PUSHED_FILTER = [
     "running_daily_revenue",
 ]
 
+# queries whose plans must NOT funnel unaggregated data through one task
+# (global windowless row_number / Window.orderBy): surrogate-key minting
+# uses bucketed partition-offset assignment instead
+NO_SINGLE_PARTITION_EXCHANGE = [
+    "surrogate_keys_nation",
+]
+
 
 def audit(sf_dir: str) -> int:
     from data_warehouse_project_spark.plans import QUERIES
@@ -75,6 +82,14 @@ def audit(sf_dir: str) -> int:
         p = plan_of(name)
         if "PushedFilters: []" in p or "PushedFilters" not in p:
             print(f"✗ {name}: no pushed filters on scan")
+            failures += 1
+
+    for name in NO_SINGLE_PARTITION_EXCHANGE:
+        p = plan_of(name)
+        # rangepartitioning (presentation sort) is fine; a SinglePartition
+        # exchange under a Window means a serial global row_number
+        if "Exchange SinglePartition" in p:
+            print(f"✗ {name}: key assignment funnels through one task")
             failures += 1
 
     # column pruning: q1 must scan exactly its 2 aggregate columns
