@@ -11,8 +11,10 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
     asof,
     dates,
     extensions,
+    graph,
     relational,
     relational2,
+    relational3,
     scd,
     text,
     timeseries,

@@ -1,0 +1,351 @@
+"""Round-2 analytics widening: semi-joins, CUBE grouping, window
+frames, exact percentiles, ordered string aggregation, scale-safe
+quantile bucketing, and event-sequence analytics.
+
+These go beyond the reference's operator list (SURVEY.md §2 notes CUBE/
+grouping sets/percentiles are "free in Spark if we later want them" —
+this is 'later'), but keep its test discipline: every query has a DuckDB
+oracle twin and deterministic cross-engine values (integer-unit sums,
+total tie-breaks; plans/queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.plans.queries import (
+    _sql_exact_sum,
+    exact_sum,
+    register,
+)
+
+
+@register(
+    "semijoin_fast_ship_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+    doc="Left semi-join (TPC-H Q4 shape): orders with at least one line "
+    "shipped within 7 days of ordering, counted by priority. The EXISTS "
+    "becomes a left_semi join — Spark never materializes the match "
+    "multiplicity, so the probe side streams once; at scale this is the "
+    "same orderkey-shuffle as any fact⋈fact join, with the semi "
+    "short-circuit cutting the build side's output.",
+    tags=("join", "semi"),
+)
+def semijoin_fast_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fast = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")),
+        "left_semi",
+    )
+    return (
+        fast.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+@register(
+    "cube_returns_by_status",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n_rows,
+           {_sql_exact_sum('l_extendedprice')} AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+    doc="CUBE aggregation over (returnflag, linestatus) with grouping id "
+    "— all four grouping sets in ONE pass (Catalyst expands the cube "
+    "into a single Expand + partial-agg pipeline, not four scans). "
+    "NULL group placeholders are coalesced to 'ALL' so the oracle "
+    "comparison has no NULL-vs-NULL ambiguity.",
+    tags=("agg", "cube"),
+)
+def cube_returns_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("l_extendedprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "n_rows",
+            "revenue",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+@register(
+    "moving_revenue_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS ship_day,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY ship_day
+    )
+    SELECT ship_day,
+           CAST(rev_cents / 100.0 AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev_cents) OVER (
+             ORDER BY ship_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS DOUBLE) AS revenue_7d
+    FROM daily
+    ORDER BY ship_day
+    """,
+    doc="Sliding window FRAME (ROWS 6 PRECEDING): 7-day moving revenue "
+    "over the daily rollup. The frame runs over the aggregated day-grain "
+    "frame (bounded: one row per calendar day), so the global sort is a "
+    "few thousand rows regardless of fact size — the heavy lifting is "
+    "the partial-agg day rollup, which scales. Sums stay integer-cents "
+    "inside the frame for cross-engine exactness.",
+    tags=("window", "frame"),
+)
+def moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("ship_day")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy("ship_day").rowsBetween(-6, 0)
+    return daily.select(
+        "ship_day",
+        (F.col("rev_cents") / F.lit(100.0)).cast("double").alias("day_revenue"),
+        (F.sum("rev_cents").over(w) / F.lit(100.0))
+        .cast("double")
+        .alias("revenue_7d"),
+    ).orderBy("ship_day")
+
+
+@register(
+    "median_price_by_brand",
+    oracle="""
+    SELECT p_brand AS brand,
+           COUNT(*) AS n_parts,
+           CAST(quantile_cont(CAST(ROUND(p_retailprice * 100) AS BIGINT), 0.5)
+                AS DOUBLE) AS median_price_cents,
+           CAST(quantile_cont(CAST(ROUND(p_retailprice * 100) AS BIGINT), 0.9)
+                AS DOUBLE) AS p90_price_cents
+    FROM part
+    GROUP BY p_brand
+    ORDER BY brand
+    """,
+    doc="Exact percentiles (median + p90) per brand over integer-cents "
+    "prices — linear-interpolation quantiles agree bit-for-bit across "
+    "engines only on integer inputs (interpolated halves/tenths of ints "
+    "are exactly representable doubles). Spark's percentile is a "
+    "sort-based exact aggregate; for 100 TB switch to approx_percentile "
+    "with an error budget — kept exact here because the oracle is exact.",
+    tags=("agg", "percentile"),
+)
+def median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.percentile(cents, F.lit(0.5)).cast("double").alias(
+                "median_price_cents"
+            ),
+            F.percentile(cents, F.lit(0.9)).cast("double").alias(
+                "p90_price_cents"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "top_parts_csv_per_brand",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_brand, p_partkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey
+             ) AS rn
+      FROM part
+    )
+    SELECT p_brand AS brand,
+           STRING_AGG(CAST(p_partkey AS VARCHAR), ',' ORDER BY rn) AS top3_parts
+    FROM ranked WHERE rn <= 3
+    GROUP BY p_brand
+    ORDER BY brand
+    """,
+    doc="Ordered string aggregation: the 3 priciest parts per brand as a "
+    "CSV in rank order — collect_list carries (rn, key) structs, "
+    "sort_array makes the order deterministic (collect_list alone has "
+    "no ordering guarantee in a distributed agg), then transform + "
+    "array_join emit the string. The window partitions on the "
+    "high-cardinality brand key, so no global sort.",
+    tags=("agg", "window", "collect"),
+)
+def top_parts_csv_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    ranked = p.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        ranked.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rn", "p_partkey"))
+                    ),
+                    lambda s: s["p_partkey"].cast("string"),
+                ),
+                ",",
+            ).alias("top3_parts")
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "word_topk_documents",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS n_occurrences
+    FROM words
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 20
+    """,
+    doc="Corpus-wide token frequency top-20 (whitespace tokenizer, total "
+    "tie-break on the word). explode(split()) stays in the scan stage; "
+    "only (word, partial count) pairs shuffle — the word-count shape "
+    "that survives any corpus size.",
+    tags=("text", "topk"),
+)
+def word_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "quartile_buckets_acctbal",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal FROM customer
+    ), q AS (
+      SELECT CAST(quantile_cont(bal, 0.25) AS DOUBLE) AS q1,
+             CAST(quantile_cont(bal, 0.50) AS DOUBLE) AS q2,
+             CAST(quantile_cont(bal, 0.75) AS DOUBLE) AS q3
+      FROM cents
+    )
+    SELECT CAST(1 + CAST(bal > q1 AS INT) + CAST(bal > q2 AS INT)
+                  + CAST(bal > q3 AS INT) AS INT) AS quartile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(bal) AS BIGINT) AS min_bal_cents,
+           CAST(MAX(bal) AS BIGINT) AS max_bal_cents
+    FROM cents, q
+    GROUP BY quartile
+    ORDER BY quartile
+    """,
+    doc="Scale-safe quartile bucketing: NOT ntile() (a global windowless "
+    "sort through one task) — instead a two-pass plan: (1) exact "
+    "quartile boundaries as a 1-row aggregate, (2) broadcast-cross the "
+    "3 boundaries and bucket by comparison, fully parallel. The "
+    "boundaries pass is the only serial state and it is O(1). At 100 TB "
+    "swap percentile for approx_percentile; the bucketing pass is "
+    "unchanged.",
+    tags=("agg", "percentile", "window-alternative"),
+)
+def quartile_buckets_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal")
+    )
+    q = c.agg(
+        F.percentile("bal", F.lit(0.25)).cast("double").alias("q1"),
+        F.percentile("bal", F.lit(0.50)).cast("double").alias("q2"),
+        F.percentile("bal", F.lit(0.75)).cast("double").alias("q3"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("bal") > F.col("q1")).cast("int")
+        + (F.col("bal") > F.col("q2")).cast("int")
+        + (F.col("bal") > F.col("q3")).cast("int")
+    )
+    return (
+        c.join(F.broadcast(q))
+        .groupBy(bucket.cast("int").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("bal").cast("bigint").alias("min_bal_cents"),
+            F.max("bal").cast("bigint").alias("max_bal_cents"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@register(
+    "event_transition_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    doc="Event-sequence transition matrix: per-user lag window (one "
+    "shuffle on the high-cardinality user key) → (prev, next) pair "
+    "counts. The Markov-chain building block for session analytics; "
+    "partial aggregation collapses pairs map-side.",
+    tags=("window", "events"),
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
