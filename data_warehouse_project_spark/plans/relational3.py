@@ -318,6 +318,203 @@ def quartile_buckets_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           COUNT(*) AS n_lines,
+           {_sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY supp_nation, cust_nation
+    ORDER BY volume DESC, supp_nation, cust_nation
+    LIMIT 20
+    """,
+    doc="TPC-H Q7 shape: cross-border trade volume between (supplier "
+    "nation, customer nation) pairs. Two independent dimension chains "
+    "hang off the fact — customer geography via orders, supplier "
+    "geography directly — all broadcast except the one lineitem⋈orders "
+    "shuffle; the <> predicate runs post-join on broadcast columns "
+    "(nation names), never touching fact bytes.",
+    tags=("join", "agg", "topk"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(vol).alias("volume"),
+        )
+        .orderBy(F.desc("volume"), "supp_nation", "cust_nation")
+        .limit(20)
+    )
+
+
+@register(
+    "small_qty_revenue",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small_lines,
+           {_sql_exact_sum('l.l_extendedprice')} AS total_revenue
+    FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+    WHERE 5 * CAST(ROUND(l.l_quantity) AS BIGINT) * p.cnt < p.sum_qty
+    """,
+    doc="TPC-H Q17 shape: revenue from order lines whose quantity is "
+    "below 20% of that part's average quantity. The threshold compare "
+    "is rewritten to pure integers — qty < 0.2 * sum/cnt becomes "
+    "5*qty*cnt < sum — so no engine-specific double division ever "
+    "happens (the oracle-parity trap for any avg-threshold query). "
+    "Plan: one partial-agg pass builds per-part (sum, cnt), then a "
+    "self-join back on partkey — both sides hash on the same key, one "
+    "shuffle each, no broadcast of the unbounded per-part frame.",
+    tags=("join", "agg", "subquery"),
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qty_int = F.round("l_quantity").cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty_int).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    joined = li.join(per_part, "l_partkey").filter(
+        F.lit(5) * qty_int * F.col("cnt") < F.col("sum_qty")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        exact_sum("l_extendedprice").alias("total_revenue"),
+    )
+
+
+@register(
+    "extreme_parts_by_brand",
+    oracle="""
+    SELECT p_brand AS brand,
+           arg_min(p_partkey,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) * 10000000000
+                     + p_partkey) AS cheapest_part,
+           arg_max(p_partkey,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) * 10000000000
+                     + p_partkey) AS priciest_part,
+           COUNT(*) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    ORDER BY brand
+    """,
+    doc="min_by/max_by (SQL arg_min/arg_max): cheapest and priciest part "
+    "key per brand in ONE aggregate pass — no window, no self-join, "
+    "fully partial-aggregatable (each map task keeps one candidate per "
+    "brand). The ordering key packs (price_cents, partkey) into a single "
+    "bigint because a bare min_by on price alone is nondeterministic "
+    "under ties — and DuckDB 1.0's arg_min can't take a struct key, so "
+    "the packed scalar keeps both engines on the identical total order.",
+    tags=("agg", "argminmax"),
+)
+def extreme_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    key = (
+        F.round(F.col("p_retailprice") * 100).cast("bigint") * F.lit(10_000_000_000)
+        + F.col("p_partkey")
+    )
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.min_by("p_partkey", key).alias("cheapest_part"),
+            F.max_by("p_partkey", key).alias("priciest_part"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "event_pairs_60s",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id <> a.event_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+    doc="Temporal range self-join, band-bucketed: pairs of same-user "
+    "events within 60 s. A naive theta-join is O(n²) per user; instead "
+    "each event hashes to a 60 s time bucket and the left side probes "
+    "buckets {b, b+1} via a 2-element explode — every true pair lands in "
+    "exactly one equi-join bucket pairing, so the plan is a plain hash "
+    "join on (user, bucket) with a residual micros filter. The oracle "
+    "states the naive theta-join; same pairs. Timestamp arithmetic in "
+    "unix micros (bigint) per determinism rule 4.",
+    tags=("join", "range", "events"),
+)
+def event_pairs_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    bucket = F.floor(F.col("us") / F.lit(60_000_000))
+    right = e.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("event_type").alias("type_b"),
+        F.col("us").alias("r_us"),
+        bucket.alias("r_bucket"),
+    )
+    left = e.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("type_a"),
+        "us",
+        F.explode(F.array(bucket, bucket + 1)).alias("probe_bucket"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("probe_bucket") == F.col("r_bucket"))
+        & (F.col("r_id") != F.col("event_id"))
+        & (F.col("r_us") > F.col("us"))
+        & (F.col("r_us") - F.col("us") <= 60_000_000),
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
     "event_transition_counts",
     oracle="""
     WITH seq AS (

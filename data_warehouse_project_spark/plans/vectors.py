@@ -131,6 +131,75 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantization_profile",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             len(embedding) AS dims,
+             list_transform(embedding::DOUBLE[],
+               x -> GREATEST(-127, LEAST(127,
+                      CAST(FLOOR(x * 64 + 0.5) AS BIGINT)))) AS qv
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(dims) AS BIGINT) AS total_dims,
+           CAST(SUM(list_sum(qv)) AS BIGINT) AS sum_q,
+           CAST(SUM(len(list_filter(qv, v -> v = 127 OR v = -127)))
+                AS BIGINT) AS n_saturated,
+           CAST(SUM(len(list_filter(qv, v -> v = 0))) AS BIGINT) AS n_zero
+    FROM q GROUP BY label ORDER BY label
+    """,
+    doc="int8-style embedding quantization census per label: each "
+    "component maps to clamp(floor(x*64 + 0.5), -127, 127) — "
+    "floor(x+0.5) instead of round() because Spark rounds HALF_UP while "
+    "DuckDB rounds half-away-from-zero, and the floor form is identical "
+    "in both engines. All outputs are integer totals (exact in any "
+    "aggregation order), so the quantizer a serving pipeline would ship "
+    "is verified cross-engine bit-for-bit. Per-row array fold stays in "
+    "codegen; only (label, partial sums) shuffle.",
+    tags=("vectors", "quantization"),
+)
+def embedding_quantization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        as_double(F.col("embedding")),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x * 64 + 0.5).cast("bigint")),
+        ),
+    )
+    q = e.select(
+        "label",
+        F.size("embedding").alias("dims"),
+        qv.alias("qv"),
+    )
+    n_sat = F.size(F.filter(F.col("qv"), lambda v: (v == 127) | (v == -127)))
+    n_zero = F.size(F.filter(F.col("qv"), lambda v: v == 0))
+    agg_sum = F.aggregate(
+        F.col("qv"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    return (
+        q.select(
+            "label",
+            "dims",
+            agg_sum.alias("row_sum"),
+            n_sat.alias("row_sat"),
+            n_zero.alias("row_zero"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("dims").cast("bigint").alias("total_dims"),
+            F.sum("row_sum").cast("bigint").alias("sum_q"),
+            F.sum("row_sat").cast("bigint").alias("n_saturated"),
+            F.sum("row_zero").cast("bigint").alias("n_zero"),
+        )
+        .orderBy("label")
+    )
+
+
 def _planes_sql() -> str:
     """The deterministic hyperplanes as a DuckDB nested-list literal."""
     from data_warehouse_project_spark.operators.similarity import HYPERPLANES

@@ -45,3 +45,56 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUTPUT = (
+    "user_id bigint, prev_type string, next_type string, n_transitions bigint"
+)
+TRANSITION_STATE = "last_type string"
+
+
+def _update_transitions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    pdf = pd.concat(list(pdfs))
+    if pdf.empty:
+        return
+    pdf = pdf.sort_values(["ts", "event_id"])
+    types = pdf["event_type"].tolist()
+    seq = ([state.get[0]] if state.exists else []) + types
+    state.update((types[-1],))
+    counts: dict[tuple[str, str], int] = {}
+    for prev, nxt in zip(seq[:-1], seq[1:]):
+        counts[(prev, nxt)] = counts.get((prev, nxt), 0) + 1
+    if not counts:
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(counts),
+            "prev_type": [p for p, _ in counts],
+            "next_type": [n for _, n in counts],
+            "n_transitions": list(counts.values()),
+        }
+    )
+
+
+def transition_counts_stream(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition counts as an append stream — the
+    streaming twin of the ``event_transition_counts`` batch query.
+
+    State is one row per user (the last event type seen), so the state
+    store is bounded by the user population regardless of event volume.
+    Events are sorted by (ts, event_id) *within* each micro-batch;
+    cross-batch ordering follows micro-batch arrival, the standard
+    streaming-lag contract (pair a watermark + within-batch sort for
+    bounded disorder). Each batch emits only the transitions it
+    completed, so downstream summing over batches reproduces the batch
+    query exactly.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANSITION_OUTPUT,
+        stateStructType=TRANSITION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

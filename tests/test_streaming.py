@@ -92,6 +92,75 @@ def test_watermark_bounds_state(spark, event_source):
     assert 0 < finalized.count() <= total
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for driver-side unit tests."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_transition_state_carries_across_batches():
+    """_update_transitions must stitch the last type of batch N to the
+    first type of batch N+1 (the whole point of keyed state)."""
+    import pandas as pd
+
+    from data_warehouse_project_spark.streaming.stateful import _update_transitions
+
+    def mk(rows):
+        return pd.DataFrame(rows, columns=["ts", "event_id", "event_type"])
+
+    state = _FakeState()
+    b1 = list(_update_transitions((7,), iter([mk([(1, 1, "a"), (2, 2, "b")])]), state))
+    b2 = list(_update_transitions((7,), iter([mk([(3, 3, "b"), (4, 4, "c")])]), state))
+    got = {}
+    for frame in b1 + b2:
+        for r in frame.itertuples():
+            got[(r.prev_type, r.next_type)] = (
+                got.get((r.prev_type, r.next_type), 0) + r.n_transitions
+            )
+    # a->b within batch 1; b->b across the batch boundary; b->c in batch 2
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1}
+    assert state.get == ("c",)
+
+
+def test_stateful_transitions_stream_equals_batch(spark, event_source):
+    """Summing the transition stream's per-batch emissions reproduces the
+    batch lag-window transition matrix."""
+    from data_warehouse_project_spark.plans import QUERIES
+    from data_warehouse_project_spark.streaming.stateful import (
+        transition_counts_stream,
+    )
+
+    path, batch = event_source
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got_df = _run_stream(
+        spark, transition_counts_stream(stream), "t_transitions", "append"
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in got_df.groupBy("prev_type", "next_type")
+        .agg(F.sum("n_transitions").alias("n"))
+        .collect()
+    }
+    want = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in QUERIES["event_transition_counts"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stateful_running_totals(spark, event_source):
     """applyInPandasWithState: final per-user state equals the batch
     aggregate (exact integer micro-units)."""
