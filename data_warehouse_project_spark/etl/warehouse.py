@@ -120,6 +120,31 @@ class Warehouse:
                 item.rename(dst / f"part-{uuid.uuid4().hex}{suffix}")
         shutil.rmtree(src, ignore_errors=True)
 
+    def compact(
+        self,
+        layer: str,
+        name: str,
+        partition_by: list[str] | None = None,
+        num_files: int = 1,
+    ) -> int:
+        """Small-file compaction: rewrite a table into ``num_files``
+        files (one file per partition value when ``partition_by`` is
+        given — each value hashes to a single task), atomically swapped
+        in. Append-mode tables accumulate one file per batch;
+        at scale that turns scans into file-listing storms — periodic
+        compaction is the standard fix (what OPTIMIZE does on managed
+        lakehouse formats). Returns the row count (unchanged data).
+        """
+        df = self.read(layer, name)
+        if partition_by:
+            df = df.repartition(num_files, *partition_by)
+        else:
+            df = df.coalesce(num_files)
+        return self.overwrite(df, layer, name, partition_by=partition_by)
+
+    def data_file_count(self, layer: str, name: str) -> int:
+        return sum(1 for _ in self._data_files(self.path(layer, name)))
+
     def partitions(self, layer: str, name: str, col: str) -> list[str]:
         """S9 catalog introspection: the partition values of a
         partitioned table, read from the self-describing ``col=value``

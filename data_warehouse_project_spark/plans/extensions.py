@@ -215,6 +215,94 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_props_stats",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM parsed GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured JSON column: parse events.props with a typed "
+    "from_json (Catalyst-visible — the parsed struct prunes and the "
+    "parse stays in codegen; never a Python UDF for JSON), then exact "
+    "integer aggregates per event type. The oracle parses the same "
+    "strings with DuckDB's JSON extension.",
+    tags=("json", "agg"),
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "approx_quantile_check",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price
+      FROM orders
+    )
+    SELECT status,
+           COUNT(*) AS n_orders,
+           CAST(quantile_cont(price, 0.5) AS DOUBLE) AS exact_median_cents,
+           TRUE AS approx_within_1pct
+    FROM cents GROUP BY status ORDER BY status
+    """,
+    doc="approx_percentile accuracy, oracle-pinned (same pattern as "
+    "approx_distinct_profile): the t-digest estimate itself is "
+    "engine-specific, so the query emits the exact median twin plus a "
+    "|approx - exact| <= 1% * exact flag the oracle pins to TRUE. "
+    "At 100 TB the exact percentile (sort-based) is what you replace "
+    "with the sketch; this query is the acceptance test for that swap.",
+    tags=("agg", "approx", "percentile"),
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select(F.col("o_orderstatus").alias("status"), cents.alias("price"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.percentile("price", F.lit(0.5)).cast("double").alias(
+                "exact_median_cents"
+            ),
+            F.approx_percentile("price", F.lit(0.5), F.lit(10000)).alias("__approx"),
+        )
+        .select(
+            "status",
+            "n_orders",
+            "exact_median_cents",
+            (
+                F.abs(F.col("__approx") - F.col("exact_median_cents"))
+                <= 0.01 * F.col("exact_median_cents")
+            ).alias("approx_within_1pct"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
     "pivot_segment_by_region",
     oracle="""
     SELECT r.r_name AS region,

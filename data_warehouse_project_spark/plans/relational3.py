@@ -515,6 +515,45 @@ def event_pairs_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_type_revenue",
+    oracle=f"""
+    SELECT p.p_type AS part_type,
+           COUNT(*) AS n_sales,
+           {_sql_exact_sum('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    ORDER BY revenue DESC, part_type
+    LIMIT 15
+    """,
+    doc="Skew-resistant salted join, oracle-verified: the lineitem⋈part "
+    "equi-join runs through operators/skew.py salted_join (small side "
+    "replicated over 8 salt replicas, big side scattered uniformly) and "
+    "must produce byte-identical aggregates to the plain-join oracle. "
+    "This is the pre-planned fallback for power-law keys that AQE's "
+    "runtime skew splitting can't fix; correctness of the rewrite is "
+    "exactly what this query's hash gate proves.",
+    tags=("join", "skew"),
+)
+def salted_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = salted_join(li, p, "p_partkey", how="inner", salt=8)
+    return (
+        joined.groupBy(F.col("p_type").alias("part_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            exact_sum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "part_type")
+        .limit(15)
+    )
+
+
+@register(
     "event_transition_counts",
     oracle="""
     WITH seq AS (

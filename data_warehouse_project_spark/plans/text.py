@@ -10,6 +10,7 @@ engine-portable (no integer-hash semantics to match).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -517,3 +518,44 @@ def _register_simhash() -> None:
 
 
 _register_simhash()
+
+
+@register(
+    "pandas_udf_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc="The sanctioned Python escape hatch, demonstrated and verified: "
+    "an Arrow-vectorized @pandas_udf tokenizes whole columnar batches "
+    "(pandas str.split per series — one Python call per batch, never "
+    "per row) and its integer outputs hash-match the pure-SQL oracle. "
+    "Exists to prove the UDF boundary contract (SURVEY.md §2.10); the "
+    "native-function twin is token_stats_by_source — at 100 TB prefer "
+    "that (codegen beats Arrow transfer when a builtin exists).",
+    tags=("text", "pandas-udf"),
+)
+def pandas_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int64")
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", n_tokens("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )

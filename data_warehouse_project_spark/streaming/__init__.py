@@ -1,3 +1,6 @@
+from data_warehouse_project_spark.streaming.joins import (  # noqa: F401
+    paired_events_stream,
+)
 from data_warehouse_project_spark.streaming.windows import (  # noqa: F401
     sessionized_counts,
     sliding_counts,

@@ -149,6 +149,24 @@ def test_partition_introspection(spark, warehouse):
     assert len(warehouse.partitions("bl_3nf", "ce_sales", "order_month")) > 12
 
 
+def test_compaction_preserves_data(spark, warehouse):
+    """compact() must shrink the file count without changing rows —
+    including on the month-partitioned fact."""
+    before_rows = warehouse.read("bl_3nf", "ce_nations").count()
+    n = warehouse.compact("bl_3nf", "ce_nations")
+    assert n == before_rows
+    assert warehouse.data_file_count("bl_3nf", "ce_nations") == 1
+    assert warehouse.read("bl_3nf", "ce_nations").count() == before_rows
+
+    fact_rows = warehouse.read("bl_dm", "fct_sales").count()
+    months = warehouse.partitions("bl_dm", "fct_sales", "order_month")
+    n = warehouse.compact("bl_dm", "fct_sales", partition_by=["order_month"])
+    assert n == fact_rows
+    # one file per month partition after compaction
+    assert warehouse.data_file_count("bl_dm", "fct_sales") == len(months)
+    assert warehouse.partitions("bl_dm", "fct_sales", "order_month") == months
+
+
 def test_idempotent_rerun(spark, warehouse):
     before = {
         (layer, t): warehouse.read(layer, t).count()

@@ -92,6 +92,31 @@ def test_watermark_bounds_state(spark, event_source):
     assert 0 < finalized.count() <= total
 
 
+def test_stream_stream_join_equals_batch(spark, event_source):
+    """Time-bounded stream-stream self-join must emit exactly the pairs
+    the batch event_pairs_60s query finds."""
+    from data_warehouse_project_spark.plans import QUERIES
+    from data_warehouse_project_spark.streaming import paired_events_stream
+
+    path, batch = event_source
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got_df = _run_stream(
+        spark, paired_events_stream(stream), "t_sjoin", "append"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r["n"]
+        for r in got_df.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r["type_a"], r["type_b"]): r["n_pairs"]
+        for r in QUERIES["event_pairs_60s"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 class _FakeState:
     """Minimal GroupState stand-in for driver-side unit tests."""
 

@@ -24,6 +24,7 @@ ALLOW_NESTED_LOOP = {
     "dedup_simhash",
     "ann_lsh_topk",  # band equi-join plus neq filter
     "ann_ivf_topk",  # broadcast cross vs 16 centroids — intended
+    "quartile_buckets_acctbal",  # broadcast cross of the 1-row boundary frame
 }
 
 EXPECT_BROADCAST = [
