@@ -9,12 +9,14 @@ from data_warehouse_project_spark.plans.queries import QUERIES, Query  # noqa: F
 # Submodules self-register into QUERIES on import.
 from data_warehouse_project_spark.plans import (  # noqa: F401,E402
     asof,
+    corpus,
     dates,
     extensions,
     graph,
     relational,
     relational2,
     relational3,
+    relational4,
     scd,
     text,
     timeseries,

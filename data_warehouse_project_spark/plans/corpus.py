@@ -1,0 +1,320 @@
+"""Corpus-curation operators for a training-data pipeline: deterministic
+sampling (stratified rate + fixed quota), normalization-aware
+fingerprinting, regex redaction accounting, edit-distance near-dup
+pairs, and cross-source contamination detection.
+
+These extend the reference's surface the way a 100 TB pretraining
+pipeline would use it — every operator here is a standard curation
+step (downsample dominant languages, dedup after normalization, scrub
+identifiers, find benchmark leakage across sources) expressed as pure
+DataFrame plans with DuckDB oracle twins.
+
+Determinism notes (plans/queries.py rules): sampling decisions hash
+md5 hex → first 8 hex digits → bigint, identical in both engines; all
+rankings carry total tie-breaks; levenshtein is the standard DP edit
+distance with identical semantics in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.plans.queries import register
+
+# Keep-rate per language tier: downsample the dominant language, keep
+# the tail. Applied via a deterministic per-doc hash draw, so the same
+# doc_id always makes the same decision on any cluster layout.
+_EN_RATE = 0.35
+_OTHER_RATE = 0.80
+_HASH_SPAN = float(1 << 32)
+
+
+def _hash_unit_spark(col):
+    """md5(doc_id) → uniform bigint in [0, 2^32): the sampling draw."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def _hash_unit_sql(expr: str) -> str:
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_hash_unit_sql('doc_id')}
+          < CAST(ROUND(CASE WHEN lang = 'en' THEN {_EN_RATE} ELSE {_OTHER_RATE} END
+                       * {_HASH_SPAN}) AS BIGINT)
+    ORDER BY doc_id
+    """,
+    doc="Stratified deterministic sampling: keep 35% of English docs and "
+    "80% of everything else (the classic downsample-the-dominant-"
+    "language curation step). The draw is md5(doc_id) — a pure per-row "
+    "expression, no RNG state, so the sample is reproducible on any "
+    "partitioning and any cluster size, and the filter pushes into the "
+    "scan stage (no shuffle at all). Membership is verified row-by-row "
+    "against the oracle, not just counted.",
+    tags=("corpus", "sampling"),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(_EN_RATE)).otherwise(F.lit(_OTHER_RATE))
+    cut = F.round(rate * F.lit(_HASH_SPAN)).cast("bigint")
+    return (
+        d.filter(_hash_unit_spark(F.col("doc_id")) < cut)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quota_sample_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+    doc="Fixed-quota sampling: exactly 5 docs per source, chosen by "
+    "hash order (a deterministic stand-in for random-without-"
+    "replacement). The window partitions on source — high cardinality "
+    "at corpus scale, so no single-task funnel — and the md5 sort key "
+    "with doc_id tie-break is total, giving identical quotas on both "
+    "engines regardless of physical row order. This is the per-domain "
+    "quota shape used to cap any one crawl domain's contribution.",
+    tags=("corpus", "sampling", "window"),
+)
+def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "normalized_dedup_profile",
+    oracle="""
+    WITH norm AS (
+      SELECT source,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               '  +', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_unique_norm
+    FROM norm GROUP BY source ORDER BY source
+    """,
+    doc="Normalization-aware dedup profile: docs per source vs distinct "
+    "md5 fingerprints of the *normalized* text (lowercase, strip "
+    "non-alphanumerics, collapse runs of spaces). Catches duplicates "
+    "that exact-hash dedup misses because of case/punctuation drift — "
+    "the standard first pass before MinHash. The normalization chain "
+    "is three codegen string ops in the scan stage; only the 32-byte "
+    "fingerprint shuffles for the distinct, never the text.",
+    tags=("corpus", "dedup"),
+)
+def normalized_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                "  +",
+                " ",
+            )
+        )
+    )
+    return (
+        d.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique_norm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "redaction_stats_by_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT))
+             AS n_digit_runs,
+           COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
+             AS n_masked_forms
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Regex redaction accounting (the PII-scrub shape): per event "
+    "type, how many digit runs would be masked and how many distinct "
+    "masked payload templates remain. A real pipeline swaps the digit "
+    "pattern for email/phone/SSN patterns; the plan is identical — "
+    "regexp_count + global regexp_replace in whole-stage codegen, "
+    "aggregated by a low-cardinality key with map-side partials. "
+    "Counting masked *templates* is the standard audit that redaction "
+    "collapsed payloads into a bounded schema set.",
+    tags=("corpus", "redaction"),
+)
+def redaction_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.regexp_count(F.col("props"), F.lit("[0-9]+")).alias("__runs"),
+            F.regexp_replace(F.col("props"), "[0-9]+", "#").alias("__masked"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("__runs").cast("bigint")).alias("n_digit_runs"),
+            F.countDistinct("__masked").alias("n_masked_forms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "levenshtein_neardup_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, substr(text, 1, 40) AS p
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.source AS source,
+           CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 24
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Edit-distance near-dup candidates: within (lang, source) "
+    "blocks, pairs whose 40-char prefixes are within levenshtein 24. "
+    "Blocking is what makes this scale — the equi-join on the block "
+    "key shuffles each block to one place and the quadratic comparison "
+    "runs only inside blocks (the all-pairs version is O(n²) and never "
+    "acceptable); a production variant adds a length-bucket to the "
+    "block key to cap block size. Spark and DuckDB both implement the "
+    "standard Wagner-Fischer distance, so the survivors and distances "
+    "match exactly.",
+    tags=("corpus", "dedup", "join"),
+)
+def levenshtein_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.substring("text", 1, 40).alias("p")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 24)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.source").alias("source"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "cross_source_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t) - 3),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                         || t[i+3] || ' ' || t[i+4])) AS shingle
+      FROM toks WHERE len(t) >= 5
+    ),
+    ds AS (SELECT DISTINCT source, shingle FROM sh)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_shingles
+    FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY shared_shingles DESC, source_a, source_b
+    LIMIT 50
+    """,
+    doc="Cross-source contamination (benchmark-decontamination shape): "
+    "count distinct 5-word shingles shared between every pair of "
+    "sources. In production one side is the eval-benchmark corpus and "
+    "a hit means a training doc leaks test data. The plan dedups "
+    "shingles per source *before* the join (so the join moves "
+    "|distinct shingles|, not |tokens|), equi-joins on the shingle "
+    "itself — at 100 TB you'd join on md5(shingle) to shrink shuffle "
+    "width — and aggregates pair counts with map-side partials. The "
+    "token array is materialized before the transform (Catalyst "
+    "project-collapse would otherwise re-split per element).",
+    tags=("corpus", "contamination", "join"),
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 5
+    )
+    t = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 5),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+            F.element_at(t, i + 3),
+            F.element_at(t, i + 4),
+            F.element_at(t, i + 5),
+        ),
+    )
+    ds = (
+        toks.select("source", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    a = ds.alias("a")
+    b = ds.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .orderBy(F.desc("shared_shingles"), "source_a", "source_b")
+        .limit(50)
+    )

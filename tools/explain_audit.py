@@ -25,6 +25,7 @@ ALLOW_NESTED_LOOP = {
     "ann_lsh_topk",  # band equi-join plus neq filter
     "ann_ivf_topk",  # broadcast cross vs 16 centroids — intended
     "quartile_buckets_acctbal",  # broadcast cross of the 1-row boundary frame
+    "idle_balance_by_segment",  # 1-row avg-balance threshold broadcast cross
 }
 
 EXPECT_BROADCAST = [
@@ -35,6 +36,11 @@ EXPECT_BROADCAST = [
     "topk_parts_per_brand",
     "bridge_store_region",
     "customer_rank_in_nation",
+    "returned_revenue_by_customer",
+    "promo_revenue_share",
+    "supplier_variety_by_brand",
+    "large_volume_customers",
+    "disjunctive_bracket_revenue",
 ]
 
 EXPECT_PUSHED_FILTER = [
