@@ -20,5 +20,6 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
     scd,
     text,
     timeseries,
+    timeseries2,
     vectors,
 )

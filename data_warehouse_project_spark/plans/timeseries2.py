@@ -1,0 +1,199 @@
+"""Time-series completion and analytic-window tranche: date-spine
+gap-filling with forward-fill, distribution ranks (percent_rank /
+cume_dist), and inter-event gap analysis via lead().
+
+Determinism (plans/queries.py rules): daily totals are carried as
+integer micro-units through the forward-fill so the final re-sum is an
+integer sum with one closing division; rank functions are pure integer
+rational arithmetic; every lead() window orders by a total key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.plans.queries import register
+
+
+@register(
+    "gapfill_user_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS units
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM daily GROUP BY user_id
+    ),
+    filled AS (
+      SELECT s.user_id, s.day, d.units,
+             last_value(d.units IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS filled_units
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id,
+           COUNT(*) AS n_days,
+           COUNT(*) - COUNT(units) AS n_gap_days,
+           CAST(CAST(SUM(filled_units) AS BIGINT) / 1000000.0 AS DOUBLE)
+             AS filled_total
+    FROM filled
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Date-spine gap-filling with forward-fill (the warehouse "
+    "'complete the calendar' op): per user, build the min..max day "
+    "spine with sequence(), left-join observed daily totals, and "
+    "carry the last observation forward with last(ignorenulls) — then "
+    "profile how many days were gaps and what the filled series sums "
+    "to. The spine explode and the fill window both partition on "
+    "user_id (high cardinality — no single-task funnel), and daily "
+    "totals stay integer micro-units through the fill so the closing "
+    "sum is exact on any partitioning. At 100 TB the spine join is a "
+    "per-key local op after the daily pre-aggregation shrinks the "
+    "fact.",
+    tags=("timeseries", "window", "gapfill"),
+)
+def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.round(F.col("value") * 1000000).cast("bigint").alias("__u"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("__u").alias("units"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("__lo", "__hi")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "units",
+        F.last("units", ignorenulls=True).over(w).alias("filled_units"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.count(F.lit(1)) - F.count("units")).alias("n_gap_days"),
+            (F.sum("filled_units") / F.lit(1000000.0))
+            .cast("double")
+            .alias("filled_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "balance_percentile_by_segment",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+               AS pct_rank,
+             cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+               AS cume
+      FROM customer
+    )
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           c_acctbal AS acctbal,
+           pct_rank, cume
+    FROM ranked WHERE pct_rank >= 0.99
+    ORDER BY segment, custkey
+    """,
+    doc="Distribution ranks: percent_rank and cume_dist of account "
+    "balance within each market segment, keeping the top percentile "
+    "(the 'where does this customer sit in their cohort' shape). Both "
+    "functions are rational arithmetic over integer ranks — (rank-1)/"
+    "(n-1) and rank/n — so ties collapse identically in both engines "
+    "and the doubles compare bit-for-bit. The window partitions on "
+    "segment; at higher scale swap the partition key for a composite "
+    "(segment, nation) or pre-bucket to keep per-partition sorts "
+    "bounded.",
+    tags=("window", "rank"),
+)
+def balance_percentile_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    ranked = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return ranked.filter(F.col("pct_rank") >= 0.99).orderBy("segment", "custkey")
+
+
+@register(
+    "order_gap_profile",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', o_orderdate,
+                  lead(o_orderdate) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey)) AS BIGINT) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+           CAST(CAST(SUM(gap_days) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_gap
+    FROM seq WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    ORDER BY custkey
+    """,
+    doc="Inter-event gaps via lead(): days between a customer's "
+    "consecutive orders, profiled (min/max/exact-average) for "
+    "frequent buyers. The lead window orders by (orderdate, orderkey) "
+    "— a total order, so same-day orders pair deterministically. Gaps "
+    "are integer day counts; the average is one integer-sum division. "
+    "The window partitions on custkey (high cardinality), which is "
+    "also the shuffle key of the following aggregation — Spark reuses "
+    "the partitioning, so the whole query is one shuffle.",
+    tags=("window", "lead", "timeseries"),
+)
+def order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(F.lead("od").over(w), F.col("od")).cast("bigint").alias("gap_days"),
+    )
+    return (
+        seq.filter(F.col("gap_days").isNotNull())
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+            (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias("avg_gap"),
+        )
+        .filter(F.col("n_gaps") >= 12)
+        .orderBy("custkey")
+    )

@@ -1,4 +1,5 @@
 from data_warehouse_project_spark.streaming.joins import (  # noqa: F401
+    enriched_events_stream,
     paired_events_stream,
 )
 from data_warehouse_project_spark.streaming.windows import (  # noqa: F401

@@ -42,3 +42,29 @@ def paired_events_stream(
             """
         ),
     ).select("type_a", "type_b", "a_id", "b_id")
+
+
+def enriched_events_stream(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach a static dimension to a
+    live event stream.
+
+    The canonical "decorate the stream" pattern: the static side is a
+    plain batch DataFrame, so Spark broadcasts it into every micro-batch
+    — stateless, no watermark needed, and the static side is re-read per
+    batch, picking up snapshot refreshes of slowly-changing dims. Left
+    join keeps unmatched events (never drop fact rows because a dim
+    lagged); missing attributes surface as NULLs for the default-row
+    coalesce downstream.
+
+    Works identically on batch input (unified API) — tests drive both
+    and compare.
+    """
+    dim = users.select(
+        F.col("user_id").alias("u_id"),
+        F.col("user_tier").alias("user_tier"),
+    )
+    return (
+        events.join(dim, events["user_id"] == dim["u_id"], "left")
+        .drop("u_id")
+        .withColumn("user_tier", F.coalesce(F.col("user_tier"), F.lit("unknown")))
+    )

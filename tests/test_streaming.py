@@ -219,3 +219,31 @@ def test_stateful_running_totals(spark, event_source):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_equals_batch(spark, event_source):
+    """Stream-static join must decorate exactly like the batch join,
+    keep unmatched events, and default missing tiers."""
+    from data_warehouse_project_spark.streaming import enriched_events_stream
+
+    path, batch = event_source
+    # Static dim covering only even user_ids so the left-join NULL path
+    # is exercised.
+    users = (
+        batch.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn(
+            "user_tier",
+            F.when(F.col("user_id") % 4 == 0, "gold").otherwise("silver"),
+        )
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got_df = _run_stream(
+        spark, enriched_events_stream(stream, users), "t_enrich", "append"
+    )
+    want_df = enriched_events_stream(batch, users)
+    cols = ["event_id", "user_id", "user_tier"]
+    assert _rows(got_df.select(*cols), cols) == _rows(want_df.select(*cols), cols)
+    tiers = {r["user_tier"] for r in got_df.select("user_tier").distinct().collect()}
+    assert "unknown" in tiers and ("gold" in tiers or "silver" in tiers)
