@@ -318,3 +318,213 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_shingles"), "source_a", "source_b")
         .limit(50)
     )
+
+
+CHUNK_TOKENS = 32
+PACK_BUDGET = 256
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT)))
+               AS chunk_id,
+             t
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(t, chunk_id * {CHUNK_TOKENS} + 1,
+                               chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}))
+                AS INTEGER) AS n_tokens,
+           md5(array_to_string(
+                 list_slice(t, chunk_id * {CHUNK_TOKENS} + 1,
+                            chunk_id * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' '))
+             AS chunk_fp
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    doc=f"Document chunking: split each doc into {CHUNK_TOKENS}-token "
+    "windows (the tokenize-and-chunk step before embedding or training "
+    "ingestion). The token array is materialized once per doc, chunk "
+    "ids come from a sequence-explode, and each chunk is a slice() — "
+    "all codegen array ops, no Python. Only the 32-byte chunk "
+    "fingerprint and token count leave the scan stage, never the "
+    "chunk text itself; at 100 TB the output is written "
+    "partition-parallel with no shuffle at all (narrow lineage "
+    "end-to-end). Verified chunk-by-chunk via md5 against the oracle.",
+    tags=("corpus", "chunking"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") > 0
+    )
+    n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_TOKENS))).cast("bigint")
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+        "t",
+    )
+    piece = F.slice(
+        F.col("t"),
+        (F.col("chunk_id") * CHUNK_TOKENS + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "pack_documents_stream",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS start_off
+      FROM toks
+    )
+    SELECT source,
+           CAST(COALESCE(start_off, 0) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
+    FROM offs
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    doc="Concat-stream packing accounting: documents are concatenated "
+    f"per source in doc_id order and sliced into {PACK_BUDGET}-token "
+    "context windows — each doc's start offset is a running-sum window "
+    "(exclusive frame), its bin is offset // budget. This is exactly "
+    "how pretraining packs sequences (concatenate, then slice), so "
+    "the per-bin doc counts and token totals are the packing audit a "
+    "data pipeline reports. The window partitions on source (high "
+    "cardinality at corpus scale) and carries integer token counts "
+    "only; the aggregation reuses the same partitioning — one "
+    "shuffle total.",
+    tags=("corpus", "packing", "window"),
+)
+def pack_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_off"),
+    )
+    return (
+        offs.groupBy(
+            "source",
+            F.floor(F.col("start_off") / PACK_BUDGET).cast("bigint").alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_started"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@register(
+    "bigram_df_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    tf AS (
+      SELECT lang, bigram, COUNT(*) AS tf
+      FROM bg GROUP BY lang, bigram
+    ),
+    df AS (
+      SELECT bigram, COUNT(DISTINCT doc_id) AS df FROM bg GROUP BY bigram
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    ranked AS (
+      SELECT tf.lang, tf.bigram, tf.tf, df.df,
+             CAST(tf.tf * total.n AS DOUBLE) / df.df AS rarity_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.lang
+               ORDER BY CAST(tf.tf * total.n AS DOUBLE) / df.df DESC,
+                        tf.bigram
+             ) AS rk
+      FROM tf JOIN df USING (bigram), total
+    )
+    SELECT lang, bigram, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           rarity_score, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+    doc="Term statistics (tf-idf shape without the log): per-language "
+    "bigram frequency joined with corpus-wide document frequency, top "
+    "5 per language by tf·N/df. The score stays a single rational "
+    "division of exact integers — no ln(), whose last-ulp rounding "
+    "differs across engines — so the ranking is bit-identical. Plan: "
+    "two partial-agg trees over one bigram explode (Spark reuses the "
+    "exploded frame), a broadcast of the tiny df/total sides at this "
+    "vocabulary, an equi-join at scale. The ranking window partitions "
+    "on language with a total tie-break.",
+    tags=("corpus", "tfidf", "window"),
+)
+def bigram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    )
+    bg = toks.select("doc_id", "lang", F.explode(grams).alias("bigram"))
+    tf = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    df = bg.groupBy("bigram").agg(F.countDistinct("doc_id").alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    score = (F.col("tf") * F.col("n")).cast("double") / F.col("df")
+    w = Window.partitionBy("lang").orderBy(F.desc("rarity_score"), "bigram")
+    ranked = (
+        tf.join(df, "bigram")
+        .join(F.broadcast(total))
+        .select(
+            "lang",
+            "bigram",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            score.alias("rarity_score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return ranked.filter(F.col("rk") <= 5).orderBy("lang", "rk")

@@ -26,6 +26,7 @@ ALLOW_NESTED_LOOP = {
     "ann_ivf_topk",  # broadcast cross vs 16 centroids — intended
     "quartile_buckets_acctbal",  # broadcast cross of the 1-row boundary frame
     "idle_balance_by_segment",  # 1-row avg-balance threshold broadcast cross
+    "bigram_df_topk",  # 1-row corpus-total broadcast cross
 }
 
 EXPECT_BROADCAST = [
