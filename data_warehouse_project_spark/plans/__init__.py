@@ -17,6 +17,7 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
     relational2,
     relational3,
     relational4,
+    relational5,
     scd,
     text,
     timeseries,

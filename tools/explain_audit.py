@@ -27,6 +27,8 @@ ALLOW_NESTED_LOOP = {
     "quartile_buckets_acctbal",  # broadcast cross of the 1-row boundary frame
     "idle_balance_by_segment",  # 1-row avg-balance threshold broadcast cross
     "bigram_df_topk",  # 1-row corpus-total broadcast cross
+    "significant_nation_value",  # 1-row global-sum threshold broadcast cross
+    "top_revenue_supplier",  # 1-row MAX argmax broadcast cross
 }
 
 EXPECT_BROADCAST = [
