@@ -528,3 +528,210 @@ def bigram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
     )
     return ranked.filter(F.col("rk") <= 5).orderBy("lang", "rk")
+
+
+@register(
+    "repetition_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    per_bigram AS (
+      SELECT doc_id, lang, bigram, COUNT(*) AS cnt
+      FROM bg GROUP BY doc_id, lang, bigram
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(SUM(cnt) AS BIGINT) AS n_bg,
+             COUNT(*) AS n_distinct,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt
+      FROM per_bigram GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN top_cnt * 5 > n_bg THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive,
+           CAST(SUM(CAST(ROUND((n_bg - n_distinct) * 1000000.0 / n_bg)
+                         AS BIGINT)) AS BIGINT) AS dup_ppm_total,
+           CAST(SUM(CAST(ROUND(top_cnt * 1000000.0 / n_bg) AS BIGINT))
+                AS BIGINT) AS top_ppm_total
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Repetition quality signals (the Gopher/C4 duplicate-n-gram "
+    "filters): per document, the duplicate-bigram fraction "
+    "(1 - distinct/total) and the top-bigram fraction (most frequent "
+    "bigram's share), rolled up per language as flagged-doc counts "
+    "(top bigram > 20% of the doc, tested as the exact integer "
+    "cross-multiply top*5 > n) and ppm totals (each doc's fraction "
+    "rounded to integer ppm BEFORE summing, so the sum is exact in "
+    "any order). Plan: one bigram explode in the scan stage, a "
+    "(doc, bigram) partial agg, a doc-level agg that rides the same "
+    "hash partitioning (doc_id prefix), and a tiny per-language "
+    "rollup. Nothing but counts shuffles; at 100 TB this is the "
+    "standard two-level aggregation tree.",
+    tags=("corpus", "quality"),
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    )
+    bg = toks.select("doc_id", "lang", F.explode(grams).alias("bigram"))
+    per_bigram = bg.groupBy("doc_id", "lang", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_bigram.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_bg"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    dup_ppm = F.round(
+        (F.col("n_bg") - F.col("n_distinct")) * 1000000.0 / F.col("n_bg")
+    ).cast("bigint")
+    top_ppm = F.round(F.col("top_cnt") * 1000000.0 / F.col("n_bg")).cast("bigint")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("top_cnt") * 5 > F.col("n_bg"), 1).otherwise(0)
+            ).cast("bigint").alias("n_repetitive"),
+            F.sum(dup_ppm).cast("bigint").alias("dup_ppm_total"),
+            F.sum(top_ppm).cast("bigint").alias("top_ppm_total"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "corpus_split_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_hash_unit_sql('doc_id')} % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="Deterministic train/val/test assignment: md5(doc_id) mod 100 "
+    "buckets 90/5/5 — the standard leakage-safe holdout split (the "
+    "same document lands in the same split on any cluster, any run, "
+    "any partitioning; no RNG state, no shuffle for the assignment "
+    "itself). The audit reports docs and token totals per split and "
+    "language — the table you check before training that the holdout "
+    "is actually 5% and has every language in it. One scan, one "
+    "small-domain aggregate.",
+    tags=("corpus", "sampling"),
+)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = _hash_unit_spark(F.col("doc_id")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "mixture_resample_audit",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CASE WHEN length(source) <= 4 THEN 1 ELSE 2 END AS weight,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  AS BIGINT) AS tokens
+      FROM documents
+      GROUP BY source
+    ),
+    w AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM src),
+    feas AS (
+      SELECT MIN(tokens * total_w // weight) AS feasible
+      FROM src, w
+    ),
+    kept AS (
+      SELECT source, weight, tokens,
+             weight * feasible // total_w AS kept_tokens
+      FROM src, w, feas
+    )
+    SELECT source,
+           CAST(weight AS BIGINT) AS weight,
+           tokens,
+           CAST(kept_tokens AS BIGINT) AS kept_tokens,
+           CAST(kept_tokens * 1000000 // tokens AS BIGINT) AS keep_rate_ppm
+    FROM kept
+    ORDER BY source
+    """,
+    doc="Mixture-weight resampling audit: given integer target weights "
+    "per source (here 2x for long-named sources — the upweight-the-"
+    "good-sources step), compute the largest total token budget that "
+    "respects every source's supply without replacement "
+    "(feasible = MIN over sources of tokens x W / weight), then each "
+    "source's kept-token allocation and effective keep rate. Every "
+    "step is exact integer arithmetic (DIV, cross-multiplies) — no "
+    "float ever enters a decision, so the plan is bit-identical on "
+    "both engines and at any scale. Plan: a 20-row per-source "
+    "aggregate, two 1-row broadcast crosses (total weight, feasible "
+    "min) — the fact is scanned once.",
+    tags=("corpus", "sampling"),
+)
+def mixture_resample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    weight = F.when(F.length("source") <= 4, 1).otherwise(2)
+    src = d.groupBy("source").agg(
+        F.first(weight).alias("weight"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint"))
+        .cast("bigint")
+        .alias("tokens"),
+    )
+    # weight is a pure function of source, so first() is deterministic
+    w = src.agg(F.sum("weight").cast("bigint").alias("total_w"))
+    with_w = src.join(F.broadcast(w))
+    feas = with_w.agg(
+        F.min(F.expr("tokens * total_w div weight")).alias("feasible")
+    )
+    kept = with_w.join(F.broadcast(feas)).withColumn(
+        "kept_tokens", F.expr("weight * feasible div total_w")
+    )
+    return kept.select(
+        "source",
+        F.col("weight").cast("bigint").alias("weight"),
+        "tokens",
+        F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+        F.expr("kept_tokens * 1000000 div tokens").cast("bigint").alias(
+            "keep_rate_ppm"
+        ),
+    ).orderBy("source")

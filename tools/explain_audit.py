@@ -29,6 +29,7 @@ ALLOW_NESTED_LOOP = {
     "bigram_df_topk",  # 1-row corpus-total broadcast cross
     "significant_nation_value",  # 1-row global-sum threshold broadcast cross
     "top_revenue_supplier",  # 1-row MAX argmax broadcast cross
+    "mixture_resample_audit",  # 1-row total-weight + feasible-min crosses
 }
 
 EXPECT_BROADCAST = [
