@@ -19,6 +19,7 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
     relational4,
     relational5,
     scd,
+    stats,
     text,
     timeseries,
     timeseries2,

@@ -30,6 +30,8 @@ ALLOW_NESTED_LOOP = {
     "significant_nation_value",  # 1-row global-sum threshold broadcast cross
     "top_revenue_supplier",  # 1-row MAX argmax broadcast cross
     "mixture_resample_audit",  # 1-row total-weight + feasible-min crosses
+    "funnel_view_click_purchase",  # 1-row stage-count crosses
+    "key_skew_profile",  # 1-row total broadcast cross
 }
 
 EXPECT_BROADCAST = [
