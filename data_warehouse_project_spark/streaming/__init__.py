@@ -1,3 +1,7 @@
+from data_warehouse_project_spark.streaming.corpus import (  # noqa: F401
+    curated_documents,
+    source_ingest_stats,
+)
 from data_warehouse_project_spark.streaming.joins import (  # noqa: F401
     enriched_events_stream,
     paired_events_stream,

@@ -1,0 +1,77 @@
+"""Streaming corpus ingestion: the curation transforms must produce
+identical results on a file stream (availableNow) and in batch — and
+the dedup must keep exactly one document per normalization
+fingerprint."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.streaming import (
+    curated_documents,
+    source_ingest_stats,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def doc_source(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("docs_src"))
+    batch = table(spark, SF_SMOKE, "documents")
+    # several files so the stream sees multiple input splits
+    batch.repartition(4).write.mode("overwrite").parquet(path)
+    return path, spark.read.parquet(path)
+
+
+def _run_stream(spark, stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_curated_stream_equals_batch(spark, doc_source):
+    path, batch = doc_source
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream(spark, curated_documents(stream), "curated_docs", "append")
+    got = out.select("norm_fp", "n_tokens").collect()
+    want = curated_documents(batch).select("norm_fp", "n_tokens").collect()
+    # which duplicate survives is arrival-order-dependent; the fingerprint
+    # SET and the per-fp token count are the deterministic contract
+    assert sorted((r["norm_fp"], r["n_tokens"]) for r in got) == sorted(
+        (r["norm_fp"], r["n_tokens"]) for r in want
+    )
+    assert out.count() == out.select("norm_fp").distinct().count()
+
+
+def test_curated_drops_injected_duplicate(spark, doc_source):
+    path, batch = doc_source
+    one = batch.limit(1)
+    # same text with different whitespace/case → same fingerprint
+    dup = one.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" "))
+    )
+    curated = curated_documents(batch.union(dup))
+    fp = curated_documents(one).select("norm_fp").first()["norm_fp"]
+    assert curated.filter(F.col("norm_fp") == fp).count() == 1
+
+
+def test_ingest_stats_stream_equals_batch(spark, doc_source):
+    path, batch = doc_source
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream(
+        spark, source_ingest_stats(stream), "ingest_stats", "complete"
+    )
+    cols = ["source", "n_docs", "n_quality", "n_tokens"]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(
+        tuple(r[c] for c in cols) for r in source_ingest_stats(batch).collect()
+    )
+    assert got == want
