@@ -65,3 +65,81 @@ def test_media_strict_mode_raises(spark, media):
 def test_media_no_shuffle(spark, media):
     plan = extract_media_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # payload bytes never shuffle
+
+
+# -- RAWM real-codec tests ---------------------------------------------------
+
+
+def test_rawm_image_roundtrip(spark):
+    import numpy as np
+
+    from data_warehouse_project_spark.sources.multimodal import (
+        encode_image,
+        resize_image,
+    )
+
+    # constant-valued 32x16 RGB image: every mean is the constant
+    px = np.full((32, 16, 3), 7, dtype=np.uint8)
+    rows = [(1, "image", encode_image(px), "mem://img")]
+    out = extract_media_features(
+        spark.createDataFrame(rows, media_schema()), strict=True
+    ).collect()[0]
+    assert (out["width"], out["height"]) == (16, 32)
+    assert out["duration_ms"] is None
+    feat = out["feature"]
+    assert all(abs(f - 7.0) < 1e-6 for f in feat[:7])  # quads + channels
+    assert abs(feat[7]) < 1e-6  # std of constant image
+    # resize is real nearest-neighbor sampling
+    thumb = resize_image(px, 8, 8)
+    assert thumb.shape == (8, 8, 3) and (thumb == 7).all()
+
+
+def test_rawm_audio_duration_and_rms(spark):
+    import numpy as np
+
+    from data_warehouse_project_spark.sources.multimodal import encode_audio
+
+    # 1.5s of a constant-amplitude square-ish signal at 8kHz
+    samples = np.full(12000, 1000, dtype=np.int16)
+    rows = [(2, "audio", encode_audio(8000, samples), "mem://aud")]
+    out = extract_media_features(
+        spark.createDataFrame(rows, media_schema()), strict=True
+    ).collect()[0]
+    assert out["duration_ms"] == 1500
+    assert out["width"] is None
+    assert all(abs(f - 1000.0) < 1e-3 for f in out["feature"])
+
+
+def test_rawm_video_frame_sampling(spark):
+    import numpy as np
+
+    from data_warehouse_project_spark.sources.multimodal import encode_video
+
+    # 4 frames with increasing constant brightness 10,20,30,40 @ 2fps
+    frames = np.stack(
+        [np.full((8, 8, 1), v, dtype=np.uint8) for v in (10, 20, 30, 40)]
+    )
+    rows = [(3, "video", encode_video(frames, 2), "mem://vid")]
+    out = extract_media_features(
+        spark.createDataFrame(rows, media_schema()), strict=True
+    ).collect()[0]
+    assert out["duration_ms"] == 2000
+    assert (out["width"], out["height"]) == (8, 8)
+    assert out["feature"][:4] == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_rawm_decodes_in_strict_mode_but_jpeg_refuses(spark):
+    import numpy as np
+
+    from data_warehouse_project_spark.sources.multimodal import encode_image
+
+    good = (1, "image", encode_image(np.zeros((4, 4), np.uint8)), "mem://ok")
+    bad = (2, "image", b"\xff\xd8\xff\xe0 jpeg bytes", "mem://no")
+    ok = extract_media_features(
+        spark.createDataFrame([good], media_schema()), strict=True
+    ).collect()
+    assert ok[0]["width"] == 4
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_media_features(
+            spark.createDataFrame([bad], media_schema()), strict=True
+        ).collect()
