@@ -197,3 +197,110 @@ def order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") >= 12)
         .orderBy("custkey")
     )
+
+
+@register(
+    "customer_spend_trailing_90d",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey,
+             o_orderdate,
+             epoch_us(o_orderdate) AS us,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey % 100 = 0
+    )
+    SELECT custkey,
+           o_orderdate AS order_ts,
+           CAST(SUM(cents) OVER (
+             PARTITION BY custkey ORDER BY us
+             RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS DOUBLE) AS spend_90d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY custkey ORDER BY us
+             RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS orders_90d
+    FROM o
+    ORDER BY custkey, order_ts
+    """,
+    doc="Time-RANGE window frame: each order's trailing-90-day spend and "
+    "order count for the same customer — a true RANGE frame over event "
+    "time (bigint epoch microseconds), not a row-count frame, so irregular order "
+    "spacing is handled exactly. RANGE frames with duplicate ordering "
+    "keys include ALL peers of the current row in both engines — "
+    "identical peer semantics, and the summed values are integer "
+    "cents, so ties cannot diverge. The 1-in-100 customer filter keeps "
+    "the oracle frame small; the window partitions on custkey "
+    "(high-cardinality — no single-task funnel at any scale).",
+    tags=("window", "range-frame", "timeseries"),
+)
+def customer_spend_trailing_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    base = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("order_ts"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("us")
+        .rangeBetween(-7776000000000, Window.currentRow)
+    )
+    return base.select(
+        "custkey",
+        "order_ts",
+        (F.sum("cents").over(w) / 100.0).cast("double").alias("spend_90d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("orders_90d"),
+    ).orderBy("custkey", "order_ts")
+
+
+@register(
+    "brand_share_within_type",
+    oracle="""
+    WITH brand_rev AS (
+      SELECT p.p_type AS ptype, p.p_brand AS brand,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, p.p_brand
+    )
+    SELECT ptype, brand,
+           CAST(cents / 100.0 AS DOUBLE) AS revenue,
+           CAST(CAST(cents AS DOUBLE) / SUM(cents) OVER (PARTITION BY ptype)
+                AS DOUBLE) AS share_of_type
+    FROM brand_rev
+    ORDER BY ptype, brand
+    """,
+    doc="Ratio-to-report window: each brand's revenue share within its "
+    "part type — the percent-of-parent shape every BI layer ships. The "
+    "window SUM runs over the already-aggregated (type, brand) frame "
+    "(grain = groups, not fact rows) and both numerator and "
+    "denominator are exact integer cents, divided once per row. Plan: "
+    "one fact shuffle for the aggregate (part broadcasts into the "
+    "scan), then a type-partitioned window on a tiny frame.",
+    tags=("window", "share", "agg"),
+)
+def brand_share_within_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    brand_rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("ptype")
+    return brand_rev.select(
+        "ptype",
+        "brand",
+        (F.col("cents") / 100.0).cast("double").alias("revenue"),
+        (F.col("cents").cast("double") / F.sum("cents").over(w))
+        .cast("double")
+        .alias("share_of_type"),
+    ).orderBy("ptype", "brand")

@@ -406,3 +406,101 @@ def _register_ivf_ann() -> None:
 
 
 _register_ivf_ann()
+
+
+def _register_kmeans_step() -> None:
+    """One k-means (spherical, cosine-assignment) update iteration as a
+    dataflow: assign every vector to its nearest of 16 deterministic
+    centroids, then recompute each centroid coordinate as the exact
+    per-dimension member mean. This is the building block of iterative
+    training loops (k-means, IVF codebook learning): the driver runs N
+    iterations by feeding each round's output back as centroids; the
+    per-iteration dataflow is what must scale, and it is one broadcast
+    join + one (cell, dim) partial aggregation — no global state.
+    """
+    n_centroids = 16
+
+    oracle = f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, e AS ce FROM vecs WHERE vec_id < {n_centroids}
+    ),
+    assign_sims AS (
+      SELECT v.vec_id, v.e, c.cent_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_cos_sql('v.e', 'c.ce')}, 6) DESC, c.cent_id
+             ) AS rn
+      FROM vecs v, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, e, cent_id FROM assign_sims WHERE rn = 1
+    ),
+    exploded AS (
+      SELECT a.cent_id, CAST(t.i AS INT) AS dim,
+             CAST(ROUND(a.e[t.i] * 1000000) AS BIGINT) AS val_micro
+      FROM assigned a, unnest(range(1, len(a.e) + 1)) AS t(i)
+    )
+    SELECT cent_id,
+           dim,
+           COUNT(*) AS n_members,
+           CAST(CAST(SUM(val_micro) AS DOUBLE) / (COUNT(*) * 1000000.0)
+                AS DOUBLE) AS new_coord
+    FROM exploded
+    GROUP BY cent_id, dim
+    ORDER BY cent_id, dim
+    """
+
+    def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+        vecs = table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("e")
+        )
+        cents = vecs.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+        sim = F.round(cosine(F.col("e"), F.col("ce")), 6)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+        assigned = (
+            vecs.join(F.broadcast(cents))
+            .withColumn("sim", sim)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cent_id", "e")
+        )
+        exploded = assigned.select(
+            "cent_id", F.posexplode("e").alias("dim0", "val")
+        ).select(
+            "cent_id",
+            (F.col("dim0") + 1).cast("int").alias("dim"),
+            F.round(F.col("val") * 1000000).cast("bigint").alias("val_micro"),
+        )
+        return (
+            exploded.groupBy("cent_id", "dim")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                (
+                    F.sum("val_micro").cast("double")
+                    / (F.count(F.lit(1)) * 1000000.0)
+                ).cast("double").alias("new_coord"),
+            )
+            .orderBy("cent_id", "dim")
+        )
+
+    register(
+        "kmeans_update_step",
+        oracle=oracle,
+        doc=_register_kmeans_step.__doc__
+        + " Determinism: assignment reuses the IVF cosine (sequential "
+        "fold, 6-decimal round, cent_id tie-break); the mean is an exact "
+        "integer-micro sum divided once. Scale: centroids broadcast "
+        "(16×64 doubles), the corpus never shuffles for assignment; the "
+        "(cell, dim) aggregation is 1024 groups with map-side partials — "
+        "the classic mergeable-statistics tree. Payload vectors leave "
+        "the scan stage only as exploded (cell, dim, micro) triples.",
+        tags=("vectors", "kmeans", "iterative"),
+    )(kmeans_update_step)
+
+
+_register_kmeans_step()

@@ -32,6 +32,7 @@ ALLOW_NESTED_LOOP = {
     "mixture_resample_audit",  # 1-row total-weight + feasible-min crosses
     "funnel_view_click_purchase",  # 1-row stage-count crosses
     "key_skew_profile",  # 1-row total broadcast cross
+    "kmeans_update_step",  # broadcast cross vs 16 centroids — intended
 }
 
 EXPECT_BROADCAST = [
