@@ -1,0 +1,85 @@
+"""Incremental aggregate maintenance: merging per-batch partial
+aggregates must equal the full recompute, for any batch split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.operators.incremental import merge_additive
+from tests.conftest import SF_SMOKE
+
+KEYS = ["order_year", "order_quarter"]
+
+
+def _partial(df):
+    """Quarter-grain partial aggregate with exact integer units and
+    mergeable min/max."""
+    return df.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_batchwise_merge_equals_full_recompute(spark):
+    orders = table(spark, SF_SMOKE, "orders")
+    full = _partial(orders)
+
+    state = None
+    # three uneven arrival batches, split by custkey (not by time, so
+    # batches overlap every quarter — the hard case for incrementality)
+    for lo, hi in ((0, 40), (40, 41), (41, 10_000_000)):
+        batch = orders.filter(
+            (F.col("o_custkey") % 100 >= lo) & (F.col("o_custkey") % 100 < hi)
+        )
+        state = merge_additive(
+            state,
+            _partial(batch),
+            KEYS,
+            sum_cols=["n_orders", "revenue_cents"],
+            min_cols=["first_order"],
+            max_cols=["last_order"],
+        )
+    assert _rows(state) == _rows(full)
+
+
+def test_empty_delta_is_identity(spark):
+    orders = table(spark, SF_SMOKE, "orders")
+    state = _partial(orders)
+    empty = _partial(orders.filter(F.lit(False)))
+    merged = merge_additive(
+        state,
+        empty,
+        KEYS,
+        sum_cols=["n_orders", "revenue_cents"],
+        min_cols=["first_order"],
+        max_cols=["last_order"],
+    )
+    assert _rows(merged) == _rows(state)
+
+
+def test_new_group_passes_through(spark):
+    orders = table(spark, SF_SMOKE, "orders")
+    y2000 = _partial(orders.filter(F.year("o_orderdate") == 2000))
+    y2001 = _partial(orders.filter(F.year("o_orderdate") == 2001))
+    merged = merge_additive(
+        y2000,
+        y2001,
+        KEYS,
+        sum_cols=["n_orders", "revenue_cents"],
+        min_cols=["first_order"],
+        max_cols=["last_order"],
+    )
+    want = _partial(orders.filter(F.year("o_orderdate").isin(2000, 2001)))
+    assert _rows(merged) == _rows(want)

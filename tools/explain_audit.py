@@ -55,6 +55,26 @@ EXPECT_PUSHED_FILTER = [
     "running_daily_revenue",
 ]
 
+# shuffle-count regression guard: max Exchange nodes allowed in the
+# executed plan (measured at the plan shape we designed for; a regression
+# here usually means a broadcast fell back to SortMergeJoin or a window
+# stopped reusing the aggregation's partitioning)
+SHUFFLE_BUDGET = {
+    "q1_fact_totals": 1,
+    "q2_sales_by_brand": 3,
+    "q3_sales_by_geo": 5,
+    "pricing_summary": 2,
+    "revenue_forecast_filter": 1,
+    "dedup_minhash_lsh": 22,  # cold plan; the cached shingle frame dedups 6 when warm
+    "ann_cosine_topk": 3,
+    "ann_lsh_topk": 6,
+    "market_share_by_year": 8,
+    "sole_blame_suppliers": 4,
+    "repetition_profile": 4,
+    "chunk_documents": 1,
+    "kmeans_update_step": 4,
+}
+
 # queries whose plans must NOT funnel unaggregated data through one task
 # (global windowless row_number / Window.orderBy): surrogate-key minting
 # uses bucketed partition-offset assignment instead
@@ -96,6 +116,13 @@ def audit(sf_dir: str) -> int:
         p = plan_of(name)
         if "PushedFilters: []" in p or "PushedFilters" not in p:
             print(f"✗ {name}: no pushed filters on scan")
+            failures += 1
+
+    for name, budget in SHUFFLE_BUDGET.items():
+        p = plan_of(name)
+        got = p.count("Exchange ")
+        if got > budget:
+            print(f"✗ {name}: {got} Exchange nodes (budget {budget})")
             failures += 1
 
     for name in NO_SINGLE_PARTITION_EXCHANGE:
