@@ -627,3 +627,40 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "supplier")
         .limit(20)
     )
+
+
+_TOP_ORDERS_LATERAL_SQL = """
+SELECT c.c_custkey AS custkey,
+       c.c_mktsegment AS segment,
+       t.o_orderkey AS orderkey,
+       t.o_totalprice AS totalprice
+FROM customer c,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 3
+) t
+WHERE c.c_custkey % 50 = 0
+ORDER BY custkey, totalprice DESC, orderkey
+"""
+
+
+@register(
+    "top_orders_lateral",
+    oracle=_TOP_ORDERS_LATERAL_SQL,
+    doc="Correlated LATERAL table subquery as literal SQL: each sampled "
+    "customer's top-3 orders by price. The same SQL text runs on both "
+    "engines; Catalyst decorrelates the LATERAL LIMIT into a "
+    "partitioned rank window (one custkey shuffle, no per-row "
+    "re-execution) — the declarative win over the reference's row-wise "
+    "subquery loops. Total ORDER BY (price DESC, orderkey) inside the "
+    "lateral makes the top-3 ties deterministic in both engines.",
+    tags=("sql", "lateral", "topk"),
+)
+def top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_TOP_ORDERS_LATERAL_SQL)
