@@ -49,8 +49,16 @@ class Warehouse:
         p = self.path(layer, name)
         return p.exists() and any(p.iterdir())
 
-    def read(self, layer: str, name: str) -> DataFrame:
-        return self.spark.read.parquet(str(self.path(layer, name)))
+    def read(self, layer: str, name: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` reconciles files written before/after a
+        column was added (schema evolution): the union schema is used and
+        pre-evolution files read the new columns as NULL. Off by default —
+        merging every footer is an O(files) planning cost you only pay
+        when a table is mid-migration."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(str(self.path(layer, name)))
 
     def read_or_none(self, layer: str, name: str) -> DataFrame | None:
         return self.read(layer, name) if self.exists(layer, name) else None

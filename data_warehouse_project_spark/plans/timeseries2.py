@@ -304,3 +304,64 @@ def brand_share_within_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("share_of_type"),
     ).orderBy("ptype", "brand")
+
+
+@register(
+    "cumulative_distinct_parts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT o.o_custkey AS custkey,
+             l.l_partkey AS partkey,
+             MIN(o.o_orderdate) AS first_ts
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 50 = 0
+      GROUP BY o.o_custkey, l.l_partkey
+    ),
+    daily AS (
+      SELECT custkey, first_ts,
+             COUNT(*) AS new_parts
+      FROM first_seen GROUP BY custkey, first_ts
+    )
+    SELECT custkey,
+           first_ts AS order_ts,
+           CAST(new_parts AS BIGINT) AS new_parts,
+           CAST(SUM(new_parts) OVER (
+             PARTITION BY custkey ORDER BY first_ts
+           ) AS BIGINT) AS distinct_parts_so_far
+    FROM daily
+    ORDER BY custkey, order_ts
+    """,
+    doc="Running DISTINCT count per customer (purchase-breadth curve): "
+    "Spark has no COUNT(DISTINCT) OVER, and at scale you would not "
+    "want one — the scale-safe rewrite is the first-seen "
+    "decomposition: MIN(date) per (customer, part) marks each part's "
+    "first purchase, a per-day count of first-seens, then a plain "
+    "cumulative SUM. State per window row is one integer instead of a "
+    "distinct-set; every stage partitions on custkey and the same SQL "
+    "runs on both engines. This is the standard trick for cumulative "
+    "unique users/SKUs/tokens dashboards at warehouse scale.",
+    tags=("window", "distinct", "timeseries"),
+)
+def cumulative_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    first_seen = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey")
+        )
+        .agg(F.min("o_orderdate").alias("first_ts"))
+    )
+    daily = first_seen.groupBy("custkey", "first_ts").agg(
+        F.count(F.lit(1)).alias("new_parts")
+    )
+    w = Window.partitionBy("custkey").orderBy("first_ts")
+    return daily.select(
+        "custkey",
+        F.col("first_ts").alias("order_ts"),
+        F.col("new_parts").cast("bigint").alias("new_parts"),
+        F.sum("new_parts").over(w).cast("bigint").alias("distinct_parts_so_far"),
+    ).orderBy("custkey", "order_ts")
