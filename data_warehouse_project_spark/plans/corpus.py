@@ -735,3 +735,67 @@ def mixture_resample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_rate_ppm"
         ),
     ).orderBy("source")
+
+
+@register(
+    "tfidf_top_terms_per_doc",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    ranked AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             CAST(tf.tf * total.n AS DOUBLE) / df.df AS tfidf_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * total.n AS DOUBLE) / df.df DESC, tf.term
+             ) AS rk
+      FROM tf JOIN df USING (term), total
+    )
+    SELECT doc_id, term, tf, df, tfidf_score, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    doc="Per-document TF-IDF signature terms: the 3 most characteristic "
+    "unigrams per document by tf·N/df (the tf-idf ordering without the "
+    "log — a single rational division of exact integers, so the ranking "
+    "is bit-identical across engines; ln() last-ulp rounding is not). "
+    "This is the per-doc counterpart of bigram_df_topk and the standard "
+    "keyword-extraction / topic-tagging step of a corpus pipeline. "
+    "Plan: one token explode feeding two partial-agg trees (per-doc tf; "
+    "corpus df); the df/total sides are vocabulary-sized, so they "
+    "broadcast into the tf frame; the ranking window partitions on "
+    "doc_id — maximal parallelism, no global sort before the final "
+    "presentation ORDER BY. At 100 TB the explode stays in the scan "
+    "stage (map-side combine shrinks it before any shuffle).",
+    tags=("corpus", "tfidf", "window"),
+)
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    score = (F.col("tf") * F.col("n")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_score"), "term")
+    ranked = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            score.alias("tfidf_score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return ranked.filter(F.col("rk") <= 3).orderBy("doc_id", "rk")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_warehouse_project_spark.catalog import table
 from data_warehouse_project_spark.plans.queries import register
 from data_warehouse_project_spark.plans.text import _SHINGLES_SQL, _shingles
 
@@ -152,3 +153,140 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "pagerank_update_step",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    n AS (
+      SELECT (SELECT COUNT(DISTINCT src) FROM edges)
+           + (SELECT COUNT(DISTINCT dst) FROM edges) AS n_nodes
+    ),
+    outdeg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ),
+    contrib AS (
+      SELECT e.dst,
+             COUNT(*) AS in_deg,
+             SUM((1000000000 // n.n_nodes) // o.outdeg) AS sum_contrib_ppb
+      FROM edges e JOIN outdeg o ON e.src = o.src, n
+      GROUP BY e.dst
+    )
+    SELECT c.dst AS suppkey,
+           CAST(c.in_deg AS BIGINT) AS in_deg,
+           CAST(c.sum_contrib_ppb AS BIGINT) AS sum_contrib_ppb,
+           CAST((150 * (1000000000 // n.n_nodes)) // 1000
+              + (850 * c.sum_contrib_ppb) // 1000 AS BIGINT) AS new_rank_ppb
+    FROM contrib c, n
+    ORDER BY new_rank_ppb DESC, suppkey
+    """,
+    doc="One PageRank power-iteration step (damping 0.85) over the "
+    "customer→supplier purchase graph — the building block of "
+    "link-analysis quality scoring for web-crawl corpora (rank sources "
+    "by who links to them). Ranks are integer parts-per-billion: the "
+    "uniform start 1e9 div N, per-edge contribution rank div outdeg, "
+    "and the damped update (150·base + 850·Σcontrib) div 1000 are all "
+    "exact integer arithmetic, so the distributed sum is "
+    "order-insensitive and both engines agree bit-for-bit (floating "
+    "PageRank would drift per partitioning). Plan: the distinct edge "
+    "list shuffles once on (src,dst); outdeg is a partial agg on src "
+    "joined back on the same key (co-located); the contribution sum "
+    "partial-aggs on dst; N is a 1-row broadcast cross. Iterating = "
+    "re-running this step with the previous ranks joined in place of "
+    "the uniform base, localCheckpoint per round like "
+    "connected_components.",
+    tags=("graph", "corpus"),
+)
+def pagerank_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("src")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("src", "dst")
+        .distinct()
+    )
+    n_src = edges.agg(F.countDistinct("src").alias("ns"))
+    n_dst = edges.agg(F.countDistinct("dst").alias("nd"))
+    n = n_src.join(F.broadcast(n_dst)).select(
+        (F.col("ns") + F.col("nd")).alias("n_nodes")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib = (
+        edges.join(outdeg, "src")
+        .join(F.broadcast(n))
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("in_deg"),
+            F.sum(F.expr("(1000000000 div n_nodes) div outdeg")).alias(
+                "sum_contrib_ppb"
+            ),
+        )
+    )
+    return (
+        contrib.join(F.broadcast(n))
+        .select(
+            F.col("dst").alias("suppkey"),
+            F.col("in_deg").cast("bigint").alias("in_deg"),
+            F.col("sum_contrib_ppb").cast("bigint").alias("sum_contrib_ppb"),
+            F.expr(
+                "(150 * (1000000000 div n_nodes)) div 1000"
+                " + (850 * sum_contrib_ppb) div 1000"
+            ).cast("bigint").alias("new_rank_ppb"),
+        )
+        .orderBy(F.desc("new_rank_ppb"), "suppkey")
+    )
+
+
+def pagerank(edges: DataFrame, n_iters: int = 5) -> DataFrame:
+    """Iterative PageRank (damping 0.85) over a directed edge list
+    (``src``/``dst`` columns) → (node, rank_ppb).
+
+    The multi-step driver behind the ``pagerank_update_step`` query:
+    ranks are integer parts-per-billion (init 1e9 div N, contribution
+    rank div outdeg, damped update (150·base + 850·Σ) div 1000), so
+    every distributed sum is exact and the fixpoint is bit-identical
+    on any partitioning. Dangling nodes (no out-edges) keep their base
+    rank and contribute nothing — the no-redistribution variant, fine
+    for quality scoring where only relative order matters.
+
+    Each iteration is two co-partitioned joins on ``src`` plus one
+    partial agg on ``dst``; ``localCheckpoint`` truncates the lineage
+    so plans stay flat (same pattern as :func:`connected_components`).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    base = 1_000_000_000 // n_nodes
+    damped_base = (150 * base) // 1000
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank_ppb", F.lit(base).cast("bigint"))
+    for _ in range(n_iters):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank_ppb div outdeg")).alias("in_ppb"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{damped_base}"
+                    " + (850 * coalesce(in_ppb, CAST(0 AS BIGINT))) div 1000"
+                ).cast("bigint").alias("rank_ppb"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -33,6 +33,8 @@ ALLOW_NESTED_LOOP = {
     "funnel_view_click_purchase",  # 1-row stage-count crosses
     "key_skew_profile",  # 1-row total broadcast cross
     "kmeans_update_step",  # broadcast cross vs 16 centroids — intended
+    "tfidf_top_terms_per_doc",  # 1-row corpus-total broadcast cross
+    "pagerank_update_step",  # 1-row node-count broadcast cross
 }
 
 EXPECT_BROADCAST = [
