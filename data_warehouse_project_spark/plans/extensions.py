@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.operators.layout import zvalue_sql
 from data_warehouse_project_spark.plans.queries import (
     _sql_exact_sum,
     exact_sum,
@@ -476,3 +477,54 @@ def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return active_in(1996).intersect(active_in(1997)).orderBy("customer_id")
+
+
+@register(
+    "zorder_locality_profile",
+    oracle=f"""
+    WITH coded AS (
+      SELECT (o_custkey & 255) AS x,
+             ((epoch_us(o_orderdate) // 86400000000) & 255) AS y,
+             {zvalue_sql('o_custkey & 255', '(epoch_us(o_orderdate) // 86400000000) & 255')} AS z
+      FROM orders
+    )
+    SELECT CAST(z >> 10 AS BIGINT) AS z_cell,
+           COUNT(*) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+           CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+    FROM coded
+    GROUP BY z_cell
+    ORDER BY z_cell
+    """,
+    doc="Morton-code locality audit for the z-ordered write path "
+    "(operators/layout.py): every order mapped to a 16-bit z-value of "
+    "(custkey low byte, order-day low byte), rolled up into 64 "
+    "z-cells with each cell's extent in BOTH source dimensions — the "
+    "min/max spans that parquet footer stats would carry per file, "
+    "i.e. the skipping power a two-dimensional filter gets after "
+    "OPTIMIZE ZORDER. The bit-interleave expression text is shared "
+    "verbatim between Spark and the DuckDB oracle (common ``>> << & "
+    "|`` subset), so the mapping itself is what's being "
+    "cross-checked. Plan: pure codegen bit arithmetic in the scan "
+    "stage, one partial agg on the 64-value cell key.",
+    tags=("layout", "diagnostics"),
+)
+def zorder_locality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    day = "(unix_micros(cast(o_orderdate as timestamp)) div 86400000000)"
+    coded = o.select(
+        F.expr("o_custkey & 255").alias("x"),
+        F.expr(f"{day} & 255").alias("y"),
+        F.expr(zvalue_sql("o_custkey & 255", f"{day} & 255")).alias("z"),
+    )
+    return (
+        coded.groupBy(F.expr("z >> 10").cast("bigint").alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").cast("bigint").alias("x_min"),
+            F.max("x").cast("bigint").alias("x_max"),
+            F.min("y").cast("bigint").alias("y_min"),
+            F.max("y").cast("bigint").alias("y_max"),
+        )
+        .orderBy("z_cell")
+    )
