@@ -8,6 +8,7 @@ from data_warehouse_project_spark.plans.queries import QUERIES, Query  # noqa: F
 
 # Submodules self-register into QUERIES on import.
 from data_warehouse_project_spark.plans import (  # noqa: F401,E402
+    analytics,
     asof,
     corpus,
     dates,

@@ -1,0 +1,429 @@
+"""Warehouse-analytics classics: cohort retention, RFM segmentation,
+market-basket lift, equi-width histograms.
+
+These are the gold-layer consumer queries a BI user of the reference
+warehouse (SURVEY.md §2.9/§6 — the dimensional marts feed ad-hoc
+analysis) runs on top of the star schema; here expressed directly over
+the raw tables so the driver's DuckDB oracle can cross-check them.
+
+Determinism: counts, integer-cent sums, integer cross-multiplied
+ratios (ppm), total tie-breaks — per the plans/queries.py rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.operators.bloom import bloom_build, bloom_probe
+from data_warehouse_project_spark.plans.queries import register
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate)) AS ym
+      FROM orders
+    ), firsts AS (
+      SELECT custkey, MIN(ym) AS cohort_ym FROM o GROUP BY custkey
+    ), activity AS (
+      SELECT DISTINCT custkey, ym FROM o
+    ), cells AS (
+      SELECT f.cohort_ym, a.ym - f.cohort_ym AS months_since,
+             COUNT(*) AS n_active
+      FROM activity a JOIN firsts f ON a.custkey = f.custkey
+      GROUP BY f.cohort_ym, months_since
+    ), sizes AS (
+      SELECT cohort_ym, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_ym
+    )
+    SELECT CAST((c.cohort_ym - 1) // 12 AS INT) AS cohort_year,
+           CAST(((c.cohort_ym - 1) % 12) + 1 AS INT) AS cohort_month,
+           CAST(c.months_since AS INT) AS months_since,
+           c.n_active,
+           s.cohort_size,
+           CAST((c.n_active * 1000000) // s.cohort_size AS BIGINT) AS retention_ppm
+    FROM cells c JOIN sizes s ON c.cohort_ym = s.cohort_ym
+    WHERE c.months_since <= 12
+    ORDER BY cohort_year, cohort_month, months_since
+    """,
+    doc="Monthly acquisition-cohort retention matrix: cohort = month of a "
+    "customer's first order; a cohort's month-N retention = fraction of "
+    "its customers active N months later (integer ppm — no float "
+    "division). Plan: one custkey shuffle computes both first-order "
+    "months and distinct activity months (same key), a custkey-keyed "
+    "join, then a tiny (cohort, lag) aggregate with the cohort sizes "
+    "broadcast back on. At 100 TB the only large exchange is the "
+    "custkey one, and it is reused by Catalyst for both aggregates.",
+    tags=("analytics", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+    )
+    firsts = o.groupBy("custkey").agg(F.min("ym").alias("cohort_ym"))
+    activity = o.distinct()
+    cells = (
+        activity.join(firsts, "custkey")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("months_since")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort_ym").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(F.broadcast(sizes), "cohort_ym")
+        .filter(F.col("months_since") <= 12)
+        .select(
+            F.expr("(cohort_ym - 1) div 12").cast("int").alias("cohort_year"),
+            (((F.col("cohort_ym") - 1) % 12) + 1).cast("int").alias("cohort_month"),
+            F.col("months_since").cast("int").alias("months_since"),
+            "n_active",
+            "cohort_size",
+            F.expr("(n_active * 1000000) div cohort_size")
+            .cast("bigint")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_year", "cohort_month", "months_since")
+    )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey,
+             (epoch_us(o_orderdate) // 86400000000) AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), per AS (
+      SELECT custkey, MAX(day) AS last_day,
+             COUNT(*) AS f, SUM(cents) AS m_cents
+      FROM o GROUP BY custkey
+    ), gmax AS (
+      SELECT MAX(last_day) AS global_day FROM per
+    ), rfm AS (
+      SELECT custkey, (g.global_day - p.last_day) AS r_days,
+             p.f, CAST(p.m_cents AS BIGINT) AS m_cents
+      FROM per p, gmax g
+    ), q AS (
+      SELECT CAST(quantile_cont(r_days, 0.25) AS DOUBLE) AS rq1,
+             CAST(quantile_cont(r_days, 0.50) AS DOUBLE) AS rq2,
+             CAST(quantile_cont(r_days, 0.75) AS DOUBLE) AS rq3,
+             CAST(quantile_cont(f, 0.25) AS DOUBLE) AS fq1,
+             CAST(quantile_cont(f, 0.50) AS DOUBLE) AS fq2,
+             CAST(quantile_cont(f, 0.75) AS DOUBLE) AS fq3,
+             CAST(quantile_cont(m_cents, 0.25) AS DOUBLE) AS mq1,
+             CAST(quantile_cont(m_cents, 0.50) AS DOUBLE) AS mq2,
+             CAST(quantile_cont(m_cents, 0.75) AS DOUBLE) AS mq3
+      FROM rfm
+    )
+    SELECT CAST(1 + CAST(r_days > rq1 AS INT) + CAST(r_days > rq2 AS INT)
+                  + CAST(r_days > rq3 AS INT) AS INT) AS r_bucket,
+           CAST(1 + CAST(f > fq1 AS INT) + CAST(f > fq2 AS INT)
+                  + CAST(f > fq3 AS INT) AS INT) AS f_bucket,
+           CAST(1 + CAST(m_cents > mq1 AS INT) + CAST(m_cents > mq2 AS INT)
+                  + CAST(m_cents > mq3 AS INT) AS INT) AS m_bucket,
+           COUNT(*) AS n_customers,
+           CAST(SUM(m_cents) AS BIGINT) AS total_m_cents
+    FROM rfm, q
+    GROUP BY r_bucket, f_bucket, m_bucket
+    ORDER BY r_bucket, f_bucket, m_bucket
+    """,
+    doc="RFM (recency / frequency / monetary) customer segmentation: "
+    "per-customer last-order age in days, order count, and lifetime "
+    "cents, each quartile-bucketed by the scale-safe two-pass scheme "
+    "(1-row exact-percentile aggregate broadcast back over the rows — "
+    "no ntile, no global sort; see quartile_buckets_acctbal). The 64 "
+    "possible (r,f,m) cells aggregate customer counts and cents "
+    "exactly. At 100 TB: one custkey exchange for the per-customer "
+    "rollup, two O(1)-state scalar passes, one 64-cell aggregate.",
+    tags=("analytics", "segmentation", "percentile"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per = o.groupBy("custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum("cents").alias("m_cents"),
+    )
+    gmax = per.agg(F.max("last_day").alias("global_day"))
+    rfm = per.join(F.broadcast(gmax)).select(
+        "custkey",
+        (F.col("global_day") - F.col("last_day")).alias("r_days"),
+        "f",
+        F.col("m_cents").cast("bigint").alias("m_cents"),
+    )
+    q = rfm.agg(
+        *[
+            F.percentile(m, F.lit(p)).cast("double").alias(f"{m[0]}q{i}")
+            for m in ("r_days", "f", "m_cents")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def bucket(col: str, pfx: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{pfx}q1")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}q2")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}q3")).cast("int")
+        ).cast("int")
+
+    return (
+        rfm.join(F.broadcast(q))
+        .groupBy(
+            bucket("r_days", "r").alias("r_bucket"),
+            bucket("f", "f").alias("f_bucket"),
+            bucket("m_cents", "m").alias("m_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m_cents").cast("bigint").alias("total_m_cents"),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+@register(
+    "basket_lift_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT okey) AS n_orders FROM items
+    ), cnt AS (
+      SELECT pkey, COUNT(*) AS n_with FROM items GROUP BY pkey
+    ), pairs AS (
+      SELECT a.pkey AS part_a, b.pkey AS part_b, COUNT(*) AS n_both
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY a.pkey, b.pkey
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           ca.n_with AS n_a, cb.n_with AS n_b,
+           CAST((p.n_both * n.n_orders * 1000000) // (ca.n_with * cb.n_with)
+                AS BIGINT) AS lift_ppm
+    FROM pairs p
+      JOIN cnt ca ON p.part_a = ca.pkey
+      JOIN cnt cb ON p.part_b = cb.pkey
+      CROSS JOIN n
+    WHERE p.n_both >= 3
+    ORDER BY lift_ppm DESC, n_both DESC, part_a, part_b
+    LIMIT 25
+    """,
+    doc="Market-basket association mining: for every pair of parts "
+    "co-occurring in >= 3 orders, lift = P(a,b) / (P(a)P(b)) as an "
+    "integer-ppm cross-multiply (n_both * N * 1e6) div (n_a * n_b) — "
+    "no float division, so the ranking is engine-exact; top 25 with a "
+    "total (lift, count, part_a, part_b) tie-break. Plan: the "
+    "order-item self-join is co-partitioned on orderkey (the pair "
+    "generation never leaves the orderkey exchange), per-part counts "
+    "join onto the pair aggregate, and the global order count crosses "
+    "in as a 1-row broadcast. Basket-size skew bounds the blow-up: "
+    "pairs per order are k(k-1)/2 of its distinct items, and a "
+    "pathological mega-basket would be handled by a per-order item "
+    "cap upstream.",
+    tags=("analytics", "basket"),
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("okey").alias("n_orders"))
+    cnt = items.groupBy("pkey").agg(F.count(F.lit(1)).alias("n_with"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")))
+        .groupBy(F.col("a.pkey").alias("part_a"), F.col("b.pkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    return (
+        pairs.join(ca, F.col("part_a") == F.col("ca.pkey"))
+        .join(cb, F.col("part_b") == F.col("cb.pkey"))
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.col("ca.n_with").alias("n_a"),
+            F.col("cb.n_with").alias("n_b"),
+            F.expr("(n_both * n_orders * 1000000) div (ca.n_with * cb.n_with)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(
+            F.desc("lift_ppm"), F.desc("n_both"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(25)
+    )
+
+
+_BLOOM_WORDS_SQL = """
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    bits AS (
+      SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + 8 * t.i, 8))::BIGINT
+               % 2016 AS pos
+      FROM keys, (VALUES (0), (1), (2)) t(i)
+    ),
+    words AS (
+      SELECT pos // 63 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+      FROM bits GROUP BY word_idx
+    )
+"""
+
+
+@register(
+    "bloom_filter_words",
+    oracle=_BLOOM_WORDS_SQL
+    + """
+    SELECT CAST(word_idx AS BIGINT) AS word_idx,
+           CAST(word AS BIGINT) AS word,
+           CAST(bit_count(word) AS BIGINT) AS n_bits
+    FROM words
+    ORDER BY word_idx
+    """,
+    doc="Bloom filter over the fact side's distinct customer keys "
+    "(operators/bloom.py: 2016 bits as 32x63-bit words, k=3 md5-slice "
+    "hashes), emitted word-by-word with per-word popcounts. The filter "
+    "itself is the deliverable: broadcast it (a few KB) to prune a "
+    "probe side without shuffling either input — the storable form of "
+    "a runtime bloom join filter. The oracle rebuilds the identical "
+    "words in DuckDB, so the driver hash-checks the exact bit pattern "
+    "cross-engine. Build plan: scan-stage hashing, one partial agg on "
+    "a 32-value key.",
+    tags=("bloom", "join-pruning"),
+)
+def bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    words = bloom_build(keys, "o_custkey")
+    return words.select(
+        F.col("word_idx").cast("bigint").alias("word_idx"),
+        F.col("word").cast("bigint").alias("word"),
+        F.bit_count("word").cast("bigint").alias("n_bits"),
+    ).orderBy("word_idx")
+
+
+@register(
+    "bloom_probe_audit",
+    oracle=_BLOOM_WORDS_SQL
+    + """
+    , probes AS (SELECT c_custkey AS k FROM customer),
+    pb AS (
+      SELECT p.k,
+             ('0x' || substr(md5(CAST(p.k AS VARCHAR)), 1 + 8 * t.i, 8))::BIGINT
+               % 2016 AS pos
+      FROM probes p, (VALUES (0), (1), (2)) t(i)
+    ),
+    hits AS (
+      SELECT pb.k,
+             CASE WHEN (w.word & (1::BIGINT << CAST(pb.pos % 63 AS INT))) != 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM pb LEFT JOIN words w ON (pb.pos // 63) = w.word_idx
+    ),
+    per AS (SELECT k, MIN(hit) AS pass FROM hits GROUP BY k),
+    truth AS (SELECT DISTINCT o_custkey AS k FROM orders)
+    SELECT COUNT(*) AS n_probes,
+           CAST(SUM(per.pass) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(SUM(CASE WHEN per.pass = 1 AND t.k IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN per.pass = 0 AND t.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_neg
+    FROM per LEFT JOIN truth t ON per.k = t.k
+    """,
+    doc="End-to-end bloom semi-join pruning audit: build the filter from "
+    "orders' distinct custkeys, probe EVERY customer key through it, "
+    "and score against exact membership — probes, passes, true "
+    "members, false positives, and false negatives (which the bloom "
+    "contract requires to be exactly 0; the oracle enforces it "
+    "cross-engine, not just as a test assertion). The pass count tells "
+    "you the pruning power a dim-side scan gains before ever touching "
+    "the fact. Probe plan: 32-row broadcast of the words, probe rows "
+    "never shuffle; the only exchanges are the per-key MIN and the "
+    "1-row score.",
+    tags=("bloom", "join-pruning"),
+)
+def bloom_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact_keys = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    words = bloom_build(fact_keys, "o_custkey")
+    probes = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    passed = bloom_probe(probes, "k", words)
+    truth = fact_keys.select(F.col("o_custkey").alias("k"), F.lit(1).alias("member"))
+    scored = passed.join(truth, "k", "left")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("bloom_pass").cast("bigint").alias("n_pass"),
+        F.sum(F.when(F.col("member").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum(
+            F.when((F.col("bloom_pass") == 1) & F.col("member").isNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(
+            F.when(
+                (F.col("bloom_pass") == 0) & F.col("member").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_neg"),
+    )
+
+
+@register(
+    "order_price_histogram",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    )
+    SELECT CAST(c // 10000000 AS BIGINT) AS bucket_1000s,
+           COUNT(*) AS n_orders,
+           CAST(MIN(c) AS BIGINT) AS min_cents,
+           CAST(MAX(c) AS BIGINT) AS max_cents,
+           CAST(SUM(c) AS BIGINT) AS total_cents
+    FROM cents
+    GROUP BY bucket_1000s
+    ORDER BY bucket_1000s
+    """,
+    doc="Equi-width order-value histogram ($1000 buckets over integer "
+    "cents): the profiling primitive behind BI distribution charts and "
+    "skew diagnostics. Pure scan-stage arithmetic plus one partial agg "
+    "on a few-hundred-value key — the whole query is a single "
+    "map-side-combining exchange at any scale.",
+    tags=("analytics", "profiling"),
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    return (
+        c.groupBy(F.expr("c div 10000000").cast("bigint").alias("bucket_1000s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("c").cast("bigint").alias("min_cents"),
+            F.max("c").cast("bigint").alias("max_cents"),
+            F.sum("c").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("bucket_1000s")
+    )

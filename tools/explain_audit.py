@@ -35,6 +35,8 @@ ALLOW_NESTED_LOOP = {
     "kmeans_update_step",  # broadcast cross vs 16 centroids — intended
     "tfidf_top_terms_per_doc",  # 1-row corpus-total broadcast cross
     "pagerank_update_step",  # 1-row node-count broadcast cross
+    "rfm_segments",  # 1-row global-max-day + 1-row quartile-boundary crosses
+    "basket_lift_pairs",  # 1-row order-count broadcast cross
 }
 
 EXPECT_BROADCAST = [
