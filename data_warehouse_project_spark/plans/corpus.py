@@ -799,3 +799,158 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
     )
     return ranked.filter(F.col("rk") <= 3).orderBy("doc_id", "rk")
+
+
+_SPANS8_SQL = """
+    toks8 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans8 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                         || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' '
+                         || t[i+6] || ' ' || t[i+7])) AS shingle
+      FROM toks8 WHERE len(t) >= 8
+    )
+"""
+
+
+def _spans8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle): one row per 8-gram START POSITION (not distinct
+    — span coverage needs position multiplicity). Token array is
+    materialized before the transform (Catalyst project-collapse would
+    re-split per element otherwise)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 8
+    )
+    t = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 8),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(1, 9)]
+        ),
+    )
+    return toks.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+@register(
+    "duplicate_span_profile",
+    oracle=f"""
+    WITH {_SPANS8_SQL},
+    per_pair AS (
+      SELECT doc_id, shingle, COUNT(*) AS n_pos
+      FROM spans8 GROUP BY doc_id, shingle
+    ),
+    docs_per AS (
+      SELECT shingle, COUNT(*) AS n_docs FROM per_pair GROUP BY shingle
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.n_pos) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN d.n_docs >= 2 THEN p.n_pos ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           CAST((SUM(CASE WHEN d.n_docs >= 2 THEN p.n_pos ELSE 0 END) * 1000000)
+                // SUM(p.n_pos) AS BIGINT) AS dup_ppm
+    FROM per_pair p JOIN docs_per d ON p.shingle = d.shingle
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+    doc="Cross-document duplicated-span coverage (the substring-dedup "
+    "diagnostic of Lee et al.'s 'Deduplicating Training Data' recipe): "
+    "for every doc, the fraction of its 8-gram start positions whose "
+    "span also occurs in at least one OTHER document — integer ppm. "
+    "Docs with high dup_ppm are boilerplate/mirror candidates that "
+    "MinHash (whole-doc grain) under-flags. Plan: spans collapse to "
+    "(doc, shingle, n_pos) in one shingle-keyed exchange, the "
+    "doc-frequency rollup reuses that partitioning, and the final "
+    "per-doc aggregate moves counts only — raw text never shuffles "
+    "twice; at 100 TB the join key becomes md5(shingle) to shrink "
+    "shuffle width.",
+    tags=("corpus", "dedup"),
+)
+def duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_pair = (
+        _spans8(spark, sf_dir)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+    )
+    docs_per = per_pair.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, F.col("n_pos")).otherwise(F.lit(0))
+    return (
+        per_pair.join(docs_per, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.expr("(dup_spans * 1000000) div n_spans")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH {_SPANS8_SQL},
+    pair8 AS (SELECT DISTINCT doc_id, shingle FROM spans8),
+    bench AS (
+      SELECT DISTINCT shingle FROM pair8
+      WHERE {_hash_unit_sql('doc_id')} % 25 = 0
+    ),
+    train AS (
+      SELECT doc_id, shingle FROM pair8
+      WHERE {_hash_unit_sql('doc_id')} % 25 != 0
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM train t JOIN bench b ON t.shingle = b.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT h.doc_id, s.n_shingles, h.n_shared,
+           CAST((h.n_shared * 1000000) // s.n_shingles AS BIGINT) AS leak_ppm
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    ORDER BY h.doc_id
+    """,
+    doc="Benchmark decontamination: a held-out 'benchmark' slice (4% of "
+    "docs by md5 draw — stand-in for an eval suite) donates its "
+    "distinct 8-gram spans; every TRAINING doc sharing at least one "
+    "span is flagged with its shared-span count and leak fraction "
+    "(ppm). This is the pre-training hygiene step that removes eval "
+    "leakage before it inflates benchmark scores. Plan: the benchmark "
+    "span set is tiny and BROADCAST, so the corpus-side scan is "
+    "embarrassingly parallel — the only exchanges are the per-doc "
+    "count rollups; corpus text never moves.",
+    tags=("corpus", "contamination"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair8 = _spans8(spark, sf_dir).distinct()
+    is_bench = (_hash_unit_spark(F.col("doc_id")) % 25) == 0
+    bench = pair8.filter(is_bench).select("shingle").distinct()
+    train = pair8.filter(~is_bench)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.expr("(n_shared * 1000000) div n_shingles")
+            .cast("bigint")
+            .alias("leak_ppm"),
+        )
+        .orderBy("doc_id")
+    )
