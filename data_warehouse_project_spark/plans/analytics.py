@@ -427,3 +427,64 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_1000s")
     )
+
+
+@register(
+    "inventory_clamped_balance",
+    oracle="""
+    WITH RECURSIVE txn AS (
+      SELECT l_partkey AS k,
+             CAST(CASE WHEN l_returnflag = 'R' THEN ROUND(l_quantity)
+                       ELSE -ROUND(l_quantity) END AS BIGINT) AS d,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ),
+    sizes AS (SELECT k, MAX(rn) AS n_txns FROM txn GROUP BY k),
+    walk AS (
+      SELECT k, rn,
+             CAST(GREATEST(d, 0) AS BIGINT) AS bal,
+             CAST(CASE WHEN d < 0 THEN 1 ELSE 0 END AS BIGINT) AS clamps
+      FROM txn WHERE rn = 1
+      UNION ALL
+      SELECT t.k, t.rn,
+             CAST(GREATEST(w.bal + t.d, 0) AS BIGINT),
+             w.clamps + CAST(w.bal + t.d < 0 AS BIGINT)
+      FROM walk w JOIN txn t ON t.k = w.k AND t.rn = w.rn + 1
+    )
+    SELECT w.k AS partkey, s.n_txns,
+           w.bal AS balance_final, w.clamps AS n_clamped
+    FROM walk w JOIN sizes s ON w.k = s.k AND w.rn = s.n_txns
+    ORDER BY partkey
+    """,
+    doc="Floored running inventory balance per part: returns (+qty) and "
+    "shipments (-qty) fold in (shipdate, orderkey, linenumber) order "
+    "with the balance clamped at zero — stockouts counted. The clamp "
+    "makes the fold NON-associative, so no window frame or aggregate "
+    "can express it: this is the applyInPandas case "
+    "(operators/running.py — one partkey exchange, C-speed numpy fold "
+    "per group), and the oracle is a DuckDB RECURSIVE CTE walking the "
+    "same total order — the imperative path still faces the exact "
+    "cross-engine gate. At 100 TB the group fold stays task-local; "
+    "mega-key skew would move this to the stateful-streaming twin.",
+    tags=("analytics", "stateful", "pandas-udf"),
+)
+def inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.operators.running import (
+        clamped_running_balance,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("bigint").alias("partkey"),
+        F.col("l_shipdate").alias("ship"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lno"),
+        F.when(F.col("l_returnflag") == "R", F.round("l_quantity"))
+        .otherwise(-F.round("l_quantity"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    return clamped_running_balance(
+        li, "partkey", ["ship", "okey", "lno"], "d"
+    ).orderBy("partkey")
