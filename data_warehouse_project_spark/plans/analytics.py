@@ -488,3 +488,41 @@ def inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clamped_running_balance(
         li, "partkey", ["ship", "okey", "lno"], "d"
     ).orderBy("partkey")
+
+
+_GROUPING_SETS_SQL = """
+    SELECT p.p_brand AS brand,
+           n.n_name AS nation,
+           COUNT(*) AS n_sales,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(GROUPING(p.p_brand) * 2 + GROUPING(n.n_name) AS INT) AS gid
+    FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((p.p_brand), (n.n_name), ())
+    ORDER BY gid, brand NULLS FIRST, nation NULLS FIRST
+"""
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=_GROUPING_SETS_SQL,
+    doc="Explicit GROUPING SETS — the general form behind "
+    "rollup_geo_revenue (ROLLUP) and cube_returns_by_status (CUBE): "
+    "brand-only totals, nation-only totals, and the grand total in ONE "
+    "pass, disambiguated by the GROUPING() bitvector. The SAME SQL "
+    "text runs on both engines (ANSI subset); Spark plans it as a "
+    "single Expand + partial aggregate — one fact scan for all three "
+    "grains instead of three scans unioned, which is the whole point "
+    "at 100 TB. Revenue in integer cents keeps the partial aggregation "
+    "exact.",
+    tags=("sql", "agg", "grouping-sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
