@@ -162,7 +162,7 @@ def normalized_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT))
+           CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
              AS n_digit_runs,
            COUNT(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
              AS n_masked_forms
