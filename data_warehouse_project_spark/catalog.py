@@ -33,10 +33,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Parquet scan → column pruning + predicate
     pushdown are automatic once the caller selects/filters.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as raw nanos (legacy long mode) and
-    convert to a microsecond timestamp (floor division — matches
-    DuckDB's ns→us truncation).
+    ``events.ts`` has shipped in two physical formats across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader surfaces as raw nanos under legacy long mode) and plain
+    ``timestamp[us]``. We branch on the dtype actually read: a LongType
+    column is nanos and gets converted to a microsecond timestamp
+    (floor division — matches DuckDB's ns→us truncation); a native
+    timestamp column passes through untouched.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -54,10 +57,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Legacy testdata: TIMESTAMP(NANOS) read as raw int64 nanos.
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if isinstance(ts_type, TimestampNTZType):
+            # timestamp[us] without timezone → normalize to TimestampType
+            # so every consumer sees one dtype across testdata
+            # generations. Session TZ is UTC, so this is a pure
+            # wall-clock reinterpretation (value-identical to the
+            # legacy nanos path).
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

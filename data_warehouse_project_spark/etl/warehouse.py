@@ -128,6 +128,55 @@ class Warehouse:
                 item.rename(dst / f"part-{uuid.uuid4().hex}{suffix}")
         shutil.rmtree(src, ignore_errors=True)
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        layer: str,
+        name: str,
+        partition_col: str,
+        values: list[str],
+    ) -> int:
+        """Partition-scoped rewrite: atomically replace ONLY the listed
+        ``partition_col=value`` directories with ``df``'s content,
+        leaving every other partition physically untouched.
+
+        This is the plain-parquet equivalent of Delta/Iceberg
+        ``replaceWhere`` / dynamic-partition-overwrite, and the scale
+        path for SCD maintenance (SURVEY.md §7.3): when <1%% of a
+        billion-row dimension changes per batch, rewriting the touched
+        buckets is ~100x less IO than the full-snapshot swap in
+        ``overwrite``. Each partition dir is swapped with the same
+        temp-then-rename dance, so readers never see a partial
+        partition.
+        """
+        final = self.path(layer, name)
+        tmp = final.parent / f".{name}.pmerge-{uuid.uuid4().hex[:8]}"
+        (
+            df.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(str(tmp))
+        )
+        n = self.spark.read.parquet(str(tmp)).count()
+        final.mkdir(parents=True, exist_ok=True)
+        olds = []
+        for v in values:
+            part = f"{partition_col}={v}"
+            src = tmp / part
+            dst = final / part
+            if dst.exists():
+                old = final / f".{part}.old-{uuid.uuid4().hex[:8]}"
+                dst.rename(old)
+                olds.append(old)
+            if src.exists():
+                src.rename(dst)
+            # else: the new content for this partition is empty → the
+            # partition is legitimately dropped (all its rows deleted)
+        for old in olds:
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return n
+
     def compact(
         self,
         layer: str,

@@ -1,0 +1,166 @@
+"""Partition-scoped (bucketed) SCD merge — the second SCD maintenance
+path promised by SURVEY.md §7.3 ("keep both paths").
+
+The snapshot path (``operators/scd.py`` + ``Warehouse.overwrite``)
+recomputes and rewrites the WHOLE dimension each batch — correct, but at
+a 100 TB dimension (billions of slowly changing rows, <1%% churn per
+batch) the full rewrite dominates the pipeline. The reference avoids
+this with in-place transactional updates (``ON CONFLICT ... DO UPDATE``,
+load_3nf_ce_customers_scd_table_type1.sql:101-144; SCD2 expire+insert,
+load_3nf_ce_products_scd_table_type2.sql:120-172). The distributed
+equivalent on plain parquet is a *bucketed merge*:
+
+1. the dimension is laid out partitioned by ``__bucket =
+   pmod(xxhash64(key), n_buckets)`` — a stable hash, so a key lives in
+   the same bucket forever;
+2. an incremental batch first computes the DISTINCT buckets its keys
+   touch (a bounded ``collect`` — at most ``n_buckets`` values, model
+   state not data);
+3. only those partitions are read back (``__bucket IN (...)`` prunes at
+   the parquet scan), the pure SCD transform runs on that slice joined
+   with the batch, and ``Warehouse.overwrite_partitions`` atomically
+   swaps just the touched directories.
+
+IO per batch is O(touched buckets), not O(dimension). With uniform
+hashing, a batch touching k distinct keys rewrites at most
+min(k, n_buckets) buckets; the churn-1%% case rewrites a few buckets of
+a large dimension instead of all of it. Delta/Iceberg MERGE INTO is the
+managed-format upgrade with file-level (not bucket-level) granularity —
+this module keeps the same call shape so swapping it in is local.
+
+Semantics are identical to the snapshot path by construction: the same
+pure functions ``scd1_upsert`` / ``scd2_apply`` run per bucket-slice,
+and SCD state for a key is fully contained in its bucket (hash of the
+business key), so bucket-local application is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.etl.warehouse import Warehouse
+from data_warehouse_project_spark.operators.scd import scd1_upsert, scd2_apply
+
+BUCKET_COL = "__bucket"
+DEFAULT_BUCKETS = 32
+
+
+def bucket_expr(key: str, n_buckets: int) -> Column:
+    """Stable key→bucket assignment. xxhash64 is deterministic across
+    sessions/partitions, so a key's bucket never moves. Cast to string:
+    partition values round-trip as strings (the session disables
+    partition-column type inference)."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("string")
+
+
+def _touched_buckets(updates: DataFrame, key: str, n_buckets: int) -> list[str]:
+    """DISTINCT buckets of the batch's keys. Driver-side but bounded by
+    n_buckets (model state, not data) — the same justified-collect shape
+    as k-means centroids."""
+    rows = (
+        updates.select(bucket_expr(key, n_buckets).alias(BUCKET_COL))
+        .distinct()
+        .collect()
+    )
+    return sorted(r[BUCKET_COL] for r in rows)
+
+
+def _read_buckets(
+    wh: Warehouse, layer: str, name: str, buckets: list[str]
+) -> DataFrame:
+    """Read only the touched partitions. The IN-filter on the partition
+    column prunes directories at planning time — IO is O(touched)."""
+    df = wh.read(layer, name)
+    return df.filter(F.col(BUCKET_COL).isin(buckets))
+
+
+def scd1_merge(
+    wh: Warehouse,
+    layer: str,
+    name: str,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    change_order: list[str],
+    run_ts: dt.datetime | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """SCD1 upsert that rewrites only the buckets containing batch keys.
+
+    Returns ``{"rows_written": n, "buckets_touched": k,
+    "buckets_total": n_buckets}`` for O3-style accounting.
+    """
+    if not wh.exists(layer, name):
+        snap = scd1_upsert(None, updates, key, tracked, change_order, run_ts=run_ts)
+        snap = snap.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
+        n = wh.overwrite(snap, layer, name, partition_by=[BUCKET_COL])
+        return {
+            "rows_written": n,
+            "buckets_touched": n_buckets,
+            "buckets_total": n_buckets,
+        }
+
+    touched = _touched_buckets(updates, key, n_buckets)
+    if not touched:
+        return {"rows_written": 0, "buckets_touched": 0, "buckets_total": n_buckets}
+    cur = _read_buckets(wh, layer, name, touched).drop(BUCKET_COL)
+    nxt = scd1_upsert(cur, updates, key, tracked, change_order, run_ts=run_ts)
+    nxt = nxt.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
+    n = wh.overwrite_partitions(nxt, layer, name, BUCKET_COL, touched)
+    return {
+        "rows_written": n,
+        "buckets_touched": len(touched),
+        "buckets_total": n_buckets,
+    }
+
+
+def scd2_merge(
+    wh: Warehouse,
+    layer: str,
+    name: str,
+    updates: DataFrame,
+    key: str,
+    compare: list[str],
+    attrs: list[str],
+    change_order: list[str],
+    run_ts: dt.datetime | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """SCD2 expire-and-version rewriting only touched buckets. All
+    versions of a key share its bucket (hash of the business key), so
+    expire+insert is bucket-local and exact."""
+    if not wh.exists(layer, name):
+        dim = scd2_apply(
+            None, updates, key, compare, attrs, change_order, run_ts=run_ts
+        )
+        dim = dim.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
+        n = wh.overwrite(dim, layer, name, partition_by=[BUCKET_COL])
+        return {
+            "rows_written": n,
+            "buckets_touched": n_buckets,
+            "buckets_total": n_buckets,
+        }
+
+    touched = _touched_buckets(updates, key, n_buckets)
+    if not touched:
+        return {"rows_written": 0, "buckets_touched": 0, "buckets_total": n_buckets}
+    cur = _read_buckets(wh, layer, name, touched).drop(BUCKET_COL)
+    nxt = scd2_apply(cur, updates, key, compare, attrs, change_order, run_ts=run_ts)
+    nxt = nxt.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
+    n = wh.overwrite_partitions(nxt, layer, name, BUCKET_COL, touched)
+    return {
+        "rows_written": n,
+        "buckets_touched": len(touched),
+        "buckets_total": n_buckets,
+    }
+
+
+def read_dimension(
+    spark: SparkSession, wh: Warehouse, layer: str, name: str
+) -> DataFrame:
+    """Read a bucketed dimension without the internal bucket column."""
+    df = wh.read(layer, name)
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df

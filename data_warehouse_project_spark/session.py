@@ -39,9 +39,10 @@ def get_spark(app_name: str = "dwp-spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
-        # reader rejects; read nanos as long session-wide (catalog.table
-        # converts to a microsecond timestamp). Set once here so table()
+        # Some testdata generations ship events.parquet as TIMESTAMP(NANOS),
+        # which the vectorized reader rejects; read nanos as long
+        # session-wide (harmless for timestamp[us] data — catalog.table
+        # branches on the dtype actually read). Set once here so table()
         # stays read-only on session state (safe under concurrency).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -37,16 +37,20 @@ def read_csv_with_encodings(
                 .option("inferSchema", "false")
                 .csv(path)
             )
-            bad = 0
+            # one Spark job per encoding attempt: a single aggregate over
+            # an OR of per-column contains() checks (vs the old
+            # count-per-column loop = up to |cols| jobs)
+            any_bad = F.lit(False)
             for c in df.columns:
-                bad += (
-                    df.limit(1000)
-                    .filter(F.col(c).contains("�"))
-                    .count()
+                any_bad = any_bad | F.coalesce(
+                    F.col(c).contains("�"), F.lit(False)
                 )
-                if bad:
-                    break
-            if bad == 0:
+            bad = (
+                df.limit(1000)
+                .select(F.max(any_bad.cast("int")).alias("bad"))
+                .collect()[0]["bad"]
+            )
+            if not bad:
                 return df
             last_err = UnicodeDecodeError(
                 enc, b"", 0, 1, "replacement characters in decoded sample"

@@ -216,15 +216,25 @@ def extract_media_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Column-wise iteration (plain lists via .tolist()) instead of
+        # pdf.iterrows(): iterrows materializes a pandas Series per row
+        # (dtype unification + index construction), which dominated the
+        # batch loop. zip over raw Python lists is ~5-10x less overhead
+        # per row; the remaining cost is the payload decode itself,
+        # which is per-item numpy regardless.
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"]) if row["payload"] is not None else b""
-                decoded = _decode_one(row["media_type"], payload, strict)
+            for media_id, media_type, raw in zip(
+                pdf["media_id"].tolist(),
+                pdf["media_type"].tolist(),
+                pdf["payload"].tolist(),
+            ):
+                payload = bytes(raw) if raw is not None else b""
+                decoded = _decode_one(media_type, payload, strict)
                 out.append(
                     {
-                        "media_id": row["media_id"],
-                        "media_type": row["media_type"],
+                        "media_id": media_id,
+                        "media_type": media_type,
                         "n_bytes": len(payload),
                         "sha256": hashlib.sha256(payload).hexdigest(),
                         **decoded,
