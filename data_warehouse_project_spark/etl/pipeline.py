@@ -35,6 +35,7 @@ from __future__ import annotations
 import datetime as dt
 import time
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,14 +80,40 @@ def _staging_append(wh: Warehouse, batch: DataFrame, name: str, keys: list[str])
     return wh.append(batch, "staging", name)
 
 
-def load_staging(spark: SparkSession, wh: Warehouse, src_dir: str) -> None:
-    c = table(spark, src_dir, "customer")
-    n = table(spark, src_dir, "nation")
-    r = table(spark, src_dir, "region")
-    s = table(spark, src_dir, "supplier")
-    p = table(spark, src_dir, "part")
-    li = table(spark, src_dir, "lineitem")
-    o = table(spark, src_dir, "orders")
+def _source_reader(spark: SparkSession, src_dir: str, src_format: str):
+    """Return a name -> DataFrame reader for the source directory.
+
+    ``parquet`` (default) goes through catalog.table. ``csv`` is the
+    runnable twin of the reference's S3 entry point (pandas
+    read_csv-with-encoding-fallback → staging,
+    /root/reference/python/import_data.py:92): each table is
+    ``<src_dir>/<name>.csv`` read all-string via the S1 encoding
+    fallback — schema-on-read matches staging's all-VARCHAR semantics,
+    so the rest of the pipeline is format-agnostic.
+    """
+    if src_format == "parquet":
+        return lambda name: table(spark, src_dir, name)
+    if src_format == "csv":
+        from data_warehouse_project_spark.sources.csv import read_csv_with_encodings
+
+        return lambda name: read_csv_with_encodings(spark, f"{src_dir}/{name}.csv")
+    raise ValueError(f"unknown src_format {src_format!r}; use 'parquet' or 'csv'")
+
+
+def load_staging(
+    spark: SparkSession,
+    wh: Warehouse,
+    src_dir: str,
+    src_format: str = "parquet",
+) -> None:
+    read = _source_reader(spark, src_dir, src_format)
+    c = read("customer")
+    n = read("nation")
+    r = read("region")
+    s = read("supplier")
+    p = read("part")
+    li = read("lineitem")
+    o = read("orders")
 
     customers_src = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
@@ -110,14 +137,23 @@ def load_staging(spark: SparkSession, wh: Warehouse, src_dir: str) -> None:
         "o_orderdate",
     )
 
-    for name, df, keys in (
-        ("customers", customers_src, ["c_custkey"]),
-        ("stores", stores_src, ["s_suppkey"]),
-        ("products", _to_strings(p), ["p_partkey", "p_retailprice"]),
-        ("sales", sales_src, ["l_orderkey", "l_linenumber"]),
-    ):
-        rows = _staging_append(wh, _to_strings(df) if name != "products" else df, name, keys)
+    # the four staging tables are independent — submit their jobs
+    # concurrently so the cluster (or local thread pool) isn't idle
+    # while one small table's write round-trips the scheduler
+    def _load_one(name: str, df: DataFrame, keys: list[str]) -> None:
+        rows = _staging_append(wh, df, name, keys)
         wh.log(f"load_staging_{name}", "staging load ok", rows)
+
+    targets = (
+        ("customers", _to_strings(customers_src), ["c_custkey"]),
+        ("stores", _to_strings(stores_src), ["s_suppkey"]),
+        ("products", _to_strings(p), ["p_partkey", "p_retailprice"]),
+        ("sales", _to_strings(sales_src), ["l_orderkey", "l_linenumber"]),
+    )
+    with ThreadPoolExecutor(max_workers=len(targets)) as pool:
+        futures = [pool.submit(_load_one, *t) for t in targets]
+        for f in futures:
+            f.result()  # surface the first failure
 
 
 # --------------------------------------------------------------------------
@@ -671,34 +707,72 @@ def run_full_etl(
     src_dir: str,
     warehouse_root: str,
     run_ts: dt.datetime | None = None,
+    src_format: str = "parquet",
 ) -> dict[str, float]:
     """Execute all stages in the reference's topological order with
-    per-stage exception trap + log (O2). Returns stage -> seconds."""
+    per-stage exception trap + log (O2). Returns stage -> seconds.
+
+    ``src_format="csv"`` ingests ``<src_dir>/<table>.csv`` through the
+    S1 encoding-fallback reader instead of parquet (reference §3.1
+    entry point); everything downstream of staging is identical.
+    """
     wh = Warehouse(spark, warehouse_root)
     run_ts = run_ts or dt.datetime.now()
     timings: dict[str, float] = {}
 
-    bound = {
-        "staging": lambda: load_staging(spark, wh, src_dir),
-        "3nf_geo": lambda: load_3nf_geo(spark, wh),
-        "3nf_product_hier": lambda: load_3nf_product_hierarchy(spark, wh),
-        "3nf_customers": lambda: load_3nf_customers(spark, wh, run_ts),
-        "3nf_products": lambda: load_3nf_products(spark, wh, run_ts),
-        "3nf_stores": lambda: load_3nf_stores(spark, wh),
-        "3nf_sales": lambda: load_3nf_sales(spark, wh),
-        "dim_dates": lambda: load_dim_dates(spark, wh),
-        "dm_dims": lambda: load_dm_dims(spark, wh),
-        "fct_sales": lambda: load_fct_sales(spark, wh),
-    }
-    for stage, fn in bound.items():
+    # Stage DAG, executed phase by phase; stages within a phase have no
+    # mutual dependency and run concurrently (Spark's scheduler accepts
+    # jobs from many threads — on a cluster this keeps executors busy
+    # through the small-dimension stages instead of round-tripping one
+    # tiny job at a time). The reference runs strictly sequentially
+    # (run_full_etl_process.sql:36-104); the topological ORDER is
+    # preserved, only independent branches overlap.
+    phases: list[list[tuple[str, object]]] = [
+        [("staging", lambda: load_staging(spark, wh, src_dir, src_format))],
+        [
+            ("3nf_geo", lambda: load_3nf_geo(spark, wh)),
+            ("3nf_product_hier", lambda: load_3nf_product_hierarchy(spark, wh)),
+        ],
+        [
+            ("3nf_customers", lambda: load_3nf_customers(spark, wh, run_ts)),
+            ("3nf_products", lambda: load_3nf_products(spark, wh, run_ts)),
+            ("3nf_stores", lambda: load_3nf_stores(spark, wh)),
+        ],
+        [("3nf_sales", lambda: load_3nf_sales(spark, wh))],
+        [
+            ("dim_dates", lambda: load_dim_dates(spark, wh)),
+            ("dm_dims", lambda: load_dm_dims(spark, wh)),
+        ],
+        [("fct_sales", lambda: load_fct_sales(spark, wh))],
+    ]
+
+    def _run_stage(stage: str, fn) -> None:
         t0 = time.perf_counter()
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — O2: trap, log, re-raise
             wh.log(f"etl_{stage}", "stage failed", 0, error=traceback.format_exc())
-            wh.flush_log()
             raise RuntimeError(f"ETL stage {stage} failed: {e}") from e
-        timings[stage] = round(time.perf_counter() - t0, 3)
+        finally:
+            timings[stage] = round(time.perf_counter() - t0, 3)
+
+    for phase in phases:
+        if len(phase) == 1:
+            stage, fn = phase[0]
+            try:
+                _run_stage(stage, fn)
+            except RuntimeError:
+                wh.flush_log()
+                raise
+        else:
+            with ThreadPoolExecutor(max_workers=len(phase)) as pool:
+                futures = {
+                    pool.submit(_run_stage, stage, fn): stage for stage, fn in phase
+                }
+                errors = [f.exception() for f in futures if f.exception()]
+            if errors:
+                wh.flush_log()
+                raise errors[0]
     wh.log("run_full_etl", "pipeline complete", 0)
     wh.flush_log()
     return timings

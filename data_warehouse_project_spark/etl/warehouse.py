@@ -40,6 +40,9 @@ class Warehouse:
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # initialized eagerly: concurrent ETL stages log from worker
+        # threads, and a lazy hasattr-check create would race
+        self._log_buffer: list[tuple] = []
 
     # -- table IO ----------------------------------------------------------
     def path(self, layer: str, name: str) -> Path:
@@ -75,7 +78,7 @@ class Warehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(tmp))
-        n = self.spark.read.parquet(str(tmp)).count()
+        n = self._footer_count(tmp)
         old = final.parent / f".{name}.old-{uuid.uuid4().hex[:8]}"
         if final.exists():
             final.rename(old)
@@ -103,9 +106,22 @@ class Warehouse:
         if not any(self._data_files(tmp)):  # empty batch (e.g. idempotent rerun)
             shutil.rmtree(tmp, ignore_errors=True)
             return 0
-        n = self.spark.read.parquet(str(tmp)).count()  # footer metadata count
+        n = self._footer_count(tmp)
         self._merge_dir(tmp, final)
         return n
+
+    @classmethod
+    def _footer_count(cls, root: Path) -> int:
+        """Row count from parquet footer metadata, driver-side — no
+        Spark job. Every stage's O3 row accounting used to cost a full
+        count job over the just-written files; footers carry num_rows
+        for free. (On an object store this same read is a handful of
+        ranged GETs per file — still metadata-only.)"""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(str(f)).metadata.num_rows for f in cls._data_files(root)
+        )
 
     @staticmethod
     def _data_files(root: Path):
@@ -157,7 +173,7 @@ class Warehouse:
             .partitionBy(partition_col)
             .parquet(str(tmp))
         )
-        n = self.spark.read.parquet(str(tmp)).count()
+        n = self._footer_count(tmp)
         final.mkdir(parents=True, exist_ok=True)
         olds = []
         for v in values:
@@ -228,8 +244,7 @@ class Warehouse:
         rows: int = 0,
         error: str | None = None,
     ) -> None:
-        if not hasattr(self, "_log_buffer"):
-            self._log_buffer: list[tuple] = []
+        # list.append is atomic under the GIL — safe from stage threads
         self._log_buffer.append((dt.datetime.now(), procedure, message, rows, error))
 
     def flush_log(self) -> None:

@@ -143,3 +143,53 @@ def test_rawm_decodes_in_strict_mode_but_jpeg_refuses(spark):
         extract_media_features(
             spark.createDataFrame([bad], media_schema()), strict=True
         ).collect()
+
+
+# -- CSV → staging end-to-end (reference §3.1 entry point twin) -------------
+
+
+def test_run_full_etl_from_csv_sources(spark, tmp_path):
+    """Export the sf0.001 source tables to CSV, run the FULL pipeline
+    with src_format='csv', and check it lands the same fact row count
+    as the parquet-driven pipeline — the runnable twin of the
+    reference's pandas→staging import (import_data.py:92)."""
+    import datetime as dt
+
+    import duckdb
+
+    from data_warehouse_project_spark.etl import Warehouse, run_full_etl
+    from tests.conftest import SF_SMOKE
+
+    csv_dir = tmp_path / "csv_src"
+    csv_dir.mkdir()
+    con = duckdb.connect()
+    for t in ("customer", "nation", "region", "supplier", "part", "lineitem", "orders"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SMOKE}/{t}.parquet') "
+            f"TO '{csv_dir / t}.csv' (HEADER, DELIMITER ',')"
+        )
+
+    t0 = dt.datetime(2024, 1, 1)
+    root_csv = str(tmp_path / "wh_csv")
+    root_pq = str(tmp_path / "wh_pq")
+    run_full_etl(spark, str(csv_dir), root_csv, run_ts=t0, src_format="csv")
+    run_full_etl(spark, SF_SMOKE, root_pq, run_ts=t0)
+
+    wh_csv = Warehouse(spark, root_csv)
+    wh_pq = Warehouse(spark, root_pq)
+    for layer, name in (
+        ("staging", "sales"),
+        ("staging", "customers"),
+        ("bl_dm", "fct_sales"),
+        ("bl_dm", "dim_customers"),
+    ):
+        assert (
+            wh_csv.read(layer, name).count() == wh_pq.read(layer, name).count()
+        ), f"{layer}.{name} row count differs between csv and parquet sources"
+
+
+def test_source_reader_rejects_unknown_format(spark):
+    from data_warehouse_project_spark.etl.pipeline import _source_reader
+
+    with pytest.raises(ValueError, match="unknown src_format"):
+        _source_reader(spark, "/tmp", "orc")
