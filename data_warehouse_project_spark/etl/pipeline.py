@@ -342,11 +342,91 @@ def load_3nf_product_hierarchy(spark: SparkSession, wh: Warehouse) -> None:
 # --------------------------------------------------------------------------
 
 
-def load_3nf_customers(spark: SparkSession, wh: Warehouse, run_ts: dt.datetime) -> None:
+def _merge_scd_dim(
+    wh: Warehouse,
+    name: str,
+    updates: DataFrame,
+    key: str,
+    id_col: str,
+    next_fn,
+) -> int:
+    """Bucketed-merge write path shared by the SCD1/SCD2 loaders:
+    rewrite only the hash buckets containing batch keys. ``next_fn(cur,
+    offset)`` is the loader's pure next-state function applied to the
+    touched-bucket slice; the id offset comes from parquet footer MAX
+    statistics (metadata-only) with a Spark-agg fallback."""
+    from data_warehouse_project_spark.operators.merge import (
+        BUCKET_COL,
+        DEFAULT_BUCKETS,
+        _read_buckets,
+        _touched_buckets,
+        bucket_expr,
+    )
+
+    if not wh.exists("bl_3nf", name):
+        nxt = next_fn(None, 1).withColumn(
+            BUCKET_COL, bucket_expr(key, DEFAULT_BUCKETS)
+        )
+        return wh.overwrite(nxt, "bl_3nf", name, partition_by=[BUCKET_COL])
+    touched = _touched_buckets(updates, key, DEFAULT_BUCKETS)
+    if not touched:
+        return 0
+    cur = _read_buckets(wh, "bl_3nf", name, touched).drop(BUCKET_COL)
+    mx = wh.footer_max("bl_3nf", name, id_col)
+    offset = (
+        int(mx) + 1
+        if mx is not None
+        else next_key_offset(wh.read("bl_3nf", name), id_col)
+    )
+    nxt = next_fn(cur, offset).withColumn(
+        BUCKET_COL, bucket_expr(key, DEFAULT_BUCKETS)
+    )
+    return wh.overwrite_partitions(nxt, "bl_3nf", name, BUCKET_COL, touched)
+
+
+def _next_scd1_customers(
+    cur: DataFrame | None,
+    updates: DataFrame,
+    run_ts: dt.datetime,
+    offset: int,
+) -> DataFrame:
+    """Pure next-state for the customers SCD1 dim INCLUDING surrogate
+    ids: apply the upsert, keep ids of surviving keys, mint dense new
+    ids from ``offset``. Shared by the snapshot path (cur = whole dim)
+    and the bucketed merge path (cur = touched-bucket slice)."""
+    tracked = ["customer_name", "market_segment", "city_id", "acctbal"]
+    cur_state = cur.drop("customer_id") if cur is not None else None
+    snap = scd1_upsert(
+        cur_state, updates, "customer_src_id", tracked, ["change_seq"], run_ts=run_ts
+    )
+    if cur is not None:
+        mapping = cur.select("customer_src_id", "customer_id")
+        snap = snap.join(mapping, on="customer_src_id", how="left")
+    else:
+        snap = snap.withColumn("customer_id", F.lit(None).cast("bigint"))
+    snap = with_distributed_keys(
+        snap, "candidate_id", ["customer_src_id"], start_at=offset
+    )
+    return snap.withColumn(
+        "customer_id", F.coalesce(F.col("customer_id"), F.col("candidate_id"))
+    ).drop("candidate_id")
+
+
+def load_3nf_customers(
+    spark: SparkSession,
+    wh: Warehouse,
+    run_ts: dt.datetime,
+    scd_strategy: str = "snapshot",
+) -> None:
     """SCD1 customers anchored to the BOTTOM of the geo chain (city_id),
     like the reference's CE_CUSTOMERS → CE_CITIES FK
     (create_ddl_objects_3NF_layer.sql:88-103); nation/region names are
-    recovered in the DM layer by walking city→state→nation→region."""
+    recovered in the DM layer by walking city→state→nation→region.
+
+    ``scd_strategy="merge"`` maintains the dim via the §7.3 bucketed
+    merge: only the hash buckets containing batch keys are read and
+    rewritten (O(touched), not O(dimension)) — the distributed twin of
+    the reference's in-place ON CONFLICT update."""
     cust = wh.read("staging", "customers")
     cities = wh.read("bl_3nf", "ce_cities").select("city_src_id", "city_id")
     keyed = cust.withColumn(
@@ -369,26 +449,16 @@ def load_3nf_customers(spark: SparkSession, wh: Warehouse, run_ts: dt.datetime) 
         )
         .withColumn("change_seq", F.lit(int(run_ts.timestamp())))
     )
-    tracked = ["customer_name", "market_segment", "city_id", "acctbal"]
+    if scd_strategy == "merge":
+        n = _merge_scd_dim(
+            wh, "ce_customers", updates, "customer_src_id", "customer_id",
+            lambda cur, off: _next_scd1_customers(cur, updates, run_ts, off),
+        )
+        wh.log("load_3nf_ce_customers_scd1", "SCD1 bucketed merge ok", n)
+        return
     cur = wh.read_or_none("bl_3nf", "ce_customers")
-    cur_state = cur.drop("customer_id") if cur is not None else None
-    snap = scd1_upsert(
-        cur_state, updates, "customer_src_id", tracked, ["change_seq"], run_ts=run_ts
-    )
-    # reattach stable surrogate ids; mint new ones above MAX(existing)
-    if cur is not None:
-        mapping = cur.select("customer_src_id", "customer_id")
-        snap = snap.join(mapping, on="customer_src_id", how="left")
-        offset = next_key_offset(cur, "customer_id")
-    else:
-        snap = snap.withColumn("customer_id", F.lit(None).cast("bigint"))
-        offset = 1
-    snap = with_distributed_keys(
-        snap, "candidate_id", ["customer_src_id"], start_at=offset
-    )
-    snap = snap.withColumn(
-        "customer_id", F.coalesce(F.col("customer_id"), F.col("candidate_id"))
-    ).drop("candidate_id")
+    offset = next_key_offset(cur, "customer_id") if cur is not None else 1
+    snap = _next_scd1_customers(cur, updates, run_ts, offset)
     n = wh.overwrite(snap, "bl_3nf", "ce_customers")
     wh.log("load_3nf_ce_customers_scd1", "SCD1 snapshot ok", n)
 
@@ -398,7 +468,44 @@ def load_3nf_customers(spark: SparkSession, wh: Warehouse, run_ts: dt.datetime) 
 # --------------------------------------------------------------------------
 
 
-def load_3nf_products(spark: SparkSession, wh: Warehouse, run_ts: dt.datetime) -> None:
+def _next_scd2_products(
+    cur: DataFrame | None,
+    updates: DataFrame,
+    run_ts: dt.datetime,
+    offset: int,
+) -> DataFrame:
+    """Pure next-state for the products SCD2 dim including per-VERSION
+    surrogate ids (reference PRODUCT_ID): survivors keep theirs, new
+    versions mint from ``offset``. Shared by snapshot and merge paths."""
+    cur_state = cur.drop("product_id") if cur is not None else None
+    dim = scd2_apply(
+        cur_state,
+        updates,
+        "product_src_id",
+        compare=["unit_price"],
+        attrs=["product_name", "brand", "product_type", "subcategory_id"],
+        change_order=["change_seq"],
+        run_ts=run_ts,
+    )
+    if cur is not None:
+        mapping = cur.select("product_src_id", "start_dt", "product_id")
+        dim = dim.join(mapping, on=["product_src_id", "start_dt"], how="left")
+    else:
+        dim = dim.withColumn("product_id", F.lit(None).cast("bigint"))
+    dim = with_distributed_keys(
+        dim, "candidate_id", ["product_src_id", "start_dt"], start_at=offset
+    )
+    return dim.withColumn(
+        "product_id", F.coalesce(F.col("product_id"), F.col("candidate_id"))
+    ).drop("candidate_id")
+
+
+def load_3nf_products(
+    spark: SparkSession,
+    wh: Warehouse,
+    run_ts: dt.datetime,
+    scd_strategy: str = "snapshot",
+) -> None:
     prod = wh.read("staging", "products")
     subs = wh.read("bl_3nf", "ce_subcategories").select(
         F.col("subcategory_src_id"), "subcategory_id"
@@ -421,32 +528,16 @@ def load_3nf_products(spark: SparkSession, wh: Warehouse, run_ts: dt.datetime) -
         )
         .withColumn("change_seq", F.lit(int(run_ts.timestamp())))
     )
+    if scd_strategy == "merge":
+        n = _merge_scd_dim(
+            wh, "ce_products_scd", updates, "product_src_id", "product_id",
+            lambda cur, off: _next_scd2_products(cur, updates, run_ts, off),
+        )
+        wh.log("load_3nf_ce_products_scd2", "SCD2 bucketed merge ok", n)
+        return
     cur = wh.read_or_none("bl_3nf", "ce_products_scd")
-    cur_state = cur.drop("product_id") if cur is not None else None
-    dim = scd2_apply(
-        cur_state,
-        updates,
-        "product_src_id",
-        compare=["unit_price"],
-        attrs=["product_name", "brand", "product_type", "subcategory_id"],
-        change_order=["change_seq"],
-        run_ts=run_ts,
-    )
-    # surrogate id per VERSION row (reference PRODUCT_ID); keep ids of
-    # surviving versions, mint for new ones
-    if cur is not None:
-        mapping = cur.select("product_src_id", "start_dt", "product_id")
-        dim = dim.join(mapping, on=["product_src_id", "start_dt"], how="left")
-        offset = next_key_offset(cur, "product_id")
-    else:
-        dim = dim.withColumn("product_id", F.lit(None).cast("bigint"))
-        offset = 1
-    dim = with_distributed_keys(
-        dim, "candidate_id", ["product_src_id", "start_dt"], start_at=offset
-    )
-    dim = dim.withColumn(
-        "product_id", F.coalesce(F.col("product_id"), F.col("candidate_id"))
-    ).drop("candidate_id")
+    offset = next_key_offset(cur, "product_id") if cur is not None else 1
+    dim = _next_scd2_products(cur, updates, run_ts, offset)
     n = wh.overwrite(dim, "bl_3nf", "ce_products_scd")
     wh.log("load_3nf_ce_products_scd2", "SCD2 snapshot ok", n)
 
@@ -615,7 +706,9 @@ def load_dm_dims(spark: SparkSession, wh: Warehouse) -> None:
     n = wh.overwrite(dim_customers, "bl_dm", "dim_customers")
     wh.log("load_dim_customers", "denormalized dim ok", n)
 
-    prod = wh.read("bl_3nf", "ce_products_scd")
+    # drop is a no-op when absent: __bucket exists only under the
+    # merge SCD strategy and must not leak into the DM layer
+    prod = wh.read("bl_3nf", "ce_products_scd").drop("__bucket")
     subs = wh.read("bl_3nf", "ce_subcategories")
     cats = wh.read("bl_3nf", "ce_categories")
     hier = subs.join(F.broadcast(cats), "category_id", "left").select(
@@ -708,6 +801,7 @@ def run_full_etl(
     warehouse_root: str,
     run_ts: dt.datetime | None = None,
     src_format: str = "parquet",
+    scd_strategy: str = "snapshot",
 ) -> dict[str, float]:
     """Execute all stages in the reference's topological order with
     per-stage exception trap + log (O2). Returns stage -> seconds.
@@ -715,6 +809,11 @@ def run_full_etl(
     ``src_format="csv"`` ingests ``<src_dir>/<table>.csv`` through the
     S1 encoding-fallback reader instead of parquet (reference §3.1
     entry point); everything downstream of staging is identical.
+
+    ``scd_strategy="merge"`` maintains the SCD dims via bucketed
+    partition-scoped rewrites (only the hash buckets containing batch
+    keys are touched) instead of full-snapshot overwrites — the scale
+    path for low-churn dimensions.
     """
     wh = Warehouse(spark, warehouse_root)
     run_ts = run_ts or dt.datetime.now()
@@ -734,8 +833,14 @@ def run_full_etl(
             ("3nf_product_hier", lambda: load_3nf_product_hierarchy(spark, wh)),
         ],
         [
-            ("3nf_customers", lambda: load_3nf_customers(spark, wh, run_ts)),
-            ("3nf_products", lambda: load_3nf_products(spark, wh, run_ts)),
+            (
+                "3nf_customers",
+                lambda: load_3nf_customers(spark, wh, run_ts, scd_strategy),
+            ),
+            (
+                "3nf_products",
+                lambda: load_3nf_products(spark, wh, run_ts, scd_strategy),
+            ),
             ("3nf_stores", lambda: load_3nf_stores(spark, wh)),
         ],
         [("3nf_sales", lambda: load_3nf_sales(spark, wh))],

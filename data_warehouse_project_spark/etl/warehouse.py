@@ -110,6 +110,34 @@ class Warehouse:
         self._merge_dir(tmp, final)
         return n
 
+    def footer_max(self, layer: str, name: str, col: str) -> int | None:
+        """MAX(col) from parquet footer column statistics — metadata
+        only, no Spark job (the sequence-emulation twin of
+        ``next_key_offset`` for tables we just wrote). Returns None if
+        the table is missing or any file lacks statistics for ``col``
+        (caller falls back to a Spark agg)."""
+        import pyarrow.parquet as pq
+
+        if not self.exists(layer, name):
+            return None
+        mx = None
+        for f in self._data_files(self.path(layer, name)):
+            md = pq.ParquetFile(str(f)).metadata
+            found = False
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema == col:
+                        found = True
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        mx = st.max if mx is None else max(mx, st.max)
+            if not found:
+                return None
+        return mx
+
     @classmethod
     def _footer_count(cls, root: Path) -> int:
         """Row count from parquet footer metadata, driver-side — no

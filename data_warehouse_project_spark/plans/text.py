@@ -559,3 +559,140 @@ def pandas_udf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_OOV_VOCAB_K = 16
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+        ORDER BY n DESC, token LIMIT {_OOV_VOCAB_K}
+      )
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.source ORDER BY t.source
+    """,
+    doc="Out-of-vocabulary rate per source: fraction of tokens outside "
+    "the top-16 corpus vocabulary (count-desc, token-asc tie-break — a "
+    "deterministic total order), as exact ppm integers. The classic "
+    "rare-token quality filter for pretraining corpora: a source whose "
+    "OOV rate spikes is boilerplate, another language, or junk. "
+    "Scale shape: vocabulary via partial-agg + global top-K (tiny), "
+    "broadcast back for the membership probe — token traffic shuffles "
+    "once for the vocab count; the probe join is map-side.",
+    tags=("text", "quality"),
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tokens(F.col("text"))).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("__known"))
+    )
+    probed = tok.join(F.broadcast(vocab), "token", "left")
+    oov = F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0))
+    return (
+        probed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            oov.cast("bigint").alias("oov_tokens"),
+            F.expr(
+                "CAST(sum(CASE WHEN __known IS NULL THEN 1 ELSE 0 END) * 1000000"
+                " div count(1) AS BIGINT)"
+            ).alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_OVERLAP_K = 8  # minhash signature length per source
+
+
+@register(
+    "source_overlap_minhash",
+    oracle=f"""
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    src_shingles AS (SELECT DISTINCT source, shingle FROM sh),
+    mh AS (
+      SELECT source,
+             {", ".join(f"MIN(md5('{k}:' || shingle)) AS h{k}" for k in range(_OVERLAP_K))}
+      FROM src_shingles GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({" + ".join(f"(CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END)" for k in range(_OVERLAP_K))}
+             AS BIGINT) AS n_matches,
+           CAST(({" + ".join(f"(CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END)" for k in range(_OVERLAP_K))})
+             * 1000000 // {_OVERLAP_K} AS BIGINT) AS est_jaccard_ppm
+    FROM mh a JOIN mh b ON a.source < b.source
+    ORDER BY source_a, source_b
+    """,
+    doc="Dataset-level overlap diagnostics: one 8-slot minhash signature "
+    "per SOURCE over its distinct 3-shingle set (seeded md5 string-min, "
+    "engine-portable), pairwise estimated Jaccard = matching slots / 8 "
+    "as exact ppm. This is the corpus-mixture dedup question ('how much "
+    "of source A is also in source B?') answered without any pairwise "
+    "shingle join. Scale shape: signatures are one partial-aggregated "
+    "groupBy over (source, shingle); the pairwise compare is a "
+    "|sources|-row cross — model state, not data.",
+    tags=("text", "dedup"),
+)
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", _tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 3
+    )
+    t = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+        ),
+    )
+    src_shingles = toks.select(
+        "source", F.explode(shingles).alias("shingle")
+    ).distinct()
+    mh = src_shingles.groupBy("source").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+            for k in range(_OVERLAP_K)
+        ]
+    )
+    a, b = mh.alias("a"), mh.alias("b")
+    n_matches = sum(
+        F.when(F.col(f"a.h{k}") == F.col(f"b.h{k}"), 1).otherwise(0)
+        for k in range(_OVERLAP_K)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            n_matches.cast("bigint").alias("n_matches"),
+            (n_matches * 1000000 / F.lit(_OVERLAP_K))
+            .cast("bigint")
+            .alias("est_jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -199,3 +199,49 @@ def test_merge_empty_batch_is_noop(spark, tmp_path):
         "buckets_total": DEFAULT_BUCKETS,
     }
     assert read_dimension(spark, wh, "bl_3nf", "d3").count() == 2
+
+
+# ------------------------------------------------- pipeline integration
+
+
+def test_full_etl_merge_strategy_matches_snapshot(spark, tmp_path):
+    """run_full_etl(scd_strategy='merge') must land the same warehouse
+    state as the snapshot strategy — same dims (ignoring the internal
+    bucket column; surrogate ids identical on a first build because
+    both paths mint over the same full row set) and same fact."""
+    from data_warehouse_project_spark.etl import Warehouse, run_full_etl
+    from tests.conftest import SF_SMOKE
+
+    t0 = dt.datetime(2024, 1, 1)
+    root_m = str(tmp_path / "wh_merge")
+    root_s = str(tmp_path / "wh_snap")
+    run_full_etl(spark, SF_SMOKE, root_m, run_ts=t0, scd_strategy="merge")
+    run_full_etl(spark, SF_SMOKE, root_s, run_ts=t0)
+
+    wh_m = Warehouse(spark, root_m)
+    wh_s = Warehouse(spark, root_s)
+    for layer, name, cols in (
+        ("bl_3nf", "ce_customers",
+         ["customer_src_id", "customer_id", "customer_name", "acctbal"]),
+        ("bl_3nf", "ce_products_scd",
+         ["product_src_id", "product_id", "unit_price", "is_active"]),
+        ("bl_dm", "fct_sales", None),
+        ("bl_dm", "dim_products_scd", None),
+    ):
+        dm = wh_m.read(layer, name).drop(BUCKET_COL)
+        ds = wh_s.read(layer, name).drop(BUCKET_COL)
+        use = cols or sorted(set(dm.columns) & set(ds.columns))
+        assert sorted(dm.columns) == sorted(ds.columns), f"{name} schema differs"
+        assert _sorted_rows(dm.select(*use), use) == _sorted_rows(
+            ds.select(*use), use
+        ), f"{layer}.{name} differs between merge and snapshot strategies"
+
+    # idempotent merge rerun: same sources again -> dims unchanged
+    run_full_etl(spark, SF_SMOKE, root_m,
+                 run_ts=t0 + dt.timedelta(days=1), scd_strategy="merge")
+    cust2 = wh_m.read("bl_3nf", "ce_customers").drop(BUCKET_COL)
+    cols = ["customer_src_id", "customer_id", "customer_name", "update_dt"]
+    cust1 = wh_s.read("bl_3nf", "ce_customers")
+    assert _sorted_rows(cust2.select(*cols), cols) == _sorted_rows(
+        cust1.select(*cols), cols
+    )

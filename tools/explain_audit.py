@@ -34,6 +34,7 @@ ALLOW_NESTED_LOOP = {
     "key_skew_profile",  # 1-row total broadcast cross
     "kmeans_update_step",  # broadcast cross vs 16 centroids — intended
     "copurchase_triangles",  # 1-row n_edges/n_triangles stat crosses
+    "source_overlap_minhash",  # |sources|-row signature cross — model state
     "tfidf_top_terms_per_doc",  # 1-row corpus-total broadcast cross
     "pagerank_update_step",  # 1-row node-count broadcast cross
     "rfm_segments",  # 1-row global-max-day + 1-row quartile-boundary crosses
