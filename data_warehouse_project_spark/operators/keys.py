@@ -79,29 +79,29 @@ def with_distributed_keys(
     2. ``row_number`` within each bucket over ``order_by`` — a hash
        shuffle on the bucket id, n_buckets-way parallel;
     3. add per-bucket starting offsets = exclusive cumulative counts in
-       bucket order. The count map is O(n_buckets) rows on the driver —
-       bounded by a constant, independent of data size (same class as
-       reading a watermark) — and is broadcast back.
+       bucket order, computed as a running-sum window over the
+       O(n_buckets)-row count frame. The offset frame is bounded by a
+       constant (independent of data size) and stays INSIDE the lazy
+       plan — no driver collect, no extra Spark job; the whole
+       assignment materializes with the consumer's one action.
 
     Ids are dense overall but NOT sorted by the natural key across
     buckets (bucket-major order). Every consumer treats surrogate ids as
     opaque, so only determinism matters (SURVEY.md §7.2).
 
-    Note: computing the count map triggers one extra (count-only,
-    map-side-combined) pass over ``batch``; cache upstream if it is
-    expensive to recompute.
+    Note: the count aggregation is one extra (count-only,
+    map-side-combined) pass over ``batch`` within the same job; cache
+    upstream if it is expensive to recompute.
     """
     b = batch.withColumn("__kb", bucket_of(F.col(order_by[0]), n_buckets))
-    counts = {
-        r["__kb"]: r["cnt"]
-        for r in b.groupBy("__kb").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for bk in sorted(counts):
-        offsets.append((bk, acc))
-        acc += counts[bk]
-    spark = batch.sparkSession
-    off_df = spark.createDataFrame(offsets, "__kb bigint, __koff bigint")
+    counts = b.groupBy("__kb").agg(F.count(F.lit(1)).alias("__kcnt"))
+    # exclusive running sum in bucket order; the single-partition window
+    # is over <= n_buckets rows — bounded model state, not data
+    off_w = Window.orderBy("__kb").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = counts.select(
+        "__kb",
+        F.coalesce(F.sum("__kcnt").over(off_w), F.lit(0)).alias("__koff"),
+    )
     w = Window.partitionBy("__kb").orderBy(*order_by)
     return (
         b.join(F.broadcast(off_df), "__kb", "left")
