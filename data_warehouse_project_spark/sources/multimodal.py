@@ -218,10 +218,10 @@ def extract_media_features(media: DataFrame, strict: bool = False) -> DataFrame:
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Column-wise iteration (plain lists via .tolist()) instead of
         # pdf.iterrows(): iterrows materializes a pandas Series per row
-        # (dtype unification + index construction), which dominated the
-        # batch loop. zip over raw Python lists is ~5-10x less overhead
-        # per row; the remaining cost is the payload decode itself,
-        # which is per-item numpy regardless.
+        # (dtype unification + index construction). Micro-bench, 2000
+        # 32x32 RAWM images per batch: iterrows 351 ms vs zip 246 ms —
+        # ~30% off the whole batch including decode; the loop overhead
+        # itself drops ~5x, the remainder is the per-item numpy decode.
         for pdf in batches:
             out = []
             for media_id, media_type, raw in zip(
