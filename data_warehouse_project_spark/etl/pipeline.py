@@ -52,6 +52,33 @@ from data_warehouse_project_spark.plans.dates import date_attributes
 
 DEFAULT_ID = -1
 NA = "n.a."
+# audit sentinels for seeded default rows (reference
+# load_3nf_ce_countries_table.sql:85-92: '1900-01-01' / 'MANUAL')
+AUDIT_EPOCH = dt.date(1900, 1, 1)
+MANUAL = "MANUAL"
+
+
+def _with_audit(
+    df: DataFrame,
+    source_system: str,
+    source_entity: str,
+    run_ts: dt.datetime | None,
+    overwrite: bool = False,
+) -> DataFrame:
+    """Reference audit columns on every warehouse table (SURVEY §1.3;
+    create_ddl_objects_3NF_layer.sql:36-39): INSERT_DT / UPDATE_DT
+    stamped with the run date, SOURCE_SYSTEM / SOURCE_ENTITY naming the
+    upstream. ``overwrite=True`` restamps rows that already carry audit
+    columns from a previous layer (the DM loads, which re-audit like the
+    reference's DM procedures do)."""
+    d = F.lit((run_ts or dt.datetime.now()).date())
+    out = df
+    for c in ("insert_dt", "update_dt"):
+        if overwrite or c not in df.columns:
+            out = out.withColumn(c, d)
+    return out.withColumn("source_system", F.lit(source_system)).withColumn(
+        "source_entity", F.lit(source_entity)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -168,9 +195,11 @@ def _insert_only_dim(
     src_col: str,
     id_col: str,
     extra_defaults: dict[str, object] | None = None,
+    source_entity: str = "",
+    run_ts: dt.datetime | None = None,
 ) -> int:
     """M1: seed default row, anti-join on the natural key, assign
-    surrogate ids above MAX(existing), append."""
+    surrogate ids above MAX(existing), stamp audit columns, append."""
     target = wh.read_or_none("bl_3nf", name)
     if target is not None:
         batch = batch.join(
@@ -180,9 +209,18 @@ def _insert_only_dim(
     # scale-safe key minting: bucketed partition-offset assignment, never
     # a global single-task row_number (the dim snapshots grow with the data)
     keyed = with_distributed_keys(batch, id_col, [src_col], start_at=offset)
+    keyed = _with_audit(keyed, "staging", source_entity or name, run_ts)
     if target is None:
-        # P7: the -1 / 'n.a.' sentinel row, seeded once
-        defaults = {id_col: DEFAULT_ID, src_col: NA, **(extra_defaults or {})}
+        # P7: the -1 / 'n.a.' / 1900-01-01 / MANUAL sentinel row, seeded once
+        defaults = {
+            id_col: DEFAULT_ID,
+            src_col: NA,
+            "insert_dt": AUDIT_EPOCH,
+            "update_dt": AUDIT_EPOCH,
+            "source_system": MANUAL,
+            "source_entity": MANUAL,
+            **(extra_defaults or {}),
+        }
         spark = batch.sparkSession
         default_df = spark.createDataFrame(
             [tuple(defaults.get(c) for c in keyed.columns)], keyed.schema
@@ -191,7 +229,9 @@ def _insert_only_dim(
     return wh.append(keyed, "bl_3nf", name)
 
 
-def load_3nf_geo(spark: SparkSession, wh: Warehouse) -> None:
+def load_3nf_geo(
+    spark: SparkSession, wh: Warehouse, run_ts: dt.datetime | None = None
+) -> None:
     cust = wh.read("staging", "customers")
     store = wh.read("staging", "stores")
 
@@ -202,7 +242,10 @@ def load_3nf_geo(spark: SparkSession, wh: Warehouse) -> None:
         .filter(F.col("region_name").isNotNull() & (F.col("region_name") != ""))
         .distinct()
     )
-    n = _insert_only_dim(wh, regions, "ce_regions", "region_name", "region_id")
+    n = _insert_only_dim(
+        wh, regions, "ce_regions", "region_name", "region_id",
+        source_entity="customers,stores", run_ts=run_ts,
+    )
     wh.log("load_3nf_ce_regions", "insert-only dim ok", n)
 
     # nations with case-insensitive FK lookup to regions (J2)
@@ -224,6 +267,7 @@ def load_3nf_geo(spark: SparkSession, wh: Warehouse) -> None:
     n = _insert_only_dim(
         wh, nations, "ce_nations", "nation_name", "nation_id",
         extra_defaults={"region_id": DEFAULT_ID},
+        source_entity="customers,stores", run_ts=run_ts,
     )
     wh.log("load_3nf_ce_nations", "insert-only dim ok", n)
 
@@ -258,6 +302,7 @@ def load_3nf_geo(spark: SparkSession, wh: Warehouse) -> None:
     n = _insert_only_dim(
         wh, states, "ce_states", "state_src_id", "state_id",
         extra_defaults={"segment": NA, "nation_id": DEFAULT_ID},
+        source_entity="customers", run_ts=run_ts,
     )
     wh.log("load_3nf_ce_states", "insert-only dim ok", n)
 
@@ -283,6 +328,7 @@ def load_3nf_geo(spark: SparkSession, wh: Warehouse) -> None:
     n = _insert_only_dim(
         wh, cities, "ce_cities", "city_src_id", "city_id",
         extra_defaults={"district": NA, "state_id": DEFAULT_ID},
+        source_entity="customers", run_ts=run_ts,
     )
     wh.log("load_3nf_ce_cities", "insert-only dim ok", n)
 
@@ -292,7 +338,9 @@ def load_3nf_geo(spark: SparkSession, wh: Warehouse) -> None:
 # --------------------------------------------------------------------------
 
 
-def load_3nf_product_hierarchy(spark: SparkSession, wh: Warehouse) -> None:
+def load_3nf_product_hierarchy(
+    spark: SparkSession, wh: Warehouse, run_ts: dt.datetime | None = None
+) -> None:
     """Reference category→subcategory chain
     (create_ddl_objects_3NF_layer.sql:106-129;
     load_3nf_ce_subcategories_table.sql:29-30): subcategory := p_brand,
@@ -307,7 +355,10 @@ def load_3nf_product_hierarchy(spark: SparkSession, wh: Warehouse) -> None:
         .filter(F.col("category_src_id").isNotNull() & (F.col("category_src_id") != ""))
         .distinct()
     )
-    n = _insert_only_dim(wh, cats, "ce_categories", "category_src_id", "category_id")
+    n = _insert_only_dim(
+        wh, cats, "ce_categories", "category_src_id", "category_id",
+        source_entity="products", run_ts=run_ts,
+    )
     wh.log("load_3nf_ce_categories", "insert-only dim ok", n)
 
     cat = wh.read("bl_3nf", "ce_categories")
@@ -333,6 +384,7 @@ def load_3nf_product_hierarchy(spark: SparkSession, wh: Warehouse) -> None:
     n = _insert_only_dim(
         wh, subs, "ce_subcategories", "subcategory_src_id", "subcategory_id",
         extra_defaults={"category_id": DEFAULT_ID},
+        source_entity="products", run_ts=run_ts,
     )
     wh.log("load_3nf_ce_subcategories", "insert-only dim ok", n)
 
@@ -407,9 +459,14 @@ def _next_scd1_customers(
     snap = with_distributed_keys(
         snap, "candidate_id", ["customer_src_id"], start_at=offset
     )
-    return snap.withColumn(
+    snap = snap.withColumn(
         "customer_id", F.coalesce(F.col("customer_id"), F.col("candidate_id"))
     ).drop("candidate_id")
+    # audit lineage (insert_dt/update_dt are the SCD1 engine's own
+    # timestamps; only the source columns are stamped here)
+    return snap.withColumn("source_system", F.lit("staging")).withColumn(
+        "source_entity", F.lit("customers")
+    )
 
 
 def load_3nf_customers(
@@ -495,9 +552,23 @@ def _next_scd2_products(
     dim = with_distributed_keys(
         dim, "candidate_id", ["product_src_id", "start_dt"], start_at=offset
     )
-    return dim.withColumn(
+    dim = dim.withColumn(
         "product_id", F.coalesce(F.col("product_id"), F.col("candidate_id"))
     ).drop("candidate_id")
+    # audit from the validity interval: a version is inserted at
+    # start_dt and last updated when expired (end_dt + the 1s F12
+    # offset); active versions have update = insert
+    return (
+        dim.withColumn("insert_dt", F.col("start_dt").cast("date"))
+        .withColumn(
+            "update_dt",
+            F.when(
+                F.col("is_active") == "Y", F.col("start_dt")
+            ).otherwise(F.expr("end_dt + INTERVAL 1 SECOND")).cast("date"),
+        )
+        .withColumn("source_system", F.lit("staging"))
+        .withColumn("source_entity", F.lit("products"))
+    )
 
 
 def load_3nf_products(
@@ -547,7 +618,9 @@ def load_3nf_products(
 # --------------------------------------------------------------------------
 
 
-def load_3nf_stores(spark: SparkSession, wh: Warehouse) -> None:
+def load_3nf_stores(
+    spark: SparkSession, wh: Warehouse, run_ts: dt.datetime | None = None
+) -> None:
     store = wh.read("staging", "stores")
     nat = wh.read("bl_3nf", "ce_nations")
     batch = (
@@ -569,11 +642,14 @@ def load_3nf_stores(spark: SparkSession, wh: Warehouse) -> None:
         batch = batch.join(target.select("store_src_id"), "store_src_id", "left_anti")
     offset = next_key_offset(target, "store_id") if target is not None else 1
     keyed = with_distributed_keys(batch, "store_id", ["store_src_id"], start_at=offset)
+    keyed = _with_audit(keyed, "staging", "stores", run_ts)
     n = wh.append(keyed, "bl_3nf", "ce_stores")
     wh.log("load_3nf_ce_stores", "insert-only dim ok", n)
 
 
-def load_3nf_sales(spark: SparkSession, wh: Warehouse) -> None:
+def load_3nf_sales(
+    spark: SparkSession, wh: Warehouse, run_ts: dt.datetime | None = None
+) -> None:
     """M4: watermark filter (P4) + surrogate resolution as left joins
     (J5 decorrelated) + natural-key anti-join append (J6).
 
@@ -641,6 +717,7 @@ def load_3nf_sales(spark: SparkSession, wh: Warehouse) -> None:
         resolved = resolved.join(
             tgt_keys.select("sale_src_id"), "sale_src_id", "left_anti"
         )
+    resolved = _with_audit(resolved, "staging", "sales", run_ts)
     n = wh.append(resolved, "bl_3nf", "ce_sales", partition_by=["order_month"])
     wh.log("load_3nf_ce_sales", "incremental fact append ok", n)
 
@@ -650,7 +727,9 @@ def load_3nf_sales(spark: SparkSession, wh: Warehouse) -> None:
 # --------------------------------------------------------------------------
 
 
-def load_dim_dates(spark: SparkSession, wh: Warehouse) -> None:
+def load_dim_dates(
+    spark: SparkSession, wh: Warehouse, run_ts: dt.datetime | None = None
+) -> None:
     sales = wh.read("bl_3nf", "ce_sales")
     bounds = sales.agg(
         F.add_months(F.min("order_dt"), -1).alias("start_d"),
@@ -663,11 +742,14 @@ def load_dim_dates(spark: SparkSession, wh: Warehouse) -> None:
     existing = wh.read_or_none("bl_dm", "dim_dates")
     if existing is not None:
         dim = dim.join(existing.select("date_id"), "date_id", "left_anti")
+    dim = _with_audit(dim, "bl_3nf", "ce_sales", run_ts)
     n = wh.append(dim, "bl_dm", "dim_dates")
     wh.log("load_dim_dates", "auto-ranged date dim ok", n)
 
 
-def load_dm_dims(spark: SparkSession, wh: Warehouse) -> None:
+def load_dm_dims(
+    spark: SparkSession, wh: Warehouse, run_ts: dt.datetime | None = None
+) -> None:
     # J7: flatten the 4-level geo snowflake (city→state→nation→region,
     # reference load_dim_customers_dimension_scd_type1.sql:86-95) and the
     # product hierarchy (scd⋈subcategory⋈category, :43-51) into the dims
@@ -703,6 +785,9 @@ def load_dm_dims(spark: SparkSession, wh: Warehouse) -> None:
         F.coalesce("nation_name", F.lit(NA)).alias("nation_name"),
         F.coalesce("region_name", F.lit(NA)).alias("region_name"),
     )
+    dim_customers = _with_audit(
+        dim_customers, "bl_3nf", "ce_customers", run_ts, overwrite=True
+    )
     n = wh.overwrite(dim_customers, "bl_dm", "dim_customers")
     wh.log("load_dim_customers", "denormalized dim ok", n)
 
@@ -719,6 +804,9 @@ def load_dm_dims(spark: SparkSession, wh: Warehouse) -> None:
     dim_products = prod.join(F.broadcast(hier), "subcategory_id", "left").withColumn(
         "subcategory_name", F.coalesce("subcategory_name", F.lit(NA))
     ).withColumn("category_name", F.coalesce("category_name", F.lit(NA)))
+    dim_products = _with_audit(
+        dim_products, "bl_3nf", "ce_products_scd", run_ts, overwrite=True
+    )
     n = wh.overwrite(dim_products, "bl_dm", "dim_products_scd")
     wh.log("load_dim_products", "SCD2 dim ok", n)
 
@@ -730,11 +818,16 @@ def load_dm_dims(spark: SparkSession, wh: Warehouse) -> None:
         F.coalesce("nation_name", F.lit(NA)).alias("nation_name"),
         F.coalesce("region_name", F.lit(NA)).alias("region_name"),
     )
+    dim_stores = _with_audit(
+        dim_stores, "bl_3nf", "ce_stores", run_ts, overwrite=True
+    )
     n = wh.overwrite(dim_stores, "bl_dm", "dim_stores")
     wh.log("load_dim_stores", "denormalized dim ok", n)
 
 
-def load_fct_sales(spark: SparkSession, wh: Warehouse) -> None:
+def load_fct_sales(
+    spark: SparkSession, wh: Warehouse, run_ts: dt.datetime | None = None
+) -> None:
     """S7: month-partitioned fact — partitionBy replaces the reference's
     manual RANGE-partition bookkeeping
     (load_fct_sales_fact_table_dimensional_layer.sql:26-102); partition
@@ -773,6 +866,7 @@ def load_fct_sales(spark: SparkSession, wh: Warehouse) -> None:
             ]
             tgt_keys = tgt_keys.filter(F.col("order_month").isin(overlap))
         fct = fct.join(tgt_keys.select("sale_src_id"), "sale_src_id", "left_anti")
+    fct = _with_audit(fct, "bl_3nf", "ce_sales", run_ts, overwrite=True)
     n = wh.append(fct, "bl_dm", "fct_sales", partition_by=["order_month"])
     wh.log("load_fct_sales", "partitioned fact append ok", n)
 
@@ -780,20 +874,6 @@ def load_fct_sales(spark: SparkSession, wh: Warehouse) -> None:
 # --------------------------------------------------------------------------
 # orchestrator  [O1 O2]
 # --------------------------------------------------------------------------
-
-STAGES = (
-    ("staging", load_staging, True),
-    ("3nf_geo", load_3nf_geo, False),
-    ("3nf_product_hier", load_3nf_product_hierarchy, False),
-    ("3nf_customers", None, False),  # bound below (needs run_ts)
-    ("3nf_products", None, False),
-    ("3nf_stores", load_3nf_stores, False),
-    ("3nf_sales", load_3nf_sales, False),
-    ("dim_dates", load_dim_dates, False),
-    ("dm_dims", load_dm_dims, False),
-    ("fct_sales", load_fct_sales, False),
-)
-
 
 def run_full_etl(
     spark: SparkSession,
@@ -829,8 +909,8 @@ def run_full_etl(
     phases: list[list[tuple[str, object]]] = [
         [("staging", lambda: load_staging(spark, wh, src_dir, src_format))],
         [
-            ("3nf_geo", lambda: load_3nf_geo(spark, wh)),
-            ("3nf_product_hier", lambda: load_3nf_product_hierarchy(spark, wh)),
+            ("3nf_geo", lambda: load_3nf_geo(spark, wh, run_ts)),
+            ("3nf_product_hier", lambda: load_3nf_product_hierarchy(spark, wh, run_ts)),
         ],
         [
             (
@@ -841,14 +921,14 @@ def run_full_etl(
                 "3nf_products",
                 lambda: load_3nf_products(spark, wh, run_ts, scd_strategy),
             ),
-            ("3nf_stores", lambda: load_3nf_stores(spark, wh)),
+            ("3nf_stores", lambda: load_3nf_stores(spark, wh, run_ts)),
         ],
-        [("3nf_sales", lambda: load_3nf_sales(spark, wh))],
+        [("3nf_sales", lambda: load_3nf_sales(spark, wh, run_ts))],
         [
-            ("dim_dates", lambda: load_dim_dates(spark, wh)),
-            ("dm_dims", lambda: load_dm_dims(spark, wh)),
+            ("dim_dates", lambda: load_dim_dates(spark, wh, run_ts)),
+            ("dm_dims", lambda: load_dm_dims(spark, wh, run_ts)),
         ],
-        [("fct_sales", lambda: load_fct_sales(spark, wh))],
+        [("fct_sales", lambda: load_fct_sales(spark, wh, run_ts))],
     ]
 
     def _run_stage(stage: str, fn) -> None:

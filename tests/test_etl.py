@@ -183,3 +183,33 @@ def test_idempotent_rerun(spark, warehouse):
         (layer, t): warehouse.read(layer, t).count() for (layer, t) in before
     }
     assert before == after  # re-run adds nothing (Extended tier :371-406)
+
+
+def test_audit_columns_on_every_warehouse_table(spark, warehouse):
+    """Reference parity (SURVEY §1.3): INSERT_DT / UPDATE_DT /
+    SOURCE_SYSTEM / SOURCE_ENTITY on every 3NF and DM table; seeded
+    default rows carry the 1900-01-01 / MANUAL sentinels
+    (load_3nf_ce_countries_table.sql:85-92)."""
+    wh = warehouse
+    tables = [
+        ("bl_3nf", t)
+        for t in (
+            "ce_regions", "ce_nations", "ce_states", "ce_cities",
+            "ce_categories", "ce_subcategories", "ce_customers",
+            "ce_products_scd", "ce_stores", "ce_sales",
+        )
+    ] + [
+        ("bl_dm", t)
+        for t in ("dim_dates", "dim_customers", "dim_products_scd",
+                  "dim_stores", "fct_sales")
+    ]
+    for layer, name in tables:
+        cols = set(wh.read(layer, name).columns)
+        missing = {"insert_dt", "update_dt", "source_system", "source_entity"} - cols
+        assert not missing, f"{layer}.{name} missing audit columns {missing}"
+
+    regions = wh.read("bl_3nf", "ce_regions")
+    sentinel = regions.filter("region_id = -1").collect()
+    assert len(sentinel) == 1
+    assert sentinel[0]["source_system"] == "MANUAL"
+    assert str(sentinel[0]["insert_dt"]) == "1900-01-01"
