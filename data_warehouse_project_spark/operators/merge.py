@@ -21,12 +21,19 @@ equivalent on plain parquet is a *bucketed merge*:
    with the batch, and ``Warehouse.overwrite_partitions`` atomically
    swaps just the touched directories.
 
-IO per batch is O(touched buckets), not O(dimension). With uniform
-hashing, a batch touching k distinct keys rewrites at most
-min(k, n_buckets) buckets; the churn-1%% case rewrites a few buckets of
-a large dimension instead of all of it. Delta/Iceberg MERGE INTO is the
-managed-format upgrade with file-level (not bucket-level) granularity —
-this module keeps the same call shape so swapping it in is local.
+IO per batch is O(touched buckets), not O(dimension) — but hash
+bucketing spreads churn UNIFORMLY, so the expected touched fraction for
+a k-key batch is 1-(1-1/n)^k ~= k/n (k << n_buckets). The win therefore
+requires n_buckets >> churn keys per batch. Measured at sf0.1 (15k-row
+customers dim, 32 buckets): a 3-key batch rewrites 1,387/15,000 rows
+(9%%); a 50-key batch touches ~30/32 buckets — at that point the
+snapshot overwrite is cheaper and is the right choice. Size n_buckets
+to the expected batch key count (thousands for a billion-row dim), or,
+when churn is key-correlated (recent keys change most), bucket by key
+RANGE instead of hash so churn clusters into few buckets. Delta/Iceberg
+MERGE INTO is the managed-format upgrade with file-level granularity
+and data-clustered layout — this module keeps the same call shape so
+swapping it in is local.
 
 Semantics are identical to the snapshot path by construction: the same
 pure functions ``scd1_upsert`` / ``scd2_apply`` run per bucket-slice,
