@@ -96,8 +96,14 @@ def with_distributed_keys(
     b = batch.withColumn("__kb", bucket_of(F.col(order_by[0]), n_buckets))
     counts = b.groupBy("__kb").agg(F.count(F.lit(1)).alias("__kcnt"))
     # exclusive running sum in bucket order; the single-partition window
-    # is over <= n_buckets rows — bounded model state, not data
-    off_w = Window.orderBy("__kb").rowsBetween(Window.unboundedPreceding, -1)
+    # is over <= n_buckets rows — bounded model state, not data. The
+    # constant partition key keeps the spec non-empty (same one-task
+    # execution, no global-window warning in every plan).
+    off_w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__kb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     off_df = counts.select(
         "__kb",
         F.coalesce(F.sum("__kcnt").over(off_w), F.lit(0)).alias("__koff"),
