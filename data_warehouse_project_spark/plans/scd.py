@@ -190,3 +190,88 @@ def scd2_active_version_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("n_versions")
     )
+
+
+_ASOF_TS = "2024-01-15 00:00:00"
+
+
+@register(
+    "scd2_snapshot_asof",
+    oracle=f"""
+    WITH evts AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS version_id
+      FROM evts
+    ), versions AS (
+      SELECT user_id, version_id, event_type,
+             MIN(ts) AS start_ts, COUNT(*) AS n_events
+      FROM flagged GROUP BY user_id, version_id, event_type
+    ), bounded AS (
+      SELECT user_id, version_id, event_type, start_ts, n_events,
+             LEAD(start_ts) OVER (
+               PARTITION BY user_id ORDER BY version_id
+             ) AS next_start
+      FROM versions
+    )
+    SELECT user_id, CAST(version_id AS INT) AS version_id,
+           event_type AS state_asof, start_ts,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM bounded
+    WHERE start_ts <= TIMESTAMP '{_ASOF_TS}'
+      AND (next_start IS NULL OR next_start > TIMESTAMP '{_ASOF_TS}')
+    ORDER BY user_id
+    """,
+    doc="SCD2 time travel: rebuild the versioned dimension "
+    "(gaps-and-islands, as scd2_user_state_history) and return each "
+    "key's version whose [start, next_start) interval contains a fixed "
+    "AS OF timestamp — the point-in-time dimension read the reference "
+    "can only approximate by filtering IS_ACTIVE='Y' at load time "
+    "(SURVEY §2.3: sale date ∈ [START_DT, END_DT)). Same single "
+    "user_id shuffle reused across all three windows; the as-of "
+    "predicate is a per-row filter after the lead().",
+    tags=("scd", "window"),
+)
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = F.lit(_ASOF_TS).cast("timestamp")
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_type", F.lag("event_type").over(w_seq)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version_id",
+        F.sum("is_new").over(w_seq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    versions = versioned.groupBy("user_id", "version_id", "event_type").agg(
+        F.min("ts").alias("start_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("version_id")
+    bounded = versions.withColumn("next_start", F.lead("start_ts").over(w_ver))
+    return (
+        bounded.filter(
+            (F.col("start_ts") <= asof)
+            & (F.col("next_start").isNull() | (F.col("next_start") > asof))
+        )
+        .select(
+            "user_id",
+            F.col("version_id").cast("int").alias("version_id"),
+            F.col("event_type").alias("state_asof"),
+            "start_ts",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

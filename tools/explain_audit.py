@@ -134,10 +134,19 @@ def audit(sf_dir: str) -> int:
     for name in NO_SINGLE_PARTITION_EXCHANGE:
         p = plan_of(name)
         # rangepartitioning (presentation sort) is fine; a SinglePartition
-        # exchange under a Window means a serial global row_number
-        if "Exchange SinglePartition" in p:
-            print(f"✗ {name}: key assignment funnels through one task")
-            failures += 1
+        # exchange over the DATA means a serial global row_number. The one
+        # legitimate SinglePartition is the bucket-offset running sum in
+        # with_distributed_keys: it moves the <= n_buckets-row __kb count
+        # frame (bounded model state), recognizable by __kb in the
+        # exchange's immediate context.
+        lines = p.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                ctx = "\n".join(lines[max(0, i - 3): i + 4])
+                if "__kb" not in ctx:
+                    print(f"✗ {name}: key assignment funnels through one task")
+                    failures += 1
+                    break
 
     # column pruning: q1 must scan exactly its 2 aggregate columns
     p = plan_of("q1_fact_totals")
