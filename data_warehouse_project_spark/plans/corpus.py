@@ -954,3 +954,43 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_WEIGHTED_K = 64
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH prio AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  AS DOUBLE) / n_chars AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM prio
+    ORDER BY priority, doc_id
+    LIMIT {_WEIGHTED_K}
+    """,
+    doc="Size-biased sampling: bottom-K by priority = hash_unit(doc_id) "
+    "/ n_chars, so selection probability grows with document length — "
+    "the deterministic analogue of weighted reservoir sampling "
+    "(Efraimidis-Spirakis keys u^(1/w) need pow(), whose libm rounding "
+    "differs across engines; the hash/w ratio keeps the draw monotone "
+    "in w with ONE correctly-rounded IEEE division that both engines "
+    "compute identically, and doc_id breaks any tie totally). Used to "
+    "overweight long documents in a corpus mixture. Scale shape: "
+    "per-row expression + TakeOrdered(K) — no shuffle beyond the "
+    "top-K reduction.",
+    tags=("corpus", "sampling"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    priority = _hash_unit_spark(F.col("doc_id")).cast("double") / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", priority.alias("__p"))
+        .orderBy("__p", "doc_id")
+        .limit(_WEIGHTED_K)
+        .select("doc_id", "source", "n_chars")
+    )
