@@ -50,7 +50,7 @@ def main() -> None:
         timings[name] = round(min(trials), 3)
 
     # Full medallion ETL (reference headline metric: 4.171s at 80k rows,
-    # BASELINE.md) — cold warehouse, all 9 stages, includes all writes.
+    # BASELINE.md) — cold warehouse, all 10 stages, includes all writes.
     etl_trials = []
     for _ in range(2):
         wh_root = tempfile.mkdtemp(prefix="bench_wh_")
