@@ -875,6 +875,69 @@ def load_fct_sales(
 # orchestrator  [O1 O2]
 # --------------------------------------------------------------------------
 
+def load_fct_events(
+    spark: SparkSession,
+    wh: Warehouse,
+    src_dir: str,
+    run_ts: dt.datetime | None = None,
+) -> None:
+    """Beyond-reference telemetry mart: hourly rollup of the ``events``
+    stream's batch view into a date-partitioned fact — the batch twin
+    of streaming/windows.py's tumbling counts (stream-batch
+    unification: same grain, same aggregates).
+
+    Idempotence follows the fact playbook (P4/J6): MAX(event_hour)
+    watermark minus a 1-day lateness window bounds the incoming scan,
+    and the anti-join reads only the overlapping event_date partitions.
+    At scale the rollup is a single partial-aggregated shuffle on
+    (hour, type); input event rows never move twice.
+
+    The events table is a beyond-reference source: a source directory
+    without it (e.g. the reference-shaped CSV entry point) skips this
+    stage with a log line rather than failing the pipeline."""
+    import os
+
+    if not os.path.exists(f"{src_dir}/events.parquet"):
+        wh.log("load_fct_events", "skipped: source has no events table", 0)
+        return
+    ev = table(spark, src_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    rolled = (
+        ev.groupBy(
+            hour.alias("event_hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .withColumn("event_date", F.col("event_hour").cast("date").cast("string"))
+    )
+    target = wh.read_or_none("bl_dm", "fct_events")
+    if target is not None:
+        wm = target.agg(F.max("event_hour")).first()[0]
+        if wm is not None:
+            cutoff = wm - dt.timedelta(days=1)
+            rolled = rolled.filter(F.col("event_hour") > F.lit(cutoff))
+            overlap = [
+                d
+                for d in wh.partitions("bl_dm", "fct_events", "event_date")
+                if d >= str(cutoff.date())
+            ]
+            tgt_keys = target.filter(F.col("event_date").isin(overlap))
+        else:
+            tgt_keys = target
+        rolled = rolled.join(
+            tgt_keys.select("event_hour", "event_type"),
+            on=["event_hour", "event_type"],
+            how="left_anti",
+        )
+    rolled = _with_audit(rolled, "source", "events", run_ts)
+    n = wh.append(rolled, "bl_dm", "fct_events", partition_by=["event_date"])
+    wh.log("load_fct_events", "hourly events mart ok", n)
+
+
 def run_full_etl(
     spark: SparkSession,
     src_dir: str,
@@ -926,6 +989,7 @@ def run_full_etl(
         [("3nf_sales", lambda: load_3nf_sales(spark, wh, run_ts))],
         [
             ("dim_dates", lambda: load_dim_dates(spark, wh, run_ts)),
+            ("fct_events", lambda: load_fct_events(spark, wh, src_dir, run_ts)),
             ("dm_dims", lambda: load_dm_dims(spark, wh, run_ts)),
         ],
         [("fct_sales", lambda: load_fct_sales(spark, wh, run_ts))],

@@ -213,3 +213,26 @@ def test_audit_columns_on_every_warehouse_table(spark, warehouse):
     assert len(sentinel) == 1
     assert sentinel[0]["source_system"] == "MANUAL"
     assert str(sentinel[0]["insert_dt"]) == "1900-01-01"
+
+
+def test_fct_events_hourly_mart(spark, warehouse):
+    """Hourly events rollup: conservation vs a direct aggregate of the
+    source, date-partitioned layout, idempotent rerun (stream-batch
+    unification twin of streaming tumbling counts)."""
+    from data_warehouse_project_spark.catalog import table as cat_table
+
+    wh = warehouse
+    fct = wh.read("bl_dm", "fct_events")
+    src = cat_table(spark, SF_SMOKE, "events")
+    assert fct.agg(F.sum("n_events")).first()[0] == src.count()
+    direct = src.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).count()
+    assert fct.count() == direct.count()
+    assert wh.partitions("bl_dm", "fct_events", "event_date"), "not partitioned"
+
+    before = fct.count()
+    from data_warehouse_project_spark.etl.pipeline import load_fct_events
+
+    load_fct_events(spark, wh, SF_SMOKE)
+    assert wh.read("bl_dm", "fct_events").count() == before  # idempotent
