@@ -12,7 +12,7 @@ ratios (ppm), total tie-breaks — per the plans/queries.py rules.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
@@ -526,3 +526,125 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "abc_classification_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_cents,
+             SUM(rev_cents) OVER (
+               ORDER BY rev_cents DESC, l_partkey ROWS UNBOUNDED PRECEDING
+             ) AS cum_cents,
+             SUM(rev_cents) OVER () AS total_cents
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey, rev_cents,
+             CASE WHEN cum_cents * 10 <= total_cents * 8 THEN 'A'
+                  WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS class_rev_cents
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc="Pareto / ABC inventory classification: parts ranked by revenue, "
+    "classified by CUMULATIVE share (A: first 80%, B: to 95%, C: rest). "
+    "Thresholds are integer cross-multiplies (cum*10 <= total*8) — no "
+    "float ever decides a class — and the rank order carries a total "
+    "tie-break (revenue desc, partkey). The cumulative window rides the "
+    "per-part aggregate (one row per part), not raw lineitems; at 100 TB "
+    "the global ordered window over parts is the one serial frame — for "
+    "a billion-part catalog, replace with a two-pass bucketed prefix "
+    "sum (histogram of revenue ranges, then per-range offsets), same "
+    "shape as with_distributed_keys.",
+    tags=("agg", "window", "warehouse"),
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "bigint"
+            )
+        ).alias("rev_cents")
+    )
+    w_cum = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(w_all).alias("total_cents"),
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_cents") * 10 <= F.col("total_cents") * 8, "A")
+        .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_cents").cast("bigint").alias("class_rev_cents"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "table_fingerprint",
+    oracle="""
+    WITH rowhash AS (
+      SELECT ('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(l_quantity AS VARCHAR) || '|' ||
+               CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+             ), 1, 8))::BIGINT AS h
+      FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS content_sum,
+           CAST(MIN(h) AS BIGINT) AS content_min,
+           CAST(MAX(h) AS BIGINT) AS content_max
+    FROM rowhash
+    """,
+    doc="Order-insensitive table fingerprint: per-row md5-prefix ints "
+    "combined with commutative aggregates (count/sum/min/max) — equal "
+    "fingerprints certify equal content regardless of row order, "
+    "partitioning, or engine. The cross-replica data-validation "
+    "primitive: comparing a 100 TB table between two systems costs one "
+    "scan + a 4-number exchange on each side, no data movement. Money "
+    "enters the hash as integer cents so float formatting differences "
+    "cannot change the digest.",
+    tags=("validation", "agg"),
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    payload = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("bigint")
+    return li.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("h").cast("bigint").alias("content_sum"),
+        F.min("h").cast("bigint").alias("content_min"),
+        F.max("h").cast("bigint").alias("content_max"),
+    )
