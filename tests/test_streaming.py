@@ -247,3 +247,29 @@ def test_stream_static_enrichment_equals_batch(spark, event_source):
     assert _rows(got_df.select(*cols), cols) == _rows(want_df.select(*cols), cols)
     tiers = {r["user_tier"] for r in got_df.select("user_tier").distinct().collect()}
     assert "unknown" in tiers and ("gold" in tiers or "silver" in tiers)
+
+
+def test_fct_events_mart_equals_streaming_rollup(spark, tmp_path):
+    """Stream-batch unification at the mart level: the warehouse's
+    hourly events fact (load_fct_events) carries exactly the (hour,
+    type, n_events) cells the streaming tumbling window produces over
+    the same source — one grain, two execution modes."""
+    from data_warehouse_project_spark.catalog import table as cat_table
+    from data_warehouse_project_spark.etl import Warehouse
+    from data_warehouse_project_spark.etl.pipeline import load_fct_events
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(spark, str(tmp_path))
+    load_fct_events(spark, wh, SF_SMOKE)
+    mart = wh.read("bl_dm", "fct_events").select(
+        F.col("event_hour"), "event_type", "n_events"
+    )
+
+    batch = cat_table(spark, SF_SMOKE, "events")
+    rolled = tumbling_counts(batch).select(
+        F.col("window_start").alias("event_hour"), "event_type", "n_events"
+    )
+
+    got = sorted(map(tuple, mart.collect()))
+    want = sorted(map(tuple, rolled.collect()))
+    assert got == want
