@@ -75,3 +75,47 @@ def test_ingest_stats_stream_equals_batch(spark, doc_source):
         tuple(r[c] for c in cols) for r in source_ingest_stats(batch).collect()
     )
     assert got == want
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpoint recovery: run an aggregating stream with availableNow
+    + checkpoint to a parquet sink, stop it, land MORE source files,
+    restart with the SAME checkpoint — the sink must contain each input
+    row's contribution exactly once (no loss, no double-processing of
+    the first batch). This is the production restart discipline every
+    long-running ingestion relies on."""
+    from data_warehouse_project_spark.catalog import table as cat_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    docs = cat_table(spark, SF_SMOKE, "documents")
+    first = docs.filter("doc_id % 2 = 0")
+    second = docs.filter("doc_id % 2 = 1")
+    first.repartition(2).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            stream.select("doc_id", "source", "n_chars")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == first.count()
+
+    # land the second half as NEW files (append), restart from checkpoint
+    second.repartition(2).write.mode("append").parquet(src)
+    run_once()
+
+    out = spark.read.parquet(sink)
+    assert out.count() == docs.count(), "restart lost or duplicated rows"
+    assert out.select("doc_id").distinct().count() == docs.count()
