@@ -695,3 +695,101 @@ def table_fingerprint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "topk_with_ties_suppliers",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT l_suppkey, rev_cents,
+             RANK() OVER (ORDER BY rev_cents DESC) AS rnk
+      FROM rev
+    )
+    SELECT l_suppkey, rev_cents, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY rnk, l_suppkey
+    """,
+    doc="Top-K WITH TIES (RANK, not ROW_NUMBER): every supplier whose "
+    "revenue ties a top-5 rank is returned — the 'WITH TIES' semantics "
+    "ANSI FETCH FIRST offers and row_number-based top-k silently "
+    "violates. Revenue in integer cents makes tie detection exact "
+    "(double-summed revenue would produce phantom tie breaks across "
+    "engines). Aggregate-then-window: the rank rides |suppliers| rows, "
+    "not lineitems.",
+    tags=("window", "topk"),
+)
+def topk_with_ties_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy(F.desc("rev_cents"))
+    return (
+        rev.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("rnk", "l_suppkey")
+    )
+
+
+@register(
+    "price_mad_by_brand",
+    oracle="""
+    WITH p AS (
+      SELECT p_brand, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    med AS (
+      SELECT p_brand, CAST(quantile_cont(cents, 0.5) AS DOUBLE) AS med_cents
+      FROM p GROUP BY p_brand
+    ),
+    dev AS (
+      SELECT p.p_brand, ABS(p.cents - m.med_cents) AS adev
+      FROM p JOIN med m ON p.p_brand = m.p_brand
+    )
+    SELECT d.p_brand AS brand,
+           CAST(m.med_cents AS DOUBLE) AS median_cents,
+           CAST(quantile_cont(d.adev, 0.5) AS DOUBLE) AS mad_cents
+    FROM dev d JOIN med m ON d.p_brand = m.p_brand
+    GROUP BY d.p_brand, m.med_cents
+    ORDER BY brand
+    """,
+    doc="Median absolute deviation per brand — the robust dispersion "
+    "statistic (outlier-resistant alternative to stddev) used for "
+    "anomaly thresholds on skewed price/quality distributions. Two "
+    "exact-percentile passes over integer cents: both engines "
+    "interpolate quantiles with the same correctly-rounded IEEE "
+    "arithmetic on identical integer operands (the same portability "
+    "argument as rfm_segments). Scale shape: per-brand percentile is a "
+    "partial-aggregated group pass; the deviation join broadcasts the "
+    "|brands|-row median frame.",
+    tags=("agg", "stats", "percentile"),
+)
+def price_mad_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_brand", F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents")
+    )
+    med = p.groupBy("p_brand").agg(
+        F.percentile("cents", F.lit(0.5)).cast("double").alias("med_cents")
+    )
+    dev = p.join(F.broadcast(med), "p_brand").select(
+        "p_brand",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    return (
+        dev.groupBy(F.col("p_brand").alias("brand"), F.col("med_cents"))
+        .agg(F.percentile("adev", F.lit(0.5)).cast("double").alias("mad_cents"))
+        .select(
+            "brand",
+            F.col("med_cents").cast("double").alias("median_cents"),
+            "mad_cents",
+        )
+        .orderBy("brand")
+    )
