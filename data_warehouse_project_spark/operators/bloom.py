@@ -22,7 +22,7 @@ bit_or); the build is one partial aggregate on a <=ceil(m/63)-value key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BITS_PER_WORD = 63  # stay off the BIGINT sign bit (cross-engine safe)

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
 from data_warehouse_project_spark.plans.queries import (
-    _sql_exact_sum,
     exact_sum,
     register,
 )
