@@ -696,3 +696,62 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(md5('{k}:' || shingle)) AS h{k}" for k in range(_MINHASH_K))}
+      FROM doc_shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, md5(h{a} || h{b}) AS band_sig FROM mh"
+        for bi, (a, b) in enumerate(_MINHASH_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      FROM cand c
+        JOIN doc_shingles x ON x.doc_id = c.doc_a
+        JOIN doc_shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) AS jaccard
+    FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.n_shared AS DOUBLE) / (sa.n + sb.n - v.n_shared) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Incremental LSH admission vs the one-shot oracle: the corpus "
+    "is fed to operators/dedup_index.MinHashIndex in TWO batches (even "
+    "then odd doc_ids); the union of per-batch pair outputs must equal "
+    "the full-corpus MinHash+LSH result — proving batch-boundary "
+    "losslessness under the driver's value-hash gate, not just in unit "
+    "tests. This is the only dedup shape that scales to a growing "
+    "corpus: signatures are computed for new documents only, existing "
+    "ones are probed via the stored band table.",
+    tags=("text", "dedup", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+    from data_warehouse_project_spark.operators.dedup_index import MinHashIndex
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = MinHashIndex(Warehouse(spark, tempfile.mkdtemp(prefix="mhidx_")))
+    p1 = idx.add_documents(docs.filter("doc_id % 2 = 0"), docs)
+    p2 = idx.add_documents(docs.filter("doc_id % 2 = 1"), docs)
+    return p1.unionByName(p2).orderBy("doc_a", "doc_b")
