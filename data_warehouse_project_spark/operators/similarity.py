@@ -131,3 +131,109 @@ def lsh_ann_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def band_rows_of(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, band_id, band_sig) hyperplane-LSH band rows for a batch —
+    the unit of storage for the incremental index."""
+    band_len = N_PLANES // N_BANDS
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
+    ).withColumn("sig", lsh_signature(F.col("e")))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.substring("sig", i * band_len + 1, band_len).alias("band_sig"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    return vecs.select("vec_id", F.explode(band_structs).alias("b")).select(
+        "vec_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_sig").alias("band_sig"),
+    )
+
+
+class VectorLSHIndex:
+    """Incremental ANN index: a warehouse-backed band table admits
+    vector batches (signatures computed for the batch only) and answers
+    top-k probes against everything indexed so far. After any sequence
+    of admissions covering a vector set, ``topk`` returns exactly what
+    the one-shot ``lsh_ann_topk`` returns on that set (deterministic
+    planes; the stored band set is admission-order-invariant) — so the
+    incremental path shares the one-shot query's DuckDB oracle.
+
+    At 100 TB: the band table is the only persistent state, O(4 rows)
+    per vector; an admission touches O(batch), a probe touches
+    O(buckets hit + candidates)."""
+
+    def __init__(self, wh, layer: str = "bl_cl", name: str = "ann_bands"):
+        self.wh = wh
+        self.layer = layer
+        self.name = name
+
+    def add_vectors(
+        self, batch: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> int:
+        return self.wh.append(
+            band_rows_of(batch, id_col, vec_col), self.layer, self.name
+        )
+
+    def topk(
+        self,
+        corpus: DataFrame,
+        query_ids_below: int = 5,
+        top_k: int = 5,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Probe the stored bands with the query vectors' band rows and
+        exact-cosine rerank candidates, reading vector payloads from
+        ``corpus`` for candidates only."""
+        from pyspark.sql import Window
+
+        stored = self.wh.read(self.layer, self.name)
+        vecs = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            "label",
+            as_double(F.col(vec_col)).alias("e"),
+        )
+        q_bands = band_rows_of(
+            corpus.filter(F.col(id_col) < query_ids_below), id_col, vec_col
+        ).select(F.col("vec_id").alias("q_id"), "band_id", "band_sig")
+        cand = (
+            stored.join(F.broadcast(q_bands), on=["band_id", "band_sig"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id")
+            .distinct()
+        )
+        qs = vecs.filter(F.col("vec_id") < query_ids_below).select(
+            F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        )
+        sims = (
+            cand.join(vecs.select("vec_id", "label", "e"), "vec_id")
+            .join(F.broadcast(qs), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                "label",
+                F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("rank").cast("int").alias("rank"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neighbor_label"),
+                "cos_sim",
+            )
+            .orderBy("query_id", "rank")
+        )

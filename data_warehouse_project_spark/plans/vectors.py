@@ -278,6 +278,34 @@ def _register_lsh_ann() -> None:
         tags=("vectors", "ann", "lsh"),
     )(ann_lsh_topk)
 
+    def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from data_warehouse_project_spark.etl.warehouse import Warehouse
+        from data_warehouse_project_spark.operators.similarity import (
+            VectorLSHIndex,
+        )
+
+        emb = table(spark, sf_dir, "embeddings")
+        idx = VectorLSHIndex(Warehouse(spark, tempfile.mkdtemp(prefix="annidx_")))
+        idx.add_vectors(emb.filter("vec_id % 2 = 0"))
+        idx.add_vectors(emb.filter("vec_id % 2 = 1"))
+        return idx.topk(emb, query_ids_below=N_QUERY_VECS, top_k=TOP_K)
+
+    register(
+        "ann_lsh_incremental",
+        oracle=oracle,
+        doc="Incremental ANN admission vs the one-shot oracle: vectors "
+        "are fed to operators/similarity.VectorLSHIndex in two batches "
+        "(even then odd vec_ids), then the SAME top-k probe runs against "
+        "the stored band table. The stored band set is admission-order-"
+        "invariant (deterministic hyperplanes), so the result must equal "
+        "the one-shot LSH query bit-for-bit — checked by sharing its "
+        "DuckDB oracle. This is the growing-corpus shape: signatures for "
+        "new vectors only, O(4 rows)/vector of persistent state.",
+        tags=("vectors", "ann", "lsh", "incremental"),
+    )(ann_lsh_incremental)
+
 
 DIM_SQL = 64
 _register_lsh_ann()
