@@ -755,3 +755,65 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = idx.add_documents(docs.filter("doc_id % 2 = 0"), docs)
     p2 = idx.add_documents(docs.filter("doc_id % 2 = 1"), docs)
     return p1.unionByName(p2).orderBy("doc_a", "doc_b")
+
+
+_FH_DIM = 64
+
+
+@register(
+    "doc_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % {_FH_DIM} AS dim,
+             CASE WHEN ('0x' || substr(md5('s:' || token), 1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, CAST(dim AS INT) AS dim,
+           CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, dim
+    HAVING SUM(sgn) <> 0
+    ORDER BY doc_id, dim
+    """,
+    doc="Feature hashing (the 'hashing trick'): tokens map to one of 64 "
+    "dimensions by md5, with a second independent hash choosing a +/-1 "
+    "sign so collisions cancel in expectation — the classical "
+    "vocabulary-free text vectorizer that feeds linear models and the "
+    "ANN stack without a fitted vocabulary (no training pass, no "
+    "dictionary to ship). Output is the exploded sparse vector "
+    "(doc_id, dim, integer weight), zero entries dropped — exact "
+    "integers, no float in the contract. Scale shape: pure per-row "
+    "expressions then one (doc_id, dim) partial-aggregated shuffle; "
+    "dimensionality is a constant, vocabulary growth costs nothing.",
+    tags=("text", "vectorize"),
+)
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    dim = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(_FH_DIM),
+    )
+    sgn = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("s:"), F.col("token"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        )
+        == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        tok.select("doc_id", dim.cast("int").alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "dim")
+    )
