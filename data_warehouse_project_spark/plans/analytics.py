@@ -793,3 +793,94 @@ def price_mad_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+_CMS_ROWS = 4
+_CMS_WIDTH = 256
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH occ AS (SELECT l_partkey FROM lineitem),
+    regs AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                 CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % {_CMS_WIDTH} AS col,
+             COUNT(*) AS c
+      FROM occ, range({_CMS_ROWS}) t(j)
+      GROUP BY j, col
+    ),
+    truth AS (
+      SELECT l_partkey, COUNT(*) AS true_count
+      FROM occ GROUP BY l_partkey
+      ORDER BY true_count DESC, l_partkey LIMIT 10
+    ),
+    probes AS (
+      SELECT t.l_partkey, t.true_count, r.j, r.c
+      FROM truth t
+      JOIN regs r
+        ON r.col = ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' ||
+                    CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT % {_CMS_WIDTH}
+    )
+    SELECT l_partkey, CAST(true_count AS BIGINT) AS true_count,
+           CAST(MIN(c) AS BIGINT) AS cms_estimate
+    FROM probes GROUP BY l_partkey, true_count
+    ORDER BY true_count DESC, l_partkey
+    """,
+    doc="Count-min sketch heavy hitters: a 4x256 register array over "
+    "part occurrences (seeded md5 row hashes — deterministic, so both "
+    "engines build the IDENTICAL sketch), probed for the true top-10 "
+    "parts. cms_estimate >= true_count always (one-sided error); the "
+    "register array is 1 KB of state summarizing any number of rows — "
+    "the streaming/low-memory answer to heavy-hitter tracking when an "
+    "exact groupBy of the full key space is too wide. Scale shape: one "
+    "partial-aggregated shuffle of (row, col) cells, sketch size "
+    "constant in data volume.",
+    tags=("sketch", "agg"),
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def col_of(j_col, key_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_CMS_WIDTH),
+        )
+
+    occ = li.select(
+        "l_partkey", F.explode(F.sequence(F.lit(0), F.lit(_CMS_ROWS - 1))).alias("j")
+    )
+    regs = (
+        occ.select("j", col_of(F.col("j"), F.col("l_partkey")).alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    probes = truth.join(
+        F.broadcast(regs),
+        regs.col == col_of(regs.j, truth.l_partkey),
+    )
+    return (
+        probes.groupBy("l_partkey", "true_count")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .select(
+            "l_partkey",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            "cms_estimate",
+        )
+        .orderBy(F.desc("true_count"), "l_partkey")
+    )

@@ -35,6 +35,7 @@ ALLOW_NESTED_LOOP = {
     "kmeans_update_step",  # broadcast cross vs 16 centroids — intended
     "copurchase_triangles",  # 1-row n_edges/n_triangles stat crosses
     "source_overlap_minhash",  # |sources|-row signature cross — model state
+    "heavy_hitters_cms",  # 10-probe x 1KB-register cross — sketch state
     "tfidf_top_terms_per_doc",  # 1-row corpus-total broadcast cross
     "pagerank_update_step",  # 1-row node-count broadcast cross
     "rfm_segments",  # 1-row global-max-day + 1-row quartile-boundary crosses
