@@ -63,11 +63,27 @@ def compare(spark_df, duck_cols, duck_rows) -> list[str]:
     return problems
 
 
-def run(sf_dir: str, names: list[str] | None = None) -> int:
+def run(sf_dir: str, names: list[str] | None = None, plain: bool = False) -> int:
     from data_warehouse_project_spark.plans import QUERIES
-    from data_warehouse_project_spark.session import get_spark
 
-    spark = get_spark("parity")
+    if plain:
+        # driver-realistic mode: a bare default-config session (the
+        # correctness driver builds its own SparkSession; engine code
+        # must not depend on get_spark()'s tuning)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("parity-plain")
+            .config("spark.driver.host", "127.0.0.1")
+            .config("spark.driver.bindAddress", "127.0.0.1")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from data_warehouse_project_spark.session import get_spark
+
+        spark = get_spark("parity")
     con = duckdb.connect()
     from data_warehouse_project_spark.catalog import TABLES
 
@@ -107,6 +123,8 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    plain = "--plain" in args
+    args = [a for a in args if a != "--plain"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or None
-    sys.exit(1 if run(sf_dir, names) else 0)
+    sys.exit(1 if run(sf_dir, names, plain=plain) else 0)
