@@ -886,11 +886,20 @@ def load_fct_events(
     of streaming/windows.py's tumbling counts (stream-batch
     unification: same grain, same aggregates).
 
-    Idempotence follows the fact playbook (P4/J6): MAX(event_hour)
-    watermark minus a 1-day lateness window bounds the incoming scan,
-    and the anti-join reads only the overlapping event_date partitions.
-    At scale the rollup is a single partial-aggregated shuffle on
-    (hour, type); input event rows never move twice.
+    Idempotence + late data (P4/J6, amended r5): an hourly COUNT is not
+    append-safe — the first run inevitably loads the in-progress hour,
+    and an anti-join at the (hour, type) grain would freeze that partial
+    count forever, silently dropping every late event. Instead each run
+    RECOMPUTES the rollup for all event_dates inside the 1-day lateness
+    window behind MAX(event_hour) and atomically swaps exactly those
+    date partitions (``Warehouse.overwrite_partitions``) — loaded
+    partitions are replaced, never appended to, so late events within
+    the window always land. At scale the source scan is pruned to the
+    lateness window by the pushed-down ``ts`` predicate (~2 days of
+    events per run, whatever the table's history), and the rollup is a
+    single partial-aggregated shuffle on (hour, type). Events later
+    than the lateness window are dropped by contract, exactly like the
+    streaming twin's watermark.
 
     The events table is a beyond-reference source: a source directory
     without it (e.g. the reference-shaped CSV entry point) skips this
@@ -901,6 +910,13 @@ def load_fct_events(
         wh.log("load_fct_events", "skipped: source has no events table", 0)
         return
     ev = table(spark, src_dir, "events")
+    target = wh.read_or_none("bl_dm", "fct_events")
+    wm = target.agg(F.max("event_hour")).first()[0] if target is not None else None
+    if wm is not None:
+        # whole affected DATES are recomputed (a partition is the swap
+        # unit), so the scan starts at midnight of the cutoff's date
+        cutoff_date = (wm - dt.timedelta(days=1)).date()
+        ev = ev.filter(F.to_date(F.col("ts")) >= F.lit(cutoff_date))
     hour = F.date_trunc("hour", F.col("ts"))
     rolled = (
         ev.groupBy(
@@ -914,28 +930,15 @@ def load_fct_events(
         )
         .withColumn("event_date", F.col("event_hour").cast("date").cast("string"))
     )
-    target = wh.read_or_none("bl_dm", "fct_events")
-    if target is not None:
-        wm = target.agg(F.max("event_hour")).first()[0]
-        if wm is not None:
-            cutoff = wm - dt.timedelta(days=1)
-            rolled = rolled.filter(F.col("event_hour") > F.lit(cutoff))
-            overlap = [
-                d
-                for d in wh.partitions("bl_dm", "fct_events", "event_date")
-                if d >= str(cutoff.date())
-            ]
-            tgt_keys = target.filter(F.col("event_date").isin(overlap))
-        else:
-            tgt_keys = target
-        rolled = rolled.join(
-            tgt_keys.select("event_hour", "event_type"),
-            on=["event_hour", "event_type"],
-            how="left_anti",
-        )
     rolled = _with_audit(rolled, "source", "events", run_ts)
-    n = wh.append(rolled, "bl_dm", "fct_events", partition_by=["event_date"])
-    wh.log("load_fct_events", "hourly events mart ok", n)
+    if wm is None:
+        n = wh.append(rolled, "bl_dm", "fct_events", partition_by=["event_date"])
+        wh.log("load_fct_events", "hourly events mart initial load ok", n)
+    else:
+        # swap exactly the recomputed date partitions; untouched history
+        # stays physically in place
+        n = wh.overwrite_partitions(rolled, "bl_dm", "fct_events", "event_date")
+        wh.log("load_fct_events", "hourly events mart lateness-window recompute ok", n)
 
 
 def run_full_etl(

@@ -178,22 +178,46 @@ class Warehouse:
         layer: str,
         name: str,
         partition_col: str,
-        values: list[str],
+        values: list[str] | None = None,
     ) -> int:
-        """Partition-scoped rewrite: atomically replace ONLY the listed
+        """Partition-scoped rewrite: atomically replace ONLY the swapped
         ``partition_col=value`` directories with ``df``'s content,
         leaving every other partition physically untouched.
+
+        ``values=None``: swap exactly the partitions ``df`` wrote — a
+        whole-partition upsert, nothing dropped. ``values=[...]``: the
+        caller's declared responsibility set; every partition ``df``
+        writes MUST be listed (``ValueError`` otherwise — rows are never
+        silently discarded), and a listed partition with no new content
+        is dropped (all its rows were deleted/recomputed away).
 
         This is the plain-parquet equivalent of Delta/Iceberg
         ``replaceWhere`` / dynamic-partition-overwrite, and the scale
         path for SCD maintenance (SURVEY.md §7.3): when <1%% of a
         billion-row dimension changes per batch, rewriting the touched
         buckets is ~100x less IO than the full-snapshot swap in
-        ``overwrite``. Each partition dir is swapped with the same
-        temp-then-rename dance, so readers never see a partial
-        partition.
+        ``overwrite``.
+
+        Failure model: each partition swap is an atomic pair of renames,
+        but the loop over partitions is not a transaction — a crash
+        mid-loop leaves some partitions new and some old (each one
+        internally consistent). Interrupted swaps are self-healing: the
+        next call restores any ``.X.old-*`` orphan whose live dir is
+        missing and clears the rest before swapping.
         """
         final = self.path(layer, name)
+        prefix = f"{partition_col}="
+        final.mkdir(parents=True, exist_ok=True)
+        # crash recovery from a previous interrupted swap: an old-dir
+        # with no live partition means the crash hit between the two
+        # renames — restore it; with a live partition it is post-swap
+        # garbage — drop it.
+        for orphan in final.glob(f".{prefix}*.old-*"):
+            live = final / orphan.name[1:].rsplit(".old-", 1)[0]
+            if live.exists():
+                shutil.rmtree(orphan, ignore_errors=True)
+            else:
+                orphan.rename(live)
         tmp = final.parent / f".{name}.pmerge-{uuid.uuid4().hex[:8]}"
         (
             df.repartition(partition_col)
@@ -202,10 +226,25 @@ class Warehouse:
             .parquet(str(tmp))
         )
         n = self._footer_count(tmp)
-        final.mkdir(parents=True, exist_ok=True)
+        written = sorted(
+            d.name[len(prefix):]
+            for d in tmp.iterdir()
+            if d.is_dir() and d.name.startswith(prefix)
+        )
+        if values is None:
+            swap = written
+        else:
+            extra = sorted(set(written) - set(values))
+            if extra:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise ValueError(
+                    f"overwrite_partitions({layer}.{name}): df wrote "
+                    f"partitions outside the declared swap set: {extra}"
+                )
+            swap = values
         olds = []
-        for v in values:
-            part = f"{partition_col}={v}"
+        for v in swap:
+            part = f"{prefix}{v}"
             src = tmp / part
             dst = final / part
             if dst.exists():
@@ -214,8 +253,8 @@ class Warehouse:
                 olds.append(old)
             if src.exists():
                 src.rename(dst)
-            # else: the new content for this partition is empty → the
-            # partition is legitimately dropped (all its rows deleted)
+            # else: values listed this partition but the new content is
+            # empty → the partition is legitimately dropped
         for old in olds:
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)

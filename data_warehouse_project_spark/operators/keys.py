@@ -38,7 +38,12 @@ def with_surrogate_keys(
     regions/nations). Every real loader uses ``with_distributed_keys``.
     """
     if dense:
-        w = Window.orderBy(*order_by)
+        # constant-valued partition key == the same one-task global sort,
+        # minus the WindowExec warning; documented tiny-frame-only
+        from data_warehouse_project_spark.operators.prefix import single_group
+
+        lead = order_by[0] if isinstance(order_by[0], Column) else F.col(order_by[0])
+        w = Window.partitionBy(single_group(lead)).orderBy(*order_by)
         sk = (F.row_number().over(w) + F.lit(start_at - 1)).cast("bigint")
     else:
         # sparse but fully parallel: stable only within one run
@@ -97,10 +102,12 @@ def with_distributed_keys(
     counts = b.groupBy("__kb").agg(F.count(F.lit(1)).alias("__kcnt"))
     # exclusive running sum in bucket order; the single-partition window
     # is over <= n_buckets rows — bounded model state, not data. The
-    # constant partition key keeps the spec non-empty (same one-task
-    # execution, no global-window warning in every plan).
+    # constant-VALUED (but non-foldable) partition key keeps the spec
+    # non-empty: same one-task execution, no global-window warning.
+    from data_warehouse_project_spark.operators.prefix import single_group
+
     off_w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(single_group(F.col("__kb")))
         .orderBy("__kb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

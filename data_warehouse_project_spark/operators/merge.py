@@ -57,10 +57,29 @@ DEFAULT_BUCKETS = 32
 
 def bucket_expr(key: str, n_buckets: int) -> Column:
     """Stable key→bucket assignment. xxhash64 is deterministic across
-    sessions/partitions, so a key's bucket never moves. Cast to string:
-    partition values round-trip as strings (the session disables
-    partition-column type inference)."""
-    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("string")
+    sessions/partitions, so a key's bucket never moves. The key is
+    normalized to its string form BEFORE hashing: xxhash64 is
+    dtype-sensitive (bigint 5 and varchar '5' hash differently), so a
+    batch arriving with a drifted key dtype would otherwise compute
+    different buckets than the stored layout and scatter a key's
+    versions across two buckets — silent duplicates. The outer cast to
+    string is for partition values, which round-trip as strings (the
+    session disables partition-column type inference)."""
+    return F.pmod(
+        F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)
+    ).cast("string")
+
+
+def _check_key_dtype(cur: DataFrame, updates: DataFrame, key: str) -> None:
+    """Fail loudly when a batch's key dtype drifts from the stored
+    dimension's: even with string-normalized bucketing, a bigint-vs-
+    string key would still break the SCD join semantics downstream
+    (5 != '5' in an equi-join), so this is a load-time contract."""
+    cur_t, upd_t = dict(cur.dtypes).get(key), dict(updates.dtypes).get(key)
+    if cur_t is not None and upd_t is not None and cur_t != upd_t:
+        raise TypeError(
+            f"batch key {key!r} dtype {upd_t} != stored dimension's {cur_t}"
+        )
 
 
 def _touched_buckets(updates: DataFrame, key: str, n_buckets: int) -> list[str]:
@@ -110,6 +129,7 @@ def scd1_merge(
             "buckets_total": n_buckets,
         }
 
+    _check_key_dtype(wh.read(layer, name), updates, key)
     touched = _touched_buckets(updates, key, n_buckets)
     if not touched:
         return {"rows_written": 0, "buckets_touched": 0, "buckets_total": n_buckets}
@@ -151,6 +171,7 @@ def scd2_merge(
             "buckets_total": n_buckets,
         }
 
+    _check_key_dtype(wh.read(layer, name), updates, key)
     touched = _touched_buckets(updates, key, n_buckets)
     if not touched:
         return {"rows_written": 0, "buckets_touched": 0, "buckets_total": n_buckets}

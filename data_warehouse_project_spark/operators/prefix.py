@@ -1,0 +1,98 @@
+"""Distributed ordered prefix sums (running totals) without a global
+single-task window.
+
+``SUM(x) OVER (ORDER BY k)`` funnels the whole frame through ONE task —
+fine for day-grain or n_buckets-sized aggregate frames, a scale-killer
+when the frame is proportional to a table (a billion-part catalog in
+``abc_classification_parts``). The distributed replacement is the same
+two-pass partition-offset shape as ``operators.keys.with_distributed_keys``:
+
+1. bin each row into a bucket via a MONOTONE expression of the leading
+   order key (``range_bucket`` — fixed-width value ranges, so buckets
+   respect the global order AND are deterministic/engine-portable; a
+   sampling range partitioner would not be oracle-replayable);
+2. running-sum within each bucket — an n_buckets-way parallel window;
+3. add per-bucket exclusive offsets = running sum over the one-row-per-
+   bucket totals frame (bounded model state, constant partition key).
+
+The result is exactly ``SUM(val) OVER (ORDER BY order_by ROWS UNBOUNDED
+PRECEDING)`` for any total order, so a DuckDB oracle can keep the plain
+global-window formulation: prefix sums are bucketing-invariant.
+
+Reference parity: the reference computes running shares inside single-
+node SQL windows (PL/pgSQL reports); this operator is the 100 TB form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def single_group(col: Column) -> Column:
+    """A constant-VALUED but non-foldable partition key: ``pmod(
+    xxhash64(col), 1)`` == 0 for every row, yet Catalyst cannot
+    constant-fold it away (a bare ``lit(0)`` partition key is eliminated
+    by the optimizer, reintroducing WindowExec's global-window warning —
+    verified empirically on Spark 4.1). Use ONLY for windows over frames
+    bounded by a constant (day-grain or n_buckets-row aggregates): the
+    execution is still one task; this just declares that intent so real
+    unbounded global windows stand out in logs."""
+    return F.pmod(F.xxhash64(col), F.lit(1))
+
+
+def range_bucket(col: Column, width: int | float, descending: bool = False) -> Column:
+    """Deterministic fixed-width bin id of ``col``, monotone
+    NON-DECREASING along the requested order (pass ``descending=True``
+    when the prefix sum orders by ``col`` DESC).
+
+    Pick ``width`` so the expected value range yields hundreds-to-
+    thousands of buckets: bucket ids are model state (one totals row
+    per bucket rides the offset frame), while rows within a bucket are
+    processed n_buckets-way parallel. Monotonicity — not boundary
+    placement — is what correctness needs, so double rounding in the
+    division is harmless.
+    """
+    b = F.floor(col.cast("double") / F.lit(float(width))).cast("bigint")
+    return (-b).alias("bucket") if descending else b.alias("bucket")
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    val_col: str,
+    out_col: str,
+    bucket: Column,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive running SUM(``val_col``) over the
+    total order ``order_by``, computed with NO sf-proportional
+    single-partition window.
+
+    ``bucket`` must be monotone non-decreasing along ``order_by``
+    (build it with ``range_bucket`` on the leading order key). Rows
+    with equal bucket ids are ordered by the within-bucket window, so
+    ``order_by`` must still be a total order for reproducibility.
+    """
+    b = df.withColumn("__pb", bucket)
+    totals = b.groupBy("__pb").agg(F.sum(val_col).alias("__pbsum"))
+    # exclusive running sum over the one-row-per-bucket frame: bounded
+    # model state; single_group declares the intentional one-task pass
+    off_w = (
+        Window.partitionBy(single_group(F.col("__pb")))
+        .orderBy("__pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "__pb",
+        F.coalesce(F.sum("__pbsum").over(off_w), F.lit(0)).alias("__poff"),
+    )
+    in_w = (
+        Window.partitionBy("__pb")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(offs), "__pb")
+        .withColumn(out_col, F.sum(val_col).over(in_w) + F.col("__poff"))
+        .drop("__pb", "__poff")
+    )

@@ -561,12 +561,13 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "classified by CUMULATIVE share (A: first 80%, B: to 95%, C: rest). "
     "Thresholds are integer cross-multiplies (cum*10 <= total*8) — no "
     "float ever decides a class — and the rank order carries a total "
-    "tie-break (revenue desc, partkey). The cumulative window rides the "
-    "per-part aggregate (one row per part), not raw lineitems; at 100 TB "
-    "the global ordered window over parts is the one serial frame — for "
-    "a billion-part catalog, replace with a two-pass bucketed prefix "
-    "sum (histogram of revenue ranges, then per-range offsets), same "
-    "shape as with_distributed_keys.",
+    "tie-break (revenue desc, partkey). The cumulative sum rides the "
+    "per-part aggregate via operators/prefix.py bucketed_prefix_sum "
+    "(fixed-width revenue-range buckets + per-bucket offsets): no "
+    "sf-proportional single-partition window anywhere in the plan, so "
+    "a billion-part catalog ranks n_buckets-way parallel. Prefix sums "
+    "are bucketing-invariant, so the oracle keeps the plain global "
+    "window formulation.",
     tags=("agg", "window", "warehouse"),
 )
 def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,16 +579,22 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev_cents")
     )
-    w_cum = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    from data_warehouse_project_spark.operators.prefix import (
+        bucketed_prefix_sum,
+        range_bucket,
     )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "rev_cents",
-        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
-        F.sum("rev_cents").over(w_all).alias("total_cents"),
+
+    # $100k-wide revenue bins: monotone along the rev-desc order, a few
+    # hundred buckets at any SF (bucket count ~ max part revenue / width)
+    ranked = bucketed_prefix_sum(
+        rev,
+        order_by=[F.desc("rev_cents"), F.asc("l_partkey")],
+        val_col="rev_cents",
+        out_col="cum_cents",
+        bucket=range_bucket(F.col("rev_cents"), 10_000_000, descending=True),
     )
+    total = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    ranked = ranked.crossJoin(F.broadcast(total))
     classed = ranked.withColumn(
         "abc_class",
         F.when(F.col("cum_cents") * 10 <= F.col("total_cents") * 8, "A")
@@ -702,7 +709,8 @@ def table_fingerprint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_suppkey,
-             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
       FROM lineitem GROUP BY l_suppkey
     ),
     ranked AS (
@@ -730,7 +738,14 @@ def topk_with_ties_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    w = Window.orderBy(F.desc("rev_cents"))
+    # constant-valued partition key: the rank rides the |suppliers|
+    # aggregate frame in one task either way; this form avoids the
+    # benign global-window warning (prefix.py single_group)
+    from data_warehouse_project_spark.operators.prefix import single_group
+
+    w = Window.partitionBy(single_group(F.col("rev_cents"))).orderBy(
+        F.desc("rev_cents")
+    )
     return (
         rev.withColumn("rnk", F.rank().over(w).cast("int"))
         .filter(F.col("rnk") <= 5)

@@ -43,6 +43,10 @@ class Query:
     doc: str = ""
     bench: bool = False
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # eager=True: calling fn() RUNS Spark jobs (stateful index admission,
+    # localCheckpoint) rather than just building a lazy plan — plan-only
+    # tooling (explain audits) must not invoke these per-iteration
+    eager: bool = False
 
 
 QUERIES: dict[str, Query] = {}
@@ -54,9 +58,12 @@ def register(
     bench: bool = False,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    eager: bool = False,
 ):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags)
+        QUERIES[name] = Query(
+            name, fn, oracle, doc or (fn.__doc__ or ""), bench, tags, eager
+        )
         return fn
 
     return deco

@@ -253,11 +253,12 @@ def watermark_incremental_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 0) AS off
       FROM counts
     )
-    SELECT -1 AS nation_surr_id, 'n.a.' AS nation_name, -1 AS nation_src_id
+    SELECT CAST(-1 AS BIGINT) AS nation_surr_id, 'n.a.' AS nation_name,
+           CAST(-1 AS BIGINT) AS nation_src_id
     UNION ALL
-    SELECT 1000 + o.off + ROW_NUMBER() OVER (
+    SELECT CAST(1000 + o.off + ROW_NUMBER() OVER (
              PARTITION BY b.bk ORDER BY b.n_name, b.n_nationkey
-           ) AS nation_surr_id,
+           ) AS BIGINT) AS nation_surr_id,
            b.n_name AS nation_name,
            b.n_nationkey AS nation_src_id
     FROM base b JOIN offs o ON b.bk = o.bk

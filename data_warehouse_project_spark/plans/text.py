@@ -743,18 +743,26 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus: signatures are computed for new documents only, existing "
     "ones are probed via the stored band table.",
     tags=("text", "dedup", "lsh", "incremental"),
+    eager=True,
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from data_warehouse_project_spark.etl.warehouse import Warehouse
     from data_warehouse_project_spark.operators.dedup_index import MinHashIndex
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    idx = MinHashIndex(Warehouse(spark, tempfile.mkdtemp(prefix="mhidx_")))
-    p1 = idx.add_documents(docs.filter("doc_id % 2 = 0"), docs)
-    p2 = idx.add_documents(docs.filter("doc_id % 2 = 1"), docs)
-    return p1.unionByName(p2).orderBy("doc_a", "doc_b")
+    # the admissions are eager (localCheckpoint), so the returned frame
+    # no longer depends on the scratch band store — always clean it up
+    tmp = tempfile.mkdtemp(prefix="mhidx_")
+    try:
+        idx = MinHashIndex(Warehouse(spark, tmp))
+        p1 = idx.add_documents(docs.filter("doc_id % 2 = 0"), docs)
+        p2 = idx.add_documents(docs.filter("doc_id % 2 = 1"), docs)
+        return p1.unionByName(p2).orderBy("doc_a", "doc_b")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _FH_DIM = 64

@@ -279,6 +279,7 @@ def _register_lsh_ann() -> None:
     )(ann_lsh_topk)
 
     def ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import shutil
         import tempfile
 
         from data_warehouse_project_spark.etl.warehouse import Warehouse
@@ -287,14 +288,23 @@ def _register_lsh_ann() -> None:
         )
 
         emb = table(spark, sf_dir, "embeddings")
-        idx = VectorLSHIndex(Warehouse(spark, tempfile.mkdtemp(prefix="annidx_")))
-        idx.add_vectors(emb.filter("vec_id % 2 = 0"))
-        idx.add_vectors(emb.filter("vec_id % 2 = 1"))
-        return idx.topk(emb, query_ids_below=N_QUERY_VECS, top_k=TOP_K)
+        # the probe plan reads the scratch band store, so materialize it
+        # (localCheckpoint) before the store is cleaned up
+        tmp = tempfile.mkdtemp(prefix="annidx_")
+        try:
+            idx = VectorLSHIndex(Warehouse(spark, tmp))
+            idx.add_vectors(emb.filter("vec_id % 2 = 0"))
+            idx.add_vectors(emb.filter("vec_id % 2 = 1"))
+            return idx.topk(
+                emb, query_ids_below=N_QUERY_VECS, top_k=TOP_K
+            ).localCheckpoint()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     register(
         "ann_lsh_incremental",
         oracle=oracle,
+        eager=True,
         doc="Incremental ANN admission vs the one-shot oracle: vectors "
         "are fed to operators/similarity.VectorLSHIndex in two batches "
         "(even then odd vec_ids), then the SAME top-k probe runs against "

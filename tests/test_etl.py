@@ -236,3 +236,82 @@ def test_fct_events_hourly_mart(spark, warehouse):
 
     load_fct_events(spark, wh, SF_SMOKE)
     assert wh.read("bl_dm", "fct_events").count() == before  # idempotent
+
+
+def _write_events(spark, src_dir, rows):
+    """rows: (ts, user_id, event_type, value) tuples → src/events.parquet."""
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id bigint, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/events.parquet")
+
+
+def test_fct_events_late_arrivals_update_loaded_hours(spark, tmp_path):
+    """The mart must not freeze a partially-loaded hour: events arriving
+    late for an hour already in the target (including the first run's
+    in-progress hour) are folded in by the lateness-window partition
+    recompute — an anti-join at the (hour, type) grain would silently
+    drop them and freeze the undercount forever."""
+    from data_warehouse_project_spark.etl.pipeline import load_fct_events
+
+    src = str(tmp_path / "src")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    h = lambda hh, mm: dt.datetime(2025, 3, 1, hh, mm)  # noqa: E731
+
+    # run 1: hour 10 is in-progress (2 events so far)
+    _write_events(
+        spark,
+        src,
+        [(h(9, 5), 1, "view", 1.0), (h(9, 40), 2, "view", 1.0),
+         (h(10, 1), 1, "click", 2.0), (h(10, 2), 3, "click", 2.0)],
+    )
+    load_fct_events(spark, wh, src)
+    fct = wh.read("bl_dm", "fct_events")
+    assert fct.filter("event_type = 'click'").agg(F.sum("n_events")).first()[0] == 2
+
+    # run 2: two late events land in the already-loaded hour 10, plus a
+    # fresh hour 11 — the loaded hour's count must be corrected
+    _write_events(
+        spark,
+        src,
+        [(h(9, 5), 1, "view", 1.0), (h(9, 40), 2, "view", 1.0),
+         (h(10, 1), 1, "click", 2.0), (h(10, 2), 3, "click", 2.0),
+         (h(10, 30), 4, "click", 2.0), (h(10, 59), 5, "click", 2.0),
+         (h(11, 0), 1, "view", 1.0)],
+    )
+    load_fct_events(spark, wh, src)
+    fct = wh.read("bl_dm", "fct_events")
+    assert fct.filter("event_type = 'click'").agg(F.sum("n_events")).first()[0] == 4
+    assert fct.agg(F.sum("n_events")).first()[0] == 7
+    # rerun with unchanged source stays idempotent
+    load_fct_events(spark, wh, src)
+    assert wh.read("bl_dm", "fct_events").agg(F.sum("n_events")).first()[0] == 7
+
+
+def test_overwrite_partitions_contract(spark, tmp_path):
+    """values=None swaps exactly the written partitions; an explicit
+    values list rejects out-of-set writes (no silent row discard) and
+    drops listed partitions whose recomputed content is empty."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    )
+    wh.append(base, "bl_dm", "t", partition_by=["k"])
+
+    # upsert mode: replace only partition b, leave a and c untouched
+    upd = spark.createDataFrame([("b", 20), ("b", 21)], "k string, v int")
+    wh.overwrite_partitions(upd, "bl_dm", "t", "k")
+    got = {(r["k"], r["v"]) for r in wh.read("bl_dm", "t").collect()}
+    assert got == {("a", 1), ("b", 20), ("b", 21), ("c", 3)}
+
+    # declared-set mode: writing outside the set raises, table unchanged
+    stray = spark.createDataFrame([("a", 99), ("z", 9)], "k string, v int")
+    with pytest.raises(ValueError, match="outside the declared swap set"):
+        wh.overwrite_partitions(stray, "bl_dm", "t", "k", values=["a"])
+    assert {(r["k"], r["v"]) for r in wh.read("bl_dm", "t").collect()} == got
+
+    # declared-set mode: a listed partition with no new content is dropped
+    only_a = spark.createDataFrame([("a", 100)], "k string, v int")
+    wh.overwrite_partitions(only_a, "bl_dm", "t", "k", values=["a", "c"])
+    got = {(r["k"], r["v"]) for r in wh.read("bl_dm", "t").collect()}
+    assert got == {("a", 100), ("b", 20), ("b", 21)}

@@ -245,3 +245,26 @@ def test_full_etl_merge_strategy_matches_snapshot(spark, tmp_path):
     assert _sorted_rows(cust2.select(*cols), cols) == _sorted_rows(
         cust1.select(*cols), cols
     )
+
+
+def test_merge_rejects_drifted_key_dtype(spark, tmp_path):
+    """A batch whose key column dtype differs from the stored
+    dimension's must fail loudly: dtype drift would break the SCD
+    equi-join (5 != '5') and, before bucket_expr normalized its hash
+    input, silently scattered a key's versions across two buckets."""
+    wh = Warehouse(spark, str(tmp_path))
+    base = _mk_updates(spark, [(i, float(i)) for i in range(20)], 1)
+    scd1_merge(wh, "bl_3nf", "dim", base, "k", ["price", "name"], ["seq"], run_ts=T0)
+
+    drifted = spark.createDataFrame(
+        [("1", -1.0, "name1", 2)], "k string, price double, name string, seq int"
+    )
+    with pytest.raises(TypeError, match="dtype"):
+        scd1_merge(
+            wh, "bl_3nf", "dim", drifted, "k", ["price", "name"], ["seq"],
+            run_ts=T0 + dt.timedelta(days=1),
+        )
+    # dimension unchanged
+    dim = read_dimension(spark, wh, "bl_3nf", "dim")
+    assert dim.count() == 20
+    assert dim.filter("price = -1.0").count() == 0

@@ -40,6 +40,7 @@ ALLOW_NESTED_LOOP = {
     "pagerank_update_step",  # 1-row node-count broadcast cross
     "rfm_segments",  # 1-row global-max-day + 1-row quartile-boundary crosses
     "basket_lift_pairs",  # 1-row order-count broadcast cross
+    "abc_classification_parts",  # 1-row grand-total broadcast cross
 }
 
 EXPECT_BROADCAST = [
@@ -84,10 +85,34 @@ SHUFFLE_BUDGET = {
 
 # queries whose plans must NOT funnel unaggregated data through one task
 # (global windowless row_number / Window.orderBy): surrogate-key minting
-# uses bucketed partition-offset assignment instead
+# and sf-proportional cumulative sums use bucketed partition-offset
+# assignment instead (operators/keys.py, operators/prefix.py)
 NO_SINGLE_PARTITION_EXCHANGE = [
     "surrogate_keys_nation",
+    "abc_classification_parts",
 ]
+
+# bucket-id columns whose per-bucket count/sum frames are bounded model
+# state (<= n_buckets rows) — the only data a SinglePartition exchange
+# may legitimately carry, besides scalar aggregates
+_BOUNDED_BUCKET_KEYS = ("__kb", "__pb")
+
+
+def _single_partition_ok(lines: list[str], i: int) -> bool:
+    """A SinglePartition exchange is legitimate iff its IMMEDIATE child
+    is (a) an aggregate keyed by a bounded bucket id (the n_buckets-row
+    offset frame of with_distributed_keys / bucketed_prefix_sum) or
+    (b) a scalar aggregate (keys=[] — one partial row per map task).
+    Matching the child operator, not textual proximity, so a real serial
+    exchange that merely sits NEAR a key-minting subtree still fails."""
+    for j in range(i + 1, min(i + 2, len(lines))):
+        ln = lines[j]
+        if "HashAggregate" in ln or "SortAggregate" in ln or "ObjectHashAggregate" in ln:
+            if "keys=[]" in ln:
+                return True
+            head = ln.split("functions=")[0]
+            return any(k in head for k in _BOUNDED_BUCKET_KEYS)
+    return False
 
 
 def audit(sf_dir: str) -> int:
@@ -102,6 +127,11 @@ def audit(sf_dir: str) -> int:
         return df._jdf.queryExecution().executedPlan().toString()
 
     for name in QUERIES:
+        if QUERIES[name].eager:
+            # stateful index admissions RUN jobs when the plan is built —
+            # skip in plan-only audits (their operators are covered by
+            # parity + dedicated tests)
+            continue
         p = plan_of(name)
         if "CartesianProduct" in p and name not in ALLOW_NESTED_LOOP:
             print(f"✗ {name}: unexpected CartesianProduct")
@@ -135,19 +165,17 @@ def audit(sf_dir: str) -> int:
     for name in NO_SINGLE_PARTITION_EXCHANGE:
         p = plan_of(name)
         # rangepartitioning (presentation sort) is fine; a SinglePartition
-        # exchange over the DATA means a serial global row_number. The one
-        # legitimate SinglePartition is the bucket-offset running sum in
-        # with_distributed_keys: it moves the <= n_buckets-row __kb count
-        # frame (bounded model state), recognizable by __kb in the
-        # exchange's immediate context.
+        # exchange over the DATA means a serial global window. Every
+        # SinglePartition exchange must individually prove it carries
+        # bounded model state (see _single_partition_ok).
         lines = p.splitlines()
         for i, line in enumerate(lines):
-            if "Exchange SinglePartition" in line:
-                ctx = "\n".join(lines[max(0, i - 3): i + 4])
-                if "__kb" not in ctx:
-                    print(f"✗ {name}: key assignment funnels through one task")
-                    failures += 1
-                    break
+            if "Exchange SinglePartition" in line and not _single_partition_ok(
+                lines, i
+            ):
+                print(f"✗ {name}: data funnels through one task (line {i})")
+                failures += 1
+                break
 
     # column pruning: q1 must scan exactly its 2 aggregate columns
     p = plan_of("q1_fact_totals")

@@ -63,6 +63,45 @@ def compare(spark_df, duck_cols, duck_rows) -> list[str]:
     return problems
 
 
+# DuckDB output types the driver's dtype-sensitive hash can never match,
+# because Spark has no equivalent arrow dtype: int128 (DuckDB promotes
+# SUM(BIGINT) to HUGEINT) and the unsigned family (Spark is signed-only;
+# uint64 vs int64 hash-diverges even when values agree).  This is exactly
+# the class of bug value-based parity cannot catch — r4's one red driver
+# row (topk_with_ties_suppliers) was a HUGEINT artifact with byte-identical
+# values at every scale.
+_BANNED_DUCK_TYPES = (
+    "HUGEINT",
+    "UHUGEINT",
+    "INT128",
+    "UINT128",
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+)
+
+
+def lint_oracles(con, queries) -> list[str]:
+    """DESCRIBE every registered oracle through DuckDB and return
+    "name: column TYPE" strings for any output column whose dtype Spark
+    cannot emit.  Pure metadata — no query execution."""
+    problems = []
+    for name, q in queries.items():
+        if q.oracle is None:
+            continue
+        try:
+            rows = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{name}: DESCRIBE failed: {e}")
+            continue
+        for col, ctype, *_ in rows:
+            up = str(ctype).upper()
+            if any(b in up for b in _BANNED_DUCK_TYPES):
+                problems.append(f"{name}: column {col} has dtype {ctype}")
+    return problems
+
+
 def run(sf_dir: str, names: list[str] | None = None, plain: bool = False) -> int:
     from data_warehouse_project_spark.plans import QUERIES
 
@@ -93,7 +132,13 @@ def run(sf_dir: str, names: list[str] | None = None, plain: bool = False) -> int
         )
 
     selected = names or list(QUERIES)
+    lint = lint_oracles(con, {n: QUERIES[n] for n in selected})
     failures = 0
+    if lint:
+        failures += len(lint)
+        print("oracle dtype lint FAILURES (Spark cannot emit these dtypes):")
+        for p in lint:
+            print(f"  ✗ {p}")
     for name in selected:
         q = QUERIES[name]
         try:
@@ -121,10 +166,31 @@ def run(sf_dir: str, names: list[str] | None = None, plain: bool = False) -> int
     return failures
 
 
+def lint_only(sf_dir: str) -> int:
+    """Lint every registered oracle's output dtypes — no Spark session."""
+    from data_warehouse_project_spark.plans import QUERIES
+    from data_warehouse_project_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    problems = lint_oracles(con, QUERIES)
+    for p in problems:
+        print(f"  ✗ {p}")
+    n_oracles = sum(1 for q in QUERIES.values() if q.oracle is not None)
+    print(f"dtype lint: {n_oracles - len(problems)}/{n_oracles} oracles clean")
+    return len(problems)
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     plain = "--plain" in args
-    args = [a for a in args if a != "--plain"]
+    lint_flag = "--lint" in args
+    args = [a for a in args if a not in ("--plain", "--lint")]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or None
+    if lint_flag:
+        sys.exit(1 if lint_only(sf_dir) else 0)
     sys.exit(1 if run(sf_dir, names, plain=plain) else 0)
