@@ -3,12 +3,14 @@ pipelines: opaque ``binary`` payloads + typed metadata, processed with
 Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is fully real — schema, partition-preserving
-batch iteration, bounded batch sizes — and so is the codec for the
-documented RAWM container format below: real numpy decode, real
-per-channel statistics, real strided resize, real PCM duration math,
-real frame sampling. What stays stubbed (honestly) is COMPRESSED
-real-world codecs (JPEG/PNG/MP3/H.264): this container has no
-image/audio libraries, so unknown payloads either raise
+batch iteration, bounded batch sizes — and so are the codecs: the
+documented RAWM container format below (real numpy decode, per-channel
+statistics, strided resize, PCM duration math, frame sampling) AND
+baseline-sequential JPEG via the pure-numpy T.81 implementation in
+``sources/jpeg.py`` (real Huffman + IDCT decode — the format most
+training corpora actually carry). What stays stubbed (honestly) is the
+remaining compressed codecs (PNG/MP3/H.264/progressive JPEG): this
+container has no media libraries, so those payloads either raise
 ``NotImplementedError`` (strict mode) or fall back to deterministic
 digest-derived pseudo-features (test mode). Swapping in PIL/pyav
 changes only ``_decode_unknown``.
@@ -178,16 +180,34 @@ def _decode_rawm(payload: bytes) -> dict:
     raise ValueError(f"unknown RAWM kind {kind}")
 
 
+def _decode_jpeg_payload(payload: bytes) -> dict:
+    """Real JPEG decode via the pure-numpy baseline codec
+    (sources/jpeg.py): genuine width/height and the same
+    quadrant/channel features RAWM images get."""
+    from data_warehouse_project_spark.sources.jpeg import decode_jpeg
+
+    a = decode_jpeg(payload)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    return {
+        "width": int(a.shape[1]),
+        "height": int(a.shape[0]),
+        "duration_ms": None,
+        "feature": _image_feature(a),
+    }
+
+
 def _decode_unknown(media_type: str, payload: bytes, strict: bool) -> dict:
-    """Compressed real-world codecs (JPEG/MP3/H.264...) need external
-    libraries that this environment does not have. Strict mode refuses;
-    test mode produces deterministic digest-derived pseudo-features so
-    pipeline plumbing stays testable with arbitrary bytes."""
+    """Codecs beyond RAWM + baseline JPEG (MP3/H.264/progressive
+    JPEG...) need external libraries this environment does not have.
+    Strict mode refuses; test mode produces deterministic
+    digest-derived pseudo-features so pipeline plumbing stays testable
+    with arbitrary bytes."""
     if strict:
         raise NotImplementedError(
-            "compressed media codecs are not available in this environment; "
-            "plug a real decoder into sources.multimodal._decode_unknown "
-            "(RAWM payloads decode for real regardless)"
+            "no decoder for this payload in this environment (RAWM and "
+            "baseline JPEG decode for real; others need an external "
+            "codec plugged into sources.multimodal._decode_unknown)"
         )
     digest = hashlib.sha256(payload or b"").digest()
     return {
@@ -203,6 +223,17 @@ def _decode_unknown(media_type: str, payload: bytes, strict: bool) -> dict:
 def _decode_one(media_type: str, payload: bytes, strict: bool) -> dict:
     if payload[:4] == MAGIC and len(payload) > 5:
         return _decode_rawm(payload)
+    if payload[:3] == b"\xff\xd8\xff":  # JPEG SOI
+        from data_warehouse_project_spark.sources.jpeg import (
+            JpegError,
+            UnsupportedJpegError,
+        )
+
+        try:
+            return _decode_jpeg_payload(payload)
+        except (UnsupportedJpegError, JpegError):
+            # non-baseline or corrupt: fall through to the policy path
+            return _decode_unknown(media_type, payload, strict)
     return _decode_unknown(media_type, payload, strict)
 
 
