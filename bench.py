@@ -51,16 +51,38 @@ def main() -> None:
 
     # Full medallion ETL (reference headline metric: 4.171s at 80k rows,
     # BASELINE.md) — cold warehouse, all 10 stages, includes all writes.
-    etl_trials = []
-    for _ in range(2):
-        wh_root = tempfile.mkdtemp(prefix="bench_wh_")
-        try:
-            t0 = time.perf_counter()
-            run_full_etl(spark, sf_dir, wh_root)
-            etl_trials.append(time.perf_counter() - t0)
-        finally:
-            shutil.rmtree(wh_root, ignore_errors=True)
-    timings["etl_full_pipeline"] = round(min(etl_trials), 3)
+    # Both SCD maintenance paths are timed (the merge path had no bench
+    # coverage before r5, so its perf could silently regress); the min
+    # trial's per-stage breakdown goes to stderr + bench_stages.json so
+    # a regression localizes to a stage instead of a total.
+    stage_tables: dict[str, dict[str, float]] = {}
+    for label, strategy in (
+        ("etl_full_pipeline", "snapshot"),
+        ("etl_full_pipeline_merge", "merge"),
+    ):
+        etl_trials = []
+        for _ in range(2):
+            wh_root = tempfile.mkdtemp(prefix="bench_wh_")
+            try:
+                t0 = time.perf_counter()
+                stages = run_full_etl(spark, sf_dir, wh_root, scd_strategy=strategy)
+                dt = time.perf_counter() - t0
+                if not etl_trials or dt < min(etl_trials):
+                    stage_tables[label] = {
+                        k: round(v, 3) for k, v in stages.items()
+                    }
+                etl_trials.append(dt)
+            finally:
+                shutil.rmtree(wh_root, ignore_errors=True)
+        timings[label] = round(min(etl_trials), 3)
+
+    import sys
+
+    with open("bench_stages.json", "w") as f:
+        json.dump(stage_tables, f, indent=1, sort_keys=True)
+    for label, stages in stage_tables.items():
+        print(f"[stages] {label}: {json.dumps(stages, sort_keys=True)}",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

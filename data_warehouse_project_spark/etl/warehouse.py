@@ -260,6 +260,54 @@ class Warehouse:
         shutil.rmtree(tmp, ignore_errors=True)
         return n
 
+    def vacuum(self) -> dict[str, int]:
+        """Clean up scratch state left by interrupted writes, restoring
+        before removing:
+
+        - a ``.X.old-*`` snapshot (table- or partition-level) whose live
+          ``X`` is missing marks a crash between the two renames of a
+          swap — it is the ONLY copy, so it is renamed back into place;
+        - a ``.old`` with a live twin, and any ``.tmp-/.append-/.pmerge-``
+          dir, is garbage from before the atomic rename — removed.
+
+        Run at warehouse open or on a janitor schedule (the moral
+        equivalent of lakehouse VACUUM, minus data-retention windows —
+        plain parquet has no time travel to preserve).
+        """
+        import re
+
+        scratch = re.compile(r"\.(tmp|append|pmerge)-[0-9a-f]{8}$")
+        restored = removed = 0
+        for layer in LAYERS:
+            ldir = self.root / layer
+            if not ldir.exists():
+                continue
+            for entry in sorted(ldir.iterdir()):
+                if not entry.name.startswith("."):
+                    if entry.is_dir():  # partition-level orphans inside
+                        for orphan in sorted(entry.glob(".*.old-*")):
+                            live = entry / orphan.name[1:].rsplit(".old-", 1)[0]
+                            if live.exists():
+                                shutil.rmtree(orphan, ignore_errors=True)
+                                removed += 1
+                            else:
+                                orphan.rename(live)
+                                restored += 1
+                    continue
+                stem = entry.name[1:]
+                if ".old-" in stem:
+                    live = ldir / stem.rsplit(".old-", 1)[0]
+                    if live.exists():
+                        shutil.rmtree(entry, ignore_errors=True)
+                        removed += 1
+                    else:
+                        entry.rename(live)
+                        restored += 1
+                elif scratch.search(stem):
+                    shutil.rmtree(entry, ignore_errors=True)
+                    removed += 1
+        return {"restored": restored, "removed": removed}
+
     def compact(
         self,
         layer: str,

@@ -63,6 +63,7 @@ def bucketed_prefix_sum(
     val_col: str,
     out_col: str,
     bucket: Column,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = inclusive running SUM(``val_col``) over the
     total order ``order_by``, computed with NO sf-proportional
@@ -72,11 +73,16 @@ def bucketed_prefix_sum(
     (build it with ``range_bucket`` on the leading order key). Rows
     with equal bucket ids are ordered by the within-bucket window, so
     ``order_by`` must still be a total order for reproducibility.
+
+    ``total_col``: also attach the grand total SUM(``val_col``) — free
+    here (one more window over the bounded bucket-totals frame, carried
+    by the same broadcast join), where a caller-side ``agg`` would cost
+    a second full scan of ``df``'s lineage.
     """
     b = df.withColumn("__pb", bucket)
     totals = b.groupBy("__pb").agg(F.sum(val_col).alias("__pbsum"))
-    # exclusive running sum over the one-row-per-bucket frame: bounded
-    # model state; single_group declares the intentional one-task pass
+    # running sums over the one-row-per-bucket frame: bounded model
+    # state; single_group declares the intentional one-task pass
     off_w = (
         Window.partitionBy(single_group(F.col("__pb")))
         .orderBy("__pb")
@@ -85,14 +91,18 @@ def bucketed_prefix_sum(
     offs = totals.select(
         "__pb",
         F.coalesce(F.sum("__pbsum").over(off_w), F.lit(0)).alias("__poff"),
+        F.sum("__pbsum")
+        .over(Window.partitionBy(single_group(F.col("__pb"))))
+        .alias("__ptot"),
     )
     in_w = (
         Window.partitionBy("__pb")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        b.join(F.broadcast(offs), "__pb")
-        .withColumn(out_col, F.sum(val_col).over(in_w) + F.col("__poff"))
-        .drop("__pb", "__poff")
+    out = b.join(F.broadcast(offs), "__pb").withColumn(
+        out_col, F.sum(val_col).over(in_w) + F.col("__poff")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__ptot"))
+    return out.drop("__pb", "__poff", "__ptot")

@@ -592,9 +592,8 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_col="rev_cents",
         out_col="cum_cents",
         bucket=range_bucket(F.col("rev_cents"), 10_000_000, descending=True),
+        total_col="total_cents",  # free from the bucket-totals frame
     )
-    total = rev.agg(F.sum("rev_cents").alias("total_cents"))
-    ranked = ranked.crossJoin(F.broadcast(total))
     classed = ranked.withColumn(
         "abc_class",
         F.when(F.col("cum_cents") * 10 <= F.col("total_cents") * 8, "A")

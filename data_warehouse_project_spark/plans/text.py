@@ -744,6 +744,7 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ones are probed via the stored band table.",
     tags=("text", "dedup", "lsh", "incremental"),
     eager=True,
+    bench=True,
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

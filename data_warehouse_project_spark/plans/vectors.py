@@ -305,6 +305,7 @@ def _register_lsh_ann() -> None:
         "ann_lsh_incremental",
         oracle=oracle,
         eager=True,
+        bench=True,
         doc="Incremental ANN admission vs the one-shot oracle: vectors "
         "are fed to operators/similarity.VectorLSHIndex in two batches "
         "(even then odd vec_ids), then the SAME top-k probe runs against "

@@ -315,3 +315,33 @@ def test_overwrite_partitions_contract(spark, tmp_path):
     wh.overwrite_partitions(only_a, "bl_dm", "t", "k", values=["a", "c"])
     got = {(r["k"], r["v"]) for r in wh.read("bl_dm", "t").collect()}
     assert got == {("a", 100), ("b", 20), ("b", 21)}
+
+
+def test_vacuum_restores_and_removes(spark, tmp_path):
+    """Interrupted-write recovery: a .old snapshot whose live dir is
+    missing is the only copy — vacuum renames it back; completed-swap
+    garbage and scratch dirs are removed."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    wh.append(df, "bl_dm", "t", partition_by=["k"])
+
+    tdir = wh.path("bl_dm", "t")
+    # simulate a crash between the two renames of a partition swap:
+    (tdir / "k=a").rename(tdir / ".k=a.old-deadbeef")
+    # completed-swap garbage next to a live partition:
+    (tdir / ".k=b.old-cafebabe").mkdir()
+    # table-level scratch from an interrupted append:
+    (tdir.parent / ".t.append-12345678").mkdir()
+    # table-level crash between overwrite renames (live table 'u' missing):
+    (tdir.parent / ".u.old-00000000").mkdir()
+    (tdir.parent / ".u.old-00000000" / "part-x.parquet").touch()
+
+    stats = wh.vacuum()
+    assert stats == {"restored": 2, "removed": 2}
+    got = {(r["k"], r["v"]) for r in wh.read("bl_dm", "t").collect()}
+    assert got == {("a", 1), ("b", 2)}  # k=a restored
+    assert wh.exists("bl_dm", "u")  # table-level snapshot restored
+    assert not (tdir.parent / ".t.append-12345678").exists()
+    assert not (tdir / ".k=b.old-cafebabe").exists()
+    # idempotent second pass
+    assert wh.vacuum() == {"restored": 0, "removed": 0}

@@ -1,0 +1,87 @@
+"""bucketed_prefix_sum (operators/prefix.py): exact equivalence with a
+global ordered window — the property that lets sf-proportional
+cumulative queries drop their single-partition window."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.operators.prefix import (
+    bucketed_prefix_sum,
+    range_bucket,
+    single_group,
+)
+
+
+def _global_reference(df, order_by, val_col):
+    w = (
+        Window.partitionBy(single_group(F.col(val_col)))
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("want", F.sum(val_col).over(w))
+
+
+def _check(spark, rows, width, descending):
+    df = spark.createDataFrame(rows, "k bigint, v bigint").repartition(8)
+    order = [F.desc("v") if descending else F.asc("v"), F.asc("k")]
+    got = bucketed_prefix_sum(
+        df,
+        order_by=order,
+        val_col="v",
+        out_col="cum",
+        bucket=range_bucket(F.col("v"), width, descending=descending),
+        total_col="tot",
+    )
+    want = _global_reference(df, order, "v")
+    joined = got.join(want, ["k", "v"]).collect()
+    assert len(joined) == len(rows)
+    total = sum(v for _, v in rows)
+    for r in joined:
+        assert r["cum"] == r["want"], (r["k"], r["v"], r["cum"], r["want"])
+        assert r["tot"] == total
+
+
+def test_matches_global_window_asc_and_desc(spark):
+    rows = [(i, (i * 37) % 100) for i in range(500)]
+    _check(spark, rows, width=10, descending=False)
+    _check(spark, rows, width=10, descending=True)
+
+
+def test_duplicates_negatives_and_tiny_width(spark):
+    # heavy ties (all values from a 5-element set, incl. negatives) and
+    # width=1 → one bucket per distinct value; ties break by k
+    rows = [(i, [-7, 0, 3, 3, 11][i % 5]) for i in range(200)]
+    _check(spark, rows, width=1, descending=False)
+    _check(spark, rows, width=1, descending=True)
+
+
+def test_single_bucket_degenerate(spark):
+    # width larger than the whole range → one bucket: degrades to the
+    # plain global window, still exact
+    rows = [(i, (i * 13) % 50) for i in range(100)]
+    _check(spark, rows, width=10_000, descending=True)
+
+
+def test_no_sf_proportional_single_partition(spark):
+    """The executed plan's only constant-key exchanges carry the
+    bounded bucket-totals frame, never the data: every window in the
+    plan is partitioned (by __pb or by the non-foldable constant over
+    the totals frame)."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    out = bucketed_prefix_sum(
+        df, [F.asc("v"), F.asc("k")], "v", "cum",
+        range_bucket(F.col("v"), 10),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "windowspecdefinition(" in line
+            spec = line.split("windowspecdefinition(")[1]
+            # partition spec is non-empty: first element before the
+            # ORDER BY direction marker must reference a column
+            assert spec.split(",")[0].strip() != ""
+    assert "Exchange SinglePartition" not in plan

@@ -40,7 +40,6 @@ ALLOW_NESTED_LOOP = {
     "pagerank_update_step",  # 1-row node-count broadcast cross
     "rfm_segments",  # 1-row global-max-day + 1-row quartile-boundary crosses
     "basket_lift_pairs",  # 1-row order-count broadcast cross
-    "abc_classification_parts",  # 1-row grand-total broadcast cross
 }
 
 EXPECT_BROADCAST = [
@@ -176,6 +175,33 @@ def audit(sf_dir: str) -> int:
                 print(f"✗ {name}: data funnels through one task (line {i})")
                 failures += 1
                 break
+
+    # incremental-index admission plans (the eager queries are excluded
+    # from the generic loops above, so their operators get explicit
+    # budgets here, built lazily without running an admission):
+    # - dedup: shingle distinct + minhash groupBy must SHARE one doc_id
+    #   shuffle (a second exchange means Catalyst stopped reusing the
+    #   partitioning)
+    # - vectors: signature banding is a pure projection — zero shuffles
+    from data_warehouse_project_spark.catalog import table as _cat_table
+    from data_warehouse_project_spark.operators.dedup_index import (
+        band_rows,
+        shingles_of,
+    )
+    from data_warehouse_project_spark.operators.similarity import band_rows_of
+
+    docs = _cat_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _cat_table(spark, sf_dir, "embeddings")
+    for label, df, budget in (
+        ("minhash_index_admission", band_rows(shingles_of(docs)), 1),
+        ("vector_index_admission", band_rows_of(emb), 0),
+    ):
+        got = (
+            df._jdf.queryExecution().executedPlan().toString().count("Exchange ")
+        )
+        if got > budget:
+            print(f"✗ {label}: {got} Exchange nodes (budget {budget})")
+            failures += 1
 
     # column pruning: q1 must scan exactly its 2 aggregate columns
     p = plan_of("q1_fact_totals")
