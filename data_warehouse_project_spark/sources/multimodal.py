@@ -3,17 +3,22 @@ pipelines: opaque ``binary`` payloads + typed metadata, processed with
 Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is fully real — schema, partition-preserving
-batch iteration, bounded batch sizes — and so are the codecs: the
-documented RAWM container format below (real numpy decode, per-channel
-statistics, strided resize, PCM duration math, frame sampling) AND
-baseline-sequential JPEG via the pure-numpy T.81 implementation in
-``sources/jpeg.py`` (real Huffman + IDCT decode — the format most
-training corpora actually carry). What stays stubbed (honestly) is the
-remaining compressed codecs (PNG/MP3/H.264/progressive JPEG): this
-container has no media libraries, so those payloads either raise
-``NotImplementedError`` (strict mode) or fall back to deterministic
-digest-derived pseudo-features (test mode). Swapping in PIL/pyav
-changes only ``_decode_unknown``.
+batch iteration, bounded batch sizes — and so are the codecs:
+
+- the documented RAWM container format below (real numpy decode,
+  per-channel statistics, strided resize, PCM duration math, frame
+  sampling);
+- baseline-sequential JPEG via the pure-numpy T.81 implementation in
+  ``sources/jpeg.py`` (real Huffman + IDCT — the format most training
+  corpora actually carry);
+- PNG via ``sources/png.py`` (stdlib zlib + full scanline unfiltering);
+- RIFF/WAVE PCM via ``sources/wav.py`` (8/16/24/32-bit int + float32).
+
+What stays stubbed (honestly) is codecs that genuinely need external
+libraries (MP3/AAC/H.264/progressive JPEG/ADPCM): those payloads either
+raise ``NotImplementedError`` (strict mode) or fall back to
+deterministic digest-derived pseudo-features (test mode). Swapping in
+PIL/pyav changes only ``_decode_unknown``.
 
 RAWM container layout (little-endian), the uncompressed interchange
 format the pipeline uses between stages:
@@ -197,17 +202,49 @@ def _decode_jpeg_payload(payload: bytes) -> dict:
     }
 
 
+def _decode_png_payload(payload: bytes) -> dict:
+    from data_warehouse_project_spark.sources.png import decode_png
+
+    a = decode_png(payload)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] == 4:  # drop alpha for the feature contract
+        a = a[:, :, :3]
+    return {
+        "width": int(a.shape[1]),
+        "height": int(a.shape[0]),
+        "duration_ms": None,
+        "feature": _image_feature(a),
+    }
+
+
+def _decode_wav_payload(payload: bytes) -> dict:
+    from data_warehouse_project_spark.sources.wav import decode_wav
+
+    rate, a = decode_wav(payload)
+    mono = a.mean(axis=1) * 32768.0  # same int16-scale RMS as RAWM audio
+    seg = np.array_split(mono, FEATURE_DIM)
+    feat = [float(np.sqrt(np.mean(x * x))) if x.size else 0.0 for x in seg]
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": int(a.shape[0] * 1000 // rate) if rate else 0,
+        "feature": feat,
+    }
+
+
 def _decode_unknown(media_type: str, payload: bytes, strict: bool) -> dict:
-    """Codecs beyond RAWM + baseline JPEG (MP3/H.264/progressive
-    JPEG...) need external libraries this environment does not have.
-    Strict mode refuses; test mode produces deterministic
-    digest-derived pseudo-features so pipeline plumbing stays testable
-    with arbitrary bytes."""
+    """Codecs beyond RAWM + baseline JPEG + PNG + PCM WAV (MP3/H.264/
+    progressive JPEG/ADPCM...) need external libraries this environment
+    does not have. Strict mode refuses; test mode produces
+    deterministic digest-derived pseudo-features so pipeline plumbing
+    stays testable with arbitrary bytes."""
     if strict:
         raise NotImplementedError(
-            "no decoder for this payload in this environment (RAWM and "
-            "baseline JPEG decode for real; others need an external "
-            "codec plugged into sources.multimodal._decode_unknown)"
+            "no decoder for this payload in this environment (RAWM, "
+            "baseline JPEG, PNG and PCM WAV decode for real; others "
+            "need an external codec plugged into "
+            "sources.multimodal._decode_unknown)"
         )
     digest = hashlib.sha256(payload or b"").digest()
     return {
@@ -224,15 +261,26 @@ def _decode_one(media_type: str, payload: bytes, strict: bool) -> dict:
     if payload[:4] == MAGIC and len(payload) > 5:
         return _decode_rawm(payload)
     if payload[:3] == b"\xff\xd8\xff":  # JPEG SOI
-        from data_warehouse_project_spark.sources.jpeg import (
-            JpegError,
-            UnsupportedJpegError,
-        )
+        from data_warehouse_project_spark.sources.jpeg import JpegError
 
         try:
             return _decode_jpeg_payload(payload)
-        except (UnsupportedJpegError, JpegError):
+        except JpegError:
             # non-baseline or corrupt: fall through to the policy path
+            return _decode_unknown(media_type, payload, strict)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from data_warehouse_project_spark.sources.png import PngError
+
+        try:
+            return _decode_png_payload(payload)
+        except PngError:
+            return _decode_unknown(media_type, payload, strict)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from data_warehouse_project_spark.sources.wav import WavError
+
+        try:
+            return _decode_wav_payload(payload)
+        except WavError:
             return _decode_unknown(media_type, payload, strict)
     return _decode_unknown(media_type, payload, strict)
 

@@ -1,0 +1,170 @@
+"""PNG (sources/png.py) and RIFF/WAVE PCM (sources/wav.py) codecs:
+lossless round-trips across every scanline filter / sample format, and
+the strict-mode Spark path for real payloads."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from data_warehouse_project_spark.sources.multimodal import (
+    extract_media_features,
+    media_schema,
+)
+from data_warehouse_project_spark.sources.png import (
+    PngError,
+    UnsupportedPngError,
+    decode_png,
+    encode_png,
+)
+from data_warehouse_project_spark.sources.wav import (
+    UnsupportedWavError,
+    WavError,
+    decode_wav,
+    encode_wav,
+)
+
+
+def _img(h, w, c, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, c) if c else (h, w), np.uint8)
+
+
+# ------------------------------------------------------------------- png
+
+
+def test_png_lossless_all_filters():
+    """PNG is lossless: every filter type must reproduce the exact
+    pixels — this exercises all five unfilter paths on random data."""
+    img = _img(21, 17, 3)
+    for ft in range(5):
+        out = decode_png(encode_png(img, filter_type=ft))
+        assert (out == img).all(), f"filter {ft} not lossless"
+
+
+def test_png_gray_rgba_palette_16bit():
+    gray = _img(9, 13, 0)
+    assert (decode_png(encode_png(gray)) == gray).all()
+    rgba = _img(8, 8, 4)
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+
+    # hand-built palette image: 4 colors, 2x2
+    import zlib
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    idat = zlib.compress(b"\x00\x00\x01" + b"\x00\x02\x03")
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (2, 2, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0) and tuple(out[1, 1]) == (7, 7, 7)
+
+    # hand-built 16-bit gray: high byte kept on downscale
+    row = struct.pack(">HH", 0xABCD, 0x0102)
+    idat16 = zlib.compress(b"\x00" + row)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", idat16)
+        + chunk(b"IEND", b"")
+    )
+    out16 = decode_png(png16)
+    assert out16.shape == (1, 2) and out16[0, 0] == 0xAB and out16[0, 1] == 0x01
+
+
+def test_png_rejects_interlace_and_corrupt():
+    img = _img(8, 8, 3)
+    b = bytearray(encode_png(img))
+    # IHDR payload starts at offset 16; interlace flag is its last byte
+    assert b[12:16] == b"IHDR"
+    b[16 + 12] = 1
+    with pytest.raises(UnsupportedPngError):
+        decode_png(bytes(b))
+    with pytest.raises(PngError):
+        decode_png(b"not a png")
+    with pytest.raises(PngError):
+        decode_png(encode_png(img)[:30])
+
+
+# ------------------------------------------------------------------- wav
+
+
+def test_wav_roundtrip_16bit():
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, out = decode_wav(encode_wav(8000, mono))
+    assert rate == 8000 and out.shape == (8000, 1)
+    assert np.abs(out[:, 0] - mono).max() < 1e-3  # 16-bit quantization
+
+    stereo = np.stack([mono, -mono], axis=1)
+    rate, out = decode_wav(encode_wav(8000, stereo))
+    assert out.shape == (8000, 2)
+    assert np.abs(out - stereo).max() < 1e-3
+
+
+def test_wav_sample_formats():
+    import struct as st
+
+    def wav(tag, bits, payload, nch=1, rate=1000):
+        fmt = st.pack("<HHIIHH", tag, nch, rate, rate * nch * bits // 8,
+                      nch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(payload)) + payload)
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    # 8-bit unsigned: 128 is silence, 255 ~ +1
+    rate, a = decode_wav(wav(1, 8, bytes([128, 255, 0])))
+    assert abs(a[0, 0]) < 1e-6 and a[1, 0] > 0.98 and a[2, 0] < -0.99
+    # 24-bit: max positive
+    rate, a = decode_wav(wav(1, 24, b"\xff\xff\x7f" + b"\x00\x00\x80"))
+    assert a[0, 0] > 0.999 and a[1, 0] == -1.0
+    # float32 passthrough
+    rate, a = decode_wav(wav(3, 32, st.pack("<2f", 0.25, -0.75)))
+    assert a[0, 0] == 0.25 and a[1, 0] == -0.75
+    # ADPCM refused
+    with pytest.raises(UnsupportedWavError):
+        decode_wav(wav(2, 4, b"\x00\x00"))
+    with pytest.raises(WavError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+# ------------------------------------------------- strict-mode Spark path
+
+
+def test_png_wav_end_to_end_strict_spark(spark):
+    flat = np.zeros((10, 20, 3), np.uint8)
+    flat[:] = (10, 20, 30)
+    square = np.full(4000, 0.5)  # 2s at 2kHz, RMS 0.5
+    rows = [
+        (1, "image", encode_png(flat, filter_type=4), "mem://a.png"),
+        (2, "audio", encode_wav(2000, square), "mem://b.wav"),
+    ]
+    out = (
+        extract_media_features(
+            spark.createDataFrame(rows, media_schema()), strict=True
+        )
+        .orderBy("media_id")
+        .collect()
+    )
+    png_row, wav_row = out
+    assert (png_row["width"], png_row["height"]) == (20, 10)
+    assert abs(png_row["feature"][0] - 20.0) < 1e-3  # gray mean of (10,20,30)
+    assert abs(png_row["feature"][4] - 10.0) < 1e-3
+    assert wav_row["duration_ms"] == 2000
+    # int16-scale RMS of a 0.5 constant ~ 16384
+    assert all(abs(f - 16384.0) < 40 for f in wav_row["feature"])
