@@ -969,6 +969,11 @@ def run_full_etl(
     path for low-churn dimensions.
     """
     wh = Warehouse(spark, warehouse_root)
+    # recover any state a previous interrupted run left behind (restores
+    # orphaned .old snapshots, clears scratch dirs) before loading
+    recovered = wh.vacuum()
+    if recovered["restored"] or recovered["removed"]:
+        wh.log("vacuum", f"startup recovery: {recovered}", 0)
     run_ts = run_ts or dt.datetime.now()
     timings: dict[str, float] = {}
 
