@@ -970,7 +970,8 @@ def run_full_etl(
     """
     wh = Warehouse(spark, warehouse_root)
     # recover any state a previous interrupted run left behind (restores
-    # orphaned .old snapshots, clears scratch dirs) before loading
+    # orphaned .old snapshots, clears scratch dirs) before loading; the
+    # default age guard keeps this safe if another writer shares the root
     recovered = wh.vacuum()
     if recovered["restored"] or recovered["removed"]:
         wh.log("vacuum", f"startup recovery: {recovered}", 0)

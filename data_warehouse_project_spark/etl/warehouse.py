@@ -260,7 +260,7 @@ class Warehouse:
         shutil.rmtree(tmp, ignore_errors=True)
         return n
 
-    def vacuum(self) -> dict[str, int]:
+    def vacuum(self, min_age_s: float = 3600.0) -> dict[str, int]:
         """Clean up scratch state left by interrupted writes, restoring
         before removing:
 
@@ -270,14 +270,26 @@ class Warehouse:
         - a ``.old`` with a live twin, and any ``.tmp-/.append-/.pmerge-``
           dir, is garbage from before the atomic rename — removed.
 
-        Run at warehouse open or on a janitor schedule (the moral
-        equivalent of lakehouse VACUUM, minus data-retention windows —
-        plain parquet has no time travel to preserve).
+        ``min_age_s``: only touch entries whose mtime is at least this
+        old. The default (1 hour) makes a startup/janitor vacuum safe
+        when another writer might be mid-write in the same root — a
+        LIVE scratch dir is always younger than the guard, while a
+        crashed run's leftovers age past it. Pass 0 only when the
+        caller knows it is the exclusive writer (tests, manual repair).
         """
         import re
+        import time
 
+        cutoff = time.time() - min_age_s
         scratch = re.compile(r"\.(tmp|append|pmerge)-[0-9a-f]{8}$")
         restored = removed = 0
+
+        def _old_enough(p: Path) -> bool:
+            try:
+                return p.stat().st_mtime <= cutoff
+            except OSError:
+                return False  # vanished concurrently — leave it alone
+
         for layer in LAYERS:
             ldir = self.root / layer
             if not ldir.exists():
@@ -286,6 +298,8 @@ class Warehouse:
                 if not entry.name.startswith("."):
                     if entry.is_dir():  # partition-level orphans inside
                         for orphan in sorted(entry.glob(".*.old-*")):
+                            if not _old_enough(orphan):
+                                continue
                             live = entry / orphan.name[1:].rsplit(".old-", 1)[0]
                             if live.exists():
                                 shutil.rmtree(orphan, ignore_errors=True)
@@ -293,6 +307,8 @@ class Warehouse:
                             else:
                                 orphan.rename(live)
                                 restored += 1
+                    continue
+                if not _old_enough(entry):
                     continue
                 stem = entry.name[1:]
                 if ".old-" in stem:

@@ -39,11 +39,15 @@ def with_surrogate_keys(
     """
     if dense:
         # constant-valued partition key == the same one-task global sort,
-        # minus the WindowExec warning; documented tiny-frame-only
+        # minus the WindowExec warning; documented tiny-frame-only.
+        # Keyed off the batch's first column, NOT order_by[0] — an
+        # order_by entry may be a SortOrder (F.desc(...)), which cannot
+        # feed a hash function
         from data_warehouse_project_spark.operators.prefix import single_group
 
-        lead = order_by[0] if isinstance(order_by[0], Column) else F.col(order_by[0])
-        w = Window.partitionBy(single_group(lead)).orderBy(*order_by)
+        w = Window.partitionBy(single_group(F.col(batch.columns[0]))).orderBy(
+            *order_by
+        )
         sk = (F.row_number().over(w) + F.lit(start_at - 1)).cast("bigint")
     else:
         # sparse but fully parallel: stable only within one run

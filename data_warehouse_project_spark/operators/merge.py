@@ -54,6 +54,44 @@ from data_warehouse_project_spark.operators.scd import scd1_upsert, scd2_apply
 BUCKET_COL = "__bucket"
 DEFAULT_BUCKETS = 32
 
+# Layout contract: a bucketed dimension is only mergeable by code that
+# computes the SAME key->bucket map it was written with. The marker file
+# (underscore-prefixed: invisible to _data_files and Spark) records the
+# hash scheme + bucket count; scd*_merge refuses a dimension whose
+# marker is absent (pre-versioned layout) or different — without this,
+# a scheme change (e.g. r5's dtype-normalizing string-hash) would read
+# the wrong buckets and silently duplicate keys across bucket dirs.
+_LAYOUT_FILE = "_bucket_layout.json"
+_LAYOUT_SCHEME = "xxhash64-str-v2"
+
+
+def _write_layout(wh: Warehouse, layer: str, name: str, n_buckets: int) -> None:
+    import json
+
+    (wh.path(layer, name) / _LAYOUT_FILE).write_text(
+        json.dumps({"scheme": _LAYOUT_SCHEME, "n_buckets": n_buckets})
+    )
+
+
+def _check_layout(wh: Warehouse, layer: str, name: str, n_buckets: int) -> None:
+    import json
+
+    p = wh.path(layer, name) / _LAYOUT_FILE
+    if not p.exists():
+        raise ValueError(
+            f"{layer}.{name} carries no bucket-layout marker — it was "
+            "written under a pre-versioned or foreign bucketing scheme; "
+            "rebuild it via the snapshot path (full overwrite) before "
+            "partition-scoped merging"
+        )
+    meta = json.loads(p.read_text())
+    if meta.get("scheme") != _LAYOUT_SCHEME or meta.get("n_buckets") != n_buckets:
+        raise ValueError(
+            f"{layer}.{name} bucket layout {meta} != current "
+            f"({_LAYOUT_SCHEME}, n_buckets={n_buckets}); rebuild via the "
+            "snapshot path before merging"
+        )
+
 
 def bucket_expr(key: str, n_buckets: int) -> Column:
     """Stable key→bucket assignment. xxhash64 is deterministic across
@@ -123,12 +161,14 @@ def scd1_merge(
         snap = scd1_upsert(None, updates, key, tracked, change_order, run_ts=run_ts)
         snap = snap.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
         n = wh.overwrite(snap, layer, name, partition_by=[BUCKET_COL])
+        _write_layout(wh, layer, name, n_buckets)
         return {
             "rows_written": n,
             "buckets_touched": n_buckets,
             "buckets_total": n_buckets,
         }
 
+    _check_layout(wh, layer, name, n_buckets)
     _check_key_dtype(wh.read(layer, name), updates, key)
     touched = _touched_buckets(updates, key, n_buckets)
     if not touched:
@@ -165,12 +205,14 @@ def scd2_merge(
         )
         dim = dim.withColumn(BUCKET_COL, bucket_expr(key, n_buckets))
         n = wh.overwrite(dim, layer, name, partition_by=[BUCKET_COL])
+        _write_layout(wh, layer, name, n_buckets)
         return {
             "rows_written": n,
             "buckets_touched": n_buckets,
             "buckets_total": n_buckets,
         }
 
+    _check_layout(wh, layer, name, n_buckets)
     _check_key_dtype(wh.read(layer, name), updates, key)
     touched = _touched_buckets(updates, key, n_buckets)
     if not touched:

@@ -34,11 +34,14 @@ def single_group(col: Column) -> Column:
     xxhash64(col), 1)`` == 0 for every row, yet Catalyst cannot
     constant-fold it away (a bare ``lit(0)`` partition key is eliminated
     by the optimizer, reintroducing WindowExec's global-window warning —
-    verified empirically on Spark 4.1). Use ONLY for windows over frames
-    bounded by a constant (day-grain or n_buckets-row aggregates): the
-    execution is still one task; this just declares that intent so real
-    unbounded global windows stand out in logs."""
-    return F.pmod(F.xxhash64(col), F.lit(1))
+    verified empirically on Spark 4.1). The coalesce keeps NULL inputs
+    in the same single group (xxhash64(NULL) is NULL, which would
+    otherwise split the frame into a second partition). Use ONLY for
+    windows over frames bounded by a constant (day-grain or
+    n_buckets-row aggregates): the execution is still one task; this
+    just declares that intent so real unbounded global windows stand
+    out in logs."""
+    return F.pmod(F.coalesce(F.xxhash64(col), F.lit(0)), F.lit(1))
 
 
 def range_bucket(col: Column, width: int | float, descending: bool = False) -> Column:
@@ -52,9 +55,16 @@ def range_bucket(col: Column, width: int | float, descending: bool = False) -> C
     processed n_buckets-way parallel. Monotonicity — not boundary
     placement — is what correctness needs, so double rounding in the
     division is harmless.
+
+    NULL keys land in the sentinel bucket matching Spark's default
+    NULL sort position (ASC → NULLS FIRST → smallest id; DESC → NULLS
+    LAST → largest id) — they keep their place in the total order
+    instead of being dropped by the offset equi-join.
     """
     b = F.floor(col.cast("double") / F.lit(float(width))).cast("bigint")
-    return (-b).alias("bucket") if descending else b.alias("bucket")
+    b = (-b) if descending else b
+    sentinel = F.lit((1 << 62) if descending else -(1 << 62)).cast("bigint")
+    return F.when(col.isNull(), sentinel).otherwise(b).alias("bucket")
 
 
 def bucketed_prefix_sum(
@@ -90,7 +100,11 @@ def bucketed_prefix_sum(
     )
     offs = totals.select(
         "__pb",
-        F.coalesce(F.sum("__pbsum").over(off_w), F.lit(0)).alias("__poff"),
+        # nullable by design: NULL iff no previous bucket carries a
+        # non-null value — needed to replicate SUM OVER's exact NULL
+        # semantics (the running sum is NULL only while the whole
+        # prefix frame is null-valued)
+        F.sum("__pbsum").over(off_w).alias("__poff"),
         F.sum("__pbsum")
         .over(Window.partitionBy(single_group(F.col("__pb"))))
         .alias("__ptot"),
@@ -100,9 +114,11 @@ def bucketed_prefix_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = b.join(F.broadcast(offs), "__pb").withColumn(
-        out_col, F.sum(val_col).over(in_w) + F.col("__poff")
-    )
+    in_cum = F.sum(val_col).over(in_w)
+    combined = F.when(
+        in_cum.isNull() & F.col("__poff").isNull(), F.lit(None)
+    ).otherwise(F.coalesce(in_cum, F.lit(0)) + F.coalesce(F.col("__poff"), F.lit(0)))
+    out = b.join(F.broadcast(offs), "__pb").withColumn(out_col, combined)
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__ptot"))
     return out.drop("__pb", "__poff", "__ptot")

@@ -208,8 +208,13 @@ def _decode_png_payload(payload: bytes) -> dict:
     a = decode_png(payload)
     if a.ndim == 2:
         a = a[:, :, None]
-    if a.shape[2] == 4:  # drop alpha for the feature contract
+    # drop alpha for the feature contract: RGBA -> RGB, gray+alpha ->
+    # gray (otherwise the alpha plane would pollute the gray/quadrant
+    # means and an LA image would disagree with its RGBA twin)
+    if a.shape[2] == 4:
         a = a[:, :, :3]
+    elif a.shape[2] == 2:
+        a = a[:, :, :1]
     return {
         "width": int(a.shape[1]),
         "height": int(a.shape[0]),

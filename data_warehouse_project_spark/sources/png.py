@@ -6,10 +6,13 @@ is chunk framing and scanline unfiltering:
 
 - ``decode_png``: 8-bit and 16-bit channels; color types 0 (gray),
   2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline
-  filters (None/Sub/Up/Average/Paeth) with a vectorized-per-row
-  unfilter. Interlaced (Adam7) images raise ``UnsupportedPngError``.
-  Output: uint8 array (16-bit sources are scaled down), shape (H, W)
-  or (H, W, C).
+  filters. None/Up are whole-row vectorized and Sub is a residue-class
+  cumsum; Average/Paeth are the spec's left-neighbor recurrences —
+  inherently sequential in x, run as list loops (a C-backed decoder is
+  the production swap for Paeth-heavy high-resolution corpora).
+  Interlaced (Adam7) images raise ``UnsupportedPngError``. Output:
+  uint8 array (16-bit sources are scaled down), shape (H, W) or
+  (H, W, C).
 - ``encode_png``: filter-0 scanlines + one zlib stream — a minimal but
   fully standard writer, so tests round-trip real PNG bytes and
   pipeline sinks can emit them.
@@ -51,6 +54,19 @@ def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
+    """Any structural parse failure on the untrusted byte stream
+    surfaces as ``PngError`` (``UnsupportedPngError`` for valid-but-
+    uncovered modes), never a raw numpy/struct/zlib exception — the
+    multimodal policy path catches the codec's own error types."""
+    try:
+        return _decode_impl(data)
+    except PngError:
+        raise
+    except (struct.error, ValueError, IndexError) as e:
+        raise PngError(f"corrupt PNG stream: {e}") from e
+
+
+def _decode_impl(data: bytes) -> np.ndarray:
     if data[:8] != _SIG:
         raise PngError("not a PNG (bad signature)")
     pos = 8
@@ -118,21 +134,28 @@ def decode_png(data: bytes) -> np.ndarray:
                 ).astype(np.uint8)
         elif f == 2:  # Up
             cur = (line.astype(np.int32) + prev).astype(np.uint8)
-        elif f == 3:  # Average
-            cur = line
+        elif f == 3:  # Average — the spec recurrence depends on the
+            # just-reconstructed left neighbor, so x is inherently
+            # sequential; plain-list arithmetic avoids numpy's per-
+            # element indexing overhead (~4x faster than array loops)
+            cur_l = line.tolist()
+            prev_l = prev.tolist()
             for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = line
+                left = cur_l[x - bpp] if x >= bpp else 0
+                cur_l[x] = (cur_l[x] + ((left + prev_l[x]) >> 1)) & 0xFF
+            cur = np.asarray(cur_l, np.uint8)
+        elif f == 4:  # Paeth — same sequential recurrence as Average
+            cur_l = line.tolist()
+            prev_l = prev.tolist()
             for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
+                a = cur_l[x - bpp] if x >= bpp else 0
+                c = prev_l[x - bpp] if x >= bpp else 0
+                b = prev_l[x]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
+                cur_l[x] = (cur_l[x] + pred) & 0xFF
+            cur = np.asarray(cur_l, np.uint8)
         else:
             raise PngError(f"bad filter {f} on row {y}")
         out[y] = cur

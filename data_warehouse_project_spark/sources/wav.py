@@ -28,6 +28,19 @@ class UnsupportedWavError(WavError):
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Any structural parse failure on the untrusted byte stream
+    surfaces as ``WavError`` (``UnsupportedWavError`` for valid-but-
+    uncovered formats), never a raw numpy/struct exception — the
+    multimodal policy path catches the codec's own error types."""
+    try:
+        return _decode_impl(data)
+    except WavError:
+        raise
+    except (struct.error, ValueError, IndexError) as e:
+        raise WavError(f"corrupt WAV stream: {e}") from e
+
+
+def _decode_impl(data: bytes) -> tuple[int, np.ndarray]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavError("not a RIFF/WAVE stream")
     pos = 12

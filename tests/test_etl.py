@@ -336,7 +336,10 @@ def test_vacuum_restores_and_removes(spark, tmp_path):
     (tdir.parent / ".u.old-00000000").mkdir()
     (tdir.parent / ".u.old-00000000" / "part-x.parquet").touch()
 
-    stats = wh.vacuum()
+    # default min_age_s guards against racing a live writer: fresh
+    # scratch is untouched
+    assert wh.vacuum() == {"restored": 0, "removed": 0}
+    stats = wh.vacuum(min_age_s=0)
     assert stats == {"restored": 2, "removed": 2}
     got = {(r["k"], r["v"]) for r in wh.read("bl_dm", "t").collect()}
     assert got == {("a", 1), ("b", 2)}  # k=a restored
@@ -344,4 +347,4 @@ def test_vacuum_restores_and_removes(spark, tmp_path):
     assert not (tdir.parent / ".t.append-12345678").exists()
     assert not (tdir / ".k=b.old-cafebabe").exists()
     # idempotent second pass
-    assert wh.vacuum() == {"restored": 0, "removed": 0}
+    assert wh.vacuum(min_age_s=0) == {"restored": 0, "removed": 0}

@@ -268,3 +268,33 @@ def test_merge_rejects_drifted_key_dtype(spark, tmp_path):
     dim = read_dimension(spark, wh, "bl_3nf", "dim")
     assert dim.count() == 20
     assert dim.filter("price = -1.0").count() == 0
+
+
+def test_merge_rejects_missing_or_foreign_bucket_layout(spark, tmp_path):
+    """A dimension without a bucket-layout marker (pre-versioned or
+    foreign layout) must be refused: merging with a different
+    key->bucket map would silently duplicate keys across buckets."""
+    wh = Warehouse(spark, str(tmp_path))
+    base = _mk_updates(spark, [(i, float(i)) for i in range(20)], 1)
+    scd1_merge(wh, "bl_3nf", "dim", base, "k", ["price", "name"], ["seq"], run_ts=T0)
+
+    from data_warehouse_project_spark.operators.merge import _LAYOUT_FILE
+
+    marker = wh.path("bl_3nf", "dim") / _LAYOUT_FILE
+    assert marker.exists()
+
+    inc = _mk_updates(spark, [(1, -1.0)], 2)
+    # foreign n_buckets
+    marker.write_text('{"scheme": "xxhash64-str-v2", "n_buckets": 8}')
+    with pytest.raises(ValueError, match="bucket layout"):
+        scd1_merge(
+            wh, "bl_3nf", "dim", inc, "k", ["price", "name"], ["seq"],
+            run_ts=T0 + dt.timedelta(days=1),
+        )
+    # missing marker (pre-versioned layout)
+    marker.unlink()
+    with pytest.raises(ValueError, match="no bucket-layout marker"):
+        scd1_merge(
+            wh, "bl_3nf", "dim", inc, "k", ["price", "name"], ["seq"],
+            run_ts=T0 + dt.timedelta(days=1),
+        )

@@ -168,3 +168,73 @@ def test_png_wav_end_to_end_strict_spark(spark):
     assert wav_row["duration_ms"] == 2000
     # int16-scale RMS of a 0.5 constant ~ 16384
     assert all(abs(f - 16384.0) < 40 for f in wav_row["feature"])
+
+def test_corrupt_payloads_fall_back_not_crash(spark):
+    """Structurally-corrupt PNG/WAV bytes must surface as the codec's
+    own error type and route to the policy path: digest fallback in
+    test mode (whole-batch mapInPandas survives), refusal in strict."""
+    import struct as st
+
+    bad_wav_odd = (  # 16-bit PCM with odd-length data chunk
+        b"RIFF" + st.pack("<I", 30) + b"WAVE"
+        + b"fmt " + st.pack("<I", 16) + st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + st.pack("<I", 3) + b"\x01\x02\x03"
+    )
+    bad_png_trunc_ihdr = (
+        b"\x89PNG\r\n\x1a\n" + st.pack(">I", 5) + b"IHDR" + b"\x00" * 5 + b"\x00" * 4
+    )
+    rows = [
+        (1, "audio", bad_wav_odd, "mem://bad.wav"),
+        (2, "image", bad_png_trunc_ihdr, "mem://bad.png"),
+    ]
+    media = spark.createDataFrame(rows, media_schema())
+    out = extract_media_features(media).orderBy("media_id").collect()
+    assert len(out) == 2  # batch survived; digest fallback engaged
+    assert all(len(r["feature"]) == 8 for r in out)
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        extract_media_features(media, strict=True).collect()
+
+
+def test_gray_alpha_png_features_ignore_alpha(spark):
+    """An LA image's features must match its pure-gray twin — alpha
+    must not leak into the gray/quadrant means."""
+    gray = np.full((8, 8), 100, np.uint8)
+    la = np.stack([gray, np.full((8, 8), 255, np.uint8)], axis=2)
+    rows = [
+        (1, "image", encode_png(gray), "mem://gray.png"),
+        (2, "image", encode_png_la(la), "mem://la.png"),
+    ]
+    out = (
+        extract_media_features(
+            spark.createDataFrame(rows, media_schema()), strict=True
+        )
+        .orderBy("media_id")
+        .collect()
+    )
+    assert out[0]["feature"] == out[1]["feature"]
+    assert abs(out[1]["feature"][0] - 100.0) < 1e-3
+
+
+def encode_png_la(img):
+    """Minimal gray+alpha (color type 4) writer for the test above."""
+    import struct as st
+    import zlib
+
+    h, w, _ = img.shape
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (
+            st.pack(">I", len(payload)) + body
+            + st.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    lines = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * 2)], axis=1
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines.tobytes()))
+        + chunk(b"IEND", b"")
+    )

@@ -57,6 +57,25 @@ def test_duplicates_negatives_and_tiny_width(spark):
     _check(spark, rows, width=1, descending=True)
 
 
+def test_null_order_keys_are_kept(spark):
+    """NULL leading keys must survive (sentinel bucket at the position
+    Spark's default NULL ordering gives them), not silently drop out of
+    the offset equi-join."""
+    rows = [(1, 5), (2, None), (3, 9), (4, None), (5, 1)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint").repartition(4)
+    for descending in (False, True):
+        order = [F.desc("v") if descending else F.asc("v"), F.asc("k")]
+        got = bucketed_prefix_sum(
+            df, order, "v", "cum",
+            range_bucket(F.col("v"), 3, descending=descending),
+        )
+        want = _global_reference(df, order, "v")
+        joined = got.join(want, ["k"], "full").collect()
+        assert len(joined) == len(rows)  # nothing dropped
+        for r in joined:
+            assert r["cum"] == r["want"], (descending, r)
+
+
 def test_single_bucket_degenerate(spark):
     # width larger than the whole range → one bucket: degrades to the
     # plain global window, still exact

@@ -97,20 +97,37 @@ NO_SINGLE_PARTITION_EXCHANGE = [
 _BOUNDED_BUCKET_KEYS = ("__kb", "__pb")
 
 
+# structural wrapper nodes that can sit between an exchange and its
+# real child in a plan dump without changing the data flowing through
+_PLAN_WRAPPERS = (
+    "WholeStageCodegen",
+    "InputAdapter",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "TableCacheQueryStage",
+    "== ",
+)
+
+
 def _single_partition_ok(lines: list[str], i: int) -> bool:
-    """A SinglePartition exchange is legitimate iff its IMMEDIATE child
-    is (a) an aggregate keyed by a bounded bucket id (the n_buckets-row
-    offset frame of with_distributed_keys / bucketed_prefix_sum) or
-    (b) a scalar aggregate (keys=[] — one partial row per map task).
-    Matching the child operator, not textual proximity, so a real serial
-    exchange that merely sits NEAR a key-minting subtree still fails."""
-    for j in range(i + 1, min(i + 2, len(lines))):
+    """A SinglePartition exchange is legitimate iff its first real
+    child operator is (a) an aggregate keyed by a bounded bucket id
+    (the n_buckets-row offset frame of with_distributed_keys /
+    bucketed_prefix_sum) or (b) a scalar aggregate (keys=[] — one
+    partial row per map task). The scan walks past structural wrapper
+    nodes but stops at the first REAL operator — matching the child,
+    not textual proximity, so a serial exchange that merely sits NEAR
+    a key-minting subtree still fails."""
+    for j in range(i + 1, min(i + 6, len(lines))):
         ln = lines[j]
+        if not ln.strip() or any(wtoken in ln for wtoken in _PLAN_WRAPPERS):
+            continue
         if "HashAggregate" in ln or "SortAggregate" in ln or "ObjectHashAggregate" in ln:
             if "keys=[]" in ln:
                 return True
             head = ln.split("functions=")[0]
             return any(k in head for k in _BOUNDED_BUCKET_KEYS)
+        return False  # some other operator feeds the exchange: real data
     return False
 
 
