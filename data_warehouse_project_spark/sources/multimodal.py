@@ -12,7 +12,10 @@ batch iteration, bounded batch sizes — and so are the codecs:
   ``sources/jpeg.py`` (real Huffman + IDCT — the format most training
   corpora actually carry);
 - PNG via ``sources/png.py`` (stdlib zlib + full scanline unfiltering);
-- RIFF/WAVE PCM via ``sources/wav.py`` (8/16/24/32-bit int + float32).
+- RIFF/WAVE PCM via ``sources/wav.py`` (8/16/24/32-bit int + float32);
+- MP3 metadata via ``sources/mp3.py`` (frame-header walk: real
+  duration/rate without sample decode — test mode carries the probed
+  duration, strict mode still refuses since features need samples).
 
 What stays stubbed (honestly) is codecs that genuinely need external
 libraries (MP3/AAC/H.264/progressive JPEG/ADPCM): those payloads either
@@ -252,7 +255,7 @@ def _decode_unknown(media_type: str, payload: bytes, strict: bool) -> dict:
             "sources.multimodal._decode_unknown)"
         )
     digest = hashlib.sha256(payload or b"").digest()
-    return {
+    out = {
         "width": 64 + digest[0] if media_type == "image" else None,
         "height": 64 + digest[1] if media_type == "image" else None,
         "duration_ms": int.from_bytes(digest[2:4], "big")
@@ -260,6 +263,20 @@ def _decode_unknown(media_type: str, payload: bytes, strict: bool) -> dict:
         else None,
         "feature": [b / 255.0 for b in digest[:FEATURE_DIM]],
     }
+    # MP3: the frame-header walk (sources/mp3.py) yields REAL duration/
+    # rate metadata even though samples stay undecoded — the ffprobe
+    # pattern training pipelines use to catalogue audio without codecs
+    looks_mpeg = payload[:3] == b"ID3" or (
+        len(payload) > 4 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    )
+    if looks_mpeg:
+        from data_warehouse_project_spark.sources.mp3 import Mp3Error, probe_mp3
+
+        try:
+            out["duration_ms"] = probe_mp3(payload)["duration_ms"]
+        except Mp3Error:
+            pass
+    return out
 
 
 def _decode_one(media_type: str, payload: bytes, strict: bool) -> dict:

@@ -83,6 +83,41 @@ def test_single_bucket_degenerate(spark):
     _check(spark, rows, width=10_000, descending=True)
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([1, 3, 17, 1000]),
+    descending=st.booleans(),
+)
+def test_property_matches_global_window(spark, vals, width, descending):
+    """Random values (with NULLs and heavy ties), random bucket widths,
+    both directions: bucketed == global, row for row."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint").repartition(4)
+    order = [F.desc("v") if descending else F.asc("v"), F.asc("k")]
+    got = bucketed_prefix_sum(
+        df, order, "v", "cum",
+        range_bucket(F.col("v"), width, descending=descending),
+    )
+    want = _global_reference(df, order, "v")
+    joined = got.join(want, ["k"], "full").collect()
+    assert len(joined) == len(rows)
+    for r in joined:
+        assert r["cum"] == r["want"], (descending, width, r)
+
+
 def test_no_sf_proportional_single_partition(spark):
     """The executed plan's only constant-key exchanges carry the
     bounded bucket-totals frame, never the data: every window in the
