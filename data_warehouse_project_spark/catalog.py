@@ -43,18 +43,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # UTC timezone + nanosAsLong are preset in session.get_spark, making
-    # this check-then-set a no-op (read-only on session state, safe under
-    # concurrency) for engine-built sessions. The set branch only fires
-    # for foreign sessions — e.g. the correctness driver passes its own —
-    # once, on first use.
+    # ENGINE CONTRACT: the session timezone is pinned to UTC on first
+    # table read. This is load-bearing for cross-engine determinism —
+    # every timestamp→date cast in the query surface must agree with
+    # the timezone-naive DuckDB oracle, in FOREIGN sessions too (the
+    # correctness driver builds its own default-config session). A
+    # caller needing a different session TZ must not share a session
+    # with this engine. Preset in session.get_spark, so for engine
+    # sessions this check-then-set is a read-only no-op (safe under
+    # concurrency); it fires once for foreign sessions.
     # (no string default here: Spark 4 validates conf.get's default as a
     # timezone; timeZone always has a session value to read)
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if name == "events":
+        # nanosAsLong is scoped to the one table that needs it (legacy
+        # TIMESTAMP(NANOS) testdata) instead of being flipped for every
+        # read — foreign sessions' other parquet sources keep their
+        # native nanos handling.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
@@ -62,8 +70,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             # Legacy testdata: TIMESTAMP(NANOS) read as raw int64 nanos.
+            # FLOOR division in exact integer arithmetic: `div` alone
+            # truncates toward zero (pre-epoch nanos would land 1us
+            # high), and a double-precision divide would wobble at
+            # int64 magnitudes (~1.7e18 > 2^53) — so floor the
+            # remainder first, then exact integer-divide.
             return df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts",
+                F.timestamp_micros(
+                    F.expr("(ts - pmod(ts, 1000)) div 1000")
+                ),
             )
         if isinstance(ts_type, TimestampNTZType):
             # timestamp[us] without timezone → normalize to TimestampType

@@ -132,7 +132,11 @@ class MinHashIndex:
             .distinct()
         )
 
-        # exact verification joins the corpus texts of candidates only
+        # exact verification joins the corpus texts of candidates only.
+        # (A/B'd r5: routing the batch side through the cached sh_batch
+        # frame instead of recomputing measured SLOWER — 6.5s -> 8.3s at
+        # sf0.1 — because candidates are few, so shingling them afresh
+        # is cheaper than semi/anti-joins against the large shingle set.)
         cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
             cand.select(F.col("doc_b").alias("doc_id"))
         ).distinct()

@@ -39,11 +39,15 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, Dat
     """Read a JSONL document corpus → (clean, quarantined) frames.
 
     Clean rows get the warehouse ``documents`` projection with a
-    computed ``n_chars``; rows Jackson couldn't parse (or that violate
-    the schema's types) land in the quarantine frame with the raw line
-    preserved for replay. The split is one pass: Spark populates
-    ``_corrupt_record`` only for bad lines, so the filter is a null
-    check, not a re-parse.
+    computed ``n_chars``. The quarantine frame carries (raw_line,
+    reason) and catches BOTH failure classes: lines Jackson couldn't
+    parse (reason ``parse``, raw line preserved verbatim) and
+    well-formed objects violating the document contract — null/missing
+    doc_id or text (reason ``contract``, the parsed fields re-serialized
+    for replay). Without the second class a producer that stops
+    emitting doc_id would lose its whole output with no accounting.
+    The split is one pass: Spark populates ``_corrupt_record`` only
+    for bad lines, so the routing is null checks, not a re-parse.
     """
     raw = (
         spark.read.schema(DOCUMENT_SCHEMA)
@@ -51,17 +55,29 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, Dat
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
-    # Spark requires caching/materializing the raw frame before
-    # referencing _corrupt_record in a filter (SPARK-21610).
-    raw = raw.cache()
+    contract_ok = F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     clean = (
         raw.filter(F.col(CORRUPT_COL).isNull())
         .drop(CORRUPT_COL)
-        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .filter(contract_ok)
         .withColumn("n_chars", F.length("text").cast("long"))
     )
-    quarantined = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_line")
+    # One quarantine scan for both failure classes. The coalesce's
+    # second branch references real data columns, which (verified on
+    # Spark 4.1) lifts the corrupt-column-only query restriction
+    # (SPARK-21610) — so no .cache() pinning the raw input for the
+    # session lifetime; at backfill scale a second scan of the files
+    # beats caching them.
+    quarantined = raw.filter(
+        F.col(CORRUPT_COL).isNotNull() | ~contract_ok
+    ).select(
+        F.coalesce(
+            F.col(CORRUPT_COL),
+            F.to_json(F.struct("doc_id", "text", "lang", "source")),
+        ).alias("raw_line"),
+        F.when(F.col(CORRUPT_COL).isNotNull(), "parse")
+        .otherwise("contract")
+        .alias("reason"),
     )
     return clean, quarantined
 

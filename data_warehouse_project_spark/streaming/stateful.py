@@ -13,12 +13,26 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value_micros bigint"
 STATE_SCHEMA = "n bigint, sv bigint"
+
+
+def _micros_half_up(values: pd.Series) -> int:
+    """Exact micro-unit sum matching the batch contract: NULLs skipped
+    (like ``F.sum``) and HALF_UP rounding (like ``F.round`` — pandas'
+    ``.round()`` is half-EVEN, which would disagree on half-micro
+    values), computed row-wise THEN summed so it is the same integer
+    the batch plan produces."""
+    v = values.dropna().to_numpy(dtype="float64")
+    if v.size == 0:
+        return 0
+    return int((np.sign(v) * np.floor(np.abs(v) * 1_000_000 + 0.5)).sum())
 
 
 def _update_totals(
@@ -26,9 +40,8 @@ def _update_totals(
 ) -> Iterator[pd.DataFrame]:
     n, sv = state.get if state.exists else (0, 0)
     for pdf in pdfs:
-        n += len(pdf)
-        # exact integer micro-units (same contract as exact_sum scale=6)
-        sv += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+        n += len(pdf)  # count(*) semantics: null-valued rows still count
+        sv += _micros_half_up(pdf["value"])
     state.update((n, sv))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_value_micros": [sv]}
@@ -36,8 +49,19 @@ def _update_totals(
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
-    """Per-user running totals as an update stream. Works on streaming
-    *and* batch input (batch ≡ one micro-batch containing everything)."""
+    """Per-user running totals. Streaming input: update stream via
+    ``applyInPandasWithState``. Batch input: the equivalent final
+    aggregate (``applyInPandasWithState`` is streaming-only in Spark,
+    so the batch arm of the unified API is the plain groupBy — same
+    output for a batch that would have arrived as one micro-batch)."""
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")),
+                F.lit(0),
+            ).alias("sum_value_micros"),
+        )
     return events.groupBy("user_id").applyInPandasWithState(
         _update_totals,
         outputStructType=OUTPUT_SCHEMA,
@@ -90,7 +114,22 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
     bounded disorder). Each batch emits only the transitions it
     completed, so downstream summing over batches reproduces the batch
     query exactly.
+
+    Batch input takes the lag-window equivalent
+    (``applyInPandasWithState`` is streaming-only in Spark).
     """
+    if not events.isStreaming:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            events.withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy(
+                "user_id",
+                "prev_type",
+                F.col("event_type").alias("next_type"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+        )
     return events.groupBy("user_id").applyInPandasWithState(
         _update_transitions,
         outputStructType=TRANSITION_OUTPUT,

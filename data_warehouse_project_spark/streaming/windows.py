@@ -84,6 +84,19 @@ def sessionized_counts(
 
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event stream: drop duplicate event_ids arriving
-    within the watermark horizon (stateful dedup; state expires with
-    the watermark, so memory is bounded)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark``: with plain
+    ``dropDuplicates([\"event_id\"])`` the watermark never evicts dedup
+    state unless the event-time column is part of the key, so every
+    event_id ever seen would be held forever — unbounded state on a
+    24/7 stream. WithinWatermark evicts a key once the watermark passes
+    its first occurrence + delay, which is exactly the documented
+    contract (duplicates later than the horizon are out-of-contract,
+    like any late data). Batch input takes the plain dropDuplicates
+    (one batch holds everything, eviction is moot)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -54,3 +54,23 @@ def test_roundtrip_export(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 3
     assert {r["doc_id"] for r in back.collect()} == {1, 2, 3}
+
+
+def test_contract_violations_quarantined_not_vanished(spark, tmp_path):
+    """Well-formed JSON missing doc_id or text must land in quarantine
+    (reason 'contract'), not silently vanish between the two frames."""
+    p = tmp_path / "c.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "web"}\n'
+        '{"text": "no id", "lang": "en", "source": "web"}\n'
+        '{"doc_id": 2, "lang": "en", "source": "web"}\n'
+        "this is not json\n"
+    )
+    clean, quarantined = read_documents_jsonl(spark, str(p))
+    assert clean.count() == 1
+    q = quarantined.collect()
+    assert len(q) == 3
+    reasons = sorted(r["reason"] for r in q)
+    assert reasons == ["contract", "contract", "parse"]
+    contract_lines = [r["raw_line"] for r in q if r["reason"] == "contract"]
+    assert any("no id" in line for line in contract_lines)

@@ -193,3 +193,23 @@ def test_source_reader_rejects_unknown_format(spark):
 
     with pytest.raises(ValueError, match="unknown src_format"):
         _source_reader(spark, "/tmp", "orc")
+
+
+def test_csv_dotted_headers_survive_probe(spark, tmp_path):
+    """A header containing a dot must not be parsed as a nested-field
+    reference by the encoding probe (backtick quoting)."""
+    p = tmp_path / "dot.csv"
+    p.write_text("price.usd,name\n1.5,widget\n")
+    df = read_csv_with_encodings(spark, str(p))
+    assert df.columns == ["price.usd", "name"]
+    assert df.count() == 1
+
+
+def test_csv_cp1252_smart_quotes_decode_correctly(spark, tmp_path):
+    """cp1252 bytes in 0x80-0x9F (smart quotes) must decode via cp1252,
+    not be mojibake'd by latin1 (which accepts every byte and would
+    otherwise shadow cp1252 in the fallback order)."""
+    p = tmp_path / "q.csv"
+    p.write_bytes('id,quote\n1,“hello”\n'.encode("cp1252"))
+    df = read_csv_with_encodings(spark, str(p))
+    assert df.collect()[0]["quote"] == "“hello”"

@@ -273,3 +273,61 @@ def test_fct_events_mart_equals_streaming_rollup(spark, tmp_path):
     got = sorted(map(tuple, mart.collect()))
     want = sorted(map(tuple, rolled.collect()))
     assert got == want
+
+
+def test_stateful_batch_arms_and_rounding_contract(spark):
+    """running_user_totals / transition_counts_stream accept BATCH
+    input (applyInPandasWithState is streaming-only, so the unified API
+    needs an explicit batch arm), nulls don't crash, and rounding is
+    HALF_UP like F.round — not pandas' half-even."""
+    import datetime as dtm
+
+    import pandas as pd
+
+    from data_warehouse_project_spark.streaming.stateful import (
+        _micros_half_up,
+        running_user_totals,
+        transition_counts_stream,
+    )
+
+    # helper: HALF_UP on half-micro values, nulls skipped
+    s = pd.Series([0.0000005, None, -0.0000005, 1.0])
+    assert _micros_half_up(s) == 1 - 1 + 1_000_000
+    assert _micros_half_up(pd.Series([None], dtype="float64")) == 0
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (1, None), (2, 0.0000005)],
+        "user_id bigint, value double",
+    )
+    rows = {r["user_id"]: r for r in running_user_totals(df).collect()}
+    assert rows[1]["n_events"] == 2  # null-valued row still counts
+    assert rows[1]["sum_value_micros"] == 500_000
+    assert rows[2]["sum_value_micros"] == 1  # HALF_UP
+
+    t0 = dtm.datetime(2025, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 10, "view"),
+            (2, t0 + dtm.timedelta(minutes=1), 10, "click"),
+            (3, t0 + dtm.timedelta(minutes=2), 10, "view"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    trans = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in transition_counts_stream(ev).collect()
+    }
+    assert trans == {("view", "click"): 1, ("click", "view"): 1}
+
+
+def test_streaming_dedup_batch_arm(spark):
+    import datetime as dtm
+
+    from data_warehouse_project_spark.streaming.windows import streaming_dedup
+
+    t0 = dtm.datetime(2025, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, 1), (1, t0, 1), (2, t0, 2)],
+        "event_id bigint, ts timestamp, user_id bigint",
+    )
+    assert streaming_dedup(ev).count() == 2
