@@ -52,8 +52,18 @@ def run_corpus_etl(
     timings: dict[str, float] = {}
 
     def stage(name: str, fn) -> None:
+        # O2 parity with run_full_etl's _run_stage: trap, log the
+        # failure, flush the buffered log, re-raise — a mid-pipeline
+        # crash must not discard the run's log rows or leave no record
+        # of which stage failed
         t0 = time.perf_counter()
-        n = fn()
+        try:
+            n = fn()
+        except Exception as e:  # noqa: BLE001
+            timings[name] = round(time.perf_counter() - t0, 3)
+            wh.log(f"corpus_{name}", "stage FAILED", 0, error=str(e)[:500])
+            wh.flush_log()
+            raise
         timings[name] = round(time.perf_counter() - t0, 3)
         wh.log(f"corpus_{name}", "stage complete", n)
 

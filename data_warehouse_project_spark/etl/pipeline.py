@@ -99,11 +99,23 @@ def _staging_append(wh: Warehouse, batch: DataFrame, name: str, keys: list[str])
     P1 DISTINCT is subsumed by its own P2 key-dedup (final state is
     identical for key-unique sources), and a key dedup shuffles only the
     key columns' width — the difference between a survivable and an
-    impossible shuffle at 100 TB."""
+    impossible shuffle at 100 TB.
+
+    Inserted rows are stamped with ``staged_seq`` (one value per load,
+    epoch micros): when a table's dedup key includes mutable attributes
+    (customers, products), staging legitimately accumulates several
+    versions of one business key across runs, and downstream SCD loads
+    order versions by this stamp. The reference has no such column and
+    upserts staged versions in arbitrary loop order
+    (load_3nf_ce_customers_scd_table_type1.sql:99-131) — the stamp makes
+    our end state the deterministic latest-version pick instead."""
     batch = batch.dropDuplicates(keys)
     target = wh.read_or_none("staging", name)
     if target is not None:
         batch = batch.join(target.select(keys).distinct(), on=keys, how="left_anti")
+    batch = batch.withColumn(
+        "staged_seq", F.lit(int(dt.datetime.now().timestamp() * 1_000_000))
+    )
     return wh.append(batch, "staging", name)
 
 
@@ -172,7 +184,18 @@ def load_staging(
         wh.log(f"load_staging_{name}", "staging load ok", rows)
 
     targets = (
-        ("customers", _to_strings(customers_src), ["c_custkey"]),
+        # customers dedup on key + SCD1-tracked attributes, mirroring the
+        # reference's anti-join on CustomerKey + Name/City/State/Country/
+        # Continent (load_staging_customers_table.sql:119-128): a
+        # re-delivered key with CHANGED attributes must re-enter staging
+        # or the SCD1 update path downstream can never fire. Stores are
+        # key-only like the reference (insert-only dim); products carry
+        # price in the key so SCD2 versions flow.
+        (
+            "customers",
+            _to_strings(customers_src),
+            ["c_custkey", "c_name", "c_mktsegment", "c_acctbal", "n_name"],
+        ),
         ("stores", _to_strings(stores_src), ["s_suppkey"]),
         ("products", _to_strings(p), ["p_partkey", "p_retailprice"]),
         ("sales", _to_strings(sales_src), ["l_orderkey", "l_linenumber"]),
@@ -417,8 +440,10 @@ def _merge_scd_dim(
     from data_warehouse_project_spark.operators.merge import (
         BUCKET_COL,
         DEFAULT_BUCKETS,
+        _check_layout,
         _read_buckets,
         _touched_buckets,
+        _write_layout,
         bucket_expr,
     )
 
@@ -426,7 +451,12 @@ def _merge_scd_dim(
         nxt = next_fn(None, 1).withColumn(
             BUCKET_COL, bucket_expr(key, DEFAULT_BUCKETS)
         )
-        return wh.overwrite(nxt, "bl_3nf", name, partition_by=[BUCKET_COL])
+        n = wh.overwrite(nxt, "bl_3nf", name, partition_by=[BUCKET_COL])
+        _write_layout(wh, "bl_3nf", name, DEFAULT_BUCKETS)
+        return n
+    # refuse a dimension bucketed under a different key->bucket map —
+    # merging it would silently duplicate keys across bucket dirs
+    _check_layout(wh, "bl_3nf", name, DEFAULT_BUCKETS)
     touched = _touched_buckets(updates, key, DEFAULT_BUCKETS)
     if not touched:
         return 0
@@ -510,8 +540,10 @@ def load_3nf_customers(
             F.col("c_mktsegment").alias("market_segment"),
             F.coalesce(F.col("city_id"), F.lit(DEFAULT_ID)).alias("city_id"),
             F.col("c_acctbal").cast("double").alias("acctbal"),
+            # versions of one key (staging accumulates them now that the
+            # dedup key includes tracked attributes) order by load stamp
+            F.col("staged_seq").cast("bigint").alias("change_seq"),
         )
-        .withColumn("change_seq", F.lit(int(run_ts.timestamp())))
     )
     if scd_strategy == "merge":
         n = _merge_scd_dim(
@@ -603,8 +635,10 @@ def load_3nf_products(
             F.coalesce(F.col("subcategory_id"), F.lit(DEFAULT_ID)).alias(
                 "subcategory_id"
             ),
+            # price versions of one part order by load stamp (staging
+            # keeps one row per (partkey, price))
+            F.col("staged_seq").cast("bigint").alias("change_seq"),
         )
-        .withColumn("change_seq", F.lit(int(run_ts.timestamp())))
     )
     if scd_strategy == "merge":
         n = _merge_scd_dim(
@@ -697,10 +731,16 @@ def load_3nf_sales(
     )
     store = wh.read("bl_3nf", "ce_stores").select("store_src_id", "store_id")
 
+    # no forced broadcasts: ALL three dims scale with the data (part and
+    # supplier are SF-linear in TPC-H, products additionally grow SCD2
+    # versions) — a broadcast hint that works at sf0.1 OOMs at 100x.
+    # AQE converts any join whose build side is actually small at
+    # runtime, which is the same physical plan locally without baking
+    # the assumption into the code.
     resolved = (
-        typed.join(cust, "customer_src_id", "left")  # unbounded dim: let AQE pick
-        .join(F.broadcast(prod), "product_src_id", "left")
-        .join(F.broadcast(store), "store_src_id", "left")
+        typed.join(cust, "customer_src_id", "left")
+        .join(prod, "product_src_id", "left")
+        .join(store, "store_src_id", "left")
         .select(
             "sale_src_id",
             "order_key",

@@ -49,7 +49,20 @@ class Warehouse:
         return self.root / layer / name
 
     def exists(self, layer: str, name: str) -> bool:
+        """True if the table has content. Self-healing: a missing table
+        with a ``.{name}.old-*`` snapshot next to it marks a crash
+        between ``overwrite``'s two renames — the snapshot is the ONLY
+        copy, so it is restored here, at the branch point every loader
+        uses (otherwise the next run would silently bootstrap the
+        dimension from scratch and the eventual vacuum would reap the
+        sole copy of its history)."""
         p = self.path(layer, name)
+        if not p.exists():
+            orphans = sorted(p.parent.glob(f".{name}.old-*"))
+            if orphans:
+                orphans[0].rename(p)
+                for extra in orphans[1:]:
+                    shutil.rmtree(extra, ignore_errors=True)
         return p.exists() and any(p.iterdir())
 
     def read(self, layer: str, name: str, merge_schema: bool = False) -> DataFrame:
@@ -71,7 +84,10 @@ class Warehouse:
     ) -> int:
         """Atomic snapshot swap: write to a temp dir, then rename into
         place. Readers see either the old or the new table, never a
-        partial write (the reference gets this from transactions, O2)."""
+        partial write (the reference gets this from transactions, O2).
+
+        Crash recovery for the rename gap lives in ``exists()`` (the
+        branch point every loader uses) and ``vacuum()``."""
         final = self.path(layer, name)
         tmp = final.parent / f".{name}.tmp-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")

@@ -91,8 +91,15 @@ def kmeans_fit(
             n = math.sqrt(sum(x * x for x in v))
             return [x / n for x in v] if n > 0 else v
 
+        # a centroid that won no assignments produces no coords rows;
+        # keep its previous position instead of silently shrinking the
+        # model below k (standard empty-cluster handling)
+        prev = {
+            r["cent_id"]: list(r["ce"]) for r in cents.collect()
+        }
+        updated = {r["cent_id"]: norm(list(r["ce"])) for r in rows}
+        model = [(cid, updated.get(cid, prev[cid])) for cid in sorted(prev)]
         cents = spark.createDataFrame(
-            [(r["cent_id"], norm(list(r["ce"]))) for r in rows],
-            "cent_id bigint, ce array<double>",
+            model, "cent_id bigint, ce array<double>"
         )
     return cents, objectives

@@ -46,17 +46,35 @@ def _violation_cond(rule: Rule) -> Column:
     if rule.kind == "accepted_values":
         bad = ~F.col(rule.column).isin(*rule.values)
         if rule.ignore_nulls:
-            bad = F.col(rule.column).isNotNull() & bad
-        return bad
+            return F.col(rule.column).isNotNull() & bad
+        # NULL is outside any accepted set: count it explicitly — a bare
+        # ~isin() is NULL for NULL input and the aggregation's when()
+        # would silently treat it as a pass
+        return F.col(rule.column).isNull() | bad
     if rule.kind == "expression":
         # rule passes when expr is true; null counts as a violation
         return ~F.coalesce(F.expr(rule.expr), F.lit(False))
     raise ValueError(f"{rule.kind} is not a row-local rule")
 
 
+_KNOWN_KINDS = ("not_null", "accepted_values", "expression", "unique", "fk")
+
+
 def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
-    """Evaluate all rules; returns (rule_name, kind, n_violations)."""
+    """Evaluate all rules; returns (rule_name, kind, n_violations).
+
+    Unknown kinds raise immediately (a typo'd rule must not silently
+    count as passed); an empty rule list returns an empty result frame
+    with the output schema."""
     spark = df.sparkSession
+    for r in rules:
+        if r.kind not in _KNOWN_KINDS:
+            raise ValueError(f"rule {r.name!r}: unknown kind {r.kind!r}; "
+                             f"expected one of {_KNOWN_KINDS}")
+    if not rules:
+        return spark.createDataFrame(
+            [], "rule_name string, kind string, n_violations bigint"
+        )
     row_local = [r for r in rules if r.kind in ("not_null", "accepted_values", "expression")]
     results: list[DataFrame] = []
 
@@ -64,12 +82,21 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
         aggs = [
             F.sum(F.when(_violation_cond(r), 1).otherwise(0))
             .cast("bigint")
-            .alias(r.name)
-            for r in row_local
+            .alias(f"__q{i}")
+            for i, r in enumerate(row_local)
         ]
         wide = df.agg(*aggs)
-        # unpivot the 1-row frame: n_rules columns → n_rules rows
-        stack = ", ".join(f"'{r.name}', '{r.kind}', {r.name}" for r in row_local)
+        # unpivot the 1-row frame: n_rules columns → n_rules rows. Rule
+        # names/kinds enter stack() as escaped string literals and the
+        # value refs are the internal __qN aliases — a rule name with
+        # spaces, quotes, or backticks cannot break the SQL
+        def _lit(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        stack = ", ".join(
+            f"{_lit(r.name)}, {_lit(r.kind)}, __q{i}"
+            for i, r in enumerate(row_local)
+        )
         results.append(
             wide.selectExpr(
                 f"stack({len(row_local)}, {stack}) "

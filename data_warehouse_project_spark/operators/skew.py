@@ -35,8 +35,12 @@ def salted_join(
             "the small side breaks right/full/semi/anti semantics (unmatched "
             "small rows would appear once per salt replica)"
         )
+    # pmod, not abs(hash)%salt: hash can return Int.MIN_VALUE, whose
+    # abs() is still negative (two's complement), and a negative salt
+    # matches no replica — ~1 silently dropped row per 4.3B at scale
     salted_big = big.withColumn(
-        "__salt", (F.abs(F.hash(F.col(key), F.monotonically_increasing_id())) % salt)
+        "__salt",
+        F.pmod(F.hash(F.col(key), F.monotonically_increasing_id()), F.lit(salt)),
     )
     replicas = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

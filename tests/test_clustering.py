@@ -38,3 +38,18 @@ def test_kmeans_model_shape_and_determinism(spark):
     dim = len(next(iter(rows1.values())))
     assert all(len(v) == dim for v in rows1.values())
     assert rows1 == rows2
+
+
+def test_kmeans_keeps_empty_clusters(spark):
+    """A centroid that wins no assignments keeps its previous position
+    instead of silently shrinking the model below k."""
+    # 6 vectors in 2 tight groups; k=4 seeds include duplicates, whose
+    # members all tie-break to the lower cent_id → 2 centroids go empty
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+        (3, [0.0, 1.0]), (4, [1.0, 0.0]), (5, [0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, e array<double>")
+    cents, objs = kmeans_fit(spark, vecs, k=4, iters=3)
+    assert cents.count() == 4  # model never shrinks
+    assert len(objs) == 3

@@ -317,6 +317,51 @@ def test_overwrite_partitions_contract(spark, tmp_path):
     assert got == {("a", 100), ("b", 20), ("b", 21)}
 
 
+def test_scd1_update_flows_from_source_to_dim(spark, tmp_path):
+    """The full SCD1 path: a re-delivered customer with a CHANGED
+    attribute must re-enter staging (reference anti-joins on key +
+    attributes, load_staging_customers_table.sql:119-128) and update
+    the ce_customers dim — with a key-only staging dedup the update
+    machinery was unreachable."""
+    import shutil as sh
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        sh.copy(f"{SF_SMOKE}/{t}.parquet", src / f"{t}.parquet")
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, str(src), root, run_ts=T0)
+    wh = Warehouse(spark, root)
+    dim0 = wh.read("bl_3nf", "ce_customers")
+    victim = dim0.select("customer_src_id", "acctbal", "customer_id").first()
+    key, old_bal = victim["customer_src_id"], victim["acctbal"]
+
+    # re-deliver the same source with ONE customer's acctbal changed
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    new_bal = float(old_bal or 0.0) + 1234.5
+    cust2 = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == key, F.lit(new_bal)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    cust2.write.mode("overwrite").parquet(str(src / "customer.parquet"))
+    run_full_etl(spark, str(src), root, run_ts=T1)
+
+    dim1 = wh.read("bl_3nf", "ce_customers")
+    row = dim1.filter(F.col("customer_src_id") == key).collect()
+    assert len(row) == 1  # SCD1: still one row per key
+    assert abs(row[0]["acctbal"] - new_bal) < 1e-6  # update landed
+    assert row[0]["customer_id"] == victim["customer_id"]  # id stable
+    assert str(row[0]["update_dt"]).startswith(str(T1.date()))  # bumped
+    # untouched keys keep their original update_dt
+    other = dim1.filter(F.col("customer_src_id") != key).select("update_dt")
+    assert all(
+        str(r["update_dt"]).startswith(str(T0.date())) for r in other.collect()
+    )
+
+
 def test_vacuum_restores_and_removes(spark, tmp_path):
     """Interrupted-write recovery: a .old snapshot whose live dir is
     missing is the only copy — vacuum renames it back; completed-swap

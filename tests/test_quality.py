@@ -115,3 +115,38 @@ def test_null_fk_keys_pass(spark):
         )
     )
     assert got["rid_fk"] == 1  # only the 9; NULL passes per SQL semantics
+
+
+def test_accepted_values_null_handling_both_modes(spark):
+    df = spark.createDataFrame(
+        [("A",), ("B",), (None,), ("X",)], "status string"
+    )
+    lenient = Rule("vals", "accepted_values", column="status", values=("A", "B"))
+    strict = Rule(
+        "vals", "accepted_values", column="status", values=("A", "B"),
+        ignore_nulls=False,
+    )
+    assert run_checks(df, [lenient]).first()["n_violations"] == 1  # just X
+    # NULL is outside any accepted set when ignore_nulls=False
+    assert run_checks(df, [strict]).first()["n_violations"] == 2
+
+
+def test_unknown_kind_raises_and_empty_rules_ok(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="unknown kind"):
+        run_checks(df, [Rule("pk", "uniqueness", columns=("id",))])
+    out = run_checks(df, [])
+    assert out.count() == 0
+    assert out.columns == ["rule_name", "kind", "n_violations"]
+
+
+def test_rule_names_with_spaces_and_quotes(spark):
+    df = spark.createDataFrame([(1,), (None,)], "id bigint")
+    rules = [
+        Rule("not null check", "not_null", column="id"),
+        Rule("bob's rule", "not_null", column="id"),
+    ]
+    got = {r["rule_name"]: r["n_violations"] for r in run_checks(df, rules).collect()}
+    assert got == {"not null check": 1, "bob's rule": 1}
