@@ -74,10 +74,20 @@ def bucketed_prefix_sum(
     out_col: str,
     bucket: Column,
     total_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = inclusive running SUM(``val_col``) over the
     total order ``order_by``, computed with NO sf-proportional
     single-partition window.
+
+    ``group_cols``: grouped form — the running sum restarts per group
+    (``SUM OVER (PARTITION BY group ORDER BY ...)``). Buckets are then
+    scoped per group, the offset frame grows to (n_groups x n_buckets)
+    rows (still bounded model state), and the within-group offset pass
+    parallelizes across groups instead of needing ``single_group``.
+    This is the scale answer for per-domain running totals where one
+    group may hold most of the table: a plain partitioned window would
+    funnel that group through one task.
 
     ``bucket`` must be monotone non-decreasing along ``order_by``
     (build it with ``range_bucket`` on the leading order key). Rows
@@ -89,16 +99,21 @@ def bucketed_prefix_sum(
     by the same broadcast join), where a caller-side ``agg`` would cost
     a second full scan of ``df``'s lineage.
     """
+    g = list(group_cols or [])
     b = df.withColumn("__pb", bucket)
-    totals = b.groupBy("__pb").agg(F.sum(val_col).alias("__pbsum"))
-    # running sums over the one-row-per-bucket frame: bounded model
-    # state; single_group declares the intentional one-task pass
+    totals = b.groupBy(*g, "__pb").agg(F.sum(val_col).alias("__pbsum"))
+    # running sums over the one-row-per-bucket(-per-group) frame:
+    # bounded model state; ungrouped, single_group declares the
+    # intentional one-task pass, while the grouped form parallelizes
+    # across groups
+    off_part = g if g else [single_group(F.col("__pb"))]
     off_w = (
-        Window.partitionBy(single_group(F.col("__pb")))
+        Window.partitionBy(*off_part)
         .orderBy("__pb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = totals.select(
+        *g,
         "__pb",
         # nullable by design: NULL iff no previous bucket carries a
         # non-null value — needed to replicate SUM OVER's exact NULL
@@ -106,11 +121,11 @@ def bucketed_prefix_sum(
         # prefix frame is null-valued)
         F.sum("__pbsum").over(off_w).alias("__poff"),
         F.sum("__pbsum")
-        .over(Window.partitionBy(single_group(F.col("__pb"))))
+        .over(Window.partitionBy(*off_part))
         .alias("__ptot"),
     )
     in_w = (
-        Window.partitionBy("__pb")
+        Window.partitionBy(*g, "__pb")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -118,7 +133,7 @@ def bucketed_prefix_sum(
     combined = F.when(
         in_cum.isNull() & F.col("__poff").isNull(), F.lit(None)
     ).otherwise(F.coalesce(in_cum, F.lit(0)) + F.coalesce(F.col("__poff"), F.lit(0)))
-    out = b.join(F.broadcast(offs), "__pb").withColumn(out_col, combined)
+    out = b.join(F.broadcast(offs), g + ["__pb"]).withColumn(out_col, combined)
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__ptot"))
     return out.drop("__pb", "__poff", "__ptot")

@@ -11,6 +11,7 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
     analytics,
     asof,
     corpus,
+    curation,
     dates,
     extensions,
     graph,

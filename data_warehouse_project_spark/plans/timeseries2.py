@@ -365,3 +365,52 @@ def cumulative_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_parts").cast("bigint").alias("new_parts"),
         F.sum("new_parts").over(w).cast("bigint").alias("distinct_parts_so_far"),
     ).orderBy("custkey", "order_ts")
+
+
+@register(
+    "revenue_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ship_year, rev_cents,
+           LAG(rev_cents) OVER (ORDER BY ship_year) AS prev_rev_cents,
+           ROUND(CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY ship_year)
+                      AS DOUBLE) * 100.0
+                 / LAG(rev_cents) OVER (ORDER BY ship_year), 6) AS yoy_pct
+    FROM yearly
+    ORDER BY ship_year
+    """,
+    doc="Year-over-year growth: yearly integer-cents totals, then "
+    "lag() on the bounded years frame (7 rows whatever the SF — "
+    "single_group declares the intentional one-task window; the "
+    "sf-proportional work is all in the partial-aggregated year "
+    "rollup). First year's growth is NULL by definition. The growth "
+    "ratio is one subtract + multiply + divide on identical bigint "
+    "operands in both engines.",
+    tags=("window", "timeseries"),
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.operators.prefix import single_group
+
+    li = table(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(
+        F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.partitionBy(single_group(F.col("ship_year"))).orderBy("ship_year")
+    prev = F.lag("rev_cents").over(w)
+    return yearly.select(
+        "ship_year",
+        "rev_cents",
+        prev.alias("prev_rev_cents"),
+        F.round(
+            (F.col("rev_cents") - prev).cast("double") * 100.0 / prev, 6
+        ).alias("yoy_pct"),
+    ).orderBy("ship_year")

@@ -139,3 +139,32 @@ def test_no_sf_proportional_single_partition(spark):
             # ORDER BY direction marker must reference a column
             assert spec.split(",")[0].strip() != ""
     assert "Exchange SinglePartition" not in plan
+
+
+def test_grouped_matches_per_group_window(spark):
+    rows = [(i, f"g{i % 3}", (i * 37) % 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "k bigint, g string, v bigint").repartition(8)
+    order = [F.desc("v"), F.asc("k")]
+    got = bucketed_prefix_sum(
+        df,
+        order_by=order,
+        val_col="v",
+        out_col="cum",
+        bucket=range_bucket(F.col("v"), 10, descending=True),
+        total_col="tot",
+        group_cols=["g"],
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("want", F.sum("v").over(w))
+    joined = got.join(want, ["k", "g", "v"]).collect()
+    assert len(joined) == len(rows)
+    totals = {}
+    for _, g, v in rows:
+        totals[g] = totals.get(g, 0) + v
+    for r in joined:
+        assert r["cum"] == r["want"], (r["k"], r["g"], r["cum"], r["want"])
+        assert r["tot"] == totals[r["g"]]

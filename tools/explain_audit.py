@@ -33,6 +33,7 @@ ALLOW_NESTED_LOOP = {
     "funnel_view_click_purchase",  # 1-row stage-count crosses
     "key_skew_profile",  # 1-row total broadcast cross
     "kmeans_update_step",  # broadcast cross vs 16 centroids — intended
+    "dedup_semantic_clusters",  # broadcast cross vs 16 centroids — intended
     "copurchase_triangles",  # 1-row n_edges/n_triangles stat crosses
     "source_overlap_minhash",  # |sources|-row signature cross — model state
     "heavy_hitters_cms",  # 10-probe x 1KB-register cross — sketch state
@@ -89,6 +90,9 @@ SHUFFLE_BUDGET = {
 NO_SINGLE_PARTITION_EXCHANGE = [
     "surrogate_keys_nation",
     "abc_classification_parts",
+    # grouped bucketed_prefix_sum: offsets parallelize across sources,
+    # so the plan needs no SinglePartition exchange at all
+    "token_budget_pack_by_source",
 ]
 
 # bucket-id columns whose per-bucket count/sum frames are bounded model
