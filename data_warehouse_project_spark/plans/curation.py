@@ -257,3 +257,109 @@ def udtf_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT {_TRI_TOP_K}
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel
+# ---------------------------------------------------------------------------
+
+# (rule name, survival predicate) — applied cumulatively in order, the
+# way a production curation pipeline reports "docs remaining after each
+# filter". Thresholds are tuned so every stage is discriminative on the
+# synthetic corpus; the funnel SHAPE is the operator.
+_FUNNEL_SQL_PREDS = [
+    ("min_tokens", "nt >= 20"),
+    ("distinct_ratio", "CAST(nd AS DOUBLE) / nt >= 0.4"),
+    ("stopword_ratio", "CAST(ns AS DOUBLE) / nt <= 0.15"),
+    ("mean_token_len", "CAST(n_chars - (nt - 1) AS DOUBLE) / nt BETWEEN 4.4 AND 4.7"),
+]
+
+
+def _funnel_oracle() -> str:
+    stages = ["SELECT 0 AS stage, 'input' AS rule, COUNT(*) AS n_pass FROM d"]
+    for i in range(len(_FUNNEL_SQL_PREDS)):
+        conj = " AND ".join(p for _, p in _FUNNEL_SQL_PREDS[: i + 1])
+        stages.append(
+            f"SELECT {i + 1} AS stage, '{_FUNNEL_SQL_PREDS[i][0]}' AS rule, "
+            f"COUNT(*) FILTER ({conj}) AS n_pass FROM d"
+        )
+    body = " UNION ALL ".join(stages)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS nd,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a'))) AS ns
+      FROM documents
+    )
+    SELECT CAST(stage AS INT) AS stage, rule,
+           CAST(n_pass AS BIGINT) AS n_pass
+    FROM ({body}) ORDER BY stage
+    """
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=_funnel_oracle(),
+    doc="Curation funnel: documents surviving after each successive "
+    "quality filter (token count, type-token ratio, stopword ratio, "
+    "mean token length) — the pipeline-debugging view every corpus "
+    "curation run reports, answering 'which rule is eating my data'. "
+    "ONE scan: all per-doc metrics are codegen expressions, the "
+    "cumulative pass flags are conditional-aggregation counters, and "
+    "the funnel rows come from unpivoting a single aggregate row — "
+    "no per-stage rescan, which is the difference between 5 passes "
+    "and 1 over 100 TB. Ratio predicates compare identically-derived "
+    "doubles (one division of exact integers) so both engines agree "
+    "on every boundary.",
+    tags=("text", "quality", "funnel"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    ns = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    preds = [
+        nt >= 20,
+        nd.cast("double") / nt >= 0.4,
+        ns.cast("double") / nt <= 0.15,
+        ((F.col("n_chars") - (nt - 1)).cast("double") / nt).between(4.4, 4.7),
+    ]
+    flags = d.select(
+        F.lit(1).alias("one"),
+        *[
+            F.when(
+                # cumulative conjunction: survives rules 1..i+1
+                _conj(preds[: i + 1]), 1
+            ).otherwise(0).alias(f"p{i + 1}")
+            for i in range(len(preds))
+        ],
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[F.sum(f"p{i + 1}").cast("bigint").alias(f"n{i + 1}") for i in range(len(preds))],
+    )
+    names = ["input"] + [name for name, _ in _FUNNEL_SQL_PREDS]
+    stack_args = ", ".join(
+        f"{i}, '{names[i]}', n{i}" for i in range(len(names))
+    )
+    return (
+        agg.selectExpr(
+            f"stack({len(names)}, {stack_args}) AS (stage, rule, n_pass)"
+        )
+        .select(
+            F.col("stage").cast("int").alias("stage"),
+            "rule",
+            F.col("n_pass").cast("bigint").alias("n_pass"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _conj(preds):
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out

@@ -1,5 +1,6 @@
 from data_warehouse_project_spark.streaming.corpus import (  # noqa: F401
     curated_documents,
+    neardup_ingest,
     source_ingest_stats,
 )
 from data_warehouse_project_spark.streaming.joins import (  # noqa: F401

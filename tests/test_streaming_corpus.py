@@ -119,3 +119,52 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == docs.count(), "restart lost or duplicated rows"
     assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_neardup_ingest_stream_equals_one_shot(spark, tmp_path):
+    """Micro-batched foreachBatch admission into the MinHash index must
+    accumulate exactly the pair set the one-shot pass finds on the
+    union, with the injected duplicate crossing the batch boundary."""
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+    from data_warehouse_project_spark.operators.dedup_index import MinHashIndex
+    from data_warehouse_project_spark.streaming import neardup_ingest
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    dup = docs.filter("doc_id = 0").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(dup).localCheckpoint()
+
+    src = str(tmp_path / "src")
+    # two files + maxFilesPerTrigger=1 → two micro-batches; the
+    # duplicate of doc 0 arrives in the SECOND one
+    corpus.filter("doc_id < 250").coalesce(1).write.mode("append").parquet(src)
+    corpus.filter("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = neardup_ingest(stream, wh, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    def _pairs(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in df.collect()
+        )
+
+    got = _pairs(wh.read("bl_cl", "neardup_pairs"))
+    one_shot = MinHashIndex(Warehouse(spark, str(tmp_path / "oneshot")))
+    want = _pairs(one_shot.add_documents(corpus, corpus))
+    assert got == want
+    assert any(a == 0 and b == 1_000_000 for a, b, _ in got)
+    assert wh.read("bl_cl", "corpus_docs").count() == corpus.count()
+
+    # restart on the same checkpoint with no new files: a no-op — the
+    # row-grain idempotence plus the checkpoint replay add nothing
+    q2 = neardup_ingest(stream, wh, str(tmp_path / "ckpt"))
+    q2.awaitTermination(180)
+    assert _pairs(wh.read("bl_cl", "neardup_pairs")) == got
+    assert wh.read("bl_cl", "corpus_docs").count() == corpus.count()
