@@ -133,7 +133,17 @@ def bucketed_prefix_sum(
     combined = F.when(
         in_cum.isNull() & F.col("__poff").isNull(), F.lit(None)
     ).otherwise(F.coalesce(in_cum, F.lit(0)) + F.coalesce(F.col("__poff"), F.lit(0)))
-    out = b.join(F.broadcast(offs), g + ["__pb"]).withColumn(out_col, combined)
+    # null-safe on the group keys: NULL is a real partition in SQL's
+    # PARTITION BY (and in the windows above) — a name-based equi-join
+    # would silently drop every NULL-group row here
+    offs_b = F.broadcast(offs)
+    cond = b["__pb"] == offs_b["__pb"]
+    for c in g:
+        cond = cond & b[c].eqNullSafe(offs_b[c])
+    out = b.join(offs_b, cond).drop(offs_b["__pb"])
+    for c in g:
+        out = out.drop(offs_b[c])
+    out = out.withColumn(out_col, combined)
     if total_col is not None:
         out = out.withColumn(total_col, F.col("__ptot"))
     return out.drop("__pb", "__poff", "__ptot")

@@ -327,12 +327,13 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.cast("double") / nt <= 0.15,
         ((F.col("n_chars") - (nt - 1)).cast("double") / nt).between(4.4, 4.7),
     ]
+    from functools import reduce
+
     flags = d.select(
-        F.lit(1).alias("one"),
         *[
             F.when(
                 # cumulative conjunction: survives rules 1..i+1
-                _conj(preds[: i + 1]), 1
+                reduce(lambda x, y: x & y, preds[: i + 1]), 1
             ).otherwise(0).alias(f"p{i + 1}")
             for i in range(len(preds))
         ],
@@ -356,10 +357,3 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
-
-
-def _conj(preds):
-    out = preds[0]
-    for p in preds[1:]:
-        out = out & p
-    return out

@@ -104,7 +104,14 @@ def neardup_ingest(
     idx = MinHashIndex(wh, threshold=threshold)
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select("doc_id", "text").localCheckpoint()
+        # in-batch key dedup first: an at-least-once upstream can repeat
+        # a doc_id WITHIN one trigger, and the stored-ids anti-join
+        # below only guards against docs from earlier triggers
+        batch = (
+            batch_df.select("doc_id", "text")
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint()
+        )
         stored = wh.read_or_none("bl_cl", "corpus_docs")
         if stored is not None:
             batch = batch.join(

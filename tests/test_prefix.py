@@ -168,3 +168,22 @@ def test_grouped_matches_per_group_window(spark):
     for r in joined:
         assert r["cum"] == r["want"], (r["k"], r["g"], r["cum"], r["want"])
         assert r["tot"] == totals[r["g"]]
+
+
+def test_grouped_keeps_null_group_rows(spark):
+    """NULL is a real PARTITION BY value: rows whose group column is
+    NULL must get their own running sum, not vanish in the offset
+    join (regression: name-based equi-join dropped them)."""
+    rows = [(1, "a", 10), (2, None, 20), (3, "a", 5), (4, None, 7)]
+    df = spark.createDataFrame(rows, "k bigint, g string, v bigint")
+    got = bucketed_prefix_sum(
+        df,
+        order_by=[F.asc("v"), F.asc("k")],
+        val_col="v",
+        out_col="cum",
+        bucket=range_bucket(F.col("v"), 8),
+        total_col="tot",
+        group_cols=["g"],
+    )
+    out = {r["k"]: (r["cum"], r["tot"]) for r in got.collect()}
+    assert out == {1: (15, 15), 3: (5, 15), 2: (27, 27), 4: (7, 27)}

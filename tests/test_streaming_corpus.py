@@ -168,3 +168,26 @@ def test_neardup_ingest_stream_equals_one_shot(spark, tmp_path):
     q2.awaitTermination(180)
     assert _pairs(wh.read("bl_cl", "neardup_pairs")) == got
     assert wh.read("bl_cl", "corpus_docs").count() == corpus.count()
+
+
+def test_neardup_ingest_dedups_within_batch(spark, tmp_path):
+    """A doc_id repeated INSIDE one micro-batch (at-least-once
+    upstream) must be admitted once — corpus_docs keeps doc_id unique."""
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+    from data_warehouse_project_spark.streaming import neardup_ingest
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text").limit(50)
+    doubled = docs.unionByName(docs)
+    src = str(tmp_path / "src")
+    doubled.coalesce(1).write.parquet(src)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    q = neardup_ingest(
+        spark.readStream.schema(doubled.schema).parquet(src),
+        wh,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    stored = wh.read("bl_cl", "corpus_docs")
+    assert stored.count() == 50
+    assert stored.select("doc_id").distinct().count() == 50
