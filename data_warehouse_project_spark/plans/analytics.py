@@ -211,7 +211,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.part_a, p.part_b, p.n_both,
            ca.n_with AS n_a, cb.n_with AS n_b,
-           CAST((p.n_both * n.n_orders * 1000000) // (ca.n_with * cb.n_with)
+           CAST((CAST(p.n_both AS HUGEINT) * n.n_orders * 1000000)
+                // (CAST(ca.n_with AS HUGEINT) * cb.n_with)
                 AS BIGINT) AS lift_ppm
     FROM pairs p
       JOIN cnt ca ON p.part_a = ca.pkey
@@ -261,7 +262,13 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
             F.col("ca.n_with").alias("n_a"),
             F.col("cb.n_with").alias("n_b"),
-            F.expr("(n_both * n_orders * 1000000) div (ca.n_with * cb.n_with)")
+            # 128-bit intermediates on both engines (decimal(38,0) /
+            # HUGEINT): n_both * n_orders * 1e6 exceeds int64 once
+            # n_both * n_orders passes ~9.2e12 — reachable at SF1000
+            F.expr(
+                "(CAST(n_both AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " div (CAST(ca.n_with AS DECIMAL(38,0)) * cb.n_with)"
+            )
             .cast("bigint")
             .alias("lift_ppm"),
         )
@@ -610,18 +617,40 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "table_fingerprint",
-    oracle="""
-    WITH rowhash AS (
-      SELECT ('0x' || substr(md5(
+# ONE row-hash definition for both fingerprint queries (global +
+# bucketed): a field added here changes both digests together, which is
+# the point — the bucketed fingerprint localizes diffs in the SAME hash.
+_FP_PAYLOAD_SQL = """md5(
                CAST(l_orderkey AS VARCHAR) || '|' ||
                CAST(l_linenumber AS VARCHAR) || '|' ||
                CAST(l_quantity AS VARCHAR) || '|' ||
                CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
-             ), 1, 8))::BIGINT AS h
+             )"""
+_FP_ROWHASH_CTE = f"""
+    WITH rowhash AS (
+      SELECT ('0x' || substr({_FP_PAYLOAD_SQL}, 1, 8))::BIGINT AS h
       FROM lineitem
+    )"""
+
+
+def _fp_rowhash(li):
+    """lineitem → one-column frame ``h``: the shared fingerprint hash."""
+    from data_warehouse_project_spark.functions.hashing import md5_prefix_int
+
+    payload = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
     )
+    return li.select(md5_prefix_int(payload).alias("h"))
+
+
+@register(
+    "table_fingerprint",
+    oracle=f"""
+    {_FP_ROWHASH_CTE}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(h) AS BIGINT) AS content_sum,
            CAST(MIN(h) AS BIGINT) AS content_min,
@@ -639,16 +668,7 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("validation", "agg"),
 )
 def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    payload = F.concat_ws(
-        "|",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-        F.col("l_quantity").cast("string"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
-    )
-    h = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("bigint")
-    return li.select(h.alias("h")).agg(
+    return _fp_rowhash(table(spark, sf_dir, "lineitem")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("h").cast("bigint").alias("content_sum"),
         F.min("h").cast("bigint").alias("content_min"),
@@ -658,16 +678,8 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "table_fingerprint_buckets",
-    oracle="""
-    WITH rowhash AS (
-      SELECT ('0x' || substr(md5(
-               CAST(l_orderkey AS VARCHAR) || '|' ||
-               CAST(l_linenumber AS VARCHAR) || '|' ||
-               CAST(l_quantity AS VARCHAR) || '|' ||
-               CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
-             ), 1, 8))::BIGINT AS h
-      FROM lineitem
-    )
+    oracle=f"""
+    {_FP_ROWHASH_CTE}
     SELECT h % 64 AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(h) AS BIGINT) AS content_sum
@@ -683,17 +695,8 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("validation", "agg"),
 )
 def table_fingerprint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    payload = F.concat_ws(
-        "|",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
-        F.col("l_quantity").cast("string"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
-    )
-    h = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("bigint")
     return (
-        li.select(h.alias("h"))
+        _fp_rowhash(table(spark, sf_dir, "lineitem"))
         .groupBy((F.col("h") % 64).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -856,17 +859,13 @@ _CMS_WIDTH = 256
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_partkey")
 
+    from data_warehouse_project_spark.functions.hashing import md5_prefix_int
+
     def col_of(j_col, key_col):
         return F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(j_col.cast("string"), F.lit(":"), key_col.cast("string"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+            md5_prefix_int(
+                F.concat(j_col.cast("string"), F.lit(":"), key_col.cast("string"))
+            ),
             F.lit(_CMS_WIDTH),
         )
 

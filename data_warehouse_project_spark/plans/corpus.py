@@ -32,12 +32,17 @@ _HASH_SPAN = float(1 << 32)
 
 
 def _hash_unit_spark(col):
-    """md5(doc_id) → uniform bigint in [0, 2^32): the sampling draw."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    """md5(doc_id) → uniform bigint in [0, 2^32): the sampling draw
+    (the shared functions/hashing.py unit over the stringified key)."""
+    from data_warehouse_project_spark.functions.hashing import md5_prefix_int
+
+    return md5_prefix_int(col.cast("string"))
 
 
 def _hash_unit_sql(expr: str) -> str:
-    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+    from data_warehouse_project_spark.functions.hashing import md5_prefix_int_sql
+
+    return md5_prefix_int_sql(f"CAST({expr} AS VARCHAR)")
 
 
 @register(
@@ -443,7 +448,9 @@ def pack_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         offs.groupBy(
             "source",
-            F.floor(F.col("start_off") / PACK_BUDGET).cast("bigint").alias("bin_id"),
+            # exact integer floor-division (start_off >= 0 so trunc ==
+            # floor) — a double divide would wobble above 2^53 offsets
+            F.expr(f"start_off div {PACK_BUDGET}").cast("bigint").alias("bin_id"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -453,10 +460,11 @@ def pack_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_df_topk",
-    oracle="""
-    WITH toks AS (
+# ONE bigram definition for both term-statistics queries — a
+# tokenization change must move bigram_df_topk and repetition_profile
+# together or the two corpus-quality metrics silently disagree about
+# what an n-gram is.
+_BIGRAMS_CTE_SQL = """toks AS (
       SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
     ),
     bg AS (
@@ -464,7 +472,26 @@ def pack_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(range(1, len(t)),
                     i -> t[i] || ' ' || t[i+1])) AS bigram
       FROM toks WHERE len(t) >= 2
-    ),
+    )"""
+
+
+def _bigrams(d: DataFrame) -> DataFrame:
+    """documents → exploded (doc_id, lang, bigram) word bigrams."""
+    toks = d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    )
+    return toks.select("doc_id", "lang", F.explode(grams).alias("bigram"))
+
+
+@register(
+    "bigram_df_topk",
+    oracle=f"""
+    WITH {_BIGRAMS_CTE_SQL},
     tf AS (
       SELECT lang, bigram, COUNT(*) AS tf
       FROM bg GROUP BY lang, bigram
@@ -501,15 +528,7 @@ def pack_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bigram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t")).filter(
-        F.size("t") >= 2
-    )
-    t = F.col("t")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
-    )
-    bg = toks.select("doc_id", "lang", F.explode(grams).alias("bigram"))
+    bg = _bigrams(d)
     tf = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("tf"))
     df = bg.groupBy("bigram").agg(F.countDistinct("doc_id").alias("df"))
     total = d.agg(F.count(F.lit(1)).alias("n"))
@@ -532,16 +551,8 @@ def bigram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "repetition_profile",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
-    ),
-    bg AS (
-      SELECT doc_id, lang,
-             unnest(list_transform(range(1, len(t)),
-                    i -> t[i] || ' ' || t[i+1])) AS bigram
-      FROM toks WHERE len(t) >= 2
-    ),
+    oracle=f"""
+    WITH {_BIGRAMS_CTE_SQL},
     per_bigram AS (
       SELECT doc_id, lang, bigram, COUNT(*) AS cnt
       FROM bg GROUP BY doc_id, lang, bigram
@@ -580,16 +591,7 @@ def bigram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("corpus", "quality"),
 )
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t")).filter(
-        F.size("t") >= 2
-    )
-    t = F.col("t")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
-    )
-    bg = toks.select("doc_id", "lang", F.explode(grams).alias("bigram"))
+    bg = _bigrams(table(spark, sf_dir, "documents"))
     per_bigram = bg.groupBy("doc_id", "lang", "bigram").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -26,10 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
-from data_warehouse_project_spark.plans.queries import (
-    exact_sum,
-    register,
-)
+from data_warehouse_project_spark.plans.queries import register
 
 
 @register(
