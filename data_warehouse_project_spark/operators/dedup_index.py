@@ -39,12 +39,16 @@ MINHASH_K = 8
 BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))
 
 
-def shingles_of(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct 3-word shingles of an arbitrary
-    documents frame — same construction as plans/text._shingles (token
-    array materialized first so Catalyst doesn't re-split per element)."""
+def shingles_of(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, shingle) distinct 3-word shingles of an arbitrary frame
+    with a ``text`` column — THE canonical shingle construction, shared
+    by the batch queries (plans/text.py delegates here) and the index.
+    The token array is materialized in its own projection first: an
+    inline ``split(text)`` gets re-evaluated by Catalyst's
+    project-collapsing for every element_at — O(tokens²) per document
+    (measured 13x slower at sf0.1)."""
     toks = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("t")
+        key, F.split(F.col("text"), " ").alias("t")
     ).filter(F.size("t") >= 3)
     t = F.col("t")
     sh = F.transform(
@@ -53,19 +57,25 @@ def shingles_of(docs: DataFrame) -> DataFrame:
             " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
         ),
     )
-    return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return toks.select(key, F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_cols(k: int) -> list:
+    """k seeded-md5 min-hash aggregate columns (h0..h{k-1}) over a
+    ``shingle`` column — the one signature scheme every minhash user
+    (LSH query, source-overlap signatures, this index) must share, or
+    their signatures stop being comparable."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
 
 
 def band_rows(shingles: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_sig): seeded-md5 min-hash signature rows,
     banded — identical scheme to dedup_minhash_lsh so index results are
     comparable to the batch query's."""
-    mh = shingles.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
-            for k in range(MINHASH_K)
-        ]
-    )
+    mh = shingles.groupBy("doc_id").agg(*minhash_cols(MINHASH_K))
     band_structs = F.array(
         *[
             F.struct(

@@ -443,7 +443,9 @@ def except_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    return active_in(1996).exceptAll(active_in(1997)).orderBy("customer_id")
+    # subtract = EXCEPT DISTINCT (the documented intent); exceptAll's
+    # multiset semantics only coincide because both inputs are distinct
+    return active_in(1996).subtract(active_in(1997)).orderBy("customer_id")
 
 
 @register(

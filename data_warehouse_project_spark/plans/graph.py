@@ -36,9 +36,15 @@ def connected_components(edges: DataFrame, max_iters: int = _MAX_CC_ITERS) -> Da
     same partitioning every round, so at scale the labels frame stays
     co-located and only the first join re-shuffles the edges.
     """
-    sym = edges.select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    # materialize the (possibly expensive) edge pipeline ONCE — every
+    # iteration joins against sym, and without this each round would
+    # re-execute the full upstream plan (for dedup_clusters: the whole
+    # shingle self-join + Jaccard verification, per round)
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -64,6 +70,14 @@ def connected_components(edges: DataFrame, max_iters: int = _MAX_CC_ITERS) -> Da
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # returning the partial labels would silently split true
+        # clusters (and diverge from the transitive-closure oracle)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations — a component's diameter exceeds the cap; raise "
+            "max_iters (rounds needed = graph diameter)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -114,29 +128,16 @@ def connected_components(edges: DataFrame, max_iters: int = _MAX_CC_ITERS) -> Da
     "(distributed, O(diameter) rounds); the oracle is a recursive-CTE "
     "transitive closure — different algorithms, hash-identical output.",
     tags=("text", "dedup", "graph"),
+    # building this plan RUNS jobs (per-iteration localCheckpoint +
+    # convergence count) — plan-only tooling must skip it
+    eager=True,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.plans.text import jaccard_pairs
+
     ds = _shingles(spark, sf_dir).cache()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = ds.alias("a"), ds.alias("b")
-    overlap = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-    )
-    pairs = (
-        overlap.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    pairs = jaccard_pairs(ds, 0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comps = connected_components(pairs)
     return (

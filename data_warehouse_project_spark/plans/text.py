@@ -226,25 +226,44 @@ _SHINGLES_SQL = """
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct 3-word shingles — Spark twin of _SHINGLES_SQL.
+    """(doc_id, shingle) distinct 3-word shingles — Spark twin of
+    _SHINGLES_SQL, delegating to the one canonical construction
+    (operators/dedup_index.shingles_of, which also documents the
+    Catalyst re-split perf trap)."""
+    from data_warehouse_project_spark.operators.dedup_index import shingles_of
 
-    The token array is materialized in its own projection *before* the
-    shingle transform: if ``split(text)`` is left inline, Catalyst's
-    project-collapsing re-evaluates the split for every element_at —
-    O(tokens²) per document (measured 13x slower at sf0.1).
-    """
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("t")).filter(
-        F.size("t") >= 3
+    return shingles_of(table(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, n_shared, jaccard): doc pairs with exact
+    shingle-Jaccard >= threshold (doc_a < doc_b) — the one pair
+    pipeline shared by the exact dedup query and the near-dup cluster
+    graph (plans/graph.py), so a threshold/verification change moves
+    both. Callers should .cache() the shingles frame (read twice)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    t = F.col("t")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(t) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
-        ),
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
     )
-    return toks.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 @register(
@@ -274,32 +293,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = _shingles(spark, sf_dir).cache()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ds.alias("a")
-    b = ds.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-    )
-    return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", "n_shared", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    )
+    return jaccard_pairs(ds, 0.5).orderBy("doc_a", "doc_b")
 
 
 _MINHASH_K = 8  # 4 bands x 2 rows
@@ -353,14 +347,11 @@ _MINHASH_BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))
     tags=("text", "dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.operators.dedup_index import minhash_cols
+
     ds = _shingles(spark, sf_dir).cache()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    mh = ds.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
-            for k in range(_MINHASH_K)
-        ]
-    )
+    mh = ds.groupBy("doc_id").agg(*minhash_cols(_MINHASH_K))
     # one band row per (doc, band) via explode — a union of per-band
     # selects would recompute the minhash aggregation once per band
     band_structs = F.array(
@@ -607,18 +598,19 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probed = tok.join(F.broadcast(vocab), "token", "left")
     oov = F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0))
-    return (
-        probed.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("total_tokens"),
-            oov.cast("bigint").alias("oov_tokens"),
-            F.expr(
-                "CAST(sum(CASE WHEN __known IS NULL THEN 1 ELSE 0 END) * 1000000"
-                " div count(1) AS BIGINT)"
-            ).alias("oov_ppm"),
-        )
-        .orderBy("source")
+    agg = probed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        oov.cast("bigint").alias("oov_tokens"),
     )
+    # one definition of "OOV": ppm derives from the aggregated counts
+    return agg.select(
+        "source",
+        "total_tokens",
+        "oov_tokens",
+        F.expr("CAST(oov_tokens * 1000000 div total_tokens AS BIGINT)").alias(
+            "oov_ppm"
+        ),
+    ).orderBy("source")
 
 
 _OVERLAP_K = 8  # minhash signature length per source
@@ -659,26 +651,13 @@ _OVERLAP_K = 8  # minhash signature length per source
     tags=("text", "dedup"),
 )
 def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("source", _tokens(F.col("text")).alias("t")).filter(
-        F.size("t") >= 3
+    from data_warehouse_project_spark.operators.dedup_index import (
+        minhash_cols,
+        shingles_of,
     )
-    t = F.col("t")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(t) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
-        ),
-    )
-    src_shingles = toks.select(
-        "source", F.explode(shingles).alias("shingle")
-    ).distinct()
-    mh = src_shingles.groupBy("source").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
-            for k in range(_OVERLAP_K)
-        ]
-    )
+
+    src_shingles = shingles_of(table(spark, sf_dir, "documents"), key="source")
+    mh = src_shingles.groupBy("source").agg(*minhash_cols(_OVERLAP_K))
     a, b = mh.alias("a"), mh.alias("b")
     n_matches = sum(
         F.when(F.col(f"a.h{k}") == F.col(f"b.h{k}"), 1).otherwise(0)

@@ -318,7 +318,9 @@ def _register_lsh_ann() -> None:
     )(ann_lsh_incremental)
 
 
-DIM_SQL = 64
+# fold length of the oracle's dot products — MUST be the hyperplane
+# dimensionality, or the DuckDB signatures silently truncate
+from data_warehouse_project_spark.operators.similarity import DIM as DIM_SQL
 _register_lsh_ann()
 
 

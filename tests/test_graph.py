@@ -65,3 +65,19 @@ def test_pagerank_single_step_matches_query(spark):
     }
     for suppkey, rank in expected.items():
         assert got[f"s{suppkey}"] == rank
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    """A chain longer than max_iters must raise, not silently return
+    split clusters."""
+    import pytest
+    from data_warehouse_project_spark.plans.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
+    # and with enough rounds the same chain converges to one component
+    comps = connected_components(edges, max_iters=10)
+    assert comps.select("component").distinct().count() == 1
