@@ -44,3 +44,31 @@ def cos_sql(a: str, b: str) -> str:
     na = DOT_SQL.format(a=a, b=a)
     nb = DOT_SQL.format(a=b, b=b)
     return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def round6(col: Column) -> Column:
+    """Deterministic 6-decimal round: ``floor(x*1e6 + 0.5)/1e6`` — the
+    SAME IEEE operations in both engines, so equal inputs give equal
+    outputs by construction. Engine-native ``ROUND(x, 6)`` must NOT be
+    used where cross-engine equality matters: Spark rounds the
+    shortest-decimal representation while DuckDB rounds in double
+    arithmetic, and they disagree for inputs within 1 ulp of a .5e-6
+    boundary (measured 249/20000 on adversarial doubles). Negative
+    halves round toward +inf here — identically on both sides, which
+    is the only property the value-hash gate needs."""
+    return F.floor(col * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0
+
+
+def round6_sql(expr: str) -> str:
+    """DuckDB twin of :func:`round6` for oracle strings."""
+    return f"(FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
+def cos6(a: Column, b: Column) -> Column:
+    """Cosine similarity rounded via :func:`round6` — the comparison/
+    ranking form every vector query must share with its oracle."""
+    return round6(cosine(a, b))
+
+
+def cos6_sql(a: str, b: str) -> str:
+    return round6_sql(cos_sql(a, b))

@@ -23,13 +23,13 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_project_spark.functions.vectors import cosine
+from data_warehouse_project_spark.functions.vectors import cos6, cosine
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, e) × (cent_id, ce) → (vec_id, e, cent_id, sim): each
     vector's best centroid, deterministic tie-break."""
-    sim = F.round(cosine(F.col("e"), F.col("ce")), 6)
+    sim = cos6(F.col("e"), F.col("ce"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
     return (
         vecs.join(F.broadcast(cents))

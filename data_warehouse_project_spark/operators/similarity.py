@@ -19,7 +19,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_warehouse_project_spark.functions.vectors import as_double, cosine
+from data_warehouse_project_spark.functions.vectors import as_double, cos6, cosine
 
 N_PLANES = 16
 N_BANDS = 4  # 4 bands x 4 bits
@@ -115,7 +115,7 @@ def lsh_ann_topk(
             "q_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+            cos6(F.col("qe"), F.col("e")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
@@ -221,7 +221,7 @@ class VectorLSHIndex:
                 "q_id",
                 "vec_id",
                 "label",
-                F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+                cos6(F.col("qe"), F.col("e")).alias("cos_sim"),
             )
         )
         w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")

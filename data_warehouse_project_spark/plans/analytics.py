@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
 from data_warehouse_project_spark.operators.bloom import bloom_build, bloom_probe
+from data_warehouse_project_spark.functions.scalars import cents
 from data_warehouse_project_spark.plans.queries import register
 
 
@@ -149,7 +150,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias(
             "day"
         ),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        cents("o_totalprice").alias("cents"),
     )
     per = o.groupBy("custkey").agg(
         F.max("day").alias("last_day"),
@@ -422,7 +423,7 @@ def bloom_probe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+        cents("o_totalprice").alias("c")
     )
     return (
         c.groupBy(F.expr("c div 10000000").cast("bigint").alias("bucket_1000s"))
@@ -642,7 +643,7 @@ def _fp_rowhash(li):
         F.col("l_orderkey").cast("string"),
         F.col("l_linenumber").cast("string"),
         F.col("l_quantity").cast("string"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+        cents("l_extendedprice").cast("string"),
     )
     return li.select(md5_prefix_int(payload).alias("h"))
 
@@ -736,7 +737,7 @@ def table_fingerprint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_with_ties_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+        F.sum(cents("l_extendedprice")).alias(
             "rev_cents"
         )
     )
@@ -790,7 +791,7 @@ def topk_with_ties_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def price_mad_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select(
-        "p_brand", F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents")
+        "p_brand", cents("p_retailprice").alias("cents")
     )
     med = p.groupBy("p_brand").agg(
         F.percentile("cents", F.lit(0.5)).cast("double").alias("med_cents")

@@ -46,7 +46,13 @@ def asof_join(
         )
         .withColumn("__side", F.lit(0))
     )
-    l_cols = set(left.columns)
+    reserved = {"__side", "__ts"} | {f"__asof_{v}" for v in right_vals}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left frame columns collide with internal names: "
+            f"{sorted(clash)}"
+        )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # right rows sort before left rows at the same timestamp (__side 0<1);
     # equal-timestamp right rows are totally ordered by their value tuple

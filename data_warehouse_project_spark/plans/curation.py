@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from data_warehouse_project_spark.catalog import register_temp_views, table
 from data_warehouse_project_spark.functions.vectors import (
     as_double,
-    cos_sql as _cos_sql,
-    cosine,
+    cos6,
+    cos6_sql as _cos6_sql,
 )
 from data_warehouse_project_spark.plans.queries import register
 
@@ -48,7 +48,7 @@ assign_sims AS (
   SELECT v.vec_id, v.e, c.cent_id,
          ROW_NUMBER() OVER (
            PARTITION BY v.vec_id
-           ORDER BY ROUND({_cos_sql('v.e', 'c.ce')}, 6) DESC, c.cent_id
+           ORDER BY {_cos6_sql('v.e', 'c.ce')} DESC, c.cent_id
          ) AS rn
   FROM vecs v, cents c
 ),
@@ -59,7 +59,7 @@ dups AS (
   SELECT DISTINCT a.vec_id AS dup_id
   FROM assigned a JOIN assigned b
     ON a.cent_id = b.cent_id AND a.vec_id > b.vec_id
-  WHERE ROUND({_cos_sql('a.e', 'b.e')}, 6) >= {_SEM_THRESHOLD}
+  WHERE {_cos6_sql('a.e', 'b.e')} >= {_SEM_THRESHOLD}
 )
 SELECT a.vec_id, a.cent_id,
        CAST(CASE WHEN d.dup_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
@@ -97,7 +97,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
     assigned = (
         vecs.join(F.broadcast(cents))
-        .withColumn("sim", F.round(cosine(F.col("e"), F.col("ce")), 6))
+        .withColumn("sim", cos6(F.col("e"), F.col("ce")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", "cent_id")
@@ -110,7 +110,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cent_id") == F.col("b.cent_id"))
             & (F.col("a.vec_id") > F.col("b.vec_id")),
         )
-        .filter(F.round(cosine(F.col("a.e"), F.col("b.e")), 6) >= _SEM_THRESHOLD)
+        .filter(cos6(F.col("a.e"), F.col("b.e")) >= _SEM_THRESHOLD)
         .select(F.col("a.vec_id").alias("dup_id"))
         .distinct()
     )

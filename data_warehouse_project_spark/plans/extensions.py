@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
 from data_warehouse_project_spark.operators.layout import zvalue_sql
+from data_warehouse_project_spark.functions.scalars import cents
 from data_warehouse_project_spark.plans.queries import (
     _sql_exact_sum,
     exact_sum,
@@ -279,9 +280,9 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    price_cents = cents("o_totalprice")
     return (
-        o.select(F.col("o_orderstatus").alias("status"), cents.alias("price"))
+        o.select(F.col("o_orderstatus").alias("status"), price_cents.alias("price"))
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
-from data_warehouse_project_spark.functions.scalars import initcap_pg, split_part
+from data_warehouse_project_spark.functions.scalars import cents, initcap_pg, split_part
 from data_warehouse_project_spark.plans.queries import (
     _sql_exact_sum,
     exact_sum,
@@ -218,7 +218,7 @@ def running_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
     )
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("ship_day")).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+        F.sum(cents("l_extendedprice")).alias(
             "rev_cents"
         )
     )
@@ -264,7 +264,7 @@ def running_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vectors", "dedup"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_warehouse_project_spark.functions.vectors import as_double, cosine
+    from data_warehouse_project_spark.functions.vectors import as_double, cos6
 
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
@@ -276,7 +276,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos_sim"),
+            cos6(F.col("a.e"), F.col("b.e")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.95)
         .orderBy("vec_a", "vec_b")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.functions.scalars import cents
 from data_warehouse_project_spark.plans.queries import (
     _sql_exact_sum,
     exact_sum,
@@ -131,7 +132,7 @@ def moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = li.groupBy(
         F.col("l_shipdate").cast("date").alias("ship_day")
     ).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+        F.sum(cents("l_extendedprice")).alias(
             "rev_cents"
         )
     )
@@ -176,15 +177,15 @@ def moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
-    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    price_cents = cents("p_retailprice")
     return (
         p.groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.percentile(cents, F.lit(0.5)).cast("double").alias(
+            F.percentile(price_cents, F.lit(0.5)).cast("double").alias(
                 "median_price_cents"
             ),
-            F.percentile(cents, F.lit(0.9)).cast("double").alias(
+            F.percentile(price_cents, F.lit(0.9)).cast("double").alias(
                 "p90_price_cents"
             ),
         )
@@ -300,7 +301,7 @@ def word_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quartile_buckets_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal")
+        cents("c_acctbal").alias("bal")
     )
     q = c.agg(
         F.percentile("bal", F.lit(0.25)).cast("double").alias("q1"),
@@ -451,7 +452,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def extreme_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     key = (
-        F.round(F.col("p_retailprice") * 100).cast("bigint") * F.lit(10_000_000_000)
+        cents("p_retailprice") * F.lit(10_000_000_000)
         + F.col("p_partkey")
     )
     return (

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.functions.scalars import cents
 from data_warehouse_project_spark.plans.queries import (
     _sql_exact_sum,
     exact_sum,
@@ -205,7 +206,7 @@ def supplier_variety_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    units = F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+    units = F.sum(cents("l_quantity"))
     big = (
         li.groupBy("l_orderkey")
         .agg(
@@ -332,16 +333,16 @@ def idle_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
         .select("o_custkey")
     )
-    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    bal_cents = cents("c_acctbal")
     thr = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
-            (F.sum(cents).cast("double") / F.count(F.lit(1))).alias("avg_cents")
+            (F.sum(bal_cents).cast("double") / F.count(F.lit(1))).alias("avg_cents")
         )
     )
     rich = (
         c.join(F.broadcast(thr))
-        .filter(cents > F.col("avg_cents"))
+        .filter(bal_cents > F.col("avg_cents"))
         .drop("avg_cents")
     )
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
@@ -349,7 +350,7 @@ def idle_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         idle.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            (F.sum(cents) / F.lit(100.0)).cast("double").alias("total_balance"),
+            (F.sum(bal_cents) / F.lit(100.0)).cast("double").alias("total_balance"),
         )
         .orderBy("segment")
     )

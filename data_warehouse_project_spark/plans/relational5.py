@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.functions.scalars import cents
 from data_warehouse_project_spark.plans.queries import register
 
 
@@ -475,7 +476,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
-    cost_cents = F.round(F.col("p_retailprice") * 100).cast("bigint") * F.round(
+    cost_cents = cents("p_retailprice") * F.round(
         F.col("l_quantity")
     ).cast("bigint")
     return (

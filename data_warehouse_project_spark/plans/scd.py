@@ -67,10 +67,10 @@ def scd1_current_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_user_state_history",
-    oracle="""
-    WITH evts AS (
+# ONE gaps-and-islands versioning definition shared (Spark + SQL) by
+# all three scd2_* queries — a change to the is_new NULL semantics or
+# the (ts, event_id) tie-break must move every SCD2 surface together.
+_VERSIONS_CTE = """evts AS (
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
@@ -90,7 +90,40 @@ def scd1_current_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, version_id, event_type,
              MIN(ts) AS start_ts, COUNT(*) AS n_events
       FROM versioned GROUP BY user_id, version_id, event_type
+    )"""
+
+
+def _event_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _VERSIONS_CTE: the (user_id, version_id,
+    event_type, start_ts, n_events) versions frame. One user_id
+    shuffle; callers' follow-up windows reuse the partitioning."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
     )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "prev_type", F.lag("event_type").over(w_seq)
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version_id",
+        F.sum("is_new").over(w_seq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return versioned.groupBy("user_id", "version_id", "event_type").agg(
+        F.min("ts").alias("start_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle=f"""
+    WITH {_VERSIONS_CTE}
     SELECT user_id, CAST(version_id AS INT) AS version_id, event_type,
            start_ts,
            COALESCE(strftime(LEAD(start_ts) OVER (
@@ -115,23 +148,7 @@ def scd1_current_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scd", "window"),
 )
 def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.withColumn(
-        "prev_type", F.lag("event_type").over(w_seq)
-    ).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")),
-            1,
-        ).otherwise(0),
-    )
-    versioned = flagged.withColumn(
-        "version_id", F.sum("is_new").over(w_seq.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    versions = versioned.groupBy("user_id", "version_id", "event_type").agg(
-        F.min("ts").alias("start_ts"), F.count(F.lit(1)).alias("n_events")
-    )
+    versions = _event_versions(spark, sf_dir)
     w_ver = Window.partitionBy("user_id").orderBy("version_id")
     lead_start = F.lead("start_ts").over(w_ver)
     return versions.select(
@@ -150,22 +167,14 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_active_version_counts",
-    oracle="""
-    WITH evts AS (
-      SELECT user_id, event_type, ts, event_id,
-             LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-             ) AS prev_type
-      FROM events
-    ), versions AS (
-      SELECT user_id,
-             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
-                      THEN 1 ELSE 0 END) AS n_versions
-      FROM evts GROUP BY user_id
+    oracle=f"""
+    WITH {_VERSIONS_CTE},
+    per_user AS (
+      SELECT user_id, COUNT(*) AS n_versions FROM versions GROUP BY user_id
     )
     SELECT CAST(n_versions AS BIGINT) AS n_versions,
            COUNT(*) AS n_users
-    FROM versions GROUP BY n_versions
+    FROM per_user GROUP BY n_versions
     ORDER BY n_versions
     """,
     doc="SCD2 structural invariant check as data: version-count histogram "
@@ -173,20 +182,11 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scd", "agg"),
 )
 def scd2_active_version_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.withColumn("prev_type", F.lag("event_type").over(w_seq))
-    versions = flagged.groupBy("user_id").agg(
-        F.sum(
-            F.when(
-                F.col("prev_type").isNull()
-                | (F.col("prev_type") != F.col("event_type")),
-                1,
-            ).otherwise(0)
-        ).alias("n_versions")
+    per_user = _event_versions(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions")
     )
     return (
-        versions.groupBy(F.col("n_versions").cast("bigint").alias("n_versions"))
+        per_user.groupBy(F.col("n_versions").cast("bigint").alias("n_versions"))
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("n_versions")
     )
@@ -198,25 +198,7 @@ _ASOF_TS = "2024-01-15 00:00:00"
 @register(
     "scd2_snapshot_asof",
     oracle=f"""
-    WITH evts AS (
-      SELECT user_id, event_type, ts, event_id,
-             LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-             ) AS prev_type
-      FROM events
-    ), flagged AS (
-      SELECT user_id, event_type, ts,
-             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
-                      THEN 1 ELSE 0 END) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING
-             ) AS version_id
-      FROM evts
-    ), versions AS (
-      SELECT user_id, version_id, event_type,
-             MIN(ts) AS start_ts, COUNT(*) AS n_events
-      FROM flagged GROUP BY user_id, version_id, event_type
-    ), bounded AS (
+    WITH {_VERSIONS_CTE}, bounded AS (
       SELECT user_id, version_id, event_type, start_ts, n_events,
              LEAD(start_ts) OVER (
                PARTITION BY user_id ORDER BY version_id
@@ -243,22 +225,7 @@ _ASOF_TS = "2024-01-15 00:00:00"
 )
 def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof = F.lit(_ASOF_TS).cast("timestamp")
-    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.withColumn("prev_type", F.lag("event_type").over(w_seq)).withColumn(
-        "is_new",
-        F.when(
-            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")),
-            1,
-        ).otherwise(0),
-    )
-    versioned = flagged.withColumn(
-        "version_id",
-        F.sum("is_new").over(w_seq.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    versions = versioned.groupBy("user_id", "version_id", "event_type").agg(
-        F.min("ts").alias("start_ts"), F.count(F.lit(1)).alias("n_events")
-    )
+    versions = _event_versions(spark, sf_dir)
     w_ver = Window.partitionBy("user_id").orderBy("version_id")
     bounded = versions.withColumn("next_start", F.lead("start_ts").over(w_ver))
     return (

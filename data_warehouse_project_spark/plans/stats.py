@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.functions.scalars import cents
 from data_warehouse_project_spark.plans.queries import register
 
 _DEC = "decimal(38,0)"
@@ -44,19 +45,29 @@ _DEC = "decimal(38,0)"
              SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
       FROM units GROUP BY returnflag
     )
+    ,
+    mom AS (
+      -- hugeint -> double through VARCHAR: DuckDB's direct
+      -- CAST(HUGEINT AS DOUBLE) is not correctly rounded (off by 1 ulp
+      -- for ~1% of >2^64 integers; measured), while the string parse is
+      -- — and Spark's decimal(38,0) -> double IS correctly rounded, so
+      -- only this route makes the two engines' doubles bit-identical
+      SELECT returnflag, n, sx,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS var_x,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS var_y,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov
+      FROM sums
+    )
     SELECT returnflag,
            CAST(n AS BIGINT) AS n,
-           CAST(CAST(sx AS DOUBLE) / n / 100 AS DOUBLE) AS mean_price,
-           CAST(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                / n / 100 AS DOUBLE) AS stddev_price,
-           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-                AS DOUBLE) AS price_discount_corr,
-           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * syy - sy * sy AS DOUBLE)
-                / 100.0 * 1000000.0 AS DOUBLE) AS price_per_discount_unit
-    FROM sums
+           CAST(dsx / n / 100 AS DOUBLE) AS mean_price,
+           CAST(sqrt(var_x) / n / 100 AS DOUBLE) AS stddev_price,
+           CAST(cov / (sqrt(var_x) * sqrt(var_y)) AS DOUBLE)
+             AS price_discount_corr,
+           CAST(cov / var_y / 100.0 * 1000000.0 AS DOUBLE)
+             AS price_per_discount_unit
+    FROM mom
     ORDER BY returnflag
     """,
     doc="Deterministic second-moment statistics per returnflag: mean and "
@@ -74,7 +85,7 @@ _DEC = "decimal(38,0)"
 )
 def price_discount_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    x = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    x = cents("l_extendedprice")
     y = F.round(F.col("l_discount") * 1000000).cast("bigint")
     units = li.select(
         F.col("l_returnflag").alias("returnflag"), x.alias("x"), y.alias("y")

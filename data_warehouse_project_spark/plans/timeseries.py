@@ -189,9 +189,7 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window-agg"),
 )
 def events_sliding_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_warehouse_project_spark.catalog import table as _table
-
-    e = _table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events")
     return (
         e.groupBy(
             F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.functions.scalars import cents
 from data_warehouse_project_spark.plans.queries import register
 
 
@@ -240,7 +241,7 @@ def customer_spend_trailing_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderdate").alias("order_ts"),
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        cents("o_totalprice").alias("cents"),
     )
     w = (
         Window.partitionBy("custkey")
@@ -378,9 +379,10 @@ def cumulative_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ship_year, rev_cents,
            LAG(rev_cents) OVER (ORDER BY ship_year) AS prev_rev_cents,
-           ROUND(CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY ship_year)
-                      AS DOUBLE) * 100.0
-                 / LAG(rev_cents) OVER (ORDER BY ship_year), 6) AS yoy_pct
+           (FLOOR(CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY ship_year)
+                       AS DOUBLE) * 100.0
+                  / LAG(rev_cents) OVER (ORDER BY ship_year)
+                  * 1000000.0 + 0.5) / 1000000.0) AS yoy_pct
     FROM yearly
     ORDER BY ship_year
     """,
@@ -394,13 +396,14 @@ def cumulative_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "timeseries"),
 )
 def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.functions.vectors import round6
     from data_warehouse_project_spark.operators.prefix import single_group
 
     li = table(spark, sf_dir, "lineitem")
     yearly = li.groupBy(
         F.year("l_shipdate").cast("int").alias("ship_year")
     ).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        F.sum(cents("l_extendedprice"))
         .cast("bigint")
         .alias("rev_cents")
     )
@@ -410,7 +413,7 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_year",
         "rev_cents",
         prev.alias("prev_rev_cents"),
-        F.round(
-            (F.col("rev_cents") - prev).cast("double") * 100.0 / prev, 6
+        round6(
+            (F.col("rev_cents") - prev).cast("double") * 100.0 / prev
         ).alias("yoy_pct"),
     ).orderBy("ship_year")

@@ -22,8 +22,12 @@ from data_warehouse_project_spark.plans.queries import register
 from data_warehouse_project_spark.functions.vectors import (
     DOT_SQL as _DOT_SQL,
     as_double,
+    cos6,
+    cos6_sql as _cos6_sql,
     cos_sql as _cos_sql,
     cosine,
+    round6,
+    round6_sql as _round6_sql,
     sq_norm,
 )
 
@@ -40,7 +44,7 @@ TOP_K = 5
     qs AS (SELECT vec_id AS q_id, e AS qe FROM vecs WHERE vec_id < {N_QUERY_VECS}),
     sims AS (
       SELECT q.q_id, v.vec_id, v.label,
-             ROUND({_cos_sql('q.qe', 'v.e')}, 6) AS cos_sim
+             {_cos6_sql('q.qe', 'v.e')} AS cos_sim
       FROM qs q JOIN vecs v ON v.vec_id <> q.q_id
     ),
     ranked AS (
@@ -76,7 +80,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+            cos6(F.col("qe"), F.col("e")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
@@ -99,7 +103,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH vecs AS (
       SELECT vec_id, label,
-             ROUND(sqrt({_DOT_SQL.format(a="(embedding::DOUBLE[])", b="(embedding::DOUBLE[])")}), 6) AS norm
+             {_round6_sql("sqrt(" + _DOT_SQL.format(a="(embedding::DOUBLE[])", b="(embedding::DOUBLE[])") + ")")} AS norm
       FROM embeddings
     )
     SELECT label,
@@ -117,7 +121,7 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
-        F.round(F.sqrt(sq_norm(as_double(F.col("embedding")))), 6).alias("norm"),
+        round6(F.sqrt(sq_norm(as_double(F.col("embedding"))))).alias("norm"),
     )
     return (
         vecs.groupBy("label")
@@ -242,7 +246,7 @@ def _register_lsh_ann() -> None:
     qs AS (SELECT vec_id AS q_id, e AS qe FROM vecs WHERE vec_id < {N_QUERY_VECS}),
     sims AS (
       SELECT c.q_id, c.vec_id, v.label,
-             ROUND({_cos_sql('q.qe', 'v.e')}, 6) AS cos_sim
+             {_cos6_sql('q.qe', 'v.e')} AS cos_sim
       FROM cand c
         JOIN vecs v ON v.vec_id = c.vec_id
         JOIN qs q ON q.q_id = c.q_id
@@ -346,9 +350,9 @@ def _register_ivf_ann() -> None:
     ),
     assign_sims AS (
       SELECT v.vec_id, v.label, v.e, c.cent_id,
-             ROUND({_cos_sql('v.e', 'c.ce')}, 6) AS sim,
+             {_cos6_sql('v.e', 'c.ce')} AS sim,
              ROW_NUMBER() OVER (
-               PARTITION BY v.vec_id ORDER BY ROUND({_cos_sql('v.e', 'c.ce')}, 6) DESC, c.cent_id
+               PARTITION BY v.vec_id ORDER BY {_cos6_sql('v.e', 'c.ce')} DESC, c.cent_id
              ) AS rn
       FROM vecs v, cents c
     ),
@@ -359,14 +363,14 @@ def _register_ivf_ann() -> None:
     probe_sims AS (
       SELECT q.q_id, q.qe, c.cent_id,
              ROW_NUMBER() OVER (
-               PARTITION BY q.q_id ORDER BY ROUND({_cos_sql('q.qe', 'c.ce')}, 6) DESC, c.cent_id
+               PARTITION BY q.q_id ORDER BY {_cos6_sql('q.qe', 'c.ce')} DESC, c.cent_id
              ) AS rn
       FROM qs q, cents c
     ),
     probes AS (SELECT q_id, qe, cent_id FROM probe_sims WHERE rn <= {n_probe}),
     cand_sims AS (
       SELECT p.q_id, a.vec_id, a.label,
-             ROUND({_cos_sql('p.qe', 'a.e')}, 6) AS cos_sim
+             {_cos6_sql('p.qe', 'a.e')} AS cos_sim
       FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
       WHERE a.vec_id <> p.q_id
     ),
@@ -390,7 +394,7 @@ def _register_ivf_ann() -> None:
         cents = vecs.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
         )
-        sim = F.round(cosine(F.col("e"), F.col("ce")), 6)
+        sim = cos6(F.col("e"), F.col("ce"))
         w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
         assigned = (
             vecs.join(F.broadcast(cents))
@@ -402,7 +406,7 @@ def _register_ivf_ann() -> None:
         qs = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
             F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
         )
-        q_sim = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+        q_sim = cos6(F.col("qe"), F.col("ce"))
         w_probe = Window.partitionBy("q_id").orderBy(F.desc("qsim"), "cent_id")
         probes = (
             qs.join(F.broadcast(cents))
@@ -418,7 +422,7 @@ def _register_ivf_ann() -> None:
                 "q_id",
                 "vec_id",
                 "label",
-                F.round(cosine(F.col("qe"), F.col("e")), 6).alias("cos_sim"),
+                cos6(F.col("qe"), F.col("e")).alias("cos_sim"),
             )
         )
         w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
@@ -472,7 +476,7 @@ def _register_kmeans_step() -> None:
       SELECT v.vec_id, v.e, c.cent_id,
              ROW_NUMBER() OVER (
                PARTITION BY v.vec_id
-               ORDER BY ROUND({_cos_sql('v.e', 'c.ce')}, 6) DESC, c.cent_id
+               ORDER BY {_cos6_sql('v.e', 'c.ce')} DESC, c.cent_id
              ) AS rn
       FROM vecs v, cents c
     ),
@@ -501,7 +505,7 @@ def _register_kmeans_step() -> None:
         cents = vecs.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
         )
-        sim = F.round(cosine(F.col("e"), F.col("ce")), 6)
+        sim = cos6(F.col("e"), F.col("ce"))
         w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
         assigned = (
             vecs.join(F.broadcast(cents))
