@@ -76,10 +76,20 @@ def main() -> None:
                 shutil.rmtree(wh_root, ignore_errors=True)
         timings[label] = round(min(etl_trials), 3)
 
+    import os
     import sys
 
-    with open("bench_stages.json", "w") as f:
-        json.dump(stage_tables, f, indent=1, sort_keys=True)
+    # best-effort side artifact, anchored next to this script: it must
+    # never lose the headline line (the driver contract) to a read-only
+    # or unexpected working directory AFTER all measurement is done
+    try:
+        stages_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_stages.json"
+        )
+        with open(stages_path, "w") as f:
+            json.dump(stage_tables, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"[stages] write skipped: {e}", file=sys.stderr)
     for label, stages in stage_tables.items():
         print(f"[stages] {label}: {json.dumps(stages, sort_keys=True)}",
               file=sys.stderr)

@@ -12,6 +12,7 @@ Run: PYTHONPATH=/root/repo python tools/explain_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import re
 import sys
 
 # queries that intentionally contain a non-equi or cross join
@@ -109,6 +110,10 @@ _PLAN_WRAPPERS = (
     "AQEShuffleRead",
     "ShuffleQueryStage",
     "TableCacheQueryStage",
+    # a Sort between the exchange and a SortAggregate reorders, never
+    # changes, the data — without this the SortAggregate branch below
+    # is unreachable ("Sort [" cannot match "SortAggregate(")
+    "Sort [",
     "== ",
 )
 
@@ -122,7 +127,7 @@ def _single_partition_ok(lines: list[str], i: int) -> bool:
     nodes but stops at the first REAL operator — matching the child,
     not textual proximity, so a serial exchange that merely sits NEAR
     a key-minting subtree still fails."""
-    for j in range(i + 1, min(i + 6, len(lines))):
+    for j in range(i + 1, min(i + 11, len(lines))):
         ln = lines[j]
         if not ln.strip() or any(wtoken in ln for wtoken in _PLAN_WRAPPERS):
             continue
@@ -142,9 +147,15 @@ def audit(sf_dir: str) -> int:
     spark = get_spark("explain-audit")
     failures = 0
 
+    _plans: dict[str, str] = {}
+
     def plan_of(name: str) -> str:
-        df = QUERIES[name].fn(spark, sf_dir)
-        return df._jdf.queryExecution().executedPlan().toString()
+        # memoized: several audit lists reference the same query, and
+        # re-planning repeats parquet footer reads + Catalyst analysis
+        if name not in _plans:
+            df = QUERIES[name].fn(spark, sf_dir)
+            _plans[name] = df._jdf.queryExecution().executedPlan().toString()
+        return _plans[name]
 
     for name in QUERIES:
         if QUERIES[name].eager:
@@ -171,8 +182,10 @@ def audit(sf_dir: str) -> int:
 
     for name in EXPECT_PUSHED_FILTER:
         p = plan_of(name)
-        if "PushedFilters: []" in p or "PushedFilters" not in p:
-            print(f"✗ {name}: no pushed filters on scan")
+        # at least one scan must push a non-empty filter list; a second
+        # predicate-free scan (e.g. an added dim join) is not a failure
+        if not re.search(r"PushedFilters: \[[^\]]", p):
+            print(f"✗ {name}: no scan carries pushed filters")
             failures += 1
 
     for name, budget in SHUFFLE_BUDGET.items():

@@ -6,25 +6,44 @@ usable standalone:  python tools/parity.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
+import os
 import sys
+from collections import Counter
 
 import duckdb
 
 
 def _canon(v):
-    """Canonicalize a cell for order-insensitive comparison."""
+    """Canonicalize a cell as a (type-tag, value) pair.
+
+    The tag keeps the comparison dtype-sensitive the way the driver's
+    hash is: BIGINT 1 vs VARCHAR '1' (or SQL NULL vs the string
+    'NULL') must NOT compare equal here and then diverge in the
+    driver. Tags are strings and compare before values, so sorting
+    stays total even when a column mixes NULLs with values."""
     if v is None:
-        return "NULL"
+        return ("null", "")
+    if isinstance(v, bool):
+        return ("bool", str(v))
+    if isinstance(v, int):
+        return ("int", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)  # full precision
+            return ("float", "NaN")
+        return ("float", repr(v))  # full precision
     if isinstance(v, _dt.datetime):
-        return v.isoformat()
+        return ("ts", v.isoformat())
     if isinstance(v, _dt.date):
-        return v.isoformat()
-    return str(v)
+        return ("date", v.isoformat())
+    if isinstance(v, _decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, bytes):
+        return ("bytes", v.hex())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(_canon(x) for x in v))
+    return (type(v).__name__, str(v))
 
 
 def df_rows_spark(df):
@@ -39,6 +58,12 @@ def compare(spark_df, duck_cols, duck_rows) -> list[str]:
     """Return a list of problems (empty = match)."""
     problems = []
     s_cols = list(spark_df.columns)
+    # duplicate names would silently map every copy to the first
+    # occurrence in the reorder below — refuse instead of mis-comparing
+    for side, cols in (("spark", s_cols), ("duck", duck_cols)):
+        if len(set(cols)) != len(cols):
+            problems.append(f"duplicate column names on {side} side: {cols}")
+            return problems
     if sorted(s_cols) != sorted(duck_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(duck_cols)}")
         return problems
@@ -48,18 +73,22 @@ def compare(spark_df, duck_cols, duck_rows) -> list[str]:
     d_rows = [[r[i] for i in idx] for r in duck_rows]
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
-    s_sorted = sorted(map(tuple, s_rows))
-    d_sorted = sorted(map(tuple, d_rows))
-    if s_sorted != d_sorted:
-        n_bad = 0
-        for a, b in zip(s_sorted, d_sorted):
-            if a != b:
-                n_bad += 1
-                if n_bad <= 3:
-                    problems.append(f"  spark row: {a}")
-                    problems.append(f"  duck  row: {b}")
-        extra = abs(len(s_sorted) - len(d_sorted))
-        problems.append(f"value mismatch in {n_bad} aligned rows (+{extra} unmatched)")
+    sc = Counter(map(tuple, s_rows))
+    dc = Counter(map(tuple, d_rows))
+    if sc != dc:
+        only_s = list((sc - dc).elements())
+        only_d = list((dc - sc).elements())
+        # multiset diff, not positional zip of sorted lists: one
+        # inserted row must read as one difference, not shift-misalign
+        # every later pair
+        problems.append(
+            f"value mismatch: {len(only_s)} rows only in spark, "
+            f"{len(only_d)} only in duck"
+        )
+        for r in only_s[:3]:
+            problems.append(f"  spark-only: {r}")
+        for r in only_d[:3]:
+            problems.append(f"  duck-only:  {r}")
     return problems
 
 
@@ -111,8 +140,9 @@ def run(sf_dir: str, names: list[str] | None = None, plain: bool = False) -> int
         # must not depend on get_spark()'s tuning)
         from pyspark.sql import SparkSession
 
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
         spark = (
-            SparkSession.builder.master("local[8]")
+            SparkSession.builder.master(f"local[{cpus}]")
             .appName("parity-plain")
             .config("spark.driver.host", "127.0.0.1")
             .config("spark.driver.bindAddress", "127.0.0.1")
@@ -132,10 +162,15 @@ def run(sf_dir: str, names: list[str] | None = None, plain: bool = False) -> int
         )
 
     selected = names or list(QUERIES)
+    unknown = [n for n in selected if n not in QUERIES]
+    if unknown:
+        print(f"unknown query names: {unknown}")
+        print(f"(registry has {len(QUERIES)} queries; run with no names to list)")
+        return len(unknown)
     lint = lint_oracles(con, {n: QUERIES[n] for n in selected})
     failures = 0
+    lint_failures = len(lint)
     if lint:
-        failures += len(lint)
         print("oracle dtype lint FAILURES (Spark cannot emit these dtypes):")
         for p in lint:
             print(f"  ✗ {p}")
@@ -163,7 +198,9 @@ def run(sf_dir: str, names: list[str] | None = None, plain: bool = False) -> int
         else:
             print(f"  ✓ {name} ({len(duck_rows)} rows)")
     print(f"{len(selected) - failures}/{len(selected)} queries match")
-    return failures
+    if lint_failures:
+        print(f"+ {lint_failures} oracle dtype lint failures")
+    return failures + lint_failures
 
 
 def lint_only(sf_dir: str) -> int:
@@ -189,8 +226,16 @@ if __name__ == "__main__":
     plain = "--plain" in args
     lint_flag = "--lint" in args
     args = [a for a in args if a not in ("--plain", "--lint")]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    names = [a for a in args if "/" not in a] or None
+    # a directory arg (any position) selects the SF; everything else is
+    # a query name — unknown names error in run() instead of KeyError
+    sf_dir = "/root/testdata/sf0.01"
+    names = []
+    for a in args:
+        if os.path.isdir(a):
+            sf_dir = a
+        else:
+            names.append(a)
+    names = names or None
     if lint_flag:
         sys.exit(1 if lint_only(sf_dir) else 0)
     sys.exit(1 if run(sf_dir, names, plain=plain) else 0)
