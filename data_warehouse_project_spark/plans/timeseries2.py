@@ -417,3 +417,138 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_cents") - prev).cast("double") * 100.0 / prev
         ).alias("yoy_pct"),
     ).orderBy("ship_year")
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             (day - DATE '1970-01-01')
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island,
+             COUNT(*) AS len, MIN(day) AS start_day
+      FROM islands GROUP BY user_id, island
+    ),
+    ranked AS (
+      SELECT user_id, len, start_day,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+             CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_active_days,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY len DESC, start_day
+             ) AS rk
+      FROM streaks
+    )
+    SELECT user_id, n_active_days, n_streaks,
+           CAST(len AS BIGINT) AS longest_streak,
+           start_day AS longest_streak_start
+    FROM ranked WHERE rk = 1
+    ORDER BY user_id
+    """,
+    doc="Consecutive-day activity streaks (gaps-and-islands on the "
+    "date grain): island id = days-since-epoch minus per-user row "
+    "number — constant along a run of consecutive days, strictly "
+    "decreasing across a gap. Per user: active days, streak count, "
+    "and the longest streak with its start date (earliest wins ties). "
+    "Every window and aggregate partitions on user_id, so the whole "
+    "query is one high-cardinality shuffle — the retention/health "
+    "metric shape every product warehouse ships.",
+    tags=("window", "timeseries", "events"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w_seq = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w_seq),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    w_user = Window.partitionBy("user_id")
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+    return (
+        streaks.withColumn("n_streaks", F.count(F.lit(1)).over(w_user))
+        .withColumn("n_active_days", F.sum("len").over(w_user).cast("bigint"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_active_days",
+            "n_streaks",
+            F.col("len").cast("bigint").alias("longest_streak"),
+            F.col("start_day").alias("longest_streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "rolling_28d_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    bounds AS (SELECT MAX(day) AS max_day FROM days),
+    contrib AS (
+      SELECT d.user_id,
+             CAST(u.w AS DATE) AS window_day
+      FROM days d,
+        unnest(generate_series(d.day, d.day + INTERVAL 27 DAY,
+                               INTERVAL 1 DAY)) AS u(w)
+    )
+    SELECT c.window_day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users_28d
+    FROM contrib c, bounds b
+    WHERE c.window_day <= b.max_day
+    GROUP BY c.window_day
+    ORDER BY c.window_day
+    """,
+    doc="Rolling 28-day active users: each (user, day) activity "
+    "contributes to the 28 window-end days it is visible from, then a "
+    "per-day COUNT DISTINCT. Rolling DISTINCT cannot ride a window "
+    "frame (state is a set, not a sum), so the explode-by-28 is the "
+    "standard exact decomposition: a bounded 28x blowup of the "
+    "day-deduped frame — NOT of the raw events — shuffled once on "
+    "window_day, with the distinct as a two-stage partial aggregate. "
+    "At petabyte scale the same shape holds because the (user, day) "
+    "frame is already the compacted grain; approximate alternatives "
+    "(HLL sketch per day, merged over 28) trade exactness for a 28x "
+    "smaller shuffle and are what approx_distinct_profile models.",
+    tags=("timeseries", "distinct", "events"),
+)
+def rolling_28d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    max_day = days.agg(F.max("day").alias("max_day"))
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 27)
+            )
+        ).alias("window_day"),
+    )
+    return (
+        contrib.join(F.broadcast(max_day))
+        .filter(F.col("window_day") <= F.col("max_day"))
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_28d"))
+        .orderBy("window_day")
+    )

@@ -42,6 +42,7 @@ ALLOW_NESTED_LOOP = {
     "pagerank_update_step",  # 1-row node-count broadcast cross
     "rfm_segments",  # 1-row global-max-day + 1-row quartile-boundary crosses
     "basket_lift_pairs",  # 1-row order-count broadcast cross
+    "rolling_28d_active_users",  # 1-row max-day bound broadcast cross
 }
 
 EXPECT_BROADCAST = [
