@@ -362,6 +362,33 @@ class Warehouse:
             df = df.coalesce(num_files)
         return self.overwrite(df, layer, name, partition_by=partition_by)
 
+    def optimize_zorder(
+        self,
+        layer: str,
+        name: str,
+        x_expr: str,
+        y_expr: str,
+        bits: int = 8,
+        n_files: int = 16,
+    ) -> int:
+        """OPTIMIZE ZORDER: rewrite a table clustered on the Morton
+        curve of two columns (operators/layout.py), atomically swapped
+        in like ``compact``. After this, parquet min/max file and
+        row-group stats prune scans filtered on EITHER dimension —
+        the lakehouse answer to two-dimensional access patterns
+        (e.g. facts queried both by date and by customer). Layout
+        only: schema and row count are unchanged (returned)."""
+        from data_warehouse_project_spark.operators.layout import zvalue
+
+        df = (
+            self.read(layer, name)
+            .withColumn("__z", zvalue(x_expr, y_expr, bits))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        return self.overwrite(df, layer, name)
+
     def data_file_count(self, layer: str, name: str) -> int:
         return sum(1 for _ in self._data_files(self.path(layer, name)))
 

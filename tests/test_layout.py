@@ -63,3 +63,23 @@ def test_zorder_bounds_both_dimensions(spark, tmp_path):
     # and the sum of spans (total pruning power over both dims) beats
     # the single-column sort decisively.
     assert zx + zy < (sx + sy) * 0.75
+
+
+def test_warehouse_optimize_zorder_roundtrip(spark, tmp_path):
+    """OPTIMIZE ZORDER on a warehouse table: same rows, atomic swap,
+    per-file extents bounded in both dimensions afterwards."""
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y")
+    )
+    wh.overwrite(grid.orderBy("x"), "bl_dm", "grid")
+    n = wh.optimize_zorder("bl_dm", "grid", "x", "y", bits=6, n_files=16)
+    assert n == 64 * 64
+    back = wh.read("bl_dm", "grid")
+    assert back.count() == 64 * 64
+    assert sorted(back.columns) == ["x", "y"]
+    zx, zy, zn = _per_file_extents(spark, str(wh.path("bl_dm", "grid")), "x", "y")
+    assert zn >= 8
+    assert zx < 40 and zy < 40
