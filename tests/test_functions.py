@@ -60,3 +60,40 @@ def test_cents_money_roundtrip(spark):
     df = spark.createDataFrame([(68423.46,), (0.01,), (19389415.25,)], ["x"])
     out = df.select(money(cents("x")).alias("out")).collect()
     assert [r["out"] for r in out] == [68423.46, 0.01, 19389415.25]
+
+
+def test_round6_bit_identical_across_engines(spark):
+    """functions.vectors.round6 vs its SQL twin on adversarial doubles
+    sitting within 1 ulp of .5e-6 rounding boundaries — the exact class
+    where engine-native ROUND(x, 6) disagrees between Spark and DuckDB
+    (measured 249/20000). round6 must match bitwise on every input."""
+    import math
+    import duckdb
+
+    from data_warehouse_project_spark.functions.vectors import round6, round6_sql
+
+    vals = []
+    for k in range(-50, 51):
+        center = (k + 0.5) / 1e6
+        for delta in (-2, -1, 0, 1, 2):
+            v = center
+            for _ in range(abs(delta)):
+                v = math.nextafter(v, math.copysign(math.inf, delta))
+            vals.append(v)
+    vals += [0.0, -0.9999995, 0.1234565, -1.0, 1.0, 0.13285349999999999]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["y"] for r in df.select(round6(F.col("x")).alias("y")).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = [r[0] for r in con.execute(
+        f"SELECT {round6_sql('x')} FROM t"
+    ).fetchall()]
+
+    assert len(got) == len(want) == len(vals)
+    for v, g, w in zip(vals, got, want):
+        assert g == w and math.copysign(1, g) == math.copysign(1, w), (
+            v, g.hex(), w.hex()
+        )
