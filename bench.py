@@ -76,7 +76,6 @@ def main() -> None:
                 shutil.rmtree(wh_root, ignore_errors=True)
         timings[label] = round(min(etl_trials), 3)
 
-    import os
     import sys
 
     # best-effort side artifact, anchored next to this script: it must
