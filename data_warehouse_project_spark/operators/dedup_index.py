@@ -115,7 +115,11 @@ class MinHashIndex:
         every already-indexed doc_id plus the batch (it is only read for
         candidate verification — O(candidates), not O(corpus)).
         """
-        sh_batch = shingles_of(batch).cache()
+        # bands_batch is read three times (probe join, candidate join,
+        # store append) — cache it; the shingle frame feeds ONLY the
+        # band aggregation, so caching it would pay a memory-write for
+        # a single consumer
+        sh_batch = shingles_of(batch)
         bands_batch = band_rows(sh_batch).cache()
 
         stored = self.wh.read_or_none(self.layer, self.name)
@@ -143,10 +147,11 @@ class MinHashIndex:
         )
 
         # exact verification joins the corpus texts of candidates only.
-        # (A/B'd r5: routing the batch side through the cached sh_batch
-        # frame instead of recomputing measured SLOWER — 6.5s -> 8.3s at
-        # sf0.1 — because candidates are few, so shingling them afresh
-        # is cheaper than semi/anti-joins against the large shingle set.)
+        # (A/B'd r5: routing the batch side through a cached copy of
+        # sh_batch instead of recomputing measured SLOWER — 6.5s -> 8.3s
+        # at sf0.1 — because candidates are few, so shingling them afresh
+        # is cheaper than semi/anti-joins against the large shingle set;
+        # a second A/B then dropped sh_batch's own cache too, 6.3->5.7s.)
         cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
             cand.select(F.col("doc_b").alias("doc_id"))
         ).distinct()
@@ -180,7 +185,6 @@ class MinHashIndex:
         result = pairs.orderBy("doc_a", "doc_b").localCheckpoint()
 
         self.wh.append(bands_batch, self.layer, self.name)
-        sh_batch.unpersist()
         bands_batch.unpersist()
         sh_cand.unpersist()
         return result
