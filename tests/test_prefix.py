@@ -187,3 +187,55 @@ def test_grouped_keeps_null_group_rows(spark):
     )
     out = {r["k"]: (r["cum"], r["tot"]) for r in got.collect()}
     assert out == {1: (15, 15), 3: (5, 15), 2: (27, 27), 4: (7, 27)}
+
+
+def test_prefix_sum_property_random(spark):
+    """Property (hypothesis): for ANY row set — negative values, NULL
+    group keys, duplicate order keys, any bucket width — the grouped
+    bucketed prefix sum equals the per-group SQL window."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=40),          # k (dedup below)
+        st.sampled_from(["a", "b", None]),               # group
+        st.integers(min_value=-50, max_value=50),        # v
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(row, min_size=1, max_size=30),
+        width=st.sampled_from([1, 7, 1000]),
+    )
+    def check(rows, width):
+        uniq = {}
+        for k, g, v in rows:
+            uniq[k] = (k, g, v)
+        rows = list(uniq.values())
+        df = spark.createDataFrame(rows, "k bigint, g string, v bigint")
+        order = [F.asc("v"), F.asc("k")]
+        got = bucketed_prefix_sum(
+            df,
+            order_by=order,
+            val_col="v",
+            out_col="cum",
+            bucket=range_bucket(F.col("v"), width),
+            group_cols=["g"],
+        )
+        w = (
+            Window.partitionBy("g")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = df.withColumn("want", F.sum("v").over(w))
+        # compare by key in Python: a DataFrame join on g would be
+        # null-UNsafe and silently split the NULL-group rows
+        got_map = {r["k"]: r["cum"] for r in got.collect()}
+        want_map = {r["k"]: r["want"] for r in want.collect()}
+        assert got_map == want_map
+
+    check()
