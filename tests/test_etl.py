@@ -393,3 +393,13 @@ def test_vacuum_restores_and_removes(spark, tmp_path):
     assert not (tdir / ".k=b.old-cafebabe").exists()
     # idempotent second pass
     assert wh.vacuum(min_age_s=0) == {"restored": 0, "removed": 0}
+
+
+def test_cli_main_runs_full_etl(spark, tmp_path):
+    """python -m data_warehouse_project_spark: argument parsing +
+    full-ETL + rollup print path (reuses the live session)."""
+    from data_warehouse_project_spark.__main__ import main
+
+    rc = main([SF_SMOKE, str(tmp_path / "wh")])
+    assert rc == 0
+    assert (tmp_path / "wh" / "bl_dm" / "fct_sales").exists()
