@@ -1,0 +1,104 @@
+"""Bucketed interval-point range join — the general operator behind
+every "point falls inside an interval" query Spark has no native join
+strategy for.
+
+A predicate join ``lo <= p AND p <= hi`` with no equi-key gives
+Catalyst only BroadcastNestedLoopJoin (fine iff one side broadcasts)
+or a cartesian product — O(|points| x |intervals|) at scale, the
+classic 100 TB killer. The standard fix (the same banding trick
+``plans/relational3.event_pairs_60s`` inlines for its fixed 60 s
+window, generalized here to VARIABLE-width intervals): pick a bucket
+width ``w``, explode each interval into the integer buckets
+``floor(lo/w) .. floor(hi/w)`` it covers, map each point to its single
+bucket ``floor(p/w)``, hash-join on the bucket (plus any caller
+equi-keys), and re-check the exact BETWEEN as a residual filter.
+Every true (point, interval) pair shares exactly one bucket row, so
+no pair is lost and none is duplicated.
+
+Cost model: shuffle volume is O(|points| + |intervals| * (span/w + 1))
+— linear, not quadratic. Choosing ``w`` near the TYPICAL interval span
+keeps the interval-side replication factor ~2; a too-small ``w``
+replicates long intervals heavily, a too-large ``w`` degrades the
+residual filter's selectivity (many same-bucket non-matches scanned
+per probe). Both failure modes degrade gracefully to extra work,
+never to wrong answers. Skew: a bucket is hot only if many intervals
+overlap one ``w``-wide stripe AND many points land there; the salt of
+composite ``keys`` usually disperses this, and AQE's skew-join
+handles the rest.
+
+Reference parity anchor: the reference never needs a range join (its
+temporal predicates always ride an equi-key, SURVEY.md §2.3); this is
+part of the beyond-reference extension surface, same family as
+plans/asof.py (which deliberately does NOT use a range join — an
+as-of lookup has a linear windowed formulation; containment joins do
+not).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__rj_bucket"
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Inner-join every ``points`` row to every ``intervals`` row with
+    ``lo_col <= point_col <= hi_col`` (and equality on ``keys``, which
+    must exist on both sides), via the bucketed plan described in the
+    module doc — never a nested loop.
+
+    ``point_col``/``lo_col``/``hi_col`` must be integral (cast dates to
+    epoch days with ``F.unix_date``, timestamps to ``F.unix_micros``
+    first — integer bucket arithmetic is exact; float buckets would
+    tear pairs at boundaries). Output columns are the union of both
+    frames' columns minus the interval side's ``keys`` (kept once, from
+    the point side); all other names must be disjoint or a ValueError
+    is raised before any job runs. Empty intervals (hi < lo) match
+    nothing, exactly like SQL BETWEEN.
+    """
+    if bucket_width <= 0:
+        raise ValueError("interval_point_join: bucket_width must be positive")
+    dup = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if dup:
+        raise ValueError(
+            "interval_point_join: column names must be disjoint outside "
+            f"`keys`, clash: {sorted(dup)}"
+        )
+    clash = {_BUCKET} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(
+            f"interval_point_join: reserved internal name in input: {clash}"
+        )
+    lo, hi = F.col(lo_col), F.col(hi_col)
+
+    def fdiv(name: str):
+        # exact integral floor-division: (x - pmod(x, w)) is an exact
+        # multiple of w in bigint, `div` is integral — no double rounding
+        # near 2**53 (epoch micros live at ~1.7e15; float floor(x/w) can
+        # mis-bucket at stripe boundaries there)
+        q = f"`{name}`"
+        return F.expr(f"({q} - pmod({q}, {bucket_width})) div {bucket_width}")
+
+    iv = intervals.filter(hi >= lo).withColumn(
+        _BUCKET,
+        F.explode(F.sequence(fdiv(lo_col), fdiv(hi_col))),
+    )
+    pt = points.withColumn(_BUCKET, fdiv(point_col))
+    cond = [pt[_BUCKET] == iv[_BUCKET]]
+    cond += [pt[k] == iv[k] for k in keys]
+    joined = pt.join(iv, cond).filter((iv[lo_col] <= pt[point_col]) & (pt[point_col] <= iv[hi_col]))
+    keep = [pt[c] for c in points.columns] + [
+        iv[c] for c in intervals.columns if c not in keys
+    ]
+    return joined.select(*keep)

@@ -594,3 +594,80 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+_PRIORITY_DAYS = (
+    ("1-URGENT", 2),
+    ("2-HIGH", 7),
+    ("3-MEDIUM", 14),
+    ("4-NOT SPECIFIED", 21),
+    ("5-LOW", 30),
+)
+
+
+@register(
+    "shipments_during_open_orders",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS lo,
+             CAST(o_orderdate AS DATE) + CASE o_orderpriority
+               WHEN '1-URGENT' THEN 2 WHEN '2-HIGH' THEN 7
+               WHEN '3-MEDIUM' THEN 14 WHEN '4-NOT SPECIFIED' THEN 21
+               ELSE 30 END AS hi
+      FROM orders
+    ),
+    pt AS (
+      SELECT CAST(l_shipdate AS DATE) AS ship_day FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    )
+    SELECT iv.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT iv.o_orderkey) AS BIGINT) AS n_orders_hit
+    FROM pt JOIN iv ON pt.ship_day BETWEEN iv.lo AND iv.hi
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    doc="Variable-width interval containment join (a TRUE range join — "
+    "no equi-key links a shipment to an unrelated order's open window): "
+    "every 1995 shipment event is matched to every order whose "
+    "priority-dependent open window [orderdate, orderdate + 2..30 days] "
+    "contains the ship date — fulfilment-pressure analytics. Runs "
+    "through operators/rangejoin.interval_point_join: intervals explode "
+    "into 16-day buckets, points probe one bucket, residual BETWEEN "
+    "after the hash join — O(points + intervals*~2) shuffle where the "
+    "oracle states the naive theta-join Spark would otherwise plan as "
+    "a nested loop. Generalizes event_pairs_60s's fixed-band trick to "
+    "variable spans.",
+    tags=("join", "range"),
+)
+def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
+    pdays = F.lit(30)
+    for name, d in _PRIORITY_DAYS[:-1]:
+        pdays = F.when(F.col("o_orderpriority") == name, d).otherwise(pdays)
+    lo = F.unix_date(F.to_date("o_orderdate"))
+    iv = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        lo.alias("lo"),
+        (lo + pdays).alias("hi"),
+    )
+    li = table(spark, sf_dir, "lineitem")
+    pt = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select(F.unix_date(F.to_date("l_shipdate")).alias("ship_day"))
+    pairs = interval_point_join(pt, iv, "ship_day", "lo", "hi", bucket_width=16)
+    return (
+        pairs.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders_hit"),
+        )
+        .orderBy("priority")
+    )

@@ -347,3 +347,89 @@ def extract_media_features(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    max_frames: int = 8,
+    resize_to: tuple[int, int] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Frame sampling as a first-class row-explode: every RAWM video
+    payload yields up to ``max_frames`` evenly spaced frames, each
+    re-encoded as a standalone RAWM IMAGE payload (optionally
+    nearest-neighbor resized to ``resize_to`` = (h, w)) with its source
+    index and timestamp. The output composes with the whole image
+    surface — ``extract_media_features`` on sampled frames is exactly
+    the decode → frame-sample → feature-extract chain a video training
+    pipeline runs.
+
+    Row policy: non-video ``media_type`` rows are dropped (callers
+    filter or union with the image path); a video-typed payload that is
+    not a decodable RAWM video raises in strict mode and is dropped
+    otherwise (the quarantine-not-crash default of the corpus loaders).
+
+    Scale shape: mapInPandas on the scan partitioning — payload bytes
+    never shuffle, and the fan-out (≤ max_frames rows per video) happens
+    inside the Arrow batch. Even spacing uses the same integer-index
+    scheme as ``_decode_rawm``'s video features, so a frame's feature
+    row and its sampled image agree on which frames were looked at.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, media_type, raw in zip(
+                pdf["media_id"].tolist(),
+                pdf["media_type"].tolist(),
+                pdf["payload"].tolist(),
+            ):
+                if media_type != "video":
+                    continue
+                payload = bytes(raw) if raw is not None else b""
+                if payload[:4] != MAGIC or len(payload) < 13 or payload[4] != _KIND["video"]:
+                    if strict:
+                        raise NotImplementedError(
+                            f"media_id={media_id}: video payload is not RAWM "
+                            "(compressed video decode needs an external codec)"
+                        )
+                    continue
+                w, h, c, n, fps = struct.unpack_from("<HHBHB", payload, 5)
+                frames = np.frombuffer(
+                    payload, np.uint8, n * h * w * c, offset=13
+                ).reshape(n, h, w, c)
+                k = min(n, max_frames)
+                idx = (np.arange(k) * n) // k
+                for i in idx:
+                    a = frames[int(i)]
+                    if resize_to is not None:
+                        a = resize_image(a, resize_to[0], resize_to[1])
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": int(i),
+                            "n_frames": int(n),
+                            "ts_ms": int(i) * 1000 // fps if fps else 0,
+                            "width": int(a.shape[1]),
+                            "height": int(a.shape[0]),
+                            "frame": encode_image(a),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(process, schema=FRAME_SCHEMA)

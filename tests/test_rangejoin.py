@@ -1,0 +1,85 @@
+"""operators/rangejoin.interval_point_join vs the naive theta-join.
+
+The bucketed plan must be EXACTLY the nested-loop's pair set — any
+bucket-boundary tear (a pair whose point and interval stripe disagree)
+or replication slip (a pair counted once per covered bucket) is a
+wrong answer, so the property test sweeps bucket widths from
+pathological (1) to degenerate (one bucket covers everything).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.operators.rangejoin import interval_point_join
+
+
+def _frames(spark, seed, n_pts=120, n_iv=40, keyed=False):
+    rng = random.Random(seed)
+    pts = [(i, rng.randint(-50, 150), rng.randint(0, 2)) for i in range(n_pts)]
+    ivs = []
+    for j in range(n_iv):
+        lo = rng.randint(-60, 140)
+        # include empty (hi < lo), point (hi == lo), and long intervals
+        hi = lo + rng.choice([-5, 0, 1, 3, 17, 60])
+        ivs.append((j, lo, hi, rng.randint(0, 2)))
+    p = spark.createDataFrame(pts, "pid long, p long, k long")
+    iv = spark.createDataFrame(ivs, "ivid long, lo long, hi long, k long")
+    if not keyed:
+        p, iv = p.drop("k"), iv.drop("k")
+    return p, iv
+
+
+def _naive(spark, p, iv, keyed):
+    cond = (F.col("lo") <= F.col("p")) & (F.col("p") <= F.col("hi"))
+    if keyed:
+        cond = cond & (p["k"] == iv["k"])
+    out = p.join(iv, cond)
+    return sorted(
+        (r["pid"], r["ivid"]) for r in out.select(p["pid"], iv["ivid"]).collect()
+    )
+
+
+@pytest.mark.parametrize("width", [1, 7, 16, 1000])
+@pytest.mark.parametrize("keyed", [False, True])
+def test_matches_naive_theta_join(spark, width, keyed):
+    p, iv = _frames(spark, seed=width * 2 + keyed, keyed=keyed)
+    keys = ["k"] if keyed else []
+    got = interval_point_join(p, iv, "p", "lo", "hi", width, keys=keys)
+    assert sorted(
+        (r["pid"], r["ivid"]) for r in got.select("pid", "ivid").collect()
+    ) == _naive(spark, p, iv, keyed)
+
+
+def test_boundaries_inclusive_and_empty_excluded(spark):
+    p = spark.createDataFrame([(1, 10), (2, 20), (3, 15)], "pid long, p long")
+    iv = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 25)], "ivid long, lo long, hi long"
+    )
+    got = interval_point_join(p, iv, "p", "lo", "hi", 16)
+    assert sorted(r["pid"] for r in got.collect()) == [1, 2, 3]  # lo==p, hi==p in
+    assert all(r["ivid"] == 1 for r in got.collect())  # empty interval matches none
+
+
+def test_negative_coordinates_floor_not_truncate(spark):
+    # a point at -1 and an interval [-10, -1]: truncating division would
+    # put bucket(-1)=0 while the interval covers stripes [-1, 0] — floor
+    # semantics must still pair them for every width
+    p = spark.createDataFrame([(1, -1), (2, -10), (3, 0)], "pid long, p long")
+    iv = spark.createDataFrame([(7, -10, -1)], "ivid long, lo long, hi long")
+    for width in (3, 16):
+        got = interval_point_join(p, iv, "p", "lo", "hi", width)
+        assert sorted(r["pid"] for r in got.collect()) == [1, 2]
+
+
+def test_rejects_clashing_columns_and_bad_width(spark):
+    p = spark.createDataFrame([(1, 2)], "x long, p long")
+    iv = spark.createDataFrame([(1, 2, 3)], "x long, lo long, hi long")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_point_join(p, iv, "p", "lo", "hi", 4)
+    ok_iv = spark.createDataFrame([(1, 2, 3)], "ivid long, lo long, hi long")
+    with pytest.raises(ValueError, match="positive"):
+        interval_point_join(p, ok_iv, "p", "lo", "hi", 0)

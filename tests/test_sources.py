@@ -213,3 +213,67 @@ def test_csv_cp1252_smart_quotes_decode_correctly(spark, tmp_path):
     p.write_bytes('id,quote\n1,“hello”\n'.encode("cp1252"))
     df = read_csv_with_encodings(spark, str(p))
     assert df.collect()[0]["quote"] == "“hello”"
+
+
+def test_sample_video_frames_explode_resize_compose(spark):
+    import numpy as np
+
+    from data_warehouse_project_spark.sources.multimodal import (
+        encode_image,
+        encode_video,
+        media_schema,
+        sample_video_frames,
+    )
+
+    # 10 frames, brightness 0,10,..,90 @ 5fps; one image row to be dropped
+    frames = np.stack(
+        [np.full((16, 12, 3), v * 10, dtype=np.uint8) for v in range(10)]
+    )
+    rows = [
+        (7, "video", encode_video(frames, 5), "mem://vid"),
+        (8, "image", encode_image(np.zeros((4, 4), np.uint8)), "mem://img"),
+    ]
+    media = spark.createDataFrame(rows, media_schema())
+
+    out = sample_video_frames(media, max_frames=4).collect()
+    assert [r["frame_idx"] for r in out] == [0, 2, 5, 7]
+    assert all(r["media_id"] == 7 and r["n_frames"] == 10 for r in out)
+    assert [r["ts_ms"] for r in out] == [0, 400, 1000, 1400]
+    assert all((r["width"], r["height"]) == (12, 16) for r in out)
+
+    # resized frames stay valid RAWM images: feed them back through
+    # extract_media_features and check per-frame brightness survives
+    from data_warehouse_project_spark.sources.multimodal import (
+        extract_media_features,
+    )
+
+    small = sample_video_frames(media, max_frames=4, resize_to=(8, 8))
+    feat_in = small.select(
+        small["media_id"] * 100 + small["frame_idx"],
+        F.lit("image"),
+        small["frame"],
+        F.lit("mem://frame"),
+    ).toDF("media_id", "media_type", "payload", "source_uri")
+    feats = extract_media_features(feat_in, strict=True).orderBy("media_id")
+    got = [(r["media_id"], r["width"], r["height"], r["feature"][0]) for r in feats.collect()]
+    assert got == [
+        (700, 8, 8, 0.0),
+        (702, 8, 8, 20.0),
+        (705, 8, 8, 50.0),
+        (707, 8, 8, 70.0),
+    ]
+
+
+def test_sample_video_frames_strict_refuses_non_rawm(spark):
+    import pytest as _pytest
+
+    from data_warehouse_project_spark.sources.multimodal import (
+        media_schema,
+        sample_video_frames,
+    )
+
+    rows = [(9, "video", b"\x00\x01\x02mp4ish-not-rawm", "mem://bad")]
+    media = spark.createDataFrame(rows, media_schema())
+    assert sample_video_frames(media, strict=False).count() == 0
+    with _pytest.raises(Exception, match="external codec"):
+        sample_video_frames(media, strict=True).collect()
