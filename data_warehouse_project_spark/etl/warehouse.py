@@ -48,6 +48,21 @@ class Warehouse:
     def path(self, layer: str, name: str) -> Path:
         return self.root / layer / name
 
+    @staticmethod
+    def _check_partition_cols(cols) -> None:
+        """A partition column starting with '_' or '.' writes directories
+        (``_col=value/``) that BOTH Spark's file reader and our
+        ``_merge_dir``/``_data_files`` treat as hidden metadata — the
+        write 'succeeds', the table reads back empty, and the temp-dir
+        cleanup deletes the only copy. Refuse up front."""
+        bad = [c for c in (cols or ()) if c.startswith(("_", "."))]
+        if bad:
+            raise ValueError(
+                f"partition column(s) {bad} start with '_'/'.' — parquet "
+                "readers treat such directories as hidden and the data "
+                "would be silently lost; rename the column"
+            )
+
     def exists(self, layer: str, name: str) -> bool:
         """True if the table has content. Self-healing: a missing table
         with a ``.{name}.old-*`` snapshot next to it marks a crash
@@ -88,6 +103,7 @@ class Warehouse:
 
         Crash recovery for the rename gap lives in ``exists()`` (the
         branch point every loader uses) and ``vacuum()``."""
+        self._check_partition_cols(partition_by)
         final = self.path(layer, name)
         tmp = final.parent / f".{name}.tmp-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
@@ -110,6 +126,7 @@ class Warehouse:
         count it from parquet footers (metadata-only), then move the
         files in. Avoids computing the batch twice (once for O3 row
         accounting, once for the write)."""
+        self._check_partition_cols(partition_by)
         final = self.path(layer, name)
         tmp = final.parent / f".{name}.append-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
@@ -221,6 +238,7 @@ class Warehouse:
         next call restores any ``.X.old-*`` orphan whose live dir is
         missing and clears the rest before swapping.
         """
+        self._check_partition_cols([partition_col])
         final = self.path(layer, name)
         prefix = f"{partition_col}="
         final.mkdir(parents=True, exist_ok=True)

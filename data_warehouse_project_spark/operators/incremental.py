@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,85 @@ def merge_additive(
         *[pick(c, "max").alias(c) for c in max_cols],
     ]
     return merged.select(*keys, *out)
+
+
+def rollup_cascade(
+    wh,
+    batch: DataFrame,
+    ts_col: str,
+    dims: Sequence[str],
+    measures: dict[str, Column],
+    grains: Sequence[str] = ("hour", "day", "month"),
+    layer: str = "bl_dm",
+    prefix: str = "rollup",
+) -> dict[str, int]:
+    """Hypertable-style continuous-aggregate cascade: maintain one
+    state table per time grain (``{prefix}_{grain}``), where the batch
+    rolls up ONCE at the finest grain and every coarser grain is
+    maintained from the FINER GRAIN'S DELTA — never from raw history,
+    never from the finer grain's full state.
+
+    This is the continuous-aggregate shape time-series stores ship
+    (and the reference's full-rebuild gold marts would need at scale):
+    at 100 TB the raw batch is scanned exactly once; the day-grain
+    update reads the hour-grain delta (~1/3600th of the raw rows), the
+    month-grain update reads the day-grain delta. Each state table is
+    stored partitioned by ``yyyy-MM`` and maintained with
+    ``Warehouse.overwrite_partitions`` — only months the batch touches
+    are read (partition-pruned scan) or rewritten, so per-batch IO is
+    O(delta + touched months), independent of table history.
+
+    ``measures`` maps output column name -> additive aggregate
+    expression over RAW batch rows (SUM/COUNT shapes only — coarser
+    grains re-aggregate by summing the finest outputs by name, which
+    is exactly the mergeability contract ``merge_additive`` documents;
+    AVG must be carried as sum+count). ``grains`` must go finest to
+    coarsest (each a valid ``date_trunc`` unit). Late rows are no
+    special case: whatever ``ts_col`` stripe they land in merges
+    additively, at every grain. Returns rows written per grain.
+    """
+    part = F.date_format(F.col("bucket_ts"), "yyyy-MM").alias("part_month")
+    keys = ["bucket_ts", *dims]
+    names = list(measures)
+    delta = batch.groupBy(
+        F.date_trunc(grains[0], F.col(ts_col)).alias("bucket_ts"), *dims
+    ).agg(*[expr.alias(name) for name, expr in measures.items()])
+    written: dict[str, int] = {}
+    for g in grains:
+        if g != grains[0]:
+            delta = delta.groupBy(
+                F.date_trunc(g, F.col("bucket_ts")).alias("bucket_ts"), *dims
+            ).agg(*[F.sum(n).alias(n) for n in names])
+        table_name = f"{prefix}_{g}"
+        state = wh.read_or_none(layer, table_name)
+        if state is None:
+            written[g] = wh.append(
+                delta.withColumn("part_month", part),
+                layer,
+                table_name,
+                partition_by=["part_month"],
+            )
+        else:
+            # bounded driver-side collect: one row per (grain, month)
+            # the batch touches — the same justification as the SCD
+            # merge's touched-bucket list
+            touched = [
+                r[0]
+                for r in delta.select(part).distinct().collect()
+            ]
+            prior = state.filter(
+                F.col("part_month").isin(touched)
+            ).drop("part_month")
+            merged = merge_additive(
+                prior, delta, keys=keys, sum_cols=tuple(names)
+            )
+            written[g] = wh.overwrite_partitions(
+                merged.withColumn("part_month", part),
+                layer,
+                table_name,
+                "part_month",
+                values=touched,
+            )
+        # the finer grain's delta feeds the next grain; localCheckpoint
+        # would be overkill (two narrow aggs), but reuse the frame
+    return written

@@ -83,3 +83,59 @@ def test_new_group_passes_through(spark):
     )
     want = _partial(orders.filter(F.year("o_orderdate").isin(2000, 2001)))
     assert _rows(merged) == _rows(want)
+
+
+def test_rollup_cascade_equals_direct_at_every_grain(spark, tmp_path):
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+    from data_warehouse_project_spark.operators.incremental import rollup_cascade
+
+    ev = table(spark, SF_SMOKE, "events")
+    measures = {
+        "n_events": F.count(F.lit(1)),
+        "value_micros": F.sum(
+            F.round(F.col("value") * 1_000_000).cast("bigint")
+        ),
+    }
+    wh = Warehouse(spark, str(tmp_path / "cagg"))
+    # three batches split by user (every hour overlaps batches), the
+    # third is "late data" for hours the first two already rolled up
+    for lo, hi in ((0, 3), (3, 7), (7, 100)):
+        batch = ev.filter(
+            (F.col("user_id") % 10 >= lo) & (F.col("user_id") % 10 < hi)
+        )
+        rollup_cascade(
+            wh, batch, "ts", ["event_type"], measures,
+            grains=("hour", "day", "month"),
+        )
+
+    for grain in ("hour", "day", "month"):
+        direct = _rows(
+            ev.groupBy(
+                F.date_trunc(grain, F.col("ts")).alias("bucket_ts"),
+                "event_type",
+            ).agg(*[expr.alias(n) for n, expr in measures.items()])
+        )
+        stored = _rows(
+            wh.read("bl_dm", f"rollup_{grain}").drop("part_month").select(
+                "bucket_ts", "event_type", "n_events", "value_micros"
+            )
+        )
+        assert stored == direct, f"grain {grain} diverged from direct rollup"
+
+
+def test_partition_column_names_that_parquet_hides_are_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], "id long, _hidden string")
+    # '_col=value' directories are invisible to parquet readers AND to
+    # the warehouse's own file movers — writing them would "succeed"
+    # and read back empty, so the API must refuse
+    with _pytest.raises(ValueError, match="silently lost"):
+        wh.append(df, "bl", "t", partition_by=["_hidden"])
+    with _pytest.raises(ValueError, match="silently lost"):
+        wh.overwrite(df, "bl", "t", partition_by=["_hidden"])
+    with _pytest.raises(ValueError, match="silently lost"):
+        wh.overwrite_partitions(df, "bl", "t", "_hidden")
