@@ -996,3 +996,87 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WEIGHTED_K)
         .select("doc_id", "source", "n_chars")
     )
+
+
+# outlier = per-doc mean bigram frequency below NUM/DEN of the corpus
+# mean — relative, so the flag means the same thing at every corpus size
+_FAM_NUM, _FAM_DEN = 19, 20
+
+
+@register(
+    "familiarity_outliers_by_source",
+    oracle=f"""
+    WITH {_BIGRAMS_CTE_SQL},
+    gc AS (SELECT bigram, COUNT(*) AS gcount FROM bg GROUP BY bigram),
+    per_doc AS (
+      SELECT b.doc_id, COUNT(*) AS n_bg,
+             CAST(SUM(gcount) AS BIGINT) AS fam
+      FROM bg b JOIN gc USING (bigram)
+      GROUP BY b.doc_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(fam) AS HUGEINT) AS tot_fam,
+             CAST(SUM(n_bg) AS HUGEINT) AS tot_bg
+      FROM per_doc
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fam * tot_bg * {_FAM_DEN}
+                           < tot_fam * n_bg * {_FAM_NUM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(fam) AS BIGINT) AS sum_familiarity,
+           CAST(SUM(n_bg) AS BIGINT) AS sum_bigrams
+    FROM per_doc p JOIN documents d USING (doc_id) CROSS JOIN tot
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="N-gram familiarity outlier detection — the log-free integer "
+    "formulation of perplexity-style quality filtering (CCNet-shape): "
+    "a document whose word bigrams are globally RARE (mean corpus "
+    "frequency well below the corpus mean) is likely gibberish, "
+    "boilerplate, or wrong-language — flag it. Two passes over the "
+    "shared bigram definition: global bigram counts, then a "
+    "bigram-keyed join back to per-doc sums; the corpus mean is a "
+    "1-row broadcast. The threshold is RELATIVE (doc mean < 19/20 of "
+    "corpus mean) so the flag is scale-invariant, and the comparison "
+    "is an exact integer cross-multiply in decimal(38)/HUGEINT — a "
+    "float log-prob or divided mean would hash-diverge across engines "
+    "in the last ulp; the wide-integer compare cannot, at any corpus "
+    "size. Docs under 2 tokens carry no signal and are excluded by "
+    "construction in both engines. Scale: two bigram-keyed partial-agg "
+    "shuffles; no all-pairs anything.",
+    tags=("text", "quality"),
+)
+def familiarity_outliers_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bg = _bigrams(d)
+    gc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("gcount"))
+    per_doc = (
+        bg.join(gc, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum("gcount").alias("fam"),
+        )
+    )
+    dec = "decimal(38,0)"
+    tot = per_doc.agg(
+        F.sum("fam").cast(dec).alias("tot_fam"),
+        F.sum("n_bg").cast(dec).alias("tot_bg"),
+    )
+    is_out = (
+        F.col("fam").cast(dec) * F.col("tot_bg") * _FAM_DEN
+        < F.col("tot_fam") * F.col("n_bg").cast(dec) * _FAM_NUM
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_out.cast("bigint")).alias("n_outliers"),
+            F.sum("fam").alias("sum_familiarity"),
+            F.sum("n_bg").cast("bigint").alias("sum_bigrams"),
+        )
+        .orderBy("source")
+    )
