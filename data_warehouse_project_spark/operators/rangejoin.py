@@ -94,11 +94,41 @@ def interval_point_join(
         _BUCKET,
         F.explode(F.sequence(fdiv(lo_col), fdiv(hi_col))),
     )
-    pt = points.withColumn(_BUCKET, fdiv(point_col))
-    cond = [pt[_BUCKET] == iv[_BUCKET]]
-    cond += [pt[k] == iv[k] for k in keys]
-    joined = pt.join(iv, cond).filter((iv[lo_col] <= pt[point_col]) & (pt[point_col] <= iv[hi_col]))
-    keep = [pt[c] for c in points.columns] + [
-        iv[c] for c in intervals.columns if c not in keys
+    # The join's row EXPANSION happens inside the probe side's
+    # partitions: a compact points scan (one or two parquet splits)
+    # would fan out to millions of pairs on as many tasks. Spread the
+    # points round-robin across the cluster BEFORE the probe, with an
+    # EXPLICIT partition count — the pre-fanout points are small, so
+    # AQE would coalesce an implicit repartition right back to one
+    # partition (the optimizer sizes by input bytes; the blow-up is
+    # invisible to it), and hashing by bucket would cap the width at
+    # the distinct-bucket count (often just dozens). Round-robin costs
+    # co-location only in the shuffle-join case, where the planner
+    # re-exchanges the cheap pre-fanout rows anyway. Measured at sf0.1
+    # (83M-pair containment join, 32 cores): scan-partitioned 23.3s,
+    # bucket-hashed 3.2s, round-robin 1.4s.
+    n_spread = points.sparkSession.sparkContext.defaultParallelism
+    pt = points.withColumn(_BUCKET, fdiv(point_col)).repartition(n_spread)
+    # string-qualified refs, not pt[k] == iv[k]: when points and
+    # intervals derive from the SAME parent frame (a range self-join,
+    # e.g. event pairs), dataframe-indexed columns resolve to one
+    # attribute and Spark falls back to positional disambiguation with
+    # a 'trivially true predicate' warning — explicit aliases keep the
+    # condition unambiguous by construction
+    pt, iv = pt.alias("__rj_p"), iv.alias("__rj_i")
+
+    def p(c: str):
+        return F.col(f"__rj_p.`{c}`")
+
+    def i(c: str):
+        return F.col(f"__rj_i.`{c}`")
+
+    cond = [p(_BUCKET) == i(_BUCKET)]
+    cond += [p(k) == i(k) for k in keys]
+    joined = pt.join(iv, cond).filter(
+        (i(lo_col) <= p(point_col)) & (p(point_col) <= i(hi_col))
+    )
+    keep = [p(c).alias(c) for c in points.columns] + [
+        i(c).alias(c) for c in intervals.columns if c not in keys
     ]
     return joined.select(*keep)

@@ -1046,6 +1046,7 @@ _FAM_NUM, _FAM_DEN = 19, 20
     "construction in both engines. Scale: two bigram-keyed partial-agg "
     "shuffles; no all-pairs anything.",
     tags=("text", "quality"),
+    bench=True,
 )
 def familiarity_outliers_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")

@@ -481,41 +481,41 @@ def extreme_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Temporal range self-join, band-bucketed: pairs of same-user "
     "events within 60 s. A naive theta-join is O(n²) per user; instead "
-    "each event hashes to a 60 s time bucket and the left side probes "
-    "buckets {b, b+1} via a 2-element explode — every true pair lands in "
-    "exactly one equi-join bucket pairing, so the plan is a plain hash "
-    "join on (user, bucket) with a residual micros filter. The oracle "
-    "states the naive theta-join; same pairs. Timestamp arithmetic in "
-    "unix micros (bigint) per determinism rule 4.",
+    "each earlier event opens a [ts, ts+60s] interval and the pairing "
+    "runs through operators/rangejoin.interval_point_join (60 s "
+    "buckets + user_id equi-key) — every true pair lands in exactly "
+    "one equi-join bucket pairing, so the plan is a plain hash join on "
+    "(user, bucket) with a residual micros filter. The oracle states "
+    "the naive theta-join; same pairs. Timestamp arithmetic in unix "
+    "micros (bigint) per determinism rule 4; 'strictly later' and "
+    "'not self' are residual filters on top of the closed-interval "
+    "containment.",
     tags=("join", "range", "events"),
 )
 def event_pairs_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    bucket = F.floor(F.col("us") / F.lit(60_000_000))
-    right = e.select(
-        F.col("user_id").alias("r_user"),
-        F.col("event_id").alias("r_id"),
-        F.col("event_type").alias("type_b"),
-        F.col("us").alias("r_us"),
-        bucket.alias("r_bucket"),
-    )
-    left = e.select(
+    iv = e.select(
         "user_id",
-        "event_id",
+        F.col("event_id").alias("a_id"),
         F.col("event_type").alias("type_a"),
-        "us",
-        F.explode(F.array(bucket, bucket + 1)).alias("probe_bucket"),
+        F.col("us").alias("lo"),
+        (F.col("us") + 60_000_000).alias("hi"),
     )
-    pairs = left.join(
-        right,
-        (F.col("user_id") == F.col("r_user"))
-        & (F.col("probe_bucket") == F.col("r_bucket"))
-        & (F.col("r_id") != F.col("event_id"))
-        & (F.col("r_us") > F.col("us"))
-        & (F.col("r_us") - F.col("us") <= 60_000_000),
+    pt = e.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("type_b"),
+        F.col("us").alias("b_us"),
     )
+    pairs = interval_point_join(
+        pt, iv, "b_us", "lo", "hi", bucket_width=60_000_000, keys=["user_id"]
+    ).filter((F.col("b_us") > F.col("lo")) & (F.col("b_id") != F.col("a_id")))
     return (
         pairs.groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -641,6 +641,7 @@ _PRIORITY_DAYS = (
     "a nested loop. Generalizes event_pairs_60s's fixed-band trick to "
     "variable spans.",
     tags=("join", "range"),
+    bench=True,
 )
 def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_project_spark.operators.rangejoin import (

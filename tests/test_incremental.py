@@ -139,3 +139,52 @@ def test_partition_column_names_that_parquet_hides_are_refused(spark, tmp_path):
         wh.overwrite(df, "bl", "t", partition_by=["_hidden"])
     with _pytest.raises(ValueError, match="silently lost"):
         wh.overwrite_partitions(df, "bl", "t", "_hidden")
+
+
+def test_rollup_cascade_property_random_splits(spark, tmp_path):
+    """For ANY partition of rows into arrival batches (including rows
+    arriving 'late' relative to others in their hour), every grain of
+    the cascade equals the direct rollup — the batch-invariance
+    property the operator's contract claims."""
+    import datetime as dt
+    import random
+
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+    from data_warehouse_project_spark.operators.incremental import rollup_cascade
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 30, 20, 0, 0)  # spans a month boundary
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=rng.randint(0, 5000)),
+            rng.choice(["a", "b"]),
+            rng.randint(-50, 50),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, kind string, v long")
+    measures = {"n": F.count(F.lit(1)), "sv": F.sum("v")}
+
+    for trial in range(3):
+        wh = Warehouse(spark, str(tmp_path / f"t{trial}"))
+        assign = [rng.randint(0, 3) for _ in rows]
+        for b in range(4):
+            ids = [r[0] for r, a in zip(rows, assign) if a == b]
+            batch = df.filter(F.col("id").isin(ids))
+            if not ids:
+                continue
+            rollup_cascade(
+                wh, batch, "ts", ["kind"], measures, grains=("hour", "day", "month")
+            )
+        for grain in ("hour", "day", "month"):
+            direct = _rows(
+                df.groupBy(
+                    F.date_trunc(grain, "ts").alias("bucket_ts"), "kind"
+                ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            )
+            stored = _rows(
+                wh.read("bl_dm", f"rollup_{grain}")
+                .select("bucket_ts", "kind", "n", "sv")
+            )
+            assert stored == direct, f"trial {trial} grain {grain}"

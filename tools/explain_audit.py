@@ -29,6 +29,7 @@ ALLOW_NESTED_LOOP = {
     "idle_balance_by_segment",  # 1-row avg-balance threshold broadcast cross
     "bigram_df_topk",  # 1-row corpus-total broadcast cross
     "significant_nation_value",  # 1-row global-sum threshold broadcast cross
+    "familiarity_outliers_by_source",  # 1-row corpus-mean broadcast cross
     "top_revenue_supplier",  # 1-row MAX argmax broadcast cross
     "mixture_resample_audit",  # 1-row total-weight + feasible-min crosses
     "funnel_view_click_purchase",  # 1-row stage-count crosses
@@ -83,6 +84,8 @@ SHUFFLE_BUDGET = {
     "repetition_profile": 4,
     "chunk_documents": 1,
     "kmeans_update_step": 4,
+    "shipments_during_open_orders": 5,
+    "familiarity_outliers_by_source": 11,
 }
 
 # queries whose plans must NOT funnel unaggregated data through one task
