@@ -48,20 +48,6 @@ class Warehouse:
     def path(self, layer: str, name: str) -> Path:
         return self.root / layer / name
 
-    @staticmethod
-    def _check_partition_cols(cols) -> None:
-        """A partition column starting with '_' or '.' writes directories
-        (``_col=value/``) that BOTH Spark's file reader and our
-        ``_merge_dir``/``_data_files`` treat as hidden metadata — the
-        write 'succeeds', the table reads back empty, and the temp-dir
-        cleanup deletes the only copy. Refuse up front."""
-        bad = [c for c in (cols or ()) if c.startswith(("_", "."))]
-        if bad:
-            raise ValueError(
-                f"partition column(s) {bad} start with '_'/'.' — parquet "
-                "readers treat such directories as hidden and the data "
-                "would be silently lost; rename the column"
-            )
 
     def exists(self, layer: str, name: str) -> bool:
         """True if the table has content. Self-healing: a missing table
@@ -103,7 +89,6 @@ class Warehouse:
 
         Crash recovery for the rename gap lives in ``exists()`` (the
         branch point every loader uses) and ``vacuum()``."""
-        self._check_partition_cols(partition_by)
         final = self.path(layer, name)
         tmp = final.parent / f".{name}.tmp-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
@@ -126,7 +111,6 @@ class Warehouse:
         count it from parquet footers (metadata-only), then move the
         files in. Avoids computing the batch twice (once for O3 row
         accounting, once for the write)."""
-        self._check_partition_cols(partition_by)
         final = self.path(layer, name)
         tmp = final.parent / f".{name}.append-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
@@ -193,10 +177,18 @@ class Warehouse:
     @staticmethod
     def _merge_dir(src: Path, dst: Path) -> None:
         """Move parquet part files (and partition subdirs) from src into
-        dst, renaming parts to avoid collisions."""
+        dst, renaming parts to avoid collisions.
+
+        A '_'-prefixed name is writer metadata (_SUCCESS, _temporary,
+        ._started markers) — UNLESS it contains '=', which marks a
+        partition directory of a '_'-prefixed partition COLUMN. Spark's
+        own reader applies exactly this exemption, so skipping such
+        dirs here would silently drop every row of an appended
+        underscore-partitioned table (the write 'succeeds', the table
+        reads back empty, and the src cleanup deletes the only copy)."""
         dst.mkdir(parents=True, exist_ok=True)
         for item in src.iterdir():
-            if item.name.startswith(("_", ".")):
+            if item.name.startswith(("_", ".")) and "=" not in item.name:
                 continue
             if item.is_dir():  # partition dir like order_month=199501
                 Warehouse._merge_dir(item, dst / item.name)
@@ -238,7 +230,6 @@ class Warehouse:
         next call restores any ``.X.old-*`` orphan whose live dir is
         missing and clears the rest before swapping.
         """
-        self._check_partition_cols([partition_col])
         final = self.path(layer, name)
         prefix = f"{partition_col}="
         final.mkdir(parents=True, exist_ok=True)

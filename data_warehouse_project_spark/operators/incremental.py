@@ -44,18 +44,34 @@ def merge_additive(
     aggregate columns. ``sum_cols`` add, ``min_cols``/``max_cols``
     take the elementwise extreme. ``state=None`` bootstraps (first
     batch). Groups present in only one side pass through unchanged
-    (full-outer semantics).
+    (full-outer semantics). Key matching is NULL-SAFE: a NULL group
+    key (SQL GROUP BY keeps NULL groups) must merge with itself across
+    batches — a plain equi-join would never match it and the NULL
+    group would silently duplicate per batch.
     """
     if state is None:
         return delta
     agg_cols = [*sum_cols, *min_cols, *max_cols]
     s = state.select(
-        *keys, *[F.col(c).alias(f"__s_{c}") for c in agg_cols]
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in agg_cols],
     )
     d = delta.select(
-        *keys, *[F.col(c).alias(f"__d_{c}") for c in agg_cols]
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in agg_cols],
     )
-    merged = s.join(d, on=list(keys), how="full_outer")
+    merged = s.join(
+        d,
+        [F.col(f"__sk_{k}").eqNullSafe(F.col(f"__dk_{k}")) for k in keys],
+        how="full_outer",
+    ).select(
+        *[
+            F.coalesce(F.col(f"__sk_{k}"), F.col(f"__dk_{k}")).alias(k)
+            for k in keys
+        ],
+        *[F.col(f"__s_{c}") for c in agg_cols],
+        *[F.col(f"__d_{c}") for c in agg_cols],
+    )
 
     def pick(c: str, how: str):
         sc, dc = F.col(f"__s_{c}"), F.col(f"__d_{c}")
@@ -106,12 +122,17 @@ def rollup_cascade(
     AVG must be carried as sum+count). ``grains`` must go finest to
     coarsest (each a valid ``date_trunc`` unit). Late rows are no
     special case: whatever ``ts_col`` stripe they land in merges
-    additively, at every grain. Returns rows written per grain.
+    additively, at every grain. Rows with a NULL ``ts_col`` belong to
+    no time stripe and are EXCLUDED — the same contract as the
+    streaming twin's watermark (and a NULL group would silently
+    duplicate across batches: equi-join merge keys never match NULL).
+    Quarantine them upstream if they must be accounted. Returns rows
+    written per grain.
     """
     part = F.date_format(F.col("bucket_ts"), "yyyy-MM").alias("part_month")
     keys = ["bucket_ts", *dims]
     names = list(measures)
-    delta = batch.groupBy(
+    delta = batch.filter(F.col(ts_col).isNotNull()).groupBy(
         F.date_trunc(grains[0], F.col(ts_col)).alias("bucket_ts"), *dims
     ).agg(*[expr.alias(name) for name, expr in measures.items()])
     written: dict[str, int] = {}
@@ -120,6 +141,12 @@ def rollup_cascade(
             delta = delta.groupBy(
                 F.date_trunc(g, F.col("bucket_ts")).alias("bucket_ts"), *dims
             ).agg(*[F.sum(n).alias(n) for n in names])
+        # each grain's delta has three consumers (touched-months probe,
+        # merge write, next grain's re-aggregation) and would otherwise
+        # recompute from the RAW batch each time — materializing it is
+        # what makes the cascade's cost model real: the raw batch is
+        # scanned once, coarser grains read the ~1/24th-size finer delta
+        delta = delta.localCheckpoint()
         table_name = f"{prefix}_{g}"
         state = wh.read_or_none(layer, table_name)
         if state is None:

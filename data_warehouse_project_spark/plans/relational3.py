@@ -652,11 +652,22 @@ def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, d in _PRIORITY_DAYS[:-1]:
         pdays = F.when(F.col("o_orderpriority") == name, d).otherwise(pdays)
     lo = F.unix_date(F.to_date("o_orderdate"))
-    iv = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderpriority",
-        lo.alias("lo"),
-        (lo + pdays).alias("hi"),
+    # only windows intersecting the points' 1995 range can match —
+    # pre-filtering the interval side cuts its explode+shuffle ~7x
+    # (orders span 1992-1998) without changing the result; the widest
+    # window is 30 days, so orderdate >= 1995-01-01 - 30d suffices
+    iv = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-12-02 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            lo.alias("lo"),
+            (lo + pdays).alias("hi"),
+        )
     )
     li = table(spark, sf_dir, "lineitem")
     pt = li.filter(

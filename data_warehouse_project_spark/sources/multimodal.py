@@ -400,14 +400,24 @@ def sample_video_frames(
                 if media_type != "video":
                     continue
                 payload = bytes(raw) if raw is not None else b""
-                if payload[:4] != MAGIC or len(payload) < 13 or payload[4] != _KIND["video"]:
+                bad = (
+                    payload[:4] != MAGIC
+                    or len(payload) < 13
+                    or payload[4] != _KIND["video"]
+                )
+                if not bad:
+                    w, h, c, n, fps = struct.unpack_from("<HHBHB", payload, 5)
+                    # truncated body: frombuffer would throw and poison
+                    # the whole Arrow batch — same drop/raise policy as
+                    # an unknown container
+                    bad = len(payload) < 13 + n * h * w * c
+                if bad:
                     if strict:
                         raise NotImplementedError(
                             f"media_id={media_id}: video payload is not RAWM "
                             "(compressed video decode needs an external codec)"
                         )
                     continue
-                w, h, c, n, fps = struct.unpack_from("<HHBHB", payload, 5)
                 frames = np.frombuffer(
                     payload, np.uint8, n * h * w * c, offset=13
                 ).reshape(n, h, w, c)

@@ -123,22 +123,27 @@ def test_rollup_cascade_equals_direct_at_every_grain(spark, tmp_path):
         assert stored == direct, f"grain {grain} diverged from direct rollup"
 
 
-def test_partition_column_names_that_parquet_hides_are_refused(spark, tmp_path):
-    import pytest as _pytest
-
+def test_underscore_partition_columns_survive_append(spark, tmp_path):
+    """'_col=value' partition dirs look like writer metadata (_SUCCESS)
+    to a naive name filter; Spark's reader exempts names containing '='
+    and the warehouse file movers must too — a mismatch silently loses
+    every appended row (the regression that motivated this test: the
+    SCD merge path partitions by '__bucket')."""
     from data_warehouse_project_spark.etl.warehouse import Warehouse
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
-    df = spark.createDataFrame([(1, "a")], "id long, _hidden string")
-    # '_col=value' directories are invisible to parquet readers AND to
-    # the warehouse's own file movers — writing them would "succeed"
-    # and read back empty, so the API must refuse
-    with _pytest.raises(ValueError, match="silently lost"):
-        wh.append(df, "bl", "t", partition_by=["_hidden"])
-    with _pytest.raises(ValueError, match="silently lost"):
-        wh.overwrite(df, "bl", "t", partition_by=["_hidden"])
-    with _pytest.raises(ValueError, match="silently lost"):
-        wh.overwrite_partitions(df, "bl", "t", "_hidden")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, _hidden string")
+    n = wh.append(df, "bl", "t", partition_by=["_hidden"])
+    assert n == 2
+    n2 = wh.append(
+        spark.createDataFrame([(3, "a")], "id long, _hidden string"),
+        "bl",
+        "t",
+        partition_by=["_hidden"],
+    )
+    assert n2 == 1
+    back = sorted((r["id"], r["_hidden"]) for r in wh.read("bl", "t").collect())
+    assert back == [(1, "a"), (2, "b"), (3, "a")]
 
 
 def test_rollup_cascade_property_random_splits(spark, tmp_path):
@@ -188,3 +193,31 @@ def test_rollup_cascade_property_random_splits(spark, tmp_path):
                 .select("bucket_ts", "kind", "n", "sv")
             )
             assert stored == direct, f"trial {trial} grain {grain}"
+
+
+def test_rollup_cascade_null_ts_and_null_dim(spark, tmp_path):
+    """NULL ts rows are excluded by contract (no time stripe); NULL dim
+    VALUES are legitimate SQL groups and must merge null-safely across
+    batches instead of duplicating per batch."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+    from data_warehouse_project_spark.operators.incremental import rollup_cascade
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "a", 10),
+        (2, t0, None, 5),   # NULL dim, batch 1
+        (3, None, "a", 99),  # NULL ts: excluded
+        (4, t0, None, 7),   # NULL dim, batch 2 — must merge with row 2
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, kind string, v long")
+    wh = Warehouse(spark, str(tmp_path / "nulls"))
+    m = {"n": F.count(F.lit(1)), "sv": F.sum("v")}
+    rollup_cascade(wh, df.filter("id <= 3"), "ts", ["kind"], m, grains=("hour", "day"))
+    rollup_cascade(wh, df.filter("id = 4"), "ts", ["kind"], m, grains=("hour", "day"))
+    got = {
+        tuple(r)
+        for r in wh.read("bl_dm", "rollup_day").select("kind", "n", "sv").collect()
+    }
+    assert got == {("a", 1, 10), (None, 2, 12)}

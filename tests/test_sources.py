@@ -277,3 +277,24 @@ def test_sample_video_frames_strict_refuses_non_rawm(spark):
     assert sample_video_frames(media, strict=False).count() == 0
     with _pytest.raises(Exception, match="external codec"):
         sample_video_frames(media, strict=True).collect()
+
+
+def test_sample_video_frames_truncated_payload_dropped_not_crash(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from data_warehouse_project_spark.sources.multimodal import (
+        MAGIC,
+        media_schema,
+        sample_video_frames,
+    )
+
+    # valid header claiming 10 frames of 4x4x3, but a short body
+    truncated = MAGIC + struct.pack("<BHHBHB", 3, 4, 4, 3, 10, 5) + b"short"
+    media = spark.createDataFrame(
+        [(11, "video", truncated, "mem://trunc")], media_schema()
+    )
+    assert sample_video_frames(media, strict=False).count() == 0
+    with _pytest.raises(Exception, match="external codec"):
+        sample_video_frames(media, strict=True).collect()
