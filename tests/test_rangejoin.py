@@ -83,3 +83,73 @@ def test_rejects_clashing_columns_and_bad_width(spark):
     ok_iv = spark.createDataFrame([(1, 2, 3)], "ivid long, lo long, hi long")
     with pytest.raises(ValueError, match="positive"):
         interval_point_join(p, ok_iv, "p", "lo", "hi", 0)
+
+
+def _iv_frames(spark, seed, keyed):
+    rng = random.Random(seed)
+
+    def mk(n, pfx):
+        rows = []
+        for j in range(n):
+            lo = rng.randint(-40, 100)
+            hi = lo + rng.choice([-3, 0, 1, 5, 20, 70])
+            rows.append((j, lo, hi, rng.randint(0, 2)))
+        df = spark.createDataFrame(
+            rows, f"{pfx}id long, {pfx}lo long, {pfx}hi long, k long"
+        )
+        return df if keyed else df.drop("k")
+
+    return mk(60, "a"), mk(45, "b")
+
+
+@pytest.mark.parametrize("width", [1, 9, 16, 1000])
+@pytest.mark.parametrize("keyed", [False, True])
+def test_overlap_join_matches_naive_no_duplicates(spark, width, keyed):
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a, b = _iv_frames(spark, seed=width * 3 + keyed, keyed=keyed)
+    cond = (
+        (F.col("alo") <= F.col("bhi"))
+        & (F.col("blo") <= F.col("ahi"))
+        # the raw inequality pair is satisfied by EMPTY intervals too
+        # (hi < lo); the operator excludes them like SQL BETWEEN, so the
+        # naive reference must as well
+        & (F.col("ahi") >= F.col("alo"))
+        & (F.col("bhi") >= F.col("blo"))
+    )
+    if keyed:
+        cond = cond & (a["k"] == b["k"])
+    naive = sorted(
+        (r["aid"], r["bid"])
+        for r in a.join(b, cond).select(a["aid"], b["bid"]).collect()
+    )
+    got = interval_overlap_join(
+        a, b, "alo", "ahi", "blo", "bhi", width, keys=["k"] if keyed else []
+    )
+    pairs = [(r["aid"], r["bid"]) for r in got.select("aid", "bid").collect()]
+    # exact multiset equality: the canonical-bucket claim must dedup
+    # (a pair overlapping many buckets appears once) AND lose nothing
+    assert sorted(pairs) == naive
+    assert len(pairs) == len(set(pairs))
+
+
+def test_overlap_join_negative_and_touching_edges(spark):
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame([(1, -10, -1), (2, 5, 5)], "aid long, alo long, ahi long")
+    b = spark.createDataFrame(
+        [(1, -1, 3), (2, 4, 5), (3, 6, 9)], "bid long, blo long, bhi long"
+    )
+    for width in (3, 16):
+        got = sorted(
+            (r["aid"], r["bid"])
+            for r in interval_overlap_join(
+                a, b, "alo", "ahi", "blo", "bhi", width
+            ).collect()
+        )
+        # touching at a single shared point counts as overlap (closed)
+        assert got == [(1, 1), (2, 2)]
