@@ -132,3 +132,92 @@ def interval_point_join(
         i(c).alias(c) for c in intervals.columns if c not in keys
     ]
     return joined.select(*keep)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """The second canonical range-join shape: join every ``left``
+    interval to every ``right`` interval it OVERLAPS (closed-interval
+    test ``l_lo <= r_hi AND r_lo <= l_hi``, plus equality on ``keys``)
+    — meeting scheduling, concurrent-session analytics, interval
+    algebra — again without a nested loop.
+
+    Same banding as ``interval_point_join``, with one extra idea: both
+    sides explode into their covering buckets, and a true overlapping
+    pair would meet in EVERY bucket the overlap region covers, so the
+    join would duplicate pairs. Each candidate is therefore claimed by
+    exactly ONE canonical bucket — the bucket of the overlap region's
+    left edge, ``max(floor(l_lo/w), floor(r_lo/w))`` — checked as a
+    residual predicate alongside the exact overlap test. No distinct
+    is needed: dedup by construction, which matters because a DISTINCT
+    over the pair blow-up would shuffle the very volume the banding
+    exists to avoid.
+
+    Contracts as in ``interval_point_join``: integral bounds, disjoint
+    column names outside ``keys`` (kept once, from the left), empty
+    intervals (hi < lo) match nothing, probe side spread explicitly
+    (AQE cannot see the fanout). Replication is O(span/w + 1) per row
+    on BOTH sides — pick ``w`` near the typical span of the longer
+    side.
+    """
+    if bucket_width <= 0:
+        raise ValueError("interval_overlap_join: bucket_width must be positive")
+    dup = (set(left.columns) & set(right.columns)) - set(keys)
+    if dup:
+        raise ValueError(
+            "interval_overlap_join: column names must be disjoint outside "
+            f"`keys`, clash: {sorted(dup)}"
+        )
+    clash = {_BUCKET} & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join: reserved internal name in input: {clash}"
+        )
+
+    def fdiv(name: str):
+        q = f"`{name}`"
+        return F.expr(f"({q} - pmod({q}, {bucket_width})) div {bucket_width}")
+
+    n_spread = left.sparkSession.sparkContext.defaultParallelism
+    l = (
+        left.filter(F.col(left_hi) >= F.col(left_lo))
+        .withColumn(_BUCKET, F.explode(F.sequence(fdiv(left_lo), fdiv(left_hi))))
+        .repartition(n_spread)
+        .alias("__rj_l")
+    )
+    r = (
+        right.filter(F.col(right_hi) >= F.col(right_lo))
+        .withColumn(_BUCKET, F.explode(F.sequence(fdiv(right_lo), fdiv(right_hi))))
+        .alias("__rj_r")
+    )
+
+    def L(c: str):
+        return F.col(f"__rj_l.`{c}`")
+
+    def R(c: str):
+        return F.col(f"__rj_r.`{c}`")
+
+    cond = [L(_BUCKET) == R(_BUCKET)]
+    cond += [L(k) == R(k) for k in keys]
+    w = F.lit(bucket_width)
+    overlap_lo = F.greatest(L(left_lo), R(right_lo))
+    joined = (
+        l.join(r, cond)
+        .filter((L(left_lo) <= R(right_hi)) & (R(right_lo) <= L(left_hi)))
+        # canonical-bucket claim, in pure bigint arithmetic (compare
+        # the floored multiple against bucket*w — no float division):
+        # the overlap region's left edge lives in exactly one bucket
+        .filter((overlap_lo - F.pmod(overlap_lo, w)) == L(_BUCKET) * w)
+    )
+    keep = [L(c).alias(c) for c in left.columns] + [
+        R(c).alias(c) for c in right.columns if c not in keys
+    ]
+    return joined.select(*keep)

@@ -683,3 +683,81 @@ def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "overlapping_order_windows",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS lo,
+             CAST(o_orderdate AS DATE) + CASE o_orderpriority
+               WHEN '1-URGENT' THEN 2 WHEN '2-HIGH' THEN 7
+               WHEN '3-MEDIUM' THEN 14 WHEN '4-NOT SPECIFIED' THEN 21
+               ELSE 30 END AS hi
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+    )
+    SELECT a.o_orderpriority AS priority_a,
+           b.o_orderpriority AS priority_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM iv a JOIN iv b
+      ON a.lo <= b.hi AND b.lo <= a.hi AND a.o_orderkey < b.o_orderkey
+    GROUP BY priority_a, priority_b
+    ORDER BY priority_a, priority_b
+    """,
+    doc="Interval OVERLAP self-join (the second canonical range-join "
+    "shape, vs containment): which March-1995 order fulfilment windows "
+    "were simultaneously open, paired by priority class — the "
+    "concurrency-contention matrix. Runs through operators/rangejoin."
+    "interval_overlap_join: both sides band into 16-day buckets and "
+    "each true pair is claimed by exactly ONE canonical bucket (the "
+    "overlap region's left edge), so the plan needs NO pair-level "
+    "DISTINCT — dedup by construction where the oracle states the "
+    "naive theta self-join. Ordered-pair identity (key_a < key_b) is a "
+    "residual, like the overlap test itself.",
+    tags=("join", "range"),
+)
+def overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    pdays = F.lit(30)
+    for name, d in _PRIORITY_DAYS[:-1]:
+        pdays = F.when(F.col("o_orderpriority") == name, d).otherwise(pdays)
+    lo = F.unix_date(F.to_date("o_orderdate"))
+    base = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            lo.alias("lo"),
+            (lo + pdays).alias("hi"),
+        )
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderpriority").alias("priority_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+    )
+    b = base.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderpriority").alias("priority_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=16
+    ).filter(F.col("key_a") < F.col("key_b"))
+    return (
+        pairs.groupBy("priority_a", "priority_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("priority_a", "priority_b")
+    )
