@@ -8,6 +8,7 @@ from data_warehouse_project_spark.streaming.joins import (  # noqa: F401
     paired_events_stream,
 )
 from data_warehouse_project_spark.streaming.windows import (  # noqa: F401
+    cascade_ingest,
     sessionized_counts,
     sliding_counts,
     streaming_dedup,

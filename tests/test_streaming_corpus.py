@@ -191,3 +191,72 @@ def test_neardup_ingest_dedups_within_batch(spark, tmp_path):
     stored = wh.read("bl_cl", "corpus_docs")
     assert stored.count() == 50
     assert stored.select("doc_id").distinct().count() == 50
+
+
+def test_cascade_ingest_restart_is_exactly_once(spark, tmp_path):
+    """Streaming rollup cascade under the batch-id fence: run with
+    availableNow + checkpoint, stop, land MORE events, restart on the
+    SAME checkpoint — every grain table must equal the direct rollup of
+    everything landed, exactly once. Additive merges double-count on
+    naive replay, so this is the test that the fence actually fences."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_project_spark.catalog import table as cat_table
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+    from data_warehouse_project_spark.streaming import cascade_ingest
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = cat_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    first = ev.filter("event_id % 2 = 0")
+    second = ev.filter("event_id % 2 = 1")
+    measures = {
+        "n_events": F.count(F.lit(1)),
+        "value_cents": F.sum(F.round(F.col("value") * 100).cast("bigint")),
+    }
+
+    def run_once():
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        q = cascade_ingest(
+            stream, wh, ckpt, "ts", ["event_type"], measures,
+            grains=("hour", "day"),
+        )
+        q.awaitTermination(180)
+
+    def grain_rows(grain):
+        return sorted(
+            tuple(r)
+            for r in wh.read("bl_dm", f"rollup_{grain}")
+            .select("bucket_ts", "event_type", "n_events", "value_cents")
+            .collect()
+        )
+
+    def direct(df, grain):
+        return sorted(
+            tuple(r)
+            for r in df.groupBy(
+                F.date_trunc(grain, "ts").alias("bucket_ts"), "event_type"
+            )
+            .agg(*[e.alias(n) for n, e in measures.items()])
+            .collect()
+        )
+
+    first.repartition(2).write.mode("overwrite").parquet(src)
+    run_once()
+    assert grain_rows("day") == direct(first, "day")
+
+    # land more events; restart from the same checkpoint (Structured
+    # Streaming replays the last committed batch id on restart — the
+    # fence must swallow it)
+    second.repartition(2).write.mode("append").parquet(src)
+    run_once()
+    for grain in ("hour", "day"):
+        assert grain_rows(grain) == direct(ev, grain), f"grain {grain}"
+
+    # a third restart with nothing new must be a pure no-op
+    run_once()
+    assert grain_rows("day") == direct(ev, "day")
