@@ -44,6 +44,31 @@ from pyspark.sql import functions as F
 _BUCKET = "__rj_bucket"
 
 
+def _fdiv(name: str, bucket_width: int):
+    """Exact integral floor-division of a column by the bucket width:
+    (x - pmod(x, w)) is an exact multiple of w in bigint, ``div`` is
+    integral — no double rounding near 2**53 (epoch micros live at
+    ~1.7e15; float floor(x/w) can mis-bucket at stripe boundaries).
+    ONE definition for both range-join shapes, so a bucketing fix can
+    never apply to one and silently miss the other."""
+    q = f"`{name}`"
+    return F.expr(f"({q} - pmod({q}, {bucket_width})) div {bucket_width}")
+
+
+def _validate(fn: str, a_cols, b_cols, keys, bucket_width: int) -> None:
+    if bucket_width <= 0:
+        raise ValueError(f"{fn}: bucket_width must be positive")
+    dup = (set(a_cols) & set(b_cols)) - set(keys)
+    if dup:
+        raise ValueError(
+            f"{fn}: column names must be disjoint outside `keys`, "
+            f"clash: {sorted(dup)}"
+        )
+    clash = {_BUCKET} & (set(a_cols) | set(b_cols))
+    if clash:
+        raise ValueError(f"{fn}: reserved internal name in input: {clash}")
+
+
 def interval_point_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -67,28 +92,11 @@ def interval_point_join(
     is raised before any job runs. Empty intervals (hi < lo) match
     nothing, exactly like SQL BETWEEN.
     """
-    if bucket_width <= 0:
-        raise ValueError("interval_point_join: bucket_width must be positive")
-    dup = (set(points.columns) & set(intervals.columns)) - set(keys)
-    if dup:
-        raise ValueError(
-            "interval_point_join: column names must be disjoint outside "
-            f"`keys`, clash: {sorted(dup)}"
-        )
-    clash = {_BUCKET} & (set(points.columns) | set(intervals.columns))
-    if clash:
-        raise ValueError(
-            f"interval_point_join: reserved internal name in input: {clash}"
-        )
+    _validate("interval_point_join", points.columns, intervals.columns, keys, bucket_width)
     lo, hi = F.col(lo_col), F.col(hi_col)
 
     def fdiv(name: str):
-        # exact integral floor-division: (x - pmod(x, w)) is an exact
-        # multiple of w in bigint, `div` is integral — no double rounding
-        # near 2**53 (epoch micros live at ~1.7e15; float floor(x/w) can
-        # mis-bucket at stripe boundaries there)
-        q = f"`{name}`"
-        return F.expr(f"({q} - pmod({q}, {bucket_width})) div {bucket_width}")
+        return _fdiv(name, bucket_width)
 
     iv = intervals.filter(hi >= lo).withColumn(
         _BUCKET,
@@ -168,29 +176,19 @@ def interval_overlap_join(
     on BOTH sides — pick ``w`` near the typical span of the longer
     side.
     """
-    if bucket_width <= 0:
-        raise ValueError("interval_overlap_join: bucket_width must be positive")
-    dup = (set(left.columns) & set(right.columns)) - set(keys)
-    if dup:
-        raise ValueError(
-            "interval_overlap_join: column names must be disjoint outside "
-            f"`keys`, clash: {sorted(dup)}"
-        )
-    clash = {_BUCKET} & (set(left.columns) | set(right.columns))
-    if clash:
-        raise ValueError(
-            f"interval_overlap_join: reserved internal name in input: {clash}"
-        )
+    _validate("interval_overlap_join", left.columns, right.columns, keys, bucket_width)
 
     def fdiv(name: str):
-        q = f"`{name}`"
-        return F.expr(f"({q} - pmod({q}, {bucket_width})) div {bucket_width}")
+        return _fdiv(name, bucket_width)
 
+    # spread BEFORE the explode: the round-robin exchange then carries
+    # the original rows, not span/w+1 replicas of each — the same
+    # cheap-pre-fanout-rows argument interval_point_join makes
     n_spread = left.sparkSession.sparkContext.defaultParallelism
     l = (
         left.filter(F.col(left_hi) >= F.col(left_lo))
-        .withColumn(_BUCKET, F.explode(F.sequence(fdiv(left_lo), fdiv(left_hi))))
         .repartition(n_spread)
+        .withColumn(_BUCKET, F.explode(F.sequence(fdiv(left_lo), fdiv(left_hi))))
         .alias("__rj_l")
     )
     r = (

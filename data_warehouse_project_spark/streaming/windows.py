@@ -110,11 +110,12 @@ def cascade_ingest(
     dims,
     measures,
     grains=("hour", "day", "month"),
+    prefix: str = "rollup",
     available_now: bool = True,
 ):
     """Streaming continuous aggregates: ``foreachBatch`` admission into
     ``operators/incremental.rollup_cascade`` — the streaming twin of
-    the batch cascade, maintaining the same ``rollup_{grain}`` tables
+    the batch cascade, maintaining the same ``{prefix}_{grain}`` tables
     from a live event stream.
 
     Delivery contract (STRONGER guard than the row-grain idempotence of
@@ -123,30 +124,60 @@ def cascade_ingest(
     BATCH-ID FENCE. Structured Streaming's foreachBatch delivers each
     micro-batch with a monotonically increasing ``batch_id`` and replays
     the LAST batch after a crash/restart with the SAME id; admissions
-    record the id in ``meta.cascade_fence`` after the cascade commits,
-    and any batch at or below the fence is skipped wholesale. The fence
-    read is a parquet-footer MAX — metadata-only, no job. The residual
-    window (crash BETWEEN the last grain's partition swap and the fence
-    append replays a completed cascade) is the plain-parquet honesty
-    tax, same class as neardup_ingest's band-append window; closing it
+    record the id after the cascade commits, and any batch at or below
+    the fence is skipped wholesale. Batch ids are only meaningful
+    RELATIVE TO ONE CHECKPOINT, so the fence table is scoped to
+    (prefix, checkpoint identity): a fresh checkpoint restarts ids at 0
+    and a stale global fence would silently swallow every new batch,
+    and two cascades sharing a warehouse must not cross-fence. (A
+    cleared checkpoint also replays the whole SOURCE — only the
+    matching fresh fence makes that a recompute instead of a silent
+    drop; the state tables must be reset with it, which no operator can
+    infer.) The fence is a single row kept by atomic snapshot overwrite
+    — O(1) to read and write per trigger, never an append-per-batch
+    file pileup — and the metadata-only footer MAX falls back to a real
+    aggregate if a writer produced a statistics-less footer, because
+    treating missing stats as 'no fence' would re-admit a replay.
+
+    Residual window, stated precisely: the cascade swaps each grain's
+    partitions in sequence and the fence lands LAST, so a crash any
+    time after the FIRST grain's swap and before the fence write
+    replays a batch whose earlier grains already merged — those grains
+    double-count the touched stripes. That is the plain-parquet honesty
+    tax (same class as neardup_ingest's band-append window); closing it
     needs a transactional table format, not a different algorithm.
 
     Scale shape: per trigger, O(micro-batch) aggregation + O(touched
     months) partition rewrites per grain — state tables never rescan.
     """
+    import hashlib
+
+    from pyspark.sql import functions as SF
+
     from data_warehouse_project_spark.operators.incremental import rollup_cascade
 
+    ckpt_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    fence_table = f"{prefix}_fence_{ckpt_id}"
+
+    def read_fence() -> int | None:
+        if not wh.exists("meta", fence_table):
+            return None
+        m = wh.footer_max("meta", fence_table, "batch_id")
+        if m is None:  # footer lacks stats: fall back to a real agg
+            m = wh.read("meta", fence_table).agg(SF.max("batch_id")).first()[0]
+        return m
+
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        fence = wh.footer_max("meta", "cascade_fence", "batch_id")
+        fence = read_fence()
         if fence is not None and batch_id <= fence:
             return  # crash-replay of an already-merged batch
-        rollup_cascade(wh, batch_df, ts_col, dims, measures, grains)
-        wh.append(
+        rollup_cascade(wh, batch_df, ts_col, dims, measures, grains, prefix=prefix)
+        wh.overwrite(
             batch_df.sparkSession.createDataFrame(
                 [(batch_id,)], "batch_id long"
             ),
             "meta",
-            "cascade_fence",
+            fence_table,
         )
 
     writer = (

@@ -260,3 +260,44 @@ def test_cascade_ingest_restart_is_exactly_once(spark, tmp_path):
     # a third restart with nothing new must be a pure no-op
     run_once()
     assert grain_rows("day") == direct(ev, "day")
+
+
+def test_cascade_ingest_two_streams_do_not_cross_fence(spark, tmp_path):
+    """Two cascades sharing one warehouse (different prefixes, different
+    checkpoints) must fence independently — a global fence would let the
+    first stream's batch ids swallow the second stream's batches."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_project_spark.catalog import table as cat_table
+    from data_warehouse_project_spark.etl.warehouse import Warehouse
+    from data_warehouse_project_spark.streaming import cascade_ingest
+    from tests.conftest import SF_SMOKE
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = cat_table(spark, SF_SMOKE, "events").select("event_id", "ts", "event_type", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    m = {"n": F.count(F.lit(1))}
+
+    for prefix in ("ra", "rb"):
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = cascade_ingest(
+            stream, wh, str(tmp_path / f"ckpt_{prefix}"), "ts",
+            ["event_type"], m, grains=("day",), prefix=prefix,
+        )
+        q.awaitTermination(120)
+
+    want = sorted(
+        tuple(r)
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("bucket_ts"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for prefix in ("ra", "rb"):
+        got = sorted(
+            tuple(r)
+            for r in wh.read("bl_dm", f"{prefix}_day")
+            .select("bucket_ts", "event_type", "n")
+            .collect()
+        )
+        assert got == want, f"stream {prefix} was cross-fenced or diverged"
