@@ -153,3 +153,29 @@ def test_overlap_join_negative_and_touching_edges(spark):
         )
         # touching at a single shared point counts as overlap (closed)
         assert got == [(1, 1), (2, 2)]
+
+
+def test_epoch_micro_magnitudes_bucket_exactly(spark):
+    """The operators claim exact bucketing at epoch-microsecond
+    magnitudes (~1.7e15, where float floor(x/w) can misbucket at
+    stripe boundaries). Points sit exactly ON bucket edges at ~4.5e15
+    with an awkward odd width; every containment decision must be
+    exact."""
+    w = 60_000_001  # odd width: x/w is never exactly representable
+    base = 4_500_000_000_000_000
+    edge = base - base % w  # an exact stripe boundary near 4.5e15
+    pts = [(i, edge + d) for i, d in enumerate([-1, 0, 1, w - 1, w, w + 1])]
+    ivs = [(1, edge, edge + w - 1), (2, edge - w, edge - 1)]
+    p = spark.createDataFrame(pts, "pid long, p long")
+    iv = spark.createDataFrame(ivs, "ivid long, lo long, hi long")
+    got = sorted(
+        (r["pid"], r["ivid"])
+        for r in interval_point_join(p, iv, "p", "lo", "hi", w).collect()
+    )
+    want = sorted(
+        (i, ivid)
+        for i, (_, x) in enumerate(pts)
+        for ivid, lo, hi in ivs
+        if lo <= x <= hi
+    )
+    assert got == want
