@@ -32,7 +32,10 @@ LOG_SCHEMA = T.StructType(
     ]
 )
 
-LAYERS = ("staging", "bl_3nf", "bl_dm", "bl_cl")
+# "meta" holds bookkeeping singletons (e.g. streaming batch-id fences)
+# — in LAYERS so vacuum() janitors its interrupted-write scratch dirs
+# and orphaned .old snapshots like any data layer's
+LAYERS = ("staging", "bl_3nf", "bl_dm", "bl_cl", "meta")
 
 
 class Warehouse:

@@ -605,6 +605,16 @@ _PRIORITY_DAYS = (
 )
 
 
+def _priority_days_expr():
+    """Priority → open-window days as a Column — ONE definition for
+    both range-join queries (and it must track the CASE expressions in
+    their SQL oracles; change all together or parity splits)."""
+    pdays = F.lit(_PRIORITY_DAYS[-1][1])
+    for name, d in _PRIORITY_DAYS[:-1]:
+        pdays = F.when(F.col("o_orderpriority") == name, d).otherwise(pdays)
+    return pdays
+
+
 @register(
     "shipments_during_open_orders",
     oracle="""
@@ -648,9 +658,7 @@ def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_point_join,
     )
 
-    pdays = F.lit(30)
-    for name, d in _PRIORITY_DAYS[:-1]:
-        pdays = F.when(F.col("o_orderpriority") == name, d).otherwise(pdays)
+    pdays = _priority_days_expr()
     lo = F.unix_date(F.to_date("o_orderdate"))
     # only windows intersecting the points' 1995 range can match —
     # pre-filtering the interval side cuts its explode+shuffle ~7x
@@ -724,9 +732,7 @@ def overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_overlap_join,
     )
 
-    pdays = F.lit(30)
-    for name, d in _PRIORITY_DAYS[:-1]:
-        pdays = F.when(F.col("o_orderpriority") == name, d).otherwise(pdays)
+    pdays = _priority_days_expr()
     lo = F.unix_date(F.to_date("o_orderdate"))
     base = (
         table(spark, sf_dir, "orders")

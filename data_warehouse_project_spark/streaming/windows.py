@@ -122,22 +122,24 @@ def cascade_ingest(
     ``neardup_ingest``, because additive merges are NOT row-idempotent:
     replaying a merged batch double-counts instead of no-opping): a
     BATCH-ID FENCE. Structured Streaming's foreachBatch delivers each
-    micro-batch with a monotonically increasing ``batch_id`` and replays
-    the LAST batch after a crash/restart with the SAME id; admissions
-    record the id after the cascade commits, and any batch at or below
-    the fence is skipped wholesale. Batch ids are only meaningful
-    RELATIVE TO ONE CHECKPOINT, so the fence table is scoped to
-    (prefix, checkpoint identity): a fresh checkpoint restarts ids at 0
-    and a stale global fence would silently swallow every new batch,
-    and two cascades sharing a warehouse must not cross-fence. (A
-    cleared checkpoint also replays the whole SOURCE — only the
-    matching fresh fence makes that a recompute instead of a silent
-    drop; the state tables must be reset with it, which no operator can
-    infer.) The fence is a single row kept by atomic snapshot overwrite
-    — O(1) to read and write per trigger, never an append-per-batch
-    file pileup — and the metadata-only footer MAX falls back to a real
-    aggregate if a writer produced a statistics-less footer, because
-    treating missing stats as 'no fence' would re-admit a replay.
+    micro-batch with a monotonically increasing ``batch_id`` and, after
+    a crash, replays the last UNcommitted batch with the SAME id;
+    admissions record the id after the cascade commits, and any batch
+    at or below the fence is skipped wholesale. Batch ids are only
+    meaningful RELATIVE TO ONE CHECKPOINT INCARNATION, so the fence
+    table is scoped to (prefix, the streaming query id read from the
+    checkpoint's own ``metadata`` file) — NOT to the checkpoint path
+    string: clearing and recreating the same path mints a new query id
+    (fresh fence → full source replay becomes a recompute, never a
+    silent drop), a respelled path to the same checkpoint keeps the
+    same id (the stale-path-hash failure: a fresh fence there would
+    re-admit the replayed batch and double-count), and two cascades
+    sharing a warehouse cannot cross-fence. The fence is a single row
+    kept by atomic snapshot overwrite — O(1) to read and write per
+    trigger, never an append-per-batch file pileup — and the
+    metadata-only footer MAX falls back to a real aggregate if a
+    writer produced a statistics-less footer, because treating missing
+    stats as 'no fence' would re-admit a replay.
 
     Residual window, stated precisely: the cascade swaps each grain's
     partitions in sequence and the fence lands LAST, so a crash any
@@ -151,20 +153,39 @@ def cascade_ingest(
     months) partition rewrites per grain — state tables never rescan.
     """
     import hashlib
+    import json
+    import os
 
     from pyspark.sql import functions as SF
 
     from data_warehouse_project_spark.operators.incremental import rollup_cascade
 
-    ckpt_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
-    fence_table = f"{prefix}_fence_{ckpt_id}"
+    _identity: list[str] = []  # resolved once, on the first trigger
+
+    def fence_table() -> str:
+        if not _identity:
+            # the query id inside <ckpt>/metadata IS the incarnation:
+            # written at stream start (before any batch), regenerated
+            # when the checkpoint is cleared, identical however the
+            # path is spelled. Path-hash fallback only for exotic
+            # checkpoint filesystems this local warehouse can't read.
+            try:
+                with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+                    _identity.append(json.loads(fh.read())["id"][:8])
+            except (OSError, KeyError, ValueError):
+                _identity.append(
+                    hashlib.md5(
+                        os.path.abspath(checkpoint_dir).encode()
+                    ).hexdigest()[:8]
+                )
+        return f"{prefix}_fence_{_identity[0]}"
 
     def read_fence() -> int | None:
-        if not wh.exists("meta", fence_table):
+        if not wh.exists("meta", fence_table()):
             return None
-        m = wh.footer_max("meta", fence_table, "batch_id")
+        m = wh.footer_max("meta", fence_table(), "batch_id")
         if m is None:  # footer lacks stats: fall back to a real agg
-            m = wh.read("meta", fence_table).agg(SF.max("batch_id")).first()[0]
+            m = wh.read("meta", fence_table()).agg(SF.max("batch_id")).first()[0]
         return m
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
@@ -177,7 +198,7 @@ def cascade_ingest(
                 [(batch_id,)], "batch_id long"
             ),
             "meta",
-            fence_table,
+            fence_table(),
         )
 
     writer = (

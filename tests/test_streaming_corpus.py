@@ -249,9 +249,22 @@ def test_cascade_ingest_restart_is_exactly_once(spark, tmp_path):
     run_once()
     assert grain_rows("day") == direct(first, "day")
 
-    # land more events; restart from the same checkpoint (Structured
-    # Streaming replays the last committed batch id on restart — the
-    # fence must swallow it)
+    # SIMULATE A CRASH: a graceful availableNow stop commits its last
+    # batch, and Structured Streaming never replays a committed batch —
+    # so to exercise the fence we delete the newest commit-log entry.
+    # The restart then re-delivers that batch (same id, same data); the
+    # cascade already merged it, and without the fence every touched
+    # stripe would double-count.
+    import os
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # hadoop checksum twin blocks the re-commit
+        os.remove(crc)
     second.repartition(2).write.mode("append").parquet(src)
     run_once()
     for grain in ("hour", "day"):
