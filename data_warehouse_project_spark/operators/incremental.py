@@ -177,6 +177,6 @@ def rollup_cascade(
                 "part_month",
                 values=touched,
             )
-        # the finer grain's delta feeds the next grain; localCheckpoint
-        # would be overkill (two narrow aggs), but reuse the frame
+        # the finer grain's (already localCheckpoint-ed) delta feeds
+        # the next grain's re-aggregation
     return written

@@ -50,7 +50,11 @@ def _fdiv(name: str, bucket_width: int):
     integral — no double rounding near 2**53 (epoch micros live at
     ~1.7e15; float floor(x/w) can mis-bucket at stripe boundaries).
     ONE definition for both range-join shapes, so a bucketing fix can
-    never apply to one and silently miss the other."""
+    never apply to one and silently miss the other. Backtick-bearing
+    names are rejected up front by ``_validate`` (they would need
+    escaping here AND in every ``F.col`` reference — Spark's own
+    attribute parser refuses them too), so the interpolation below is
+    injection-safe by contract."""
     q = f"`{name}`"
     return F.expr(f"({q} - pmod({q}, {bucket_width})) div {bucket_width}")
 
@@ -58,6 +62,12 @@ def _fdiv(name: str, bucket_width: int):
 def _validate(fn: str, a_cols, b_cols, keys, bucket_width: int) -> None:
     if bucket_width <= 0:
         raise ValueError(f"{fn}: bucket_width must be positive")
+    ticked = [c for c in (*a_cols, *b_cols) if "`" in c]
+    if ticked:
+        # a backtick in a name would break the F.expr interpolation in
+        # _fdiv (SQL-injection-shaped parse error) and F.col parsing
+        # alike — fail fast with a clear message instead
+        raise ValueError(f"{fn}: backtick in column name(s): {ticked}")
     dup = (set(a_cols) & set(b_cols)) - set(keys)
     if dup:
         raise ValueError(

@@ -1041,8 +1041,13 @@ _FAM_NUM, _FAM_DEN = 19, 20
     "corpus mean) so the flag is scale-invariant, and the comparison "
     "is an exact integer cross-multiply in decimal(38)/HUGEINT — a "
     "float log-prob or divided mean would hash-diverge across engines "
-    "in the last ulp; the wide-integer compare cannot, at any corpus "
-    "size. Docs under 2 tokens carry no signal and are excluded by "
+    "in the last ulp; the wide-integer compare cannot, up to the "
+    "decimal(38,0) product bound (fam*tot_bg*20 < 1e38 — i.e. corpora "
+    "to ~1e15 total bigrams with per-doc fam to ~1e18; beyond that "
+    "non-ANSI Spark NULLs the product while DuckDB's HUGEINT keeps "
+    "going, so the two engines would diverge — far past any real "
+    "corpus, but a bound, not 'never'). Docs under 2 tokens carry no "
+    "signal and are excluded by "
     "construction in both engines. Scale: two bigram-keyed partial-agg "
     "shuffles; no all-pairs anything.",
     tags=("text", "quality"),

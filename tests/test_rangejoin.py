@@ -179,3 +179,129 @@ def test_epoch_micro_magnitudes_bucket_exactly(spark):
         if lo <= x <= hi
     )
     assert got == want
+
+
+def test_backtick_column_names_rejected_up_front(spark):
+    """A backtick in any input column name would break the F.expr
+    interpolation inside _fdiv (SQL-injection-shaped parse error) and
+    F.col attribute parsing alike — the operators must refuse it with
+    a clear ValueError BEFORE any Spark job runs."""
+    p = spark.createDataFrame([(1, 10), (2, 25)], ["pid", "p`t"])
+    iv = spark.createDataFrame([(1, 5, 15)], ["ivid", "lo", "hi"])
+    with pytest.raises(ValueError, match="backtick"):
+        interval_point_join(p, iv, "p`t", "lo", "hi", 7)
+
+
+# --- hypothesis sweep: (width, offset, sign) including widths near
+# 2**31 and windows straddling 0, at epoch-micro magnitudes ---------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WIDTHS = st.one_of(
+    st.integers(1, 9),
+    st.integers(50, 5000),
+    st.integers(2**31 - 3, 2**31 + 3),
+)
+_OFFSETS = st.sampled_from(
+    [
+        0,
+        -1,
+        1,
+        -(2**31),
+        2**31,
+        1_700_000_000_000_000,  # epoch micros, "now"
+        -4_500_000_000_000_000,  # negative epoch-micro magnitude
+    ]
+)
+
+
+@st.composite
+def _case(draw):
+    w = draw(_WIDTHS)
+    off = draw(_OFFSETS)
+    # coordinates within a few stripes of the offset; spans relative
+    # to w so boundary-width intervals (w-1, w, w+1) and empties occur
+    delta = st.integers(-2 * w, 2 * w)
+    pts = [off + d for d in draw(st.lists(delta, min_size=1, max_size=8))]
+    ivs = []
+    for _ in range(draw(st.integers(1, 6))):
+        lo = off + draw(delta)
+        span = draw(
+            st.sampled_from([-3, -1, 0, 1, w - 1, w, w + 1, 2 * w])
+        )
+        ivs.append((lo, lo + span))
+    # bias: every interval endpoint is also a point (exact-edge hits)
+    for lo, hi in ivs:
+        pts.extend([lo, hi])
+    return w, pts, ivs
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=_case())
+def test_hypothesis_point_join_matches_python_naive(spark, case):
+    w, pts, ivs = case
+    p = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(pts)], "pid long, p long"
+    )
+    iv = spark.createDataFrame(
+        [(j, lo, hi) for j, (lo, hi) in enumerate(ivs)],
+        "ivid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["pid"], r["ivid"])
+        for r in interval_point_join(p, iv, "p", "lo", "hi", w).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, x in enumerate(pts)
+        for j, (lo, hi) in enumerate(ivs)
+        if lo <= x <= hi
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=_case())
+def test_hypothesis_overlap_join_matches_python_naive(spark, case):
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    w, pts, ivs = case
+    # reuse the generated intervals on both sides (self-overlap shape
+    # included); points double as degenerate [x, x] intervals
+    a_rows = [(j, lo, hi) for j, (lo, hi) in enumerate(ivs)]
+    b_rows = [(i, x, x) for i, x in enumerate(pts)] + [
+        (1000 + j, lo, hi) for j, (lo, hi) in enumerate(ivs)
+    ]
+    a = spark.createDataFrame(a_rows, "aid long, alo long, ahi long")
+    b = spark.createDataFrame(b_rows, "bid long, blo long, bhi long")
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(
+            a, b, "alo", "ahi", "blo", "bhi", w
+        ).collect()
+    )
+    want = sorted(
+        (aid, bid)
+        for aid, alo, ahi in a_rows
+        if ahi >= alo
+        for bid, blo, bhi in b_rows
+        if bhi >= blo and alo <= bhi and blo <= ahi
+    )
+    assert got == want
