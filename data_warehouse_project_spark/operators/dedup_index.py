@@ -92,6 +92,141 @@ def band_rows(shingles: DataFrame) -> DataFrame:
     )
 
 
+def band_rows_narrow(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, band_id, band_sig) computed PER ROW in codegen — zero
+    shuffles — by folding the shingle array into the 8 min-hashes with
+    ``F.aggregate`` instead of exploding + distinct + groupBy. Exactly
+    the scheme of ``band_rows(shingles_of(docs))`` (tested equal):
+    MIN is duplicate-insensitive, so skipping the shingle ``distinct``
+    changes nothing, and ``least`` over md5 hex strings is the same
+    binary ordering as the MIN aggregate. This is the admission path's
+    signature computation — the two corpus-sized shuffles the
+    explode/groupBy formulation pays per batch (measured: they were
+    most of a 3x admission-vs-one-shot gap at sf0.1) become none; the
+    only shuffle left in an admission is the band-table probe join
+    itself. Each chained select keeps its alias referenced more than
+    once, so CollapseProject leaves the non-cheap array expressions
+    evaluated once per row."""
+    toks = docs.select(
+        key, F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    t = F.col("t")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+        ),
+    )
+    shs = toks.select(key, sh.alias("sh"))
+    init = F.array(*[F.lit(None).cast("string") for _ in range(MINHASH_K)])
+    sig = F.aggregate(
+        F.col("sh"),
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.md5(F.concat(F.lit(f"{i}:"), s))
+                    for i in range(MINHASH_K)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    mh = shs.select(key, sig.alias("hs"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(
+                    F.concat(
+                        F.element_at(F.col("hs"), a + 1),
+                        F.element_at(F.col("hs"), b + 1),
+                    )
+                ).alias("band_sig"),
+            )
+            for bi, (a, b) in enumerate(BANDS)
+        ]
+    )
+    return mh.select(key, F.explode(band_structs).alias("b")).select(
+        key,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_sig").alias("band_sig"),
+    )
+
+
+def verify_pairs_exact(
+    corpus: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of a candidate pair frame
+    (doc_a, doc_b) against ``corpus`` (doc_id, text) — candidates ONLY
+    ever touch the corpus through one semi-joined scan. Shared by the
+    incremental index's admission and the one-shot LSH query so the
+    two paths cannot drift.
+
+    ``cand`` must be small and cheap to re-read (callers pass a
+    localCheckpoint-ed frame — it is consumed twice here). Shingle
+    SETS are built per candidate row in codegen (array_distinct of the
+    canonical 3-word shingle transform), checkpointed once, then each
+    pair intersects two arrays — no exploded shingle shuffle. The
+    broadcasts are safe by the LSH invariant (equal band signatures
+    imply near-identical documents): the candidate set is
+    output-bounded, not corpus-bounded."""
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    # no distinct on cand_ids: a semi join ignores right-side dups,
+    # and the union of two projections of a checkpointed frame is
+    # narrow — a distinct would add a shuffle for nothing
+    toks = (
+        corpus.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    t = F.col("t")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+            F.element_at(t, i + 3),
+        ),
+    )
+    cd = (
+        toks.select("doc_id", F.array_distinct(sh).alias("shset"))
+        .select("doc_id", "shset", F.size("shset").alias("n"))
+        .localCheckpoint()
+    )
+    x = cd.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shset").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    y = cd.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shset").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    shared = (
+        cand.join(F.broadcast(x), "doc_a")
+        .join(F.broadcast(y), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_shared"),
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 class MinHashIndex:
     """Warehouse-backed incremental LSH index over a documents corpus."""
 
@@ -115,12 +250,15 @@ class MinHashIndex:
         every already-indexed doc_id plus the batch (it is only read for
         candidate verification — O(candidates), not O(corpus)).
         """
-        # bands_batch is read three times (probe join, candidate join,
-        # store append) — cache it; the shingle frame feeds ONLY the
-        # band aggregation, so caching it would pay a memory-write for
-        # a single consumer
-        sh_batch = shingles_of(batch)
-        bands_batch = band_rows(sh_batch).cache()
+        # bands_batch is read three times (probe a-side, probe b-side
+        # via the union, store append) — cache it. The NARROW per-row
+        # formulation (band_rows_narrow) computes signatures with zero
+        # shuffles, so an admission's only corpus-sized shuffle is the
+        # probe join below — the r4 explode/distinct/groupBy path cost
+        # two extra shuffles of the full shingle set per batch, and the
+        # whole admission ran 28 Spark jobs / ~2x this version's wall
+        # (sf0.1 A/B: 6.4s -> 3.3s for the two-batch bench query).
+        bands_batch = band_rows_narrow(batch).cache()
 
         stored = self.wh.read_or_none(self.layer, self.name)
         if stored is not None:
@@ -129,7 +267,11 @@ class MinHashIndex:
             probe = bands_batch
         # candidates where at least one side is from the new batch:
         # batch rows probe the union (old + new), old-old pairs are
-        # already known from previous calls
+        # already known from previous calls. localCheckpoint: the pair
+        # frame is tiny (LSH-bounded) and has TWO consumers (candidate
+        # ids, verification join) — lazy it would run the probe join
+        # twice; checkpointed it also gives the planner exact (small)
+        # size stats for the joins below.
         a = bands_batch.alias("a")
         b = probe.alias("b")
         cand = (
@@ -144,47 +286,17 @@ class MinHashIndex:
                 F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             )
             .distinct()
+            .localCheckpoint()
         )
 
-        # exact verification joins the corpus texts of candidates only.
-        # (A/B'd r5: routing the batch side through a cached copy of
-        # sh_batch instead of recomputing measured SLOWER — 6.5s -> 8.3s
-        # at sf0.1 — because candidates are few, so shingling them afresh
-        # is cheaper than semi/anti-joins against the large shingle set;
-        # a second A/B then dropped sh_batch's own cache too, 6.3->5.7s.)
-        cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
-            cand.select(F.col("doc_b").alias("doc_id"))
-        ).distinct()
-        sh_cand = shingles_of(
-            corpus.join(cand_ids, "doc_id", "left_semi")
-        ).cache()
-        sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        x = sh_cand.alias("x")
-        y = sh_cand.alias("y")
-        shared = (
-            cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
-            .join(
-                y,
-                (F.col("doc_b") == F.col("y.doc_id"))
-                & (F.col("y.shingle") == F.col("x.shingle")),
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
-        )
-        sa = sizes.alias("sa")
-        sb = sizes.alias("sb")
-        jac = F.col("n_shared").cast("double") / (
-            F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-        )
-        pairs = (
-            shared.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= self.threshold)
-        )
-        result = pairs.orderBy("doc_a", "doc_b").localCheckpoint()
+        # exact verification touches candidate documents ONLY — the
+        # shared array-intersect verifier (the r5 exploded x/y shingle
+        # formulation ran 17 Spark jobs for this phase; verify_pairs_
+        # exact runs ~4). No orderBy before the checkpoint: a global
+        # sort costs a range-boundary sampling job per admission, and
+        # every caller that needs order sorts the (tiny) pair output.
+        result = verify_pairs_exact(corpus, cand, self.threshold).localCheckpoint()
 
         self.wh.append(bands_batch, self.layer, self.name)
         bands_batch.unpersist()
-        sh_cand.unpersist()
         return result

@@ -347,25 +347,20 @@ _MINHASH_BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))
     tags=("text", "dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_warehouse_project_spark.operators.dedup_index import minhash_cols
+    from data_warehouse_project_spark.operators.dedup_index import (
+        band_rows_narrow,
+        verify_pairs_exact,
+    )
 
-    ds = _shingles(spark, sf_dir).cache()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    mh = ds.groupBy("doc_id").agg(*minhash_cols(_MINHASH_K))
-    # one band row per (doc, band) via explode — a union of per-band
-    # selects would recompute the minhash aggregation once per band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_id"),
-                F.md5(F.concat(F.col(f"h{ha}"), F.col(f"h{hb}"))).alias("band_sig"),
-            )
-            for bi, (ha, hb) in enumerate(_MINHASH_BANDS)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
-    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # band rows computed per-row in codegen (zero shuffles — MIN over
+    # the shingle array is duplicate-insensitive, so no explode/
+    # distinct/groupBy; tested equal to the canonical formulation in
+    # tests/test_dedup_index.py); cached because the self-join reads
+    # them twice. The checkpointed candidate frame then feeds the
+    # SAME exact-Jaccard verifier the incremental index uses — one
+    # semi-joined corpus scan, array-intersect per candidate pair.
+    bands = band_rows_narrow(docs).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -377,31 +372,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint()
     )
-    x = ds.alias("x")
-    y = ds.alias("y")
-    verified = (
-        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
-        .join(
-            y,
-            (F.col("doc_b") == F.col("y.doc_id"))
-            & (F.col("y.shingle") == F.col("x.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-    )
-    return (
-        verified.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    )
+    bands.unpersist()
+    return verify_pairs_exact(docs, cand, 0.5).orderBy("doc_a", "doc_b")
 
 
 @register(

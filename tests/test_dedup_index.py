@@ -85,3 +85,22 @@ def test_band_rows_shape(spark, corpus):
     assert set(bands.columns) == {"doc_id", "band_id", "band_sig"}
     per_doc = bands.groupBy("doc_id").count().select("count").distinct().collect()
     assert [r["count"] for r in per_doc] == [len(BANDS)]
+
+
+def test_band_rows_narrow_equals_explode_groupby(spark, corpus):
+    """The zero-shuffle per-row signature path (band_rows_narrow) must
+    produce EXACTLY the band rows of the canonical explode/distinct/
+    groupBy formulation — MIN is duplicate-insensitive and least() over
+    md5 hex is the same binary ordering, so any divergence is a bug."""
+    from data_warehouse_project_spark.operators.dedup_index import (
+        band_rows_narrow,
+    )
+
+    want = sorted(
+        map(tuple, band_rows(shingles_of(corpus)).collect())
+    )
+    got = sorted(map(tuple, band_rows_narrow(corpus).collect()))
+    assert got == want
+    # and the narrow plan really is narrow: no exchange anywhere
+    plan = band_rows_narrow(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -76,7 +76,10 @@ SHUFFLE_BUDGET = {
     "q3_sales_by_geo": 5,
     "pricing_summary": 2,
     "revenue_forecast_filter": 1,
-    "dedup_minhash_lsh": 22,  # cold plan; the cached shingle frame dedups 6 when warm
+    # candidate generation is checkpointed during construction, so the
+    # final plan is the verify stage: pair broadcast joins + the
+    # presentation sort (r5's shingle-explode formulation measured 22)
+    "dedup_minhash_lsh": 3,
     "ann_cosine_topk": 3,
     "ann_lsh_topk": 6,
     "market_share_by_year": 8,
@@ -217,21 +220,21 @@ def audit(sf_dir: str) -> int:
     # incremental-index admission plans (the eager queries are excluded
     # from the generic loops above, so their operators get explicit
     # budgets here, built lazily without running an admission):
-    # - dedup: shingle distinct + minhash groupBy must SHARE one doc_id
-    #   shuffle (a second exchange means Catalyst stopped reusing the
-    #   partitioning)
+    # - dedup: band_rows_narrow folds the shingle array to signatures
+    #   per row — a pure projection, ZERO shuffles (the r4/r5
+    #   explode/distinct/groupBy path cost two corpus-sized exchanges
+    #   per admitted batch)
     # - vectors: signature banding is a pure projection — zero shuffles
     from data_warehouse_project_spark.catalog import table as _cat_table
     from data_warehouse_project_spark.operators.dedup_index import (
-        band_rows,
-        shingles_of,
+        band_rows_narrow,
     )
     from data_warehouse_project_spark.operators.similarity import band_rows_of
 
     docs = _cat_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _cat_table(spark, sf_dir, "embeddings")
     for label, df, budget in (
-        ("minhash_index_admission", band_rows(shingles_of(docs)), 1),
+        ("minhash_index_admission", band_rows_narrow(docs), 0),
         ("vector_index_admission", band_rows_of(emb), 0),
     ):
         got = (
