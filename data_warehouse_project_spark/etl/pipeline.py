@@ -46,6 +46,7 @@ from data_warehouse_project_spark.functions.scalars import initcap_pg
 from data_warehouse_project_spark.operators.keys import (
     next_key_offset,
     with_distributed_keys,
+    with_surrogate_keys,
 )
 from data_warehouse_project_spark.operators.scd import scd1_upsert, scd2_apply
 from data_warehouse_project_spark.plans.dates import date_attributes
@@ -220,18 +221,44 @@ def _insert_only_dim(
     extra_defaults: dict[str, object] | None = None,
     source_entity: str = "",
     run_ts: dt.datetime | None = None,
-) -> int:
+    return_frame: bool = False,
+    dense_keys: bool = False,
+) -> int | tuple[int, DataFrame]:
     """M1: seed default row, anti-join on the natural key, assign
-    surrogate ids above MAX(existing), stamp audit columns, append."""
+    surrogate ids above MAX(existing), stamp audit columns, append.
+
+    ``return_frame=True`` additionally returns the full post-append
+    dimension as a lazy DataFrame — chained loaders (the geo
+    hierarchy) join the child level against it directly instead of
+    re-reading the parquet just written, which saves a scan +
+    broadcast-build job per level. ``dense_keys=True`` mints ids with
+    the single-task dense window instead of bucketed offsets — ONLY
+    valid for dims whose cardinality is bounded by a constant
+    independent of data volume (the geo chain: distinct world regions
+    x nations x segments x 10 districts), where it deletes the
+    per-level offset-frame broadcast job; everything data-proportional
+    keeps ``with_distributed_keys``."""
     target = wh.read_or_none("bl_3nf", name)
     if target is not None:
         batch = batch.join(
             target.select(src_col), on=src_col, how="left_anti"
         )
-    offset = next_key_offset(target, id_col) if target is not None else 1
-    # scale-safe key minting: bucketed partition-offset assignment, never
-    # a global single-task row_number (the dim snapshots grow with the data)
-    keyed = with_distributed_keys(batch, id_col, [src_col], start_at=offset)
+        # sequence emulation from parquet footer statistics (no Spark
+        # job); falls back to a MAX aggregate when stats are missing
+        fmax = wh.footer_max("bl_3nf", name, id_col)
+        offset = (
+            int(fmax) + 1 if fmax is not None else next_key_offset(target, id_col)
+        )
+    else:
+        offset = 1
+    if dense_keys:
+        # bounded-cardinality dim: one-task dense ids, zero extra jobs
+        keyed = with_surrogate_keys(batch, id_col, [src_col], start_at=offset)
+    else:
+        # scale-safe key minting: bucketed partition-offset assignment,
+        # never a global single-task row_number (these dim snapshots
+        # grow with the data)
+        keyed = with_distributed_keys(batch, id_col, [src_col], start_at=offset)
     keyed = _with_audit(keyed, "staging", source_entity or name, run_ts)
     if target is None:
         # P7: the -1 / 'n.a.' / 1900-01-01 / MANUAL sentinel row, seeded once
@@ -249,55 +276,95 @@ def _insert_only_dim(
             [tuple(defaults.get(c) for c in keyed.columns)], keyed.schema
         )
         keyed = default_df.unionByName(keyed)
-    return wh.append(keyed, "bl_3nf", name)
+    n = wh.append(keyed, "bl_3nf", name)
+    if return_frame:
+        # the write just materialized the batch — hand back the
+        # freshly-written parquet (tiny: one file) rather than the lazy
+        # keyed plan. Lazy reuse multiplies AQE stage-jobs down the
+        # chain (each child level re-evaluates every ancestor's window
+        # inside its own action — measured 3/6/8/10 jobs for the four
+        # geo levels), and a localCheckpoint would cost its own job per
+        # level on top of the write.
+        return n, wh.read("bl_3nf", name)
+    return n
 
 
 def load_3nf_geo(
     spark: SparkSession, wh: Warehouse, run_ts: dt.datetime | None = None
 ) -> None:
-    # NOTE (measured, sf0.1): this stage is JOB-latency-bound, not
-    # data-bound — caching cust/store here was A/B'd at no gain (4.99s
-    # → 5.14s) because each of the ~12 chained jobs reads a pruned
-    # 2-3 column projection the parquet scan already serves cheaply,
-    # while a cache would pin the full all-string frame. The chain's
-    # per-level ordering (region→nation→state→city FKs) is inherent;
-    # its fixed per-job cost shrinks relative to data at cluster scale.
+    # The four-level chain's per-level ORDERING (region→nation→state→
+    # city FKs) is inherent, but each level's data needs are tiny: the
+    # distinct (nation, region, segment, district) tuples. So the stage
+    # scans each staging table ONCE, dedups to that tuple set, and
+    # pins it with localCheckpoint — every level then derives from the
+    # in-memory tuple frame (r5 measured ~35 AQE stage-jobs here, one
+    # staging scan + distinct shuffle PER LEVEL; this shape runs one
+    # scan per source and level-local work on a few-hundred-row frame).
+    # Parent lookups join the frame _insert_only_dim hands back
+    # (return_frame=True) instead of re-reading the parquet it just
+    # wrote, and key offsets on reruns come from parquet footer stats.
     cust = wh.read("staging", "customers")
     store = wh.read("staging", "stores")
 
+    geo = (
+        cust.select(
+            F.lit("c").alias("src"),
+            initcap_pg("n_name").alias("nation_name"),
+            F.col("r_name"),
+            F.upper(F.col("c_mktsegment")).alias("segment"),
+            F.pmod(F.col("c_custkey").cast("bigint"), F.lit(10))
+            .cast("string")
+            .alias("district"),
+        )
+        .unionByName(
+            store.select(
+                F.lit("s").alias("src"),
+                initcap_pg("n_name").alias("nation_name"),
+                F.col("r_name"),
+                F.lit(None).cast("string").alias("segment"),
+                F.lit(None).cast("string").alias("district"),
+            )
+        )
+        .dropDuplicates(["src", "nation_name", "r_name", "segment", "district"])
+        .localCheckpoint()
+    )
+    geo_c = geo.filter(F.col("src") == "c").drop("src")
+    geo_s = geo.filter(F.col("src") == "s").select("nation_name", "r_name")
+
     # U1: regions observed in either source entity, normalized (F3)
     regions = (
-        cust.select(initcap_pg("r_name").alias("region_name"))
-        .union(store.select(initcap_pg("r_name").alias("region_name")))
+        geo_c.select(initcap_pg("r_name").alias("region_name"))
+        .union(geo_s.select(initcap_pg("r_name").alias("region_name")))
         .filter(F.col("region_name").isNotNull() & (F.col("region_name") != ""))
         .distinct()
     )
-    n = _insert_only_dim(
+    n, reg = _insert_only_dim(
         wh, regions, "ce_regions", "region_name", "region_id",
-        source_entity="customers,stores", run_ts=run_ts,
+        source_entity="customers,stores", run_ts=run_ts, return_frame=True,
+        dense_keys=True,
     )
     wh.log("load_3nf_ce_regions", "insert-only dim ok", n)
 
     # nations with case-insensitive FK lookup to regions (J2)
     nations = (
-        cust.select(initcap_pg("n_name").alias("nation_name"), F.col("r_name"))
-        .union(store.select(initcap_pg("n_name").alias("nation_name"), F.col("r_name")))
+        geo_c.select("nation_name", "r_name")
+        .union(geo_s.select("nation_name", "r_name"))
         .filter(F.col("nation_name").isNotNull() & (F.col("nation_name") != ""))
         .dropDuplicates(["nation_name"])
     )
-    reg = wh.read("bl_3nf", "ce_regions")
     nations = nations.join(
-        F.broadcast(reg),
-        F.upper(initcap_pg(nations.r_name)) == F.upper(reg.region_name),
+        F.broadcast(reg.select("region_name", "region_id")),
+        F.upper(initcap_pg(nations.r_name)) == F.upper(F.col("region_name")),
         "left",
     ).select(
         "nation_name",
         F.coalesce(F.col("region_id"), F.lit(DEFAULT_ID)).alias("region_id"),
     )
-    n = _insert_only_dim(
+    n, nat = _insert_only_dim(
         wh, nations, "ce_nations", "nation_name", "nation_id",
         extra_defaults={"region_id": DEFAULT_ID},
-        source_entity="customers,stores", run_ts=run_ts,
+        source_entity="customers,stores", run_ts=run_ts, return_frame=True,
+        dense_keys=True,
     )
     wh.log("load_3nf_ce_nations", "insert-only dim ok", n)
 
@@ -308,11 +375,10 @@ def load_3nf_geo(
     # (state, district — customer key mod 10). Same M1/J2 load
     # shape as the real thing: natural-key dedup, case-insensitive FK
     # lookup to the parent, default row, chained 4 deep.
-    nat = wh.read("bl_3nf", "ce_nations")
     states_src = (
-        cust.select(
-            initcap_pg("n_name").alias("nation_name_src"),
-            F.upper(F.col("c_mktsegment")).alias("segment"),
+        geo_c.select(
+            F.col("nation_name").alias("nation_name_src"),
+            "segment",
         )
         .filter(F.col("segment").isNotNull() & (F.col("segment") != ""))
         .dropDuplicates(["nation_name_src", "segment"])
@@ -321,36 +387,34 @@ def load_3nf_geo(
         )
     )
     states = states_src.join(
-        F.broadcast(nat),
-        F.upper(states_src.nation_name_src) == F.upper(nat.nation_name),
+        F.broadcast(nat.select("nation_name", "nation_id")),
+        F.upper(states_src.nation_name_src) == F.upper(F.col("nation_name")),
         "left",
     ).select(
         "state_src_id",
         "segment",
         F.coalesce(F.col("nation_id"), F.lit(DEFAULT_ID)).alias("nation_id"),
     )
-    n = _insert_only_dim(
+    n, st = _insert_only_dim(
         wh, states, "ce_states", "state_src_id", "state_id",
         extra_defaults={"segment": NA, "nation_id": DEFAULT_ID},
-        source_entity="customers", run_ts=run_ts,
+        source_entity="customers", run_ts=run_ts, return_frame=True,
+        dense_keys=True,
     )
     wh.log("load_3nf_ce_states", "insert-only dim ok", n)
 
-    st = wh.read("bl_3nf", "ce_states").select("state_src_id", "state_id")
     cities_src = (
-        cust.select(
-            F.concat_ws(
-                "-", initcap_pg("n_name"), F.upper(F.col("c_mktsegment"))
-            ).alias("state_src_id"),
-            F.pmod(F.col("c_custkey").cast("bigint"), F.lit(10))
-            .cast("string")
-            .alias("district"),
+        geo_c.select(
+            F.concat_ws("-", "nation_name", "segment").alias("state_src_id"),
+            "district",
         )
         .filter(F.col("district").isNotNull() & (F.col("district") != ""))
         .dropDuplicates(["state_src_id", "district"])
         .withColumn("city_src_id", F.concat_ws("-", "state_src_id", "district"))
     )
-    cities = cities_src.join(F.broadcast(st), "state_src_id", "left").select(
+    cities = cities_src.join(
+        F.broadcast(st.select("state_src_id", "state_id")), "state_src_id", "left"
+    ).select(
         "city_src_id",
         "district",
         F.coalesce(F.col("state_id"), F.lit(DEFAULT_ID)).alias("state_id"),
@@ -358,7 +422,7 @@ def load_3nf_geo(
     n = _insert_only_dim(
         wh, cities, "ce_cities", "city_src_id", "city_id",
         extra_defaults={"district": NA, "state_id": DEFAULT_ID},
-        source_entity="customers", run_ts=run_ts,
+        source_entity="customers", run_ts=run_ts, dense_keys=True,
     )
     wh.log("load_3nf_ce_cities", "insert-only dim ok", n)
 
