@@ -83,6 +83,91 @@ class Warehouse:
     def read_or_none(self, layer: str, name: str) -> DataFrame | None:
         return self.read(layer, name) if self.exists(layer, name) else None
 
+    # -- JDBC ingress/egress ------------------------------------------------
+    # The reference's literal entry point is Python→PostgreSQL over a DB
+    # connection (python/import_data.py:60-92: pandas read_csv →
+    # psycopg2 INSERTs into staging). The engine's native twin writes
+    # parquet layers, but a deployment whose sources/marts live in an
+    # RDBMS plugs in here — thin contracts over spark.read/write.jdbc
+    # with the one decision that matters at scale made explicit:
+    # UNPARTITIONED JDBC reads pull the whole table through ONE task.
+
+    def read_jdbc(
+        self,
+        url: str,
+        table: str,
+        *,
+        partition_column: str | None = None,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        num_partitions: int | None = None,
+        **options: str,
+    ) -> DataFrame:
+        """Read a JDBC table (or ``(subquery) AS t``) into a DataFrame.
+
+        For anything beyond dimension-sized tables pass ALL of
+        ``partition_column`` (an indexed integral column) +
+        ``lower_bound``/``upper_bound``/``num_partitions`` so the scan
+        fans out to ``num_partitions`` range-predicated queries instead
+        of one connection streaming the whole table. Bounds don't
+        filter — rows outside land in the edge partitions — they only
+        shape the stride, so a stale MIN/MAX costs skew, never rows.
+        Extra ``options`` (driver, fetchsize, user, password, ...) pass
+        through verbatim; fetchsize defaults low on most drivers and is
+        usually the first knob after partitioning.
+        """
+        reader = self.spark.read.format("jdbc").option("url", url).option(
+            "dbtable", table
+        )
+        part_opts = (partition_column, lower_bound, upper_bound, num_partitions)
+        if any(o is not None for o in part_opts):
+            if any(o is None for o in part_opts):
+                raise ValueError(
+                    "read_jdbc: partition_column, lower_bound, upper_bound "
+                    "and num_partitions must be passed together"
+                )
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+                .option("numPartitions", str(num_partitions))
+            )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def write_jdbc(
+        self,
+        df: DataFrame,
+        url: str,
+        table: str,
+        *,
+        mode: str = "append",
+        batchsize: int = 10_000,
+        num_partitions: int | None = None,
+        **options: str,
+    ) -> None:
+        """Write a DataFrame to a JDBC table. One connection per input
+        partition: ``num_partitions`` caps the writer's parallelism
+        (coalesce, no shuffle) so a wide frame doesn't open hundreds of
+        connections against the database's pool limit; ``batchsize``
+        sets rows per executeBatch round-trip. ``mode`` follows
+        DataFrameWriter semantics — 'overwrite' DROPs and recreates the
+        table unless the 'truncate' option is set.
+        """
+        if num_partitions is not None:
+            df = df.coalesce(num_partitions)
+        writer = (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", str(batchsize))
+            .mode(mode)
+        )
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.save()
+
     def overwrite(
         self, df: DataFrame, layer: str, name: str, partition_by: list[str] | None = None
     ) -> int:
