@@ -218,9 +218,10 @@ class Warehouse:
     def footer_max(self, layer: str, name: str, col: str) -> int | None:
         """MAX(col) from parquet footer column statistics — metadata
         only, no Spark job (the sequence-emulation twin of
-        ``next_key_offset`` for tables we just wrote). Returns None if
-        the table is missing or any file lacks statistics for ``col``
-        (caller falls back to a Spark agg)."""
+        ``next_key_offset`` for tables we just wrote). INT-ONLY
+        contract: returns None if the table is missing, the column's
+        physical type is not INT32/INT64, or any file lacks statistics
+        for ``col`` (caller falls back to a Spark agg)."""
         import pyarrow.parquet as pq
 
         if not self.exists(layer, name):
@@ -235,6 +236,13 @@ class Warehouse:
                     c = rg.column(i)
                     if c.path_in_schema == col:
                         found = True
+                        # int-only contract: string/binary footer stats
+                        # may be TRUNCATED upper bounds on some writers —
+                        # trusting them for key minting could silently
+                        # return a too-small max and collide surrogate
+                        # keys. Integral stats are always exact.
+                        if c.physical_type not in ("INT32", "INT64"):
+                            return None
                         st = c.statistics
                         if st is None or not st.has_min_max:
                             return None

@@ -155,6 +155,27 @@ def band_rows_narrow(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     )
 
 
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Lazy (doc_a, doc_b) candidate pairs from a band-row frame — the
+    band-signature self-join at the heart of one-shot LSH dedup.
+    Returned UNCHECKPOINTED so explain-only consumers stay job-free
+    (tools/explain_audit.py budgets exactly this plan); execution-path
+    callers localCheckpoint the result before handing it to
+    ``verify_pairs_exact``, which consumes it twice."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def verify_pairs_exact(
     corpus: DataFrame, cand: DataFrame, threshold: float
 ) -> DataFrame:
@@ -168,10 +189,14 @@ def verify_pairs_exact(
     localCheckpoint-ed frame — it is consumed twice here). Shingle
     SETS are built per candidate row in codegen (array_distinct of the
     canonical 3-word shingle transform), checkpointed once, then each
-    pair intersects two arrays — no exploded shingle shuffle. The
-    broadcasts are safe by the LSH invariant (equal band signatures
-    imply near-identical documents): the candidate set is
-    output-bounded, not corpus-bounded."""
+    pair intersects two arrays — no exploded shingle shuffle. Candidate
+    COUNT is LSH-output-bounded, but the per-doc shingle-set arrays
+    scale with document length, so the x/y join strategy is left to
+    AQE: ``cd`` is checkpointed, so exact size stats exist and AQE
+    broadcasts only when the arrays are genuinely small, falling back
+    to a shuffle join for heavily-duplicated long-document batches
+    (a forced broadcast here was O(candidate_docs × doc_length) driver
+    pressure at the 100 TB design point)."""
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
         cand.select(F.col("doc_b").alias("doc_id"))
     )
@@ -209,8 +234,8 @@ def verify_pairs_exact(
         F.col("n").alias("n_b"),
     )
     shared = (
-        cand.join(F.broadcast(x), "doc_a")
-        .join(F.broadcast(y), "doc_b")
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -349,6 +349,7 @@ _MINHASH_BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_project_spark.operators.dedup_index import (
         band_rows_narrow,
+        candidate_pairs,
         verify_pairs_exact,
     )
 
@@ -357,23 +358,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle array is duplicate-insensitive, so no explode/
     # distinct/groupBy; tested equal to the canonical formulation in
     # tests/test_dedup_index.py); cached because the self-join reads
-    # them twice. The checkpointed candidate frame then feeds the
-    # SAME exact-Jaccard verifier the incremental index uses — one
+    # them twice. candidate_pairs is the shared LAZY self-join
+    # (explain_audit budgets its exchanges pre-checkpoint — the
+    # checkpoint below would otherwise hide the heavy stage from the
+    # audit); the checkpointed candidate frame then feeds the SAME
+    # exact-Jaccard verifier the incremental index uses — one
     # semi-joined corpus scan, array-intersect per candidate pair.
     bands = band_rows_narrow(docs).cache()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    cand = candidate_pairs(bands).localCheckpoint()
     bands.unpersist()
     return verify_pairs_exact(docs, cand, 0.5).orderBy("doc_a", "doc_b")
 

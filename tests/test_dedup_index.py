@@ -101,6 +101,13 @@ def test_band_rows_narrow_equals_explode_groupby(spark, corpus):
     )
     got = sorted(map(tuple, band_rows_narrow(corpus).collect()))
     assert got == want
-    # and the narrow plan really is narrow: no exchange anywhere
-    plan = band_rows_narrow(corpus)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # and the narrow plan really is narrow: no exchange anywhere.
+    # Public explain output (not _jdf JVM internals — stable across
+    # pyspark versions and available under Spark Connect).
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        band_rows_narrow(corpus).explain(mode="formatted")
+    assert "Exchange" not in buf.getvalue()

@@ -228,6 +228,7 @@ def audit(sf_dir: str) -> int:
     from data_warehouse_project_spark.catalog import table as _cat_table
     from data_warehouse_project_spark.operators.dedup_index import (
         band_rows_narrow,
+        candidate_pairs,
     )
     from data_warehouse_project_spark.operators.similarity import band_rows_of
 
@@ -236,6 +237,12 @@ def audit(sf_dir: str) -> int:
     for label, df, budget in (
         ("minhash_index_admission", band_rows_narrow(docs), 0),
         ("vector_index_admission", band_rows_of(emb), 0),
+        # the one-shot LSH query localCheckpoints candidate generation
+        # at construction, so SHUFFLE_BUDGET["dedup_minhash_lsh"] only
+        # sees the verify stage — audit the heavy pre-checkpoint
+        # self-join here on the LAZY plan (no jobs run): band shuffle
+        # ×2 for the self-join; distinct reuses the join partitioning
+        ("minhash_candidate_generation", candidate_pairs(band_rows_narrow(docs)), 2),
     ):
         got = (
             df._jdf.queryExecution().executedPlan().toString().count("Exchange ")
