@@ -21,6 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# hard ceiling on the dense (single-task window) path: a dimension that
+# outgrows this is data-proportional and MUST move to
+# with_distributed_keys. Enforced inside the plan (raise_error), not by
+# convention — a schema change that makes a "bounded" dim scale with
+# data fails loudly at the first load instead of silently serializing.
+DENSE_KEY_MAX_ROWS = 100_000
+
 
 def with_surrogate_keys(
     batch: DataFrame,
@@ -36,6 +43,11 @@ def with_surrogate_keys(
     ⚠ The dense path funnels the whole batch through ONE task (global
     window): correct only for provably tiny frames (a handful of
     regions/nations). Every real loader uses ``with_distributed_keys``.
+    The tiny-frame contract is ENFORCED, not trusted: the minted key
+    expression raises ``USER_RAISED_EXCEPTION`` at execution time if
+    the batch exceeds ``DENSE_KEY_MAX_ROWS`` — a zero-job guard (no
+    extra count; the row_number the path already computes is the
+    witness).
     """
     if dense:
         # constant-valued partition key == the same one-task global sort,
@@ -48,7 +60,21 @@ def with_surrogate_keys(
         w = Window.partitionBy(single_group(F.col(batch.columns[0]))).orderBy(
             *order_by
         )
-        sk = (F.row_number().over(w) + F.lit(start_at - 1)).cast("bigint")
+        rn = F.row_number().over(w)
+        sk = (
+            F.when(
+                rn > F.lit(DENSE_KEY_MAX_ROWS),
+                F.raise_error(
+                    F.lit(
+                        "with_surrogate_keys(dense=True) saw a batch over "
+                        f"{DENSE_KEY_MAX_ROWS} rows — this dimension is "
+                        "data-proportional; use with_distributed_keys"
+                    )
+                ),
+            )
+            .otherwise(rn + F.lit(start_at - 1))
+            .cast("bigint")
+        )
     else:
         # sparse but fully parallel: stable only within one run
         sk = (F.monotonically_increasing_id() + F.lit(start_at)).cast("bigint")

@@ -57,3 +57,22 @@ def test_connected_components_labels():
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_dense_keys_guard_raises_over_bound(spark, monkeypatch):
+    """The dense single-task path must FAIL (not silently serialize) on
+    a data-proportional batch: the guard is embedded in the key
+    expression itself, so no extra count job runs."""
+    import pytest
+
+    from data_warehouse_project_spark.operators import keys as keys_mod
+    from data_warehouse_project_spark.operators.keys import with_surrogate_keys
+
+    base = spark.range(0, 50).select(F.col("id").alias("k"))
+    # under the bound: dense ids as before
+    ok = with_surrogate_keys(base, "sk", ["k"], start_at=5)
+    assert sorted(r["sk"] for r in ok.collect()) == list(range(5, 55))
+    # over the bound (lowered so the test stays tiny): raises at action
+    monkeypatch.setattr(keys_mod, "DENSE_KEY_MAX_ROWS", 20)
+    with pytest.raises(Exception, match="USER_RAISED_EXCEPTION|with_distributed_keys"):
+        with_surrogate_keys(base, "sk", ["k"]).collect()
