@@ -177,11 +177,28 @@ class VectorLSHIndex:
         self.name = name
 
     def add_vectors(
-        self, batch: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-    ) -> int:
-        return self.wh.append(
-            band_rows_of(batch, id_col, vec_col), self.layer, self.name
-        )
+        self,
+        batch: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        return_frame: bool = False,
+    ) -> int | DataFrame:
+        """Admit ``batch``: compute its band rows (pure projection, zero
+        shuffles) and append them to the store.
+
+        ``return_frame=True`` localCheckpoints the band rows first, so
+        the signature computation runs ONCE (the append reads the
+        checkpoint), and returns the frame: a caller probing right
+        after admission passes it to ``topk(bands=...)`` and skips the
+        store parquet round-trip entirely — read-your-writes without a
+        re-read (the ``return_frame`` pattern of
+        etl/pipeline._insert_only_dim)."""
+        rows = band_rows_of(batch, id_col, vec_col)
+        if not return_frame:
+            return self.wh.append(rows, self.layer, self.name)
+        rows = rows.localCheckpoint()
+        self.wh.append(rows, self.layer, self.name)
+        return rows
 
     def topk(
         self,
@@ -190,21 +207,30 @@ class VectorLSHIndex:
         top_k: int = 5,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        bands: DataFrame | None = None,
     ) -> DataFrame:
         """Probe the stored bands with the query vectors' band rows and
         exact-cosine rerank candidates, reading vector payloads from
-        ``corpus`` for candidates only."""
+        ``corpus`` for candidates only.
+
+        ``bands`` (optional) substitutes an already-materialized band
+        frame for the store read — callers that just admitted batches
+        with ``add_vectors(return_frame=True)`` pass the union of the
+        returned frames. Query band rows are taken FROM the band frame
+        (every query vector is indexed in this usage, and the stored
+        band set is deterministic), so the probe recomputes no
+        signatures at all."""
         from pyspark.sql import Window
 
-        stored = self.wh.read(self.layer, self.name)
+        stored = bands if bands is not None else self.wh.read(self.layer, self.name)
         vecs = corpus.select(
             F.col(id_col).alias("vec_id"),
             "label",
             as_double(F.col(vec_col)).alias("e"),
         )
-        q_bands = band_rows_of(
-            corpus.filter(F.col(id_col) < query_ids_below), id_col, vec_col
-        ).select(F.col("vec_id").alias("q_id"), "band_id", "band_sig")
+        q_bands = stored.filter(F.col("vec_id") < query_ids_below).select(
+            F.col("vec_id").alias("q_id"), "band_id", "band_sig"
+        )
         cand = (
             stored.join(F.broadcast(q_bands), on=["band_id", "band_sig"])
             .filter(F.col("vec_id") != F.col("q_id"))

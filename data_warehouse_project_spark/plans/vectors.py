@@ -292,15 +292,24 @@ def _register_lsh_ann() -> None:
         )
 
         emb = table(spark, sf_dir, "embeddings")
-        # the probe plan reads the scratch band store, so materialize it
-        # (localCheckpoint) before the store is cleaned up
+        # fused admission→probe (the r6 dedup-index treatment): each
+        # admission checkpoints its band rows once (return_frame) —
+        # the store append reads the checkpoint, and the probe reads
+        # the UNION of the returned frames instead of re-reading the
+        # just-written parquet, so signatures are computed exactly once
+        # per vector and the probe plan touches `embeddings` only for
+        # candidate payloads. The result plan is localCheckpoint-ed so
+        # it survives the scratch store's cleanup.
         tmp = tempfile.mkdtemp(prefix="annidx_")
         try:
             idx = VectorLSHIndex(Warehouse(spark, tmp))
-            idx.add_vectors(emb.filter("vec_id % 2 = 0"))
-            idx.add_vectors(emb.filter("vec_id % 2 = 1"))
+            b1 = idx.add_vectors(emb.filter("vec_id % 2 = 0"), return_frame=True)
+            b2 = idx.add_vectors(emb.filter("vec_id % 2 = 1"), return_frame=True)
             return idx.topk(
-                emb, query_ids_below=N_QUERY_VECS, top_k=TOP_K
+                emb,
+                query_ids_below=N_QUERY_VECS,
+                top_k=TOP_K,
+                bands=b1.unionByName(b2),
             ).localCheckpoint()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
