@@ -229,6 +229,12 @@ class Warehouse:
         mx = None
         for f in self._data_files(self.path(layer, name)):
             md = pq.ParquetFile(str(f)).metadata
+            if md.num_rows == 0:
+                # zero-row part files (an empty write task) carry no
+                # row groups and contribute nothing to MAX — skipping
+                # them keeps the metadata-only path available instead
+                # of falling back to a Spark agg
+                continue
             found = False
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
