@@ -37,6 +37,22 @@ LOG_SCHEMA = T.StructType(
 # and orphaned .old snapshots like any data layer's
 LAYERS = ("staging", "bl_3nf", "bl_dm", "bl_cl", "meta")
 
+# explain-audit hook: when tools/explain_audit.py sets this to a list,
+# every warehouse write first records ("layer/name", executed-plan
+# string) for the frame it is about to write — the audit budgets the
+# ETL stages' physical plans through the same write path production
+# uses, with zero instrumentation in the pipeline itself. Appends are
+# GIL-atomic, so concurrent ETL stages can share the list. None (the
+# default) is zero-overhead.
+PLAN_CAPTURE: list[tuple[str, str]] | None = None
+
+
+def _capture_plan(df: DataFrame, label: str) -> None:
+    if PLAN_CAPTURE is not None:
+        PLAN_CAPTURE.append(
+            (label, df._jdf.queryExecution().executedPlan().toString())
+        )
+
 
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
@@ -179,6 +195,7 @@ class Warehouse:
         branch point every loader uses) and ``vacuum()``."""
         final = self.path(layer, name)
         tmp = final.parent / f".{name}.tmp-{uuid.uuid4().hex[:8]}"
+        _capture_plan(df, f"{layer}/{name}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -207,6 +224,7 @@ class Warehouse:
             # not numShufflePartitions × numPartitions tiny files
             df = df.repartition(*partition_by)
             writer = df.write.mode("overwrite").partitionBy(*partition_by)
+        _capture_plan(df, f"{layer}/{name}")
         writer.parquet(str(tmp))
         if not any(self._data_files(tmp)):  # empty batch (e.g. idempotent rerun)
             shutil.rmtree(tmp, ignore_errors=True)
@@ -346,6 +364,7 @@ class Warehouse:
             else:
                 orphan.rename(live)
         tmp = final.parent / f".{name}.pmerge-{uuid.uuid4().hex[:8]}"
+        _capture_plan(df.repartition(partition_col), f"{layer}/{name}")
         (
             df.repartition(partition_col)
             .write.mode("overwrite")

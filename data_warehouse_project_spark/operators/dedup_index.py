@@ -252,6 +252,32 @@ def verify_pairs_exact(
     )
 
 
+def admission_candidates(bands_batch: DataFrame, probe: DataFrame) -> DataFrame:
+    """Lazy candidate pairs for one index admission: the batch's band
+    rows probe ``probe`` (stored ∪ batch band rows) on (band_id,
+    band_sig); pairs are canonicalized (least/greatest) and
+    deduplicated. Returned UNCHECKPOINTED — ``add_documents``
+    localCheckpoints it (two consumers), while tools/explain_audit.py
+    budgets exactly this lazy plan, so a shuffle regression in the
+    admission's only corpus-sized join is caught without running an
+    admission."""
+    a = bands_batch.alias("a")
+    b = probe.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 class MinHashIndex:
     """Warehouse-backed incremental LSH index over a documents corpus."""
 
@@ -297,22 +323,7 @@ class MinHashIndex:
         # ids, verification join) — lazy it would run the probe join
         # twice; checkpointed it also gives the planner exact (small)
         # size stats for the joins below.
-        a = bands_batch.alias("a")
-        b = probe.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_sig") == F.col("b.band_sig"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            )
-            .distinct()
-            .localCheckpoint()
-        )
+        cand = admission_candidates(bands_batch, probe).localCheckpoint()
 
         # exact verification touches candidate documents ONLY — the
         # shared array-intersect verifier (the r5 exploded x/y shingle

@@ -89,7 +89,47 @@ SHUFFLE_BUDGET = {
     "kmeans_update_step": 4,
     "shipments_during_open_orders": 5,
     "familiarity_outliers_by_source": 11,
+    "overlapping_order_windows": 5,
 }
+
+# per-write Exchange budgets for BOTH full-ETL strategies (snapshot and
+# merge), first run AND rerun — captured through Warehouse.PLAN_CAPTURE
+# at the exact point each stage hands its frame to the writer, so every
+# bench=True surface (queries + both ETL strategies) now carries an
+# enforced shuffle ceiling. Calibrated at sf0.01 (the audit's default
+# scale); values are the measured max across {strategy} × {run, rerun}.
+# A write with NO entry here fails the audit — new stages must declare
+# a budget. The rerun ceilings are higher because incremental loads add
+# anti-join/change-detection stages (ce_products_scd's 31 is the SCD2
+# full change-detection rebuild — dim-sized data on every exchange).
+ETL_WRITE_BUDGET = {
+    "staging/customers": 5,
+    "staging/products": 3,
+    "staging/sales": 4,
+    "staging/stores": 5,
+    "bl_3nf/ce_regions": 4,
+    "bl_3nf/ce_nations": 4,
+    "bl_3nf/ce_states": 4,
+    "bl_3nf/ce_cities": 4,
+    "bl_3nf/ce_categories": 8,
+    "bl_3nf/ce_subcategories": 10,
+    "bl_3nf/ce_customers": 13,
+    "bl_3nf/ce_stores": 10,
+    "bl_3nf/ce_products_scd": 31,
+    "bl_3nf/ce_sales": 5,
+    "bl_dm/dim_dates": 2,
+    "bl_dm/dim_customers": 4,
+    "bl_dm/dim_stores": 2,
+    "bl_dm/dim_products_scd": 2,
+    "bl_dm/fct_sales": 2,
+    "bl_dm/fct_events": 3,
+}
+
+# writes whose plans legitimately carry a SinglePartition exchange:
+# dim_dates is a calendar-bounded frame (one row per day of the fact
+# range) built with a dense sequence — bounded model state, and the
+# dense-key dims are runtime-guarded by DENSE_KEY_MAX_ROWS
+ETL_SINGLE_PARTITION_OK = {"bl_dm/dim_dates"}
 
 # queries whose plans must NOT funnel unaggregated data through one task
 # (global windowless row_number / Window.orderBy): surrogate-key minting
@@ -225,15 +265,34 @@ def audit(sf_dir: str) -> int:
     #   explode/distinct/groupBy path cost two corpus-sized exchanges
     #   per admitted batch)
     # - vectors: signature banding is a pure projection — zero shuffles
+    from pyspark.sql import functions as F_
+
     from data_warehouse_project_spark.catalog import table as _cat_table
     from data_warehouse_project_spark.operators.dedup_index import (
+        admission_candidates,
         band_rows_narrow,
         candidate_pairs,
     )
-    from data_warehouse_project_spark.operators.similarity import band_rows_of
+    from data_warehouse_project_spark.operators.incremental import merge_additive
+    from data_warehouse_project_spark.operators.similarity import (
+        VectorLSHIndex,
+        band_rows_of,
+    )
 
     docs = _cat_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _cat_table(spark, sf_dir, "embeddings")
+    # lazy twins of the eager bench queries' constituent plans (the
+    # eager queries RUN jobs at construction, so the generic loops skip
+    # them; these are the same plan constructors the operators use):
+    db = band_rows_narrow(docs.filter("doc_id % 2 = 0"))
+    ds = band_rows_narrow(docs.filter("doc_id % 2 = 1"))
+    vb = band_rows_of(emb)
+    ev = _cat_table(spark, sf_dir, "events")
+    rollup_delta = (
+        ev.filter(F_.col("ts").isNotNull())
+        .groupBy(F_.date_trunc("hour", F_.col("ts")).alias("bucket_ts"), "event_type")
+        .agg(F_.count(F_.lit(1)).alias("n_events"))
+    )
     for label, df, budget in (
         ("minhash_index_admission", band_rows_narrow(docs), 0),
         ("vector_index_admission", band_rows_of(emb), 0),
@@ -243,6 +302,33 @@ def audit(sf_dir: str) -> int:
         # self-join here on the LAZY plan (no jobs run): band shuffle
         # ×2 for the self-join; distinct reuses the join partitioning
         ("minhash_candidate_generation", candidate_pairs(band_rows_narrow(docs)), 2),
+        # dedup_minhash_incremental's probe join (its only corpus-sized
+        # shuffle): batch bands vs stored∪batch, canonicalized+distinct
+        ("minhash_admission_probe", admission_candidates(db, db.unionByName(ds)), 3),
+        # ann_lsh_incremental's fused probe: band equi-join + candidate
+        # payload join + rerank window, built on a band frame (no store)
+        (
+            "vector_index_probe",
+            VectorLSHIndex(None).topk(emb, bands=vb),
+            6,
+        ),
+        # rollup_cascade_day's per-grain maintenance: one map-side-
+        # combined rollup of the batch + the null-safe full-outer
+        # additive merge into pruned state partitions. The merge twin
+        # feeds rollup_delta on BOTH sides (production localCheckpoints
+        # the delta, so its rollup exchange is paid once): 1 rollup per
+        # side + the full-outer join shuffling both sides = 4.
+        ("rollup_grain_delta", rollup_delta, 1),
+        (
+            "rollup_additive_merge",
+            merge_additive(
+                rollup_delta,
+                rollup_delta,
+                keys=["bucket_ts", "event_type"],
+                sum_cols=("n_events",),
+            ),
+            4,
+        ),
     ):
         got = (
             df._jdf.queryExecution().executedPlan().toString().count("Exchange ")
@@ -250,6 +336,54 @@ def audit(sf_dir: str) -> int:
         if got > budget:
             print(f"✗ {label}: {got} Exchange nodes (budget {budget})")
             failures += 1
+
+    # ----- full-ETL write-plan audit (both SCD strategies, run + rerun) —
+    # every frame the pipeline hands to a Warehouse writer is captured
+    # (PLAN_CAPTURE) and held to ETL_WRITE_BUDGET; unknown write labels
+    # fail, so a new stage cannot ship without declaring its ceiling.
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.etl import run_full_etl
+    from data_warehouse_project_spark.etl import warehouse as _wmod
+
+    for strategy in ("snapshot", "merge"):
+        _wmod.PLAN_CAPTURE = []
+        wh_root = tempfile.mkdtemp(prefix="audit_etl_")
+        try:
+            run_full_etl(spark, sf_dir, wh_root, scd_strategy=strategy)
+            run_full_etl(spark, sf_dir, wh_root, scd_strategy=strategy)  # rerun
+            captured = list(_wmod.PLAN_CAPTURE)
+        finally:
+            _wmod.PLAN_CAPTURE = None
+            shutil.rmtree(wh_root, ignore_errors=True)
+        for wlabel, p in captured:
+            budget = ETL_WRITE_BUDGET.get(wlabel)
+            if budget is None:
+                print(f"✗ etl[{strategy}] {wlabel}: write has no ETL_WRITE_BUDGET entry")
+                failures += 1
+                continue
+            got = p.count("Exchange ")
+            if got > budget:
+                print(f"✗ etl[{strategy}] {wlabel}: {got} Exchange nodes (budget {budget})")
+                failures += 1
+            if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+                # the watermark predicate is a broadcast of ONE scalar
+                # row — anything else crossing is a regression
+                if wlabel not in ("bl_dm/fct_sales", "bl_dm/fct_events"):
+                    print(f"✗ etl[{strategy}] {wlabel}: unexpected cross join")
+                    failures += 1
+            if wlabel not in ETL_SINGLE_PARTITION_OK:
+                lines = p.splitlines()
+                for i, line in enumerate(lines):
+                    if "Exchange SinglePartition" in line and not _single_partition_ok(
+                        lines, i
+                    ):
+                        print(
+                            f"✗ etl[{strategy}] {wlabel}: data funnels through one task"
+                        )
+                        failures += 1
+                        break
 
     # column pruning: q1 must scan exactly its 2 aggregate columns
     p = plan_of("q1_fact_totals")
