@@ -444,19 +444,13 @@ def load_3nf_product_hierarchy(
     part table carries no explicit p_mfgr column). Resolved with a J3
     key-equality lookup."""
     prod = wh.read("staging", "products")
-    cats = (
-        prod.select(F.substring("p_brand", 1, 7).alias("category_src_id"))
-        .filter(F.col("category_src_id").isNotNull() & (F.col("category_src_id") != ""))
-        .distinct()
-    )
-    n = _insert_only_dim(
-        wh, cats, "ce_categories", "category_src_id", "category_id",
-        source_entity="products", run_ts=run_ts,
-    )
-    wh.log("load_3nf_ce_categories", "insert-only dim ok", n)
-
-    cat = wh.read("bl_3nf", "ce_categories")
-    subs = (
+    # the geo-chain treatment (load_3nf_geo): scan staging ONCE, dedup
+    # to the distinct (brand → category-prefix) tuple set, pin it with
+    # localCheckpoint, and derive BOTH levels from the in-memory tuple
+    # frame — instead of one staging scan + distinct shuffle per level.
+    # min() is a deterministic parent pick if a source ever violated
+    # the brand→mfgr functional dependency.
+    brands = (
         prod.select(
             F.col("p_brand").alias("subcategory_src_id"),
             F.substring("p_brand", 1, 7).alias("category_src_id"),
@@ -465,20 +459,34 @@ def load_3nf_product_hierarchy(
             F.col("subcategory_src_id").isNotNull()
             & (F.col("subcategory_src_id") != "")
         )
-        # one parent per brand (min() is a deterministic pick if a source
-        # ever violated the brand→mfgr functional dependency)
         .groupBy("subcategory_src_id")
         .agg(F.min("category_src_id").alias("category_src_id"))
-        .join(F.broadcast(cat), "category_src_id", "left")
-        .select(
-            "subcategory_src_id",
-            F.coalesce(F.col("category_id"), F.lit(DEFAULT_ID)).alias("category_id"),
-        )
+        .localCheckpoint()
+    )
+    # dense_keys: TPC-H brands are 'Brand#ij' (i,j ∈ 1..5) — 25
+    # subcategories under 5 manufacturer categories, bounded by the
+    # spec independent of scale factor (and runtime-guarded by
+    # DENSE_KEY_MAX_ROWS if a source ever breaks that shape)
+    cats = brands.select("category_src_id").distinct()
+    n, cat = _insert_only_dim(
+        wh, cats, "ce_categories", "category_src_id", "category_id",
+        source_entity="products", run_ts=run_ts, return_frame=True,
+        dense_keys=True,
+    )
+    wh.log("load_3nf_ce_categories", "insert-only dim ok", n)
+
+    subs = brands.join(
+        F.broadcast(cat.select("category_src_id", "category_id")),
+        "category_src_id",
+        "left",
+    ).select(
+        "subcategory_src_id",
+        F.coalesce(F.col("category_id"), F.lit(DEFAULT_ID)).alias("category_id"),
     )
     n = _insert_only_dim(
         wh, subs, "ce_subcategories", "subcategory_src_id", "subcategory_id",
         extra_defaults={"category_id": DEFAULT_ID},
-        source_entity="products", run_ts=run_ts,
+        source_entity="products", run_ts=run_ts, dense_keys=True,
     )
     wh.log("load_3nf_ce_subcategories", "insert-only dim ok", n)
 
