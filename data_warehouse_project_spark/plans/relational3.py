@@ -639,31 +639,40 @@ def _priority_days_expr():
     GROUP BY priority
     ORDER BY priority
     """,
-    doc="Variable-width interval containment join (a TRUE range join — "
-    "no equi-key links a shipment to an unrelated order's open window): "
-    "every 1995 shipment event is matched to every order whose "
-    "priority-dependent open window [orderdate, orderdate + 2..30 days] "
-    "contains the ship date — fulfilment-pressure analytics. Runs "
-    "through operators/rangejoin.interval_point_join: intervals explode "
-    "into 16-day buckets, points probe one bucket, residual BETWEEN "
-    "after the hash join — O(points + intervals*~2) shuffle where the "
-    "oracle states the naive theta-join Spark would otherwise plan as "
-    "a nested loop. Generalizes event_pairs_60s's fixed-band trick to "
-    "variable spans.",
+    doc="Variable-width interval containment COUNTS — the scale-correct "
+    "decomposition. The r7 sf1 scale smoke caught the previous "
+    "formulation (materialize every (shipment, open-order) pair via "
+    "operators/rangejoin.interval_point_join, then aggregate) running "
+    "53.8× the wall at 10× the rows: with 10× density on BOTH sides of "
+    "a fixed date range the TRUE pair count grows ~100× (~83M pairs at "
+    "sf0.1 → ~8.3B at sf1), so any pair-enumerating plan is Θ(density²) "
+    "no matter how good the join strategy. But this query only needs "
+    "per-priority COUNT(*) and COUNT(DISTINCT order): pair counts over "
+    "containment decompose exactly into a DAY-SPINE PREFIX SUM — "
+    "points roll up to per-day counts (≤365 rows, bounded by the date "
+    "range, i.e. model state), a cumulative sum C(d) over the spine, "
+    "and each interval's pair count is C(hi)-C(lo-1) via two broadcast "
+    "joins of the 366-row spine. O(points + intervals), zero pair "
+    "rows. The generic pair-materializing range join remains the right "
+    "operator when pair-level output IS the deliverable (tests + "
+    "overlapping_order_windows); this entry is the pattern for "
+    "aggregates over containment.",
     tags=("join", "range"),
     bench=True,
 )
 def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_warehouse_project_spark.operators.rangejoin import (
-        interval_point_join,
-    )
+    import datetime as _dt
+
+    from pyspark.sql import Window
+
+    from data_warehouse_project_spark.operators.prefix import single_group
 
     pdays = _priority_days_expr()
     lo = F.unix_date(F.to_date("o_orderdate"))
     # only windows intersecting the points' 1995 range can match —
-    # pre-filtering the interval side cuts its explode+shuffle ~7x
-    # (orders span 1992-1998) without changing the result; the widest
-    # window is 30 days, so orderdate >= 1995-01-01 - 30d suffices
+    # pre-filtering the interval side keeps the scan pruned (orders
+    # span 1992-1998); the widest window is 30 days, so
+    # orderdate >= 1995-01-01 - 30d suffices
     iv = (
         table(spark, sf_dir, "orders")
         .filter(
@@ -682,12 +691,49 @@ def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
     ).select(F.unix_date(F.to_date("l_shipdate")).alias("ship_day"))
-    pairs = interval_point_join(pt, iv, "ship_day", "lo", "hi", bucket_width=16)
+
+    # day spine [d0-1, d1] with inclusive prefix sums; C(d0-1) = 0.
+    # Bounded by the POINTS' static date filter, not by data volume —
+    # the single-task cumulative window is over ≤366 rows of model
+    # state, the same justification as bucketed key offsets.
+    d0 = (_dt.date(1995, 1, 1) - _dt.date(1970, 1, 1)).days
+    d1 = (_dt.date(1995, 12, 31) - _dt.date(1970, 1, 1)).days
+    daily = pt.groupBy("ship_day").agg(F.count(F.lit(1)).alias("cnt"))
+    spine = spark.range(d0 - 1, d1 + 1).toDF("day")
+    cum_w = Window.partitionBy(single_group(F.col("day"))).orderBy("day")
+    cum = (
+        spine.join(F.broadcast(daily), spine.day == daily.ship_day, "left")
+        .select("day", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .select("day", F.sum("cnt").over(cum_w).alias("c"))
+    )
+
+    # each interval's point count = C(clamp(hi)) - C(clamp(lo-1));
+    # clamping into the spine domain makes fully-outside windows
+    # contribute exactly 0 without a special case
+    clamp = lambda col: F.greatest(F.least(col, F.lit(d1)), F.lit(d0 - 1))  # noqa: E731
+    counted = (
+        iv.withColumn("__dh", clamp(F.col("hi")))
+        .withColumn("__dl", clamp(F.col("lo") - 1))
+        .join(
+            F.broadcast(cum.select(F.col("day").alias("__dh"), F.col("c").alias("c_hi"))),
+            "__dh",
+        )
+        .join(
+            F.broadcast(cum.select(F.col("day").alias("__dl"), F.col("c").alias("c_lo"))),
+            "__dl",
+        )
+        .select(
+            "o_orderpriority",
+            (F.col("c_hi") - F.col("c_lo")).alias("n"),
+        )
+    )
     return (
-        pairs.groupBy(F.col("o_orderpriority").alias("priority"))
+        counted.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("o_orderkey").alias("n_orders_hit"),
+            F.sum("n").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orders_hit"),
         )
         .orderBy("priority")
     )

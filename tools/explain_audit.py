@@ -87,7 +87,11 @@ SHUFFLE_BUDGET = {
     "repetition_profile": 4,
     "chunk_documents": 1,
     "kmeans_update_step": 4,
-    "shipments_during_open_orders": 5,
+    # r7 prefix-sum rewrite: more exchanges than the old pair join (the
+    # day-spine cumsum + two spine broadcasts add small-frame shuffles)
+    # but every one is over ≤366-row model state except the daily
+    # rollup — the pair-enumerating plan it replaced was Θ(density²)
+    "shipments_during_open_orders": 10,
     "familiarity_outliers_by_source": 11,
     "overlapping_order_windows": 5,
 }

@@ -1,0 +1,100 @@
+"""Scale smoke (VERDICT r6 item 1): time every bench entry at sf1
+(a deterministic 10× clone of sf0.1 — ~6M lineitem rows, built by
+tools/gen_scale.py in /tmp) against sf0.1 IN THE SAME SESSION, and
+flag any entry whose wall-clock grows faster than the row ratio.
+
+Same-session A/B matters on this host: absolute walls swing ±15% with
+phantom load, but both scales see the same conditions, so the RATIO is
+stable. Each timed plan is rebuilt per scale (never collect the same
+DataFrame twice — shuffle reuse would fake the second number).
+
+Pass criterion: ratio ≤ row-ratio (10) + slack. Fixed per-job latency
+(scheduler round-trips, AQE re-planning, parquet footer reads) means
+healthy entries land well UNDER 10; an entry at or above it is
+superlinear work growth — named and failed.
+
+Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [--regen]
+Writes nothing outside /tmp; prints one JSON line (plus a table) for
+COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sf1_smoke"
+WARMUP = "/root/testdata/sf0.001"
+FACTOR = 10
+SLACK = 1.2  # 20% headroom over the row ratio for noise
+
+
+def main() -> int:
+    from data_warehouse_project_spark.etl import run_full_etl
+    from data_warehouse_project_spark.plans import QUERIES
+    from data_warehouse_project_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+
+    if "--regen" in sys.argv or not Path(f"{SF1}/lineitem.parquet").exists():
+        from tools.gen_scale import generate
+
+        print("generating sf1 clone ...", file=sys.stderr)
+        generate(spark, SF01, SF1, FACTOR)
+
+    results: dict[str, dict[str, float]] = {}
+
+    bench = {n: q for n, q in QUERIES.items() if q.bench}
+    for name, q in bench.items():
+        q.fn(spark, WARMUP).collect()  # codegen/footer warm-up
+        t: dict[str, float] = {}
+        for label, d in (("sf0.1", SF01), ("sf1", SF1)):
+            t0 = time.perf_counter()
+            q.fn(spark, d).collect()
+            t[label] = round(time.perf_counter() - t0, 3)
+        results[name] = t
+
+    for strategy in ("snapshot", "merge"):
+        t = {}
+        for label, d in (("sf0.1", SF01), ("sf1", SF1)):
+            root = tempfile.mkdtemp(prefix="smoke_wh_")
+            try:
+                t0 = time.perf_counter()
+                run_full_etl(spark, d, root, scd_strategy=strategy)
+                t[label] = round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        results[f"etl_full_pipeline{'_merge' if strategy == 'merge' else ''}"] = t
+
+    failures = 0
+    print(f"{'entry':<34}{'sf0.1':>9}{'sf1':>9}{'ratio':>8}  verdict")
+    for name, t in results.items():
+        ratio = round(t["sf1"] / t["sf0.1"], 2)
+        ok = ratio <= FACTOR * SLACK
+        failures += 0 if ok else 1
+        print(
+            f"{name:<34}{t['sf0.1']:>9}{t['sf1']:>9}{ratio:>8}  "
+            f"{'ok' if ok else 'SUPERLINEAR'}"
+        )
+        t["ratio"] = ratio
+    print(
+        json.dumps(
+            {
+                "metric": "scale_smoke",
+                "row_ratio": FACTOR,
+                "slack": SLACK,
+                "entries": results,
+                "failures": failures,
+            }
+        )
+    )
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main() else 0)
