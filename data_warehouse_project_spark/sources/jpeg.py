@@ -4,22 +4,26 @@ This container ships no image libraries, so the multimodal pipeline
 implements the one codec real training corpora overwhelmingly carry —
 baseline sequential JPEG/JFIF — from the published standard:
 
-- ``decode_jpeg``: SOF0 (baseline sequential, 8-bit) with 1 or 3
-  components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...),
-  multiple DQT/DHT segments, restart intervals. Entropy decode is a
-  straightforward canonical-Huffman bit reader; dequantized blocks are
-  inverse-DCT'd in one vectorized einsum per component (the per-block
-  Python loop is only the Huffman parse). Output: uint8 (H, W) gray or
-  (H, W, 3) RGB.
-- ``encode_jpeg``: baseline 4:4:4 (or grayscale) with the Annex K
+- ``decode_jpeg``: SOF0/1 (baseline sequential) AND SOF2 (progressive,
+  T.81 Annex G: spectral selection, successive approximation, EOB
+  runs, correction-bit refinement — the dominant web-crawl variant),
+  8-bit, 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 /
+  4:2:0 ...), multiple DQT/DHT segments (progressive re-defines tables
+  between scans), restart intervals. Entropy decode is a canonical-
+  Huffman bit reader; every scan accumulates into shared per-component
+  coefficient arrays, and dequantized blocks are inverse-DCT'd in one
+  vectorized einsum per component (the per-block Python loop is only
+  the Huffman parse). Output: uint8 (H, W) gray or (H, W, 3) RGB.
+- ``encode_jpeg``: baseline 4:4:4 (or grayscale/420) with the Annex K
   example quantization + Huffman tables, quality-scaled per the
-  classic IJG curve. Exists so round-trip tests can exercise the
-  decoder on REAL compressed bytes without external fixtures, and as a
-  writer for pipeline sinks.
+  classic IJG curve. ``encode_jpeg_progressive``: SOF2 writer with a
+  DC-first/DC-refine/AC-band/AC-refine scan script. Both exist so
+  round-trip tests can exercise the decoder on REAL compressed bytes
+  without external fixtures, and as writers for pipeline sinks.
 
-Not supported (raise ``UnsupportedJpegError``): progressive (SOF2),
-arithmetic coding, hierarchical, 12-bit precision, CMYK. The caller
-decides whether that is fatal (strict mode) or falls back.
+Not supported (raise ``UnsupportedJpegError``): arithmetic coding,
+hierarchical, lossless, 12-bit precision, CMYK. The caller decides
+whether that is fatal (strict mode) or falls back.
 
 Scale note: decode runs inside ``mapInPandas`` batches on the scan
 partitioning (sources/multimodal.py) — payload bytes never shuffle; a
@@ -266,17 +270,12 @@ def _write_block(writer: _BitWriter, z: np.ndarray, prev_dc: int,
     return int(z[0])
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 (H, W) grayscale or (H, W, 3) RGB → baseline JFIF bytes
-    (Annex K tables quality-scaled). ``subsampling``: "444" (one block
-    per component per MCU) or "420" (2x2 luma sampling, chroma box-
-    averaged to half resolution — the dominant layout in real corpora,
-    and the test vector for the decoder's upsampling path)."""
+def _prepare_encode(
+    img: np.ndarray, quality: int, subsampling: str
+) -> dict:
+    """Shared front half of the baseline and progressive encoders:
+    color transform, sampling geometry, quantized zig-zag coefficients
+    per component."""
     a = np.asarray(img)
     if a.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 pixels")
@@ -309,14 +308,6 @@ def encode_jpeg(
     qc = _scaled_quant(QUANT_CHROMA, quality)
     quants = [ql] + ([qc, qc] if ncomp == 3 else [])
 
-    enc_dc = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
-    enc_ac = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
-    if ncomp == 3:
-        cdc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-        cac = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-        enc_dc += [cdc, cdc]
-        enc_ac += [cac, cac]
-
     comp_coefs = []
     comp_bw = []
     for ci, plane in enumerate(planes):
@@ -329,6 +320,79 @@ def encode_jpeg(
         p = _pad_replicate(plane, ph, pw)
         comp_coefs.append(_block_coefs(p, quants[ci]))
         comp_bw.append(pw // 8)
+    return {
+        "h": h,
+        "w": w,
+        "ncomp": ncomp,
+        "factors": factors,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "ql": ql,
+        "qc": qc,
+        "coefs": comp_coefs,
+        "bw": comp_bw,
+    }
+
+
+def _headers(
+    prep: dict, sof_marker: int, restart_interval: int = 0
+) -> bytearray:
+    """SOI + JFIF + DQT + SOF + (optional DRI) — everything up to the
+    Huffman tables, shared by both encoders."""
+    ncomp, factors = prep["ncomp"], prep["factors"]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(prep["ql"][ZIGZAG].astype(np.uint8)))
+    if ncomp == 3:
+        out += seg(0xDB, b"\x01" + bytes(prep["qc"][ZIGZAG].astype(np.uint8)))
+    comps = b"".join(
+        struct.pack(
+            ">BBB",
+            i + 1,
+            (factors[i][0] << 4) | factors[i][1],
+            0 if i == 0 else 1,
+        )
+        for i in range(ncomp)
+    )
+    out += seg(
+        0xC0 if sof_marker == 0xC0 else sof_marker,
+        struct.pack(">BHHB", 8, prep["h"], prep["w"], ncomp) + comps,
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB → baseline JFIF bytes
+    (Annex K tables quality-scaled). ``subsampling``: "444" (one block
+    per component per MCU) or "420" (2x2 luma sampling, chroma box-
+    averaged to half resolution — the dominant layout in real corpora,
+    and the test vector for the decoder's upsampling path)."""
+    prep = _prepare_encode(img, quality, subsampling)
+    h, w, ncomp = prep["h"], prep["w"], prep["ncomp"]
+    factors, mcus_x, mcus_y = prep["factors"], prep["mcus_x"], prep["mcus_y"]
+    comp_coefs, comp_bw = prep["coefs"], prep["bw"]
+    ql, qc = prep["ql"], prep["qc"]
+
+    enc_dc = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    enc_ac = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if ncomp == 3:
+        cdc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        cac = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+        enc_dc += [cdc, cdc]
+        enc_ac += [cac, cac]
 
     writer = _BitWriter()
     prev_dc = [0] * ncomp
@@ -356,38 +420,208 @@ def encode_jpeg(
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(ql[ZIGZAG].astype(np.uint8)))
-    if ncomp == 3:
-        out += seg(0xDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
-    comps = b"".join(
-        struct.pack(
-            ">BBB",
-            i + 1,
-            (factors[i][0] << 4) | factors[i][1],
-            0 if i == 0 else 1,
-        )
-        for i in range(ncomp)
-    )
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
-
     def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
         return seg(0xC4, bytes([tc_th] + bits + vals))
 
+    out = _headers(prep, 0xC0, restart_interval)
     out += dht(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
     out += dht(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
     if ncomp == 3:
         out += dht(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += dht(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos_comps = b"".join(
         struct.pack(">BB", i + 1, 0x00 if i == 0 else 0x11) for i in range(ncomp)
     )
     out += seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# a spec-legal fixed "flat" Huffman table carrying ALL 256 symbols (254
+# at 8 bits, 2 at 9) so progressive AC scans can emit any EOBn /
+# (run, size) symbol without per-image table optimization. Canonical
+# assignment leaves the all-ones code of both lengths unused (C.2's
+# reserved-prefix rule). Compression is mediocre — fine for a writer
+# whose job is producing REAL progressive streams for the decoder.
+_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_VALS = list(range(256))
+
+
+def _shift_toward_zero(v: int, al: int) -> int:
+    """T.81 G.1.2.2: AC successive approximation divides by 2^Al
+    rounding TOWARD ZERO (DC uses an arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """uint8 gray/RGB → progressive (SOF2) JFIF bytes.
+
+    Scan script (exercises every Annex G decode path: spectral
+    selection, successive approximation, EOB runs, correction bits):
+
+    1. DC, all components interleaved, Ah=0 Al=1
+    2. DC refinement, Ah=1 Al=0 (raw bits, no Huffman table)
+    3. per component: AC band Ss=1..Se=63, Ah=0 Al=1  (EOB0 per block)
+    4. per component: AC refinement Ss=1..Se=63, Ah=1 Al=0
+    """
+    prep = _prepare_encode(img, quality, subsampling)
+    ncomp = prep["ncomp"]
+    factors, mcus_x, mcus_y = prep["factors"], prep["mcus_x"], prep["mcus_y"]
+    comp_coefs, comp_bw = prep["coefs"], prep["bw"]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([tc_th] + bits + vals))
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += struct.pack(">BB", cid, (td << 4) | ta)
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    enc_dc = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if ncomp == 3:
+        cdc = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        enc_dc += [cdc, cdc]
+    flat = _canonical_codes(_FLAT_BITS, _FLAT_VALS)
+
+    out = _headers(prep, 0xC2)
+    out += dht(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+    if ncomp == 3:
+        out += dht(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += dht(0x10, _FLAT_BITS, _FLAT_VALS)
+
+    def ni_grid(ci: int) -> tuple[int, int]:
+        fh_, fv_ = factors[ci]
+        w_sub = -(-prep["w"] * fh_ // prep["hmax"])
+        h_sub = -(-prep["h"] * fv_ // prep["vmax"])
+        return -(-h_sub // 8), -(-w_sub // 8)
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift per G.1.2.1)
+    w = _BitWriter()
+    prev = [0] * ncomp
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci in range(ncomp):
+            fh_, fv_ = factors[ci]
+            for v in range(fv_):
+                for hdx in range(fh_):
+                    z = comp_coefs[ci][(my * fv_ + v) * comp_bw[ci]
+                                       + mx * fh_ + hdx]
+                    val = int(z[0]) >> 1
+                    size, bits = _magnitude(val - prev[ci])
+                    code, length = enc_dc[ci][size]
+                    w.write(code, length)
+                    if size:
+                        w.write(bits, size)
+                    prev[ci] = val
+    w.flush()
+    out += sos([(i + 1, 0 if i == 0 else min(i, 1), 0)
+                for i in range(ncomp)], 0, 0, 0, 1)
+    out += w.out
+
+    # scan 2: DC refinement — one raw bit per block, same MCU order
+    w = _BitWriter()
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci in range(ncomp):
+            fh_, fv_ = factors[ci]
+            for v in range(fv_):
+                for hdx in range(fh_):
+                    z = comp_coefs[ci][(my * fv_ + v) * comp_bw[ci]
+                                       + mx * fh_ + hdx]
+                    w.write(int(z[0]) & 1, 1)
+    w.flush()
+    out += sos([(i + 1, 0, 0) for i in range(ncomp)], 0, 0, 1, 0)
+    out += w.out
+
+    # scans 3..: AC first per component, Al=1, per-block EOB0
+    for ci in range(ncomp):
+        nbh, nbw = ni_grid(ci)
+        w = _BitWriter()
+        for b in range(nbh * nbw):
+            r_, col = divmod(b, nbw)
+            z = comp_coefs[ci][r_ * comp_bw[ci] + col]
+            run = 0
+            coded_any_tail = False
+            for k in range(1, 64):
+                t = _shift_toward_zero(int(z[k]), 1)
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = flat[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(t)
+                code, length = flat[(run << 4) | size]
+                w.write(code, length)
+                w.write(bits, size)
+                run = 0
+                coded_any_tail = True
+            if run or not coded_any_tail:
+                code, length = flat[0x00]  # EOB0 (run of exactly 1)
+                w.write(code, length)
+        w.flush()
+        out += sos([(ci + 1, 0, 0)], 1, 63, 0, 1)
+        out += w.out
+
+    # scans 4..: AC refinement per component (G.1.2.3 mirror of the
+    # decoder's correction-bit walk), per-block EOB0
+    for ci in range(ncomp):
+        nbh, nbw = ni_grid(ci)
+        w = _BitWriter()
+        for b in range(nbh * nbw):
+            r_, col = divmod(b, nbw)
+            z = comp_coefs[ci][r_ * comp_bw[ci] + col]
+            absval = [abs(int(z[k])) for k in range(64)]
+            # last newly-nonzero index: ZRL may only be emitted while a
+            # (run, 1) symbol still follows (G.1.2.3 — libjpeg's EOB
+            # gate); trailing runs are absorbed by the block's EOB
+            eob_idx = max((k for k in range(1, 64) if absval[k] == 1), default=0)
+            run = 0
+            pending: list[int] = []  # correction bits awaiting a symbol
+            for k in range(1, 64):
+                t = absval[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob_idx:
+                    code, length = flat[0xF0]
+                    w.write(code, length)
+                    for bit in pending:
+                        w.write(bit, 1)
+                    pending = []
+                    run -= 16
+                if t > 1:
+                    # history-nonzero: correction bit rides with the
+                    # next coded symbol; does NOT reset the run
+                    pending.append(t & 1)
+                    continue
+                # newly nonzero (|coef| == 1): (run, 1) + sign bit
+                code, length = flat[(run << 4) | 1]
+                w.write(code, length)
+                w.write(1 if int(z[k]) > 0 else 0, 1)
+                for bit in pending:
+                    w.write(bit, 1)
+                pending = []
+                run = 0
+            # per-block EOB0 carries any trailing correction bits
+            code, length = flat[0x00]
+            w.write(code, length)
+            for bit in pending:
+                w.write(bit, 1)
+        w.flush()
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        out += w.out
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -484,6 +718,229 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise JpegError(f"corrupt JPEG stream: {e}") from e
 
 
+def _alloc_frame(frame: dict) -> None:
+    """Compute MCU geometry and allocate per-component coefficient
+    arrays (shared by the baseline single-scan path and every
+    progressive scan, which all accumulate into the same arrays)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"] = -(-frame["w"] // (8 * hmax))
+    frame["mcus_y"] = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c["bw"] = frame["mcus_x"] * c["h"]  # blocks across (MCU-padded)
+        c["bh"] = frame["mcus_y"] * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+
+
+def _ni_grid(frame: dict, c: dict) -> tuple[int, int]:
+    """(nbh, nbw) block grid of a NON-interleaved scan: the component's
+    own sampled dimensions, NOT the MCU-padded ones (T.81 A.2.2 — the
+    classic progressive gotcha; indexing the padded grid here reads
+    blocks the scan never coded)."""
+    w_sub = -(-frame["w"] * c["h"] // frame["hmax"])
+    h_sub = -(-frame["h"] * c["v"] // frame["vmax"])
+    return -(-h_sub // 8), -(-w_sub // 8)
+
+
+def _baseline_scan(
+    data: bytes,
+    pos: int,
+    frame: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> int:
+    """Decode the single baseline scan; returns the stream position of
+    the marker that ended the entropy segment."""
+    comps = frame["comps"]
+    mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcus_x * mcus_y
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.align_restart()
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for c in comps:
+            dc_tab = huff_dc[c["td"]]
+            ac_tab = huff_ac[c["ta"]]
+            for v in range(c["v"]):
+                for hdx in range(c["h"]):
+                    z = np.zeros(64, dtype=np.int64)
+                    size = _huff_decode(reader, dc_tab)
+                    diff = _extend(reader.bits(size), size)
+                    pred[c["id"]] += diff
+                    z[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, ac_tab)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise JpegError("AC run past block end")
+                        z[k] = _extend(reader.bits(size), size)
+                        k += 1
+                    row = my * c["v"] + v
+                    col = mx * c["h"] + hdx
+                    c["coef"][row * c["bw"] + col] = z
+    return reader.pos
+
+
+def _refine_nonzero(reader: _BitReader, z: np.ndarray, k: int, p1: int) -> None:
+    """Apply one correction bit to an already-nonzero coefficient
+    (T.81 G.2.2): a 1-bit grows the magnitude away from zero by p1."""
+    if reader.bit() and not (abs(int(z[k])) & p1):
+        z[k] += p1 if z[k] > 0 else -p1
+
+
+def _dc_scan(
+    reader: _BitReader,
+    frame: dict,
+    scan_comps: list[dict],
+    huff_dc: dict,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """Progressive DC scan (first when Ah=0, refinement otherwise).
+    Multi-component scans interleave in MCU order; a single-component
+    scan walks the component's non-interleaved grid."""
+    pred = {c["id"]: 0 for c in scan_comps}
+    interleaved = len(scan_comps) > 1
+
+    def one_block(c: dict, idx: int) -> None:
+        z = c["coef"][idx]
+        if ah == 0:
+            size = _huff_decode(reader, huff_dc[c["td"]])
+            diff = _extend(reader.bits(size), size)
+            pred[c["id"]] += diff
+            z[0] = pred[c["id"]] << al
+        elif reader.bit():
+            # append the next magnitude bit; Python's arbitrary-
+            # precision ints OR like two's complement, which is
+            # exactly the T.81 G.2.1 semantics for negative DC
+            z[0] = int(z[0]) | (1 << al)
+
+    if interleaved:
+        mcus_x, mcus_y = frame["mcus_x"], frame["mcus_y"]
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.align_restart()
+                pred = {c["id"]: 0 for c in scan_comps}
+            my, mx = divmod(m, mcus_x)
+            for c in scan_comps:
+                for v in range(c["v"]):
+                    for hdx in range(c["h"]):
+                        one_block(
+                            c, (my * c["v"] + v) * c["bw"] + mx * c["h"] + hdx
+                        )
+    else:
+        c = scan_comps[0]
+        nbh, nbw = _ni_grid(frame, c)
+        for b in range(nbh * nbw):
+            if restart_interval and b and b % restart_interval == 0:
+                reader.align_restart()
+                pred = {c["id"]: 0}
+            r, col = divmod(b, nbw)
+            one_block(c, r * c["bw"] + col)
+
+
+def _ac_scan(
+    reader: _BitReader,
+    frame: dict,
+    c: dict,
+    huff_ac: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """Progressive AC scan over one component's non-interleaved grid:
+    first pass (Ah=0) decodes (run, size) symbols with EOB-run
+    aggregation; refinement (Ah>0) is the G.2.2 correction-bit walk."""
+    ac_tab = huff_ac[c["ta"]]
+    nbh, nbw = _ni_grid(frame, c)
+    p1 = 1 << al
+    eobrun = 0
+    for b in range(nbh * nbw):
+        if restart_interval and b and b % restart_interval == 0:
+            reader.align_restart()
+            eobrun = 0
+        r, col = divmod(b, nbw)
+        z = c["coef"][r * c["bw"] + col]
+        if ah == 0:
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run < 15:  # EOBn: run of (1<<run)+bits end-of-bands
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += reader.bits(run)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > se:
+                    raise JpegError("AC run past band end")
+                z[k] = _extend(reader.bits(size), size) << al
+                k += 1
+        else:
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, ac_tab)
+                    run, size = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run < 15:
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += reader.bits(run)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        if size != 1:
+                            raise JpegError("refinement size != 1")
+                        newval = p1 if reader.bit() else -p1
+                    # advance over `run` zero-history positions,
+                    # correcting nonzero-history coefficients passed
+                    while k <= se:
+                        if z[k] != 0:
+                            _refine_nonzero(reader, z, k, p1)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise JpegError("refinement past band end")
+                        z[k] = newval
+                    k += 1
+            if eobrun:
+                # end-of-band: remaining nonzero coefficients of this
+                # block still receive their correction bits
+                while k <= se:
+                    if z[k] != 0:
+                        _refine_nonzero(reader, z, k, p1)
+                    k += 1
+                eobrun -= 1
+
+
 def _decode_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
@@ -492,8 +949,9 @@ def _decode_impl(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    saw_scan = False
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -531,88 +989,71 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17: i + 17 + n])
                 i += 17 + n
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 both baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise UnsupportedJpegError(f"{prec}-bit precision")
+            progressive = marker == 0xC2
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
+            if nc not in (1, 3):
+                raise UnsupportedJpegError(f"{nc}-component image")
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            _alloc_frame(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedJpegError(f"SOF marker 0xFF{marker:02X} "
-                                       "(progressive/arithmetic/hierarchical)")
+                                       "(arithmetic/hierarchical/lossless)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
             ns = seg[0]
-            scan = []
-            for c in range(ns):
-                cs, tdta = seg[1 + 2 * c: 3 + 2 * c]
-                scan.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
-            pos = pos + seg_len  # entropy data follows
-            break
+            by_id = {c["id"]: c for c in frame["comps"]}
+            scan_comps = []
+            for ci in range(ns):
+                cs, tdta = seg[1 + 2 * ci: 3 + 2 * ci]
+                if cs not in by_id:
+                    raise JpegError(f"scan references unknown component {cs}")
+                c = by_id[cs]
+                c["td"], c["ta"] = tdta >> 4, tdta & 0x0F
+                scan_comps.append(c)
+            ss, se, ahal = seg[1 + 2 * ns: 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos += seg_len  # entropy data follows
+            saw_scan = True
+            if not progressive:
+                pos = _baseline_scan(
+                    data, pos, frame, huff_dc, huff_ac, restart_interval
+                )
+            elif ss == 0:
+                if se != 0:
+                    raise JpegError("DC scan with Se != 0")
+                _r = _BitReader(data, pos)
+                _dc_scan(_r, frame, scan_comps, huff_dc, ah, al, restart_interval)
+                pos = _r.pos
+            else:
+                if ns != 1:
+                    raise JpegError("interleaved progressive AC scan")
+                _r = _BitReader(data, pos)
+                _ac_scan(
+                    _r, frame, scan_comps[0], huff_ac, ss, se, ah, al,
+                    restart_interval,
+                )
+                pos = _r.pos
+            continue
         pos += seg_len
 
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise JpegError("missing SOF/SOS")
     comps = frame["comps"]
-    if len(comps) not in (1, 3):
-        raise UnsupportedJpegError(f"{len(comps)}-component image")
-    by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        c = by_id[s["id"]]
-        c["td"], c["ta"] = s["td"], s["ta"]
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
+    hmax, vmax = frame["hmax"], frame["vmax"]
     fw, fh = frame["w"], frame["h"]
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcus_x * c["h"]  # blocks across
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-
-    reader = _BitReader(data, pos)
-    pred = {c["id"]: 0 for c in comps}
-    n_mcu = mcus_x * mcus_y
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.align_restart()
-            pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(m, mcus_x)
-        for c in comps:
-            dc_tab = huff_dc[c["td"]]
-            ac_tab = huff_ac[c["ta"]]
-            for v in range(c["v"]):
-                for hdx in range(c["h"]):
-                    z = np.zeros(64, dtype=np.int64)
-                    size = _huff_decode(reader, dc_tab)
-                    diff = _extend(reader.bits(size), size)
-                    pred[c["id"]] += diff
-                    z[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, ac_tab)
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise JpegError("AC run past block end")
-                        z[k] = _extend(reader.bits(size), size)
-                        k += 1
-                    row = my * c["v"] + v
-                    col = mx * c["h"] + hdx
-                    c["coef"][row * c["bw"] + col] = z
 
     planes = []
     for c in comps:

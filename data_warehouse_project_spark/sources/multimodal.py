@@ -18,10 +18,11 @@ batch iteration, bounded batch sizes — and so are the codecs:
   duration, strict mode still refuses since features need samples).
 
 What stays stubbed (honestly) is codecs that genuinely need external
-libraries (MP3/AAC/H.264/progressive JPEG/ADPCM): those payloads either
-raise ``NotImplementedError`` (strict mode) or fall back to
+libraries (MP3/AAC/H.264/ADPCM, arithmetic-coded JPEG): those payloads
+either raise ``NotImplementedError`` (strict mode) or fall back to
 deterministic digest-derived pseudo-features (test mode). Swapping in
-PIL/pyav changes only ``_decode_unknown``.
+PIL/pyav changes only ``_decode_unknown``. Progressive JPEG moved OFF
+this list in r7 — sources/jpeg.py decodes SOF2 for real.
 
 RAWM container layout (little-endian), the uncompressed interchange
 format the pipeline uses between stages:
@@ -189,8 +190,8 @@ def _decode_rawm(payload: bytes) -> dict:
 
 
 def _decode_jpeg_payload(payload: bytes) -> dict:
-    """Real JPEG decode via the pure-numpy baseline codec
-    (sources/jpeg.py): genuine width/height and the same
+    """Real JPEG decode via the pure-numpy codec (sources/jpeg.py,
+    baseline AND progressive): genuine width/height and the same
     quadrant/channel features RAWM images get."""
     from data_warehouse_project_spark.sources.jpeg import decode_jpeg
 
@@ -242,16 +243,16 @@ def _decode_wav_payload(payload: bytes) -> dict:
 
 
 def _decode_unknown(media_type: str, payload: bytes, strict: bool) -> dict:
-    """Codecs beyond RAWM + baseline JPEG + PNG + PCM WAV (MP3/H.264/
-    progressive JPEG/ADPCM...) need external libraries this environment
-    does not have. Strict mode refuses; test mode produces
-    deterministic digest-derived pseudo-features so pipeline plumbing
-    stays testable with arbitrary bytes."""
+    """Codecs beyond RAWM + JPEG (baseline/progressive) + PNG + PCM WAV
+    (MP3 samples/H.264/ADPCM/arithmetic JPEG...) need external
+    libraries this environment does not have. Strict mode refuses;
+    test mode produces deterministic digest-derived pseudo-features so
+    pipeline plumbing stays testable with arbitrary bytes."""
     if strict:
         raise NotImplementedError(
             "no decoder for this payload in this environment (RAWM, "
-            "baseline JPEG, PNG and PCM WAV decode for real; others "
-            "need an external codec plugged into "
+            "baseline+progressive JPEG, PNG and PCM WAV decode for "
+            "real; others need an external codec plugged into "
             "sources.multimodal._decode_unknown)"
         )
     digest = hashlib.sha256(payload or b"").digest()

@@ -14,6 +14,7 @@ from data_warehouse_project_spark.sources.jpeg import (
     UnsupportedJpegError,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 from data_warehouse_project_spark.sources.multimodal import (
     extract_media_features,
@@ -87,13 +88,50 @@ def test_rejects_non_baseline_and_corrupt():
     rgb = _gradient_rgb(16, 16)
     b = bytearray(encode_jpeg(rgb, 90))
     i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    b[i + 1] = 0xC9  # rewrite SOF0 → SOF9 (arithmetic sequential)
     with pytest.raises(UnsupportedJpegError):
+        decode_jpeg(bytes(b))
+    b[i + 1] = 0xC2  # SOF2: now a SUPPORTED mode — but a baseline scan
+    # header (Ss=0, Se=63) is malformed progressive, not unsupported
+    with pytest.raises(JpegError):
         decode_jpeg(bytes(b))
     with pytest.raises(JpegError):
         decode_jpeg(encode_jpeg(rgb, 90)[:40])  # truncated
     with pytest.raises(JpegError):
         decode_jpeg(b"not a jpeg at all")
+
+
+def test_progressive_roundtrip_matches_baseline_exactly():
+    """Baseline and progressive encodings share quantized coefficients
+    (same _prepare_encode), so after full decode the PIXELS must be
+    bit-identical — any divergence is a bug in a progressive scan path
+    (EOB runs, correction bits, the non-interleaved grid...)."""
+    for img, sub in (
+        (_gradient_rgb(32, 48), "444"),
+        (_gradient_rgb(20, 36), "420"),  # luma ni-grid ≠ padded grid
+        (_gradient_rgb(12, 20)[:, :, 0], "444"),  # grayscale, odd size
+    ):
+        base = decode_jpeg(encode_jpeg(img, 85, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 85, subsampling=sub))
+        assert base.shape == prog.shape
+        assert (base == prog).all(), f"divergence for sub={sub}"
+
+
+def test_progressive_roundtrip_accuracy():
+    img = _gradient_rgb(40, 40)
+    out = decode_jpeg(encode_jpeg_progressive(img, 95))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+    flat = np.full((24, 24), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(flat, 90)) == flat).all()
+
+
+def test_progressive_header_is_sof2():
+    b = encode_jpeg_progressive(_gradient_rgb(16, 16), 85)
+    assert b.find(b"\xff\xc2") > 0 and b.find(b"\xff\xc0") < 0
+    # multiple SOS scans: DC first + DC refine + 3×(AC first, AC refine)
+    assert b.count(b"\xff\xda") == 8
+    with pytest.raises(JpegError):
+        decode_jpeg(b[: len(b) // 2])  # truncated mid-scan
 
 
 def test_jpeg_end_to_end_strict_spark(spark):
@@ -126,13 +164,29 @@ def test_jpeg_end_to_end_strict_spark(spark):
     assert abs(feat[7]) < 2.0  # near-zero std
 
 
-def test_progressive_jpeg_still_refuses_in_strict_spark(spark):
+def test_progressive_jpeg_decodes_in_strict_spark(spark):
+    """Progressive JPEG is now a REAL decode in strict mode (r6 verdict
+    item 6): the same payload a web crawl delivers flows through
+    mapInPandas with true dimensions and pixel-derived features."""
+    flat = np.zeros((24, 40, 3), np.uint8)
+    flat[:] = (90, 150, 210)
+    rows = [(1, "image", encode_jpeg_progressive(flat, 95), "mem://p.jpg")]
+    out = extract_media_features(
+        spark.createDataFrame(rows, media_schema()), strict=True
+    ).collect()
+    assert (out[0]["width"], out[0]["height"]) == (40, 24)
+    gray = (90 + 150 + 210) / 3.0
+    assert abs(out[0]["feature"][0] - gray) < 2.0
+
+
+def test_arithmetic_jpeg_still_refuses_in_strict_spark(spark):
     """Strict mode keeps rejecting what the codec genuinely cannot
-    decode — honesty is preserved, only baseline JPEG became real."""
+    decode (arithmetic coding) — honesty preserved; the refusal list is
+    now MP3 samples + H.264 + arithmetic/hierarchical JPEG."""
     b = bytearray(encode_jpeg(_gradient_rgb(16, 16), 90))
     i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2
-    rows = [(1, "image", bytes(b), "mem://prog.jpg")]
+    b[i + 1] = 0xC9
+    rows = [(1, "image", bytes(b), "mem://arith.jpg")]
     with pytest.raises(Exception, match="NotImplementedError|no decoder"):
         extract_media_features(
             spark.createDataFrame(rows, media_schema()), strict=True
