@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKET = "__rj_bucket"
@@ -229,3 +229,141 @@ def interval_overlap_join(
         R(c).alias(c) for c in right.columns if c not in keys
     ]
     return joined.select(*keep)
+
+
+def interval_point_count_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    domain: tuple[int, int] | None = None,
+    count_col: str = "n_points",
+) -> DataFrame:
+    """Append ``count_col`` = COUNT of points with ``lo <= p <= hi`` to
+    every ``intervals`` row — WITHOUT materializing a single pair.
+
+    The r7 sf1 scale smoke proved why this operator must exist next to
+    ``interval_point_join``: a containment join's pair count grows
+    with the PRODUCT of the two sides' densities, so any
+    pair-enumerating plan — however well bucketed — is Θ(density²)
+    (measured: 53.8× the wall at 10× the rows). When the deliverable
+    is a count (or any sum decomposable over points), the pairs never
+    need to exist: points roll up to per-value counts, a cumulative
+    sum C over the value DOMAIN turns every interval's count into
+    C(hi) - C(lo-1), and two broadcast lookups of the domain-sized
+    spine finish the job. O(|points| + |intervals| + |domain|), where
+    the domain (e.g. days of a date range) is bounded model state.
+
+    ``domain=(lo, hi)`` (inclusive, integral) bounds the spine; points
+    outside it are ignored (filter first if that matters). Omitted, it
+    is derived lazily from the points' MIN/MAX — correct for any
+    input, but the caller owns the guarantee that the VALUE RANGE is
+    bounded (a spine over epoch-micros would explode; bucket such
+    values to days/hours first). The single-task cumulative window is
+    over the spine only — never data-proportional when the caller
+    honors that contract. Intervals with ``hi < lo`` or entirely
+    outside the domain get 0, exactly like COUNT over an empty
+    BETWEEN.
+    """
+    # no cross-side disjointness requirement (point columns are never
+    # emitted) — only backtick safety, internal-name headroom, and the
+    # output column not colliding
+    ticked = [c for c in (point_col, lo_col, hi_col) if "`" in c]
+    if ticked:
+        raise ValueError(
+            f"interval_point_count_join: backtick in column name(s): {ticked}"
+        )
+    clash = {c for c in intervals.columns if c.startswith("__rj_")}
+    if clash:
+        raise ValueError(
+            f"interval_point_count_join: reserved internal name(s) in "
+            f"input: {sorted(clash)}"
+        )
+    if count_col in intervals.columns:
+        raise ValueError(
+            f"interval_point_count_join: {count_col!r} already exists "
+            "on the interval side"
+        )
+    daily = points.groupBy(
+        F.col(point_col).alias("__rj_day")
+    ).agg(F.count(F.lit(1)).alias("__rj_cnt"))
+
+    from data_warehouse_project_spark.operators.prefix import single_group
+
+    if domain is not None:
+        d0, d1 = int(domain[0]), int(domain[1])
+        daily = daily.filter(
+            (F.col("__rj_day") >= d0) & (F.col("__rj_day") <= d1)
+        )
+        spine = points.sparkSession.range(d0 - 1, d1 + 1).select(
+            F.col("id").alias("__rj_day")
+        )
+        iv = intervals
+        b_lo, b_hi = F.lit(d0), F.lit(d1)
+    else:
+        bounds = points.agg(
+            F.min(point_col).alias("__rj_b_lo"), F.max(point_col).alias("__rj_b_hi")
+        )
+        spine = bounds.select(
+            F.explode(
+                F.sequence(F.col("__rj_b_lo") - 1, F.col("__rj_b_hi"))
+            ).alias("__rj_day")
+        )
+        # 1-row bounds frame crossed into the interval side (broadcast
+        # nested loop of one row — the same pattern as every watermark/
+        # threshold query); empty points → null bounds → null clamped
+        # keys → left-join miss → coalesce(0), rows all survive
+        iv = intervals.crossJoin(F.broadcast(bounds))
+        b_lo, b_hi = F.col("__rj_b_lo"), F.col("__rj_b_hi")
+
+    cum_w = (
+        Window.partitionBy(single_group(F.col("__rj_day"))).orderBy("__rj_day")
+    )
+    cum = (
+        spine.join(F.broadcast(daily), "__rj_day", "left")
+        .select(
+            "__rj_day", F.coalesce("__rj_cnt", F.lit(0)).alias("__rj_cnt")
+        )
+        .select("__rj_day", F.sum("__rj_cnt").over(cum_w).alias("__rj_c"))
+    )
+
+    def clamp(col):
+        return F.greatest(F.least(col, b_hi), b_lo - 1)
+
+    keyed = iv.withColumn("__rj_dh", clamp(F.col(hi_col))).withColumn(
+        "__rj_dl", clamp(F.col(lo_col) - 1)
+    )
+    # hi < lo (empty interval): clamp can leave dh < dl; the subtraction
+    # would go negative, so floor the result at 0 below
+    out = (
+        keyed.join(
+            F.broadcast(
+                cum.select(
+                    F.col("__rj_day").alias("__rj_dh"),
+                    F.col("__rj_c").alias("__rj_ch"),
+                )
+            ),
+            "__rj_dh",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                cum.select(
+                    F.col("__rj_day").alias("__rj_dl"),
+                    F.col("__rj_c").alias("__rj_cl"),
+                )
+            ),
+            "__rj_dl",
+            "left",
+        )
+        .withColumn(
+            count_col,
+            F.greatest(
+                F.coalesce(F.col("__rj_ch"), F.lit(0))
+                - F.coalesce(F.col("__rj_cl"), F.lit(0)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    return out.select(*intervals.columns, count_col)

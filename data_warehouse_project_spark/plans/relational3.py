@@ -663,9 +663,9 @@ def _priority_days_expr():
 def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
-    from pyspark.sql import Window
-
-    from data_warehouse_project_spark.operators.prefix import single_group
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join,
+    )
 
     pdays = _priority_days_expr()
     lo = F.unix_date(F.to_date("o_orderdate"))
@@ -692,40 +692,14 @@ def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
     ).select(F.unix_date(F.to_date("l_shipdate")).alias("ship_day"))
 
-    # day spine [d0-1, d1] with inclusive prefix sums; C(d0-1) = 0.
-    # Bounded by the POINTS' static date filter, not by data volume —
-    # the single-task cumulative window is over ≤366 rows of model
-    # state, the same justification as bucketed key offsets.
+    # day spine bounded by the POINTS' static date filter, not by data
+    # volume — the operator's single-task cumulative window is over
+    # ≤366 rows of model state, the same justification as bucketed key
+    # offsets (operators/rangejoin.interval_point_count_join)
     d0 = (_dt.date(1995, 1, 1) - _dt.date(1970, 1, 1)).days
     d1 = (_dt.date(1995, 12, 31) - _dt.date(1970, 1, 1)).days
-    daily = pt.groupBy("ship_day").agg(F.count(F.lit(1)).alias("cnt"))
-    spine = spark.range(d0 - 1, d1 + 1).toDF("day")
-    cum_w = Window.partitionBy(single_group(F.col("day"))).orderBy("day")
-    cum = (
-        spine.join(F.broadcast(daily), spine.day == daily.ship_day, "left")
-        .select("day", F.coalesce("cnt", F.lit(0)).alias("cnt"))
-        .select("day", F.sum("cnt").over(cum_w).alias("c"))
-    )
-
-    # each interval's point count = C(clamp(hi)) - C(clamp(lo-1));
-    # clamping into the spine domain makes fully-outside windows
-    # contribute exactly 0 without a special case
-    clamp = lambda col: F.greatest(F.least(col, F.lit(d1)), F.lit(d0 - 1))  # noqa: E731
-    counted = (
-        iv.withColumn("__dh", clamp(F.col("hi")))
-        .withColumn("__dl", clamp(F.col("lo") - 1))
-        .join(
-            F.broadcast(cum.select(F.col("day").alias("__dh"), F.col("c").alias("c_hi"))),
-            "__dh",
-        )
-        .join(
-            F.broadcast(cum.select(F.col("day").alias("__dl"), F.col("c").alias("c_lo"))),
-            "__dl",
-        )
-        .select(
-            "o_orderpriority",
-            (F.col("c_hi") - F.col("c_lo")).alias("n"),
-        )
+    counted = interval_point_count_join(
+        pt, iv, "ship_day", "lo", "hi", domain=(d0, d1), count_col="n"
     )
     return (
         counted.groupBy(F.col("o_orderpriority").alias("priority"))

@@ -305,3 +305,82 @@ def test_hypothesis_overlap_join_matches_python_naive(spark, case):
         if bhi >= blo and alo <= bhi and blo <= ahi
     )
     assert got == want
+
+
+# ---------------------------------------------------------------- count join
+
+
+def _naive_counts(p, iv):
+    pts = [r["p"] for r in p.collect()]
+    return {
+        r["ivid"]: sum(1 for x in pts if r["lo"] <= x <= r["hi"])
+        for r in iv.collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["static", "derived"])
+def test_count_join_matches_pair_enumeration(spark, mode):
+    """The pair-free decomposition must agree with brute-force counts
+    for every interval — including empty (hi<lo), point (hi==lo), and
+    domain-straddling intervals — in both domain modes."""
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join,
+    )
+
+    p, iv = _frames(spark, seed=7)
+    domain = (-50, 150) if mode == "static" else None
+    got = {
+        r["ivid"]: r["n_points"]
+        for r in interval_point_count_join(
+            p, iv, "p", "lo", "hi", domain=domain
+        ).collect()
+    }
+    assert got == _naive_counts(p, iv)
+    # every interval row survives, exactly once
+    assert len(got) == iv.count()
+
+
+def test_count_join_empty_points_and_outside_domain(spark):
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, 5, 9), (2, 30, 20), (3, -100, -90)], "ivid long, lo long, hi long"
+    )
+    empty = spark.createDataFrame([], "p long")
+    for domain in ((0, 10), None):
+        got = {
+            r["ivid"]: r["n_points"]
+            for r in interval_point_count_join(
+                empty, iv, "p", "lo", "hi", domain=domain
+            ).collect()
+        }
+        assert got == {1: 0, 2: 0, 3: 0}
+    # points exist but an interval sits entirely outside the domain
+    p = spark.createDataFrame([(5,), (6,)], "p long")
+    got = {
+        r["ivid"]: r["n_points"]
+        for r in interval_point_count_join(
+            p, iv, "p", "lo", "hi", domain=(0, 10)
+        ).collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 0}
+
+
+def test_count_join_rejects_clashes(spark):
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join,
+    )
+
+    p = spark.createDataFrame([(1,)], "p long")
+    iv = spark.createDataFrame([(1, 2, 3)], "n_points long, lo long, hi long")
+    with pytest.raises(ValueError, match="already exists"):
+        interval_point_count_join(p, iv, "p", "lo", "hi")
+    iv2 = spark.createDataFrame([(1, 2, 3)], "__rj_day long, lo long, hi long")
+    with pytest.raises(ValueError, match="reserved"):
+        interval_point_count_join(p, iv2, "p", "lo", "hi")
+    with pytest.raises(ValueError, match="backtick"):
+        interval_point_count_join(
+            p.withColumnRenamed("p", "p`x"), iv.drop("n_points"), "p`x", "lo", "hi"
+        )
