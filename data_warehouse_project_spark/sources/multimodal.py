@@ -8,21 +8,23 @@ batch iteration, bounded batch sizes — and so are the codecs:
 - the documented RAWM container format below (real numpy decode,
   per-channel statistics, strided resize, PCM duration math, frame
   sampling);
-- baseline-sequential JPEG via the pure-numpy T.81 implementation in
-  ``sources/jpeg.py`` (real Huffman + IDCT — the format most training
-  corpora actually carry);
+- baseline AND progressive JPEG via the pure-numpy T.81 implementation
+  in ``sources/jpeg.py`` (real Huffman + IDCT — the formats most
+  training corpora actually carry);
 - PNG via ``sources/png.py`` (stdlib zlib + full scanline unfiltering);
-- RIFF/WAVE PCM via ``sources/wav.py`` (8/16/24/32-bit int + float32);
+- RIFF/WAVE via ``sources/wav.py`` (PCM 8/16/24/32-bit int + float32,
+  and IMA ADPCM format 0x11);
 - MP3 metadata via ``sources/mp3.py`` (frame-header walk: real
   duration/rate without sample decode — test mode carries the probed
   duration, strict mode still refuses since features need samples).
 
 What stays stubbed (honestly) is codecs that genuinely need external
-libraries (MP3/AAC/H.264/ADPCM, arithmetic-coded JPEG): those payloads
-either raise ``NotImplementedError`` (strict mode) or fall back to
-deterministic digest-derived pseudo-features (test mode). Swapping in
-PIL/pyav changes only ``_decode_unknown``. Progressive JPEG moved OFF
-this list in r7 — sources/jpeg.py decodes SOF2 for real.
+libraries (MP3 samples/AAC/H.264, arithmetic-coded JPEG): those
+payloads either raise ``NotImplementedError`` (strict mode) or fall
+back to deterministic digest-derived pseudo-features (test mode).
+Swapping in PIL/pyav changes only ``_decode_unknown``. Progressive
+JPEG and IMA ADPCM WAV moved OFF this list in r7 — sources/jpeg.py
+decodes SOF2 and sources/wav.py decodes format 0x11 for real.
 
 RAWM container layout (little-endian), the uncompressed interchange
 format the pipeline uses between stages:
@@ -243,17 +245,18 @@ def _decode_wav_payload(payload: bytes) -> dict:
 
 
 def _decode_unknown(media_type: str, payload: bytes, strict: bool) -> dict:
-    """Codecs beyond RAWM + JPEG (baseline/progressive) + PNG + PCM WAV
-    (MP3 samples/H.264/ADPCM/arithmetic JPEG...) need external
-    libraries this environment does not have. Strict mode refuses;
-    test mode produces deterministic digest-derived pseudo-features so
-    pipeline plumbing stays testable with arbitrary bytes."""
+    """Codecs beyond RAWM + JPEG (baseline/progressive) + PNG +
+    PCM/IMA-ADPCM WAV (MP3 samples/H.264/arithmetic JPEG...) need
+    external libraries this environment does not have. Strict mode
+    refuses; test mode produces deterministic digest-derived
+    pseudo-features so pipeline plumbing stays testable with arbitrary
+    bytes."""
     if strict:
         raise NotImplementedError(
             "no decoder for this payload in this environment (RAWM, "
-            "baseline+progressive JPEG, PNG and PCM WAV decode for "
-            "real; others need an external codec plugged into "
-            "sources.multimodal._decode_unknown)"
+            "baseline+progressive JPEG, PNG and PCM/IMA-ADPCM WAV "
+            "decode for real; others need an external codec plugged "
+            "into sources.multimodal._decode_unknown)"
         )
     digest = hashlib.sha256(payload or b"").digest()
     out = {
