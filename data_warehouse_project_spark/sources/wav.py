@@ -2,14 +2,16 @@
 interchange formats real corpora carry alongside MP3.
 
 - ``decode_wav``: chunk-framed parse (fmt / fact / data, unknown
-  chunks skipped), PCM 8/16/24/32-bit int, 32-bit float, AND IMA
-  ADPCM (format tag 0x11 — the classic 4-bit compressed WAV variant,
-  block-structured with per-channel predictor/step-index headers; r7).
-  Returns (sample_rate, float32 array (n_samples, n_channels) in
-  [-1, 1]).
-- ``encode_wav``: 16-bit PCM writer. ``encode_wav_adpcm``: IMA ADPCM
-  writer (mono/stereo) so round-trip tests exercise the compressed
-  decode on REAL blocks without external fixtures.
+  chunks skipped), PCM 8/16/24/32-bit int, 32-bit float, IMA ADPCM
+  (format tag 0x11 — the classic 4-bit compressed WAV variant,
+  block-structured with per-channel predictor/step-index headers),
+  and G.711 A-law/µ-law (tags 6/7 — telephony corpora; table
+  expansion, fully vectorized). Returns (sample_rate, float32 array
+  (n_samples, n_channels) in [-1, 1]).
+- ``encode_wav``: 16-bit PCM writer. ``encode_wav_adpcm`` /
+  ``encode_wav_g711``: compressed writers so round-trip tests
+  exercise the compressed decodes on REAL payloads without external
+  fixtures.
 
 Compressed PERCEPTUAL audio (MP3 samples/AAC) stays behind the
 strict-mode policy in sources/multimodal.py — no codec library in
@@ -29,7 +31,32 @@ class WavError(ValueError):
 
 class UnsupportedWavError(WavError):
     """Valid WAV, but a compression format this decoder does not cover
-    (ADPCM, a-law/mu-law, ...)."""
+    (MP3-in-WAV, GSM, ...). PCM, IMA ADPCM and G.711 a-law/µ-law are
+    covered."""
+
+
+def _mulaw_table() -> np.ndarray:
+    """G.711 µ-law byte → int16, the standard expansion: bytes are
+    stored complemented; 3-bit exponent, 4-bit mantissa, +33 bias."""
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte → int16: bytes are stored XOR 0x55; exponent 0
+    is linear, higher exponents shift with a +0x108 bias (then ×16 to
+    the 16-bit range, already folded into the constants)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp > 0, ((mant << 4) + 0x108) << (exp - 1), (mant << 4) + 8)
+    # A-law stores sign OPPOSITE to µ-law: MSB set = positive
+    return np.where(sign, mag, -mag).astype(np.int16)
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
@@ -150,7 +177,12 @@ def _decode_impl(data: bytes) -> tuple[int, np.ndarray]:
             raise UnsupportedWavError(f"{bits}-bit IMA ADPCM")
         a16 = _decode_ima_adpcm(samples, nch, align, fact_n)
         return rate, a16.astype(np.float32) / 32768.0
-    if tag == 1:  # integer PCM
+    if tag in (6, 7):  # G.711 A-law / µ-law
+        if bits != 8:
+            raise UnsupportedWavError(f"{bits}-bit G.711")
+        tbl = _alaw_table() if tag == 6 else _mulaw_table()
+        a = tbl[np.frombuffer(samples, np.uint8)].astype(np.float32) / 32768.0
+    elif tag == 1:  # integer PCM
         if bits == 8:  # unsigned
             a = (np.frombuffer(samples, np.uint8).astype(np.float32) - 128.0) / 128.0
         elif bits == 16:
@@ -174,6 +206,42 @@ def _decode_impl(data: bytes) -> tuple[int, np.ndarray]:
         raise UnsupportedWavError(f"format tag {tag} ({bits}-bit)")
     n = a.shape[0] // nch
     return rate, np.ascontiguousarray(a[: n * nch].reshape(n, nch))
+
+
+def encode_wav_g711(
+    rate: int, samples: np.ndarray, law: str = "ulaw"
+) -> bytes:
+    """float array in [-1, 1] (n,) or (n, ch) → G.711 WAV bytes
+    (tag 7 = µ-law, 6 = A-law). Quantization is NEAREST-DECODE-VALUE
+    by construction (binary search over the sorted 256-entry expansion
+    table), so ``decode(encode(decode(b))) == decode(b)`` holds for
+    every byte — an exactness property segment-arithmetic encoders
+    only meet modulo clip/bias conventions."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, nch = a.shape
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int32)
+    tbl = _mulaw_table() if law == "ulaw" else _alaw_table()
+    order = np.argsort(tbl)
+    svals = tbl[order].astype(np.int32)
+    pos = np.clip(np.searchsorted(svals, pcm.ravel()), 1, 255)
+    left, right = svals[pos - 1], svals[pos]
+    idx = np.where(pcm.ravel() - left <= right - pcm.ravel(), pos - 1, pos)
+    data = order[idx].astype(np.uint8).tobytes()
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHHH", tag, nch, rate, rate * nch, nch, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) & 1:
+        body += b"\x00"  # word-align the final chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav_adpcm(

@@ -296,3 +296,40 @@ def test_adpcm_end_to_end_strict_spark(spark):
     ).collect()
     assert out[0]["duration_ms"] == 500
     assert out[0]["feature"][0] > 0.1  # real RMS energy, not a digest
+
+
+# ------------------------------------------------------------- G.711
+
+
+def test_g711_tables_match_standard_anchors():
+    from data_warehouse_project_spark.sources.wav import (
+        _alaw_table,
+        _mulaw_table,
+    )
+
+    mu, al = _mulaw_table(), _alaw_table()
+    assert mu[0xFF] == 0 and mu[0x7F] == 0  # the two µ-law zeros
+    assert mu[0x00] == -32124 and mu[0x80] == 32124  # extremes
+    assert al[0xD5] == 8 and al[0x55] == -8  # A-law "zero" pair
+    assert al.max() == 32256 and al.min() == -32256
+
+
+def test_g711_roundtrip_and_requant_lossless():
+    from data_warehouse_project_spark.sources.wav import encode_wav_g711
+
+    t = np.arange(4000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for law, tol in (("ulaw", 0.02), ("alaw", 0.02)):
+        rate, out = decode_wav(encode_wav_g711(8000, tone, law))
+        assert rate == 8000 and out.shape == (4000, 1)
+        assert float(np.abs(out[:, 0] - tone).max()) < tol
+        # nearest-decode-value quantizer: re-encoding decoded values
+        # is exactly lossless
+        _, out2 = decode_wav(encode_wav_g711(8000, out[:, 0], law))
+        assert (out2 == out).all()
+    # stereo + odd length (word-align pad must not corrupt the tail)
+    st = np.stack([tone[:1001], -tone[:1001]], axis=1)
+    rate, out = decode_wav(encode_wav_g711(8000, st, "alaw"))
+    assert out.shape == (1001, 2)
+    with pytest.raises(ValueError, match="law"):
+        encode_wav_g711(8000, tone, "glaw")
