@@ -43,6 +43,12 @@ from pyspark.sql import functions as F
 
 _BUCKET = "__rj_bucket"
 
+# widest value domain interval_point_count_join will build a spine for:
+# ~4M distinct values covers ten thousand years of days or ~450 years
+# of hours; anything wider means the caller passed an unbucketed
+# high-resolution column (raw epoch micros) and must bucket first
+MAX_COUNT_JOIN_DOMAIN = 1 << 22
+
 
 def _fdiv(name: str, bucket_width: int):
     """Exact integral floor-division of a column by the bucket width:
@@ -293,6 +299,12 @@ def interval_point_count_join(
 
     if domain is not None:
         d0, d1 = int(domain[0]), int(domain[1])
+        if d1 - d0 > MAX_COUNT_JOIN_DOMAIN:
+            raise ValueError(
+                f"interval_point_count_join: domain width {d1 - d0} "
+                f"exceeds {MAX_COUNT_JOIN_DOMAIN} — bucket the value "
+                "column (days/hours, not raw micros) before counting"
+            )
         daily = daily.filter(
             (F.col("__rj_day") >= d0) & (F.col("__rj_day") <= d1)
         )
@@ -305,9 +317,23 @@ def interval_point_count_join(
         bounds = points.agg(
             F.min(point_col).alias("__rj_b_lo"), F.max(point_col).alias("__rj_b_hi")
         )
+        # same bound, enforced IN the plan (the derived width is only
+        # known at run time): an unbucketed value column (epoch micros)
+        # would otherwise try to materialize a billions-element spine
+        # and die with an opaque array-size error mid-stage
+        guarded_hi = F.when(
+            F.col("__rj_b_hi") - F.col("__rj_b_lo") > MAX_COUNT_JOIN_DOMAIN,
+            F.raise_error(
+                F.lit(
+                    "interval_point_count_join: derived domain wider "
+                    f"than {MAX_COUNT_JOIN_DOMAIN} — bucket the value "
+                    "column (days/hours, not raw micros) before counting"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("__rj_b_hi"))
         spine = bounds.select(
             F.explode(
-                F.sequence(F.col("__rj_b_lo") - 1, F.col("__rj_b_hi"))
+                F.sequence(F.col("__rj_b_lo") - 1, guarded_hi)
             ).alias("__rj_day")
         )
         # 1-row bounds frame crossed into the interval side (broadcast

@@ -612,11 +612,18 @@ def encode_jpeg_progressive(
                     w.write(bit, 1)
                 pending = []
                 run = 0
-            # per-block EOB0 carries any trailing correction bits
-            code, length = flat[0x00]
-            w.write(code, length)
-            for bit in pending:
-                w.write(bit, 1)
+            # EOB0 carries any trailing correction bits — but ONLY if
+            # the block has a tail the decoder hasn't consumed (run of
+            # zero-history positions or pending bits). A block whose
+            # last newly-nonzero coefficient sits exactly at k=63 is
+            # already complete; an unconditional EOB0 here desyncs the
+            # next block's symbol stream (found by the hypothesis
+            # sweep on noise images; libjpeg guards with r>0||BR>0)
+            if run > 0 or pending:
+                code, length = flat[0x00]
+                w.write(code, length)
+                for bit in pending:
+                    w.write(bit, 1)
         w.flush()
         out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0)
         out += w.out

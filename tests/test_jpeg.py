@@ -191,3 +191,55 @@ def test_arithmetic_jpeg_still_refuses_in_strict_spark(spark):
         extract_media_features(
             spark.createDataFrame(rows, media_schema()), strict=True
         ).collect()
+
+
+# ------------------------------------------------- hypothesis sweep
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _image_case(draw):
+    h = draw(st.integers(8, 40))
+    w = draw(st.integers(8, 40))
+    gray = draw(st.booleans())
+    sub = draw(st.sampled_from(["444", "420"]))
+    quality = draw(st.sampled_from([50, 75, 85, 95]))
+    seed = draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    kind = draw(st.sampled_from(["noise", "gradient", "flat", "blocks"]))
+    if kind == "noise":
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    elif kind == "flat":
+        img = np.full(shape, int(rng.integers(0, 256)), np.uint8)
+    elif kind == "blocks":
+        img = np.kron(
+            rng.integers(0, 256, size=(4, 4) if gray else (4, 4, 1)),
+            np.ones((10, 10) if gray else (10, 10, 3)),
+        )[:h, :w].astype(np.uint8)
+        img = img.reshape(shape)
+    else:
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((xx * 7 + yy * 13) % 256).astype(np.uint8)
+        img = g if gray else np.stack([g, g[::-1], 255 - g], axis=2)
+    return img, sub, quality
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=_image_case())
+def test_hypothesis_progressive_equals_baseline(case):
+    """Generative sweep of the bit-equality gate: for ANY image,
+    subsampling and quality, baseline and progressive encodings share
+    quantized coefficients, so the decoded pixels must be identical —
+    one differing pixel means a progressive scan path bug."""
+    img, sub, quality = case
+    base = decode_jpeg(encode_jpeg(img, quality, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality, subsampling=sub))
+    assert base.shape == prog.shape
+    assert (base == prog).all()

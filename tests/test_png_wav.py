@@ -333,3 +333,66 @@ def test_g711_roundtrip_and_requant_lossless():
     assert out.shape == (1001, 2)
     with pytest.raises(ValueError, match="law"):
         encode_wav_g711(8000, tone, "glaw")
+
+
+# ------------------------------------------------- hypothesis sweeps
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _adpcm_case(draw):
+    n = draw(st.integers(1, 700))
+    nch = draw(st.integers(1, 2))
+    spb = draw(st.sampled_from([9, 17, 65, 505]))
+    seed = draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    # random walk with bounded per-sample delta: the signal class ADPCM
+    # is designed for (white noise at full scale is unrepresentable by
+    # ANY 4-bit delta coder, so it is not a meaningful property bound)
+    steps = rng.integers(-2000, 2001, size=(n, nch))
+    sig = np.clip(np.cumsum(steps, axis=0), -30000, 30000) / 32768.0
+    return sig, spb
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=_adpcm_case())
+def test_hypothesis_adpcm_roundtrip_bounded(case):
+    from data_warehouse_project_spark.sources.wav import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    sig, spb = case
+    rate, out = decode_wav(encode_wav_adpcm(8000, sig, samples_per_block=spb))
+    assert out.shape == sig.shape if sig.ndim == 2 else (sig.shape[0], 1)
+    err = float(np.abs(out - sig.reshape(out.shape)).max())
+    # per-sample delta ≤ 2000 → the adaptive step tracks within a few
+    # quantization steps even across block boundaries
+    assert err < 0.1, f"ADPCM error {err} for spb={spb}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(seed=st.integers(0, 2**31), law=st.sampled_from(["ulaw", "alaw"]))
+def test_hypothesis_g711_error_bounded_by_segment(seed, law):
+    from data_warehouse_project_spark.sources.wav import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(seed)
+    sig = rng.uniform(-1, 1, size=rng.integers(1, 500))
+    rate, out = decode_wav(encode_wav_g711(8000, sig, law))
+    # logarithmic companding: absolute error grows with magnitude but
+    # is bounded by half the top segment's step (~1024/32768)
+    err = np.abs(out[:, 0] - sig)
+    assert float(err.max()) <= 1024.5 / 32768.0

@@ -384,3 +384,50 @@ def test_count_join_rejects_clashes(spark):
         interval_point_count_join(
             p.withColumnRenamed("p", "p`x"), iv.drop("n_points"), "p`x", "lo", "hi"
         )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=_case())
+def test_hypothesis_count_join_matches_python_naive(spark, case):
+    """The pair-free count decomposition must agree with a pure-Python
+    pair count at every magnitude/offset the pair join is swept at —
+    shared _case strategy, so exact-edge, empty, and 2**31-straddling
+    intervals all occur. Domain derived lazily (the harder mode)."""
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join,
+    )
+
+    from data_warehouse_project_spark.operators.rangejoin import (
+        MAX_COUNT_JOIN_DOMAIN,
+    )
+
+    _w, pts, ivs = case
+    p = spark.createDataFrame([(x,) for x in pts], "p long")
+    iv = spark.createDataFrame(
+        [(j, lo, hi) for j, (lo, hi) in enumerate(ivs)],
+        "ivid long, lo long, hi long",
+    )
+    if max(pts) - min(pts) > MAX_COUNT_JOIN_DOMAIN:
+        # unbucketed high-resolution values: the in-plan guard must
+        # fail CLEARLY instead of materializing a 2^31-element spine
+        # (the ungated operator died with an opaque array-size error —
+        # found by this very sweep)
+        with pytest.raises(Exception, match="bucket the value column"):
+            interval_point_count_join(p, iv, "p", "lo", "hi").collect()
+        return
+    want = {
+        j: sum(1 for x in pts if lo <= x <= hi)
+        for j, (lo, hi) in enumerate(ivs)
+    }
+    got = {
+        r["ivid"]: r["n_points"]
+        for r in interval_point_count_join(p, iv, "p", "lo", "hi").collect()
+    }
+    assert got == want
