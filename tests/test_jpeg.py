@@ -243,3 +243,37 @@ def test_hypothesis_progressive_equals_baseline(case):
     prog = decode_jpeg(encode_jpeg_progressive(img, quality, subsampling=sub))
     assert base.shape == prog.shape
     assert (base == prog).all()
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(seed=st.integers(0, 2**31))
+def test_hypothesis_jpeg_mutation_never_raises_raw(seed):
+    """Untrusted-bytes contract for BOTH modes: any truncation, byte
+    flip or splice of a valid baseline/progressive stream either still
+    decodes or raises JpegError — never a raw numpy/struct/key/index
+    exception."""
+    rng = np.random.default_rng(seed)
+    img = _gradient_rgb(24, 24)
+    base = (
+        encode_jpeg(img, 80)
+        if rng.integers(0, 2)
+        else encode_jpeg_progressive(img, 80)
+    )
+    b = bytearray(base)
+    kind = int(rng.integers(0, 3))
+    if kind == 0:
+        b = b[: int(rng.integers(0, len(b)))]
+    elif kind == 1:
+        for _ in range(int(rng.integers(1, 8))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+    else:
+        at = int(rng.integers(0, len(b)))
+        b = b[:at] + bytes(rng.integers(0, 256, size=16, dtype=np.uint8)) + b[at:]
+    try:
+        decode_jpeg(bytes(b))
+    except JpegError:
+        pass

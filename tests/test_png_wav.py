@@ -396,3 +396,44 @@ def test_hypothesis_g711_error_bounded_by_segment(seed, law):
     # is bounded by half the top segment's step (~1024/32768)
     err = np.abs(out[:, 0] - sig)
     assert float(err.max()) <= 1024.5 / 32768.0
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(seed=st.integers(0, 2**31))
+def test_hypothesis_wav_mutation_never_raises_raw(seed):
+    """The untrusted-bytes contract: ANY mutation of a valid WAV (PCM,
+    ADPCM or G.711) either still decodes or raises WavError — never a
+    raw numpy/struct/index exception out of the codec."""
+    from data_warehouse_project_spark.sources.wav import (
+        WavError,
+        decode_wav,
+        encode_wav,
+        encode_wav_adpcm,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(seed)
+    tone = 0.4 * np.sin(2 * np.pi * 220 * np.arange(600) / 8000.0)
+    base = [
+        encode_wav(8000, tone),
+        encode_wav_adpcm(8000, tone, samples_per_block=65),
+        encode_wav_g711(8000, tone, "alaw"),
+    ][int(rng.integers(0, 3))]
+    b = bytearray(base)
+    kind = int(rng.integers(0, 3))
+    if kind == 0:  # truncate
+        b = b[: int(rng.integers(0, len(b)))]
+    elif kind == 1:  # flip random bytes
+        for _ in range(int(rng.integers(1, 8))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+    else:  # splice garbage into the middle
+        at = int(rng.integers(0, len(b)))
+        b = b[:at] + bytes(rng.integers(0, 256, size=16, dtype=np.uint8)) + b[at:]
+    try:
+        decode_wav(bytes(b))
+    except WavError:
+        pass  # the contract: codec-typed errors only
