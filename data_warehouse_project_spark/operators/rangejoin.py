@@ -245,6 +245,7 @@ def interval_point_count_join(
     hi_col: str,
     domain: tuple[int, int] | None = None,
     count_col: str = "n_points",
+    sum_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Append ``count_col`` = COUNT of points with ``lo <= p <= hi`` to
     every ``intervals`` row — WITHOUT materializing a single pair.
@@ -271,6 +272,14 @@ def interval_point_count_join(
     honors that contract. Intervals with ``hi < lo`` or entirely
     outside the domain get 0, exactly like COUNT over an empty
     BETWEEN.
+
+    ``sum_cols`` extends the decomposition to weighted sums: each
+    ``{output_name: points_column}`` entry appends
+    SUM(points_column) over the contained points, through the same
+    spine (one extra running sum per measure, zero extra joins).
+    Measure columns must be INTEGRAL (exact-sum discipline: bigint
+    cents, micros — float running sums would drift and break
+    cross-engine hashing); enforced against the points schema.
     """
     # no cross-side disjointness requirement (point columns are never
     # emitted) — only backtick safety, internal-name headroom, and the
@@ -286,14 +295,32 @@ def interval_point_count_join(
             f"interval_point_count_join: reserved internal name(s) in "
             f"input: {sorted(clash)}"
         )
-    if count_col in intervals.columns:
-        raise ValueError(
-            f"interval_point_count_join: {count_col!r} already exists "
-            "on the interval side"
-        )
-    daily = points.groupBy(
-        F.col(point_col).alias("__rj_day")
-    ).agg(F.count(F.lit(1)).alias("__rj_cnt"))
+    sums = dict(sum_cols or {})
+    for out_name in (count_col, *sums):
+        if out_name in intervals.columns:
+            raise ValueError(
+                f"interval_point_count_join: {out_name!r} already "
+                "exists on the interval side"
+            )
+    integral = ("bigint", "int", "smallint", "tinyint")
+    dtypes = dict(points.dtypes)
+    for out_name, src in sums.items():
+        if "`" in src:
+            raise ValueError(
+                f"interval_point_count_join: backtick in column name(s): [{src!r}]"
+            )
+        if dtypes.get(src) not in integral:
+            raise ValueError(
+                f"interval_point_count_join: sum column {src!r} must be "
+                f"integral (got {dtypes.get(src)}) — use exact integer "
+                "units (cents/micros), not floats"
+            )
+    measures = {"__rj_cnt": F.count(F.lit(1))}
+    for out_name, src in sums.items():
+        measures[f"__rj_s_{out_name}"] = F.sum(F.col(src))
+    daily = points.groupBy(F.col(point_col).alias("__rj_day")).agg(
+        *[expr.alias(name) for name, expr in measures.items()]
+    )
 
     from data_warehouse_project_spark.operators.prefix import single_group
 
@@ -346,12 +373,17 @@ def interval_point_count_join(
     cum_w = (
         Window.partitionBy(single_group(F.col("__rj_day"))).orderBy("__rj_day")
     )
+    mnames = list(measures)
     cum = (
         spine.join(F.broadcast(daily), "__rj_day", "left")
         .select(
-            "__rj_day", F.coalesce("__rj_cnt", F.lit(0)).alias("__rj_cnt")
+            "__rj_day",
+            *[F.coalesce(m, F.lit(0)).alias(m) for m in mnames],
         )
-        .select("__rj_day", F.sum("__rj_cnt").over(cum_w).alias("__rj_c"))
+        .select(
+            "__rj_day",
+            *[F.sum(m).over(cum_w).alias(m) for m in mnames],
+        )
     )
 
     def clamp(col):
@@ -360,36 +392,38 @@ def interval_point_count_join(
     keyed = iv.withColumn("__rj_dh", clamp(F.col(hi_col))).withColumn(
         "__rj_dl", clamp(F.col(lo_col) - 1)
     )
-    # hi < lo (empty interval): clamp can leave dh < dl; the subtraction
-    # would go negative, so floor the result at 0 below
-    out = (
-        keyed.join(
-            F.broadcast(
-                cum.select(
-                    F.col("__rj_day").alias("__rj_dh"),
-                    F.col("__rj_c").alias("__rj_ch"),
-                )
-            ),
-            "__rj_dh",
-            "left",
-        )
-        .join(
-            F.broadcast(
-                cum.select(
-                    F.col("__rj_day").alias("__rj_dl"),
-                    F.col("__rj_c").alias("__rj_cl"),
-                )
-            ),
-            "__rj_dl",
-            "left",
-        )
-        .withColumn(
-            count_col,
-            F.greatest(
-                F.coalesce(F.col("__rj_ch"), F.lit(0))
-                - F.coalesce(F.col("__rj_cl"), F.lit(0)),
-                F.lit(0),
-            ).cast("bigint"),
-        )
+    # hi < lo (empty interval): clamp can leave dh < dl and the
+    # prefix difference would be the NEGATED sum of the gap — zero
+    # such intervals explicitly (a floor-at-0 would be wrong for
+    # signed sum measures)
+    out = keyed.join(
+        F.broadcast(
+            cum.select(
+                F.col("__rj_day").alias("__rj_dh"),
+                *[F.col(m).alias(f"__rj_h_{m}") for m in mnames],
+            )
+        ),
+        "__rj_dh",
+        "left",
+    ).join(
+        F.broadcast(
+            cum.select(
+                F.col("__rj_day").alias("__rj_dl"),
+                *[F.col(m).alias(f"__rj_l_{m}") for m in mnames],
+            )
+        ),
+        "__rj_dl",
+        "left",
     )
-    return out.select(*intervals.columns, count_col)
+    empty = F.col(hi_col) < F.col(lo_col)
+
+    def measure(m: str):
+        diff = F.coalesce(F.col(f"__rj_h_{m}"), F.lit(0)) - F.coalesce(
+            F.col(f"__rj_l_{m}"), F.lit(0)
+        )
+        return F.when(empty, F.lit(0)).otherwise(diff).cast("bigint")
+
+    out = out.withColumn(count_col, measure("__rj_cnt"))
+    for out_name in sums:
+        out = out.withColumn(out_name, measure(f"__rj_s_{out_name}"))
+    return out.select(*intervals.columns, count_col, *sums)

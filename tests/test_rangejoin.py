@@ -431,3 +431,41 @@ def test_hypothesis_count_join_matches_python_naive(spark, case):
         for r in interval_point_count_join(p, iv, "p", "lo", "hi").collect()
     }
     assert got == want
+
+
+def test_count_join_sum_measures_signed_and_empty(spark):
+    """sum_cols: signed integral measures must be exact — and an empty
+    interval (hi < lo) must yield 0, not the NEGATED sum of the gap
+    (which a naive clamped prefix difference produces)."""
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join,
+    )
+
+    pts = [(d, v) for d, v in [(1, 10), (2, -7), (2, 5), (5, -20), (9, 3)]]
+    p = spark.createDataFrame(pts, "p long, v long")
+    iv = spark.createDataFrame(
+        [(1, 1, 2), (2, 3, 9), (3, 8, 4), (4, -5, 0)],
+        "ivid long, lo long, hi long",
+    )
+    rows = {
+        r["ivid"]: (r["n_points"], r["wsum"])
+        for r in interval_point_count_join(
+            p, iv, "p", "lo", "hi", sum_cols={"wsum": "v"}
+        ).collect()
+    }
+    assert rows == {
+        1: (3, 8),     # 10 - 7 + 5
+        2: (2, -17),   # -20 + 3
+        3: (0, 0),     # hi < lo: NOT -(sum over 5..7)
+        4: (0, 0),     # no points below 1
+    }
+    with pytest.raises(ValueError, match="integral"):
+        interval_point_count_join(
+            p.withColumn("f", F.col("v").cast("double")),
+            iv, "p", "lo", "hi", sum_cols={"s": "f"},
+        )
+    with pytest.raises(ValueError, match="exists"):
+        interval_point_count_join(
+            p, iv.withColumnRenamed("ivid", "s"), "p", "lo", "hi",
+            sum_cols={"s": "v"},
+        )
