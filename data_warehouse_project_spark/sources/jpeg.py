@@ -1,8 +1,9 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81, public spec).
+"""Pure-numpy JPEG codec (ITU-T T.81, public spec): baseline
+sequential AND progressive.
 
 This container ships no image libraries, so the multimodal pipeline
-implements the one codec real training corpora overwhelmingly carry —
-baseline sequential JPEG/JFIF — from the published standard:
+implements the codecs real training corpora overwhelmingly carry —
+baseline and progressive JPEG/JFIF — from the published standard:
 
 - ``decode_jpeg``: SOF0/1 (baseline sequential) AND SOF2 (progressive,
   T.81 Annex G: spectral selection, successive approximation, EOB

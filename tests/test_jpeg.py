@@ -1,8 +1,8 @@
-"""Pure-numpy baseline JPEG codec (sources/jpeg.py): round-trip
-accuracy, subsampling, restart markers, and rejection of non-baseline
-modes — plus the end-to-end strict-mode Spark path for real JPEG
-payloads (the capability the r4 verdict flagged as the one remaining
-stub)."""
+"""Pure-numpy JPEG codec (sources/jpeg.py), baseline + progressive:
+round-trip accuracy, subsampling, restart markers, bit-equality of the
+two modes on shared coefficients, generative + mutation sweeps, and
+rejection of genuinely-unsupported modes — plus the end-to-end
+strict-mode Spark paths for real JPEG payloads."""
 
 from __future__ import annotations
 
