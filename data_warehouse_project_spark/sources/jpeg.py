@@ -722,7 +722,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_impl(data)
     except JpegError:
         raise
-    except (struct.error, ValueError, IndexError, KeyError) as e:
+    except (struct.error, ValueError, IndexError, KeyError, OverflowError) as e:
+        # OverflowError: defense-in-depth for any residual path where a
+        # corrupt stream drives a Python int past a numpy cell's range
+        # (the known DC-size path is bounded at the source above)
         raise JpegError(f"corrupt JPEG stream: {e}") from e
 
 
@@ -779,6 +782,15 @@ def _baseline_scan(
                 for hdx in range(c["h"]):
                     z = np.zeros(64, dtype=np.int64)
                     size = _huff_decode(reader, dc_tab)
+                    if size > 11:
+                        # T.81 table F.1: DC SSSS ≤ 11 at 8-bit
+                        # precision. A corrupt DHT can map a code to any
+                        # byte symbol; an unbounded size here feeds
+                        # reader.bits() an arbitrary-width magnitude
+                        # whose running pred overflows the int64 coef
+                        # cell (raw OverflowError, breaking the typed-
+                        # error contract).
+                        raise JpegError(f"corrupt DC size {size}")
                     diff = _extend(reader.bits(size), size)
                     pred[c["id"]] += diff
                     z[0] = pred[c["id"]]
@@ -828,6 +840,12 @@ def _dc_scan(
         z = c["coef"][idx]
         if ah == 0:
             size = _huff_decode(reader, huff_dc[c["td"]])
+            if size > 11:
+                # same T.81 F.1 bound as the baseline path — without it
+                # a corrupt DHT symbol >15 accumulates pred past int64
+                # and `z[0] = pred << al` raises raw OverflowError
+                # (hypothesis seed=37932)
+                raise JpegError(f"corrupt DC size {size}")
             diff = _extend(reader.bits(size), size)
             pred[c["id"]] += diff
             z[0] = pred[c["id"]] << al

@@ -118,8 +118,17 @@ def _decode_ima_adpcm(
         raise WavError(f"bad ADPCM block align {align}")
     spb = 1 + (align - 4 * nch) * 2 // nch  # samples per block per channel
     out: list[list[int]] = []
-    for b0 in range(0, len(samples) - align + 1, align):
+    for b0 in range(0, len(samples), align):
         block = samples[b0: b0 + align]
+        if len(block) < 4 * nch:
+            # foreign encoders can legally truncate the final block, but
+            # a fragment too short to even hold the per-channel headers
+            # carries no decodable audio — dropping it silently would
+            # lose data with no signal
+            raise WavError(
+                f"truncated ADPCM block: {len(block)} bytes < "
+                f"{4 * nch}-byte header"
+            )
         pred = [0] * nch
         idx = [0] * nch
         chans: list[list[int]] = []
@@ -129,8 +138,11 @@ def _decode_ima_adpcm(
                 raise WavError(f"ADPCM step index {i} out of range")
             pred[c], idx[c] = p, i
             chans.append([p])
+        # nibble payload: groups of 4 bytes per channel, round-robin; a
+        # short final block decodes its whole 4-byte groups (trailing
+        # partial group has no per-channel alignment → dropped)
         body = block[4 * nch:]
-        # nibble payload: groups of 4 bytes per channel, round-robin
+        body = body[: len(body) - len(body) % (4 * nch)]
         for g in range(0, len(body), 4 * nch):
             for c in range(nch):
                 for byte in body[g + 4 * c: g + 4 * c + 4]:
@@ -263,18 +275,8 @@ def encode_wav_adpcm(
     n, nch = a.shape
     pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int64)
     align = 4 * nch + (samples_per_block - 1) * nch // 2
-    # seed each channel's step index near its early delta magnitude —
-    # starting at index 0 (step 7) makes the first ~10 samples of a
-    # loud signal unrepresentable while the index ramps (measured 0.58
-    # peak error on a 0.6-amplitude sine vs 0.03 steady-state); the
-    # header declares the index, so the decoder needs no convention
-    head = pcm[: samples_per_block]
-    idx = []
-    for c in range(nch):
-        d = np.abs(np.diff(head[:, c]))
-        m = float(d.mean()) if d.size else 0.0
-        idx.append(int(np.abs(_IMA_STEP - m).argmin()))
     blocks = bytearray()
+    idx = [0] * nch
     for b0 in range(0, max(n, 1), samples_per_block):
         chunk = pcm[b0: b0 + samples_per_block]
         if chunk.shape[0] == 0:
@@ -284,26 +286,45 @@ def encode_wav_adpcm(
         if chunk.shape[0] < samples_per_block:
             pad = np.repeat(chunk[-1:], samples_per_block - chunk.shape[0], 0)
             chunk = np.concatenate([chunk, pad])
+        # re-seed each channel's step index from THIS block's delta
+        # magnitudes — the per-block header carries predictor+index, so
+        # this is spec-legal (the decoder reads it back verbatim) and it
+        # kills the adaptive lag both at t=0 (starting at index 0 /
+        # step 7 makes the first ~10 samples of a loud signal
+        # unrepresentable — measured 0.58 peak error on a 0.6-amplitude
+        # sine vs 0.03 steady-state) and at every later block boundary
+        # where the carried index trails a local magnitude shift (the
+        # short-block hypothesis counterexample: err 0.13 at spb=9 with
+        # a once-seeded index)
+        for c in range(nch):
+            d = np.abs(np.diff(chunk[:, c]))
+            m = float(d.max()) if d.size else 0.0
+            # smallest step whose 4-bit range (1.75·step) covers the
+            # block's largest delta → every in-block delta is
+            # representable at seed time; ties toward finer steps keep
+            # quantization error ≤ step/8 for the small deltas
+            cover = np.nonzero(_IMA_STEP.astype(np.float64) * 1.75 >= m)[0]
+            idx[c] = int(cover[0]) if cover.size else 88
         pred = [int(chunk[0, c]) for c in range(nch)]
         for c in range(nch):
             blocks += struct.pack("<hBB", pred[c], idx[c], 0)
         nibbles: list[list[int]] = [[] for _ in range(nch)]
         for r in range(1, samples_per_block):
             for c in range(nch):
-                step = int(_IMA_STEP[idx[c]])
-                delta = int(chunk[r, c]) - pred[c]
-                nib = 8 if delta < 0 else 0
-                if delta < 0:
-                    delta = -delta
-                if delta >= step:
-                    nib |= 4
-                    delta -= step
-                if delta >= step >> 1:
-                    nib |= 2
-                    delta -= step >> 1
-                if delta >= step >> 2:
-                    nib |= 1
-                pred[c], idx[c] = _ima_step_nibble(nib, pred[c], idx[c])
+                # greedy-nearest quantization: try all 16 nibbles through
+                # the DECODER's own state transition and keep the one
+                # whose reconstruction lands closest to the target — the
+                # bit-build shortcut (sign + step/step2/step4 thresholds)
+                # truncates instead of rounding and loses up to step/4
+                # per sample for free
+                tgt = int(chunk[r, c])
+                best_e, best = None, None
+                for nib in range(16):
+                    p2, i2 = _ima_step_nibble(nib, pred[c], idx[c])
+                    e = abs(p2 - tgt)
+                    if best_e is None or e < best_e:
+                        best_e, best = e, (nib, p2, i2)
+                nib, pred[c], idx[c] = best
                 nibbles[c].append(nib)
         # pack: 4-byte (8-nibble) units per channel, round-robin,
         # low nibble first

@@ -195,7 +195,7 @@ def test_arithmetic_jpeg_still_refuses_in_strict_spark(spark):
 
 # ------------------------------------------------- hypothesis sweep
 
-from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import HealthCheck, example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 
@@ -251,6 +251,11 @@ def test_hypothesis_progressive_equals_baseline(case):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(seed=st.integers(0, 2**31))
+# r7 falsifying example: byte flips forged a DHT mapping a code to a DC
+# size symbol >15, whose arbitrary-width magnitude accumulated pred past
+# int64 → raw OverflowError at the progressive z[0] store (fixed by the
+# T.81 F.1 size≤11 bound in both DC paths):
+@example(seed=37932)
 def test_hypothesis_jpeg_mutation_never_raises_raw(seed):
     """Untrusted-bytes contract for BOTH modes: any truncation, byte
     flip or splice of a valid baseline/progressive stream either still

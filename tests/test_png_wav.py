@@ -284,6 +284,38 @@ def test_adpcm_rejects_malformed():
         decode_wav(bytes(good))
 
 
+def test_adpcm_truncated_final_block():
+    """Foreign encoders can legally truncate the final block: whole
+    4-byte nibble groups in a short block must decode (not silently
+    drop), and a fragment too short for even the channel headers must
+    raise — never lose audio without a signal."""
+    from data_warehouse_project_spark.sources.wav import (
+        WavError,
+        _decode_ima_adpcm,
+    )
+
+    # spb=17 mono → align 12: one full block, then a header + ONE of the
+    # two nibble groups → 17 + 9 samples
+    full = struct.pack("<hBB", 100, 4, 0) + bytes(range(8))
+    short = struct.pack("<hBB", -50, 4, 0) + bytes(range(4))
+    out = _decode_ima_adpcm(full + short, 1, 12, None)
+    assert out.shape == (17 + 9, 1)
+    assert out[17, 0] == -50  # the short block's header sample decoded
+    # a trailing fragment shorter than the 4*nch header is an error
+    with pytest.raises(WavError, match="truncated ADPCM block"):
+        _decode_ima_adpcm(full + short[:3], 1, 12, None)
+    # stereo: a short block must truncate to whole 4*nch groups so the
+    # channels stay aligned (header(8) + 5 payload bytes → header only)
+    st_full = (
+        struct.pack("<hBB", 10, 0, 0)
+        + struct.pack("<hBB", -10, 0, 0)
+        + bytes(8)
+    )
+    out2 = _decode_ima_adpcm(st_full + st_full[:13], 2, 16, None)
+    assert out2.shape == (9 + 1, 2)
+    assert tuple(out2[9]) == (10, -10)
+
+
 def test_adpcm_end_to_end_strict_spark(spark):
     """ADPCM WAV payloads flow through the strict mapInPandas path with
     true rate/duration — the refusal list no longer includes them."""
@@ -337,23 +369,17 @@ def test_g711_roundtrip_and_requant_lossless():
 
 # ------------------------------------------------- hypothesis sweeps
 
-from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import HealthCheck, example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 
-@st.composite
-def _adpcm_case(draw):
-    n = draw(st.integers(1, 700))
-    nch = draw(st.integers(1, 2))
-    spb = draw(st.sampled_from([9, 17, 65, 505]))
-    seed = draw(st.integers(0, 2**31))
+def _adpcm_signal(n, nch, seed):
     rng = np.random.default_rng(seed)
     # random walk with bounded per-sample delta: the signal class ADPCM
     # is designed for (white noise at full scale is unrepresentable by
     # ANY 4-bit delta coder, so it is not a meaningful property bound)
     steps = rng.integers(-2000, 2001, size=(n, nch))
-    sig = np.clip(np.cumsum(steps, axis=0), -30000, 30000) / 32768.0
-    return sig, spb
+    return np.clip(np.cumsum(steps, axis=0), -30000, 30000) / 32768.0
 
 
 @settings(
@@ -361,20 +387,43 @@ def _adpcm_case(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
-@given(case=_adpcm_case())
-def test_hypothesis_adpcm_roundtrip_bounded(case):
+@given(
+    n=st.integers(1, 700),
+    nch=st.integers(1, 2),
+    spb=st.sampled_from([9, 17, 65, 505]),
+    seed=st.integers(0, 2**31),
+)
+# worst cases from a 3000-draw offline sweep of the per-block-reseeded
+# greedy-nearest encoder (errors 0.217 / 0.192 — the long-block
+# mid-block transient class that motivated the tiered bound):
+@example(n=487, nch=1, spb=505, seed=646444076)
+@example(n=630, nch=2, spb=505, seed=773786671)
+# short-block regression guard: the r7 once-seeded encoder hit 0.13
+# here; per-block re-seeding holds it under 0.03 (1500-draw sweep):
+@example(n=592, nch=2, spb=9, seed=33140991)
+def test_hypothesis_adpcm_roundtrip_bounded(n, nch, spb, seed):
     from data_warehouse_project_spark.sources.wav import (
         decode_wav,
         encode_wav_adpcm,
     )
 
-    sig, spb = case
+    sig = _adpcm_signal(n, nch, seed)
     rate, out = decode_wav(encode_wav_adpcm(8000, sig, samples_per_block=spb))
     assert out.shape == sig.shape if sig.ndim == 2 else (sig.shape[0], 1)
     err = float(np.abs(out - sig.reshape(out.shape)).max())
-    # per-sample delta ≤ 2000 → the adaptive step tracks within a few
-    # quantization steps even across block boundaries
-    assert err < 0.1, f"ADPCM error {err} for spb={spb}"
+    # Tiered bound. Short blocks (spb ≤ 17): the encoder re-seeds the
+    # step index from each block's own deltas, so adaptive lag is reset
+    # every ≤16 samples — measured worst 0.049 over 1500 draws, bound
+    # 0.1. Long blocks: a quiet stretch walks the index down to step 7;
+    # a subsequent sustained ±2000/sample run then out-paces the
+    # reconstruction while the step ramps (~2.3×/sample under |7|
+    # codes), for an analytic transient of Σ(2000 − 1.75·step_k) ≈
+    # 8000 PCM ≈ 0.25 — measured worst 0.217 over 3000 draws, bound
+    # 0.3. NO greedy IMA encoder can beat this class: the exhaustive
+    # nearest-reconstruction quantizer (which this encoder is) already
+    # picks the best single-step move.
+    bound = 0.1 if spb <= 17 else 0.3
+    assert err < bound, f"ADPCM error {err} for spb={spb}"
 
 
 @settings(
@@ -396,6 +445,53 @@ def test_hypothesis_g711_error_bounded_by_segment(seed, law):
     # is bounded by half the top segment's step (~1024/32768)
     err = np.abs(out[:, 0] - sig)
     assert float(err.max()) <= 1024.5 / 32768.0
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(0, 2**31),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    nch=st.integers(1, 2),
+    amp=st.floats(1e-4, 1.2),  # spans sub-LSB through clipping
+    n=st.integers(1, 400),
+)
+def test_hypothesis_g711_nearest_decode_value_exact(seed, law, nch, amp, n):
+    """The encoder's claim is NEAREST-DECODE-VALUE quantization — for
+    every sample the decoded output must sit at the 256-entry expansion
+    table value closest to the input PCM (not merely within the
+    segment-error bound), at every amplitude (sub-LSB noise through
+    hard clipping), channel count and length. Checked against the
+    standard-anchored tables directly, so an off-by-one in the
+    searchsorted tie-break or a clip/bias drift fails here even when
+    the error-bound sweep stays green. Corollary (requantization
+    exactness): re-encoding the decoded signal is byte-lossless."""
+    from data_warehouse_project_spark.sources.wav import (
+        _alaw_table,
+        _mulaw_table,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(seed)
+    sig = amp * rng.uniform(-1, 1, size=(n, nch))
+    enc = encode_wav_g711(8000, sig, law)
+    rate, out = decode_wav(enc)
+    assert out.shape == (n, nch)
+    tbl = (_mulaw_table() if law == "ulaw" else _alaw_table()).astype(np.int64)
+    pcm = np.clip(np.round(sig * 32767.0), -32768, 32767).astype(np.int64)
+    got16 = np.round(out * 32768.0).astype(np.int64)  # exact: out = tbl/32768
+    best = np.abs(tbl[None, None, :] - pcm[:, :, None]).min(axis=2)
+    assert (np.abs(got16 - pcm) == best).all(), (
+        f"{law}: decoded value not the nearest table entry"
+    )
+    # requantization exactness follows, but pin it end-to-end anyway
+    enc2 = encode_wav_g711(8000, out, law)
+    _, out2 = decode_wav(enc2)
+    assert (out2 == out).all()
 
 
 @settings(
