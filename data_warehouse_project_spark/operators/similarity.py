@@ -216,10 +216,12 @@ class VectorLSHIndex:
         ``bands`` (optional) substitutes an already-materialized band
         frame for the store read — callers that just admitted batches
         with ``add_vectors(return_frame=True)`` pass the union of the
-        returned frames. Query band rows are taken FROM the band frame
-        (every query vector is indexed in this usage, and the stored
-        band set is deterministic), so the probe recomputes no
-        signatures at all."""
+        returned frames. Query band rows are always recomputed from
+        ``corpus`` (O(query_ids_below) vectors — the cheap side), NOT
+        filtered out of the band frame: a query vector that was never
+        admitted to the index would otherwise silently probe nothing.
+        The hyperplanes are deterministic, so for admitted vectors the
+        two derivations are identical."""
         from pyspark.sql import Window
 
         stored = bands if bands is not None else self.wh.read(self.layer, self.name)
@@ -228,9 +230,9 @@ class VectorLSHIndex:
             "label",
             as_double(F.col(vec_col)).alias("e"),
         )
-        q_bands = stored.filter(F.col("vec_id") < query_ids_below).select(
-            F.col("vec_id").alias("q_id"), "band_id", "band_sig"
-        )
+        q_bands = band_rows_of(
+            corpus.filter(F.col(id_col) < query_ids_below), id_col, vec_col
+        ).select(F.col("vec_id").alias("q_id"), "band_id", "band_sig")
         cand = (
             stored.join(F.broadcast(q_bands), on=["band_id", "band_sig"])
             .filter(F.col("vec_id") != F.col("q_id"))

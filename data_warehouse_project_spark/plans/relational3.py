@@ -702,12 +702,15 @@ def shipments_during_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         pt, iv, "ship_day", "lo", "hi", domain=(d0, d1), count_col="n"
     )
     return (
-        counted.groupBy(F.col("o_orderpriority").alias("priority"))
+        # n > 0 first: the oracle's inner join omits a priority whose
+        # every window contains zero shipments, so the decomposed plan
+        # must drop n=0 intervals BEFORE grouping or tiny scale factors
+        # emit a (priority, 0, 0) row the oracle lacks
+        counted.filter(F.col("n") > 0)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.sum("n").cast("bigint").alias("n_pairs"),
-            F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_orders_hit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders_hit"),
         )
         .orderBy("priority")
     )
@@ -796,10 +799,125 @@ def shipped_value_during_open_orders(
         sum_cols={"cents_in_window": "cents"},
     )
     return (
-        counted.groupBy(F.col("o_orderpriority").alias("priority"))
+        # same inner-join parity guard as shipments_during_open_orders:
+        # the oracle never emits a priority with zero contained points
+        counted.filter(F.col("n") > 0)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.sum("n").cast("bigint").alias("n_pairs"),
             F.sum("cents_in_window").cast("bigint").alias("shipped_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "ship_day_coverage_open_orders",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS lo,
+             CAST(o_orderdate AS DATE) + CASE o_orderpriority
+               WHEN '1-URGENT' THEN 2 WHEN '2-HIGH' THEN 7
+               WHEN '3-MEDIUM' THEN 14 WHEN '4-NOT SPECIFIED' THEN 21
+               ELSE 30 END AS hi
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1994-12-02 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    ),
+    pt AS (
+      SELECT CAST(l_shipdate AS DATE) AS ship_day FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    ),
+    per_order AS (
+      SELECT iv.o_orderkey, iv.o_orderpriority,
+             COUNT(DISTINCT pt.ship_day) AS d_days,
+             iv.hi - iv.lo + 1 AS window_days
+      FROM pt JOIN iv ON pt.ship_day BETWEEN iv.lo AND iv.hi
+      GROUP BY iv.o_orderkey, iv.o_orderpriority, iv.hi - iv.lo + 1
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(SUM(d_days) AS BIGINT) AS sum_distinct_days,
+           CAST(MAX(d_days) AS BIGINT) AS max_distinct_days,
+           CAST(SUM(CASE WHEN d_days = window_days THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fully_covered
+    FROM per_order
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    doc="COUNT-DISTINCT over interval containment — the measure with "
+    "no naive sum-decomposition. Distinct ship DAYS inside each "
+    "order's open window (plus how many windows saw shipping on every "
+    "single day), by priority. The oracle states the Θ(density²) pair "
+    "join + COUNT(DISTINCT); the plan rides the same ≤366-row day "
+    "spine as the count query: the per-day rollup has already "
+    "collapsed duplicate ship days, so presence (0/1) prefix-sums to "
+    "D and each window's distinct count is D(hi)-D(lo-1) exactly "
+    "(operators/rangejoin.interval_point_count_join "
+    "distinct_count_col). Unlike COUNT/SUM, this works ONLY because "
+    "the decomposition is over the ordered value domain — disjoint "
+    "range slices partition the distinct values — which is what makes "
+    "it safe where generic COUNT DISTINCT re-aggregation is not.",
+    tags=("join", "range", "agg"),
+)
+def ship_day_coverage_open_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as _dt
+
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join,
+    )
+
+    pdays = _priority_days_expr()
+    lo = F.unix_date(F.to_date("o_orderdate"))
+    iv = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-12-02 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            lo.alias("lo"),
+            (lo + pdays).alias("hi"),
+        )
+    )
+    li = table(spark, sf_dir, "lineitem")
+    pt = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select(F.unix_date(F.to_date("l_shipdate")).alias("ship_day"))
+    d0 = (_dt.date(1995, 1, 1) - _dt.date(1970, 1, 1)).days
+    d1 = (_dt.date(1995, 12, 31) - _dt.date(1970, 1, 1)).days
+    counted = interval_point_count_join(
+        pt,
+        iv,
+        "ship_day",
+        "lo",
+        "hi",
+        domain=(d0, d1),
+        count_col="n",
+        distinct_count_col="d_days",
+    )
+    return (
+        # inner-join parity: the oracle's join omits zero-shipment
+        # windows entirely (n > 0 ⟺ d_days > 0 here, but filter on n —
+        # the count measure — for symmetry with the sibling queries)
+        counted.filter(F.col("n") > 0)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum("d_days").cast("bigint").alias("sum_distinct_days"),
+            F.max("d_days").cast("bigint").alias("max_distinct_days"),
+            F.sum(
+                F.when(
+                    F.col("d_days") == F.col("hi") - F.col("lo") + 1, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_fully_covered"),
         )
         .orderBy("priority")
     )

@@ -84,3 +84,23 @@ def test_return_frame_probe_equals_store_read(spark, emb):
         assert stored == returned
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_probe_with_unadmitted_query_vectors(spark, emb):
+    """Query vectors that were NEVER admitted to the index must still
+    probe the store (band rows derived from the corpus, not filtered
+    out of the stored frame) — the r7 from-store derivation silently
+    returned zero candidates here."""
+    idx, tmp = _with_index(spark)
+    try:
+        idx.add_vectors(emb.filter("vec_id >= 3"))  # queries 0-2 absent
+        got = _rows(idx.topk(emb, query_ids_below=3, top_k=4))
+        assert len(got) > 0, "unadmitted queries probed nothing"
+        # equal to the one-shot run on the same (store ∪ query) universe
+        # restricted to stored neighbors: every neighbor must be ≥ 3
+        assert all(r[2] >= 3 for r in got)
+        # and each query that has any banded bucket overlap appears
+        qs = {r[0] for r in got}
+        assert qs <= {0, 1, 2} and qs
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

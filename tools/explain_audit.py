@@ -15,6 +15,10 @@ from __future__ import annotations
 import re
 import sys
 
+_REPO = str(__import__("pathlib").Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:  # tolerate any caller cwd (gates must not
+    sys.path.insert(0, _REPO)  # silently run against a stale install)
+
 # queries that intentionally contain a non-equi or cross join
 ALLOW_NESTED_LOOP = {
     "ann_cosine_topk",  # broadcast cross of 5 query vectors — intended

@@ -41,6 +41,10 @@ from __future__ import annotations
 import hashlib
 import sys
 
+_REPO = str(__import__("pathlib").Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:  # tolerate any caller cwd (gates must not
+    sys.path.insert(0, _REPO)  # silently run against a stale install)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -10,6 +10,10 @@ import decimal as _decimal
 import math
 import os
 import sys
+
+_REPO = str(__import__("pathlib").Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:  # tolerate any caller cwd (gates must not
+    sys.path.insert(0, _REPO)  # silently run against a stale install)
 from collections import Counter
 
 import duckdb

@@ -23,6 +23,10 @@ from __future__ import annotations
 import json
 import shutil
 import sys
+
+_REPO = str(__import__("pathlib").Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:  # tolerate any caller cwd (gates must not
+    sys.path.insert(0, _REPO)  # silently run against a stale install)
 import tempfile
 import time
 from pathlib import Path
