@@ -246,6 +246,7 @@ def interval_point_count_join(
     domain: tuple[int, int] | None = None,
     count_col: str = "n_points",
     sum_cols: dict[str, str] | None = None,
+    distinct_count_col: str | None = None,
 ) -> DataFrame:
     """Append ``count_col`` = COUNT of points with ``lo <= p <= hi`` to
     every ``intervals`` row — WITHOUT materializing a single pair.
@@ -280,6 +281,15 @@ def interval_point_count_join(
     Measure columns must be INTEGRAL (exact-sum discipline: bigint
     cents, micros — float running sums would drift and break
     cross-engine hashing); enforced against the points schema.
+
+    ``distinct_count_col`` appends COUNT(DISTINCT point value) over the
+    contained points — the measure that has NO naive decomposition
+    (COUNT DISTINCT is not sum-decomposable over arbitrary partitions)
+    but decomposes exactly HERE because the per-value rollup already
+    collapses duplicates: each domain value contributes 0/1 presence,
+    the running sum of presence is D, and the window's distinct count
+    is D(hi) - D(lo-1). One extra running sum, zero extra joins — the
+    same cost as a weighted sum.
     """
     # no cross-side disjointness requirement (point columns are never
     # emitted) — only backtick safety, internal-name headroom, and the
@@ -296,7 +306,8 @@ def interval_point_count_join(
             f"input: {sorted(clash)}"
         )
     sums = dict(sum_cols or {})
-    for out_name in (count_col, *sums):
+    extra_outs = [distinct_count_col] if distinct_count_col else []
+    for out_name in (count_col, *sums, *extra_outs):
         if out_name in intervals.columns:
             raise ValueError(
                 f"interval_point_count_join: {out_name!r} already "
@@ -318,6 +329,10 @@ def interval_point_count_join(
     measures = {"__rj_cnt": F.count(F.lit(1))}
     for out_name, src in sums.items():
         measures[f"__rj_s_{out_name}"] = F.sum(F.col(src))
+    if distinct_count_col:
+        # the groupBy(point value) rollup has already collapsed
+        # duplicates — presence is a constant 1 per surviving day row
+        measures["__rj_dst"] = F.min(F.lit(1))
     daily = points.groupBy(F.col(point_col).alias("__rj_day")).agg(
         *[expr.alias(name) for name, expr in measures.items()]
     )
@@ -426,4 +441,6 @@ def interval_point_count_join(
     out = out.withColumn(count_col, measure("__rj_cnt"))
     for out_name in sums:
         out = out.withColumn(out_name, measure(f"__rj_s_{out_name}"))
-    return out.select(*intervals.columns, count_col, *sums)
+    if distinct_count_col:
+        out = out.withColumn(distinct_count_col, measure("__rj_dst"))
+    return out.select(*intervals.columns, count_col, *sums, *extra_outs)

@@ -469,3 +469,44 @@ def test_count_join_sum_measures_signed_and_empty(spark):
             p, iv.withColumnRenamed("ivid", "s"), "p", "lo", "hi",
             sum_cols={"s": "v"},
         )
+
+
+def test_count_join_distinct_matches_pair_enumeration(spark):
+    """distinct_count_col: the presence-prefix-sum must equal a brute
+    COUNT(DISTINCT point value) per interval — duplicates collapse,
+    empty and inverted intervals give 0, and the distinct measure
+    coexists with count + weighted sums in one pass."""
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join,
+    )
+
+    rnd = random.Random(13)
+    pts = [(rnd.randint(-20, 40), rnd.randint(-5, 5)) for _ in range(200)]
+    p = spark.createDataFrame(pts, "p long, v long")
+    ivs = [(j, rnd.randint(-30, 50), rnd.randint(-30, 50)) for j in range(40)]
+    ivs += [(40, 5, 5), (41, 10, 2), (42, -100, -50)]  # point/inverted/outside
+    iv = spark.createDataFrame(ivs, "ivid long, lo long, hi long")
+    for domain in (None, (-25, 45)):
+        got = {
+            r["ivid"]: (r["n_points"], r["wsum"], r["d_vals"])
+            for r in interval_point_count_join(
+                p, iv, "p", "lo", "hi", domain=domain,
+                sum_cols={"wsum": "v"}, distinct_count_col="d_vals",
+            ).collect()
+        }
+        dlo, dhi = domain if domain else (-10**9, 10**9)
+        want = {}
+        for j, lo, hi in ivs:
+            inside = [(x, v) for x, v in pts if lo <= x <= hi and dlo <= x <= dhi]
+            want[j] = (
+                len(inside) if hi >= lo else 0,
+                sum(v for _, v in inside) if hi >= lo else 0,
+                len({x for x, _ in inside}) if hi >= lo else 0,
+            )
+        assert got == want, f"domain={domain}"
+    # output-name clash guard covers the distinct column too
+    with pytest.raises(ValueError, match="exists"):
+        interval_point_count_join(
+            p, iv.withColumnRenamed("ivid", "d"), "p", "lo", "hi",
+            distinct_count_col="d",
+        )
