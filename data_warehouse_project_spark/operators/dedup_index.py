@@ -192,11 +192,17 @@ def verify_pairs_exact(
     pair intersects two arrays — no exploded shingle shuffle. Candidate
     COUNT is LSH-output-bounded, but the per-doc shingle-set arrays
     scale with document length, so the x/y join strategy is left to
-    AQE: ``cd`` is checkpointed, so exact size stats exist and AQE
-    broadcasts only when the arrays are genuinely small, falling back
-    to a shuffle join for heavily-duplicated long-document batches
-    (a forced broadcast here was O(candidate_docs × doc_length) driver
-    pressure at the 100 TB design point)."""
+    AQE — a deliberate, MEASURED choice (r8): at sf0.1 AQE's executed
+    plan picks BroadcastHashJoin with the small side as build (verified
+    via executedPlan()); forcing F.broadcast on the array-bearing x/y
+    sides is ~0.2-0.4 s SLOWER (AQE prefers broadcasting the tiny pair
+    frame over collecting shingle arrays — the better build side), and
+    hinting the cand side wins nothing outside host noise (interleaved
+    min-of-4 A/B, all three variants within ±0.1 s). The r7 bench
+    drift on the two minhash entries is AQE's decide-after-exchange-
+    write cost — the pinned price of size-safety: a forced broadcast
+    here was O(candidate_docs × doc_length) driver pressure at the
+    100 TB design point."""
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
         cand.select(F.col("doc_b").alias("doc_id"))
     )
