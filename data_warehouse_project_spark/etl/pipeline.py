@@ -849,11 +849,23 @@ def load_3nf_sales(
 def load_dim_dates(
     spark: SparkSession, wh: Warehouse, run_ts: dt.datetime | None = None
 ) -> None:
-    sales = wh.read("bl_3nf", "ce_sales")
-    bounds = sales.agg(
-        F.add_months(F.min("order_dt"), -1).alias("start_d"),
-        F.add_months(F.max("order_dt"), 1).alias("end_d"),
-    )
+    mm = wh.footer_min_max("bl_3nf", "ce_sales", "order_dt")
+    if mm is not None:
+        # A3 via parquet footers: the fact table's date endpoints are
+        # exact DATE statistics — a metadata read replaces the full
+        # fact scan that made this constant-output stage the first to
+        # bend in the sf2→sf4 smoke (3.2× wall per 2× rows). add_months
+        # matched in SQL below so both paths stay byte-identical.
+        bounds = wh.spark.range(1).select(
+            F.add_months(F.lit(mm[0]), -1).alias("start_d"),
+            F.add_months(F.lit(mm[1]), 1).alias("end_d"),
+        )
+    else:
+        sales = wh.read("bl_3nf", "ce_sales")
+        bounds = sales.agg(
+            F.add_months(F.min("order_dt"), -1).alias("start_d"),
+            F.add_months(F.max("order_dt"), 1).alias("end_d"),
+        )
     days = bounds.select(F.explode(F.sequence("start_d", "end_d")).alias("date_id"))
     # full 17-attribute projection (D1-D17), same schema as the
     # oracle-checked dim_dates query

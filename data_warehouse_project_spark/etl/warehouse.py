@@ -275,6 +275,46 @@ class Warehouse:
                 return None
         return mx
 
+    def footer_min_max(self, layer: str, name: str, col: str):
+        """(MIN, MAX) of ``col`` from parquet footer statistics —
+        metadata only, no Spark job. Same exactness contract as
+        ``footer_max`` (INT32/INT64 physical only — string stats may be
+        truncated bounds) but returns pyarrow's LOGICAL values, so a
+        DATE column yields ``datetime.date`` endpoints. Motivated by
+        the r8 sf2→sf4 ETL smoke: the auto-ranged date dim was scanning
+        the whole fact table for two endpoints, making a
+        constant-output stage the first to bend (3.2× wall per 2× rows)
+        — at 100 TB that scan is the difference between O(part files)
+        driver metadata reads and a full-table job. Returns None if the
+        table is missing, the column is absent/non-integral, or any
+        non-empty file lacks stats (caller falls back to a Spark agg)."""
+        import pyarrow.parquet as pq
+
+        if not self.exists(layer, name):
+            return None
+        lo = hi = None
+        for f in self._data_files(self.path(layer, name)):
+            md = pq.ParquetFile(str(f)).metadata
+            if md.num_rows == 0:
+                continue
+            found = False
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema == col:
+                        found = True
+                        if c.physical_type not in ("INT32", "INT64"):
+                            return None
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            if not found:
+                return None
+        return None if lo is None else (lo, hi)
+
     @classmethod
     def _footer_count(cls, root: Path) -> int:
         """Row count from parquet footer metadata, driver-side — no

@@ -26,8 +26,8 @@ def _ids(wh):
     return {r["nm"]: r["t_id"] for r in wh.read("bl_3nf", "dim_t").collect()}
 
 
-def _data_files(wh):
-    return sorted(wh.path("bl_3nf", "dim_t").rglob("part-*"))
+def _data_files(wh, name="dim_t"):
+    return sorted(wh.path("bl_3nf", name).rglob("part-*"))
 
 
 @pytest.mark.parametrize("dense", [False, True])
@@ -95,3 +95,66 @@ def test_footer_max_refuses_non_integral_columns(spark, tmp_path):
     _dim(spark, wh, ["alpha", "beta"], False)
     assert wh.footer_max("bl_3nf", "dim_t", "nm") is None
     assert wh.footer_max("bl_3nf", "dim_t", "t_id") is not None
+
+
+def test_footer_min_max_dates_and_fallback(spark, tmp_path):
+    """footer_min_max: exact logical DATE endpoints from footer stats
+    (the auto-ranged date dim's metadata path), int support, the same
+    None contracts as footer_max (missing table / string column /
+    statless files), and zero-row part files skipped not fatal."""
+    import datetime as dt
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, dt.date(1995, 3, 7), "a"), (2, dt.date(1993, 1, 2), "b"),
+         (3, dt.date(1998, 11, 30), "c")],
+        "k long, d date, nm string",
+    )
+    wh.append(df.repartition(3), "bl_3nf", "t")
+    assert wh.footer_min_max("bl_3nf", "t", "d") == (
+        dt.date(1993, 1, 2), dt.date(1998, 11, 30))
+    assert wh.footer_min_max("bl_3nf", "t", "k") == (1, 3)
+    assert wh.footer_min_max("bl_3nf", "t", "nm") is None   # string stats
+    assert wh.footer_min_max("bl_3nf", "t", "zz") is None   # absent column
+    assert wh.footer_min_max("bl_3nf", "none", "d") is None  # missing table
+    # a zero-row part file must be skipped, not poison the contract
+    empty = spark.createDataFrame([], "k long, d date, nm string")
+    empty.coalesce(1).write.mode("append").parquet(str(wh.path("bl_3nf", "t")))
+    assert wh.footer_min_max("bl_3nf", "t", "d") == (
+        dt.date(1993, 1, 2), dt.date(1998, 11, 30))
+    # statless rewrite → None (Spark-agg fallback territory)
+    for f in _data_files(wh, "t"):
+        t = pq.read_table(str(f))
+        pq.write_table(t, str(f), write_statistics=False)
+    assert wh.footer_min_max("bl_3nf", "t", "d") is None
+
+
+def test_dim_dates_footer_path_equals_agg_path(spark, tmp_path):
+    """load_dim_dates through footer endpoints must emit exactly the
+    rows the full-scan agg path emits — strip the stats and rerun to
+    force the fallback, then compare."""
+    from data_warehouse_project_spark.etl.pipeline import load_dim_dates
+
+    import datetime as dt
+
+    rows = [(i, dt.date(1995, 1, 1) + dt.timedelta(days=37 * i))
+            for i in range(9)]
+    for mode in ("footer", "agg"):
+        wh = Warehouse(spark, str(tmp_path / mode))
+        sales = spark.createDataFrame(rows, "sale_id long, order_dt date")
+        wh.append(sales, "bl_3nf", "ce_sales")
+        if mode == "agg":
+            for f in _data_files(wh, "ce_sales"):
+                t = pq.read_table(str(f))
+                pq.write_table(t, str(f), write_statistics=False)
+            assert wh.footer_min_max("bl_3nf", "ce_sales", "order_dt") is None
+        else:
+            assert wh.footer_min_max("bl_3nf", "ce_sales", "order_dt") is not None
+        load_dim_dates(spark, wh)
+        got = sorted(
+            r["date_id"] for r in
+            wh.read("bl_dm", "dim_dates").select("date_id").collect()
+        )
+        if mode == "footer":
+            want = got
+    assert got == want and len(want) > 300
