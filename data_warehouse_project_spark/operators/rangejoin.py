@@ -237,6 +237,62 @@ def interval_overlap_join(
     return joined.select(*keep)
 
 
+def _count_join_measures(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    count_col: str,
+    sum_cols: dict[str, str] | None,
+    distinct_count_col: str | None,
+):
+    """Shared argument validation + measure-expression construction for
+    the dense (domain-spine) and sparse (present-values) count joins —
+    one definition, so the two modes can never drift on what a measure
+    means. Returns (sums, measures, extra_outs)."""
+    ticked = [c for c in (point_col, lo_col, hi_col) if "`" in c]
+    if ticked:
+        raise ValueError(
+            f"interval_point_count_join: backtick in column name(s): {ticked}"
+        )
+    clash = {c for c in intervals.columns if c.startswith("__rj_")}
+    if clash:
+        raise ValueError(
+            f"interval_point_count_join: reserved internal name(s) in "
+            f"input: {sorted(clash)}"
+        )
+    sums = dict(sum_cols or {})
+    extra_outs = [distinct_count_col] if distinct_count_col else []
+    for out_name in (count_col, *sums, *extra_outs):
+        if out_name in intervals.columns:
+            raise ValueError(
+                f"interval_point_count_join: {out_name!r} already "
+                "exists on the interval side"
+            )
+    integral = ("bigint", "int", "smallint", "tinyint")
+    dtypes = dict(points.dtypes)
+    for out_name, src in sums.items():
+        if "`" in src:
+            raise ValueError(
+                f"interval_point_count_join: backtick in column name(s): [{src!r}]"
+            )
+        if dtypes.get(src) not in integral:
+            raise ValueError(
+                f"interval_point_count_join: sum column {src!r} must be "
+                f"integral (got {dtypes.get(src)}) — use exact integer "
+                "units (cents/micros), not floats"
+            )
+    measures = {"__rj_cnt": F.count(F.lit(1))}
+    for out_name, src in sums.items():
+        measures[f"__rj_s_{out_name}"] = F.sum(F.col(src))
+    if distinct_count_col:
+        # the groupBy(point value) rollup has already collapsed
+        # duplicates — presence is a constant 1 per surviving day row
+        measures["__rj_dst"] = F.min(F.lit(1))
+    return sums, measures, extra_outs
+
+
 def interval_point_count_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -293,46 +349,10 @@ def interval_point_count_join(
     """
     # no cross-side disjointness requirement (point columns are never
     # emitted) — only backtick safety, internal-name headroom, and the
-    # output column not colliding
-    ticked = [c for c in (point_col, lo_col, hi_col) if "`" in c]
-    if ticked:
-        raise ValueError(
-            f"interval_point_count_join: backtick in column name(s): {ticked}"
-        )
-    clash = {c for c in intervals.columns if c.startswith("__rj_")}
-    if clash:
-        raise ValueError(
-            f"interval_point_count_join: reserved internal name(s) in "
-            f"input: {sorted(clash)}"
-        )
-    sums = dict(sum_cols or {})
-    extra_outs = [distinct_count_col] if distinct_count_col else []
-    for out_name in (count_col, *sums, *extra_outs):
-        if out_name in intervals.columns:
-            raise ValueError(
-                f"interval_point_count_join: {out_name!r} already "
-                "exists on the interval side"
-            )
-    integral = ("bigint", "int", "smallint", "tinyint")
-    dtypes = dict(points.dtypes)
-    for out_name, src in sums.items():
-        if "`" in src:
-            raise ValueError(
-                f"interval_point_count_join: backtick in column name(s): [{src!r}]"
-            )
-        if dtypes.get(src) not in integral:
-            raise ValueError(
-                f"interval_point_count_join: sum column {src!r} must be "
-                f"integral (got {dtypes.get(src)}) — use exact integer "
-                "units (cents/micros), not floats"
-            )
-    measures = {"__rj_cnt": F.count(F.lit(1))}
-    for out_name, src in sums.items():
-        measures[f"__rj_s_{out_name}"] = F.sum(F.col(src))
-    if distinct_count_col:
-        # the groupBy(point value) rollup has already collapsed
-        # duplicates — presence is a constant 1 per surviving day row
-        measures["__rj_dst"] = F.min(F.lit(1))
+    sums, measures, extra_outs = _count_join_measures(
+        points, intervals, point_col, lo_col, hi_col,
+        count_col, sum_cols, distinct_count_col,
+    )
     daily = points.groupBy(F.col(point_col).alias("__rj_day")).agg(
         *[expr.alias(name) for name, expr in measures.items()]
     )
@@ -430,7 +450,14 @@ def interval_point_count_join(
         "__rj_dl",
         "left",
     )
-    empty = F.col(hi_col) < F.col(lo_col)
+    # NULL endpoints match nothing, exactly like SQL BETWEEN with a
+    # NULL bound — without this the signed prefix difference emits a
+    # meaningless one-sided value
+    empty = (
+        F.col(hi_col).isNull()
+        | F.col(lo_col).isNull()
+        | (F.col(hi_col) < F.col(lo_col))
+    )
 
     def measure(m: str):
         diff = F.coalesce(F.col(f"__rj_h_{m}"), F.lit(0)) - F.coalesce(
@@ -439,6 +466,216 @@ def interval_point_count_join(
         return F.when(empty, F.lit(0)).otherwise(diff).cast("bigint")
 
     out = out.withColumn(count_col, measure("__rj_cnt"))
+    for out_name in sums:
+        out = out.withColumn(out_name, measure(f"__rj_s_{out_name}"))
+    if distinct_count_col:
+        out = out.withColumn(distinct_count_col, measure("__rj_dst"))
+    return out.select(*intervals.columns, count_col, *sums, *extra_outs)
+
+
+# bucket-spine ceiling for the sparse count join: the per-bucket carry
+# frame is model state (broadcast + one single-task window), so its
+# size must be bounded by the caller's width choice, not by data.
+# 2^16 buckets of, say, 1-hour micros stripes span ~7.5 years.
+MAX_SPARSE_BUCKETS = 1 << 16
+
+
+def interval_point_count_join_sparse(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    count_col: str = "n_points",
+    sum_cols: dict[str, str] | None = None,
+    distinct_count_col: str | None = None,
+) -> DataFrame:
+    """``interval_point_count_join`` for UNBOUNDED value domains —
+    epoch micros straight in, no pre-bucketing, no 4M-value spine.
+
+    The dense mode materializes a spine row per domain VALUE, which is
+    exactly right at day/hour grain and impossible at micros (a year is
+    ~3.2e13 values). The sparse decomposition replaces the value spine
+    with two levels:
+
+    1. points roll up to per-VALUE measure rows (|distinct values| —
+       data-proportional, distributed);
+    2. a BUCKET spine at ``bucket_width`` stripes (bounded model state,
+       enforced in-plan at MAX_SPARSE_BUCKETS) carries each bucket's
+       exclusive prefix totals, computed with one single-task window
+       over the bounded bucket frame — the
+       ``operators.prefix.bucketed_prefix_sum`` two-pass shape;
+    3. each value row's GLOBAL inclusive prefix C(v) = its in-bucket
+       running sum (parallel per-bucket windows) + its bucket's carry;
+    4. each interval endpoint needs C at an arbitrary value, i.e. the
+       last value row ≤ endpoint — the as-of union trick
+       (plans/asof.py), partitioned by the SAME buckets: interval rows
+       ride one window per endpoint with the value rows of their
+       bucket, ``last(C, ignorenulls)`` carries the answer onto them,
+       and an endpoint with no preceding value row in its bucket falls
+       back to the bucket carry (correct even in buckets holding no
+       points at all, because the carry spine is dense over buckets).
+
+    Cost: one rollup shuffle of points + two window shuffles of
+    intervals (endpoints must move to their bucket's partition — the
+    price of dropping the broadcastable spine), all linear; zero pair
+    rows. Results are bit-identical to the dense mode wherever both
+    apply (property-tested); empty (hi<lo) intervals yield 0.
+    """
+    if bucket_width <= 0:
+        raise ValueError(
+            "interval_point_count_join_sparse: bucket_width must be positive"
+        )
+    sums, measures, extra_outs = _count_join_measures(
+        points, intervals, point_col, lo_col, hi_col,
+        count_col, sum_cols, distinct_count_col,
+    )
+    from data_warehouse_project_spark.operators.prefix import single_group
+
+    mnames = list(measures)
+    daily = points.groupBy(F.col(point_col).alias("__rj_v")).agg(
+        *[expr.alias(name) for name, expr in measures.items()]
+    )
+    fdiv = _fdiv("__rj_v", bucket_width)
+    b = daily.withColumn("__rj_pb", fdiv)
+    totals = b.groupBy("__rj_pb").agg(
+        *[F.sum(m).alias(m) for m in mnames]
+    )
+    # dense spine over BUCKETS (not values): bounds derived lazily,
+    # width guarded in the minted expression — same zero-extra-jobs
+    # pattern as the dense mode's derived-domain guard
+    bounds = b.agg(
+        F.min("__rj_pb").alias("__rj_blo"), F.max("__rj_pb").alias("__rj_bhi")
+    )
+    guarded_bhi = F.when(
+        F.col("__rj_bhi") - F.col("__rj_blo") > MAX_SPARSE_BUCKETS,
+        F.raise_error(
+            F.lit(
+                "interval_point_count_join_sparse: bucket spine wider "
+                f"than {MAX_SPARSE_BUCKETS} buckets — raise bucket_width "
+                "so the stripe count stays model-sized"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("__rj_bhi"))
+    bspine = bounds.select(
+        F.explode(F.sequence(F.col("__rj_blo"), guarded_bhi)).alias("__rj_pb")
+    )
+    carry_w = (
+        Window.partitionBy(single_group(F.col("__rj_pb")))
+        .orderBy("__rj_pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # per-bucket EXCLUSIVE prefix totals (carry-in), dense over the
+    # bucket range so endpoints landing in point-free buckets resolve
+    bcarry = (
+        bspine.join(F.broadcast(totals), "__rj_pb", "left")
+        .select(
+            "__rj_pb",
+            *[F.coalesce(F.col(m), F.lit(0)).alias(m) for m in mnames],
+        )
+        .select(
+            "__rj_pb",
+            *[
+                F.coalesce(F.sum(m).over(carry_w), F.lit(0)).alias(
+                    f"__rj_carry_{m}"
+                )
+                for m in mnames
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    in_w = (
+        Window.partitionBy("__rj_pb")
+        .orderBy("__rj_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dcum = (
+        b.join(F.broadcast(bcarry), "__rj_pb")
+        .select(
+            "__rj_pb",
+            "__rj_v",
+            *[
+                (F.sum(m).over(in_w) + F.col(f"__rj_carry_{m}")).alias(
+                    f"__rj_C_{m}"
+                )
+                for m in mnames
+            ],
+        )
+        # consumed by BOTH endpoint lookups — checkpoint lazily so the
+        # points rollup runs once, not per endpoint
+        .localCheckpoint(eager=False)
+    )
+    # bucket clamp range for endpoints: [blo, bhi] so below-all-data
+    # endpoints land before every value row of the first bucket (C=0
+    # via carry(blo)=0) and above-all-data endpoints land after every
+    # value row of the last bucket (C=total)
+    brange = F.broadcast(
+        bounds.select("__rj_blo", "__rj_bhi").localCheckpoint(eager=False)
+    )
+
+    def lookup(iv: DataFrame, endpoint, tag: str) -> DataFrame:
+        """Attach __rj_{tag}_{measure} = C(endpoint) to every iv row."""
+        e = iv.crossJoin(brange).withColumn("__rj_v", endpoint)
+        e = e.withColumn(
+            "__rj_pb",
+            F.greatest(
+                F.least(_fdiv("__rj_v", bucket_width), F.col("__rj_bhi")),
+                F.col("__rj_blo"),
+            ),
+        ).drop("__rj_blo", "__rj_bhi")
+        u = dcum.withColumn("__rj_side", F.lit(0)).unionByName(
+            e.withColumn("__rj_side", F.lit(1)), allowMissingColumns=True
+        )
+        w = (
+            Window.partitionBy("__rj_pb")
+            .orderBy("__rj_v", "__rj_side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = u.select(
+            "*",
+            *[
+                F.last(f"__rj_C_{m}", ignorenulls=True)
+                .over(w)
+                .alias(f"__rj_cd_{m}")
+                for m in mnames
+            ],
+        ).filter(F.col("__rj_side") == 1)
+        # LEFT join: a NULL endpoint yields a NULL bucket, which an
+        # inner join would silently drop — dense mode keeps such rows
+        # (count 0), so must this
+        out = carried.join(F.broadcast(bcarry), "__rj_pb", "left")
+        for m in mnames:
+            out = out.withColumn(
+                f"__rj_{tag}_{m}",
+                F.coalesce(
+                    F.col(f"__rj_cd_{m}"), F.col(f"__rj_carry_{m}"), F.lit(0)
+                ),
+            )
+        drop = (
+            ["__rj_v", "__rj_pb", "__rj_side"]
+            + [f"__rj_C_{m}" for m in mnames]
+            + [f"__rj_cd_{m}" for m in mnames]
+            + [f"__rj_carry_{m}" for m in mnames]
+        )
+        return out.drop(*drop)
+
+    keyed = lookup(intervals, F.col(hi_col), "h")
+    keyed = lookup(keyed, F.col(lo_col) - 1, "l")
+    # NULL endpoints match nothing, exactly like SQL BETWEEN with a
+    # NULL bound — without this the signed prefix difference emits a
+    # meaningless one-sided value
+    empty = (
+        F.col(hi_col).isNull()
+        | F.col(lo_col).isNull()
+        | (F.col(hi_col) < F.col(lo_col))
+    )
+
+    def measure(m: str):
+        diff = F.col(f"__rj_h_{m}") - F.col(f"__rj_l_{m}")
+        return F.when(empty, F.lit(0)).otherwise(diff).cast("bigint")
+
+    out = keyed.withColumn(count_col, measure("__rj_cnt"))
     for out_name in sums:
         out = out.withColumn(out_name, measure(f"__rj_s_{out_name}"))
     if distinct_count_col:

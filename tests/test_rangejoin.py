@@ -510,3 +510,134 @@ def test_count_join_distinct_matches_pair_enumeration(spark):
             p, iv.withColumnRenamed("ivid", "d"), "p", "lo", "hi",
             distinct_count_col="d",
         )
+
+
+# ------------------------------------------------ sparse count join
+
+
+def test_sparse_count_join_matches_dense_and_naive(spark):
+    """The sparse (present-values + bucket-carry) decomposition must be
+    bit-identical to the dense spine mode and the brute-force truth at
+    several bucket widths, including point/inverted/out-of-range and
+    NULL-endpoint intervals (NULL BETWEEN bounds match nothing)."""
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join,
+        interval_point_count_join_sparse,
+    )
+
+    rnd = random.Random(5)
+    pts = [(rnd.randint(-2000, 4000), rnd.randint(-5, 5)) for _ in range(300)]
+    p = spark.createDataFrame(pts, "p long, v long")
+    ivs = [(j, rnd.randint(-3000, 5000), rnd.randint(-3000, 5000))
+           for j in range(40)]
+    ivs += [(40, 5, 5), (41, 10, 2), (42, -10000, -5000),
+            (43, None, 100), (44, 100, None)]
+    iv = spark.createDataFrame(ivs, "ivid long, lo long, hi long")
+    want = {}
+    for j, lo, hi in ivs:
+        if lo is None or hi is None or hi < lo:
+            want[j] = (0, 0, 0)
+        else:
+            ins = [(x, v) for x, v in pts if lo <= x <= hi]
+            want[j] = (len(ins), sum(v for _, v in ins),
+                       len({x for x, _ in ins}))
+    kw = dict(sum_cols={"ws": "v"}, distinct_count_col="dv")
+    dense = {r["ivid"]: (r["n_points"], r["ws"], r["dv"])
+             for r in interval_point_count_join(
+                 p, iv, "p", "lo", "hi", **kw).collect()}
+    assert dense == want
+    for width in (1, 7, 100, 5000):
+        sparse = {r["ivid"]: (r["n_points"], r["ws"], r["dv"])
+                  for r in interval_point_count_join_sparse(
+                      p, iv, "p", "lo", "hi", bucket_width=width, **kw
+                  ).collect()}
+        assert sparse == want, f"width={width}"
+
+
+def test_sparse_count_join_micros_domain(spark):
+    """The whole point of sparse mode: raw epoch-micros values (domain
+    width ~3.6e12 — far past the dense 4M spine bound) count exactly,
+    and empty points still yield all-zero rows."""
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join_sparse,
+    )
+
+    base = 1_700_000_000_000_000
+    pts = [(base + i * 13_000_000,) for i in range(500)]
+    p = spark.createDataFrame(pts, "p long")
+    ivs = [(0, base, base + 3_600_000_000),
+           (1, base + 7_000_000_000, base + 9_000_000_000),
+           (2, base - 10**12, base - 1)]
+    iv = spark.createDataFrame(ivs, "ivid long, lo long, hi long")
+    got = {r["ivid"]: r["n_points"]
+           for r in interval_point_count_join_sparse(
+               p, iv, "p", "lo", "hi", bucket_width=3_600_000_000
+           ).collect()}
+    want = {j: sum(1 for (x,) in pts if lo <= x <= hi) for j, lo, hi in ivs}
+    assert got == want and want[0] > 0 and want[2] == 0
+    empty = spark.createDataFrame([], "p long")
+    ze = {r["ivid"]: r["n_points"]
+          for r in interval_point_count_join_sparse(
+              empty, iv, "p", "lo", "hi", bucket_width=3_600_000_000
+          ).collect()}
+    assert ze == {0: 0, 1: 0, 2: 0}
+
+
+def test_sparse_count_join_bucket_spine_guard(spark):
+    """A width that would mint a bucket spine past MAX_SPARSE_BUCKETS
+    must fail in-plan with the clear raise-width message."""
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join_sparse,
+    )
+
+    p = spark.createDataFrame(
+        [(0,), (10**12,)], "p long"
+    )
+    iv = spark.createDataFrame([(1, 0, 10)], "ivid long, lo long, hi long")
+    with pytest.raises(Exception, match="raise bucket_width"):
+        interval_point_count_join_sparse(
+            p, iv, "p", "lo", "hi", bucket_width=1000
+        ).collect()
+    with pytest.raises(ValueError, match="positive"):
+        interval_point_count_join_sparse(
+            p, iv, "p", "lo", "hi", bucket_width=0
+        )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(case=_case(), wk=st.sampled_from([1, 3, 0]))
+def test_hypothesis_sparse_count_join_matches_python_naive(spark, case, wk):
+    """Sparse mode swept with the shared _case strategy (exact edges,
+    empties, 2^31-straddling and epoch-micro offsets) at bucket widths
+    below/above the stripe width — and NO domain restriction: the cases
+    the dense mode must reject are exactly the ones sparse must get
+    right."""
+    from data_warehouse_project_spark.operators.rangejoin import (
+        interval_point_count_join_sparse,
+    )
+
+    w, pts, ivs = case
+    width = [w, 3 * w + 1, max(w // 3, 1)][wk if wk in (0, 1) else 2]
+    p = spark.createDataFrame([(x,) for x in pts], "p long")
+    iv = spark.createDataFrame(
+        [(j, lo, hi) for j, (lo, hi) in enumerate(ivs)],
+        "ivid long, lo long, hi long",
+    )
+    want = {
+        j: sum(1 for x in pts if lo <= x <= hi)
+        for j, (lo, hi) in enumerate(ivs)
+    }
+    got = {
+        r["ivid"]: r["n_points"]
+        for r in interval_point_count_join_sparse(
+            p, iv, "p", "lo", "hi", bucket_width=width
+        ).collect()
+    }
+    assert got == want
