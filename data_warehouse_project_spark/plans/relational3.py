@@ -964,6 +964,7 @@ def ship_day_coverage_open_orders(
     "as-of union lookups for the window endpoints. Zero pair rows at "
     "any density, no pre-bucketing of the timestamp column.",
     tags=("join", "range", "agg", "events"),
+    bench=True,
 )
 def preceding_events_10min_micros(
     spark: SparkSession, sf_dir: str
