@@ -1,0 +1,679 @@
+"""Transactional parquet table — a self-contained commit-log format
+giving the warehouse file-level ACID semantics on plain parquet.
+
+The reference gets atomicity from Postgres transactions (every loader
+runs in one; readme.md "transactional load" + the ON CONFLICT upserts in
+load_3nf_ce_customers_scd_table_type1.sql:101-144). The repo's
+``Warehouse`` already provides whole-table atomic swap (snapshot path)
+and partition-scoped swap (bucketed merge path); ``operators/merge.py``
+documents Delta/Iceberg MERGE INTO as the managed-format upgrade with
+*file-level* granularity. No such package exists offline, so this module
+implements the core of that upgrade from first principles — the same
+log-structured design Delta Lake describes publicly (Armbrust et al.,
+"Delta Lake: High-Performance ACID Table Storage over Cloud Object
+Stores", VLDB 2020):
+
+- ``<root>/_txlog/v<20-digit>.json`` — one immutable manifest per
+  version, each the FULL file list (O(files) metadata; ~100k files is
+  a few MB — driver model state, never row data);
+- commit = write a temp manifest, then atomically claim the next
+  version number with ``os.link`` (fails with EEXIST if a concurrent
+  writer won — optimistic concurrency, the loser gets
+  ``TxConflictError`` and re-runs from the new snapshot; blind appends
+  auto-retry since they depend on no snapshot);
+- readers pin a version: a read is "list the manifest's files, hand
+  them to ``spark.read.parquet``" — they see a complete commit or the
+  previous one, never a partial write, and any version not yet
+  vacuumed is time-travel readable;
+- writes are COPY-ON-WRITE at file granularity: MERGE/DELETE/UPDATE
+  rewrite only the data files that can contain affected keys, carrying
+  every other file into the new manifest untouched. Touched-file
+  discovery uses per-file key min/max recorded at write time from
+  parquet footer statistics (INT32/INT64 physical only — the same
+  exactness contract as ``Warehouse.footer_max``; string stats may be
+  truncated bounds). Files without usable stats are conservatively
+  treated as touched.
+
+Crash safety: data files land under ``data/`` BEFORE the manifest that
+references them is linked, so a crash at any point leaves either the
+old table (orphan data files + a dangling temp manifest, both invisible
+to readers and reaped by ``vacuum``) or the new one — never a torn
+state. There is no rename-the-directory window at all.
+
+100 TB shape: everything per-row is a Spark job over only the touched
+files; the driver holds manifests (O(files)) and file-range pruning
+joins run against a broadcast frame of file stats (O(files) rows).
+A MERGE that updates 0.1%% of keys clustered in 0.1%% of files reads
+and rewrites ~0.1%% of the table — the property the snapshot path lacks
+and the reason Delta-style layouts win at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+TXLOG_DIR = "_txlog"
+DATA_DIR = "data"
+_V_WIDTH = 20
+
+# commit claim retries for operations with no snapshot dependency
+# (appends): bounded so a livelock bug fails loudly instead of spinning
+_APPEND_RETRIES = 20
+
+
+class TxError(RuntimeError):
+    """Base class for transactional-table errors."""
+
+
+class TxConflictError(TxError):
+    """A concurrent writer committed between this operation's snapshot
+    and its commit attempt. Re-run the operation from the new snapshot
+    (the table on disk is untouched by the failed attempt)."""
+
+
+class TxVacuumedError(TxError):
+    """The requested version's manifest exists no longer (vacuumed)."""
+
+
+def _mname(version: int) -> str:
+    return f"v{version:0{_V_WIDTH}d}.json"
+
+
+class TxTable:
+    """Handle to one transactional table rooted at ``root``.
+
+    The handle is stateless between calls — every operation re-reads
+    the latest manifest, so multiple handles (or processes) over the
+    same root coordinate purely through the commit log.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        self.log_dir = self.root / TXLOG_DIR
+        self.data_dir = self.root / DATA_DIR
+        if not self.log_dir.is_dir():
+            raise TxError(f"not a transactional table (no {TXLOG_DIR}): {root}")
+
+    # ------------------------------------------------------------ init
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str | Path,
+        df: DataFrame,
+        key: str | None = None,
+    ) -> "TxTable":
+        """Create a new table at ``root`` (must not already be one) and
+        commit ``df`` as version 0. ``key`` declares the merge key whose
+        per-file min/max statistics drive copy-on-write file pruning."""
+        root = Path(root)
+        if (root / TXLOG_DIR).exists():
+            raise TxError(f"already a transactional table: {root}")
+        if key is not None and key not in df.columns:
+            raise TxError(f"key column {key!r} not in dataframe")
+        root.mkdir(parents=True, exist_ok=True)
+        (root / TXLOG_DIR).mkdir()
+        (root / DATA_DIR).mkdir(exist_ok=True)
+        t = cls(spark, root)
+        files = t._write_files(df, key)
+        t._commit(0, "create", files, _schema_json(df.schema), key)
+        return t
+
+    # ------------------------------------------------------- manifests
+
+    def _versions(self) -> list[int]:
+        out = []
+        for p in self.log_dir.iterdir():
+            n = p.name
+            if (
+                n.startswith("v")
+                and n.endswith(".json")
+                and n[1 : 1 + _V_WIDTH].isdigit()
+                and len(n) == 1 + _V_WIDTH + 5
+            ):
+                out.append(int(n[1 : 1 + _V_WIDTH]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise TxError(f"no committed version in {self.log_dir}")
+        return vs[-1]
+
+    def _manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        p = self.log_dir / _mname(v)
+        if not p.exists():
+            known = self._versions()
+            lo = known[0] if known else None
+            raise TxVacuumedError(
+                f"version {v} is not on disk (retained: "
+                f"{lo}..{known[-1] if known else None}) — vacuumed or never "
+                "committed"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """All retained manifests, oldest first, file lists elided."""
+        out = []
+        for v in self._versions():
+            m = self._manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "op": m["op"],
+                    "ts": m["ts"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(f["rows"] for f in m["files"]),
+                    "metrics": m.get("metrics", {}),
+                }
+            )
+        return out
+
+    def _commit(
+        self,
+        version: int,
+        op: str,
+        files: list[dict],
+        schema_json: str,
+        key: str | None,
+        metrics: dict | None = None,
+    ) -> None:
+        """Atomically claim ``version``. Raises TxConflictError if a
+        concurrent writer claimed it first; the temp manifest is always
+        cleaned up and data files referenced by the failed manifest stay
+        orphaned (invisible) for vacuum."""
+        manifest = {
+            "version": version,
+            "op": op,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "schema": schema_json,
+            "key": key,
+            "files": sorted(files, key=lambda f: f["path"]),
+            "metrics": metrics or {},
+        }
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # os.link is atomic and FAILS if the target exists — unlike
+            # rename, which silently overwrites on POSIX. Exactly one
+            # writer can claim a version number.
+            os.link(tmp, self.log_dir / _mname(version))
+        except FileExistsError:
+            raise TxConflictError(
+                f"version {version} was committed concurrently — re-run "
+                "this operation from the new snapshot"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    # ------------------------------------------------------ data files
+
+    def _write_files(self, df: DataFrame, key: str | None) -> list[dict]:
+        """Materialize ``df`` as new uniquely-named files under data/
+        and return their manifest entries (rows + key stats from parquet
+        footers — metadata-only, no extra Spark job). Files written here
+        are INVISIBLE until some manifest references them."""
+        import pyarrow.parquet as pq
+
+        staging = self.root / f"_staging-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(str(staging))
+        entries: list[dict] = []
+        try:
+            for item in sorted(staging.rglob("*")):
+                if not item.is_file() or item.name.startswith(("_", ".")):
+                    continue
+                final = self.data_dir / f"{uuid.uuid4().hex}.parquet"
+                md = pq.ParquetFile(str(item)).metadata
+                if md.num_rows == 0:
+                    continue
+                entry: dict = {"path": f"{DATA_DIR}/{final.name}", "rows": md.num_rows}
+                if key is not None:
+                    stats = _footer_range(md, key)
+                    if stats is not None:
+                        entry["kmin"], entry["kmax"] = stats
+                os.replace(item, final)
+                entries.append(entry)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _read_files(self, manifest: dict, paths: list[str]) -> DataFrame:
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[str(self.root / p) for p in paths]
+        )
+
+    # ----------------------------------------------------------- reads
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (latest, or time travel to ``version``)."""
+        m = self._manifest(version)
+        return self._read_files(m, [f["path"] for f in m["files"]])
+
+    def row_count(self, version: int | None = None) -> int:
+        """Exact row count from manifest metadata — no Spark job."""
+        return sum(f["rows"] for f in self._manifest(version)["files"])
+
+    # ---------------------------------------------------------- writes
+
+    def append(self, df: DataFrame) -> dict:
+        """Append a batch. Appends depend on no snapshot, so a lost
+        commit race is retried onto the next version automatically
+        (schema is revalidated against the winner's manifest each try).
+        Returns the commit metrics."""
+        files = None
+        for _ in range(_APPEND_RETRIES):
+            m = self._manifest()
+            _check_schema(m, df)
+            if files is None:  # write data once; only the claim retries
+                files = self._write_files(df, m["key"])
+                if not files:
+                    return {"rows_appended": 0, "version": m["version"]}
+            try:
+                self._commit(
+                    m["version"] + 1,
+                    "append",
+                    m["files"] + files,
+                    m["schema"],
+                    m["key"],
+                    {"rows_appended": sum(f["rows"] for f in files)},
+                )
+                return {
+                    "rows_appended": sum(f["rows"] for f in files),
+                    "version": m["version"] + 1,
+                }
+            except TxConflictError:
+                continue
+        raise TxConflictError(
+            f"append lost the commit race {_APPEND_RETRIES} times"
+        )
+
+    def overwrite(self, df: DataFrame, key: str | None = None) -> dict:
+        """Replace the table contents (and optionally re-declare the
+        merge key / schema). Old versions stay time-travel readable
+        until vacuumed."""
+        m = self._manifest()
+        key = m["key"] if key is None else key
+        if key is not None and key not in df.columns:
+            raise TxError(f"key column {key!r} not in dataframe")
+        files = self._write_files(df, key)
+        self._commit(
+            m["version"] + 1,
+            "overwrite",
+            files,
+            _schema_json(df.schema),
+            key,
+            {"rows_written": sum(f["rows"] for f in files)},
+        )
+        return {"version": m["version"] + 1}
+
+    # ------------------------------------------------- copy-on-write
+
+    def _touched_by_keys(self, m: dict, source: DataFrame) -> list[str]:
+        """Paths of data files whose key range MAY contain a source key.
+        A file whose [kmin, kmax] excludes every source key provably
+        holds no matching row, so it can be carried over unread. Files
+        without stats are always touched (conservative). The range probe
+        is a broadcast join of distinct source keys against the O(files)
+        stats frame — file paths come back bounded by the file count."""
+        key = m["key"]
+        with_stats = [f for f in m["files"] if "kmin" in f]
+        no_stats = [f["path"] for f in m["files"] if "kmin" not in f]
+        if not with_stats:
+            return no_stats
+        ranges = self.spark.createDataFrame(
+            [(f["path"], f["kmin"], f["kmax"]) for f in with_stats],
+            "__tx_path string, __tx_kmin long, __tx_kmax long",
+        )
+        hit = (
+            source.select(F.col(key).cast("long").alias("__tx_k"))
+            .dropna()
+            .distinct()
+            .join(
+                F.broadcast(ranges),
+                (F.col("__tx_k") >= F.col("__tx_kmin"))
+                & (F.col("__tx_k") <= F.col("__tx_kmax")),
+            )
+            .select("__tx_path")
+            .distinct()
+        )
+        return no_stats + [r["__tx_path"] for r in hit.collect()]
+
+    def _touched_by_predicate(self, m: dict, condition) -> list[str]:
+        """Paths of data files that ACTUALLY contain rows matching an
+        arbitrary predicate: one distributed scan grouping matches by
+        ``input_file_name`` (result bounded by the file count). Manifest
+        paths are uuid-named, so basename equality identifies the file."""
+        cur = self._read_files(m, [f["path"] for f in m["files"]])
+        hits = {
+            os.path.basename(r["__tx_f"])
+            for r in cur.filter(condition)
+            .select(F.input_file_name().alias("__tx_f"))
+            .distinct()
+            .collect()
+        }
+        return [f["path"] for f in m["files"] if os.path.basename(f["path"]) in hits]
+
+    def _cow_commit(
+        self,
+        m: dict,
+        op: str,
+        touched: list[str],
+        replacement: DataFrame,
+        metrics: dict,
+    ) -> dict:
+        """Commit a copy-on-write rewrite: ``touched`` files drop out of
+        the manifest, ``replacement`` (their rewritten contents) comes
+        in as new files, everything else carries over untouched."""
+        new_files = self._write_files(
+            replacement.select(*_schema_cols(m)), m["key"]
+        )
+        kept = [f for f in m["files"] if f["path"] not in set(touched)]
+        metrics = dict(metrics, files_rewritten=len(touched))
+        self._commit(
+            m["version"] + 1, op, kept + new_files, m["schema"], m["key"], metrics
+        )
+        return dict(metrics, version=m["version"] + 1)
+
+    def delete(self, condition) -> dict:
+        """DELETE FROM table WHERE condition — rewrites only the files
+        that actually contain matching rows."""
+        m = self._manifest()
+        touched = self._touched_by_predicate(m, condition)
+        if not touched:
+            return {"files_rewritten": 0, "rows_deleted": 0, "version": m["version"]}
+        before = sum(f["rows"] for f in m["files"] if f["path"] in set(touched))
+        kept_rows = self._read_files(m, touched).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
+        out = self._cow_commit(m, "delete", touched, kept_rows, {})
+        out["rows_deleted"] = before - (
+            self.row_count(out["version"])
+            - sum(f["rows"] for f in m["files"] if f["path"] not in set(touched))
+        )
+        return out
+
+    def update(self, condition, assignments: dict) -> dict:
+        """UPDATE table SET col=expr WHERE condition — same touched-file
+        discovery as delete; unmatched rows in touched files carry
+        through unchanged."""
+        m = self._manifest()
+        bad = set(assignments) - set(_schema_cols(m))
+        if bad:
+            raise TxError(f"update of unknown column(s): {sorted(bad)}")
+        touched = self._touched_by_predicate(m, condition)
+        if not touched:
+            return {"files_rewritten": 0, "version": m["version"]}
+        cond = F.coalesce(condition, F.lit(False))
+        cur = self._read_files(m, touched)
+        updated = cur.select(
+            *[
+                (
+                    F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in cur.columns
+            ]
+        )
+        return self._cow_commit(m, "update", touched, updated, {})
+
+    def merge(
+        self,
+        source: DataFrame,
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+        matched_condition=None,
+    ) -> dict:
+        """MERGE INTO table USING source ON table.key = source.key —
+        Delta-style upsert with file-level pruning.
+
+        ``when_matched``: "update" (replace the whole row with the
+        source row, optionally gated on ``matched_condition``),
+        "delete", or None (leave matched rows alone).
+        ``when_not_matched``: "insert" or None.
+
+        Source contract (enforced in-plan, single pass): the key is
+        non-null and unique within the source — multiple source rows
+        for one target key is ambiguous and raises, exactly like Delta.
+
+        Only files whose footer key range intersects a source key are
+        read or rewritten; inserts cannot hide in unread files because a
+        file whose range excludes a key provably does not contain it.
+        """
+        m = self._manifest()
+        key = m["key"]
+        if key is None:
+            raise TxError("merge requires a table created with key=...")
+        if set(source.columns) != set(_schema_cols(m)):
+            raise TxError(
+                f"merge source columns {sorted(source.columns)} != table "
+                f"columns {sorted(_schema_cols(m))}"
+            )
+        want_kt = {
+            f["name"]: f["type"] for f in json.loads(m["schema"])["fields"]
+        }[key]
+        have_kt = {
+            f["name"]: f for f in source.schema.jsonValue()["fields"]
+        }
+        if have_kt[key]["type"] != want_kt:
+            raise TxError(
+                f"merge key dtype mismatch: table {key}:{want_kt} vs "
+                f"source {key}:{have_kt[key]['type']} — an implicit cast "
+                "would silently break file-range pruning"
+            )
+        if when_matched not in ("update", "delete", None):
+            raise TxError(f"when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise TxError(f"when_not_matched: {when_not_matched!r}")
+
+        # in-plan source contract: null keys and duplicate keys raise at
+        # execution time without a separate validation job
+        kw = Window.partitionBy(key)
+        src = (
+            source.withColumn("__tx_n", F.count(F.lit(1)).over(kw))
+            .withColumn(
+                "__tx_guard",
+                F.when(
+                    F.col(key).isNull(),
+                    F.raise_error(F.lit("merge: NULL key in source")),
+                )
+                .when(
+                    F.col("__tx_n") > 1,
+                    F.raise_error(
+                        F.lit("merge: duplicate keys in source — ambiguous")
+                    ),
+                )
+                .otherwise(F.lit(1)),
+            )
+            .filter(F.col("__tx_guard") == 1)
+            .drop("__tx_n", "__tx_guard")
+            .localCheckpoint(eager=False)
+        )
+
+        touched = self._touched_by_keys(m, src)
+        target = self._read_files(m, touched).alias("t")
+        s = src.alias("s")
+        joined = target.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
+        matched = F.col(f"s.{key}").isNotNull()
+        if matched_condition is not None:
+            matched = matched & F.coalesce(matched_condition, F.lit(False))
+
+        cols = _schema_cols(m)
+        if when_matched == "update":
+            rewritten = joined.select(
+                *[
+                    F.when(matched, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in cols
+                ]
+            )
+        elif when_matched == "delete":
+            rewritten = joined.filter(~matched).select(
+                *[F.col(f"t.{c}").alias(c) for c in cols]
+            )
+        else:
+            rewritten = joined.select(*[F.col(f"t.{c}").alias(c) for c in cols])
+
+        if when_not_matched == "insert":
+            # keys absent from the TOUCHED slice are absent from the
+            # table: untouched files' ranges exclude every source key
+            inserts = s.join(
+                target.select(F.col(f"t.{key}").alias("__tx_tk")),
+                F.col(f"s.{key}") == F.col("__tx_tk"),
+                "left_anti",
+            ).select(*cols)
+            rewritten = rewritten.unionByName(inserts)
+
+        before = sum(f["rows"] for f in m["files"] if f["path"] in set(touched))
+        out = self._cow_commit(m, "merge", touched, rewritten, {})
+        after = self.row_count(out["version"]) - (
+            self.row_count(m["version"]) - before
+        )
+        out["rows_delta"] = after - before
+        return out
+
+    def rewrite_by_keys(self, keys: DataFrame, transform) -> dict:
+        """Generic key-pruned copy-on-write: read ONLY the files that
+        may contain a key from ``keys`` (the table's merge key column),
+        hand that slice to ``transform(slice_df) -> DataFrame``, and
+        commit its result in place of the touched files.
+
+        Correctness contract: an untouched file provably contains no
+        row whose key appears in ``keys`` (its footer range excludes
+        them all), so any transform whose effect is confined to those
+        keys' rows — SCD1 upsert, SCD2 expire+version, GDPR erasure —
+        is EXACT when applied to the slice. This is how the snapshot
+        path's pure functions (operators/scd.py) run at file-level cost
+        on a 100 TB dimension: same function, O(touched files) IO.
+        """
+        m = self._manifest()
+        if m["key"] is None:
+            raise TxError("rewrite_by_keys requires a table created with key=...")
+        touched = self._touched_by_keys(m, keys)
+        replacement = transform(self._read_files(m, touched))
+        return self._cow_commit(m, "rewrite", touched, replacement, {})
+
+    # ---------------------------------------------------- maintenance
+
+    def compact(self, target_files: int = 8) -> dict:
+        """Rewrite the current snapshot into ``target_files`` files (an
+        OPTIMIZE pass for tables fragmented by many small commits). A
+        normal copy-on-write commit: time travel to pre-compaction
+        versions still works until vacuum."""
+        m = self._manifest()
+        cur = self.read().repartition(target_files)
+        touched = [f["path"] for f in m["files"]]
+        return self._cow_commit(m, "compact", touched, cur, {})
+
+    def vacuum(self, retain_versions: int = 2, min_age_s: float = 0.0) -> dict:
+        """Reclaim space: drop manifests older than the newest
+        ``retain_versions`` and delete every data file referenced by no
+        retained manifest (covers both aged-out versions and crash
+        orphans that no manifest ever referenced). Files younger than
+        ``min_age_s`` are kept — an in-flight writer's staged output is
+        invisible but not yet referenced."""
+        if retain_versions < 1:
+            raise TxError("retain_versions must be >= 1")
+        vs = self._versions()
+        keep_vs = vs[-retain_versions:]
+        referenced = set()
+        for v in keep_vs:
+            for f in self._manifest(v)["files"]:
+                referenced.add(os.path.basename(f["path"]))
+        dropped_manifests = 0
+        for v in vs[:-retain_versions]:
+            (self.log_dir / _mname(v)).unlink(missing_ok=True)
+            dropped_manifests += 1
+        now = time.time()
+        dropped_files = 0
+        for item in self.data_dir.iterdir():
+            if not item.is_file() or item.name in referenced:
+                continue
+            if now - item.stat().st_mtime < min_age_s:
+                continue
+            item.unlink()
+            dropped_files += 1
+        # crash-leftover staging dirs (never referenced by anything)
+        for item in self.root.iterdir():
+            if item.is_dir() and item.name.startswith("_staging-"):
+                if now - item.stat().st_mtime >= min_age_s:
+                    shutil.rmtree(item, ignore_errors=True)
+        return {
+            "dropped_manifests": dropped_manifests,
+            "dropped_files": dropped_files,
+        }
+
+
+# ------------------------------------------------------------- helpers
+
+
+def _schema_json(schema: StructType) -> str:
+    # parquet round-trips everything as nullable; normalizing avoids a
+    # spurious schema mismatch on the first append after create
+    relaxed = StructType(
+        [type(f)(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+    return json.dumps(relaxed.jsonValue())
+
+
+def _schema_cols(manifest: dict) -> list[str]:
+    return [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+
+
+def _check_schema(manifest: dict, df: DataFrame) -> None:
+    want = json.loads(_schema_json(df.schema))
+    have = json.loads(manifest["schema"])
+    if want != have:
+        raise TxError(
+            "append schema mismatch: table "
+            f"{StructType.fromJson(have).simpleString()} vs batch "
+            f"{StructType.fromJson(want).simpleString()}"
+        )
+
+
+def _footer_range(md, col: str):
+    """(min, max) of ``col`` across the file's row groups from footer
+    statistics, or None when unusable. INT32/INT64 physical only — the
+    same exactness contract as ``Warehouse.footer_max`` (string footer
+    stats may be truncated bounds, which would corrupt pruning)."""
+    lo = hi = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema != col:
+                continue
+            if c.physical_type not in ("INT32", "INT64"):
+                return None
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                return None
+            # pyarrow surfaces LOGICAL values: a DATE32 column (INT32
+            # physical) yields datetime.date here — only plain integers
+            # join the long-typed pruning frame
+            if not isinstance(st.min, int) or not isinstance(st.max, int):
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (int(lo), int(hi))

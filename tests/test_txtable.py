@@ -1,0 +1,447 @@
+"""Transactional parquet table (sources/txtable.py): commit-log ACID
+semantics the reference gets from Postgres transactions — atomic
+commits, snapshot isolation, time travel, optimistic concurrency,
+file-level copy-on-write MERGE/DELETE/UPDATE with footer-stats pruning,
+vacuum. The model-based Hypothesis sweep drives random op sequences
+against a plain-Python dict model."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txtable import (
+    TxConflictError,
+    TxError,
+    TxTable,
+    TxVacuumedError,
+)
+
+
+def _mk(spark, tmp_path, rows, key="id", name="t"):
+    df = spark.createDataFrame(rows, "id long, v string")
+    return TxTable.create(spark, tmp_path / name, df, key=key)
+
+
+def _snap(t, version=None):
+    return {r["id"]: r["v"] for r in t.read(version).collect()}
+
+
+# ------------------------------------------------------------ basics
+
+
+def test_create_read_append_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    assert _snap(t) == {1: "a", 2: "b"}
+    assert t.row_count() == 2
+    r = t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert r["version"] == 1 and r["rows_appended"] == 1
+    assert _snap(t) == {1: "a", 2: "b", 3: "c"}
+    # time travel: v0 unchanged; fresh handle sees the same log
+    assert _snap(t, 0) == {1: "a", 2: "b"}
+    t2 = TxTable(spark, t.root)
+    assert t2.latest_version() == 1 and _snap(t2) == _snap(t)
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["create", "append"]
+    # row_count is manifest metadata — exact at every version
+    assert t.row_count(0) == 2 and t.row_count(1) == 3
+
+
+def test_append_schema_mismatch_and_empty_batch(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(TxError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(1, 2)], "id long, v long"))
+    r = t.append(spark.createDataFrame([], "id long, v string"))
+    assert r["rows_appended"] == 0
+    assert t.latest_version() == 0  # empty append is commit-free
+
+
+def test_overwrite_and_schema_change(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.overwrite(spark.createDataFrame([(9, "z", 1.5)], "id long, v string, w double"))
+    assert [r for r in t.read().collect()] == [Row(id=9, v="z", w=1.5)]
+    assert _snap(t, 0) == {1: "a"}  # old version still reads old schema
+    with pytest.raises(TxError, match="not in dataframe"):
+        t.overwrite(spark.createDataFrame([("x",)], "v string"), key="id")
+
+
+def test_not_a_table_and_double_create(spark, tmp_path):
+    with pytest.raises(TxError, match="not a transactional table"):
+        TxTable(spark, tmp_path / "nope")
+    t = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(TxError, match="already"):
+        TxTable.create(spark, t.root, t.read(), key="id")
+
+
+# ------------------------------------------------------------- merge
+
+
+def test_merge_upsert_and_metrics(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    src = spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string")
+    r = t.merge(src)
+    assert _snap(t) == {1: "a", 2: "B", 3: "c", 4: "d"}
+    assert r["rows_delta"] == 1 and r["version"] == 1
+    # matched-delete mode
+    t.merge(
+        spark.createDataFrame([(1, "x")], "id long, v string"),
+        when_matched="delete",
+        when_not_matched=None,
+    )
+    assert _snap(t) == {2: "B", 3: "c", 4: "d"}
+    # conditional update: only rows whose value actually changed
+    r = t.merge(
+        spark.createDataFrame([(2, "B"), (3, "C")], "id long, v string"),
+        matched_condition=F.col("s.v") != F.col("t.v"),
+    )
+    assert _snap(t) == {2: "B", 3: "C", 4: "d"}
+
+
+def test_merge_source_contract(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id long, v string")
+    with pytest.raises(Exception, match="duplicate keys"):
+        t.merge(dup)
+    nul = spark.createDataFrame([(None, "x")], "id long, v string")
+    with pytest.raises(Exception, match="NULL key"):
+        t.merge(nul)
+    with pytest.raises(TxError, match="columns"):
+        t.merge(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(TxError, match="dtype mismatch"):
+        t.merge(spark.createDataFrame([(1, "x")], "id int, v string"))
+    nokey = TxTable.create(
+        spark, tmp_path / "nk", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    with pytest.raises(TxError, match="requires a table created with key"):
+        nokey.merge(spark.createDataFrame([(1, "b")], "id long, v string"))
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    """Copy-on-write pruning is observable in the manifest: two appends
+    with disjoint key ranges land in different files; a merge touching
+    only the low range must carry the high-range file over BY PATH."""
+    t = _mk(spark, tmp_path, [(i, "lo") for i in range(100)])
+    t.append(
+        spark.createDataFrame(
+            [(i, "hi") for i in range(1000, 1100)], "id long, v string"
+        )
+    )
+    files = t._manifest()["files"]
+    expect_touched = {
+        f["path"] for f in files if f["kmin"] <= 5 <= f["kmax"]
+        or f["kmin"] <= 6 <= f["kmax"]
+    }
+    expect_kept = {f["path"] for f in files} - expect_touched
+    assert expect_touched and expect_kept
+    r = t.merge(spark.createDataFrame([(5, "LO"), (6, "LO")], "id long, v string"))
+    after = {f["path"] for f in t._manifest()["files"]}
+    assert expect_kept <= after, "range-excluded files must survive as-is"
+    assert not (expect_touched & after), "touched files must be rewritten"
+    assert r["files_rewritten"] == len(expect_touched)
+    got = _snap(t)
+    assert got[5] == "LO" and got[6] == "LO" and got[50] == "lo" and got[1050] == "hi"
+
+
+def test_merge_string_key_no_stats_still_correct(spark, tmp_path):
+    """String keys carry no footer stats (truncation hazard) — pruning
+    degrades to rewrite-everything but semantics are unchanged."""
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long")
+    t = TxTable.create(spark, tmp_path / "s", df, key="k")
+    assert all("kmin" not in f for f in t._manifest()["files"])
+    t.merge(spark.createDataFrame([("b", 20), ("c", 3)], "k string, n long"))
+    assert {r["k"]: r["n"] for r in t.read().collect()} == {"a": 1, "b": 20, "c": 3}
+
+
+# ---------------------------------------------------- delete / update
+
+
+def test_delete_and_update_touch_only_matching_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, "lo") for i in range(50)])
+    t.append(
+        spark.createDataFrame(
+            [(i, "hi") for i in range(1000, 1050)], "id long, v string"
+        )
+    )
+    hi_files = {f["path"] for f in t._manifest()["files"] if f.get("kmin", 0) >= 1000}
+    r = t.delete(F.col("id") < 10)
+    assert r["rows_deleted"] == 10 and r["files_rewritten"] >= 1
+    assert hi_files <= {f["path"] for f in t._manifest()["files"]}
+    assert t.row_count() == 90
+    r = t.delete(F.col("id") < 0)  # no matches → no commit
+    assert r["files_rewritten"] == 0 and t.latest_version() == 2
+    lo_files = {f["path"] for f in t._manifest()["files"]} - hi_files
+    t.update(F.col("id") == 1000, {"v": F.upper("v")})
+    got = _snap(t)
+    assert got[1000] == "HI" and got[1001] == "hi" and got[10] == "lo"
+    # this time the LOW files were the untouched ones
+    assert lo_files <= {f["path"] for f in t._manifest()["files"]}
+    with pytest.raises(TxError, match="unknown column"):
+        t.update(F.lit(True), {"zz": F.lit(1)})
+
+
+# ------------------------------------------- concurrency + crash holes
+
+
+def test_optimistic_conflict_and_append_retry(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    h2 = TxTable(spark, t.root)
+    # writer 2 sneaks a commit in between writer 1's snapshot and commit
+    m = t._manifest()
+    h2.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    with pytest.raises(TxConflictError, match="re-run"):
+        t._commit(m["version"] + 1, "merge", m["files"], m["schema"], m["key"])
+    # the table is untouched by the failed attempt
+    assert _snap(t) == {1: "a", 2: "b"}
+    # appends auto-retry onto the next version: interleave two handles
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    h2.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    assert _snap(t) == {1: "a", 2: "b", 3: "c", 4: "d"}
+    assert [h["op"] for h in t.history()] == ["create"] + ["append"] * 3
+
+
+def test_crash_leftovers_are_invisible_and_vacuumable(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    # orphan data file (writer died before commit), dangling tmp
+    # manifest, stale staging dir — all invisible to readers
+    orphan = t.data_dir / "deadbeef.parquet"
+    t.read().write.mode("overwrite").parquet(str(tmp_path / "x"))
+    src = next(p for p in (tmp_path / "x").iterdir() if p.suffix == ".parquet")
+    os.replace(src, orphan)
+    (t.log_dir / ".tmp-dead.json").write_text("{}")
+    (t.root / "_staging-dead").mkdir()
+    assert _snap(t) == {1: "a"}
+    r = t.vacuum(retain_versions=1, min_age_s=0.0)
+    assert r["dropped_files"] == 1
+    assert not orphan.exists() and not (t.root / "_staging-dead").exists()
+    assert _snap(t) == {1: "a"}
+
+
+def test_vacuum_retention_and_time_travel_horizon(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+    t.overwrite(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert _snap(t, 0) == {1: "a"}
+    r = t.vacuum(retain_versions=1, min_age_s=0.0)
+    assert r["dropped_manifests"] == 2 and r["dropped_files"] == 2
+    assert _snap(t) == {3: "c"}
+    with pytest.raises(TxVacuumedError):
+        t.read(0)
+    with pytest.raises(TxError, match="retain_versions"):
+        t.vacuum(retain_versions=0)
+
+
+def test_compact_defragments(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    for i in range(2, 8):
+        t.append(spark.createDataFrame([(i, "x")], "id long, v string"))
+    assert len(t._manifest()["files"]) >= 7
+    t.compact(target_files=2)
+    assert len(t._manifest()["files"]) <= 2
+    assert t.row_count() == 7 and len(_snap(t)) == 7
+
+
+def test_manifest_records_footer_key_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(5, "a"), (17, "b")])
+    # the on-disk manifest is plain JSON — readable by any tool
+    m = json.loads((t.log_dir / sorted(
+        p.name for p in t.log_dir.iterdir())[-1]).read_text())
+    assert min(f["kmin"] for f in m["files"]) == 5
+    assert max(f["kmax"] for f in m["files"]) == 17
+    assert sum(f["rows"] for f in m["files"]) == 2
+    assert m["key"] == "id" and m["op"] == "create"
+
+
+# ------------------------------------------------- SCD1 equivalence
+
+
+def test_merge_is_scd1_maintenance(spark, tmp_path):
+    """MERGE(update+insert) folded over batches IS SCD1 update-in-place
+    maintenance (operators/scd.py's semantics minus audit columns):
+    last write per key wins, absent keys survive, new keys appear."""
+    dims = "id long, city string, tier string"
+    t = TxTable.create(
+        spark,
+        tmp_path / "dim",
+        spark.createDataFrame(
+            [(1, "Rome", "gold"), (2, "Oslo", "base"), (3, "Lima", "base")], dims
+        ),
+        key="id",
+    )
+    batches = [
+        [(2, "Oslo", "gold"), (4, "Kyiv", "base")],
+        [(1, "Roma", "gold"), (4, "Kyiv", "gold"), (5, "Pune", "base")],
+    ]
+    model = {1: ("Rome", "gold"), 2: ("Oslo", "base"), 3: ("Lima", "base")}
+    for b in batches:
+        t.merge(spark.createDataFrame(b, dims))
+        model.update({k: (c, g) for k, c, g in b})
+    got = {r["id"]: (r["city"], r["tier"]) for r in t.read().collect()}
+    assert got == model
+
+
+# --------------------------------------------- model-based hypothesis
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    init=st.dictionaries(st.integers(0, 30), st.integers(0, 99), max_size=12),
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("merge"),
+                st.dictionaries(
+                    st.integers(0, 30), st.integers(0, 99), min_size=1, max_size=6
+                ),
+            ),
+            st.tuples(st.just("delete_lt"), st.integers(0, 31)),
+            st.tuples(st.just("append_shifted"), st.integers(100, 130)),
+        ),
+        max_size=5,
+    ),
+)
+def test_hypothesis_oplog_matches_dict_model(spark, tmp_path_factory, init, ops):
+    """Random op sequences vs a plain-dict model, checked after EVERY
+    commit, plus a final time-travel replay of every retained version."""
+    root = tmp_path_factory.mktemp("tx")
+    df = spark.createDataFrame(
+        [(k, v) for k, v in init.items()], "id long, n long"
+    )
+    t = TxTable.create(spark, root / "t", df, key="id")
+    model = dict(init)
+    snaps = {0: dict(model)}
+    for op in ops:
+        if op[0] == "merge":
+            t.merge(
+                spark.createDataFrame(
+                    [(k, v) for k, v in op[1].items()], "id long, n long"
+                )
+            )
+            model.update(op[1])
+        elif op[0] == "delete_lt":
+            t.delete(F.col("id") < op[1])
+            model = {k: v for k, v in model.items() if k >= op[1]}
+        else:
+            if op[1] in model:  # appends don't upsert — keep ids unique
+                continue
+            t.append(
+                spark.createDataFrame([(op[1], -1)], "id long, n long")
+            )
+            model[op[1]] = -1
+        snaps[t.latest_version()] = dict(model)
+        got = {r["id"]: r["n"] for r in t.read().collect()}
+        assert got == model
+        assert t.row_count() == len(model)
+    for v, want in snaps.items():
+        got = {r["id"]: r["n"] for r in t.read(v).collect()}
+        assert got == want, f"time travel to v{v}"
+
+
+# --------------------------------- SCD on a file slice (rewrite_by_keys)
+
+
+def _collect_scd2(df):
+    return {
+        (r["id"], str(r["start_dt"])): (r["city"], str(r["end_dt"]), r["is_active"])
+        for r in df.collect()
+    }
+
+
+def test_scd2_apply_on_touched_slice_equals_whole_table(spark, tmp_path):
+    """The managed-format upgrade promised in operators/merge.py: the
+    UNCHANGED pure scd2_apply runs on only the key-pruned file slice via
+    rewrite_by_keys and must produce the same table as running it over
+    the whole dimension — while provably not rewriting files whose key
+    range excludes every update."""
+    import datetime as dt
+
+    from data_warehouse_project_spark.operators.scd import scd2_apply
+
+    cols = "id long, city string, note string, seq long"
+    t0 = dt.datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [(i, f"c{i}", "init", 0) for i in range(40)]
+        + [(i, f"c{i}", "init", 0) for i in range(1000, 1040)],
+        cols,
+    ).drop("seq")
+    kw = dict(key="id", compare=["city"], attrs=["note"], change_order=["seq"])
+    snapshot = scd2_apply(None, base.withColumn("seq", F.lit(0)), run_ts=t0, **kw)
+    t = TxTable.create(spark, tmp_path / "d", snapshot, key="id")
+
+    batches = [
+        ([(3, "X3", "b1", 1), (1005, "Y", "b1", 1)], dt.datetime(2024, 2, 1)),
+        ([(3, "X3b", "b2", 2), (7, "Z", "b2", 2), (41, "NEW", "b2", 2)],
+         dt.datetime(2024, 3, 1)),
+    ]
+    whole = snapshot
+    for rows, ts in batches:
+        upd = spark.createDataFrame(rows, cols)
+        whole = scd2_apply(whole, upd, run_ts=ts, **kw).localCheckpoint()
+        files_before = {
+            f["path"]: f for f in t._manifest()["files"] if "kmin" in f
+        }
+        upd_keys = [r[0] for r in rows]
+        expect_kept = {
+            p for p, f in files_before.items()
+            if not any(f["kmin"] <= k <= f["kmax"] for k in upd_keys)
+        }
+        t.rewrite_by_keys(
+            upd.select("id"),
+            lambda cur, u=upd, ts=ts: scd2_apply(cur, u, run_ts=ts, **kw),
+        )
+        after = {f["path"] for f in t._manifest()["files"]}
+        assert expect_kept <= after, "range-excluded files must carry over"
+    assert _collect_scd2(t.read()) == _collect_scd2(whole)
+    # version history invariant on the tx side: one active row per key
+    active = t.read().filter(F.col("is_active") == "Y").groupBy("id").count()
+    assert active.filter(F.col("count") > 1).count() == 0
+
+
+def test_scd1_upsert_on_touched_slice_equals_whole_table(spark, tmp_path):
+    import datetime as dt
+
+    from data_warehouse_project_spark.operators.scd import scd1_upsert
+
+    cols = "id long, tier string, seq long"
+    t0 = dt.datetime(2024, 1, 1)
+    kw = dict(key="id", tracked=["tier"], change_order=["seq"])
+    b0 = spark.createDataFrame([(i, "base", 0) for i in range(30)], cols)
+    whole = scd1_upsert(None, b0, run_ts=t0, **kw)
+    t = TxTable.create(spark, tmp_path / "d1", whole, key="id")
+    for rows, ts in [
+        ([(2, "gold", 1), (31, "base", 1)], dt.datetime(2024, 2, 1)),
+        ([(2, "gold", 2), (5, "gold", 2)], dt.datetime(2024, 3, 1)),  # no-op on 2
+    ]:
+        upd = spark.createDataFrame(rows, cols)
+        whole = scd1_upsert(whole, upd, run_ts=ts, **kw).localCheckpoint()
+        t.rewrite_by_keys(
+            upd.select("id"),
+            lambda cur, u=upd, ts=ts: scd1_upsert(cur, u, run_ts=ts, **kw),
+        )
+    want = {(r["id"]): (r["tier"], str(r["insert_dt"]), str(r["update_dt"]))
+            for r in whole.collect()}
+    got = {(r["id"]): (r["tier"], str(r["insert_dt"]), str(r["update_dt"]))
+           for r in t.read().collect()}
+    assert got == want
+    assert t.read().count() == 31
+
+
+def test_rewrite_by_keys_requires_key(spark, tmp_path):
+    t = TxTable.create(
+        spark, tmp_path / "nk2",
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+    )
+    with pytest.raises(TxError, match="requires a table created with key"):
+        t.rewrite_by_keys(t.read().select("id"), lambda df: df)
