@@ -609,7 +609,11 @@ def interval_point_count_join_sparse(
     # bucket clamp range for endpoints: [blo, bhi] so below-all-data
     # endpoints land before every value row of the first bucket (C=0
     # via carry(blo)=0) and above-all-data endpoints land after every
-    # value row of the last bucket (C=total)
+    # value row of the last bucket (C=total). The 1-row bounds frame
+    # rides a broadcast cross — the same model-state scalar-attach
+    # pattern as the watermark/threshold queries (explain audit
+    # ALLOW_NESTED_LOOP: build side is exactly one row by construction,
+    # an ungrouped agg)
     brange = F.broadcast(
         bounds.select("__rj_blo", "__rj_bhi").localCheckpoint(eager=False)
     )

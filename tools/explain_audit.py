@@ -48,6 +48,7 @@ ALLOW_NESTED_LOOP = {
     "rfm_segments",  # 1-row global-max-day + 1-row quartile-boundary crosses
     "basket_lift_pairs",  # 1-row order-count broadcast cross
     "rolling_28d_active_users",  # 1-row max-day bound broadcast cross
+    "preceding_events_10min_micros",  # 1-row bucket-bounds broadcast cross (×2 endpoints)
 }
 
 EXPECT_BROADCAST = [
