@@ -191,11 +191,14 @@ class TxTable:
         schema_json: str,
         key: str | None,
         metrics: dict | None = None,
+        txns: dict | None = None,
     ) -> None:
         """Atomically claim ``version``. Raises TxConflictError if a
         concurrent writer claimed it first; the temp manifest is always
         cleaned up and data files referenced by the failed manifest stay
-        orphaned (invisible) for vacuum."""
+        orphaned (invisible) for vacuum. ``txns`` is the
+        idempotence-fence map (app → highest committed txn version),
+        carried forward by every commit."""
         manifest = {
             "version": version,
             "op": op,
@@ -204,6 +207,7 @@ class TxTable:
             "key": key,
             "files": sorted(files, key=lambda f: f["path"]),
             "metrics": metrics or {},
+            "txns": txns or {},
         }
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
         with open(tmp, "w") as f:
@@ -275,18 +279,28 @@ class TxTable:
 
     # ---------------------------------------------------------- writes
 
-    def append(self, df: DataFrame) -> dict:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> dict:
         """Append a batch. Appends depend on no snapshot, so a lost
         commit race is retried onto the next version automatically
         (schema is revalidated against the winner's manifest each try).
+
+        ``txn=(app_id, txn_version)`` makes the append IDEMPOTENT — the
+        Delta txnAppId/txnVersion pattern: the manifest records the
+        highest committed txn version per app, and a replay at or below
+        it is skipped without writing (``{"skipped": True}``). This is
+        the exactly-once fence for Structured Streaming foreachBatch
+        sinks, whose batches can be redelivered after a restart.
         Returns the commit metrics."""
         files = None
         for _ in range(_APPEND_RETRIES):
             m = self._manifest()
+            skip, txns = _fence(m, txn)
+            if skip:
+                return {"rows_appended": 0, "version": m["version"], "skipped": True}
             _check_schema(m, df)
             if files is None:  # write data once; only the claim retries
                 files = self._write_files(df, m["key"])
-                if not files:
+                if not files and txn is None:
                     return {"rows_appended": 0, "version": m["version"]}
             try:
                 self._commit(
@@ -296,6 +310,7 @@ class TxTable:
                     m["schema"],
                     m["key"],
                     {"rows_appended": sum(f["rows"] for f in files)},
+                    txns,
                 )
                 return {
                     "rows_appended": sum(f["rows"] for f in files),
@@ -323,6 +338,7 @@ class TxTable:
             _schema_json(df.schema),
             key,
             {"rows_written": sum(f["rows"] for f in files)},
+            m.get("txns", {}),
         )
         return {"version": m["version"] + 1}
 
@@ -380,6 +396,7 @@ class TxTable:
         touched: list[str],
         replacement: DataFrame,
         metrics: dict,
+        txns: dict | None = None,
     ) -> dict:
         """Commit a copy-on-write rewrite: ``touched`` files drop out of
         the manifest, ``replacement`` (their rewritten contents) comes
@@ -390,7 +407,13 @@ class TxTable:
         kept = [f for f in m["files"] if f["path"] not in set(touched)]
         metrics = dict(metrics, files_rewritten=len(touched))
         self._commit(
-            m["version"] + 1, op, kept + new_files, m["schema"], m["key"], metrics
+            m["version"] + 1,
+            op,
+            kept + new_files,
+            m["schema"],
+            m["key"],
+            metrics,
+            m.get("txns", {}) if txns is None else txns,
         )
         return dict(metrics, version=m["version"] + 1)
 
@@ -443,6 +466,7 @@ class TxTable:
         when_matched: str | None = "update",
         when_not_matched: str | None = "insert",
         matched_condition=None,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """MERGE INTO table USING source ON table.key = source.key —
         Delta-style upsert with file-level pruning.
@@ -461,6 +485,9 @@ class TxTable:
         file whose range excludes a key provably does not contain it.
         """
         m = self._manifest()
+        skip, txns = _fence(m, txn)
+        if skip:
+            return {"files_rewritten": 0, "version": m["version"], "skipped": True}
         key = m["key"]
         if key is None:
             raise TxError("merge requires a table created with key=...")
@@ -546,7 +573,7 @@ class TxTable:
             rewritten = rewritten.unionByName(inserts)
 
         before = sum(f["rows"] for f in m["files"] if f["path"] in set(touched))
-        out = self._cow_commit(m, "merge", touched, rewritten, {})
+        out = self._cow_commit(m, "merge", touched, rewritten, {}, txns)
         after = self.row_count(out["version"]) - (
             self.row_count(m["version"]) - before
         )
@@ -576,13 +603,29 @@ class TxTable:
 
     # ---------------------------------------------------- maintenance
 
-    def compact(self, target_files: int = 8) -> dict:
+    def compact(self, target_files: int = 8, cluster: bool = False) -> dict:
         """Rewrite the current snapshot into ``target_files`` files (an
         OPTIMIZE pass for tables fragmented by many small commits). A
         normal copy-on-write commit: time travel to pre-compaction
-        versions still works until vacuum."""
+        versions still works until vacuum.
+
+        ``cluster=True`` additionally range-partitions and sorts by the
+        merge key (OPTIMIZE ... ZORDER's 1-key case): file key ranges
+        come out (near-)disjoint, so a later merge of k clustered keys
+        touches ~k/rows_per_file files instead of every file whose
+        round-robin range happens to straddle them. This is the layout
+        lever that makes copy-on-write pruning effective at 100 TB —
+        stats are only as selective as the files are clustered."""
         m = self._manifest()
-        cur = self.read().repartition(target_files)
+        cur = self.read()
+        if cluster:
+            if m["key"] is None:
+                raise TxError("compact(cluster=True) requires a merge key")
+            cur = cur.repartitionByRange(target_files, m["key"]).sortWithinPartitions(
+                m["key"]
+            )
+        else:
+            cur = cur.repartition(target_files)
         touched = [f["path"] for f in m["files"]]
         return self._cow_commit(m, "compact", touched, cur, {})
 
@@ -626,6 +669,24 @@ class TxTable:
 
 
 # ------------------------------------------------------------- helpers
+
+
+def _fence(manifest: dict, txn: tuple[str, int] | None):
+    """Idempotence fence (Delta txnAppId/txnVersion): returns
+    ``(skip, new_txns)``. A txn at or below the app's highest committed
+    version is a replay — skip without writing. Fence state rides the
+    manifest, so the check-and-advance is atomic with the commit itself
+    (a concurrent duplicate loses the os.link race and re-checks)."""
+    txns = dict(manifest.get("txns", {}))
+    if txn is None:
+        return False, txns
+    app, ver = txn
+    if not isinstance(ver, int):
+        raise TxError(f"txn version must be an int, got {ver!r}")
+    if txns.get(app, -(1 << 62)) >= ver:
+        return True, txns
+    txns[app] = ver
+    return False, txns
 
 
 def _schema_json(schema: StructType) -> str:

@@ -14,3 +14,6 @@ from data_warehouse_project_spark.streaming.windows import (  # noqa: F401
     streaming_dedup,
     tumbling_counts,
 )
+from data_warehouse_project_spark.streaming.txsink import (  # noqa: F401
+    txtable_ingest,
+)

@@ -1,0 +1,106 @@
+"""Exactly-once streaming sink into a transactional table.
+
+The plain-parquet fenced sinks (``streaming/windows.py
+streaming_rollup_cascade``, ``streaming/corpus.py neardup_ingest``)
+each carry a documented residual window: data lands in one or more
+table swaps and the batch-id fence lands in a LATER write, so a crash
+between them replays a batch whose effects partially committed. Their
+docstrings state the fix precisely — "closing it needs a transactional
+table format, not a different algorithm." This module is that fix: with
+``sources/txtable.py`` the fence (the Delta txnAppId/txnVersion map)
+rides the SAME atomic manifest commit as the data files, so a batch is
+either fully visible WITH its fence advanced, or neither. No residual
+window at all — crash replay is detected by the fence inside the
+commit protocol itself (a duplicate concurrent commit loses the
+``os.link`` race, re-reads the manifest, and skips).
+
+Incarnation scoping follows the cascade sink exactly: batch ids are
+only meaningful relative to one checkpoint incarnation, so the fence
+app-id is the streaming query id read from the checkpoint's own
+``metadata`` file — clearing a checkpoint mints a new query id (full
+replay becomes an idempotent recompute via merge mode, or an
+intentional re-ingest via append mode), while a respelled path to the
+same checkpoint keeps the same id.
+
+Scale shape: per trigger, append mode is O(micro-batch) — new files +
+one manifest link, no read of existing data; merge mode reads only the
+data files whose footer key range intersects the batch's keys
+(copy-on-write pruning), so a trickle of late upserts into a 100 TB
+key-clustered table touches a sliver per trigger.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from data_warehouse_project_spark.sources.txtable import TxError, TxTable
+
+
+def _incarnation(checkpoint_dir: str) -> str:
+    """The streaming query id from the checkpoint's metadata file —
+    written at stream start, regenerated when the checkpoint is
+    cleared, identical however the path is spelled. Path-hash fallback
+    only for checkpoint filesystems this process can't read."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return json.loads(fh.read())["id"][:8]
+    except (OSError, KeyError, ValueError):
+        return hashlib.md5(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:8]
+
+
+def txtable_ingest(
+    stream_df: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+    key: str | None = None,
+    available_now: bool = True,
+):
+    """Start a ``foreachBatch`` stream writing every micro-batch into
+    the transactional table at ``table_root`` with exactly-once
+    semantics.
+
+    ``mode="append"``: each batch's rows are appended once, even across
+    crash replays (fence inside the commit).
+    ``mode="merge"``: each batch upserts by ``key`` (last write per key
+    wins within the stream's order) — requires ``key``; batches must
+    not contain duplicate keys (merge's in-plan source contract).
+
+    The table is created on the first trigger if absent — as an EMPTY
+    table followed by a fenced append/merge, so a crash between
+    creation and the first data commit replays into the fenced path
+    instead of duplicating version 0's rows.
+    """
+    if mode not in ("append", "merge"):
+        raise ValueError(f"txtable_ingest: mode {mode!r}")
+    if mode == "merge" and key is None:
+        raise ValueError("txtable_ingest: merge mode requires key=...")
+    app: list[str] = []  # resolved on the first trigger
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if not app:
+            app.append(f"stream-{_incarnation(checkpoint_dir)}")
+        spark = batch_df.sparkSession
+        try:
+            t = TxTable(spark, table_root)
+        except TxError:
+            TxTable.create(spark, table_root, batch_df.limit(0), key=key)
+            t = TxTable(spark, table_root)
+        txn = (app[0], batch_id)
+        if mode == "append":
+            t.append(batch_df, txn=txn)
+        else:
+            t.merge(batch_df, txn=txn)
+
+    writer = stream_df.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -147,7 +147,12 @@ def cascade_ingest(
     replays a batch whose earlier grains already merged — those grains
     double-count the touched stripes. That is the plain-parquet honesty
     tax (same class as neardup_ingest's band-append window); closing it
-    needs a transactional table format, not a different algorithm.
+    needs a transactional table format, not a different algorithm —
+    which ``streaming/txsink.txtable_ingest`` now provides for
+    single-table sinks (fence and data in ONE atomic manifest commit,
+    sources/txtable.py). This cascade keeps the plain-parquet layout
+    because its state is N grain tables swapped independently;
+    migrating it onto TxTable would need a multi-table transaction.
 
     Scale shape: per trigger, O(micro-batch) aggregation + O(touched
     months) partition rewrites per grain — state tables never rescan.

@@ -1,0 +1,117 @@
+"""Exactly-once streaming ingestion into the transactional table
+(streaming/txsink.py): the batch-id fence commits ATOMICALLY with the
+data (one manifest), closing the residual replay window the
+plain-parquet fenced sinks document. Tests drive real file streams
+with availableNow triggers across restarts and forced replays."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txtable import TxTable
+from data_warehouse_project_spark.streaming import txtable_ingest
+
+
+def _write_batch(spark, src_dir, rows, n):
+    spark.createDataFrame(rows, "id long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src_dir))
+    assert spark.read.parquet(str(src_dir)).count() == n
+
+
+def _run(spark, src_dir, root, ckpt, **kw):
+    stream = spark.readStream.schema("id long, v string").parquet(str(src_dir))
+    q = txtable_ingest(stream, str(root), str(ckpt), **kw)
+    q.awaitTermination(120)
+
+
+def test_append_exactly_once_across_restarts(spark, tmp_path):
+    src, root, ckpt = tmp_path / "src", tmp_path / "t", tmp_path / "ck"
+    _write_batch(spark, src, [(1, "a"), (2, "b")], 2)
+    _run(spark, src, root, ckpt)
+    t = TxTable(spark, root)
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+    # restart with NO new data: no duplicate ingestion, no empty commits
+    v = t.latest_version()
+    _run(spark, src, root, ckpt)
+    assert t.row_count() == 2 and t.latest_version() == v
+    # restart with new files: only the new rows land
+    _write_batch(spark, src, [(3, "c")], 3)
+    _run(spark, src, root, ckpt)
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
+    assert t.row_count() == 3
+
+
+def test_append_crash_replay_is_fenced_atomically(spark, tmp_path):
+    """Simulate the exact crash the cascade sink documents as its
+    residual window: the data committed but the 'fence write' replays.
+    Here the fence IS the commit — re-delivering the same (app,
+    batch_id) is a no-op, verified through the table's own txns map."""
+    src, root, ckpt = tmp_path / "src", tmp_path / "t", tmp_path / "ck"
+    _write_batch(spark, src, [(1, "a")], 1)
+    _run(spark, src, root, ckpt)
+    t = TxTable(spark, root)
+    m = t._manifest()
+    (app, ver), = m["txns"].items()
+    batch = spark.createDataFrame([(1, "a")], "id long, v string")
+    r = t.append(batch, txn=(app, ver))  # foreachBatch redelivery
+    assert r.get("skipped") is True and t.row_count() == 1
+    # a LATER batch id from the same incarnation does land
+    r = t.append(batch, txn=(app, ver + 1))
+    assert "skipped" not in r and t.row_count() == 2
+
+
+def test_merge_mode_upserts_per_trigger(spark, tmp_path):
+    src, root, ckpt = tmp_path / "src", tmp_path / "t", tmp_path / "ck"
+    _write_batch(spark, src, [(1, "a"), (2, "b")], 2)
+    _run(spark, src, root, ckpt, mode="merge", key="id")
+    t = TxTable(spark, root)
+    # second incremental run updates key 2, inserts key 3
+    _write_batch(spark, src, [(2, "B"), (3, "c")], 4)
+    _run(spark, src, root, ckpt, mode="merge", key="id")
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # replayed merge batch is fenced too
+    m = t._manifest()
+    (app, ver), = m["txns"].items()
+    r = t.merge(
+        spark.createDataFrame([(2, "XXX")], "id long, v string"), txn=(app, ver)
+    )
+    assert r.get("skipped") is True
+    assert {r["id"]: r["v"] for r in t.read().collect()} == got
+
+
+def test_new_checkpoint_incarnation_gets_fresh_fence(spark, tmp_path):
+    """Clearing the checkpoint mints a new query id → a new fence app;
+    in merge mode the full-source replay is an idempotent recompute."""
+    src, root = tmp_path / "src", tmp_path / "t"
+    _write_batch(spark, src, [(1, "a"), (2, "b")], 2)
+    _run(spark, src, root, tmp_path / "ck1", mode="merge", key="id")
+    _run(spark, src, root, tmp_path / "ck2", mode="merge", key="id")  # fresh ckpt
+    t = TxTable(spark, root)
+    assert {r["id"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "b"}
+    assert len(t._manifest()["txns"]) == 2  # two incarnations, both fenced
+
+
+def test_mode_validation(spark, tmp_path):
+    (tmp_path / "x").mkdir()
+    stream = spark.readStream.schema("id long").parquet(str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="mode"):
+        txtable_ingest(stream, "r", "c", mode="nope")
+    with pytest.raises(ValueError, match="requires key"):
+        txtable_ingest(stream, "r", "c", mode="merge")
+
+
+def test_fence_state_survives_compaction_and_vacuum(spark, tmp_path):
+    src, root, ckpt = tmp_path / "src", tmp_path / "t", tmp_path / "ck"
+    _write_batch(spark, src, [(i, "x") for i in range(5)], 5)
+    _run(spark, src, root, ckpt, key="id")
+    t = TxTable(spark, root)
+    t.compact(target_files=1, cluster=True)
+    t.vacuum(retain_versions=1, min_age_s=0.0)
+    (app, ver), = t._manifest()["txns"].items()
+    r = t.append(
+        spark.createDataFrame([(9, "y")], "id long, v string"), txn=(app, ver)
+    )
+    assert r.get("skipped") is True and t.row_count() == 5
