@@ -580,7 +580,9 @@ class TxTable:
         out["rows_delta"] = after - before
         return out
 
-    def rewrite_by_keys(self, keys: DataFrame, transform) -> dict:
+    def rewrite_by_keys(
+        self, keys: DataFrame, transform, txn: tuple[str, int] | None = None
+    ) -> dict:
         """Generic key-pruned copy-on-write: read ONLY the files that
         may contain a key from ``keys`` (the table's merge key column),
         hand that slice to ``transform(slice_df) -> DataFrame``, and
@@ -593,13 +595,21 @@ class TxTable:
         is EXACT when applied to the slice. This is how the snapshot
         path's pure functions (operators/scd.py) run at file-level cost
         on a 100 TB dimension: same function, O(touched files) IO.
+
+        ``txn`` fences the rewrite like append/merge — essential for
+        NON-idempotent transforms (additive deltas): the fence commits
+        in the same manifest as the rewritten files, so a crash replay
+        can never double-apply the delta.
         """
         m = self._manifest()
+        skip, txns = _fence(m, txn)
+        if skip:
+            return {"files_rewritten": 0, "version": m["version"], "skipped": True}
         if m["key"] is None:
             raise TxError("rewrite_by_keys requires a table created with key=...")
         touched = self._touched_by_keys(m, keys)
         replacement = transform(self._read_files(m, touched))
-        return self._cow_commit(m, "rewrite", touched, replacement, {})
+        return self._cow_commit(m, "rewrite", touched, replacement, {}, txns)
 
     # ---------------------------------------------------- maintenance
 

@@ -15,5 +15,6 @@ from data_warehouse_project_spark.streaming.windows import (  # noqa: F401
     tumbling_counts,
 )
 from data_warehouse_project_spark.streaming.txsink import (  # noqa: F401
+    txcascade_ingest,
     txtable_ingest,
 )

@@ -104,3 +104,105 @@ def txtable_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def txcascade_ingest(
+    stream_events: DataFrame,
+    catalog_root: str,
+    checkpoint_dir: str,
+    ts_col: str,
+    dims,
+    measures,
+    grains=("hour", "day", "month"),
+    prefix: str = "rollup",
+    available_now: bool = True,
+):
+    """The TRANSACTIONAL twin of ``streaming/windows.cascade_ingest``:
+    the same hypertable-style continuous-aggregate cascade (batch rolls
+    up once at the finest grain, every coarser grain merges the FINER
+    grain's delta), but each grain lives in a ``TxTable`` inside one
+    ``TxCatalog``, and every micro-batch lands as ONE multi-table
+    transaction:
+
+    - per grain, the additive merge runs through ``rewrite_by_keys``
+      with a table-scoped txn fence — data files AND fence in one
+      atomic table commit, so a crash replay can never double-apply a
+      grain's delta (the plain-parquet cascade's documented residual
+      window, closed);
+    - the catalog pin commit makes all grains visible TOGETHER:
+      ``catalog.read("rollup_day")``/``("rollup_hour")`` always come
+      from the same batch boundary, even mid-crash. The plain sink
+      could never offer that — its grains swap independently.
+
+    Pruning: grain tables are keyed by ``bucket_us`` (epoch micros of
+    the bucket), so the rewrite touches only files whose key range
+    intersects the batch's buckets — O(delta + touched stripes) per
+    trigger, independent of table history; ``compact(cluster=True)``
+    keeps stripes disjoint as they accumulate. ``measures`` follows
+    ``rollup_cascade``'s contract (additive SUM/COUNT shapes over raw
+    rows; coarser grains re-sum by name; NULL ``ts_col`` rows are
+    excluded). ``grains`` finest → coarsest.
+    """
+    from pyspark.sql import functions as F
+
+    from data_warehouse_project_spark.sources.txcatalog import TxCatalog
+    from data_warehouse_project_spark.sources.txtable import TxError
+
+    names = list(measures)
+    app: list[str] = []
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if not app:
+            app.append(f"cascade-{_incarnation(checkpoint_dir)}")
+        spark = batch_df.sparkSession
+        try:
+            cat = TxCatalog(spark, catalog_root)
+        except TxError:
+            cat = TxCatalog.create(spark, catalog_root)
+        delta = (
+            batch_df.filter(F.col(ts_col).isNotNull())
+            .groupBy(
+                F.date_trunc(grains[0], F.col(ts_col)).alias("bucket_ts"), *dims
+            )
+            .agg(*[expr.alias(name) for name, expr in measures.items()])
+            .withColumn("bucket_us", F.unix_micros("bucket_ts"))
+            .localCheckpoint(eager=False)
+        )
+        with cat.transaction(txn=(app[0], batch_id)) as tx:
+            for grain in grains:
+                if grain != grains[0]:
+                    # coarser grain: re-bucket the FINER grain's delta
+                    delta = (
+                        delta.groupBy(
+                            F.date_trunc(grain, F.col("bucket_ts")).alias(
+                                "bucket_ts"
+                            ),
+                            *dims,
+                        )
+                        .agg(*[F.sum(n).alias(n) for n in names])
+                        .withColumn("bucket_us", F.unix_micros("bucket_ts"))
+                        .localCheckpoint(eager=False)
+                    )
+                d = delta
+
+                def merge_additive(cur: DataFrame, d=d) -> DataFrame:
+                    return (
+                        cur.unionByName(d.select(*cur.columns))
+                        .groupBy("bucket_us", "bucket_ts", *dims)
+                        .agg(*[F.sum(n).alias(n) for n in names])
+                    )
+
+                tx.rewrite_by_keys(
+                    f"{prefix}_{grain}",
+                    d.select("bucket_us"),
+                    merge_additive,
+                    like=d,
+                    key="bucket_us",
+                )
+
+    writer = stream_events.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
