@@ -148,11 +148,14 @@ def cascade_ingest(
     double-count the touched stripes. That is the plain-parquet honesty
     tax (same class as neardup_ingest's band-append window); closing it
     needs a transactional table format, not a different algorithm —
-    which ``streaming/txsink.txtable_ingest`` now provides for
+    now provided: ``streaming/txsink.txtable_ingest`` closes it for
     single-table sinks (fence and data in ONE atomic manifest commit,
-    sources/txtable.py). This cascade keeps the plain-parquet layout
-    because its state is N grain tables swapped independently;
-    migrating it onto TxTable would need a multi-table transaction.
+    sources/txtable.py), and ``streaming/txsink.txcascade_ingest`` is
+    this cascade's transactional twin (per-grain fenced rewrites +
+    one ``TxCatalog`` pin commit making all grains visible together,
+    sources/txcatalog.py). This plain-parquet variant remains for
+    warehouses that want zero commit-log machinery and accept the
+    stated window.
 
     Scale shape: per trigger, O(micro-batch) aggregation + O(touched
     months) partition rewrites per grain — state tables never rescan.
