@@ -305,11 +305,16 @@ def _register_lsh_ann() -> None:
             idx = VectorLSHIndex(Warehouse(spark, tmp))
             b1 = idx.add_vectors(emb.filter("vec_id % 2 = 0"), return_frame=True)
             b2 = idx.add_vectors(emb.filter("vec_id % 2 = 1"), return_frame=True)
+            u = b1.unionByName(b2)
             return idx.topk(
                 emb,
                 query_ids_below=N_QUERY_VECS,
                 top_k=TOP_K,
-                bands=b1.unionByName(b2),
+                bands=u,
+                # the admission frames already hold the queries' band
+                # rows — reuse them instead of re-entering the ~1 s
+                # lsh_signature expression (see topk's docstring A/B)
+                query_bands=u,
             ).localCheckpoint()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
