@@ -940,7 +940,8 @@ def ship_day_coverage_open_orders(
     ),
     per_iv AS (
       SELECT iv.event_id, iv.day,
-             COUNT(*) AS n, SUM(pt.cents) AS c
+             COUNT(*) AS n, SUM(pt.cents) AS c,
+             COUNT(DISTINCT pt.p) AS d
       FROM pt JOIN iv ON pt.p BETWEEN iv.lo AND iv.hi
       GROUP BY iv.event_id, iv.day
     )
@@ -948,7 +949,8 @@ def ship_day_coverage_open_orders(
            CAST(COUNT(*) AS BIGINT) AS n_windows,
            CAST(SUM(n) AS BIGINT) AS n_pairs,
            CAST(SUM(c) AS BIGINT) AS cents_in_window,
-           CAST(MAX(n) AS BIGINT) AS max_in_window
+           CAST(MAX(n) AS BIGINT) AS max_in_window,
+           CAST(SUM(d) AS BIGINT) AS distinct_ts_pairs
     FROM per_iv GROUP BY day ORDER BY day
     """,
     doc="Aggregate-over-containment at RAW MICROSECOND resolution — "
@@ -993,6 +995,10 @@ def preceding_events_10min_micros(
         bucket_width=600_000_000,  # 10-min stripes ≈ window span
         count_col="n",
         sum_cols={"c": "cents"},
+        # sparse distinct mode on the oracle path: the per-value rollup
+        # has already collapsed duplicate timestamps, so presence 0/1
+        # prefix-sums ride the same spine — D(hi) − D(lo−1) per window
+        distinct_count_col="d",
     )
     return (
         # n ≥ 1 always (each purchase contains itself) but the n > 0
@@ -1004,6 +1010,7 @@ def preceding_events_10min_micros(
             F.sum("n").cast("bigint").alias("n_pairs"),
             F.sum("c").cast("bigint").alias("cents_in_window"),
             F.max("n").cast("bigint").alias("max_in_window"),
+            F.sum("d").cast("bigint").alias("distinct_ts_pairs"),
         )
         .orderBy("day")
     )
