@@ -36,25 +36,35 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
-def _plane_col(p: int) -> Column:
-    return F.array(*[F.lit(v) for v in HYPERPLANES[p]])
+def _planes_2d() -> Column:
+    """All hyperplanes as ONE 2-D literal array column."""
+    return F.array(*[F.array(*[F.lit(v) for v in row]) for row in HYPERPLANES])
 
 
 def lsh_signature(vec: Column) -> Column:
-    """16-char '0'/'1' signature: sign of <v, plane_p> per hyperplane."""
-    bits = [
-        F.when(
+    """16-char '0'/'1' signature: sign of <v, plane_p> per hyperplane.
+
+    Implemented as a SINGLE ``transform`` lambda over the 2-D plane
+    literal, not one aggregate expression per plane: the unrolled
+    16-fold tree cost ~1 s of per-execution plan overhead regardless of
+    row count (interleaved min-of-4 at sf0.1: full-corpus signatures
+    1.17 s unrolled vs 0.26 s transform; a 5-row probe 0.84 s vs
+    0.12 s — outputs bit-identical on all 2000 vectors). Same math,
+    same bit order (``transform`` preserves array order and
+    ``array_join`` equals the bit concat)."""
+    bits = F.transform(
+        _planes_2d(),
+        lambda plane: F.when(
             F.aggregate(
-                F.zip_with(vec, _plane_col(p), lambda x, y: x * y),
+                F.zip_with(vec, plane, lambda x, y: x * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             >= 0,
             "1",
-        ).otherwise("0")
-        for p in range(N_PLANES)
-    ]
-    return F.concat(*bits)
+        ).otherwise("0"),
+    )
+    return F.array_join(bits, "")
 
 
 def lsh_ann_topk(
