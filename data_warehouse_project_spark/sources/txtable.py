@@ -114,10 +114,13 @@ class TxTable:
         root: str | Path,
         df: DataFrame,
         key: str | None = None,
+        checks: dict | None = None,
     ) -> "TxTable":
         """Create a new table at ``root`` (must not already be one) and
         commit ``df`` as version 0. ``key`` declares the merge key whose
-        per-file min/max statistics drive copy-on-write file pruning."""
+        per-file min/max statistics drive copy-on-write file pruning.
+        ``checks`` (name → SQL predicate) declares CHECK constraints
+        enforced IN-PLAN on this and every future write."""
         root = Path(root)
         if (root / TXLOG_DIR).exists():
             raise TxError(f"already a transactional table: {root}")
@@ -127,8 +130,15 @@ class TxTable:
         (root / TXLOG_DIR).mkdir()
         (root / DATA_DIR).mkdir(exist_ok=True)
         t = cls(spark, root)
-        files = t._write_files(df, key)
-        t._commit(0, "create", files, _schema_json(df.schema), key)
+        try:
+            files = t._write_files(_checked(df, checks), key)
+            t._commit(0, "create", files, _schema_json(df.schema), key,
+                      checks=checks)
+        except BaseException:
+            # a failed v0 (e.g. CHECK violation inside the write job)
+            # must not leave a manifest-less husk that blocks a retry
+            shutil.rmtree(root / TXLOG_DIR, ignore_errors=True)
+            raise
         return t
 
     # ------------------------------------------------------- manifests
@@ -192,13 +202,15 @@ class TxTable:
         key: str | None,
         metrics: dict | None = None,
         txns: dict | None = None,
+        checks: dict | None = None,
     ) -> None:
         """Atomically claim ``version``. Raises TxConflictError if a
         concurrent writer claimed it first; the temp manifest is always
         cleaned up and data files referenced by the failed manifest stay
         orphaned (invisible) for vacuum. ``txns`` is the
-        idempotence-fence map (app → highest committed txn version),
-        carried forward by every commit."""
+        idempotence-fence map (app → highest committed txn version);
+        ``checks`` the CHECK-constraint map (name → SQL predicate) —
+        both carried forward by every commit."""
         manifest = {
             "version": version,
             "op": op,
@@ -208,6 +220,7 @@ class TxTable:
             "files": sorted(files, key=lambda f: f["path"]),
             "metrics": metrics or {},
             "txns": txns or {},
+            "checks": checks or {},
         }
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
         with open(tmp, "w") as f:
@@ -279,7 +292,12 @@ class TxTable:
 
     # ---------------------------------------------------------- writes
 
-    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> dict:
+    def append(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
+    ) -> dict:
         """Append a batch. Appends depend on no snapshot, so a lost
         commit race is retried onto the next version automatically
         (schema is revalidated against the winner's manifest each try).
@@ -290,6 +308,12 @@ class TxTable:
         it is skipped without writing (``{"skipped": True}``). This is
         the exactly-once fence for Structured Streaming foreachBatch
         sinks, whose batches can be redelivered after a restart.
+
+        ``merge_schema=True`` allows the batch to carry NEW columns
+        (Delta's mergeSchema): the table schema widens with them as
+        nullable fields, existing files read back NULL for them, and
+        existing columns must keep their exact types. The batch must
+        still contain every existing column.
         Returns the commit metrics."""
         files = None
         for _ in range(_APPEND_RETRIES):
@@ -297,9 +321,15 @@ class TxTable:
             skip, txns = _fence(m, txn)
             if skip:
                 return {"rows_appended": 0, "version": m["version"], "skipped": True}
-            _check_schema(m, df)
+            if merge_schema:
+                schema_json = _evolve_schema(m, df)
+            else:
+                schema_json = m["schema"]
+                _check_schema(m, df)
             if files is None:  # write data once; only the claim retries
-                files = self._write_files(df, m["key"])
+                files = self._write_files(
+                    _checked(df, m.get("checks")), m["key"]
+                )
                 if not files and txn is None:
                     return {"rows_appended": 0, "version": m["version"]}
             try:
@@ -307,10 +337,11 @@ class TxTable:
                     m["version"] + 1,
                     "append",
                     m["files"] + files,
-                    m["schema"],
+                    schema_json,
                     m["key"],
                     {"rows_appended": sum(f["rows"] for f in files)},
                     txns,
+                    m.get("checks", {}),
                 )
                 return {
                     "rows_appended": sum(f["rows"] for f in files),
@@ -330,7 +361,7 @@ class TxTable:
         key = m["key"] if key is None else key
         if key is not None and key not in df.columns:
             raise TxError(f"key column {key!r} not in dataframe")
-        files = self._write_files(df, key)
+        files = self._write_files(_checked(df, m.get("checks")), key)
         self._commit(
             m["version"] + 1,
             "overwrite",
@@ -339,6 +370,7 @@ class TxTable:
             key,
             {"rows_written": sum(f["rows"] for f in files)},
             m.get("txns", {}),
+            m.get("checks", {}),
         )
         return {"version": m["version"] + 1}
 
@@ -402,7 +434,8 @@ class TxTable:
         the manifest, ``replacement`` (their rewritten contents) comes
         in as new files, everything else carries over untouched."""
         new_files = self._write_files(
-            replacement.select(*_schema_cols(m)), m["key"]
+            _checked(replacement.select(*_schema_cols(m)), m.get("checks")),
+            m["key"],
         )
         kept = [f for f in m["files"] if f["path"] not in set(touched)]
         metrics = dict(metrics, files_rewritten=len(touched))
@@ -414,6 +447,7 @@ class TxTable:
             m["key"],
             metrics,
             m.get("txns", {}) if txns is None else txns,
+            m.get("checks", {}),
         )
         return dict(metrics, version=m["version"] + 1)
 
@@ -611,6 +645,49 @@ class TxTable:
         replacement = transform(self._read_files(m, touched))
         return self._cow_commit(m, "rewrite", touched, replacement, {}, txns)
 
+    # ----------------------------------------------------- constraints
+
+    def add_constraint(self, name: str, predicate: str) -> dict:
+        """ALTER TABLE ADD CONSTRAINT CHECK (predicate) — Delta
+        semantics: EXISTING rows are validated first (one scan; any row
+        where the predicate is FALSE aborts with a sample), then the
+        constraint joins the manifest and every later write enforces it
+        in-plan (raise_error inside the write job — a violating batch
+        commits nothing). NULL predicate results pass, like SQL CHECK."""
+        m = self._manifest()
+        checks = dict(m.get("checks", {}))
+        if name in checks:
+            raise TxError(f"constraint {name!r} already exists")
+        bad = (
+            self.read()
+            .filter(~F.coalesce(F.expr(predicate), F.lit(True)))
+            .limit(3)
+            .collect()
+        )
+        if bad:
+            raise TxError(
+                f"cannot add constraint {name!r}: {len(bad)}+ existing "
+                f"row(s) violate {predicate!r}, e.g. {bad[0].asDict()}"
+            )
+        checks[name] = predicate
+        self._commit(
+            m["version"] + 1, "add_constraint", m["files"], m["schema"],
+            m["key"], {"constraint": name}, m.get("txns", {}), checks,
+        )
+        return {"version": m["version"] + 1}
+
+    def drop_constraint(self, name: str) -> dict:
+        m = self._manifest()
+        checks = dict(m.get("checks", {}))
+        if name not in checks:
+            raise TxError(f"no such constraint: {name!r}")
+        del checks[name]
+        self._commit(
+            m["version"] + 1, "drop_constraint", m["files"], m["schema"],
+            m["key"], {"constraint": name}, m.get("txns", {}), checks,
+        )
+        return {"version": m["version"] + 1}
+
     # ---------------------------------------------------- maintenance
 
     def compact(self, target_files: int = 8, cluster: bool = False) -> dict:
@@ -679,6 +756,56 @@ class TxTable:
 
 
 # ------------------------------------------------------------- helpers
+
+
+def _checked(df: DataFrame, checks: dict | None) -> DataFrame:
+    """Weave CHECK-constraint enforcement into the write plan: a row
+    where any predicate is FALSE raises inside the write job (nothing
+    commits), NULL results pass (SQL CHECK semantics). Zero extra jobs
+    — the same minted raise_error pattern as the surrogate-key bound."""
+    if not checks:
+        return df
+    guard = F.lit(1)
+    for name, predicate in sorted(checks.items()):
+        ok = F.coalesce(F.expr(predicate), F.lit(True))
+        guard = F.when(
+            ~ok,
+            F.raise_error(
+                F.lit(f"CHECK constraint {name!r} violated: {predicate}")
+            ).cast("int"),
+        ).otherwise(guard)
+    return (
+        df.withColumn("__tx_chk", guard)
+        .filter(F.col("__tx_chk") == 1)
+        .drop("__tx_chk")
+    )
+
+
+def _evolve_schema(manifest: dict, df: DataFrame) -> str:
+    """mergeSchema append: widen the table schema with the batch's NEW
+    columns (nullable). Existing columns must keep their exact types
+    and must all be present in the batch."""
+    have = {f["name"]: f for f in json.loads(manifest["schema"])["fields"]}
+    batch = json.loads(_schema_json(df.schema))
+    batch_by_name = {f["name"]: f for f in batch["fields"]}
+    missing = set(have) - set(batch_by_name)
+    if missing:
+        raise TxError(
+            f"merge_schema append must still carry every existing "
+            f"column; missing {sorted(missing)}"
+        )
+    for name, f in batch_by_name.items():
+        if name in have and f["type"] != have[name]["type"]:
+            raise TxError(
+                f"merge_schema cannot change column {name!r}: "
+                f"{have[name]['type']} -> {f['type']}"
+            )
+    evolved = {
+        "type": "struct",
+        "fields": list(have.values())
+        + [f for n, f in batch_by_name.items() if n not in have],
+    }
+    return json.dumps(evolved)
 
 
 def _fence(manifest: dict, txn: tuple[str, int] | None):

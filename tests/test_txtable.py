@@ -445,3 +445,85 @@ def test_rewrite_by_keys_requires_key(spark, tmp_path):
     )
     with pytest.raises(TxError, match="requires a table created with key"):
         t.rewrite_by_keys(t.read().select("id"), lambda df: df)
+
+
+# ------------------------------ schema evolution + CHECK constraints
+
+
+def test_merge_schema_append_widens_nullable(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(TxError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(2, "b", 5)], "id long, v string, w long"))
+    t.append(
+        spark.createDataFrame([(2, "b", 5)], "id long, v string, w long"),
+        merge_schema=True,
+    )
+    got = {r["id"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 5)}  # old file reads NULL w
+    # plain appends must now carry the widened schema
+    t.append(spark.createDataFrame([(3, "c", None)], "id long, v string, w long"))
+    assert t.row_count() == 3
+    # time travel to v0 keeps the narrow schema
+    assert t.read(0).columns == ["id", "v"]
+    # type change and column drop both refuse
+    with pytest.raises(TxError, match="cannot change column"):
+        t.append(
+            spark.createDataFrame([(4, "d", "x")], "id long, v string, w string"),
+            merge_schema=True,
+        )
+    with pytest.raises(TxError, match="every existing column"):
+        t.append(spark.createDataFrame([(4, "d")], "id long, v string"),
+                 merge_schema=True)
+
+
+def test_check_constraints_enforced_in_plan(spark, tmp_path):
+    from data_warehouse_project_spark.sources.txtable import TxTable as TT
+
+    t = TT.create(
+        spark, tmp_path / "c",
+        spark.createDataFrame([(1, 10)], "id long, v long"),
+        key="id", checks={"v_pos": "v > 0"},
+    )
+    # violating create refuses too
+    with pytest.raises(Exception, match="v_pos"):
+        TT.create(
+            spark, tmp_path / "c2",
+            spark.createDataFrame([(1, -1)], "id long, v long"),
+            checks={"v_pos": "v > 0"},
+        )
+    # violating append commits NOTHING (atomic: raise inside the write)
+    with pytest.raises(Exception, match="v_pos"):
+        t.append(spark.createDataFrame([(2, 5), (3, -1)], "id long, v long"))
+    assert t.row_count() == 1 and t.latest_version() == 0
+    # NULL passes (SQL CHECK semantics); merge path enforces as well
+    t.append(spark.createDataFrame([(2, None)], "id long, v long"))
+    with pytest.raises(Exception, match="v_pos"):
+        t.merge(spark.createDataFrame([(1, -5)], "id long, v long"))
+    assert _v(t) == {1: 10, 2: None}
+
+
+def _v(t):
+    return {r["id"]: r["v"] for r in t.read().collect()}
+
+
+def test_add_constraint_validates_existing_then_enforces(spark, tmp_path):
+    from data_warehouse_project_spark.sources.txtable import TxTable as TT
+
+    t = TT.create(
+        spark, tmp_path / "ac",
+        spark.createDataFrame([(1, 10), (2, -3)], "id long, v long"),
+        key="id",
+    )
+    with pytest.raises(TxError, match="existing"):
+        t.add_constraint("v_pos", "v > 0")
+    t.delete(F.col("v") < 0)
+    t.add_constraint("v_pos", "v > 0")
+    with pytest.raises(TxError, match="already exists"):
+        t.add_constraint("v_pos", "v > 0")
+    with pytest.raises(Exception, match="v_pos"):
+        t.append(spark.createDataFrame([(9, 0)], "id long, v long"))
+    t.drop_constraint("v_pos")
+    t.append(spark.createDataFrame([(9, 0)], "id long, v long"))
+    assert _v(t) == {1: 10, 9: 0}
+    with pytest.raises(TxError, match="no such"):
+        t.drop_constraint("zzz")
