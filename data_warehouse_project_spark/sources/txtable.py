@@ -281,10 +281,33 @@ class TxTable:
 
     # ----------------------------------------------------------- reads
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (latest, or time travel to ``version``)."""
+    def read(
+        self,
+        version: int | None = None,
+        key_between: tuple[int, int] | None = None,
+    ) -> DataFrame:
+        """Snapshot read (latest, or time travel to ``version``).
+
+        ``key_between=(lo, hi)`` prunes at the MANIFEST level: only
+        files whose footer key range intersects [lo, hi] are handed to
+        Spark at all — on an object store that's the difference between
+        listing/opening every file of a 100 TB table and touching the
+        slice a time-range query needs. The result still contains every
+        matching row but MAY contain out-of-range rows from straddling
+        files; compose with a real ``.filter`` for exact semantics
+        (the filter also pushes down into the surviving scans)."""
         m = self._manifest(version)
-        return self._read_files(m, [f["path"] for f in m["files"]])
+        files = m["files"]
+        if key_between is not None:
+            if m["key"] is None:
+                raise TxError("key_between requires a table created with key=...")
+            lo, hi = key_between
+            files = [
+                f
+                for f in files
+                if "kmin" not in f or (f["kmax"] >= lo and f["kmin"] <= hi)
+            ]
+        return self._read_files(m, [f["path"] for f in files])
 
     def row_count(self, version: int | None = None) -> int:
         """Exact row count from manifest metadata — no Spark job."""

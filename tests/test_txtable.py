@@ -527,3 +527,24 @@ def test_add_constraint_validates_existing_then_enforces(spark, tmp_path):
     assert _v(t) == {1: 10, 9: 0}
     with pytest.raises(TxError, match="no such"):
         t.drop_constraint("zzz")
+
+
+def test_read_key_between_prunes_files_exactly(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, "lo") for i in range(100)])
+    t.append(spark.createDataFrame(
+        [(i, "hi") for i in range(1000, 1100)], "id long, v string"))
+    full = t.read(key_between=(0, 2000))
+    assert full.count() == 200
+    pruned = t.read(key_between=(1000, 1100))
+    # every high-range row survives; at least the low files are gone
+    ids = {r["id"] for r in pruned.filter(F.col("id") >= 1000).collect()}
+    assert ids == set(range(1000, 1100))
+    n_in = len(pruned.inputFiles())
+    assert n_in < len(full.inputFiles())
+    # exact semantics by composing with a filter
+    assert pruned.filter("id between 1000 and 1100").count() == 100
+    with pytest.raises(TxError, match="requires a table"):
+        TxTable.create(
+            spark, tmp_path / "nk3",
+            spark.createDataFrame([(1, "a")], "id long, v string"),
+        ).read(key_between=(0, 1))
