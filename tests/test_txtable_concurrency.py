@@ -1,0 +1,82 @@
+"""Optimistic concurrency under REAL interleaving: multiple writer
+threads race appends and merges on one transactional table through
+independent handles. The os.link claim protocol must serialize them
+with zero lost updates — every batch lands exactly once, versions are
+contiguous, and the final state equals the sequential model."""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txtable import TxTable
+
+
+def test_concurrent_appends_lose_nothing(spark, tmp_path):
+    t0 = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([], "writer long, seq long"),
+        key="seq",
+    )
+    n_writers, n_batches = 4, 5
+    errors = []
+
+    def writer(w: int) -> None:
+        try:
+            h = TxTable(spark, t0.root)  # own handle, shared log
+            for s in range(n_batches):
+                h.append(
+                    spark.createDataFrame([(w, s)], "writer long, seq long")
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append((w, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    got = {(r["writer"], r["seq"]) for r in t0.read().collect()}
+    want = {(w, s) for w in range(n_writers) for s in range(n_batches)}
+    assert got == want, "every append must land exactly once"
+    assert t0.row_count() == n_writers * n_batches
+    # versions are contiguous 0..N with no gaps (every claim that won
+    # produced a manifest; losers retried onto later numbers)
+    assert t0._versions() == list(range(n_writers * n_batches + 1))
+    ops = [h["op"] for h in t0.history()]
+    assert ops == ["create"] + ["append"] * (n_writers * n_batches)
+
+
+def test_concurrent_fenced_appends_are_exactly_once(spark, tmp_path):
+    """Two handles racing the SAME (app, batch) — e.g. a zombie
+    executor replaying a foreachBatch alongside its successor — must
+    land the batch exactly once: the loser's claim either fails and
+    re-checks the fence, or is skipped up front."""
+    t0 = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([], "x long"),
+        key="x",
+    )
+    barrier = threading.Barrier(2)
+    results = []
+
+    def racer(tag: int) -> None:
+        h = TxTable(spark, t0.root)
+        df = spark.createDataFrame([(tag,)], "x long")
+        barrier.wait(timeout=60)
+        results.append(h.append(df, txn=("app", 7)))
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert len(results) == 2
+    landed = [r for r in results if not r.get("skipped")]
+    assert len(landed) == 1, f"exactly one racer must win: {results}"
+    assert t0.row_count() == 1
+    assert t0._manifest()["txns"] == {"app": 7}
