@@ -668,6 +668,26 @@ class TxTable:
         replacement = transform(self._read_files(m, touched))
         return self._cow_commit(m, "rewrite", touched, replacement, {}, txns)
 
+    def restore(self, version: int) -> dict:
+        """RESTORE TABLE TO VERSION — a NEW commit re-pinning the old
+        version's file list, schema, key, and constraints (txn fences
+        carry forward: restore rewinds data, never delivery state, or a
+        restored stream would re-ingest every fenced batch). History is
+        preserved; the restored-from version must still be on disk."""
+        m_old = self._manifest(version)
+        m = self._manifest()
+        self._commit(
+            m["version"] + 1,
+            "restore",
+            m_old["files"],
+            m_old["schema"],
+            m_old["key"],
+            {"restored_from": version},
+            m.get("txns", {}),
+            m_old.get("checks", {}),
+        )
+        return {"version": m["version"] + 1, "restored_from": version}
+
     # ----------------------------------------------------- constraints
 
     def add_constraint(self, name: str, predicate: str) -> dict:

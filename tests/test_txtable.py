@@ -548,3 +548,23 @@ def test_read_key_between_prunes_files_exactly(spark, tmp_path):
             spark, tmp_path / "nk3",
             spark.createDataFrame([(1, "a")], "id long, v string"),
         ).read(key_between=(0, 1))
+
+
+def test_restore_rewinds_data_not_fences(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"),
+             txn=("s", 3))
+    t.overwrite(spark.createDataFrame([(9, "z")], "id long, v string"))
+    r = t.restore(1)
+    assert r == {"version": 3, "restored_from": 1}
+    assert _snap(t) == {1: "a", 2: "b"}
+    assert [h["op"] for h in t.history()] == [
+        "create", "append", "overwrite", "restore"]
+    # delivery state survives the rewind: the fenced batch stays fenced
+    assert t._manifest()["txns"] == {"s": 3}
+    rr = t.append(spark.createDataFrame([(2, "b")], "id long, v string"),
+                  txn=("s", 3))
+    assert rr.get("skipped") is True
+    # restored files survive vacuum (they are referenced by the tip)
+    t.vacuum(retain_versions=1, min_age_s=0.0)
+    assert _snap(t) == {1: "a", 2: "b"}
