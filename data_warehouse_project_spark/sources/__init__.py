@@ -13,3 +13,4 @@ from data_warehouse_project_spark.sources.txtable import (  # noqa: F401
     TxTable,
     TxVacuumedError,
 )
+from data_warehouse_project_spark.sources.txview import TxAggView  # noqa: F401

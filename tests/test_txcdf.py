@@ -1,0 +1,270 @@
+"""Change data feed (TxTable.read_changes) and incremental aggregate
+views (sources/txview.TxAggView).
+
+The CDF is computed from manifest diffs — nothing is stored — so the
+core invariant is replayability: snapshot(start-1) ⊎ inserts+postimages
+∖ deletes+preimages == snapshot(end), as a multiset, for ANY op
+sequence. The view tests pin incremental maintenance equal to a full
+GROUP BY recompute after every refresh, including group birth/death and
+crash-replay fencing."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txtable import TxError, TxTable
+from data_warehouse_project_spark.sources.txview import TxAggView
+
+
+def _mk(spark, tmp_path, rows, name="t"):
+    df = spark.createDataFrame(rows, "id long, v string")
+    return TxTable.create(spark, tmp_path / name, df, key="id")
+
+
+def _feed(t, lo, hi=None):
+    return [
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in t.read_changes(lo, hi).collect()
+    ]
+
+
+def _replay(t, lo, hi, data_cols):
+    """Apply the feed to snapshot(lo-1); must equal snapshot(hi)."""
+    start = Counter(
+        tuple(r[c] for c in data_cols)
+        for r in t.read(lo - 1).collect()
+    ) if lo > 0 else Counter()
+    for r in t.read_changes(lo, hi).collect():
+        row = tuple(r[c] for c in data_cols)
+        if r["_change_type"] in ("insert", "update_postimage"):
+            start[row] += 1
+        else:
+            start[row] -= 1
+    end = Counter(tuple(r[c] for c in data_cols) for r in t.read(hi).collect())
+    assert +start == end
+
+
+# --------------------------------------------------------------- feed
+
+
+def test_cdf_append_is_inserts_with_version(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.append(spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string"))
+    assert sorted(_feed(t, 0)) == [
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 1),
+        (3, "c", "insert", 1),
+    ]
+    # range selection: version 1 only
+    assert sorted(_feed(t, 1)) == [(2, "b", "insert", 1), (3, "c", "insert", 1)]
+    ts = t.read_changes(0).select("_commit_ts").first()["_commit_ts"]
+    assert ts is not None
+
+
+def test_cdf_merge_pairs_updates_and_skips_carried_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    t.merge(spark.createDataFrame([(2, "B"), (9, "z")], "id long, v string"))
+    got = sorted(_feed(t, 1))
+    # rows 1 and 3 were carried through the rewrite (or never touched)
+    # and must NOT appear; id=2 is a paired update, id=9 an insert
+    assert got == [
+        (2, "B", "update_postimage", 1),
+        (2, "b", "update_preimage", 1),
+        (9, "z", "insert", 1),
+    ]
+
+
+def test_cdf_delete_and_update(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b"), (3, "c")])
+    t.delete(F.col("id") == 2)
+    t.update(F.col("id") == 3, {"v": F.lit("C")})
+    assert sorted(_feed(t, 1, 1)) == [(2, "b", "delete", 1)]
+    assert sorted(_feed(t, 2, 2)) == [
+        (3, "C", "update_postimage", 2),
+        (3, "c", "update_preimage", 2),
+    ]
+
+
+def test_cdf_noop_commits_emit_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, "x") for i in range(50)])
+    t.compact(target_files=2)
+    t.add_constraint("pos", "id >= 0")
+    assert _feed(t, 1) == []
+    # an update that changes no byte also emits nothing (rows cancel)
+    t.update(F.col("id") == 7, {"v": F.lit("x")})
+    assert _feed(t, 1) == []
+
+
+def test_cdf_overwrite_restore_surface_full_swap(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    got = sorted(_feed(t, 1, 1))
+    # id=1 rewrote identically: overwrite physically swaps every file,
+    # but the multiset diff cancels the identical row
+    assert got == [(2, "b", "insert", 1)]
+    t.restore(0)
+    assert sorted(_feed(t, 2, 2)) == [(2, "b", "delete", 2)]
+    _replay(t, 1, 2, ["id", "v"])
+
+
+def test_cdf_duplicate_keys_degrade_to_delete_insert(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.append(spark.createDataFrame([(1, "a2")], "id long, v string"))
+    # two live rows for id=1; a rewrite replacing both cannot pair
+    t.rewrite_by_keys(
+        spark.createDataFrame([(1,)], "id long"),
+        lambda s: s.select("id", F.lit("A").alias("v")).limit(1),
+    )
+    types = sorted(ct for (_, _, ct, _) in _feed(t, 2, 2))
+    assert types == ["delete", "delete", "insert"]
+    _replay(t, 1, 2, ["id", "v"])
+
+
+def test_cdf_schema_evolution_null_fills_old_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    t.append(
+        spark.createDataFrame([(2, "b", 10)], "id long, v string, w long"),
+        merge_schema=True,
+    )
+    t.delete(F.col("id") == 1)
+    rows = {
+        (r["id"], r["v"], r["w"], r["_change_type"])
+        for r in t.read_changes(0).collect()
+    }
+    assert rows == {
+        (1, "a", None, "insert"),
+        (2, "b", 10, "insert"),
+        (1, "a", None, "delete"),
+    }
+
+
+def test_cdf_bad_range_and_vacuumed(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(TxError, match="bad change range"):
+        t.read_changes(2, 1)
+    for i in range(4):
+        t.append(spark.createDataFrame([(10 + i, "x")], "id long, v string"))
+    t.vacuum(retain_versions=2)
+    from data_warehouse_project_spark.sources.txtable import TxVacuumedError
+
+    with pytest.raises(TxVacuumedError):
+        t.read_changes(0).collect()
+    assert len(_feed(t, 4)) == 1  # retained range still consumable
+
+
+def test_cdf_replay_invariant_random_ops(spark, tmp_path):
+    """Mixed op sequence; the feed replays every intermediate range."""
+    t = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(10)])
+    t.append(spark.createDataFrame([(i, f"n{i}") for i in range(10, 15)],
+                                   "id long, v string"))
+    t.merge(spark.createDataFrame([(3, "M"), (20, "M")], "id long, v string"))
+    t.delete(F.col("id") < 2)
+    t.compact(target_files=1)
+    t.update(F.col("id") % 5 == 0, {"v": F.concat(F.col("v"), F.lit("!"))})
+    hi = t.latest_version()
+    for lo in range(0, hi + 1):
+        _replay(t, lo, hi, ["id", "v"])
+
+
+# --------------------------------------------------------------- view
+
+
+def test_view_lifecycle(spark, tmp_path):
+    df = (
+        spark.range(20)
+        .select(
+            F.col("id"),
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") * 100).alias("amt"),
+        )
+    )
+    base = TxTable.create(spark, tmp_path / "base", df, key="id")
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"total": "amt"},
+    )
+
+    def check():
+        got = {(r["g"], r["total"], r["n_rows"]) for r in view.read().collect()}
+        want = {
+            (r["g"], r["total"], r["n"])
+            for r in base.read()
+            .groupBy("g")
+            .agg(F.sum("amt").alias("total"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+
+    check()
+    # no-op refresh: base unmoved
+    r = view.refresh()
+    assert r["skipped"] and view.table.latest_version() == 0
+
+    # appends touch two groups
+    base.append(
+        spark.createDataFrame([(100, 0, 7), (101, 1, 9)],
+                              "id long, g long, amt long")
+    )
+    r = view.refresh()
+    assert not r["skipped"] and r["groups_touched"] == 2
+    check()
+
+    # update moves a row BETWEEN groups (pre leaves g=2, post enters g=3)
+    base.update(F.col("id") == 2, {"g": F.lit(3), "amt": F.lit(5)})
+    view.refresh()
+    check()
+
+    # delete an entire group: its view row must disappear
+    base.delete(F.col("g") == 0)
+    view.refresh()
+    check()
+    assert view.read().filter(F.col("g") == 0).count() == 0
+
+    # brand-new group is born
+    base.append(spark.createDataFrame([(200, 9, 1)], "id long, g long, amt long"))
+    view.refresh()
+    check()
+    assert view.applied_base_version() == base.latest_version()
+
+
+def test_view_refresh_replay_is_fenced(spark, tmp_path):
+    df = spark.range(10).select(
+        "id", (F.col("id") % 2).alias("g"), F.lit(1).cast("long").alias("amt")
+    )
+    base = TxTable.create(spark, tmp_path / "base", df, key="id")
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"total": "amt"},
+    )
+    base.append(spark.createDataFrame([(50, 0, 1)], "id long, g long, amt long"))
+    view.refresh()
+    v_after = view.table.latest_version()
+    total = {r["g"]: r["total"] for r in view.read().collect()}
+    # crash-replay: re-apply the same delta with the same fence directly
+    target = base.latest_version()
+    delta = view.table.read()  # any frame with the key col works for keys=
+    r = view.table.rewrite_by_keys(
+        delta.select("g"), lambda s: s, txn=(TxAggView.APP, target)
+    )
+    assert r["skipped"]
+    assert view.table.latest_version() == v_after
+    assert {r["g"]: r["total"] for r in view.read().collect()} == total
+    # and a second refresh() is a clean no-op
+    assert view.refresh()["skipped"]
+
+
+def test_view_guards(spark, tmp_path):
+    df = spark.range(4).select("id", (F.col("id") % 2).alias("g"),
+                               F.lit(1).cast("long").alias("amt"))
+    base = TxTable.create(spark, tmp_path / "base", df, key="id")
+    with pytest.raises(TxError, match="reserved"):
+        TxAggView.create(spark, tmp_path / "v1", base, "g",
+                         {"n_rows": "amt"})
+    TxAggView.create(spark, tmp_path / "v2", base, "g", {"total": "amt"})
+    with pytest.raises(TxError, match="already"):
+        TxAggView.create(spark, tmp_path / "v2", base, "g", {"total": "amt"})
+    with pytest.raises(TxError, match="not a TxAggView"):
+        TxAggView(spark, tmp_path / "nope")
