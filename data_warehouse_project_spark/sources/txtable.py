@@ -121,25 +121,38 @@ class TxTable:
         df: DataFrame,
         key: str | None = None,
         checks: dict | None = None,
+        stats_cols: list[str] | None = None,
     ) -> "TxTable":
         """Create a new table at ``root`` (must not already be one) and
         commit ``df`` as version 0. ``key`` declares the merge key whose
         per-file min/max statistics drive copy-on-write file pruning.
         ``checks`` (name → SQL predicate) declares CHECK constraints
-        enforced IN-PLAN on this and every future write."""
+        enforced IN-PLAN on this and every future write.
+
+        ``stats_cols`` declares ADDITIONAL columns whose per-file
+        min/max land in the manifest (Delta's data-skipping stats):
+        ``read(prune={col: (lo, hi)})`` then skips files at the
+        MANIFEST level on any of them, independent of the merge key —
+        e.g. key=customer_id for merges, stats on event_date for
+        time-range scans. Same INT32/INT64-physical exactness contract
+        as the key stats; columns whose footers aren't usable simply
+        never prune (conservative)."""
         root = Path(root)
         if (root / TXLOG_DIR).exists():
             raise TxError(f"already a transactional table: {root}")
         if key is not None and key not in df.columns:
             raise TxError(f"key column {key!r} not in dataframe")
+        for c in stats_cols or []:
+            if c not in df.columns:
+                raise TxError(f"stats column {c!r} not in dataframe")
         root.mkdir(parents=True, exist_ok=True)
         (root / TXLOG_DIR).mkdir()
         (root / DATA_DIR).mkdir(exist_ok=True)
         t = cls(spark, root)
         try:
-            files = t._write_files(_checked(df, checks), key)
+            files = t._write_files(_checked(df, checks), key, stats_cols)
             t._commit(0, "create", files, _schema_json(df.schema), key,
-                      checks=checks)
+                      checks=checks, stats_cols=stats_cols)
         except BaseException:
             # a failed v0 (e.g. CHECK violation inside the write job)
             # must not leave a manifest-less husk that blocks a retry
@@ -209,14 +222,16 @@ class TxTable:
         metrics: dict | None = None,
         txns: dict | None = None,
         checks: dict | None = None,
+        stats_cols: list[str] | None = None,
     ) -> None:
         """Atomically claim ``version``. Raises TxConflictError if a
         concurrent writer claimed it first; the temp manifest is always
         cleaned up and data files referenced by the failed manifest stay
         orphaned (invisible) for vacuum. ``txns`` is the
         idempotence-fence map (app → highest committed txn version);
-        ``checks`` the CHECK-constraint map (name → SQL predicate) —
-        both carried forward by every commit."""
+        ``checks`` the CHECK-constraint map (name → SQL predicate);
+        ``stats_cols`` the data-skipping column list — all carried
+        forward by every commit."""
         manifest = {
             "version": version,
             "op": op,
@@ -227,6 +242,7 @@ class TxTable:
             "metrics": metrics or {},
             "txns": txns or {},
             "checks": checks or {},
+            "stats_cols": stats_cols or [],
         }
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
         with open(tmp, "w") as f:
@@ -248,11 +264,17 @@ class TxTable:
 
     # ------------------------------------------------------ data files
 
-    def _write_files(self, df: DataFrame, key: str | None) -> list[dict]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        key: str | None,
+        stats_cols: list[str] | None = None,
+    ) -> list[dict]:
         """Materialize ``df`` as new uniquely-named files under data/
-        and return their manifest entries (rows + key stats from parquet
-        footers — metadata-only, no extra Spark job). Files written here
-        are INVISIBLE until some manifest references them."""
+        and return their manifest entries (rows + key stats + declared
+        data-skipping column stats, all from parquet footers —
+        metadata-only, no extra Spark job). Files written here are
+        INVISIBLE until some manifest references them."""
         import pyarrow.parquet as pq
 
         staging = self.root / f"_staging-{uuid.uuid4().hex[:12]}"
@@ -271,6 +293,15 @@ class TxTable:
                     stats = _footer_range(md, key)
                     if stats is not None:
                         entry["kmin"], entry["kmax"] = stats
+                cs = {}
+                for c in stats_cols or []:
+                    if c == key:
+                        continue  # already in kmin/kmax
+                    r = _footer_range(md, c)
+                    if r is not None:
+                        cs[c] = [r[0], r[1]]
+                if cs:
+                    entry["cs"] = cs
                 os.replace(item, final)
                 entries.append(entry)
         finally:
@@ -291,6 +322,7 @@ class TxTable:
         self,
         version: int | None = None,
         key_between: tuple[int, int] | None = None,
+        prune: dict[str, tuple[int, int]] | None = None,
     ) -> DataFrame:
         """Snapshot read (latest, or time travel to ``version``).
 
@@ -301,7 +333,15 @@ class TxTable:
         slice a time-range query needs. The result still contains every
         matching row but MAY contain out-of-range rows from straddling
         files; compose with a real ``.filter`` for exact semantics
-        (the filter also pushes down into the surviving scans)."""
+        (the filter also pushes down into the surviving scans).
+
+        ``prune={col: (lo, hi), ...}`` is the same skip on the table's
+        declared ``stats_cols`` — Delta data skipping: any file whose
+        recorded [min, max] for EVERY named column misses its range is
+        dropped before Spark sees it; files lacking a stat for a column
+        are conservatively kept. Selectivity is a LAYOUT property:
+        after ``compact(zorder=[...])`` the ranges are tight in every
+        z-ordered dimension at once."""
         m = self._manifest(version)
         files = m["files"]
         if key_between is not None:
@@ -312,6 +352,25 @@ class TxTable:
                 f
                 for f in files
                 if "kmin" not in f or (f["kmax"] >= lo and f["kmin"] <= hi)
+            ]
+        for col, (lo, hi) in (prune or {}).items():
+            if col == m["key"]:
+                files = [
+                    f
+                    for f in files
+                    if "kmin" not in f or (f["kmax"] >= lo and f["kmin"] <= hi)
+                ]
+                continue
+            if col not in m.get("stats_cols", []):
+                raise TxError(
+                    f"prune on {col!r} needs it declared in stats_cols "
+                    f"(table has {m.get('stats_cols', [])})"
+                )
+            files = [
+                f
+                for f in files
+                if col not in f.get("cs", {})
+                or (f["cs"][col][1] >= lo and f["cs"][col][0] <= hi)
             ]
         return self._read_files(m, [f["path"] for f in files])
 
@@ -488,7 +547,8 @@ class TxTable:
                 _check_schema(m, df)
             if files is None:  # write data once; only the claim retries
                 files = self._write_files(
-                    _checked(df, m.get("checks")), m["key"]
+                    _checked(df, m.get("checks")), m["key"],
+                    m.get("stats_cols"),
                 )
                 if not files and txn is None:
                     return {"rows_appended": 0, "version": m["version"]}
@@ -502,6 +562,7 @@ class TxTable:
                     {"rows_appended": sum(f["rows"] for f in files)},
                     txns,
                     m.get("checks", {}),
+                    m.get("stats_cols"),
                 )
                 return {
                     "rows_appended": sum(f["rows"] for f in files),
@@ -521,7 +582,9 @@ class TxTable:
         key = m["key"] if key is None else key
         if key is not None and key not in df.columns:
             raise TxError(f"key column {key!r} not in dataframe")
-        files = self._write_files(_checked(df, m.get("checks")), key)
+        files = self._write_files(
+            _checked(df, m.get("checks")), key, m.get("stats_cols")
+        )
         self._commit(
             m["version"] + 1,
             "overwrite",
@@ -531,6 +594,7 @@ class TxTable:
             {"rows_written": sum(f["rows"] for f in files)},
             m.get("txns", {}),
             m.get("checks", {}),
+            m.get("stats_cols"),
         )
         return {"version": m["version"] + 1}
 
@@ -596,6 +660,7 @@ class TxTable:
         new_files = self._write_files(
             _checked(replacement.select(*_schema_cols(m)), m.get("checks")),
             m["key"],
+            m.get("stats_cols"),
         )
         kept = [f for f in m["files"] if f["path"] not in set(touched)]
         metrics = dict(metrics, files_rewritten=len(touched))
@@ -608,6 +673,7 @@ class TxTable:
             metrics,
             m.get("txns", {}) if txns is None else txns,
             m.get("checks", {}),
+            m.get("stats_cols"),
         )
         return dict(metrics, version=m["version"] + 1)
 
@@ -822,6 +888,7 @@ class TxTable:
             {"restored_from": version},
             m.get("txns", {}),
             m_old.get("checks", {}),
+            m_old.get("stats_cols"),
         )
         return {"version": m["version"] + 1, "restored_from": version}
 
@@ -853,6 +920,7 @@ class TxTable:
         self._commit(
             m["version"] + 1, "add_constraint", m["files"], m["schema"],
             m["key"], {"constraint": name}, m.get("txns", {}), checks,
+            m.get("stats_cols"),
         )
         return {"version": m["version"] + 1}
 
@@ -865,12 +933,18 @@ class TxTable:
         self._commit(
             m["version"] + 1, "drop_constraint", m["files"], m["schema"],
             m["key"], {"constraint": name}, m.get("txns", {}), checks,
+            m.get("stats_cols"),
         )
         return {"version": m["version"] + 1}
 
     # ---------------------------------------------------- maintenance
 
-    def compact(self, target_files: int = 8, cluster: bool = False) -> dict:
+    def compact(
+        self,
+        target_files: int = 8,
+        cluster: bool = False,
+        zorder: list[str] | None = None,
+    ) -> dict:
         """Rewrite the current snapshot into ``target_files`` files (an
         OPTIMIZE pass for tables fragmented by many small commits). A
         normal copy-on-write commit: time travel to pre-compaction
@@ -882,14 +956,62 @@ class TxTable:
         touches ~k/rows_per_file files instead of every file whose
         round-robin range happens to straddle them. This is the layout
         lever that makes copy-on-write pruning effective at 100 TB —
-        stats are only as selective as the files are clustered."""
+        stats are only as selective as the files are clustered.
+
+        ``zorder=[c1, c2, ...]`` is the multi-dimension version
+        (Delta's OPTIMIZE ... ZORDER BY): rows order by the Morton code
+        of the columns — each column quantized to 256 uniform buckets
+        between its global min/max, bucket bits interleaved — so file
+        ranges come out tight in EVERY z-ordered dimension at once and
+        ``read(prune=...)``/``key_between`` skip effectively on any of
+        them. One tiny min/max agg job (2×len(zorder) scalars of model
+        state) plus the rewrite itself; numeric/date/timestamp columns
+        only. Uniform buckets trade skew-robustness for zero extra
+        passes — a heavily skewed column wastes bucket resolution but
+        never breaks correctness (stats stay exact per file)."""
         m = self._manifest()
         cur = self.read()
+        if cluster and zorder:
+            raise TxError("compact: cluster and zorder are exclusive")
         if cluster:
             if m["key"] is None:
                 raise TxError("compact(cluster=True) requires a merge key")
             cur = cur.repartitionByRange(target_files, m["key"]).sortWithinPartitions(
                 m["key"]
+            )
+        elif zorder:
+            missing = set(zorder) - set(cur.columns)
+            if missing:
+                raise TxError(f"zorder column(s) not in table: {sorted(missing)}")
+            bounds = cur.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(zorder)],
+                *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(zorder)],
+            ).first()
+            k = len(zorder)
+            z = F.lit(0).cast("long")
+            for i, c in enumerate(zorder):
+                lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+                if lo is None or lo == hi:
+                    continue  # constant or all-null column adds no order
+                bucket = F.least(
+                    F.greatest(
+                        F.expr(
+                            f"width_bucket(cast(`{c}` as double), {lo!r}, {hi!r}, 256) - 1"
+                        ),
+                        F.lit(0),
+                    ),
+                    F.lit(255),
+                )
+                bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+                for b in range(8):
+                    z = z + F.shiftleft(
+                        F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * k + i
+                    )
+            cur = (
+                cur.withColumn("__tx_z", z)
+                .repartitionByRange(target_files, "__tx_z")
+                .sortWithinPartitions("__tx_z")
+                .drop("__tx_z")
             )
         else:
             cur = cur.repartition(target_files)

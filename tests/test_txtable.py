@@ -550,6 +550,57 @@ def test_read_key_between_prunes_files_exactly(spark, tmp_path):
         ).read(key_between=(0, 1))
 
 
+def test_stats_cols_data_skipping(spark, tmp_path):
+    """Declared stats columns prune reads independent of the merge key
+    (Delta data skipping), and the stats survive copy-on-write."""
+    df = spark.createDataFrame(
+        [(i, 10, "a") for i in range(100)], "id long, d long, v string"
+    )
+    t = TxTable.create(spark, tmp_path / "t", df, key="id", stats_cols=["d"])
+    t.append(spark.createDataFrame(
+        [(i, 99, "b") for i in range(100, 200)], "id long, d long, v string"))
+    full = t.read()
+    pruned = t.read(prune={"d": (90, 100)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.filter("d = 99").count() == 100
+    # pruning on the merge key through the same surface
+    assert t.read(prune={"id": (0, 50)}).filter("id <= 50").count() == 51
+    # undeclared column refuses instead of silently scanning everything
+    with pytest.raises(TxError, match="stats_cols"):
+        t.read(prune={"v": (0, 1)})
+    # copy-on-write rewrites re-record the stats on their new files
+    t.merge(spark.createDataFrame([(5, 10, "A")], "id long, d long, v string"))
+    m = t._manifest()
+    assert all("cs" in f and "d" in f["cs"] for f in m["files"])
+    assert t.read(prune={"d": (90, 100)}).filter("d = 99").count() == 100
+
+
+def test_zorder_compact_skips_in_every_dimension(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (x, y), narrow reads on EITHER column
+    touch a fraction of the files — the multi-dimension layout win a
+    single-key sort cannot give."""
+    grid = spark.createDataFrame(
+        [(x * 64 + y, x, y) for x in range(64) for y in range(64)],
+        "id long, x long, y long",
+    )
+    t = TxTable.create(
+        spark, tmp_path / "z", grid, key="id", stats_cols=["x", "y"]
+    )
+    t.compact(target_files=16, zorder=["x", "y"])
+    total = len(t.read().inputFiles())
+    nx = len(t.read(prune={"x": (0, 7)}).inputFiles())
+    ny = len(t.read(prune={"y": (0, 7)}).inputFiles())
+    assert nx <= total // 2 and ny <= total // 2
+    # correctness: pruned + filter == exact slice, full grid intact
+    assert t.read(prune={"x": (0, 7)}).filter("x < 8").count() == 8 * 64
+    assert t.read(prune={"y": (0, 7)}).filter("y < 8").count() == 8 * 64
+    assert t.read().count() == 64 * 64
+    with pytest.raises(TxError, match="exclusive"):
+        t.compact(cluster=True, zorder=["x"])
+    with pytest.raises(TxError, match="not in table"):
+        t.compact(zorder=["nope"])
+
+
 def test_restore_rewinds_data_not_fences(spark, tmp_path):
     t = _mk(spark, tmp_path, [(1, "a")])
     t.append(spark.createDataFrame([(2, "b")], "id long, v string"),
