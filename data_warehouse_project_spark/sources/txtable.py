@@ -206,7 +206,7 @@ class TxTable:
                     "op": m["op"],
                     "ts": m["ts"],
                     "n_files": len(m["files"]),
-                    "n_rows": sum(f["rows"] for f in m["files"]),
+                    "n_rows": sum(_live(f) for f in m["files"]),
                     "metrics": m.get("metrics", {}),
                 }
             )
@@ -312,8 +312,56 @@ class TxTable:
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[str(self.root / p) for p in paths]
+        by_path = {f["path"]: f for f in manifest["files"]}
+        if not any("dv" in by_path.get(p, {}) for p in paths):
+            # fast path — plan-identical to a plain parquet scan
+            return self.spark.read.schema(schema).parquet(
+                *[str(self.root / p) for p in paths]
+            )
+        return self._read_with_positions(manifest, paths).drop(
+            "__tx_fname", "__tx_ri"
+        )
+
+    def _read_with_positions(self, manifest: dict, paths: list[str]) -> DataFrame:
+        """The manifest's live rows for ``paths`` plus their physical
+        address (``__tx_fname`` file basename, ``__tx_ri`` row index
+        within the file) from the scan's metadata columns. Deletion
+        vectors are applied here: one anti-join against the (small)
+        position frames of just the DV-carrying files in the selection
+        — the merge-on-read half of DV deletes."""
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        cols = [f.name for f in schema.fields]
+        if not paths:
+            return self.spark.createDataFrame([], schema).select(
+                "*",
+                F.lit(None).cast("string").alias("__tx_fname"),
+                F.lit(None).cast("long").alias("__tx_ri"),
+            )
+        base = (
+            self.spark.read.schema(schema)
+            .parquet(*[str(self.root / p) for p in paths])
+            .select(
+                *cols,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__tx_fname"),
+                F.col("_metadata.row_index").alias("__tx_ri"),
+            )
+        )
+        by_path = {f["path"]: f for f in manifest["files"]}
+        dv_paths = [
+            str(self.root / by_path[p]["dv"]["path"])
+            for p in paths
+            if "dv" in by_path.get(p, {})
+        ]
+        if not dv_paths:
+            return base
+        dv = self.spark.read.schema("fname string, ri long").parquet(*dv_paths)
+        return base.join(
+            F.broadcast(dv),
+            (F.col("__tx_fname") == F.col("fname"))
+            & (F.col("__tx_ri") == F.col("ri")),
+            "left_anti",
         )
 
     # ----------------------------------------------------------- reads
@@ -375,8 +423,9 @@ class TxTable:
         return self._read_files(m, [f["path"] for f in files])
 
     def row_count(self, version: int | None = None) -> int:
-        """Exact row count from manifest metadata — no Spark job."""
-        return sum(f["rows"] for f in self._manifest(version)["files"])
+        """Exact LIVE row count from manifest metadata (file rows minus
+        deletion-vector rows) — no Spark job."""
+        return sum(_live(f) for f in self._manifest(version)["files"])
 
     def txn_version(self, app: str) -> int | None:
         """Highest txn version committed under ``app`` (the idempotence
@@ -457,16 +506,18 @@ class TxTable:
         prev_paths = {f["path"] for f in prev_files}
         added = [f["path"] for f in m["files"] if f["path"] not in prev_paths]
         removed = [f["path"] for f in prev_files if f["path"] in prev_paths - cur_paths]
-        if not added and not removed:
-            return None  # constraint/fence-only commit
         ct = lambda tag: F.lit(tag).alias("_change_type")  # noqa: E731
         stamp = [
             F.lit(v).cast("long").alias("_commit_version"),
             F.lit(m["ts"]).cast("timestamp").alias("_commit_ts"),
         ]
+        dv_part = self._dv_changes(m, prev_files, ct, stamp)
+        if not added and not removed:
+            return dv_part  # dv-only delete, or constraint/fence no-op
         new = self._read_files(m, added)
         if not removed:
-            return new.select("*", ct("insert"), *stamp)
+            out = new.select("*", ct("insert"), *stamp)
+            return out if dv_part is None else out.unionByName(dv_part)
         # old files read under the PREVIOUS schema, aligned up to this
         # version's (evolution is add-nullable-only, so NULL-fill)
         old = self._read_files(self._manifest(v - 1), removed)
@@ -479,9 +530,10 @@ class TxTable:
         ins = new.exceptAll(old)
         key = m["key"]
         if key is None:
-            return dels.select("*", ct("delete"), *stamp).unionByName(
+            out = dels.select("*", ct("delete"), *stamp).unionByName(
                 ins.select("*", ct("insert"), *stamp)
             )
+            return out if dv_part is None else out.unionByName(dv_part)
         # update pairing: keys with exactly one pre and one post row
         paired = (
             dels.groupBy(key).agg(F.count(F.lit(1)).alias("__tx_dn"))
@@ -505,8 +557,62 @@ class TxTable:
                 )
             )
 
-        return tag(dels, "update_preimage", "delete").unionByName(
+        out = tag(dels, "update_preimage", "delete").unionByName(
             tag(ins, "update_postimage", "insert")
+        )
+        return out if dv_part is None else out.unionByName(dv_part)
+
+    def _dv_changes(self, m: dict, prev_files: list[dict], ct, stamp):
+        """Change rows for files CARRIED between versions whose deletion
+        vector changed: positions newly in the vector are deletes,
+        positions that left it (restore rewound the vector) are
+        re-inserts. Reads only the affected dv sidecars plus the rows of
+        the affected data files — never the untouched table."""
+        prev_by = {f["path"]: f for f in prev_files}
+        changed = [
+            (prev_by[f["path"]], f)
+            for f in m["files"]
+            if f["path"] in prev_by and prev_by[f["path"]].get("dv") != f.get("dv")
+        ]
+        if not changed:
+            return None
+
+        def pos_frame(entries_side):
+            paths = [
+                str(self.root / e["dv"]["path"])
+                for e in entries_side
+                if e.get("dv")
+            ]
+            if not paths:
+                return self.spark.createDataFrame([], "fname string, ri long")
+            return self.spark.read.schema("fname string, ri long").parquet(*paths)
+
+        old_pos = pos_frame([p for p, _ in changed])
+        new_pos = pos_frame([c for _, c in changed])
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        cols = [f.name for f in schema.fields]
+        base = (
+            self.spark.read.schema(schema)
+            .parquet(*[str(self.root / c["path"]) for _, c in changed])
+            .select(
+                *cols,
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__tx_fname"),
+                F.col("_metadata.row_index").alias("__tx_ri"),
+            )
+        )
+
+        def rows_at(positions, tag):
+            return base.join(
+                F.broadcast(positions),
+                (F.col("__tx_fname") == F.col("fname"))
+                & (F.col("__tx_ri") == F.col("ri")),
+                "left_semi",
+            ).select(*cols, ct(tag), *stamp)
+
+        return rows_at(new_pos.exceptAll(old_pos), "delete").unionByName(
+            rows_at(old_pos.exceptAll(new_pos), "insert")
         )
 
     # ---------------------------------------------------------- writes
@@ -631,15 +737,16 @@ class TxTable:
         return no_stats + [r["__tx_path"] for r in hit.collect()]
 
     def _touched_by_predicate(self, m: dict, condition) -> list[str]:
-        """Paths of data files that ACTUALLY contain rows matching an
-        arbitrary predicate: one distributed scan grouping matches by
-        ``input_file_name`` (result bounded by the file count). Manifest
-        paths are uuid-named, so basename equality identifies the file."""
-        cur = self._read_files(m, [f["path"] for f in m["files"]])
+        """Paths of data files that ACTUALLY contain LIVE rows matching
+        an arbitrary predicate: one distributed scan grouping matches by
+        the scan's file-path metadata column (result bounded by the file
+        count; DV-deleted rows never match). Manifest paths are
+        uuid-named, so basename equality identifies the file."""
+        cur = self._read_with_positions(m, [f["path"] for f in m["files"]])
         hits = {
-            os.path.basename(r["__tx_f"])
+            r["__tx_fname"]
             for r in cur.filter(condition)
-            .select(F.input_file_name().alias("__tx_f"))
+            .select("__tx_fname")
             .distinct()
             .collect()
         }
@@ -677,23 +784,126 @@ class TxTable:
         )
         return dict(metrics, version=m["version"] + 1)
 
-    def delete(self, condition) -> dict:
-        """DELETE FROM table WHERE condition — rewrites only the files
-        that actually contain matching rows."""
+    def delete(self, condition, mode: str = "rewrite") -> dict:
+        """DELETE FROM table WHERE condition.
+
+        ``mode="rewrite"`` (default): copy-on-write — rewrites only the
+        files that actually contain matching LIVE rows.
+
+        ``mode="dv"``: deletion vectors (Delta's merge-on-read delete)
+        — NO data file is rewritten; each touched file gains/extends a
+        small sidecar of deleted row positions that every read
+        anti-joins out. The write cost is O(matched rows), not O(rows
+        in the files they live in): deleting 100 rows scattered across
+        a 100 TB table writes a few KB. Reads of DV-carrying files pay
+        the anti-join until ``compact()`` (or any copy-on-write rewrite
+        of the file) materializes the delete and drops the vector —
+        the standard write-fast/read-later trade, chosen per delete."""
+        if mode not in ("rewrite", "dv"):
+            raise TxError(f"delete mode: {mode!r}")
         m = self._manifest()
+        if mode == "dv":
+            return self._delete_dv(m, condition)
         touched = self._touched_by_predicate(m, condition)
         if not touched:
             return {"files_rewritten": 0, "rows_deleted": 0, "version": m["version"]}
-        before = sum(f["rows"] for f in m["files"] if f["path"] in set(touched))
+        before = sum(_live(f) for f in m["files"] if f["path"] in set(touched))
         kept_rows = self._read_files(m, touched).filter(
             ~F.coalesce(condition, F.lit(False))
         )
         out = self._cow_commit(m, "delete", touched, kept_rows, {})
         out["rows_deleted"] = before - (
             self.row_count(out["version"])
-            - sum(f["rows"] for f in m["files"] if f["path"] not in set(touched))
+            - sum(_live(f) for f in m["files"] if f["path"] not in set(touched))
         )
         return out
+
+    def _delete_dv(self, m: dict, condition) -> dict:
+        """Deletion-vector delete: find matching live rows' physical
+        positions in one scan, then write ONE merged position sidecar
+        per touched data file (old vector ∪ new positions — vectors
+        stay one-file-per-data-file, old sidecars become vacuum food).
+        The write is fully distributed: positions never visit the
+        driver; only per-file row counts (parquet footers) do."""
+        import pyarrow.parquet as pq
+
+        pos = (
+            self._read_with_positions(m, [f["path"] for f in m["files"]])
+            .filter(F.coalesce(condition, F.lit(False)))
+            .select(
+                F.col("__tx_fname").alias("fname"), F.col("__tx_ri").alias("ri")
+            )
+            .localCheckpoint(eager=False)
+        )
+        by_name = {os.path.basename(f["path"]): f for f in m["files"]}
+        hit_names = [r["fname"] for r in pos.select("fname").distinct().collect()]
+        if not hit_names:
+            return {"files_rewritten": 0, "rows_deleted": 0, "version": m["version"]}
+        old_dv_paths = [
+            str(self.root / by_name[n]["dv"]["path"])
+            for n in hit_names
+            if "dv" in by_name[n]
+        ]
+        merged = pos.filter(F.col("fname").isin(hit_names))
+        if old_dv_paths:
+            merged = merged.unionByName(
+                self.spark.read.schema("fname string, ri long").parquet(
+                    *old_dv_paths
+                )
+            )
+        # one sidecar file per data file: partition dirs keyed by a
+        # DUPLICATE of fname so the position rows keep fname inside the
+        # file; repartition puts each fname in exactly one task
+        staging = self.root / f"_staging-{uuid.uuid4().hex[:12]}"
+        (
+            merged.withColumn("pf", F.col("fname"))
+            .repartition("pf")
+            .write.partitionBy("pf")
+            .parquet(str(staging))
+        )
+        new_dv: dict[str, dict] = {}
+        old_deleted = 0
+        try:
+            for part_dir in sorted(staging.glob("pf=*")):
+                name = part_dir.name[3:]
+                parts = [
+                    p
+                    for p in part_dir.iterdir()
+                    if p.is_file() and not p.name.startswith(("_", "."))
+                ]
+                assert len(parts) == 1, "one task per fname writes one file"
+                final = self.data_dir / f"{uuid.uuid4().hex}.dv.parquet"
+                rows = pq.ParquetFile(str(parts[0])).metadata.num_rows
+                os.replace(parts[0], final)
+                new_dv[name] = {"path": f"{DATA_DIR}/{final.name}", "rows": rows}
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        files = []
+        for f in m["files"]:
+            name = os.path.basename(f["path"])
+            if name in new_dv:
+                old_deleted += f.get("dv", {}).get("rows", 0)
+                f = {k: v for k, v in f.items() if k != "dv"}
+                f["dv"] = new_dv[name]
+            files.append(f)
+        n_deleted = sum(d["rows"] for d in new_dv.values()) - old_deleted
+        self._commit(
+            m["version"] + 1,
+            "delete",
+            files,
+            m["schema"],
+            m["key"],
+            {"rows_deleted": n_deleted, "dv": True, "files_rewritten": 0},
+            m.get("txns", {}),
+            m.get("checks", {}),
+            m.get("stats_cols"),
+        )
+        return {
+            "files_rewritten": 0,
+            "rows_deleted": n_deleted,
+            "version": m["version"] + 1,
+            "dv_files": len(new_dv),
+        }
 
     def update(self, condition, assignments: dict) -> dict:
         """UPDATE table SET col=expr WHERE condition — same touched-file
@@ -832,7 +1042,7 @@ class TxTable:
             ).select(*cols)
             rewritten = rewritten.unionByName(inserts)
 
-        before = sum(f["rows"] for f in m["files"] if f["path"] in set(touched))
+        before = sum(_live(f) for f in m["files"] if f["path"] in set(touched))
         out = self._cow_commit(m, "merge", touched, rewritten, {}, txns)
         after = self.row_count(out["version"]) - (
             self.row_count(m["version"]) - before
@@ -1033,6 +1243,8 @@ class TxTable:
         for v in keep_vs:
             for f in self._manifest(v)["files"]:
                 referenced.add(os.path.basename(f["path"]))
+                if "dv" in f:
+                    referenced.add(os.path.basename(f["dv"]["path"]))
         dropped_manifests = 0
         for v in vs[:-retain_versions]:
             (self.log_dir / _mname(v)).unlink(missing_ok=True)
@@ -1058,6 +1270,11 @@ class TxTable:
 
 
 # ------------------------------------------------------------- helpers
+
+
+def _live(f: dict) -> int:
+    """A manifest entry's live row count (file rows minus DV rows)."""
+    return f["rows"] - f.get("dv", {}).get("rows", 0)
 
 
 def _checked(df: DataFrame, checks: dict | None) -> DataFrame:

@@ -169,6 +169,61 @@ def test_cdf_replay_invariant_random_ops(spark, tmp_path):
         _replay(t, lo, hi, ["id", "v"])
 
 
+def test_cdf_dv_delete_emits_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(10)])
+    t.delete(F.col("id") < 3, mode="dv")
+    assert sorted(_feed(t, 1, 1)) == [
+        (0, "v0", "delete", 1),
+        (1, "v1", "delete", 1),
+        (2, "v2", "delete", 1),
+    ]
+    # second vector on the same file emits only the NEW positions
+    t.delete(F.col("id") == 5, mode="dv")
+    assert sorted(_feed(t, 2, 2)) == [(5, "v5", "delete", 2)]
+    _replay(t, 1, 2, ["id", "v"])
+
+
+def test_cdf_restore_across_dv_resurrects(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a"), (2, "b")])
+    t.delete(F.col("id") == 1, mode="dv")
+    t.restore(0)  # the vector rewinds: id=1 comes back
+    assert sorted(_feed(t, 2, 2)) == [(1, "a", "insert", 2)]
+    _replay(t, 1, 2, ["id", "v"])
+
+
+def test_cdf_replay_invariant_with_dv_ops(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(20)])
+    t.delete(F.col("id") % 3 == 0, mode="dv")
+    t.merge(spark.createDataFrame([(3, "M"), (50, "M")], "id long, v string"))
+    t.delete(F.col("id") % 5 == 1, mode="dv")
+    t.compact(target_files=1)
+    t.append(spark.createDataFrame([(99, "z")], "id long, v string"))
+    hi = t.latest_version()
+    for lo in range(0, hi + 1):
+        _replay(t, lo, hi, ["id", "v"])
+
+
+def test_view_absorbs_dv_deletes(spark, tmp_path):
+    df = spark.range(12).select(
+        "id", (F.col("id") % 3).alias("g"), (F.col("id") + 1).alias("amt")
+    )
+    base = TxTable.create(spark, tmp_path / "base", df, key="id")
+    view = TxAggView.create(spark, tmp_path / "view", base,
+                            group_col="g", measures={"total": "amt"})
+    base.delete(F.col("g") == 1, mode="dv")  # whole group via vector
+    base.delete(F.col("id") == 0, mode="dv")
+    view.refresh()
+    got = {(r["g"], r["total"], r["n_rows"]) for r in view.read().collect()}
+    want = {
+        (r["g"], r["total"], r["n"])
+        for r in base.read().groupBy("g")
+        .agg(F.sum("amt").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert view.read().filter("g = 1").count() == 0
+
+
 # --------------------------------------------------------------- view
 
 

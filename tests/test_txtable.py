@@ -601,6 +601,62 @@ def test_zorder_compact_skips_in_every_dimension(spark, tmp_path):
         t.compact(zorder=["nope"])
 
 
+def test_dv_delete_rewrites_nothing(spark, tmp_path):
+    """Deletion-vector delete: same data files before and after, a
+    small position sidecar per touched file, exact row accounting,
+    and time travel to the pre-delete snapshot."""
+    t = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(100)])
+    paths_before = sorted(f["path"] for f in t._manifest()["files"])
+    r = t.delete(F.col("id") % 10 == 0, mode="dv")
+    assert r["rows_deleted"] == 10 and r["files_rewritten"] == 0
+    m = t._manifest()
+    assert sorted(f["path"] for f in m["files"]) == paths_before
+    assert any("dv" in f for f in m["files"])
+    assert t.row_count() == 90 and t.read().count() == 90
+    assert t.read().filter("id % 10 = 0").count() == 0
+    assert t.read(0).count() == 100  # time travel past the vector
+    # second dv delete merges vectors per file
+    r2 = t.delete(F.col("id") % 10 == 1, mode="dv")
+    assert r2["rows_deleted"] == 10
+    assert t.row_count() == 80
+    assert {r["id"] % 10 for r in t.read().collect()} == set(range(2, 10))
+    # deleting already-deleted rows is a no-op (positions are live-only)
+    r3 = t.delete(F.col("id") % 10 == 0, mode="dv")
+    assert r3["rows_deleted"] == 0 and t.latest_version() == 2
+    with pytest.raises(TxError, match="delete mode"):
+        t.delete(F.lit(True), mode="nope")
+
+
+def test_dv_interacts_with_cow_and_compact(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, "x") for i in range(50)])
+    t.delete(F.col("id") < 10, mode="dv")
+    # merge re-inserting a dv-deleted key: it's absent, so insert
+    t.merge(spark.createDataFrame([(3, "back")], "id long, v string"))
+    assert _snap(t)[3] == "back" and t.row_count() == 41
+    # update on a dv-carrying file materializes the vector away
+    t.update(F.col("id") == 20, {"v": F.lit("U")})
+    assert _snap(t)[20] == "U"
+    assert {r["id"] for r in t.read().collect()} == {3} | set(range(10, 50))
+    # compact drops every remaining vector
+    t.compact(target_files=2)
+    assert not any("dv" in f for f in t._manifest()["files"])
+    assert t.row_count() == 41
+    # vacuum after compaction reaps the orphaned dv sidecars
+    import os
+    t.vacuum(retain_versions=1)
+    left = os.listdir(t.data_dir)
+    assert not any(".dv." in n for n in left)
+
+
+def test_dv_row_count_metadata_and_history(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(i, "x") for i in range(30)])
+    t.delete(F.col("id") >= 20, mode="dv")
+    assert t.row_count() == 20 and t.row_count(0) == 30
+    hist = t.history()
+    assert hist[-1]["op"] == "delete" and hist[-1]["n_rows"] == 20
+    assert hist[-1]["metrics"]["dv"] is True
+
+
 def test_restore_rewinds_data_not_fences(spark, tmp_path):
     t = _mk(spark, tmp_path, [(1, "a")])
     t.append(spark.createDataFrame([(2, "b")], "id long, v string"),
