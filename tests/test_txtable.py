@@ -308,13 +308,17 @@ def test_merge_is_scd1_maintenance(spark, tmp_path):
             ),
             st.tuples(st.just("delete_lt"), st.integers(0, 31)),
             st.tuples(st.just("append_shifted"), st.integers(100, 130)),
+            st.tuples(
+                st.just("delete_dv_mod"), st.integers(2, 7), st.integers(0, 6)
+            ),
         ),
         max_size=5,
     ),
 )
 def test_hypothesis_oplog_matches_dict_model(spark, tmp_path_factory, init, ops):
     """Random op sequences vs a plain-dict model, checked after EVERY
-    commit, plus a final time-travel replay of every retained version."""
+    commit, plus a final time-travel replay of every retained version
+    and the change-feed replay invariant over the whole history."""
     root = tmp_path_factory.mktemp("tx")
     df = spark.createDataFrame(
         [(k, v) for k, v in init.items()], "id long, n long"
@@ -333,6 +337,14 @@ def test_hypothesis_oplog_matches_dict_model(spark, tmp_path_factory, init, ops)
         elif op[0] == "delete_lt":
             t.delete(F.col("id") < op[1])
             model = {k: v for k, v in model.items() if k >= op[1]}
+        elif op[0] == "delete_dv_mod":
+            mod, rem = op[1], op[2]
+            before = t.latest_version()
+            t.delete(F.col("id") % mod == rem, mode="dv")
+            survivors = {k: v for k, v in model.items() if k % mod != rem}
+            if survivors == model:
+                assert t.latest_version() == before  # no-match = no commit
+            model = survivors
         else:
             if op[1] in model:  # appends don't upsert — keep ids unique
                 continue
@@ -347,6 +359,14 @@ def test_hypothesis_oplog_matches_dict_model(spark, tmp_path_factory, init, ops)
     for v, want in snaps.items():
         got = {r["id"]: r["n"] for r in t.read(v).collect()}
         assert got == want, f"time travel to v{v}"
+    # change-feed replay invariant: snapshot(-1) + full feed == latest
+    from collections import Counter
+
+    acc: Counter = Counter()
+    for r in t.read_changes(0).collect():
+        sign = 1 if r["_change_type"] in ("insert", "update_postimage") else -1
+        acc[(r["id"], r["n"])] += sign
+    assert +acc == Counter((k, v) for k, v in model.items())
 
 
 # --------------------------------- SCD on a file slice (rewrite_by_keys)
