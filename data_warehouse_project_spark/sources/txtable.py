@@ -818,27 +818,21 @@ class TxTable:
         )
         return out
 
-    def _delete_dv(self, m: dict, condition) -> dict:
-        """Deletion-vector delete: find matching live rows' physical
-        positions in one scan, then write ONE merged position sidecar
-        per touched data file (old vector ∪ new positions — vectors
-        stay one-file-per-data-file, old sidecars become vacuum food).
-        The write is fully distributed: positions never visit the
-        driver; only per-file row counts (parquet footers) do."""
+    def _dv_entries(self, m: dict, pos: DataFrame):
+        """Fold live positions ``pos`` (fname, ri) into per-file
+        deletion vectors: writes ONE merged sidecar per touched data
+        file (old vector ∪ new positions — vectors stay
+        one-file-per-data-file, superseded sidecars become vacuum
+        food) and returns ``(new_file_list, n_newly_deleted)``, or
+        None when no position matched. Fully distributed: positions
+        never visit the driver; only per-file row counts (parquet
+        footers) do."""
         import pyarrow.parquet as pq
 
-        pos = (
-            self._read_with_positions(m, [f["path"] for f in m["files"]])
-            .filter(F.coalesce(condition, F.lit(False)))
-            .select(
-                F.col("__tx_fname").alias("fname"), F.col("__tx_ri").alias("ri")
-            )
-            .localCheckpoint(eager=False)
-        )
         by_name = {os.path.basename(f["path"]): f for f in m["files"]}
         hit_names = [r["fname"] for r in pos.select("fname").distinct().collect()]
         if not hit_names:
-            return {"files_rewritten": 0, "rows_deleted": 0, "version": m["version"]}
+            return None
         old_dv_paths = [
             str(self.root / by_name[n]["dv"]["path"])
             for n in hit_names
@@ -887,6 +881,21 @@ class TxTable:
                 f["dv"] = new_dv[name]
             files.append(f)
         n_deleted = sum(d["rows"] for d in new_dv.values()) - old_deleted
+        return files, n_deleted
+
+    def _delete_dv(self, m: dict, condition) -> dict:
+        pos = (
+            self._read_with_positions(m, [f["path"] for f in m["files"]])
+            .filter(F.coalesce(condition, F.lit(False)))
+            .select(
+                F.col("__tx_fname").alias("fname"), F.col("__tx_ri").alias("ri")
+            )
+            .localCheckpoint(eager=False)
+        )
+        res = self._dv_entries(m, pos)
+        if res is None:
+            return {"files_rewritten": 0, "rows_deleted": 0, "version": m["version"]}
+        files, n_deleted = res
         self._commit(
             m["version"] + 1,
             "delete",
@@ -902,21 +911,65 @@ class TxTable:
             "files_rewritten": 0,
             "rows_deleted": n_deleted,
             "version": m["version"] + 1,
-            "dv_files": len(new_dv),
         }
 
-    def update(self, condition, assignments: dict) -> dict:
-        """UPDATE table SET col=expr WHERE condition — same touched-file
-        discovery as delete; unmatched rows in touched files carry
-        through unchanged."""
+    def update(self, condition, assignments: dict, mode: str = "rewrite") -> dict:
+        """UPDATE table SET col=expr WHERE condition.
+
+        ``mode="rewrite"``: copy-on-write — same touched-file discovery
+        as delete; unmatched rows in touched files carry through
+        unchanged.
+
+        ``mode="dv"``: merge-on-read — the matched rows' positions join
+        their files' deletion vectors and the post-image rows append as
+        new files, all in ONE commit. Write cost O(matched rows); the
+        cold rows of the touched files are never rewritten."""
+        if mode not in ("rewrite", "dv"):
+            raise TxError(f"update mode: {mode!r}")
         m = self._manifest()
         bad = set(assignments) - set(_schema_cols(m))
         if bad:
             raise TxError(f"update of unknown column(s): {sorted(bad)}")
+        cond = F.coalesce(condition, F.lit(False))
+        if mode == "dv":
+            matched = (
+                self._read_with_positions(m, [f["path"] for f in m["files"]])
+                .filter(cond)
+                .localCheckpoint(eager=False)
+            )
+            pos = matched.select(
+                F.col("__tx_fname").alias("fname"), F.col("__tx_ri").alias("ri")
+            )
+            res = self._dv_entries(m, pos)
+            if res is None:
+                return {"files_rewritten": 0, "rows_updated": 0,
+                        "version": m["version"]}
+            files, n = res
+            post = matched.select(
+                *[
+                    assignments[c].alias(c) if c in assignments else F.col(c)
+                    for c in _schema_cols(m)
+                ]
+            )
+            new_files = self._write_files(
+                _checked(post, m.get("checks")), m["key"], m.get("stats_cols")
+            )
+            self._commit(
+                m["version"] + 1,
+                "update",
+                files + new_files,
+                m["schema"],
+                m["key"],
+                {"rows_updated": n, "dv": True, "files_rewritten": 0},
+                m.get("txns", {}),
+                m.get("checks", {}),
+                m.get("stats_cols"),
+            )
+            return {"files_rewritten": 0, "rows_updated": n,
+                    "version": m["version"] + 1}
         touched = self._touched_by_predicate(m, condition)
         if not touched:
             return {"files_rewritten": 0, "version": m["version"]}
-        cond = F.coalesce(condition, F.lit(False))
         cur = self._read_files(m, touched)
         updated = cur.select(
             *[
@@ -937,6 +990,7 @@ class TxTable:
         when_not_matched: str | None = "insert",
         matched_condition=None,
         txn: tuple[str, int] | None = None,
+        mode: str = "rewrite",
     ) -> dict:
         """MERGE INTO table USING source ON table.key = source.key —
         Delta-style upsert with file-level pruning.
@@ -950,10 +1004,21 @@ class TxTable:
         non-null and unique within the source — multiple source rows
         for one target key is ambiguous and raises, exactly like Delta.
 
-        Only files whose footer key range intersects a source key are
-        read or rewritten; inserts cannot hide in unread files because a
-        file whose range excludes a key provably does not contain it.
+        ``mode="rewrite"`` (copy-on-write): only files whose footer key
+        range intersects a source key are read or rewritten; inserts
+        cannot hide in unread files because a file whose range excludes
+        a key provably does not contain it.
+
+        ``mode="dv"`` (merge-on-read): matched pre-image positions join
+        their files' deletion vectors, updated+inserted rows append as
+        new files, one commit. Write cost O(source rows), independent
+        of how many cold rows share files with the matched keys — the
+        CDC-ingest shape at 100 TB: a trickle merge into a huge
+        key-clustered table writes KBs, and ``compact()`` amortizes the
+        read-side anti-join on whatever cadence the table owner picks.
         """
+        if mode not in ("rewrite", "dv"):
+            raise TxError(f"merge mode: {mode!r}")
         m = self._manifest()
         skip, txns = _fence(m, txn)
         if skip:
@@ -1008,6 +1073,11 @@ class TxTable:
         )
 
         touched = self._touched_by_keys(m, src)
+        if mode == "dv":
+            return self._merge_dv(
+                m, src, touched, when_matched, when_not_matched,
+                matched_condition, txns,
+            )
         target = self._read_files(m, touched).alias("t")
         s = src.alias("s")
         joined = target.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
@@ -1049,6 +1119,75 @@ class TxTable:
         )
         out["rows_delta"] = after - before
         return out
+
+    def _merge_dv(
+        self, m, src, touched, when_matched, when_not_matched,
+        matched_condition, txns,
+    ) -> dict:
+        """Merge-on-read MERGE: matched pre-images go into deletion
+        vectors, updated/inserted rows append — no touched file is
+        rewritten. The key-uniqueness guard in ``src`` still applies
+        (it rides the checkpointed plan)."""
+        key = m["key"]
+        cols = _schema_cols(m)
+        tpos = self._read_with_positions(m, touched).alias("t")
+        s = src.alias("s")
+        gate = F.lit(True)
+        if matched_condition is not None:
+            gate = F.coalesce(matched_condition, F.lit(False))
+        new_rows = None
+        pos = self.spark.createDataFrame([], "fname string, ri long")
+        if when_matched in ("update", "delete"):
+            hit = (
+                tpos.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "inner")
+                .filter(gate)
+                .localCheckpoint(eager=False)
+            )
+            pos = hit.select(
+                F.col("t.__tx_fname").alias("fname"),
+                F.col("t.__tx_ri").alias("ri"),
+            )
+            if when_matched == "update":
+                new_rows = hit.select(*[F.col(f"s.{c}").alias(c) for c in cols])
+        if when_not_matched == "insert":
+            inserts = s.join(
+                tpos.select(F.col(f"t.{key}").alias("__tx_tk")),
+                F.col(f"s.{key}") == F.col("__tx_tk"),
+                "left_anti",
+            ).select(*cols)
+            new_rows = (
+                inserts if new_rows is None else new_rows.unionByName(inserts)
+            )
+        res = self._dv_entries(m, pos)
+        files, n_deleted = res if res is not None else (m["files"], 0)
+        new_files = (
+            self._write_files(
+                _checked(new_rows, m.get("checks")), key, m.get("stats_cols")
+            )
+            if new_rows is not None
+            else []
+        )
+        n_added = sum(f["rows"] for f in new_files)
+        if res is None and not new_files and txns == m.get("txns", {}):
+            return {"files_rewritten": 0, "rows_delta": 0,
+                    "version": m["version"]}
+        self._commit(
+            m["version"] + 1,
+            "merge",
+            files + new_files,
+            m["schema"],
+            key,
+            {"rows_delta": n_added - n_deleted, "dv": True,
+             "files_rewritten": 0},
+            txns,
+            m.get("checks", {}),
+            m.get("stats_cols"),
+        )
+        return {
+            "files_rewritten": 0,
+            "rows_delta": n_added - n_deleted,
+            "version": m["version"] + 1,
+        }
 
     def rewrite_by_keys(
         self, keys: DataFrame, transform, txn: tuple[str, int] | None = None

@@ -196,6 +196,9 @@ def test_cdf_replay_invariant_with_dv_ops(spark, tmp_path):
     t.delete(F.col("id") % 3 == 0, mode="dv")
     t.merge(spark.createDataFrame([(3, "M"), (50, "M")], "id long, v string"))
     t.delete(F.col("id") % 5 == 1, mode="dv")
+    t.update(F.col("id") == 4, {"v": F.lit("U")}, mode="dv")
+    t.merge(spark.createDataFrame([(4, "M2"), (60, "M2")], "id long, v string"),
+            mode="dv")
     t.compact(target_files=1)
     t.append(spark.createDataFrame([(99, "z")], "id long, v string"))
     hi = t.latest_version()

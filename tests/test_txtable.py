@@ -668,6 +668,47 @@ def test_dv_interacts_with_cow_and_compact(spark, tmp_path):
     assert not any(".dv." in n for n in left)
 
 
+def test_dv_update_merge_on_read(spark, tmp_path):
+    """update/merge in dv mode: pre-images vectored, post-images
+    appended, no original data file rewritten."""
+    t = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(100)])
+    orig = {f["path"] for f in t._manifest()["files"]}
+    r = t.update(F.col("id") == 5, {"v": F.lit("U")}, mode="dv")
+    assert r["rows_updated"] == 1 and r["files_rewritten"] == 0
+    m = t._manifest()
+    assert orig <= {f["path"] for f in m["files"]}  # originals all kept
+    assert _snap(t)[5] == "U" and t.row_count() == 100
+    # merge-on-read upsert: update one key, insert one, delete one
+    r = t.merge(
+        spark.createDataFrame([(7, "M"), (500, "new")], "id long, v string"),
+        mode="dv",
+    )
+    assert r["rows_delta"] == 1 and r["files_rewritten"] == 0
+    snap = _snap(t)
+    assert snap[7] == "M" and snap[500] == "new" and t.row_count() == 101
+    r = t.merge(
+        spark.createDataFrame([(8, "x")], "id long, v string"),
+        when_matched="delete", when_not_matched=None, mode="dv",
+    )
+    assert r["rows_delta"] == -1 and t.row_count() == 100
+    assert 8 not in _snap(t)
+    # fence: replayed dv merge is skipped
+    t.merge(spark.createDataFrame([(9, "F")], "id long, v string"),
+            txn=("app", 1), mode="dv")
+    r = t.merge(spark.createDataFrame([(9, "F2")], "id long, v string"),
+                txn=("app", 1), mode="dv")
+    assert r.get("skipped") and _snap(t)[9] == "F"
+    # compaction materializes everything; contents unchanged
+    want = _snap(t)
+    t.compact(target_files=2)
+    assert _snap(t) == want and t.row_count() == 100
+    with pytest.raises(TxError, match="merge mode"):
+        t.merge(spark.createDataFrame([(1, "z")], "id long, v string"),
+                mode="zzz")
+    with pytest.raises(TxError, match="update mode"):
+        t.update(F.lit(True), {"v": F.lit("")}, mode="zzz")
+
+
 def test_dv_row_count_metadata_and_history(spark, tmp_path):
     t = _mk(spark, tmp_path, [(i, "x") for i in range(30)])
     t.delete(F.col("id") >= 20, mode="dv")
