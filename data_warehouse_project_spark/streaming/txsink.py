@@ -61,6 +61,7 @@ def txtable_ingest(
     mode: str = "append",
     key: str | None = None,
     available_now: bool = True,
+    merge_mode: str = "rewrite",
 ):
     """Start a ``foreachBatch`` stream writing every micro-batch into
     the transactional table at ``table_root`` with exactly-once
@@ -71,6 +72,11 @@ def txtable_ingest(
     ``mode="merge"``: each batch upserts by ``key`` (last write per key
     wins within the stream's order) — requires ``key``; batches must
     not contain duplicate keys (merge's in-plan source contract).
+    ``merge_mode="dv"`` switches the upsert to merge-on-read (deletion
+    vectors + appends): per-trigger write cost O(batch), independent of
+    how many cold rows share files with the batch's keys — the steady-
+    state CDC shape; schedule ``compact()`` to re-materialize on the
+    table owner's cadence.
 
     The table is created on the first trigger if absent — as an EMPTY
     table followed by a fenced append/merge, so a crash between
@@ -81,6 +87,8 @@ def txtable_ingest(
         raise ValueError(f"txtable_ingest: mode {mode!r}")
     if mode == "merge" and key is None:
         raise ValueError("txtable_ingest: merge mode requires key=...")
+    if merge_mode not in ("rewrite", "dv"):
+        raise ValueError(f"txtable_ingest: merge_mode {merge_mode!r}")
     app: list[str] = []  # resolved on the first trigger
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
@@ -96,7 +104,7 @@ def txtable_ingest(
         if mode == "append":
             t.append(batch_df, txn=txn)
         else:
-            t.merge(batch_df, txn=txn)
+            t.merge(batch_df, txn=txn, mode=merge_mode)
 
     writer = stream_df.writeStream.foreachBatch(admit).option(
         "checkpointLocation", checkpoint_dir

@@ -82,6 +82,34 @@ def test_merge_mode_upserts_per_trigger(spark, tmp_path):
     assert {r["id"]: r["v"] for r in t.read().collect()} == got
 
 
+def test_merge_mode_dv_upserts_without_rewrites(spark, tmp_path):
+    """merge_mode='dv': the CDC steady state — each trigger vectors the
+    matched pre-images and appends, never rewriting a landed file."""
+    src, root, ckpt = tmp_path / "src", tmp_path / "t", tmp_path / "ck"
+    _write_batch(spark, src, [(i, "a") for i in range(50)], 50)
+    _run(spark, src, root, ckpt, mode="merge", key="id", merge_mode="dv")
+    t = TxTable(spark, root)
+    landed = {f["path"] for f in t._manifest()["files"]}
+    _write_batch(spark, src, [(2, "B"), (99, "c")], 52)
+    _run(spark, src, root, ckpt, mode="merge", key="id", merge_mode="dv")
+    m = t._manifest()
+    assert landed <= {f["path"] for f in m["files"]}  # nothing rewritten
+    assert any("dv" in f for f in m["files"])
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {**{i: "a" for i in range(50)}, 2: "B", 99: "c"}
+    assert t.row_count() == 51
+    # replay fence holds on the dv path too
+    (app, ver), = m["txns"].items()
+    r = t.merge(spark.createDataFrame([(2, "XXX")], "id long, v string"),
+                txn=(app, ver), mode="dv")
+    assert r.get("skipped") is True
+    with pytest.raises(ValueError, match="merge_mode"):
+        txtable_ingest(
+            spark.readStream.schema("id long").parquet(str(src)),
+            "r", "c", mode="merge", key="id", merge_mode="zzz",
+        )
+
+
 def test_new_checkpoint_incarnation_gets_fresh_fence(spark, tmp_path):
     """Clearing the checkpoint mints a new query id → a new fence app;
     in merge mode the full-source replay is an idempotent recompute."""
