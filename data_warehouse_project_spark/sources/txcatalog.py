@@ -151,11 +151,17 @@ class TxCatalog:
     def transaction(self, txn: tuple[str, int] | None = None) -> "TxTransaction":
         return TxTransaction(self, txn)
 
-    def vacuum(self, retain_versions: int = 2, min_age_s: float = 0.0) -> dict:
+    def vacuum(
+        self,
+        retain_versions: int = 2,
+        min_age_s: float = TxTable.VACUUM_MIN_AGE_S,
+        force: bool = False,
+    ) -> dict:
         """Catalog-aware space reclaim: drop catalog manifests beyond
         the horizon, then vacuum each member table keeping every table
         version still pinned by a RETAINED catalog manifest (plus the
-        table's own latest)."""
+        table's own latest). ``min_age_s``/``force`` follow
+        ``TxTable.vacuum``'s concurrent-writer safety contract."""
         if retain_versions < 1:
             raise TxError("retain_versions must be >= 1")
         vs = self._versions()
@@ -169,7 +175,9 @@ class TxCatalog:
         for name, min_tv in pinned.items():
             t = self.table(name)
             keep = t.latest_version() - min_tv + 1
-            out[name] = t.vacuum(retain_versions=max(keep, 1), min_age_s=min_age_s)
+            out[name] = t.vacuum(
+                retain_versions=max(keep, 1), min_age_s=min_age_s, force=force
+            )
         return out
 
 
@@ -229,7 +237,11 @@ class TxTransaction:
             return {"skipped": True}
         t = self._ensure(name, df, key)
         r = t.append(df, txn=self._table_txn(name))
-        self._pins[name] = t.latest_version()
+        # pin the version THIS op committed (returned even on fenced
+        # skips), never latest_version(): a concurrent writer landing in
+        # between would otherwise get its foreign commit pinned as part
+        # of this transaction's snapshot
+        self._pins[name] = max(self._pins.get(name, -1), int(r["version"]))
         return r
 
     def merge(self, name: str, source: DataFrame, key: str | None = None, **kw) -> dict:
@@ -237,7 +249,7 @@ class TxTransaction:
             return {"skipped": True}
         t = self._ensure(name, source, key)
         r = t.merge(source, txn=self._table_txn(name), **kw)
-        self._pins[name] = t.latest_version()
+        self._pins[name] = max(self._pins.get(name, -1), int(r["version"]))
         return r
 
     def rewrite_by_keys(
@@ -257,7 +269,7 @@ class TxTransaction:
             else self.catalog.table(name)
         )
         r = t.rewrite_by_keys(keys, transform, txn=self._table_txn(name))
-        self._pins[name] = t.latest_version()
+        self._pins[name] = max(self._pins.get(name, -1), int(r["version"]))
         return r
 
     def commit(self) -> dict:

@@ -91,6 +91,33 @@ class TxVacuumedError(TxError):
     """The requested version's manifest exists no longer (vacuumed)."""
 
 
+class ClaimOutcomeUnknown(TxError):
+    """A commit claim's outcome could not be observed (e.g. an object
+    store timed out AFTER accepting the conditional PUT). ``_commit``
+    recovers by reading back the claimed manifest and comparing commit
+    ids — never by assuming either outcome."""
+
+
+def _link_claim(tmp: Path, target: Path) -> bool:
+    """Default commit-claim primitive: POSIX hard link, which is atomic
+    and FAILS if the target exists (unlike rename, which silently
+    overwrites). Exactly one writer can claim a version number.
+
+    Object-store mapping (what a real deployment injects instead):
+      - S3: ``PutObject`` with ``If-None-Match: *`` — True on 200,
+        False on 412 Precondition Failed, raise ``ClaimOutcomeUnknown``
+        on timeout/5xx (the PUT may have landed);
+      - GCS: ``x-goog-if-generation-match: 0`` — same three-way contract.
+    The claim must be atomic put-if-absent of the FULL manifest bytes;
+    eventual-consistency listings are fine (readers re-probe by name).
+    """
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+
+
 def _mname(version: int) -> str:
     return f"v{version:0{_V_WIDTH}d}.json"
 
@@ -103,11 +130,25 @@ class TxTable:
     same root coordinate purely through the commit log.
     """
 
-    def __init__(self, spark: SparkSession, root: str | Path):
+    #: a dv sidecar reaching this fraction of its data file's rows gets
+    #: FOLDED (file rewritten without the deleted rows, vector dropped)
+    #: by the same commit that would have grown it — Delta-style
+    #: auto-compaction keeping merge-on-read read cost bounded under
+    #: trickle CDC. 0.5 pinned by A/B (COVERAGE.md round 9): read cost
+    #: stays flat across 60 dv merges vs monotone growth at 1.0, while
+    #: write amplification stays O(batch) between folds.
+    DV_FOLD_THRESHOLD = 0.5
+
+    def __init__(self, spark: SparkSession, root: str | Path, claim=None):
+        """``claim(tmp_path, target_path) -> bool`` is the pluggable
+        commit-claim primitive (see ``_link_claim`` for the contract
+        and the S3/GCS mapping); default is the local-FS atomic link."""
         self.spark = spark
         self.root = Path(root)
         self.log_dir = self.root / TXLOG_DIR
         self.data_dir = self.root / DATA_DIR
+        self._claim = claim if claim is not None else _link_claim
+        self.dv_fold_threshold = self.DV_FOLD_THRESHOLD
         if not self.log_dir.is_dir():
             raise TxError(f"not a transactional table (no {TXLOG_DIR}): {root}")
 
@@ -232,10 +273,12 @@ class TxTable:
         ``checks`` the CHECK-constraint map (name → SQL predicate);
         ``stats_cols`` the data-skipping column list — all carried
         forward by every commit."""
+        cid = uuid.uuid4().hex
         manifest = {
             "version": version,
             "op": op,
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "commit_id": cid,
             "schema": schema_json,
             "key": key,
             "files": sorted(files, key=lambda f: f["path"]),
@@ -245,20 +288,32 @@ class TxTable:
             "stats_cols": stats_cols or [],
         }
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
+        target = self.log_dir / _mname(version)
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
         try:
-            # os.link is atomic and FAILS if the target exists — unlike
-            # rename, which silently overwrites on POSIX. Exactly one
-            # writer can claim a version number.
-            os.link(tmp, self.log_dir / _mname(version))
-        except FileExistsError:
-            raise TxConflictError(
-                f"version {version} was committed concurrently — re-run "
-                "this operation from the new snapshot"
-            ) from None
+            try:
+                claimed = self._claim(tmp, target)
+            except ClaimOutcomeUnknown:
+                # the claim may or may not have landed (an object store
+                # timing out after accepting the conditional PUT): read
+                # back whoever holds the version and compare commit ids
+                # — never assume either outcome.
+                claimed = None
+            if claimed is None:
+                try:
+                    with open(target) as f:
+                        claimed = json.load(f).get("commit_id") == cid
+                except FileNotFoundError:
+                    # nothing landed: safe to report a retryable loss
+                    claimed = False
+            if not claimed:
+                raise TxConflictError(
+                    f"version {version} was committed concurrently — "
+                    "re-run this operation from the new snapshot"
+                ) from None
         finally:
             tmp.unlink(missing_ok=True)
 
@@ -293,6 +348,13 @@ class TxTable:
                     stats = _footer_range(md, key)
                     if stats is not None:
                         entry["kmin"], entry["kmax"] = stats
+                        # NULL-key presence rides the stats: [kmin, kmax]
+                        # only describes non-null values, so key pruning
+                        # for a NULL probe needs its own footer fact
+                        # (absent = unknown = conservatively touched)
+                        nulls = _footer_nulls(md, key)
+                        if nulls is not None:
+                            entry["knulls"] = nulls
                 cs = {}
                 for c in stats_cols or []:
                     if c == key:
@@ -462,7 +524,10 @@ class TxTable:
         Update pairing: when the table has a merge key and a changed key
         has exactly one removed and one added row, the pair is labeled
         update_preimage/update_postimage; ambiguous keys (duplicates)
-        degrade honestly to delete+insert. Requires the full version
+        degrade honestly to delete+insert. This holds for BOTH write
+        modes — copy-on-write rewrites and merge-on-read (deletion
+        vector) UPDATE/MERGE commits label identically, so consumers
+        filtering on change type are write-mode agnostic. Requires the full version
         range to still be on disk (raises TxVacuumedError otherwise —
         size ``vacuum(retain_versions=...)`` to the consumer lag).
         Schema evolution: rows from before a column existed surface
@@ -516,8 +581,22 @@ class TxTable:
             return dv_part  # dv-only delete, or constraint/fence no-op
         new = self._read_files(m, added)
         if not removed:
-            out = new.select("*", ct("insert"), *stamp)
-            return out if dv_part is None else out.unionByName(dv_part)
+            if dv_part is None:
+                return new.select("*", ct("insert"), *stamp)
+            if m["key"] is None:
+                return new.select("*", ct("insert"), *stamp).unionByName(dv_part)
+            # merge-on-read UPDATE/MERGE: this commit's dv pre-images
+            # (deletes) pair with its appended post-images per key,
+            # exactly like the copy-on-write path — consumers filtering
+            # on change type see the same labels whichever write mode
+            # produced the commit. (Restore-rewound dv re-inserts pass
+            # through unpaired.)
+            meta = ["_change_type", "_commit_version", "_commit_ts"]
+            dv_dels = dv_part.filter(F.col("_change_type") == "delete").drop(*meta)
+            dv_other = dv_part.filter(F.col("_change_type") != "delete")
+            return self._pair_updates(m["key"], dv_dels, new, ct, stamp).unionByName(
+                dv_other
+            )
         # old files read under the PREVIOUS schema, aligned up to this
         # version's (evolution is add-nullable-only, so NULL-fill)
         old = self._read_files(self._manifest(v - 1), removed)
@@ -534,7 +613,22 @@ class TxTable:
                 ins.select("*", ct("insert"), *stamp)
             )
             return out if dv_part is None else out.unionByName(dv_part)
-        # update pairing: keys with exactly one pre and one post row
+        if dv_part is not None:
+            # a commit can mix file rewrites with dv growth (e.g. a dv
+            # merge that auto-folded a dense vector): its dv pre-images
+            # pair against the same added post-images
+            meta = ["_change_type", "_commit_version", "_commit_ts"]
+            dels = dels.unionByName(
+                dv_part.filter(F.col("_change_type") == "delete").drop(*meta)
+            )
+            dv_part = dv_part.filter(F.col("_change_type") != "delete")
+        out = self._pair_updates(key, dels, ins, ct, stamp)
+        return out if dv_part is None else out.unionByName(dv_part)
+
+    def _pair_updates(self, key, dels, ins, ct, stamp) -> DataFrame:
+        """Label one commit's removed/added rows: keys with exactly one
+        pre and one post row pair as update_preimage/update_postimage;
+        ambiguous keys (duplicates) degrade honestly to delete+insert."""
         paired = (
             dels.groupBy(key).agg(F.count(F.lit(1)).alias("__tx_dn"))
             .join(
@@ -557,10 +651,9 @@ class TxTable:
                 )
             )
 
-        out = tag(dels, "update_preimage", "delete").unionByName(
+        return tag(dels, "update_preimage", "delete").unionByName(
             tag(ins, "update_postimage", "insert")
         )
-        return out if dv_part is None else out.unionByName(dv_part)
 
     def _dv_changes(self, m: dict, prev_files: list[dict], ct, stamp):
         """Change rows for files CARRIED between versions whose deletion
@@ -712,7 +805,15 @@ class TxTable:
         holds no matching row, so it can be carried over unread. Files
         without stats are always touched (conservative). The range probe
         is a broadcast join of distinct source keys against the O(files)
-        stats frame — file paths come back bounded by the file count."""
+        stats frame — file paths come back bounded by the file count.
+
+        NULL source keys: footer [kmin, kmax] describes only non-null
+        values, so a NULL probe key matches no range — instead it
+        touches every file whose recorded key null count is nonzero
+        (or unknown, for files written before ``knulls`` existed). This
+        lets key-confined transforms (``rewrite_by_keys``) handle SQL
+        NULL groups exactly instead of silently missing the file that
+        holds the NULL-key rows."""
         key = m["key"]
         with_stats = [f for f in m["files"] if "kmin" in f]
         no_stats = [f["path"] for f in m["files"] if "kmin" not in f]
@@ -722,19 +823,27 @@ class TxTable:
             [(f["path"], f["kmin"], f["kmax"]) for f in with_stats],
             "__tx_path string, __tx_kmin long, __tx_kmax long",
         )
+        # one job: non-null keys range-probe the broadcast stats frame;
+        # NULL keys (whose comparisons are never true) and keys missing
+        # every range both land in the NULL-path group, whose max flags
+        # whether any probe key was NULL
         hit = (
             source.select(F.col(key).cast("long").alias("__tx_k"))
-            .dropna()
             .distinct()
             .join(
                 F.broadcast(ranges),
                 (F.col("__tx_k") >= F.col("__tx_kmin"))
                 & (F.col("__tx_k") <= F.col("__tx_kmax")),
+                "left",
             )
-            .select("__tx_path")
-            .distinct()
+            .groupBy("__tx_path")
+            .agg(F.max(F.col("__tx_k").isNull().cast("int")).alias("__tx_nul"))
+            .collect()
         )
-        return no_stats + [r["__tx_path"] for r in hit.collect()]
+        paths = {r["__tx_path"] for r in hit if r["__tx_path"] is not None}
+        if any(r["__tx_path"] is None and r["__tx_nul"] == 1 for r in hit):
+            paths |= {f["path"] for f in with_stats if f.get("knulls", 1) != 0}
+        return no_stats + sorted(paths)
 
     def _touched_by_predicate(self, m: dict, condition) -> list[str]:
         """Paths of data files that ACTUALLY contain LIVE rows matching
@@ -883,6 +992,32 @@ class TxTable:
         n_deleted = sum(d["rows"] for d in new_dv.values()) - old_deleted
         return files, n_deleted
 
+    def _fold_dense_dvs(self, m: dict, files: list[dict]):
+        """Auto-compaction for merge-on-read: any file whose deletion
+        vector has reached ``dv_fold_threshold`` of its rows is
+        rewritten WITHOUT the deleted rows (vector dropped) inside the
+        same commit that would have grown it — Delta's
+        auto-compact/vector-fold behavior. Keeps trickle-CDC read cost
+        bounded (the read-side anti-join only ever sees sparse
+        vectors) while write amplification between folds stays
+        O(batch). Returns ``(files', n_folded)``."""
+        thr = self.dv_fold_threshold
+        dense = [
+            f
+            for f in files
+            if "dv" in f and f["dv"]["rows"] >= thr * f["rows"]
+        ]
+        if not dense:
+            return files, 0
+        live = self._read_files(
+            dict(m, files=files), [f["path"] for f in dense]
+        )
+        new_files = self._write_files(live, m["key"], m.get("stats_cols"))
+        dropped = {f["path"] for f in dense}
+        return [f for f in files if f["path"] not in dropped] + new_files, len(
+            dense
+        )
+
     def _delete_dv(self, m: dict, condition) -> dict:
         pos = (
             self._read_with_positions(m, [f["path"] for f in m["files"]])
@@ -896,19 +1031,22 @@ class TxTable:
         if res is None:
             return {"files_rewritten": 0, "rows_deleted": 0, "version": m["version"]}
         files, n_deleted = res
+        files, n_folded = self._fold_dense_dvs(m, files)
         self._commit(
             m["version"] + 1,
             "delete",
             files,
             m["schema"],
             m["key"],
-            {"rows_deleted": n_deleted, "dv": True, "files_rewritten": 0},
+            {"rows_deleted": n_deleted, "dv": True, "files_rewritten": 0,
+             "files_folded": n_folded},
             m.get("txns", {}),
             m.get("checks", {}),
             m.get("stats_cols"),
         )
         return {
             "files_rewritten": 0,
+            "files_folded": n_folded,
             "rows_deleted": n_deleted,
             "version": m["version"] + 1,
         }
@@ -945,6 +1083,7 @@ class TxTable:
                 return {"files_rewritten": 0, "rows_updated": 0,
                         "version": m["version"]}
             files, n = res
+            files, n_folded = self._fold_dense_dvs(m, files)
             post = matched.select(
                 *[
                     assignments[c].alias(c) if c in assignments else F.col(c)
@@ -960,7 +1099,8 @@ class TxTable:
                 files + new_files,
                 m["schema"],
                 m["key"],
-                {"rows_updated": n, "dv": True, "files_rewritten": 0},
+                {"rows_updated": n, "dv": True, "files_rewritten": 0,
+                 "files_folded": n_folded},
                 m.get("txns", {}),
                 m.get("checks", {}),
                 m.get("stats_cols"),
@@ -1160,6 +1300,7 @@ class TxTable:
             )
         res = self._dv_entries(m, pos)
         files, n_deleted = res if res is not None else (m["files"], 0)
+        files, n_folded = self._fold_dense_dvs(m, files)
         new_files = (
             self._write_files(
                 _checked(new_rows, m.get("checks")), key, m.get("stats_cols")
@@ -1178,13 +1319,14 @@ class TxTable:
             m["schema"],
             key,
             {"rows_delta": n_added - n_deleted, "dv": True,
-             "files_rewritten": 0},
+             "files_rewritten": 0, "files_folded": n_folded},
             txns,
             m.get("checks", {}),
             m.get("stats_cols"),
         )
         return {
             "files_rewritten": 0,
+            "files_folded": n_folded,
             "rows_delta": n_added - n_deleted,
             "version": m["version"] + 1,
         }
@@ -1367,15 +1509,47 @@ class TxTable:
         touched = [f["path"] for f in m["files"]]
         return self._cow_commit(m, "compact", touched, cur, {})
 
-    def vacuum(self, retain_versions: int = 2, min_age_s: float = 0.0) -> dict:
+    #: files younger than this never vacuum by default. The hazard a
+    #: short window invites: ``_write_files`` lands data under data/
+    #: (and stages under _staging-*) BEFORE the manifest referencing it
+    #: commits, so a concurrent vacuum with min_age_s≈0 deletes an
+    #: in-flight writer's output as "orphans" — and if that writer then
+    #: WINS the commit claim, the table references deleted files:
+    #: silent data loss on read. Optimistic concurrency makes parallel
+    #: writers the expected case, so the default must absorb any
+    #: plausible write duration (Delta ships 7 days; one hour is ample
+    #: for this engine's commit path, which stages for seconds).
+    VACUUM_MIN_AGE_S = 3600.0
+    _VACUUM_AGE_FLOOR_S = 600.0
+
+    def vacuum(
+        self,
+        retain_versions: int = 2,
+        min_age_s: float = VACUUM_MIN_AGE_S,
+        force: bool = False,
+    ) -> dict:
         """Reclaim space: drop manifests older than the newest
         ``retain_versions`` and delete every data file referenced by no
         retained manifest (covers both aged-out versions and crash
         orphans that no manifest ever referenced). Files younger than
         ``min_age_s`` are kept — an in-flight writer's staged output is
-        invisible but not yet referenced."""
+        invisible but not yet referenced, and deleting it under a
+        writer that then wins the commit race is silent data loss (see
+        ``VACUUM_MIN_AGE_S``). ``min_age_s`` below the 600 s floor
+        therefore requires ``force=True`` and a guarantee from the
+        caller that no writer is concurrent (tests, single-process
+        maintenance windows)."""
         if retain_versions < 1:
             raise TxError("retain_versions must be >= 1")
+        if min_age_s < self._VACUUM_AGE_FLOOR_S and not force:
+            raise TxError(
+                f"vacuum(min_age_s={min_age_s}) is below the "
+                f"{self._VACUUM_AGE_FLOOR_S:.0f}s safety floor: a "
+                "concurrent writer's staged-but-uncommitted files would "
+                "be deleted as orphans (data loss if it then wins the "
+                "commit claim). Pass force=True only if no writer can "
+                "be concurrent."
+            )
         vs = self._versions()
         keep_vs = vs[-retain_versions:]
         referenced = set()
@@ -1506,6 +1680,26 @@ def _check_schema(manifest: dict, df: DataFrame) -> None:
             f"{StructType.fromJson(have).simpleString()} vs batch "
             f"{StructType.fromJson(want).simpleString()}"
         )
+
+
+def _footer_nulls(md, col: str):
+    """Total null count of ``col`` across the file's row groups from
+    footer statistics, or None when any row group lacks the stat
+    (absent = unknown; callers must stay conservative)."""
+    total = 0
+    seen = False
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema != col:
+                continue
+            seen = True
+            st = c.statistics
+            if st is None or st.null_count is None:
+                return None
+            total += st.null_count
+    return total if seen else None
 
 
 def _footer_range(md, col: str):

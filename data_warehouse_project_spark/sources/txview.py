@@ -2,11 +2,12 @@
 
 The reference recomputes its gold-layer rollups from scratch on every
 load (load_fct_sales_fact_table_dimensional_layer.sql rebuilds the fact
-partitions each run; readme.md's "data mart" layer is fully re-derived).
-That is the right call at 80k rows and exactly the wrong one at 100 TB,
-where the day's churn is ~0.1% of the table. ``TxAggView`` is the
-incremental-view-maintenance upgrade, built from two pieces this repo
-already has:
+partitions each run; readme.md's "data mart" layer is fully re-derived;
+its tests re-derive the aggregate tables wholesale,
+dw_etl_tests.py:470-506). That is the right call at 80k rows and
+exactly the wrong one at 100 TB, where the day's churn is ~0.1% of the
+table. ``TxAggView`` is the incremental-view-maintenance upgrade, built
+from two pieces this repo already has:
 
 - ``TxTable.read_changes`` — the commit-log change feed, which costs
   O(churn) per consumed version range, never O(table);
@@ -15,17 +16,31 @@ already has:
   even under crash replay (the fence commits atomically with the
   rewritten files).
 
-Maintained measures are the self-maintainable ones (classic IVM theory
-— Gupta & Mumick, "Maintenance of Materialized Views: Problems,
-Techniques, and Applications", IEEE Data Eng. Bulletin 1995): SUM and
-COUNT under insert/delete/update, with AVG derivable as sum/count.
-MIN/MAX are NOT self-maintainable under deletes (a deleted extremum
-needs the base table to re-derive) and are deliberately out of scope.
+Maintained measures (classic IVM theory — Gupta & Mumick, "Maintenance
+of Materialized Views: Problems, Techniques, and Applications", IEEE
+Data Eng. Bulletin 1995):
 
-Exactness contract: measure expressions should be integer-valued
-(cents, micros — the house rule for every oracle-checked sum); float
-measures drift vs a full recompute because float addition is not
-associative.
+- SUM / COUNT / AVG are self-maintainable under insert/delete/update:
+  the view stores a per-measure running sum AND non-null count, so SQL
+  NULL semantics are exact (``SUM`` of an all-NULL group reads back
+  NULL, not 0; ``AVG`` derives as sum/count, NULL at count 0).
+- MIN / MAX are NOT self-maintainable under deletes: inserts only
+  improve them (fold with least/greatest), but a delete at the current
+  extremum dirties the group. The standard delete-repair path applies —
+  recompute ONLY the groups whose extremal row died, via a semi-join of
+  the base table against the dirty-group set: O(churn + dirty groups'
+  base rows), still never O(table) unless every group loses its
+  extremum at once.
+
+Exactness contract: SUM/AVG measure expressions should be
+integer-valued (cents, micros — the house rule for every
+oracle-checked sum); float measures drift vs a full recompute because
+float addition is not associative.
+
+NULL groups are first-class: the merge join is null-safe and the
+underlying ``TxTable`` key pruning records per-file key null counts
+(``knulls``), so the file holding the NULL-group row is always touched
+when the delta contains a NULL group.
 
 100 TB shape: a refresh reads the churn (change feed), aggregates it to
 one delta row per TOUCHED group, and rewrites only the view files whose
@@ -46,6 +61,7 @@ from .txtable import TXLOG_DIR, TxError, TxTable
 
 _SIDECAR = "_view.json"
 _N = "n_rows"  # hidden support count: a group at 0 leaves the view
+_FNS = ("sum", "count", "avg", "min", "max")
 
 
 def _signed(changes: DataFrame) -> DataFrame:
@@ -59,16 +75,60 @@ def _signed(changes: DataFrame) -> DataFrame:
     )
 
 
-class TxAggView:
-    """A SUM/COUNT GROUP BY view over a base ``TxTable``, stored as its
-    own ``TxTable`` keyed by the group column and refreshed
-    incrementally from the base's change feed.
+def _norm_measures(measures: dict) -> dict[str, dict]:
+    """Normalize ``measures`` to {name: {"fn": fn, "expr": expr}}.
+    A bare string value means SUM (the original surface); a
+    ``(fn, expr)`` pair / ``{"fn":..., "expr":...}`` selects the
+    aggregate."""
+    out: dict[str, dict] = {}
+    for name, spec in measures.items():
+        if isinstance(spec, str):
+            fn, expr = "sum", spec
+        elif isinstance(spec, dict):
+            fn, expr = spec["fn"], spec["expr"]
+        else:
+            fn, expr = spec
+        fn = fn.lower()
+        if fn not in _FNS:
+            raise TxError(f"measure {name!r}: unsupported fn {fn!r} "
+                          f"(supported: {_FNS})")
+        out[name] = {"fn": fn, "expr": expr}
+    return out
 
-    ``measures`` maps output column -> SQL expression over base columns;
-    each view row holds ``SUM(expr)`` per group plus ``n_rows`` (the
-    group's live row count). Groups whose count reaches zero are
+
+def _physical_agg(measures: dict[str, dict]) -> list:
+    """Full-recompute aggregate expressions for the view's PHYSICAL
+    columns (per-measure running sum / non-null count / extremum)."""
+    aggs = []
+    for n, m in measures.items():
+        e = F.expr(m["expr"])
+        if m["fn"] in ("sum", "avg"):
+            aggs.append(F.sum(e).alias(f"__s_{n}"))
+            aggs.append(F.count(e).alias(f"__c_{n}"))
+        elif m["fn"] == "count":
+            aggs.append(F.count(e).alias(f"__c_{n}"))
+        elif m["fn"] == "min":
+            aggs.append(F.min(e).alias(f"__m_{n}"))
+        else:  # max
+            aggs.append(F.max(e).alias(f"__m_{n}"))
+    aggs.append(F.count(F.lit(1)).alias(_N))
+    return aggs
+
+
+class TxAggView:
+    """A GROUP BY view (SUM/COUNT/AVG/MIN/MAX) over a base ``TxTable``,
+    stored as its own ``TxTable`` keyed by the group column and
+    refreshed incrementally from the base's change feed.
+
+    ``measures`` maps output column -> SQL expression over base columns
+    (bare string = SUM) or ``(fn, expr)`` with fn in sum / count / avg
+    / min / max. ``read()`` projects the logical view: the group
+    column, each measure under its own name with exact SQL aggregate
+    semantics (NULL for empty-of-non-null SUM/AVG), plus ``n_rows``
+    (the group's live row count). Groups whose count reaches zero are
     deleted, matching what a full ``GROUP BY`` recompute would produce
-    (test-pinned equal after every refresh).
+    (test-pinned equal after every refresh, including NULL groups and
+    all-NULL measure groups).
 
     Composite groups: pack them into one column (the view key must be a
     single column so copy-on-write pruning has a range to prune on).
@@ -83,6 +143,7 @@ class TxAggView:
             raise TxError(f"not a TxAggView (no {_SIDECAR}): {root}")
         with open(side) as f:
             self.spec = json.load(f)
+        self.spec["measures"] = _norm_measures(self.spec["measures"])
         self.spark = spark
         self.table = TxTable(spark, self.root)
         self.base = TxTable(spark, self.spec["base_root"])
@@ -96,7 +157,7 @@ class TxAggView:
         root: str | Path,
         base: TxTable,
         group_col: str,
-        measures: dict[str, str],
+        measures: dict,
     ) -> "TxAggView":
         """Full-compute the view at the base's CURRENT version and
         persist the definition; later ``refresh()`` calls are
@@ -104,14 +165,12 @@ class TxAggView:
         root = Path(root)
         if (root / TXLOG_DIR).exists() or (root / _SIDECAR).exists():
             raise TxError(f"already a view or table: {root}")
-        bad = {_N} & set(measures)
+        norm = _norm_measures(measures)
+        bad = {n for n in norm if n == _N or n.startswith("__")}
         if bad:
             raise TxError(f"measure name(s) reserved: {sorted(bad)}")
         base_v = base.latest_version()
-        full = base.read(base_v).groupBy(group_col).agg(
-            *[F.sum(F.expr(e)).alias(name) for name, e in measures.items()],
-            F.count(F.lit(1)).alias(_N),
-        )
+        full = base.read(base_v).groupBy(group_col).agg(*_physical_agg(norm))
         root.mkdir(parents=True, exist_ok=True)
         # sidecar first: a crash before the v0 commit leaves a root that
         # read/refresh reject loudly ("no committed version"), and
@@ -121,7 +180,7 @@ class TxAggView:
                 {
                     "base_root": str(base.root),
                     "group_col": group_col,
-                    "measures": measures,
+                    "measures": norm,
                     "base_version_at_create": base_v,
                 },
                 f,
@@ -134,7 +193,30 @@ class TxAggView:
     # ---------------------------------------------------------- reads
 
     def read(self, version: int | None = None) -> DataFrame:
-        return self.table.read(version)
+        """The LOGICAL view: group column + one column per measure with
+        exact SQL aggregate semantics + ``n_rows``. (The stored table,
+        ``self.table``, holds the physical sum/count/extremum columns
+        the maintenance algebra needs.)"""
+        g = self.spec["group_col"]
+        cols = [F.col(g)]
+        for n, m in self.spec["measures"].items():
+            if m["fn"] == "sum":
+                cols.append(
+                    F.when(F.col(f"__c_{n}") > 0, F.col(f"__s_{n}")).alias(n)
+                )
+            elif m["fn"] == "avg":
+                cols.append(
+                    F.when(
+                        F.col(f"__c_{n}") > 0,
+                        F.col(f"__s_{n}") / F.col(f"__c_{n}"),
+                    ).alias(n)
+                )
+            elif m["fn"] == "count":
+                cols.append(F.col(f"__c_{n}").alias(n))
+            else:  # min / max
+                cols.append(F.col(f"__m_{n}").alias(n))
+        cols.append(F.col(_N))
+        return self.table.read(version).select(*cols)
 
     def applied_base_version(self) -> int:
         """The base version whose effects the view reflects."""
@@ -149,7 +231,9 @@ class TxAggView:
         """Fold every base commit since the last refresh into the view.
 
         One change-feed read + one aggregation to per-group deltas +
-        one key-pruned fenced rewrite of the touched view files. A
+        one key-pruned fenced rewrite of the touched view files (plus,
+        only when a MIN/MAX measure's extremal row died, a semi-joined
+        recompute of exactly the dirty groups from the base). A
         replayed refresh (crash after commit, rerun) is skipped by the
         fence; a base that has not moved is a no-op without a commit."""
         applied = self.applied_base_version()
@@ -158,35 +242,149 @@ class TxAggView:
             return {"refreshed_to": applied, "groups_touched": 0, "skipped": True}
         g = self.spec["group_col"]
         measures = self.spec["measures"]
+        minmax = {n: m for n, m in measures.items() if m["fn"] in ("min", "max")}
+
+        sign = F.col("__vw_sign")
+        delta_aggs = []
+        for n, m in measures.items():
+            e = F.expr(m["expr"])
+            if m["fn"] in ("sum", "avg"):
+                delta_aggs.append(F.sum(sign * e).alias(f"__s_{n}"))
+            if m["fn"] in ("sum", "avg", "count"):
+                delta_aggs.append(
+                    F.sum(
+                        F.when(e.isNotNull(), sign).otherwise(F.lit(0))
+                    ).alias(f"__c_{n}")
+                )
+            if m["fn"] == "min":
+                delta_aggs.append(F.min(F.when(sign > 0, e)).alias(f"__i_{n}"))
+                delta_aggs.append(F.min(F.when(sign < 0, e)).alias(f"__x_{n}"))
+            if m["fn"] == "max":
+                delta_aggs.append(F.max(F.when(sign > 0, e)).alias(f"__i_{n}"))
+                delta_aggs.append(F.max(F.when(sign < 0, e)).alias(f"__x_{n}"))
+        delta_aggs.append(F.sum(sign).alias(_N))
         delta = (
             _signed(self.base.read_changes(applied + 1, target))
             .groupBy(g)
-            .agg(
-                *[
-                    F.sum(F.col("__vw_sign") * F.expr(e)).alias(name)
-                    for name, e in measures.items()
-                ],
-                F.sum(F.col("__vw_sign")).alias(_N),
-            )
+            .agg(*delta_aggs)
             .localCheckpoint(eager=False)
         )
 
-        names = list(measures) + [_N]
+        def combine_sum(n: str):
+            v, d = F.col(f"v.__s_{n}"), F.col(f"d.__s_{n}")
+            return (F.coalesce(v, F.lit(0)) + F.coalesce(d, F.lit(0))).alias(
+                f"__s_{n}"
+            )
+
+        def combine_cnt(n: str):
+            v, d = F.col(f"v.__c_{n}"), F.col(f"d.__c_{n}")
+            return (F.coalesce(v, F.lit(0)) + F.coalesce(d, F.lit(0))).alias(
+                f"__c_{n}"
+            )
 
         def apply_delta(view_slice: DataFrame) -> DataFrame:
             s = view_slice.alias("v")
             d = delta.alias("d")
-            merged = s.join(d, F.col(f"v.{g}") == F.col(f"d.{g}"), "full_outer")
-            out = merged.select(
-                F.coalesce(F.col(f"v.{g}"), F.col(f"d.{g}")).alias(g),
-                *[
-                    (
-                        F.coalesce(F.col(f"v.{name}"), F.lit(0))
-                        + F.coalesce(F.col(f"d.{name}"), F.lit(0))
-                    ).alias(name)
-                    for name in names
-                ],
+            # null-safe: a SQL NULL group is one group, not a miss —
+            # equality here would append a duplicate NULL-group row on
+            # every refresh
+            merged = s.join(
+                d, F.col(f"v.{g}").eqNullSafe(F.col(f"d.{g}")), "full_outer"
             )
+            # presence via the never-null count columns, NOT the group
+            # value (which may be a legitimate NULL)
+            v_here = F.col(f"v.{_N}").isNotNull()
+            out_cols = [
+                F.when(v_here, F.col(f"v.{g}")).otherwise(F.col(f"d.{g}")).alias(g)
+            ]
+            dirty_flags = []
+            for n, m in measures.items():
+                if m["fn"] in ("sum", "avg"):
+                    out_cols.append(combine_sum(n))
+                    out_cols.append(combine_cnt(n))
+                elif m["fn"] == "count":
+                    out_cols.append(combine_cnt(n))
+                else:
+                    vm = F.col(f"v.__m_{n}")
+                    ins = F.col(f"d.__i_{n}")
+                    dead = F.col(f"d.__x_{n}")
+                    # a delete AT the stored extremum may expose a new
+                    # one only the base knows — mark for repair
+                    if m["fn"] == "min":
+                        dirty = dead.isNotNull() & vm.isNotNull() & (dead <= vm)
+                        fold = F.least(vm, ins)
+                    else:
+                        dirty = dead.isNotNull() & vm.isNotNull() & (dead >= vm)
+                        fold = F.greatest(vm, ins)
+                    out_cols.append(
+                        F.when(dirty, F.lit(None)).otherwise(fold).alias(f"__m_{n}")
+                    )
+                    out_cols.append(dirty.alias(f"__dirty_{n}"))
+                    dirty_flags.append(f"__dirty_{n}")
+            out_cols.append(
+                (
+                    F.coalesce(F.col(f"v.{_N}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{_N}"), F.lit(0))
+                ).alias(_N)
+            )
+            out = merged.select(*out_cols)
+
+            if dirty_flags:
+                out = out.localCheckpoint(eager=False)
+                any_dirty = F.lit(False)
+                for fl in dirty_flags:
+                    any_dirty = any_dirty | F.col(fl)
+                dirty_keys = out.filter(any_dirty).select(g)
+                rep = (
+                    self.base.read(target)
+                    .alias("b")
+                    .join(
+                        F.broadcast(dirty_keys.alias("k")),
+                        F.col(f"b.{g}").eqNullSafe(F.col(f"k.{g}")),
+                        "left_semi",
+                    )
+                    .groupBy(g)
+                    .agg(
+                        *[
+                            (F.min if m["fn"] == "min" else F.max)(
+                                F.expr(m["expr"])
+                            ).alias(f"__r_{n}")
+                            for n, m in minmax.items()
+                        ]
+                    )
+                )
+                out = (
+                    out.alias("m")
+                    .join(
+                        rep.alias("r"),
+                        F.col(f"m.{g}").eqNullSafe(F.col(f"r.{g}")),
+                        "left",
+                    )
+                    .select(
+                        F.col(f"m.{g}").alias(g),
+                        *[
+                            c
+                            for n, m in measures.items()
+                            for c in (
+                                [F.col(f"m.__s_{n}").alias(f"__s_{n}"),
+                                 F.col(f"m.__c_{n}").alias(f"__c_{n}")]
+                                if m["fn"] in ("sum", "avg")
+                                else [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
+                                if m["fn"] == "count"
+                                else [
+                                    F.when(
+                                        F.col(f"m.__dirty_{n}"),
+                                        F.col(f"r.__r_{n}"),
+                                    )
+                                    .otherwise(F.col(f"m.__m_{n}"))
+                                    .alias(f"__m_{n}")
+                                ]
+                            )
+                        ],
+                        F.col(f"m.{_N}").alias(_N),
+                    )
+                )
+
             # a group whose live count hits zero leaves the view, like
             # a GROUP BY recompute; negative counts mean the feed and
             # the view disagree — surface it, never mask it

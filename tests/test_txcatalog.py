@@ -125,7 +125,7 @@ def test_catalog_vacuum_keeps_pinned_versions(spark, tmp_path):
         with cat.transaction() as tx:
             tx.append("a", _df(spark, [(i, i)]), key="id")
     assert cat.latest_version() == 4
-    r = cat.vacuum(retain_versions=2, min_age_s=0.0)
+    r = cat.vacuum(retain_versions=2, min_age_s=0.0, force=True)
     assert set(r) == {"a"}
     # retained catalog versions still resolve
     assert len(_d(cat.read("a"))) == 4
@@ -269,3 +269,33 @@ def test_txcascade_replayed_batch_never_double_counts(spark, tmp_path, event_bat
     got = _grain_got(cat, "hour", ["event_type"], names)
     want = _grain_truth(event_batch, "hour", ["event_type"], names)
     assert got == want
+
+
+def test_transaction_pins_own_commit_not_foreign(spark, tmp_path):
+    """A concurrent writer landing between a transaction's ops must not
+    get its (unrelated) commit pinned as part of this transaction's
+    snapshot — each op pins the version IT committed."""
+    from data_warehouse_project_spark.sources.txcatalog import TxCatalog
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    cat = TxCatalog.create(spark, tmp_path / "cat")
+    with cat.transaction(txn=("app", 1)) as tx:
+        tx.append("t", spark.createDataFrame([(1, 10)], "k long, v long"),
+                  key="k")
+    with cat.transaction(txn=("app", 2)) as tx:
+        tx.append("t", spark.createDataFrame([(2, 20)], "k long, v long"))
+        pinned_mid = tx._pins["t"]
+        # foreign writer commits directly to the member table
+        TxTable(spark, cat.tables_dir / "t").append(
+            spark.createDataFrame([(99, 990)], "k long, v long")
+        )
+        assert tx._pins["t"] == pinned_mid  # unchanged by the foreigner
+    pins = cat.snapshot()
+    t = cat.table("t")
+    assert pins["t"] == pinned_mid
+    assert pinned_mid < t.latest_version()  # foreign commit is ahead
+    # catalog-resolved read shows the transaction's snapshot, without
+    # the foreign rows; the direct handle sees them
+    got = {r["k"] for r in cat.read("t").collect()}
+    assert got == {1, 2}
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 99}

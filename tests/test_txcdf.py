@@ -326,3 +326,148 @@ def test_view_guards(spark, tmp_path):
         TxAggView.create(spark, tmp_path / "v2", base, "g", {"total": "amt"})
     with pytest.raises(TxError, match="not a TxAggView"):
         TxAggView(spark, tmp_path / "nope")
+
+
+def test_cdf_dv_update_merge_pairs_like_cow(spark, tmp_path):
+    """Merge-on-read UPDATE/MERGE commits label update pre/post image
+    pairs exactly like the copy-on-write path (write-mode-agnostic
+    change types)."""
+    t = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(8)])
+    t.update(F.col("id") == 3, {"v": F.lit("U")}, mode="dv")
+    assert sorted(_feed(t, 1, 1)) == [
+        (3, "U", "update_postimage", 1),
+        (3, "v3", "update_preimage", 1),
+    ]
+    t.merge(
+        spark.createDataFrame([(4, "M"), (100, "new")], "id long, v string"),
+        mode="dv",
+    )
+    assert sorted(_feed(t, 2, 2)) == [
+        (4, "M", "update_postimage", 2),
+        (4, "v4", "update_preimage", 2),
+        (100, "new", "insert", 2),
+    ]
+    # dv-mode delete stays a plain delete (no added post-image)
+    t.merge(
+        spark.createDataFrame([(5, "x")], "id long, v string"),
+        when_matched="delete", when_not_matched=None, mode="dv",
+    )
+    assert sorted(_feed(t, 3, 3)) == [(5, "v5", "delete", 3)]
+    _replay(t, 1, 3, ["id", "v"])
+
+
+# ----------------------------------------------------- view: semantics
+
+
+def _view_equals_recompute(view, base, agg_exprs):
+    got = {
+        tuple(r[c] for c in view.read().columns)
+        for r in view.read().collect()
+    }
+    want_df = base.read().groupBy(view.spec["group_col"]).agg(*agg_exprs)
+    want = {tuple(r[c] for c in want_df.columns) for r in want_df.collect()}
+    assert got == want, f"\nview: {sorted(got, key=str)}\noracle: {sorted(want, key=str)}"
+
+
+def test_view_null_groups_and_all_null_measures(spark, tmp_path):
+    """SQL NULL is one group (refresh must not duplicate its row), and
+    a group whose measure values are all NULL reads back SUM=NULL (not
+    0) — both pinned equal to a full recompute."""
+    df = spark.createDataFrame(
+        [(0, None, 10), (1, None, None), (2, 7, None), (3, 8, 5)],
+        "id long, g long, amt long",
+    )
+    base = TxTable.create(spark, tmp_path / "base", df, key="id")
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"total": "amt"},
+    )
+    oracle = [F.sum("amt").alias("total"), F.count(F.lit(1)).alias("n_rows")]
+    _view_equals_recompute(view, base, oracle)
+    # touch the NULL group twice across two refreshes: no duplicates
+    base.append(spark.createDataFrame([(10, None, 3)], "id long, g long, amt long"))
+    view.refresh()
+    _view_equals_recompute(view, base, oracle)
+    assert view.read().filter(F.col("g").isNull()).count() == 1
+    base.append(spark.createDataFrame([(11, None, None)], "id long, g long, amt long"))
+    base.delete(F.col("id") == 0)  # NULL group's only non-null amt dies
+    view.refresh()
+    _view_equals_recompute(view, base, oracle)
+    assert view.read().filter(F.col("g").isNull()).count() == 1
+    # g=2's sole row has amt NULL after id=3's group-mate never existed:
+    # make an all-NULL-measure group explicitly and check SUM -> NULL
+    row = view.read().filter(F.col("g") == 7).collect()
+    assert row and row[0]["total"] is None and row[0]["n_rows"] == 1
+
+
+def test_view_avg_min_max_with_extremal_deletes(spark, tmp_path):
+    """AVG derives from (sum, count); MIN/MAX survive deletes of the
+    extremal row via the dirty-group repair path — all pinned equal to
+    a full recompute after a randomized op-log."""
+    import random
+
+    rng = random.Random(93)
+    rows = [(i, i % 5, (i * 37) % 100) for i in range(60)]
+    base = TxTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame(rows, "id long, g long, amt long"),
+        key="id",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={
+            "total": ("sum", "amt"),
+            "n_amt": ("count", "amt"),
+            "mean": ("avg", "amt"),
+            "lo": ("min", "amt"),
+            "hi": ("max", "amt"),
+        },
+    )
+    oracle = [
+        F.sum("amt").alias("total"),
+        F.count("amt").alias("n_amt"),
+        F.avg("amt").alias("mean"),
+        F.min("amt").alias("lo"),
+        F.max("amt").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    _view_equals_recompute(view, base, oracle)
+    model = {i: (i % 5, (i * 37) % 100) for i in range(60)}
+    next_id = 1000
+    for step in range(8):
+        op = rng.choice(["del_max", "del_min", "append", "update", "del_group"])
+        if op == "del_max" and model:
+            # delete THE extremal row of some group (forces repair)
+            g0 = rng.choice(sorted({v[0] for v in model.values()}))
+            members = {k: v[1] for k, v in model.items() if v[0] == g0 and v[1] is not None}
+            if members:
+                victim = max(members, key=lambda k: members[k])
+                base.delete(F.col("id") == victim)
+                del model[victim]
+        elif op == "del_min" and model:
+            g0 = rng.choice(sorted({v[0] for v in model.values()}))
+            members = {k: v[1] for k, v in model.items() if v[0] == g0 and v[1] is not None}
+            if members:
+                victim = min(members, key=lambda k: members[k])
+                base.delete(F.col("id") == victim, mode="dv")
+                del model[victim]
+        elif op == "append":
+            batch = []
+            for _ in range(rng.randint(1, 4)):
+                amt = rng.choice([None, rng.randint(-50, 150)])
+                batch.append((next_id, rng.randint(0, 6), amt))
+                model[next_id] = (batch[-1][1], amt)
+                next_id += 1
+            base.append(spark.createDataFrame(batch, "id long, g long, amt long"))
+        elif op == "update" and model:
+            victim = rng.choice(sorted(model))
+            new_amt = rng.randint(-50, 150)
+            base.update(F.col("id") == victim, {"amt": F.lit(new_amt).cast("long")})
+            model[victim] = (model[victim][0], new_amt)
+        elif op == "del_group" and model:
+            g0 = rng.choice(sorted({v[0] for v in model.values()}))
+            base.delete(F.col("g") == g0)
+            model = {k: v for k, v in model.items() if v[0] != g0}
+        view.refresh()
+        _view_equals_recompute(view, base, oracle)

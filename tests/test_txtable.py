@@ -216,7 +216,7 @@ def test_crash_leftovers_are_invisible_and_vacuumable(spark, tmp_path):
     (t.log_dir / ".tmp-dead.json").write_text("{}")
     (t.root / "_staging-dead").mkdir()
     assert _snap(t) == {1: "a"}
-    r = t.vacuum(retain_versions=1, min_age_s=0.0)
+    r = t.vacuum(retain_versions=1, min_age_s=0.0, force=True)
     assert r["dropped_files"] == 1
     assert not orphan.exists() and not (t.root / "_staging-dead").exists()
     assert _snap(t) == {1: "a"}
@@ -227,7 +227,7 @@ def test_vacuum_retention_and_time_travel_horizon(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
     t.overwrite(spark.createDataFrame([(3, "c")], "id long, v string"))
     assert _snap(t, 0) == {1: "a"}
-    r = t.vacuum(retain_versions=1, min_age_s=0.0)
+    r = t.vacuum(retain_versions=1, min_age_s=0.0, force=True)
     assert r["dropped_manifests"] == 2 and r["dropped_files"] == 2
     assert _snap(t) == {3: "c"}
     with pytest.raises(TxVacuumedError):
@@ -663,7 +663,7 @@ def test_dv_interacts_with_cow_and_compact(spark, tmp_path):
     assert t.row_count() == 41
     # vacuum after compaction reaps the orphaned dv sidecars
     import os
-    t.vacuum(retain_versions=1)
+    t.vacuum(retain_versions=1, min_age_s=0.0, force=True)
     left = os.listdir(t.data_dir)
     assert not any(".dv." in n for n in left)
 
@@ -734,5 +734,109 @@ def test_restore_rewinds_data_not_fences(spark, tmp_path):
                   txn=("s", 3))
     assert rr.get("skipped") is True
     # restored files survive vacuum (they are referenced by the tip)
-    t.vacuum(retain_versions=1, min_age_s=0.0)
+    t.vacuum(retain_versions=1, min_age_s=0.0, force=True)
     assert _snap(t) == {1: "a", 2: "b"}
+
+
+def test_vacuum_floor_requires_force(spark, tmp_path):
+    """min_age_s below the safety floor is refused without force=True:
+    a concurrent writer's staged-but-uncommitted data files would be
+    reaped as orphans (data loss if that writer then wins the claim)."""
+    t = _mk(spark, tmp_path, [(1, "a")])
+    with pytest.raises(TxError, match="safety floor"):
+        t.vacuum(retain_versions=1, min_age_s=0.0)
+    with pytest.raises(TxError, match="safety floor"):
+        t.vacuum(retain_versions=1, min_age_s=59.0)
+    # the default window keeps young unreferenced files alive
+    orphan = t.data_dir / "orphan.parquet"
+    t.read().write.mode("overwrite").parquet(str(tmp_path / "x"))
+    src = next(p for p in (tmp_path / "x").iterdir() if p.suffix == ".parquet")
+    import os as _os
+    _os.replace(src, orphan)
+    r = t.vacuum(retain_versions=1)
+    assert r["dropped_files"] == 0 and orphan.exists()
+    r = t.vacuum(retain_versions=1, min_age_s=0.0, force=True)
+    assert r["dropped_files"] == 1 and not orphan.exists()
+
+
+def test_dv_auto_fold_bounds_read_side(spark, tmp_path):
+    """Trickle-CDC loop: repeated dv merges never let any file's
+    deletion vector reach the fold threshold's worth of its rows —
+    dense vectors fold into rewrites inside the same commit, without
+    an explicit compact()."""
+    rows = [(i, 0) for i in range(120)]
+    t = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame(rows, "id long, n long"),
+        key="id",
+    )
+    model = {i: 0 for i in range(120)}
+    rounds = 14
+    for step in range(1, rounds + 1):
+        # each batch updates a clustered run of keys — the worst case
+        # for per-file vector density
+        lo = (step * 17) % 100
+        batch = [(k, step) for k in range(lo, lo + 12)]
+        t.merge(
+            spark.createDataFrame(batch, "id long, n long"), mode="dv"
+        )
+        for k, v in batch:
+            model[k] = v
+        m = t._manifest()
+        for f in m["files"]:
+            dv = f.get("dv", {}).get("rows", 0)
+            assert dv < t.dv_fold_threshold * f["rows"], (
+                f"file {f['path']} dv density {dv}/{f['rows']} "
+                f"escaped the fold threshold at step {step}"
+            )
+        got = {r["id"]: r["n"] for r in t.read().collect()}
+        assert got == model, f"content diverged at step {step}"
+    # at least one fold actually happened over the run
+    assert any(
+        h["metrics"].get("files_folded", 0) > 0 for h in t.history()
+    ), "trickle loop never exercised the fold path"
+
+
+def test_delete_dv_full_file_folds_away(spark, tmp_path):
+    """A dv delete wiping >= threshold of a file's rows rewrites the
+    file (or drops it at 100%) in the same commit — no vector lands."""
+    t = _mk(spark, tmp_path, [(i, "x") for i in range(40)])
+    r = t.delete(F.col("id") >= 0, mode="dv")  # 100% of every file
+    assert r["rows_deleted"] == 40 and r["files_folded"] > 0
+    m = t._manifest()
+    assert m["files"] == [] and t.row_count() == 0
+    assert t.read().count() == 0
+    assert t.read(0).count() == 40  # time travel intact
+
+
+def test_rewrite_by_keys_touches_null_key_file(spark, tmp_path):
+    """Footer key ranges only describe non-null values; a NULL probe
+    key must touch the files whose recorded null count is nonzero, or
+    a key-confined transform silently misses the NULL-key rows."""
+    df = spark.createDataFrame(
+        [(None, "nullrow"), (1, "a"), (2, "b")],
+        "id long, v string",
+    ).coalesce(1)
+    t = TxTable.create(spark, tmp_path / "t", df, key="id")
+    t.append(
+        spark.createDataFrame([(500, "z")], "id long, v string").coalesce(1)
+    )
+    # knulls recorded at write time
+    assert any(f.get("knulls", 0) > 0 for f in t._manifest()["files"])
+    keys = spark.createDataFrame([(None,)], "id long")
+    r = t.rewrite_by_keys(
+        keys, lambda s: s.filter(F.col("id").isNotNull())
+    )
+    assert r["files_rewritten"] >= 1
+    got = {(r["id"], r["v"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (500, "z")}
+    # and a non-null probe still prunes: files holding only 500 stay
+    # untouched when rewriting key 1
+    m = t._manifest()
+    touched = t._touched_by_keys(m, spark.createDataFrame([(1,)], "id long"))
+    holds_500 = [
+        f["path"] for f in m["files"]
+        if f.get("kmin") == 500 and f.get("kmax") == 500
+    ]
+    assert holds_500 and not set(holds_500) & set(touched)

@@ -80,3 +80,83 @@ def test_concurrent_fenced_appends_are_exactly_once(spark, tmp_path):
     assert len(landed) == 1, f"exactly one racer must win: {results}"
     assert t0.row_count() == 1
     assert t0._manifest()["txns"] == {"app": 7}
+
+
+def test_racing_writers_with_unknown_claim_outcomes(spark, tmp_path):
+    """The claim primitive is pluggable; an object-store-shaped fault
+    (the conditional PUT lands but the ack is lost) surfaces as
+    ClaimOutcomeUnknown, and _commit recovers by reading back the
+    claimed manifest and comparing commit ids. Under racing writers
+    with injected faults, every batch still lands exactly once."""
+    import os
+    import random
+
+    from data_warehouse_project_spark.sources.txtable import (
+        ClaimOutcomeUnknown,
+    )
+
+    t0 = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([], "writer long, seq long"),
+        key="seq",
+    )
+
+    def flaky_claim_factory(seed):
+        rng = random.Random(seed)
+
+        def claim(tmp, target):
+            r = rng.random()
+            if r < 0.25:
+                # fault AFTER the PUT landed: ack lost
+                try:
+                    os.link(tmp, target)
+                except FileExistsError:
+                    pass  # somebody else's manifest is there
+                raise ClaimOutcomeUnknown("ack lost after PUT")
+            if r < 0.40:
+                # fault BEFORE anything landed
+                raise ClaimOutcomeUnknown("timeout before PUT")
+            try:
+                os.link(tmp, target)
+                return True
+            except FileExistsError:
+                return False
+
+        return claim
+
+    n_writers, n_batches = 4, 4
+    errors = []
+
+    def writer(w: int) -> None:
+        try:
+            h = TxTable(spark, t0.root, claim=flaky_claim_factory(w))
+            for s in range(n_batches):
+                # the fenced append is the realistic shape: a writer
+                # whose claim outcome was unknown retries the batch and
+                # the fence dedups if it had actually landed
+                h.append(
+                    spark.createDataFrame(
+                        [(w, s)], "writer long, seq long"
+                    ),
+                    txn=(f"w{w}", s),
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append((w, repr(e)))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    got = sorted(
+        (r["writer"], r["seq"]) for r in t0.read().collect()
+    )
+    want = sorted((w, s) for w in range(n_writers) for s in range(n_batches))
+    assert got == want, "exactly-once under injected claim faults"
+    # versions contiguous: unknown-outcome recovery never burned or
+    # duplicated a version number
+    assert t0._versions() == list(range(t0.latest_version() + 1))

@@ -137,7 +137,7 @@ def test_fence_state_survives_compaction_and_vacuum(spark, tmp_path):
     _run(spark, src, root, ckpt, key="id")
     t = TxTable(spark, root)
     t.compact(target_files=1, cluster=True)
-    t.vacuum(retain_versions=1, min_age_s=0.0)
+    t.vacuum(retain_versions=1, min_age_s=0.0, force=True)
     (app, ver), = t._manifest()["txns"].items()
     r = t.append(
         spark.createDataFrame([(9, "y")], "id long, v string"), txn=(app, ver)
