@@ -16,11 +16,34 @@ import shutil
 import tempfile
 import time
 
+import numpy as np
+
 from data_warehouse_project_spark.etl import run_full_etl
 from data_warehouse_project_spark.plans import QUERIES
 from data_warehouse_project_spark.session import get_spark
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def host_yardstick() -> float:
+    """A fixed CPU-bound calibration number: seconds for a pinned
+    single-threaded numpy workload (20 x 512x512 float64 matmuls on a
+    deterministic input). Bench totals on this host drift ±25% with
+    virtualization noise (r7->r8 adjudication took three
+    cross-measurements); dividing a round's total by its yardstick
+    normalizes out host speed so rounds compare like-for-like."""
+    rng = np.random.default_rng(20240101)
+    a = rng.standard_normal((512, 512))
+    b = rng.standard_normal((512, 512))
+    a @ b  # warm-up (allocator, BLAS thread spin-up)
+    trials = []
+    for _ in range(3):  # min-of-3: the yardstick itself must not absorb
+        t0 = time.perf_counter()  # the very noise it measures
+        x = a
+        for _ in range(20):
+            x = (x @ b) * 1e-3  # rescale so values stay finite
+        trials.append(time.perf_counter() - t0)
+    return round(min(trials), 4)
 
 
 def main() -> None:
@@ -59,6 +82,7 @@ def main() -> None:
     for label, strategy in (
         ("etl_full_pipeline", "snapshot"),
         ("etl_full_pipeline_merge", "merge"),
+        ("etl_full_pipeline_tx", "tx"),
     ):
         etl_trials = []
         for _ in range(2):
@@ -101,6 +125,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "host_yardstick": host_yardstick(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -67,6 +67,30 @@ class Warehouse:
     def path(self, layer: str, name: str) -> Path:
         return self.root / layer / name
 
+    def is_tx(self, layer: str, name: str) -> bool:
+        """True when the table is stored as a transactional commit-log
+        table (sources/txtable.TxTable) — the ``scd_strategy="tx"``
+        pipeline's storage. Reads route through the table's pinned
+        manifest; direct parquet writes into its root are refused."""
+        from data_warehouse_project_spark.sources.txtable import TXLOG_DIR
+
+        return (self.path(layer, name) / TXLOG_DIR).is_dir()
+
+    def tx(self, layer: str, name: str):
+        """Handle to a transactional member table."""
+        from data_warehouse_project_spark.sources.txtable import TxTable
+
+        return TxTable(self.spark, self.path(layer, name))
+
+    def _refuse_tx(self, layer: str, name: str, op: str) -> None:
+        if self.is_tx(layer, name):
+            raise ValueError(
+                f"{layer}/{name} is a transactional table — {op} would "
+                "bypass its commit log (readers resolve the manifest, "
+                "not the directory). Use Warehouse.tx(...) / the "
+                "scd_strategy='tx' loaders instead."
+            )
+
 
     def exists(self, layer: str, name: str) -> bool:
         """True if the table has content. Self-healing: a missing table
@@ -91,6 +115,10 @@ class Warehouse:
         pre-evolution files read the new columns as NULL. Off by default —
         merging every footer is an O(files) planning cost you only pay
         when a table is mid-migration."""
+        if self.is_tx(layer, name):
+            # manifest-pinned snapshot read; schema evolution is
+            # inherent (old files NULL-fill added columns)
+            return self.tx(layer, name).read()
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -193,6 +221,7 @@ class Warehouse:
 
         Crash recovery for the rename gap lives in ``exists()`` (the
         branch point every loader uses) and ``vacuum()``."""
+        self._refuse_tx(layer, name, "overwrite")
         final = self.path(layer, name)
         tmp = final.parent / f".{name}.tmp-{uuid.uuid4().hex[:8]}"
         _capture_plan(df, f"{layer}/{name}")
@@ -216,6 +245,7 @@ class Warehouse:
         count it from parquet footers (metadata-only), then move the
         files in. Avoids computing the batch twice (once for O3 row
         accounting, once for the write)."""
+        self._refuse_tx(layer, name, "append")
         final = self.path(layer, name)
         tmp = final.parent / f".{name}.append-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")
@@ -245,7 +275,9 @@ class Warehouse:
         if not self.exists(layer, name):
             return None
         mx = None
-        for f in self._data_files(self.path(layer, name)):
+        for f in self._live_files(layer, name):
+            if f is None:
+                return None  # dv-carrying tx file: stats not exact
             md = pq.ParquetFile(str(f)).metadata
             if md.num_rows == 0:
                 # zero-row part files (an empty write task) carry no
@@ -293,7 +325,9 @@ class Warehouse:
         if not self.exists(layer, name):
             return None
         lo = hi = None
-        for f in self._data_files(self.path(layer, name)):
+        for f in self._live_files(layer, name):
+            if f is None:
+                return None  # dv-carrying tx file: stats not exact
             md = pq.ParquetFile(str(f)).metadata
             if md.num_rows == 0:
                 continue
@@ -327,6 +361,26 @@ class Warehouse:
         return sum(
             pq.ParquetFile(str(f)).metadata.num_rows for f in cls._data_files(root)
         )
+
+    def _live_files(self, layer: str, name: str):
+        """The table's CURRENT data files. Plain tables: every parquet
+        part under the directory. Transactional tables: exactly the
+        latest manifest's file list — directory walking would count
+        orphans and superseded versions. Yields None as a sentinel when
+        a tx file carries a deletion vector (its footer stats describe
+        deleted rows too, so metadata MIN/MAX would be a superset —
+        callers treat that as "no usable stats" and fall back to an
+        exact Spark aggregate)."""
+        if not self.is_tx(layer, name):
+            yield from self._data_files(self.path(layer, name))
+            return
+        t = self.tx(layer, name)
+        root = t.root
+        for f in t._manifest()["files"]:
+            if "dv" in f:
+                yield None
+                return
+            yield root / f["path"]
 
     @staticmethod
     def _data_files(root: Path):
@@ -390,6 +444,7 @@ class Warehouse:
         next call restores any ``.X.old-*`` orphan whose live dir is
         missing and clears the rest before swapping.
         """
+        self._refuse_tx(layer, name, "overwrite_partitions")
         final = self.path(layer, name)
         prefix = f"{partition_col}="
         final.mkdir(parents=True, exist_ok=True)
@@ -560,6 +615,8 @@ class Warehouse:
         return self.overwrite(df, layer, name)
 
     def data_file_count(self, layer: str, name: str) -> int:
+        if self.is_tx(layer, name):
+            return len(self.tx(layer, name)._manifest()["files"])
         return sum(1 for _ in self._data_files(self.path(layer, name)))
 
     def partitions(self, layer: str, name: str, col: str) -> list[str]:

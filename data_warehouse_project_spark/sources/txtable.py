@@ -72,6 +72,20 @@ TXLOG_DIR = "_txlog"
 DATA_DIR = "data"
 _V_WIDTH = 20
 
+# explain-audit hook, mirroring etl.warehouse.PLAN_CAPTURE: when set to
+# a list, every data-file write records ("<parent>/<table>",
+# executed-plan string) so tools/explain_audit.py can budget the tx
+# pipeline's write plans through the same mechanism as the plain
+# warehouse sinks. None (the default) is zero-overhead.
+PLAN_CAPTURE: list[tuple[str, str]] | None = None
+
+
+def _capture_plan(df: DataFrame, label: str) -> None:
+    if PLAN_CAPTURE is not None:
+        PLAN_CAPTURE.append(
+            (label, df._jdf.queryExecution().executedPlan().toString())
+        )
+
 # commit claim retries for operations with no snapshot dependency
 # (appends): bounded so a livelock bug fails loudly instead of spinning
 _APPEND_RETRIES = 20
@@ -134,9 +148,12 @@ class TxTable:
     #: FOLDED (file rewritten without the deleted rows, vector dropped)
     #: by the same commit that would have grown it — Delta-style
     #: auto-compaction keeping merge-on-read read cost bounded under
-    #: trickle CDC. 0.5 pinned by A/B (COVERAGE.md round 9): read cost
-    #: stays flat across 60 dv merges vs monotone growth at 1.0, while
-    #: write amplification stays O(batch) between folds.
+    #: trickle CDC. 0.5 pinned by A/B (COVERAGE.md round 9; 30 clustered
+    #: dv merges into a 200k-row/16-file table): vs never-fold it cut
+    #: BOTH the write loop (37.2s vs 43.0s — dense vectors slow the
+    #: pre-merge position scans too) and the steady-state full read
+    #: (0.483s vs 0.596s); 0.25 over-folds (45.7s writes) for no read
+    #: win (0.544s).
     DV_FOLD_THRESHOLD = 0.5
 
     def __init__(self, spark: SparkSession, root: str | Path, claim=None):
@@ -332,6 +349,7 @@ class TxTable:
         INVISIBLE until some manifest references them."""
         import pyarrow.parquet as pq
 
+        _capture_plan(df, f"{self.root.parent.name}/{self.root.name}")
         staging = self.root / f"_staging-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(str(staging))
         entries: list[dict] = []

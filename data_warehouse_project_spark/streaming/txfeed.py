@@ -1,0 +1,137 @@
+"""Change data feed as a rate-limited incremental SOURCE.
+
+``TxTable.read_changes`` is a batch surface: give it a version range,
+get the change rows. This module turns it into the other half of a
+streaming pipeline — a resumable, rate-limited consumer whose progress
+fence rides the SINK's own commit log, so a tx → tx cascade runs
+exactly-once end to end without any external offset store (the same
+place Structured Streaming keeps its offsets is here the sink's
+manifest ``txns`` map: data and progress commit atomically).
+
+This is the lakehouse CDC-cascade shape (Delta's
+``readStream.option("readChangeFeed", ...)`` feeding a downstream
+table): a silver table maintains itself from bronze's churn — inserts,
+updates AND deletes — at O(churn) per batch instead of recomputing from
+raw appends. ``TxAggView`` is the aggregate consumer of the same feed;
+``replicate_changes`` is the row-level one.
+
+Delivery semantics per micro-batch:
+
+  1. read ``read_changes(fence+1, upto)`` where ``upto`` honors
+     ``max_versions_per_batch`` (the rate limit — bounds memory and
+     latency per trigger exactly like ``maxFilesPerTrigger``);
+  2. fold the batch into the sink with ``rewrite_by_keys`` — a
+     multiset apply (slice ∖ deletes+preimages ∪ inserts+postimages)
+     over ONLY the files whose key range intersects the batch's keys;
+  3. the fence ``(app, upto)`` commits in the SAME manifest — a crash
+     anywhere replays the batch, and the fence skips it.
+
+Scale shape: per batch O(churn + touched sink files); the cascade
+never rescans either table. ``vacuum`` on the source must retain at
+least the consumer's lag (``read_changes`` raises TxVacuumedError
+otherwise — loud, never silently lossy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txtable import TxError, TxTable
+
+_META = ("_change_type", "_commit_version", "_commit_ts")
+
+
+def _plan_batches(applied: int, latest: int, rate: int | None):
+    """Version ranges [(start, upto), ...] covering (applied, latest],
+    each at most ``rate`` versions wide (rate=None → one batch)."""
+    out = []
+    v = applied
+    while v < latest:
+        upto = latest if rate is None else min(v + rate, latest)
+        out.append((v + 1, upto))
+        v = upto
+    return out
+
+
+def replicate_changes(
+    spark: SparkSession,
+    source_root: str,
+    sink_root: str,
+    app: str,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    max_versions_per_batch: int | None = None,
+    max_batches: int | None = None,
+) -> dict:
+    """Advance the replica at ``sink_root`` from the source's change
+    feed. Processes every pending source version (bounded by
+    ``max_batches`` — the test hook for mid-stream crashes) in
+    rate-limited micro-batches, each exactly-once.
+
+    ``columns`` projects the replica (must keep the source's merge
+    key); ``where`` filters it (SQL predicate over the projected
+    columns — rows entering/leaving the predicate are handled by the
+    feed's insert/delete rows themselves, and projection/filter commute
+    with the multiset replay invariant). The replica is created on
+    first call (empty, fenced from version -1, so the feed replays the
+    source's full history — batch 1 delivers the v0 create as inserts).
+
+    Returns {"batches": n, "consumed_to": v, "skipped": bool}.
+    """
+    src = TxTable(spark, source_root)
+    key = src._manifest()["key"]
+    if key is None:
+        raise TxError("replicate_changes needs a source created with key=...")
+    cols = columns or [
+        c for c in src.read().columns  # full projection by default
+    ]
+    if key not in cols:
+        raise TxError(f"columns must keep the source key {key!r}")
+    try:
+        sink = TxTable(spark, sink_root)
+    except TxError:
+        shell = src.read().select(*cols).limit(0)
+        if where is not None:
+            shell = shell.filter(F.expr(where))
+        sink = TxTable.create(spark, sink_root, shell, key=key)
+
+    applied = sink.txn_version(app)
+    applied = -1 if applied is None else applied
+    latest = src.latest_version()
+    batches = _plan_batches(applied, latest, max_versions_per_batch)
+    if max_batches is not None:
+        batches = batches[:max_batches]
+    done = 0
+    consumed_to = applied
+    for start, upto in batches:
+        ch = src.read_changes(max(start, 0), upto).select(*cols, *_META)
+        if where is not None:
+            ch = ch.filter(F.expr(where))
+        ch = ch.localCheckpoint(eager=False)
+        minus = ch.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(*cols)
+        plus = ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+
+        def apply_batch(cur: DataFrame, minus=minus, plus=plus) -> DataFrame:
+            # multiset replay: (cur ⊎ inserts) ∖ deletes — the union
+            # MUST precede the subtraction, or a row inserted and then
+            # deleted inside one multi-version batch survives (its
+            # delete finds nothing to cancel in cur)
+            return cur.select(*cols).unionByName(plus).exceptAll(minus)
+
+        r = sink.rewrite_by_keys(
+            ch.select(key), apply_batch, txn=(app, upto)
+        )
+        done += 0 if r.get("skipped") else 1
+        consumed_to = upto
+    return {
+        "batches": done,
+        "consumed_to": consumed_to,
+        "skipped": done == 0 and bool(batches),
+        "pending": len(_plan_batches(consumed_to, src.latest_version(),
+                                     max_versions_per_batch)),
+    }

@@ -1,0 +1,206 @@
+"""scd_strategy='tx': the warehouse pipeline on transactional
+commit-log tables (sources/txtable.TxTable).
+
+Gates mirror the bucketed-merge strategy's (test_merge.py): the tx
+pipeline must land the SAME warehouse state as the snapshot strategy,
+stay idempotent across reruns, and flow SCD1/SCD2 updates end to end —
+plus the transactional extras the other strategies cannot offer: time
+travel across ETL runs, per-commit history, and a run-stamped
+exactly-once fence on the fact append.
+
+Reference analogues: in-transaction ON CONFLICT SCD1
+(load_3nf_ce_customers_scd_table_type1.sql:101-144), one-transaction
+SCD2 expire+insert (load_3nf_ce_products_scd_table_type2.sql:59-248),
+transactional fact loads (run_full_etl_process.sql).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.etl import Warehouse, run_full_etl
+from tests.conftest import SF_SMOKE
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def tx_and_snap(spark, tmp_path_factory):
+    """One tx-strategy and one snapshot-strategy warehouse built from
+    the same sources at the same run_ts, shared by the read-only
+    comparisons below."""
+    root_t = str(tmp_path_factory.mktemp("wh") / "tx")
+    root_s = str(tmp_path_factory.mktemp("wh") / "snap")
+    run_full_etl(spark, SF_SMOKE, root_t, run_ts=T0, scd_strategy="tx")
+    run_full_etl(spark, SF_SMOKE, root_s, run_ts=T0)
+    return Warehouse(spark, root_t), Warehouse(spark, root_s)
+
+
+def test_tx_strategy_matches_snapshot(spark, tx_and_snap):
+    wh_t, wh_s = tx_and_snap
+    for layer, name, cols in (
+        ("bl_3nf", "ce_customers",
+         ["customer_src_id", "customer_id", "customer_name", "acctbal",
+          "insert_dt", "update_dt"]),
+        ("bl_3nf", "ce_products_scd",
+         ["product_src_id", "product_id", "unit_price", "is_active",
+          "start_dt", "end_dt"]),
+        ("bl_3nf", "ce_sales", None),
+        ("bl_dm", "fct_sales", None),
+        ("bl_dm", "dim_products_scd", None),
+        ("bl_dm", "dim_dates", None),
+    ):
+        dt_, ds = wh_t.read(layer, name), wh_s.read(layer, name)
+        assert sorted(dt_.columns) == sorted(ds.columns), f"{name} schema"
+        use = cols or sorted(dt_.columns)
+        assert _sorted_rows(dt_, use) == _sorted_rows(ds, use), (
+            f"{layer}.{name} differs between tx and snapshot strategies"
+        )
+    # the SCD dims and the fact really are commit-log tables
+    for name in ("ce_customers", "ce_products_scd", "ce_sales"):
+        assert wh_t.is_tx("bl_3nf", name), name
+        assert not wh_s.is_tx("bl_3nf", name), name
+
+
+def test_tx_rerun_is_idempotent_and_fenced(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
+    wh = Warehouse(spark, root)
+    t_sales = wh.tx("bl_3nf", "ce_sales")
+    v1 = t_sales.latest_version()
+    rows1 = t_sales.row_count()
+    cust1 = _sorted_rows(
+        wh.read("bl_3nf", "ce_customers"),
+        ["customer_src_id", "customer_id", "customer_name", "update_dt"],
+    )
+    # crash-replay at the SAME run_ts: the fact append is skipped by the
+    # txn fence (no new version), dims are logically unchanged
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
+    assert t_sales.txn_version("etl_ce_sales") == int(T0.strftime("%Y%m%d%H%M%S"))
+    assert wh.tx("bl_3nf", "ce_sales").latest_version() == v1
+    assert wh.tx("bl_3nf", "ce_sales").row_count() == rows1
+    # a NEXT-day rerun over the same sources: anti-joins and
+    # changed-only merges keep everything logically unchanged
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0 + dt.timedelta(days=1),
+                 scd_strategy="tx")
+    assert wh.tx("bl_3nf", "ce_sales").row_count() == rows1
+    cust2 = _sorted_rows(
+        wh.read("bl_3nf", "ce_customers"),
+        ["customer_src_id", "customer_id", "customer_name", "update_dt"],
+    )
+    assert cust2 == cust1, "no-op rerun must not bump update_dt"
+
+
+def test_tx_scd_update_flows_and_time_travels(spark, tmp_path):
+    """An upstream attribute change flows through SCD1 (in-place, file-
+    pruned MERGE) and SCD2 (expire+insert in ONE commit), and the
+    pre-change dimension states stay time-travel readable."""
+    import shutil
+
+    src = tmp_path / "src"
+    shutil.copytree(SF_SMOKE, src)
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, str(src), root, run_ts=T0, scd_strategy="tx")
+    wh = Warehouse(spark, root)
+    t_cust = wh.tx("bl_3nf", "ce_customers")
+    t_prod = wh.tx("bl_3nf", "ce_products_scd")
+    v_cust0, v_prod0 = t_cust.latest_version(), t_prod.latest_version()
+
+    # mutate one customer's segment and one part's price in the source
+    def swap_in(df, name):
+        tmp = tmp_path / f"swap_{name}"
+        df.write.mode("overwrite").parquet(str(tmp))
+        tgt = src / f"{name}.parquet"
+        (tgt.unlink() if tgt.is_file() else shutil.rmtree(tgt))
+        shutil.move(str(tmp), str(tgt))
+
+    cust = spark.read.parquet(str(src / "customer.parquet"))
+    key = cust.select("c_custkey").orderBy("c_custkey").first()[0]
+    swap_in(
+        cust.withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") == key, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        ),
+        "customer",
+    )
+
+    part = spark.read.parquet(str(src / "part.parquet"))
+    pkey = part.select("p_partkey").orderBy("p_partkey").first()[0]
+    swap_in(
+        part.withColumn(
+            "p_retailprice",
+            F.when(
+                F.col("p_partkey") == pkey, F.col("p_retailprice") + 111
+            ).otherwise(F.col("p_retailprice")),
+        ),
+        "part",
+    )
+
+    t1 = T0 + dt.timedelta(days=2)
+    run_full_etl(spark, str(src), root, run_ts=t1, scd_strategy="tx")
+
+    # SCD1: in-place update, id preserved, update_dt bumped only there
+    got = wh.read("bl_3nf", "ce_customers").filter(
+        F.col("customer_src_id") == int(key)
+    ).collect()
+    assert len(got) == 1 and got[0]["market_segment"] == "CHANGED"
+    assert got[0]["update_dt"] == t1
+    old = t_cust.read(v_cust0).filter(
+        F.col("customer_src_id") == int(key)
+    ).collect()
+    assert old[0]["market_segment"] != "CHANGED", "time travel sees pre-state"
+    # exactly ONE new customer commit for the whole run (one MERGE)
+    assert t_cust.latest_version() == v_cust0 + 1
+    untouched = wh.read("bl_3nf", "ce_customers").filter(
+        (F.col("customer_src_id") != int(key)) & (F.col("update_dt") == t1)
+    )
+    assert untouched.count() == 0, "changed-only merge bumped other rows"
+
+    # SCD2: expire + new version landed in ONE commit
+    assert t_prod.latest_version() == v_prod0 + 1
+    vers = (
+        wh.read("bl_3nf", "ce_products_scd")
+        .filter(F.col("product_src_id") == int(pkey))
+        .orderBy("start_dt")
+        .collect()
+    )
+    assert [v["is_active"] for v in vers] == ["N", "Y"]
+    assert vers[1]["unit_price"] == pytest.approx(vers[0]["unit_price"] + 111)
+    assert {h["op"] for h in t_prod.history()} == {"create", "rewrite"}
+    # single-active invariant across the whole dim
+    active = (
+        wh.read("bl_3nf", "ce_products_scd")
+        .filter("is_active = 'Y'")
+        .groupBy("product_src_id")
+        .count()
+        .filter("count > 1")
+    )
+    assert active.count() == 0
+
+
+def test_tx_tables_refuse_plain_writes(spark, tx_and_snap):
+    wh_t, _ = tx_and_snap
+    df = wh_t.read("bl_3nf", "ce_customers").limit(1)
+    with pytest.raises(ValueError, match="transactional table"):
+        wh_t.overwrite(df, "bl_3nf", "ce_customers")
+    with pytest.raises(ValueError, match="transactional table"):
+        wh_t.append(df, "bl_3nf", "ce_sales")
+
+
+def test_tx_strategy_rejects_foreign_layout(spark, tmp_path):
+    """A warehouse built by another strategy must not be silently
+    shadowed by tx tables (the old parquet would become invisible)."""
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0)  # snapshot layout
+    with pytest.raises(RuntimeError, match="3nf_(customers|products)"):
+        run_full_etl(spark, SF_SMOKE, root, run_ts=T0 + dt.timedelta(days=1),
+                     scd_strategy="tx")

@@ -355,16 +355,19 @@ def audit(sf_dir: str) -> int:
 
     from data_warehouse_project_spark.etl import run_full_etl
     from data_warehouse_project_spark.etl import warehouse as _wmod
+    from data_warehouse_project_spark.sources import txtable as _txmod
 
-    for strategy in ("snapshot", "merge"):
-        _wmod.PLAN_CAPTURE = []
+    for strategy in ("snapshot", "merge", "tx"):
+        # the tx strategy writes its SCD dims/fact through TxTable,
+        # whose write hook mirrors the warehouse one — share the list
+        _wmod.PLAN_CAPTURE = _txmod.PLAN_CAPTURE = []
         wh_root = tempfile.mkdtemp(prefix="audit_etl_")
         try:
             run_full_etl(spark, sf_dir, wh_root, scd_strategy=strategy)
             run_full_etl(spark, sf_dir, wh_root, scd_strategy=strategy)  # rerun
             captured = list(_wmod.PLAN_CAPTURE)
         finally:
-            _wmod.PLAN_CAPTURE = None
+            _wmod.PLAN_CAPTURE = _txmod.PLAN_CAPTURE = None
             shutil.rmtree(wh_root, ignore_errors=True)
         for wlabel, p in captured:
             budget = ETL_WRITE_BUDGET.get(wlabel)
