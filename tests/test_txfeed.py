@@ -107,3 +107,86 @@ def test_replicate_guards(spark, tmp_path):
     with pytest.raises(TxError, match="keep the source key"):
         replicate_changes(spark, str(tmp_path / "k"), str(tmp_path / "s2"),
                           app="x", columns=["v"])
+
+
+# --------------------------------------------- model-based hypothesis
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("merge"),
+                st.dictionaries(
+                    st.integers(0, 25), st.integers(0, 99), min_size=1,
+                    max_size=5,
+                ),
+            ),
+            st.tuples(st.just("delete_mod"), st.integers(2, 5),
+                      st.integers(0, 4)),
+            st.tuples(st.just("append"), st.integers(100, 140)),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    rate=st.one_of(st.none(), st.integers(1, 3)),
+    crash_after=st.integers(0, 4),
+)
+def test_replicate_matches_filtered_source_random_ops(
+    spark, tmp_path_factory, ops, rate, crash_after
+):
+    """Random source op-log × random batch rate × a mid-stream crash:
+    after catch-up the replica always equals the filtered source, and
+    a replayed consumption changes nothing."""
+    tmp = tmp_path_factory.mktemp("feed")
+    a_root, b_root = str(tmp / "a"), str(tmp / "b")
+    a = TxTable.create(
+        spark,
+        a_root,
+        spark.createDataFrame(
+            [(i, i % 10) for i in range(26)], "id long, n long"
+        ),
+        key="id",
+    )
+    model = {i: i % 10 for i in range(26)}
+    for op in ops:
+        if op[0] == "merge":
+            a.merge(spark.createDataFrame(
+                sorted(op[1].items()), "id long, n long"))
+            model.update(op[1])
+        elif op[0] == "delete_mod":
+            _, mod, rem = op
+            before = a.latest_version()
+            a.delete(F.col("id") % mod == rem,
+                     mode="dv" if (mod + rem) % 2 else "rewrite")
+            model = {k: v for k, v in model.items() if k % mod != rem}
+            if a.latest_version() == before:
+                continue  # no-match delete committed nothing
+        else:
+            if op[1] in model:
+                continue
+            a.append(spark.createDataFrame([(op[1], -1)], "id long, n long"))
+            model[op[1]] = -1
+
+    kw = dict(where="n != 3", max_versions_per_batch=rate)
+    replicate_changes(spark, a_root, b_root, app="r", max_batches=crash_after,
+                      **kw)
+    replicate_changes(spark, a_root, b_root, app="r", **kw)  # catch up
+    b = TxTable(spark, b_root)
+    want = sorted((k, v) for k, v in model.items() if v != 3)
+    got = sorted((r["id"], r["n"]) for r in b.read().collect())
+    assert got == want
+    vb = b.latest_version()
+    replicate_changes(spark, a_root, b_root, app="r", **kw)  # replay
+    assert b.latest_version() == vb

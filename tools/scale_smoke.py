@@ -63,7 +63,7 @@ def main() -> int:
             t[label] = round(time.perf_counter() - t0, 3)
         results[name] = t
 
-    for strategy in ("snapshot", "merge"):
+    for strategy in ("snapshot", "merge", "tx"):
         t = {}
         for label, d in (("sf0.1", SF01), ("sf1", SF1)):
             root = tempfile.mkdtemp(prefix="smoke_wh_")
@@ -73,7 +73,8 @@ def main() -> int:
                 t[label] = round(time.perf_counter() - t0, 3)
             finally:
                 shutil.rmtree(root, ignore_errors=True)
-        results[f"etl_full_pipeline{'_merge' if strategy == 'merge' else ''}"] = t
+        suffix = "" if strategy == "snapshot" else f"_{strategy}"
+        results[f"etl_full_pipeline{suffix}"] = t
 
     failures = 0
     print(f"{'entry':<34}{'sf0.1':>9}{'sf1':>9}{'ratio':>8}  verdict")
