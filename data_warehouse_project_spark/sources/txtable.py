@@ -879,6 +879,9 @@ class TxTable:
         }
         return [f["path"] for f in m["files"] if os.path.basename(f["path"]) in hits]
 
+    #: commit-rebase attempts after lost claim races before giving up
+    _REBASE_RETRIES = 5
+
     def _cow_commit(
         self,
         m: dict,
@@ -890,26 +893,94 @@ class TxTable:
     ) -> dict:
         """Commit a copy-on-write rewrite: ``touched`` files drop out of
         the manifest, ``replacement`` (their rewritten contents) comes
-        in as new files, everything else carries over untouched."""
+        in as new files, everything else carries over untouched.
+
+        LOGICAL conflict detection (Delta's concurrency semantics): a
+        lost version-claim race is only a real conflict if the winner's
+        commits actually overlap this rewrite — removed/changed one of
+        our touched files, altered schema/key/constraints, or advanced
+        our idempotence fence. Otherwise the already-written new files
+        are REBASED onto the winner's manifest and the commit retries
+        at the next version — the expensive Spark work is never redone.
+        Two writers merging disjoint key ranges of a clustered table
+        therefore both succeed; overlapping writers still get
+        ``TxConflictError`` (and a concurrent duplicate of the same
+        fenced txn degrades to a skip, exactly-once preserved).
+
+        Returns metrics + ``rows_written`` (live rows in the
+        replacement files — computed from manifest metadata so row
+        accounting stays exact even after a rebase past a foreign
+        append)."""
         new_files = self._write_files(
             _checked(replacement.select(*_schema_cols(m)), m.get("checks")),
             m["key"],
             m.get("stats_cols"),
         )
-        kept = [f for f in m["files"] if f["path"] not in set(touched)]
+        touched_set = set(touched)
+        old_by_path = {f["path"]: f for f in m["files"]}
+        base = m
+        use_txns = m.get("txns", {}) if txns is None else txns
+        # the fence entries THIS op is advancing (vs its base snapshot);
+        # every attempt commits base.txns ∪ advanced, so a rebase keeps
+        # the winner's fence state AND this op's
+        advanced = {
+            app: ver
+            for app, ver in use_txns.items()
+            if m.get("txns", {}).get(app) != ver
+        }
         metrics = dict(metrics, files_rewritten=len(touched))
-        self._commit(
-            m["version"] + 1,
-            op,
-            kept + new_files,
-            m["schema"],
-            m["key"],
-            metrics,
-            m.get("txns", {}) if txns is None else txns,
-            m.get("checks", {}),
-            m.get("stats_cols"),
+        for _ in range(self._REBASE_RETRIES):
+            kept = [f for f in base["files"] if f["path"] not in touched_set]
+            # winner's fence advances carry forward; ours apply on top
+            merged_txns = dict(base.get("txns", {}))
+            merged_txns.update(advanced)
+            try:
+                self._commit(
+                    base["version"] + 1,
+                    op,
+                    kept + new_files,
+                    m["schema"],
+                    m["key"],
+                    metrics,
+                    merged_txns,
+                    m.get("checks", {}),
+                    m.get("stats_cols"),
+                )
+            except TxConflictError:
+                latest = self._manifest()
+                # structural changes conflict unconditionally
+                if (
+                    latest["schema"] != m["schema"]
+                    or latest["key"] != m["key"]
+                    or latest.get("checks", {}) != m.get("checks", {})
+                    or latest.get("stats_cols", []) != m.get("stats_cols", [])
+                ):
+                    raise
+                # a concurrent duplicate of the same fenced txn already
+                # landed: this op's effect is committed — skip
+                for app, ver in advanced.items():
+                    if latest.get("txns", {}).get(app, -(1 << 62)) >= ver:
+                        return dict(
+                            metrics, version=latest["version"], skipped=True
+                        )
+                # every touched file must still be present and
+                # byte-identical (same entry, same deletion vector) —
+                # the winner provably worked on other files
+                latest_by_path = {f["path"]: f for f in latest["files"]}
+                for p in touched_set:
+                    if latest_by_path.get(p) != old_by_path.get(p):
+                        raise
+                base = latest
+                continue
+            return dict(
+                metrics,
+                version=base["version"] + 1,
+                rows_written=sum(_live(f) for f in new_files),
+            )
+        raise TxConflictError(
+            f"{op} lost the commit race {self._REBASE_RETRIES} times "
+            "even after rebasing"
         )
-        return dict(metrics, version=m["version"] + 1)
 
     def delete(self, condition, mode: str = "rewrite") -> dict:
         """DELETE FROM table WHERE condition.
@@ -939,9 +1010,8 @@ class TxTable:
             ~F.coalesce(condition, F.lit(False))
         )
         out = self._cow_commit(m, "delete", touched, kept_rows, {})
-        out["rows_deleted"] = before - (
-            self.row_count(out["version"])
-            - sum(_live(f) for f in m["files"] if f["path"] not in set(touched))
+        out["rows_deleted"] = (
+            0 if out.get("skipped") else before - out.get("rows_written", 0)
         )
         return out
 
@@ -1272,10 +1342,11 @@ class TxTable:
 
         before = sum(_live(f) for f in m["files"] if f["path"] in set(touched))
         out = self._cow_commit(m, "merge", touched, rewritten, {}, txns)
-        after = self.row_count(out["version"]) - (
-            self.row_count(m["version"]) - before
+        # from replacement-file metadata, NOT a row_count diff — exact
+        # even when a rebase carried a foreign append into the manifest
+        out["rows_delta"] = (
+            0 if out.get("skipped") else out.get("rows_written", 0) - before
         )
-        out["rows_delta"] = after - before
         return out
 
     def _merge_dv(

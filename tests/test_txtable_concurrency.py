@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import threading
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.sources.txtable import TxTable
@@ -160,3 +162,166 @@ def test_racing_writers_with_unknown_claim_outcomes(spark, tmp_path):
     # versions contiguous: unknown-outcome recovery never burned or
     # duplicated a version number
     assert t0._versions() == list(range(t0.latest_version() + 1))
+
+
+def test_disjoint_merge_rebases_past_foreign_append(spark, tmp_path):
+    """Logical conflict detection: a merge that loses the version claim
+    to a commit touching OTHER files rebases its already-written files
+    onto the winner's manifest and succeeds — the Spark work is not
+    redone and nothing is lost."""
+    import os
+
+    t = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([(i, 0) for i in range(40)], "id long, n long"),
+        key="id",
+    )
+    t.compact(target_files=4, cluster=True)
+    foreign = TxTable(spark, t.root)
+
+    fired = []
+
+    def interposing_claim(tmp, target):
+        if not fired:
+            fired.append(1)
+            # a foreign append wins the race for this version number
+            foreign.append(
+                spark.createDataFrame([(500, 99)], "id long, n long")
+            )
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+
+    t2 = TxTable(spark, t.root, claim=interposing_claim)
+    r = t2.merge(spark.createDataFrame([(3, 7)], "id long, n long"))
+    assert fired and r["rows_delta"] == 0  # update in place, rebased
+    got = {x["id"]: x["n"] for x in t.read().collect()}
+    assert got[3] == 7 and got[500] == 99 and len(got) == 41
+    ops = [h["op"] for h in t.history()]
+    assert ops[-2:] == ["append", "merge"]  # both commits landed
+
+
+def test_overlapping_concurrent_rewrite_still_conflicts(spark, tmp_path):
+    """If the race winner changed one of OUR touched files, rebase must
+    refuse: the rewrite was computed against stale contents."""
+    import os
+
+    from data_warehouse_project_spark.sources.txtable import TxConflictError
+
+    t = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([(i, 0) for i in range(40)], "id long, n long"),
+        key="id",
+    )
+    t.compact(target_files=4, cluster=True)
+    foreign = TxTable(spark, t.root)
+    fired = []
+
+    def interposing_claim(tmp, target):
+        if not fired:
+            fired.append(1)
+            foreign.update(F.col("id") == 3, {"n": F.lit(-1)})  # same file
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+
+    t2 = TxTable(spark, t.root, claim=interposing_claim)
+    with pytest.raises(TxConflictError):
+        t2.merge(spark.createDataFrame([(4, 7)], "id long, n long"))
+    # the foreign update won; the failed merge left no trace
+    got = {x["id"]: x["n"] for x in t.read().collect()}
+    assert got[3] == -1 and got[4] == 0
+
+
+def test_fenced_twin_rebase_degrades_to_skip(spark, tmp_path):
+    """A concurrent duplicate of the SAME fenced txn landing first makes
+    the loser's rebase a skip — exactly-once preserved."""
+    import os
+
+    t = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([(i, 0) for i in range(10)], "id long, n long"),
+        key="id",
+    )
+    foreign = TxTable(spark, t.root)
+    fired = []
+
+    def interposing_claim(tmp, target):
+        if not fired:
+            fired.append(1)
+            foreign.rewrite_by_keys(
+                spark.createDataFrame([(3,)], "id long"),
+                lambda s: s.withColumn(
+                    "n", F.when(F.col("id") == 3, 1).otherwise(F.col("n"))
+                ),
+                txn=("twin", 7),
+            )
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+
+    t2 = TxTable(spark, t.root, claim=interposing_claim)
+    r = t2.rewrite_by_keys(
+        spark.createDataFrame([(3,)], "id long"),
+        lambda s: s.withColumn(
+            "n", F.when(F.col("id") == 3, 100).otherwise(F.col("n"))
+        ),
+        txn=("twin", 7),
+    )
+    assert r.get("skipped")
+    got = {x["id"]: x["n"] for x in t.read().collect()}
+    assert got[3] == 1, "first twin's effect wins exactly once"
+
+
+def test_racing_disjoint_mergers_all_succeed(spark, tmp_path):
+    """Integration: writer threads merging DISJOINT key ranges of a
+    clustered table never see a conflict (rebase absorbs the races) and
+    every batch lands."""
+    t0 = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame(
+            [(i, -1) for i in range(400)], "id long, n long"
+        ),
+        key="id",
+    )
+    t0.compact(target_files=8, cluster=True)
+    n_writers, n_batches = 4, 3
+    errors = []
+
+    def writer(w: int) -> None:
+        try:
+            h = TxTable(spark, t0.root)
+            for s in range(n_batches):
+                lo = w * 100 + s * 20
+                h.merge(
+                    spark.createDataFrame(
+                        [(k, w) for k in range(lo, lo + 10)], "id long, n long"
+                    )
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append((w, repr(e)))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    got = {r["id"]: r["n"] for r in t0.read().collect()}
+    for w in range(n_writers):
+        for s in range(n_batches):
+            for k in range(w * 100 + s * 20, w * 100 + s * 20 + 10):
+                assert got[k] == w, (w, s, k)
+    assert t0.row_count() == 400
