@@ -1611,6 +1611,31 @@ class TxTable:
     VACUUM_MIN_AGE_S = 3600.0
     _VACUUM_AGE_FLOOR_S = 600.0
 
+    def compact_small(
+        self, min_rows: int = 10_000, target_files: int = 1
+    ) -> dict:
+        """Incremental OPTIMIZE (Delta's bin-packing compaction):
+        rewrite ONLY the files smaller than ``min_rows`` rows — plus any
+        carrying a deletion vector, which gets materialized away — into
+        ``target_files`` packed files. Large clean files are untouched,
+        so the cost is O(small files), not O(table): the right
+        maintenance for append-heavy tables (a fenced streaming sink or
+        the tx fact) that accrue one small file-set per batch, where a
+        full ``compact()`` would rewrite history every time. A normal
+        copy-on-write commit: CDF-invisible (same logical rows), time
+        travel intact, and the commit rebases past concurrent appends
+        like any other rewrite."""
+        m = self._manifest()
+        small = [
+            f for f in m["files"] if f["rows"] < min_rows or "dv" in f
+        ]
+        # nothing to gain from rewriting zero or one clean small file
+        if not small or (len(small) == 1 and "dv" not in small[0]):
+            return {"files_rewritten": 0, "version": m["version"]}
+        touched = [f["path"] for f in small]
+        packed = self._read_files(m, touched).coalesce(target_files)
+        return self._cow_commit(m, "compact", touched, packed, {})
+
     def vacuum(
         self,
         retain_versions: int = 2,

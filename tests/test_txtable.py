@@ -840,3 +840,55 @@ def test_rewrite_by_keys_touches_null_key_file(spark, tmp_path):
         if f.get("kmin") == 500 and f.get("kmax") == 500
     ]
     assert holds_500 and not set(holds_500) & set(touched)
+
+
+def test_compact_small_is_incremental(spark, tmp_path):
+    """Bin-packing compaction rewrites ONLY the small/dv-carrying
+    files; large clean files keep their physical identity, logical
+    content and time travel are unchanged, and the change feed sees
+    nothing."""
+    big = spark.range(20_000).selectExpr("id", "cast(id % 7 as long) as n")
+    t = TxTable.create(spark, tmp_path / "t", big.coalesce(2), key="id")
+    big_paths = {f["path"] for f in t._manifest()["files"]}
+    for b in range(4):  # four tiny appends -> four small file-sets
+        t.append(
+            spark.createDataFrame(
+                [(100_000 + b * 10 + i, -1) for i in range(3)],
+                "id long, n long",
+            ).coalesce(1)
+        )
+    t.delete(F.col("id") == 100_001, mode="dv")
+    before_rows = t.row_count()
+    v = t.latest_version()
+    r = t.compact_small(min_rows=10_000, target_files=1)
+    assert r["files_rewritten"] >= 4
+    m = t._manifest()
+    assert big_paths <= {f["path"] for f in m["files"]}, "big files untouched"
+    assert not any("dv" in f for f in m["files"]), "vectors materialized"
+    small_after = [f for f in m["files"] if f["path"] not in big_paths]
+    assert len(small_after) == 1, "small files packed into one"
+    assert t.row_count() == before_rows
+    assert t.read(v).count() == before_rows  # time travel intact
+    # CDF: compaction is logically invisible
+    assert t.read_changes(v + 1, v + 1).count() == 0
+    # idempotent: nothing small remains (the one packed file is alone)
+    assert t.compact_small(min_rows=10_000)["files_rewritten"] == 0
+
+
+def test_tx_id_offset_falls_back_on_dv(spark, tmp_path):
+    """The zero-job manifest-stats id offset refuses when a deletion
+    vector makes footer stats inexact and falls back to the exact
+    aggregate."""
+    from data_warehouse_project_spark.etl.pipeline import _tx_id_offset
+
+    t = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([(i, i + 500) for i in range(20)],
+                              "k long, the_id long"),
+        key="k",
+        stats_cols=["the_id"],
+    )
+    assert _tx_id_offset(t, "the_id") == 520  # metadata-only path
+    t.delete(F.col("the_id") == 519, mode="dv")  # dv'd maximum
+    assert _tx_id_offset(t, "the_id") == 519  # exact fallback
