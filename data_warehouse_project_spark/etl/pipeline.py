@@ -937,6 +937,68 @@ def _tx_fact_append(
     return int(r.get("rows_appended", 0))
 
 
+# incremental gold layer over the transactional fact: output column →
+# (fn, integer-exact measure expression). The reference re-derives its
+# gold aggregates wholesale every load (dw_etl_tests.py:470-506
+# recomputes them to check); these maintain themselves from the fact's
+# change feed at O(churn + touched groups).
+GOLD_VIEWS: dict[str, tuple[str, dict]] = {
+    "sales_by_customer": (
+        "customer_id",
+        {
+            "revenue_cents": ("sum", "cast(round(extended_price * 100) as bigint)"),
+            "n_sales": ("count", "sale_src_id"),
+            "avg_qty": ("avg", "cast(quantity as bigint)"),
+            "first_order_dt": ("min", "order_dt"),
+            "last_order_dt": ("max", "order_dt"),
+        },
+    ),
+    "sales_by_month": (
+        "order_month",
+        {
+            "revenue_cents": ("sum", "cast(round(extended_price * 100) as bigint)"),
+            "n_sales": ("count", "sale_src_id"),
+        },
+    ),
+}
+
+
+def refresh_gold_views(wh: Warehouse) -> dict[str, dict]:
+    """Maintain the incremental gold aggregates over the transactional
+    fact (requires ``scd_strategy="tx"`` — ce_sales must be a TxTable).
+    First call full-computes each view at the fact's current version;
+    later calls fold ONLY the unconsumed change-feed range into the
+    touched groups, exactly-once under crash replay (the view fence
+    commits with the view files). Views live under
+    ``<root>/gold_views/<name>`` as TxTables of their own (time travel,
+    vacuum); read them through ``TxAggView.read()`` — exact SQL
+    aggregate semantics, equal to a full GROUP BY recompute after every
+    refresh (pinned in tests/test_etl_tx.py)."""
+    from data_warehouse_project_spark.sources.txtable import TxError
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    if not wh.is_tx("bl_3nf", "ce_sales"):
+        raise ValueError(
+            "refresh_gold_views needs the transactional fact — run the "
+            "pipeline with scd_strategy='tx' first"
+        )
+    base = wh.tx("bl_3nf", "ce_sales")
+    out: dict[str, dict] = {}
+    for name, (group_col, measures) in GOLD_VIEWS.items():
+        root = wh.root / "gold_views" / name
+        try:
+            view = TxAggView(wh.spark, root)
+        except TxError:
+            view = TxAggView.create(
+                wh.spark, root, base, group_col=group_col, measures=measures
+            )
+            out[name] = {"created": True,
+                         "base_version": view.applied_base_version()}
+            continue
+        out[name] = view.refresh()
+    return out
+
+
 def load_3nf_sales(
     spark: SparkSession,
     wh: Warehouse,

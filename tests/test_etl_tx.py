@@ -204,3 +204,69 @@ def test_tx_strategy_rejects_foreign_layout(spark, tmp_path):
     with pytest.raises(RuntimeError, match="3nf_(customers|products)"):
         run_full_etl(spark, SF_SMOKE, root, run_ts=T0 + dt.timedelta(days=1),
                      scd_strategy="tx")
+
+
+def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
+    """refresh_gold_views: incremental gold aggregates over the tx
+    fact. Create at first call; later fact churn (a late batch + a
+    correction delete) folds in at O(churn), equal to a full GROUP BY
+    recompute each time — the incremental replacement for the
+    reference's full gold re-derivation."""
+    from data_warehouse_project_spark.etl.pipeline import (
+        GOLD_VIEWS,
+        refresh_gold_views,
+    )
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
+    wh = Warehouse(spark, root)
+
+    def check_all():
+        for name, (g, measures) in GOLD_VIEWS.items():
+            view = TxAggView(spark, wh.root / "gold_views" / name)
+            aggs = []
+            for out_name, (fn, expr) in measures.items():
+                e = F.expr(expr)
+                agg = {"sum": F.sum, "count": F.count, "avg": F.avg,
+                       "min": F.min, "max": F.max}[fn](e)
+                aggs.append(agg.alias(out_name))
+            aggs.append(F.count(F.lit(1)).alias("n_rows"))
+            want_df = wh.read("bl_3nf", "ce_sales").groupBy(g).agg(*aggs)
+            want = sorted(
+                tuple(r[c] for c in want_df.columns)
+                for r in want_df.collect()
+            )
+            got = sorted(
+                tuple(r[c] for c in view.read().columns)
+                for r in view.read().collect()
+            )
+            assert got == want, f"gold view {name} != recompute"
+
+    r = refresh_gold_views(wh)
+    assert all(v.get("created") for v in r.values())
+    check_all()
+    # no fact movement -> refresh is a fenced no-op
+    r = refresh_gold_views(wh)
+    assert all(v.get("skipped") for v in r.values())
+
+    # late batch + a correction delete, then incremental refresh
+    fact = wh.tx("bl_3nf", "ce_sales")
+    sample = fact.read().limit(2).collect()
+    late = [
+        {**row.asDict(), "sale_src_id": f"late-{i}",
+         "extended_price": 123.45, "quantity": float(3 + i)}
+        for i, row in enumerate(sample)
+    ]
+    fact.append(spark.createDataFrame(late, fact.read().schema))
+    fact.delete(F.col("sale_src_id") == sample[0]["sale_src_id"], mode="dv")
+    r = refresh_gold_views(wh)
+    assert all(not v.get("skipped") for v in r.values())
+    assert all(v.get("groups_touched", 0) >= 1 for v in r.values())
+    check_all()
+
+    # non-tx warehouse refuses
+    root_s = str(tmp_path / "wh_snap")
+    run_full_etl(spark, SF_SMOKE, root_s, run_ts=T0)
+    with pytest.raises(ValueError, match="transactional fact"):
+        refresh_gold_views(Warehouse(spark, root_s))
