@@ -1,0 +1,134 @@
+"""txcdf: the change feed as a native Structured Streaming source
+(Python Data Source API). Multiset replay invariant, rate limiting,
+checkpointed restart resume."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txcdf import TxCdfDataSource
+from data_warehouse_project_spark.sources.txtable import TxTable
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(TxCdfDataSource)
+    return spark
+
+
+def _churny_table(spark, root):
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, v string"
+        ),
+        key="id",
+    )
+    t.append(spark.createDataFrame([(100, "new"), (101, "new")],
+                                   "id long, v string"))
+    t.merge(spark.createDataFrame([(3, "M"), (200, "M")], "id long, v string"))
+    t.delete(F.col("id") % 7 == 1)            # copy-on-write
+    t.delete(F.col("id") == 12, mode="dv")    # deletion vector
+    t.compact(target_files=2)                 # must emit NOTHING
+    t.append(spark.createDataFrame([(300, "z")], "id long, v string"))
+    return t
+
+
+def _replay(rows, data_cols=("id", "v")):
+    acc: Counter = Counter()
+    for r in rows:
+        key = tuple(r[c] for c in data_cols)
+        acc[key] += 1 if r["_change_type"] == "insert" else -1
+    return {k for k, n in (+acc).items() if n}
+
+
+def test_stream_feed_replays_to_snapshot(registered, tmp_path):
+    spark = registered
+    t = _churny_table(spark, tmp_path / "t")
+    q = (
+        spark.readStream.format("txcdf")
+        .option("path", str(t.root))
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_all")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from cdf_all").collect()
+    want = {(r["id"], r["v"]) for r in t.read().collect()}
+    assert _replay(rows) == want, "multiset replay must equal the snapshot"
+    # compact emitted nothing: no rows carry its commit version
+    compact_v = [h["version"] for h in t.history() if h["op"] == "compact"]
+    assert compact_v and not [
+        r for r in rows if r["_commit_version"] in compact_v
+    ]
+    # dv delete surfaced exactly the vectored row as a delete
+    dv_dels = [r for r in rows
+               if r["_change_type"] == "delete" and r["id"] == 12]
+    assert len(dv_dels) == 1
+
+
+def test_rate_limit_and_checkpoint_restart(registered, tmp_path):
+    spark = registered
+    t = _churny_table(spark, tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # file sink: supports checkpoint RECOVERY (memory sink doesn't)
+        q = (
+            spark.readStream.format("txcdf")
+            .option("path", str(t.root))
+            .option("maxVersionsPerBatch", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    rows1 = spark.read.parquet(out).collect()
+    assert _replay(rows1) == {(r["id"], r["v"]) for r in t.read().collect()}
+    # rate limit at the reader protocol level (availableNow falls back
+    # to one batch for Python sources, so drive the offset cycle
+    # directly): each trigger advances at most maxVersionsPerBatch
+    from data_warehouse_project_spark.sources.txcdf import TxCdfStreamReader
+
+    reader = TxCdfStreamReader(
+        {"path": str(t.root), "maxVersionsPerBatch": "1"}
+    )
+    off = reader.initialOffset()
+    seen = []
+    for _ in range(t.latest_version() + 2):
+        nxt = reader.latestOffset()
+        if nxt["version"] <= off["version"]:
+            break
+        assert nxt["version"] == off["version"] + 1, "rate must cap at 1"
+        reader.partitions(off, nxt)
+        reader.commit(nxt)
+        seen.append(nxt["version"])
+        off = nxt
+    assert seen == list(range(t.latest_version() + 1))
+
+    # restart with NEW churn: only the delta arrives (exactly once)
+    t.merge(spark.createDataFrame([(3, "M2"), (400, "x")],
+                                  "id long, v string"))
+    run_once()
+    rows_all = spark.read.parquet(out).collect()
+    rows2 = [r for r in rows_all
+             if r["_commit_version"] > max(x["_commit_version"] for x in rows1)]
+    assert len(rows_all) == len(rows1) + len(rows2), "no version re-emitted"
+    assert rows2, "the new merge's changes must arrive"
+    net = _replay(rows_all)
+    assert net == {(r["id"], r["v"]) for r in t.read().collect()}
+    assert ("M2" in {v for _, v in net}) and (400, "x") in net
+
