@@ -151,6 +151,26 @@ class TxCatalog:
     def transaction(self, txn: tuple[str, int] | None = None) -> "TxTransaction":
         return TxTransaction(self, txn)
 
+    def restore(self, version: int) -> dict:
+        """RESTORE the catalog to an earlier version: a NEW catalog
+        commit re-pinning that version's (table → version) map — one
+        atomic operation rewinds the consistent cross-table snapshot,
+        without touching any member table's own log (their histories,
+        fences and later versions stay intact; the pins just point
+        earlier). History is preserved; the restored-from catalog
+        manifest must still be on disk, and every pinned table version
+        must not have been vacuumed past."""
+        pins = self.snapshot(version)
+        m = self._manifest()
+        for name, tv in pins.items():
+            self.table(name)._manifest(tv)  # raises TxVacuumedError if gone
+        self._commit(m["version"] + 1, pins, m.get("txns", {}))
+        return {
+            "version": m["version"] + 1,
+            "restored_from": version,
+            "tables": pins,
+        }
+
     def vacuum(
         self,
         retain_versions: int = 2,

@@ -299,3 +299,75 @@ def test_transaction_pins_own_commit_not_foreign(spark, tmp_path):
     got = {r["k"] for r in cat.read("t").collect()}
     assert got == {1, 2}
     assert {r["k"] for r in t.read().collect()} == {1, 2, 99}
+
+
+def test_catalog_restore_rewinds_cross_table_snapshot(spark, tmp_path):
+    from data_warehouse_project_spark.sources.txcatalog import TxCatalog
+
+    cat = TxCatalog.create(spark, tmp_path / "cat")
+    with cat.transaction(txn=("app", 1)) as tx:
+        tx.append("a", spark.createDataFrame([(1, 1)], "k long, v long"),
+                  key="k")
+        tx.append("b", spark.createDataFrame([(1, 10)], "k long, v long"),
+                  key="k")
+    v_before = cat.latest_version()
+    with cat.transaction(txn=("app", 2)) as tx:
+        tx.merge("a", spark.createDataFrame([(1, 2)], "k long, v long"))
+        tx.merge("b", spark.createDataFrame([(1, 20)], "k long, v long"))
+    assert {r["v"] for r in cat.read("a").collect()} == {2}
+    r = cat.restore(v_before)
+    assert r["restored_from"] == v_before
+    # BOTH tables rewound together at the catalog level...
+    assert {r0["v"] for r0 in cat.read("a").collect()} == {1}
+    assert {r0["v"] for r0 in cat.read("b").collect()} == {10}
+    # ...while the member tables' own logs keep the later versions
+    assert {r0["v"] for r0 in cat.table("a").read().collect()} == {2}
+    # fences survive: a replay of txn 2 is still a no-op
+    with cat.transaction(txn=("app", 2)) as tx:
+        assert tx.append(
+            "a", spark.createDataFrame([(9, 9)], "k long, v long")
+        ).get("skipped")
+
+
+def test_concurrent_view_refreshes_fold_exactly_once(spark, tmp_path):
+    """Two handles refreshing the SAME view over the same base churn:
+    the fence + commit rebase ensure the delta folds exactly once."""
+    import threading
+
+    from data_warehouse_project_spark.sources.txtable import TxTable
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    base = TxTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame(
+            [(i, i % 4, 10) for i in range(40)], "id long, g long, amt long"
+        ),
+        key="id",
+    )
+    TxAggView.create(spark, tmp_path / "view", base, group_col="g",
+                     measures={"total": "amt"})
+    base.append(spark.createDataFrame([(100, 0, 7)], "id long, g long, amt long"))
+    errors = []
+
+    def refresher():
+        try:
+            TxAggView(spark, tmp_path / "view").refresh()
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    ths = [threading.Thread(target=refresher) for _ in range(3)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join(timeout=300)
+    assert not errors, errors
+    view = TxAggView(spark, tmp_path / "view")
+    got = {(r["g"], r["total"], r["n_rows"]) for r in view.read().collect()}
+    want = {
+        (r["g"], r["t"], r["n"])
+        for r in base.read().groupBy("g").agg(
+            F.sum("amt").alias("t"), F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got == want, "delta must fold exactly once across racers"
