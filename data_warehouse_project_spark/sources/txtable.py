@@ -446,13 +446,31 @@ class TxTable:
 
     # ----------------------------------------------------------- reads
 
+    def version_as_of(self, timestamp: str) -> int:
+        """TIMESTAMP AS OF: the latest retained version committed at or
+        before ``timestamp`` (ISO-8601, compared against the manifests'
+        UTC commit stamps — lexicographic compare is chronological for
+        this format). Raises if every retained commit is later."""
+        ts = timestamp.replace(" ", "T")
+        best = None
+        for v in self._versions():
+            if self._manifest(v)["ts"] <= ts:
+                best = v
+        if best is None:
+            raise TxError(
+                f"no retained version committed at or before {timestamp!r}"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
         key_between: tuple[int, int] | None = None,
         prune: dict[str, tuple[int, int]] | None = None,
+        as_of: str | None = None,
     ) -> DataFrame:
-        """Snapshot read (latest, or time travel to ``version``).
+        """Snapshot read (latest, time travel to ``version``, or
+        ``as_of`` an ISO timestamp — Delta's TIMESTAMP AS OF).
 
         ``key_between=(lo, hi)`` prunes at the MANIFEST level: only
         files whose footer key range intersects [lo, hi] are handed to
@@ -470,6 +488,10 @@ class TxTable:
         are conservatively kept. Selectivity is a LAYOUT property:
         after ``compact(zorder=[...])`` the ranges are tight in every
         z-ordered dimension at once."""
+        if as_of is not None:
+            if version is not None:
+                raise TxError("read: pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         m = self._manifest(version)
         files = m["files"]
         if key_between is not None:
@@ -890,6 +912,7 @@ class TxTable:
         replacement: DataFrame,
         metrics: dict,
         txns: dict | None = None,
+        schema_json: str | None = None,
     ) -> dict:
         """Commit a copy-on-write rewrite: ``touched`` files drop out of
         the manifest, ``replacement`` (their rewritten contents) comes
@@ -911,8 +934,10 @@ class TxTable:
         replacement files — computed from manifest metadata so row
         accounting stays exact even after a rebase past a foreign
         append)."""
+        out_schema = m["schema"] if schema_json is None else schema_json
+        out_cols = [f["name"] for f in json.loads(out_schema)["fields"]]
         new_files = self._write_files(
-            _checked(replacement.select(*_schema_cols(m)), m.get("checks")),
+            _checked(replacement.select(*out_cols), m.get("checks")),
             m["key"],
             m.get("stats_cols"),
         )
@@ -939,7 +964,7 @@ class TxTable:
                     base["version"] + 1,
                     op,
                     kept + new_files,
-                    m["schema"],
+                    out_schema,
                     m["key"],
                     metrics,
                     merged_txns,
@@ -1219,9 +1244,16 @@ class TxTable:
         matched_condition=None,
         txn: tuple[str, int] | None = None,
         mode: str = "rewrite",
+        merge_schema: bool = False,
     ) -> dict:
         """MERGE INTO table USING source ON table.key = source.key —
         Delta-style upsert with file-level pruning.
+
+        ``merge_schema=True`` is Delta's automatic schema evolution for
+        MERGE: the source may carry NEW columns — the table schema
+        widens with them (nullable), unmatched target rows and all
+        pre-evolution files read them back NULL, and existing columns
+        must keep their exact types.
 
         ``when_matched``: "update" (replace the whole row with the
         source row, optionally gated on ``matched_condition``),
@@ -1254,11 +1286,15 @@ class TxTable:
         key = m["key"]
         if key is None:
             raise TxError("merge requires a table created with key=...")
-        if set(source.columns) != set(_schema_cols(m)):
-            raise TxError(
-                f"merge source columns {sorted(source.columns)} != table "
-                f"columns {sorted(_schema_cols(m))}"
-            )
+        if merge_schema:
+            schema_json = _evolve_schema(m, source)
+        else:
+            schema_json = m["schema"]
+            if set(source.columns) != set(_schema_cols(m)):
+                raise TxError(
+                    f"merge source columns {sorted(source.columns)} != table "
+                    f"columns {sorted(_schema_cols(m))}"
+                )
         want_kt = {
             f["name"]: f["type"] for f in json.loads(m["schema"])["fields"]
         }[key]
@@ -1301,19 +1337,24 @@ class TxTable:
         )
 
         touched = self._touched_by_keys(m, src)
+        cols = [f["name"] for f in json.loads(schema_json)["fields"]]
         if mode == "dv":
             return self._merge_dv(
                 m, src, touched, when_matched, when_not_matched,
-                matched_condition, txns,
+                matched_condition, txns, schema_json,
             )
-        target = self._read_files(m, touched).alias("t")
+        target = self._read_files(m, touched)
+        for c in cols:  # evolved columns: target rows read them as NULL
+            if c not in target.columns:
+                target = target.withColumn(
+                    c, F.lit(None).cast(source.schema[c].dataType)
+                )
+        target = target.alias("t")
         s = src.alias("s")
         joined = target.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
         matched = F.col(f"s.{key}").isNotNull()
         if matched_condition is not None:
             matched = matched & F.coalesce(matched_condition, F.lit(False))
-
-        cols = _schema_cols(m)
         if when_matched == "update":
             rewritten = joined.select(
                 *[
@@ -1341,7 +1382,9 @@ class TxTable:
             rewritten = rewritten.unionByName(inserts)
 
         before = sum(_live(f) for f in m["files"] if f["path"] in set(touched))
-        out = self._cow_commit(m, "merge", touched, rewritten, {}, txns)
+        out = self._cow_commit(
+            m, "merge", touched, rewritten, {}, txns, schema_json=schema_json
+        )
         # from replacement-file metadata, NOT a row_count diff — exact
         # even when a rebase carried a foreign append into the manifest
         out["rows_delta"] = (
@@ -1351,14 +1394,15 @@ class TxTable:
 
     def _merge_dv(
         self, m, src, touched, when_matched, when_not_matched,
-        matched_condition, txns,
+        matched_condition, txns, schema_json=None,
     ) -> dict:
         """Merge-on-read MERGE: matched pre-images go into deletion
         vectors, updated/inserted rows append — no touched file is
         rewritten. The key-uniqueness guard in ``src`` still applies
         (it rides the checkpointed plan)."""
         key = m["key"]
-        cols = _schema_cols(m)
+        schema_json = m["schema"] if schema_json is None else schema_json
+        cols = [f["name"] for f in json.loads(schema_json)["fields"]]
         tpos = self._read_with_positions(m, touched).alias("t")
         s = src.alias("s")
         gate = F.lit(True)
@@ -1405,7 +1449,7 @@ class TxTable:
             m["version"] + 1,
             "merge",
             files + new_files,
-            m["schema"],
+            schema_json,
             key,
             {"rows_delta": n_added - n_deleted, "dv": True,
              "files_rewritten": 0, "files_folded": n_folded},

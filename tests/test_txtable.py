@@ -892,3 +892,52 @@ def test_tx_id_offset_falls_back_on_dv(spark, tmp_path):
     assert _tx_id_offset(t, "the_id") == 520  # metadata-only path
     t.delete(F.col("the_id") == 519, mode="dv")  # dv'd maximum
     assert _tx_id_offset(t, "the_id") == 519  # exact fallback
+
+
+def test_timestamp_as_of_read(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, "a")])
+    ts0 = t._manifest(0)["ts"]
+    import time as _time
+    _time.sleep(1.1)  # manifest stamps have 1s resolution
+    t.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+    ts1 = t._manifest(1)["ts"]
+    assert _snap(t, version=None) == {2: "b"}
+    assert {r["id"] for r in t.read(as_of=ts0).collect()} == {1}
+    assert {r["id"] for r in t.read(as_of=ts1).collect()} == {2}
+    assert {r["id"] for r in t.read(as_of="2999-01-01T00:00:00Z").collect()} == {2}
+    with pytest.raises(TxError, match="at or before"):
+        t.read(as_of="1999-01-01T00:00:00Z")
+    with pytest.raises(TxError, match="not both"):
+        t.read(version=0, as_of=ts0)
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Delta's automatic schema evolution in MERGE: the source carries
+    a new column; the table widens, unmatched rows and old files read
+    it back NULL, and both write modes (COW and dv) evolve."""
+    t = _mk(spark, tmp_path, [(i, f"v{i}") for i in range(6)])
+    src = spark.createDataFrame(
+        [(2, "M", 7), (100, "new", 8)], "id long, v string, extra long"
+    )
+    with pytest.raises(TxError, match="source columns"):
+        t.merge(src)  # without opt-in, column drift still refuses
+    r = t.merge(src, merge_schema=True)
+    assert r["rows_delta"] == 1
+    got = {x["id"]: (x["v"], x["extra"]) for x in t.read().collect()}
+    assert got[2] == ("M", 7) and got[100] == ("new", 8)
+    assert got[3] == ("v3", None), "unmatched rows NULL-fill the new column"
+    # dv-mode merge can evolve again
+    src2 = spark.createDataFrame(
+        [(3, "D", 9, "x")], "id long, v string, extra long, tag string"
+    )
+    t.merge(src2, merge_schema=True, mode="dv")
+    got = {x["id"]: (x["v"], x["extra"], x["tag"]) for x in t.read().collect()}
+    assert got[3] == ("D", 9, "x") and got[2] == ("M", 7, None)
+    assert got[0] == ("v0", None, None)
+    # type drift on an existing column still refuses
+    bad = spark.createDataFrame([(1, 1, 1, "y")],
+                                "id long, v long, extra long, tag string")
+    with pytest.raises(TxError, match="cannot change column"):
+        t.merge(bad, merge_schema=True)
+    # time travel reads the PRE-evolution schema
+    assert "extra" not in t.read(0).columns
