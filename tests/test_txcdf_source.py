@@ -132,3 +132,64 @@ def test_rate_limit_and_checkpoint_restart(registered, tmp_path):
     assert net == {(r["id"], r["v"]) for r in t.read().collect()}
     assert ("M2" in {v for _, v in net}) and (400, "x") in net
 
+
+
+def test_native_streaming_cdc_pipeline_tx_to_tx(registered, tmp_path):
+    """The whole CDC triangle through NATIVE APIs: a churning source
+    table → readStream.format("txcdf") → foreachBatch fenced upsert
+    into a sink TxTable. The sink converges to the source snapshot
+    (last-write-wins per key inside a batch), exactly-once across a
+    second availableNow pass."""
+    spark = registered
+    src = _churny_table(spark, tmp_path / "src")
+    sink_root = str(tmp_path / "sink")
+    TxTable.create(
+        spark,
+        sink_root,
+        spark.createDataFrame([], "id long, v string"),
+        key="id",
+    )
+
+    def upsert(batch_df, batch_id):
+        t = TxTable(batch_df.sparkSession, sink_root)
+        # collapse the batch per key: latest change wins; a key whose
+        # final change is a delete leaves the sink
+        w = F.struct("_commit_version", "_change_type")
+        last = (
+            batch_df.groupBy("id")
+            .agg(F.max_by(F.struct("v", "_change_type"), w).alias("fin"))
+            .select("id", F.col("fin.v").alias("v"),
+                    F.col("fin._change_type").alias("ct"))
+        )
+        ups = last.filter(F.col("ct") == "insert").drop("ct")
+        dels = last.filter(F.col("ct") == "delete").drop("ct")
+        t.merge(ups, txn=("cdc", 2 * batch_id))
+        if dels.take(1):
+            t.merge(dels, when_matched="delete", when_not_matched=None,
+                    txn=("cdc", 2 * batch_id + 1))
+
+    def run():
+        q = (
+            spark.readStream.format("txcdf")
+            .option("path", str(src.root))
+            .load()
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    sink = TxTable(spark, sink_root)
+    want = {(r["id"], r["v"]) for r in src.read().collect()}
+    got = {(r["id"], r["v"]) for r in sink.read().collect()}
+    assert got == want, "sink must converge to the source snapshot"
+    # new churn + a second pass: delta only, still converged
+    src.merge(spark.createDataFrame([(3, "M3"), (777, "w")],
+                                    "id long, v string"))
+    src.delete(F.col("id") == 300)
+    run()
+    got = {(r["id"], r["v"]) for r in TxTable(spark, sink_root).read().collect()}
+    want = {(r["id"], r["v"]) for r in src.read().collect()}
+    assert got == want
