@@ -181,8 +181,15 @@ class TxCdfStreamReader(DataSourceStreamReader):
     # --------------------------------------------------- planning
 
     def _manifest(self, v: int) -> dict:
-        with open(self.log_dir / _mname(v)) as f:
-            return json.load(f)
+        try:
+            with open(self.log_dir / _mname(v)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise TxError(
+                f"txcdf: version {v} is no longer on disk — vacuum "
+                "outran this stream's offset; size "
+                "vacuum(retain_versions=...) to the consumer lag"
+            ) from None
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
