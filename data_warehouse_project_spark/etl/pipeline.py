@@ -973,7 +973,15 @@ def refresh_gold_views(wh: Warehouse) -> dict[str, dict]:
     ``<root>/gold_views/<name>`` as TxTables of their own (time travel,
     vacuum); read them through ``TxAggView.read()`` — exact SQL
     aggregate semantics, equal to a full GROUP BY recompute after every
-    refresh (pinned in tests/test_etl_tx.py)."""
+    refresh (pinned in tests/test_etl_tx.py).
+
+    When to use (measured, COVERAGE.md round 9): below ~10M fact rows a
+    full recompute is FASTER (a 457k-row fact recomputes in ~1.2 s;
+    refresh carries ~3-7 s of fixed plan cost, more when a MIN/MAX
+    extremal row dies and its group repairs from the base). The
+    incremental path is the 100 TB design — refresh is O(churn +
+    touched groups) while recompute is O(base) once the fact outgrows
+    the scan floor."""
     from data_warehouse_project_spark.sources.txtable import TxError
     from data_warehouse_project_spark.sources.txview import TxAggView
 
