@@ -609,7 +609,9 @@ def _tx_scd1_merge(
         return t.row_count()
 
     latest = _latest_per_key(updates, key, ["change_seq"]).select(key, *tracked)
-    cur_ids = t.read().select(key, id_col, "insert_dt")
+    # recover ids/insert_dt for matched keys from ONLY the files whose
+    # key range intersects the batch — O(touched files), not O(dim)
+    cur_ids = t.read_for_keys(latest.select(key)).select(key, id_col, "insert_dt")
     ts = F.lit(run_ts)
     src = (
         latest.join(cur_ids, key, "left")

@@ -140,6 +140,13 @@ class TxCdfStreamReader(DataSourceStreamReader):
             raise TxError(f"not a transactional table: {self.root}")
         self.rate = int(options.get("maxVersionsPerBatch", 0)) or None
         self.start_v = int(options.get("startingVersion", 0))
+        # Delta's skipChangeCommits: stream ONLY pure-append commits,
+        # silently skipping versions that removed/rewrote files or grew
+        # deletion vectors (the fold/merge/delete shapes) — for
+        # consumers that treat the table as an event log
+        self.skip_change = str(
+            options.get("skipChangeCommits", "false")
+        ).lower() == "true"
         self._committed: int | None = None
         # pin the stream schema NOW (latest at start)
         latest = self._latest()
@@ -202,6 +209,14 @@ class TxCdfStreamReader(DataSourceStreamReader):
             prev = self._manifest(v - 1)["files"] if v > 0 else []
             prev_by = {f["path"]: f for f in prev}
             cur_by = {f["path"]: f for f in m["files"]}
+            if self.skip_change and (
+                set(prev_by) - set(cur_by)
+                or any(
+                    p in prev_by and prev_by[p].get("dv") != e.get("dv")
+                    for p, e in cur_by.items()
+                )
+            ):
+                continue  # not a pure append: skipChangeCommits drops it
 
             def sidecar(entry):
                 dv = (entry or {}).get("dv")
@@ -265,7 +280,8 @@ class TxCdfDataSource(DataSource):
     """``spark.readStream.format("txcdf").option("path", root)`` —
     options: ``path`` (table root, required), ``startingVersion``
     (default 0 = full history), ``maxVersionsPerBatch`` (rate limit,
-    default unlimited)."""
+    default unlimited), ``skipChangeCommits`` (Delta semantics: emit
+    only pure-append commits, default false)."""
 
     @classmethod
     def name(cls) -> str:

@@ -524,6 +524,21 @@ class TxTable:
             ]
         return self._read_files(m, [f["path"] for f in files])
 
+    def read_for_keys(self, keys: DataFrame, version: int | None = None) -> DataFrame:
+        """The rows of ONLY the files whose footer key range may contain
+        a key from ``keys`` (same pruning as MERGE's copy-on-write).
+        Contract: contains EVERY row whose key appears in ``keys``
+        (including NULL keys, via the per-file null-count stats), and
+        MAY contain other rows from the same files — compose with a
+        semi-join/filter for exact membership. The lookup-side reads
+        that feed a merge source (recover existing surrogate ids /
+        audit columns for a batch's keys) go through this instead of a
+        full-dimension scan: O(touched files), not O(table)."""
+        m = self._manifest(version)
+        if m["key"] is None:
+            raise TxError("read_for_keys requires a table created with key=...")
+        return self._read_files(m, self._touched_by_keys(m, keys))
+
     def row_count(self, version: int | None = None) -> int:
         """Exact LIVE row count from manifest metadata (file rows minus
         deletion-vector rows) — no Spark job."""

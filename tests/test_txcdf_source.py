@@ -193,3 +193,29 @@ def test_native_streaming_cdc_pipeline_tx_to_tx(registered, tmp_path):
     got = {(r["id"], r["v"]) for r in TxTable(spark, sink_root).read().collect()}
     want = {(r["id"], r["v"]) for r in src.read().collect()}
     assert got == want
+
+
+def test_skip_change_commits_streams_appends_only(registered, tmp_path):
+    spark = registered
+    t = _churny_table(spark, tmp_path / "t")
+    q = (
+        spark.readStream.format("txcdf")
+        .option("path", str(t.root))
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_appends")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from cdf_appends").collect()
+    assert rows and all(r["_change_type"] == "insert" for r in rows)
+    # exactly the append commits' rows: create(20) + append(2) + append(1);
+    # the merge (rewrites + inserts), deletes and compact are skipped
+    assert len(rows) == 23
+    versions = {r["_commit_version"] for r in rows}
+    append_vs = {h["version"] for h in t.history()
+                 if h["op"] in ("create", "append")}
+    assert versions <= append_vs
