@@ -625,7 +625,7 @@ def _tx_scd1_merge(
     )
     src = src.withColumn("source_system", F.lit("staging")).withColumn(
         "source_entity", F.lit(source_entity)
-    ).select(*t.read().columns)
+    ).select(*t.columns())
     r = t.merge(
         src,
         when_matched="update",

@@ -524,6 +524,10 @@ class TxTable:
             ]
         return self._read_files(m, [f["path"] for f in files])
 
+    def columns(self, version: int | None = None) -> list[str]:
+        """Column names from the manifest — no read plan built."""
+        return _schema_cols(self._manifest(version))
+
     def read_for_keys(self, keys: DataFrame, version: int | None = None) -> DataFrame:
         """The rows of ONLY the files whose footer key range may contain
         a key from ``keys`` (same pruning as MERGE's copy-on-write).

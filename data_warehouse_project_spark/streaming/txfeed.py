@@ -83,9 +83,7 @@ def replicate_changes(
     key = src._manifest()["key"]
     if key is None:
         raise TxError("replicate_changes needs a source created with key=...")
-    cols = columns or [
-        c for c in src.read().columns  # full projection by default
-    ]
+    cols = columns or src.columns()  # full projection by default
     if key not in cols:
         raise TxError(f"columns must keep the source key {key!r}")
     try:
