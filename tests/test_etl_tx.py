@@ -270,3 +270,36 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
     run_full_etl(spark, SF_SMOKE, root_s, run_ts=T0)
     with pytest.raises(ValueError, match="transactional fact"):
         refresh_gold_views(Warehouse(spark, root_s))
+
+
+def test_warehouse_footer_stats_on_tx_tables(spark, tmp_path):
+    """Warehouse footer stats resolve a tx table's LIVE manifest files
+    (orphans/superseded versions invisible) and refuse metadata answers
+    when a deletion vector makes footer stats inexact."""
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    wh = Warehouse(spark, str(tmp_path))
+    root = wh.path("bl_3nf", "t")
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(i, i + 100) for i in range(50)],
+                              "id long, n long"),
+        key="id",
+    )
+    assert wh.is_tx("bl_3nf", "t")
+    assert wh.footer_max("bl_3nf", "t", "n") == 149
+    assert wh.footer_min_max("bl_3nf", "t", "id") == (0, 49)
+    # an overwrite leaves the OLD files on disk (time travel) — a
+    # directory walk would still see id up to 49; the manifest doesn't
+    t.overwrite(spark.createDataFrame([(7, 107)], "id long, n long"))
+    assert wh.footer_min_max("bl_3nf", "t", "id") == (7, 7)
+    assert wh.data_file_count("bl_3nf", "t") == 1
+    # a dv makes footer stats a superset -> metadata path refuses
+    t.overwrite(spark.createDataFrame([(i, i) for i in range(20)],
+                                      "id long, n long"))
+    t.delete(F.col("id") == 19, mode="dv")
+    assert wh.footer_max("bl_3nf", "t", "id") is None
+    assert wh.footer_min_max("bl_3nf", "t", "id") is None
+    # the Spark fallback (what callers do on None) is exact
+    assert wh.read("bl_3nf", "t").agg(F.max("id")).first()[0] == 18
