@@ -140,6 +140,28 @@ class TxCdfStreamReader(DataSourceStreamReader):
             raise TxError(f"not a transactional table: {self.root}")
         self.rate = int(options.get("maxVersionsPerBatch", 0)) or None
         self.start_v = int(options.get("startingVersion", 0))
+        if "startingTimestamp" in options:
+            if "startingVersion" in options:
+                raise TxError(
+                    "txcdf: pass startingVersion OR startingTimestamp"
+                )
+            # resolve once at stream start (Delta's startingTimestamp):
+            # the first version committed AT OR AFTER the timestamp
+            ts = options["startingTimestamp"].replace(" ", "T")
+            vs = sorted(
+                int(p.name[1:21])
+                for p in self.log_dir.iterdir()
+                if p.name.startswith("v") and p.name.endswith(".json")
+            )
+            start = None
+            for v in vs:
+                with open(self.log_dir / _mname(v)) as f:
+                    if json.load(f)["ts"] >= ts:
+                        start = v
+                        break
+            if start is None:
+                start = vs[-1] + 1 if vs else 0  # nothing yet: only new
+            self.start_v = start
         # Delta's skipChangeCommits: stream ONLY pure-append commits,
         # silently skipping versions that removed/rewrote files or grew
         # deletion vectors (the fold/merge/delete shapes) — for

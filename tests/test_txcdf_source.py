@@ -219,3 +219,31 @@ def test_skip_change_commits_streams_appends_only(registered, tmp_path):
     append_vs = {h["version"] for h in t.history()
                  if h["op"] in ("create", "append")}
     assert versions <= append_vs
+
+
+def test_starting_timestamp_resolves_to_version(registered, tmp_path):
+    import time as _time
+
+    from data_warehouse_project_spark.sources.txcdf import TxCdfStreamReader
+    from data_warehouse_project_spark.sources.txtable import TxError
+
+    t = TxTable.create(
+        registered, tmp_path / "t",
+        registered.createDataFrame([(1, "a")], "id long, v string"),
+        key="id",
+    )
+    _time.sleep(1.1)
+    cut = t._manifest(0)["ts"]  # strictly before the next commit's stamp
+    t.append(registered.createDataFrame([(2, "b")], "id long, v string"))
+    r = TxCdfStreamReader({"path": str(t.root), "startingTimestamp": cut})
+    assert r.initialOffset() == {"version": -1}  # v0 stamped AT cut
+    later = t._manifest(1)["ts"]
+    r2 = TxCdfStreamReader({"path": str(t.root), "startingTimestamp": later})
+    assert r2.initialOffset() == {"version": 0}  # starts at v1
+    r3 = TxCdfStreamReader(
+        {"path": str(t.root), "startingTimestamp": "2999-01-01T00:00:00Z"}
+    )
+    assert r3.initialOffset()["version"] == t.latest_version()  # only new
+    with pytest.raises(TxError, match="OR startingTimestamp"):
+        TxCdfStreamReader({"path": str(t.root), "startingVersion": "0",
+                           "startingTimestamp": cut})
