@@ -252,16 +252,27 @@ class TxTransaction:
 
     # ------------------------------------------------------ operations
 
+    def _pin(self, name: str, t: TxTable, r: dict) -> None:
+        """Pin the version THIS op committed, never latest_version():
+        a concurrent writer landing in between would otherwise get its
+        foreign commit pinned as part of this transaction's snapshot.
+        On a FENCED SKIP the op's return also carries the latest table
+        version at skip time (same hazard), so resolve the version the
+        fence actually committed at from the table's manifest history
+        instead."""
+        if r.get("skipped") and self.txn is not None:
+            app, ver = self._table_txn(name)
+            v = t.txn_commit_version(app, ver)
+        else:
+            v = int(r["version"])
+        self._pins[name] = max(self._pins.get(name, -1), v)
+
     def append(self, name: str, df: DataFrame, key: str | None = None) -> dict:
         if self._done:
             return {"skipped": True}
         t = self._ensure(name, df, key)
         r = t.append(df, txn=self._table_txn(name))
-        # pin the version THIS op committed (returned even on fenced
-        # skips), never latest_version(): a concurrent writer landing in
-        # between would otherwise get its foreign commit pinned as part
-        # of this transaction's snapshot
-        self._pins[name] = max(self._pins.get(name, -1), int(r["version"]))
+        self._pin(name, t, r)
         return r
 
     def merge(self, name: str, source: DataFrame, key: str | None = None, **kw) -> dict:
@@ -269,7 +280,7 @@ class TxTransaction:
             return {"skipped": True}
         t = self._ensure(name, source, key)
         r = t.merge(source, txn=self._table_txn(name), **kw)
-        self._pins[name] = max(self._pins.get(name, -1), int(r["version"]))
+        self._pin(name, t, r)
         return r
 
     def rewrite_by_keys(
@@ -289,7 +300,7 @@ class TxTransaction:
             else self.catalog.table(name)
         )
         r = t.rewrite_by_keys(keys, transform, txn=self._table_txn(name))
-        self._pins[name] = max(self._pins.get(name, -1), int(r["version"]))
+        self._pin(name, t, r)
         return r
 
     def commit(self) -> dict:

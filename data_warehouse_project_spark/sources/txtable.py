@@ -556,6 +556,25 @@ class TxTable:
         v = self._manifest().get("txns", {}).get(app)
         return None if v is None else int(v)
 
+    def txn_commit_version(self, app: str, txn_version: int) -> int:
+        """The TABLE version whose commit first advanced ``app``'s
+        idempotence fence to at least ``txn_version`` — i.e. the commit
+        that actually applied that fenced operation. This is the
+        version a multi-table coordinator must pin when a replayed op
+        reports a fenced skip: the skip's own return carries the LATEST
+        table version at skip time, which may include foreign commits
+        that are no part of the replayed transaction. O(retained
+        manifests) driver metadata; raises if no retained commit has
+        the fence that high (vacuumed past, or never committed)."""
+        for v in self._versions():
+            m = self._manifest(v)
+            if m.get("txns", {}).get(app, -(1 << 62)) >= txn_version:
+                return v
+        raise TxError(
+            f"no retained commit advanced fence {app!r} to >= "
+            f"{txn_version} — vacuumed past, or the txn never committed"
+        )
+
     def read_changes(
         self, starting_version: int, ending_version: int | None = None
     ) -> DataFrame:
@@ -904,6 +923,24 @@ class TxTable:
             paths |= {f["path"] for f in with_stats if f.get("knulls", 1) != 0}
         return no_stats + sorted(paths)
 
+    def _probe_key_stats(self, keys: DataFrame, key: str):
+        """``(min, max, has_null)`` of the op's key set under the same
+        long cast the file-range pruning uses — the conservative probe
+        the rebase path intersects against foreign-added files' footer
+        ranges. Keys that don't cast to long surface as NULL (and the
+        stats-less foreign files a non-integer key column produces are
+        conservatively conflicting anyway)."""
+        r = (
+            keys.select(F.col(key).cast("long").alias("__tx_k"))
+            .agg(
+                F.min("__tx_k").alias("lo"),
+                F.max("__tx_k").alias("hi"),
+                F.max(F.col("__tx_k").isNull().cast("int")).alias("nul"),
+            )
+            .first()
+        )
+        return r["lo"], r["hi"], bool(r["nul"])
+
     def _touched_by_predicate(self, m: dict, condition) -> list[str]:
         """Paths of data files that ACTUALLY contain LIVE rows matching
         an arbitrary predicate: one distributed scan grouping matches by
@@ -932,6 +969,7 @@ class TxTable:
         metrics: dict,
         txns: dict | None = None,
         schema_json: str | None = None,
+        conflict=None,
     ) -> dict:
         """Commit a copy-on-write rewrite: ``touched`` files drop out of
         the manifest, ``replacement`` (their rewritten contents) comes
@@ -940,14 +978,35 @@ class TxTable:
         LOGICAL conflict detection (Delta's concurrency semantics): a
         lost version-claim race is only a real conflict if the winner's
         commits actually overlap this rewrite — removed/changed one of
-        our touched files, altered schema/key/constraints, or advanced
-        our idempotence fence. Otherwise the already-written new files
-        are REBASED onto the winner's manifest and the commit retries
-        at the next version — the expensive Spark work is never redone.
-        Two writers merging disjoint key ranges of a clustered table
-        therefore both succeed; overlapping writers still get
-        ``TxConflictError`` (and a concurrent duplicate of the same
-        fenced txn degrades to a skip, exactly-once preserved).
+        our touched files, ADDED files that may hold rows this op's
+        logic depended on reading (see ``conflict``), altered
+        schema/key/constraints, or advanced our idempotence fence.
+        Otherwise the already-written new files are REBASED onto the
+        winner's manifest and the commit retries at the next version —
+        the expensive Spark work is never redone. Two writers merging
+        disjoint key ranges of a clustered table therefore both
+        succeed; overlapping writers still get ``TxConflictError`` (and
+        a concurrent duplicate of the same fenced txn degrades to a
+        skip, exactly-once preserved).
+
+        ``conflict`` declares what a file ADDED by the race winner
+        means for this op (Delta's ConcurrentAppendException matrix):
+
+        - ``None``: foreign additions never conflict — correct ONLY
+          for layout-preserving rewrites (compact) whose logic depends
+          on no row being absent (a carried foreign file keeps its
+          rows);
+        - ``"any"``: any foreign addition conflicts — predicate-driven
+          delete/update, whose matched-row discovery scanned the whole
+          snapshot (a foreign row could have matched);
+        - ``("keys", keys_df)``: a foreign addition conflicts iff its
+          footer key range may contain a key of ``keys_df`` (stats-less
+          files and NULL probe keys stay conservative) — merge and
+          rewrite_by_keys, whose not-matched inserts / key-confined
+          transforms assumed those keys were ABSENT outside the touched
+          files. Without this check, two concurrent merges inserting
+          the same previously-absent key would both commit and leave
+          duplicate rows for the merge key.
 
         Returns metrics + ``rows_written`` (live rows in the
         replacement files — computed from manifest metadata so row
@@ -973,6 +1032,7 @@ class TxTable:
             if m.get("txns", {}).get(app) != ver
         }
         metrics = dict(metrics, files_rewritten=len(touched))
+        probe = None  # (lo, hi, has_null) of the op's key set, lazy
         for _ in range(self._REBASE_RETRIES):
             kept = [f for f in base["files"] if f["path"] not in touched_set]
             # winner's fence advances carry forward; ours apply on top
@@ -1014,6 +1074,40 @@ class TxTable:
                 for p in touched_set:
                     if latest_by_path.get(p) != old_by_path.get(p):
                         raise
+                # files the winner ADDED since our last vetted base:
+                # per the ``conflict`` contract above, they may hold
+                # rows this op assumed absent (duplicate-insert race)
+                base_paths = {f["path"] for f in base["files"]}
+                foreign = [
+                    f for f in latest["files"] if f["path"] not in base_paths
+                ]
+                if foreign and conflict is not None:
+                    if conflict == "any":
+                        raise TxConflictError(
+                            f"{op}: a concurrent commit added files the "
+                            "predicate scan did not see — re-run from "
+                            "the new snapshot"
+                        ) from None
+                    if probe is None:  # one tiny agg, only on rebase
+                        probe = self._probe_key_stats(conflict[1], m["key"])
+                    lo, hi, has_null = probe
+                    for f in foreign:
+                        hit = (
+                            "kmin" not in f  # stats-less: conservative
+                            or (has_null and f.get("knulls", 1) != 0)
+                            or (
+                                lo is not None
+                                and f["kmax"] >= lo
+                                and f["kmin"] <= hi
+                            )
+                        )
+                        if hit:
+                            raise TxConflictError(
+                                f"{op}: a concurrent commit added file "
+                                f"{f['path']} whose key range may "
+                                "contain this operation's keys — "
+                                "re-run from the new snapshot"
+                            ) from None
                 base = latest
                 continue
             return dict(
@@ -1053,7 +1147,8 @@ class TxTable:
         kept_rows = self._read_files(m, touched).filter(
             ~F.coalesce(condition, F.lit(False))
         )
-        out = self._cow_commit(m, "delete", touched, kept_rows, {})
+        out = self._cow_commit(m, "delete", touched, kept_rows, {},
+                               conflict="any")
         out["rows_deleted"] = (
             0 if out.get("skipped") else before - out.get("rows_written", 0)
         )
@@ -1253,7 +1348,8 @@ class TxTable:
                 for c in cur.columns
             ]
         )
-        return self._cow_commit(m, "update", touched, updated, {})
+        return self._cow_commit(m, "update", touched, updated, {},
+                                conflict="any")
 
     def merge(
         self,
@@ -1402,7 +1498,8 @@ class TxTable:
 
         before = sum(_live(f) for f in m["files"] if f["path"] in set(touched))
         out = self._cow_commit(
-            m, "merge", touched, rewritten, {}, txns, schema_json=schema_json
+            m, "merge", touched, rewritten, {}, txns, schema_json=schema_json,
+            conflict=("keys", src.select(key)),
         )
         # from replacement-file metadata, NOT a row_count diff — exact
         # even when a rebase carried a foreign append into the manifest
@@ -1512,7 +1609,10 @@ class TxTable:
             raise TxError("rewrite_by_keys requires a table created with key=...")
         touched = self._touched_by_keys(m, keys)
         replacement = transform(self._read_files(m, touched))
-        return self._cow_commit(m, "rewrite", touched, replacement, {}, txns)
+        return self._cow_commit(
+            m, "rewrite", touched, replacement, {}, txns,
+            conflict=("keys", keys.select(m["key"])),
+        )
 
     def restore(self, version: int) -> dict:
         """RESTORE TABLE TO VERSION — a NEW commit re-pinning the old

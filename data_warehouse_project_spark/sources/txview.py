@@ -309,12 +309,17 @@ class TxAggView:
                     ins = F.col(f"d.__i_{n}")
                     dead = F.col(f"d.__x_{n}")
                     # a delete AT the stored extremum may expose a new
-                    # one only the base knows — mark for repair
+                    # one only the base knows — mark for repair. A group
+                    # NEW to the view (vm NULL: absent, or stored
+                    # extremum NULL) with any delete in the range must
+                    # also repair: the range's surviving extremum is not
+                    # derivable from inserts alone (insert 3, insert 5,
+                    # delete 3 in ONE range would otherwise fold to 3)
                     if m["fn"] == "min":
-                        dirty = dead.isNotNull() & vm.isNotNull() & (dead <= vm)
+                        dirty = dead.isNotNull() & (vm.isNull() | (dead <= vm))
                         fold = F.least(vm, ins)
                     else:
-                        dirty = dead.isNotNull() & vm.isNotNull() & (dead >= vm)
+                        dirty = dead.isNotNull() & (vm.isNull() | (dead >= vm))
                         fold = F.greatest(vm, ins)
                     out_cols.append(
                         F.when(dirty, F.lit(None)).otherwise(fold).alias(f"__m_{n}")
@@ -334,6 +339,23 @@ class TxAggView:
                 any_dirty = F.lit(False)
                 for fl in dirty_flags:
                     any_dirty = any_dirty | F.col(fl)
+                # steady state (no extremal row died this range): the
+                # dirty set is empty — skip the base read + repair join
+                # entirely so refresh stays O(churn + touched groups),
+                # not O(base). The probe is one action on the already-
+                # checkpointed merge result, bounded by touched groups.
+                if out.filter(any_dirty).limit(1).count() == 0:
+                    return out.drop(*dirty_flags).filter(
+                        F.when(
+                            F.col(_N) < 0,
+                            F.raise_error(
+                                F.lit(
+                                    "txview: negative group count — view "
+                                    "out of sync with base change feed"
+                                )
+                            ).cast("boolean"),
+                        ).otherwise(F.col(_N) > 0)
+                    )
                 dirty_keys = out.filter(any_dirty).select(g)
                 rep = (
                     self.base.read(target)

@@ -371,3 +371,30 @@ def test_concurrent_view_refreshes_fold_exactly_once(spark, tmp_path):
         ).collect()
     }
     assert got == want, "delta must fold exactly once across racers"
+
+
+def test_replayed_skip_pins_fence_commit_not_foreign_latest(spark, tmp_path):
+    """A REPLAYED transaction whose per-table ops are fenced skips must
+    pin the version the fence originally committed at — not the latest
+    table version at skip time, which can be a foreign writer's later
+    commit (the exact leak the own-commit pin rule exists to prevent)."""
+    cat = TxCatalog.create(spark, tmp_path / "cat")
+    with cat.transaction(txn=("app", 1)) as tx:
+        tx.append("t", _df(spark, [(1, 10)]), key="id")
+    committed_pin = cat.snapshot()["t"]
+
+    # a foreign writer lands AFTER the transaction committed
+    TxTable(spark, cat.tables_dir / "t").append(_df(spark, [(99, 990)]))
+
+    # crash-replay of the SAME transaction, but with the catalog fence
+    # stripped (simulating a crash after table commits, before the
+    # catalog pin) so the per-table skip path actually runs
+    m = cat._manifest()
+    cat._commit(m["version"] + 1, dict(m["tables"]), {})
+    with cat.transaction(txn=("app", 1)) as tx:
+        r = tx.append("t", _df(spark, [(1, 10)]), key="id")
+        assert r.get("skipped")
+        assert tx._pins["t"] == committed_pin  # NOT the foreign latest
+    assert cat.snapshot()["t"] == committed_pin
+    assert {r["id"] for r in cat.read("t").collect()} == {1}
+    assert {r["id"] for r in cat.table("t").read().collect()} == {1, 99}

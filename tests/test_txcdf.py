@@ -471,3 +471,145 @@ def test_view_avg_min_max_with_extremal_deletes(spark, tmp_path):
             model = {k: v for k, v in model.items() if v[0] != g0}
         view.refresh()
         _view_equals_recompute(view, base, oracle)
+
+
+def test_view_minmax_new_group_born_and_pruned_in_one_range(spark, tmp_path):
+    """A group NEW to the view whose refresh range both inserts and
+    deletes its extremal row must repair from the base: folding the
+    range's inserts alone would keep the deleted value (insert 3,
+    insert 5, delete 3 folded in ONE refresh used to read back min=3).
+    Same for a group whose stored extremum is NULL."""
+    base = TxTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame([(0, 0, 1)], "id long, g long, amt long"),
+        key="id",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"lo": ("min", "amt"), "hi": ("max", "amt")},
+    )
+    oracle = [
+        F.min("amt").alias("lo"),
+        F.max("amt").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    # group 1 is born AND loses its min inside one unconsumed range
+    base.append(spark.createDataFrame([(1, 1, 3)], "id long, g long, amt long"))
+    base.append(spark.createDataFrame([(2, 1, 5)], "id long, g long, amt long"))
+    base.delete(F.col("id") == 1)
+    view.refresh()
+    _view_equals_recompute(view, base, oracle)
+    row = view.read().filter(F.col("g") == 1).collect()[0]
+    assert row["lo"] == 5 and row["hi"] == 5
+    # and the max-side twin: born, then loses its max, one refresh
+    base.append(spark.createDataFrame([(3, 2, 9)], "id long, g long, amt long"))
+    base.append(spark.createDataFrame([(4, 2, 7)], "id long, g long, amt long"))
+    base.delete(F.col("id") == 3, mode="dv")
+    view.refresh()
+    _view_equals_recompute(view, base, oracle)
+    row = view.read().filter(F.col("g") == 2).collect()[0]
+    assert row["lo"] == 7 and row["hi"] == 7
+
+
+def test_view_minmax_steady_state_never_reads_base(spark, tmp_path):
+    """Insert-only churn on a MIN/MAX view must refresh WITHOUT
+    touching the base table at all (the dirty-group set is empty, so
+    the repair join — an O(base) scan — is skipped, keeping refresh
+    O(churn + touched groups))."""
+    base = TxTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame([(0, 0, 1)], "id long, g long, amt long"),
+        key="id",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"lo": ("min", "amt"), "total": ("sum", "amt")},
+    )
+    base.append(spark.createDataFrame(
+        [(1, 0, -4), (2, 3, 8)], "id long, g long, amt long"))
+
+    real_read = view.base.read
+
+    def guarded_read(*a, **kw):
+        raise AssertionError(
+            "steady-state refresh read the base table (repair join "
+            "built with an empty dirty set)"
+        )
+
+    view.base.read = guarded_read
+    try:
+        r = view.refresh()
+    finally:
+        view.base.read = real_read
+    assert r["groups_touched"] == 2
+    oracle = [
+        F.min("amt").alias("lo"),
+        F.sum("amt").alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    _view_equals_recompute(view, base, oracle)
+
+
+def test_view_equals_recompute_with_multi_commit_refresh_ranges(spark, tmp_path):
+    """Randomized op-log refreshing only every few commits: every
+    refresh folds a MULTI-commit range (the shape that exposed the
+    new-group extremum bug) and must still equal a full recompute."""
+    import random
+
+    rng = random.Random(77)
+    base = TxTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame([(0, 0, 10)], "id long, g long, amt long"),
+        key="id",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"lo": ("min", "amt"), "hi": ("max", "amt"),
+                  "total": ("sum", "amt")},
+    )
+    oracle = [
+        F.min("amt").alias("lo"),
+        F.max("amt").alias("hi"),
+        F.sum("amt").alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    model = {0: (0, 10)}
+    next_id = 100
+    ops_since_refresh = 0
+    for step in range(12):
+        op = rng.choice(["append_new_group", "append", "del_extreme", "del_row"])
+        if op == "append_new_group":
+            g0 = 50 + step  # a group the view has never seen
+            rows = [(next_id + i, g0, rng.randint(-20, 20)) for i in range(3)]
+            for r in rows:
+                model[r[0]] = (r[1], r[2])
+            next_id += 3
+            base.append(spark.createDataFrame(rows, "id long, g long, amt long"))
+        elif op == "append":
+            rows = [(next_id, rng.randint(0, 3), rng.randint(-20, 20))]
+            model[next_id] = (rows[0][1], rows[0][2])
+            next_id += 1
+            base.append(spark.createDataFrame(rows, "id long, g long, amt long"))
+        elif op == "del_extreme" and model:
+            g0 = rng.choice(sorted({v[0] for v in model.values()}))
+            members = {k: v[1] for k, v in model.items() if v[0] == g0}
+            victim = (max if rng.random() < 0.5 else min)(
+                members, key=lambda k: members[k]
+            )
+            base.delete(F.col("id") == victim,
+                        mode=rng.choice(["rewrite", "dv"]))
+            del model[victim]
+        elif op == "del_row" and model:
+            victim = rng.choice(sorted(model))
+            base.delete(F.col("id") == victim)
+            del model[victim]
+        ops_since_refresh += 1
+        if ops_since_refresh >= rng.randint(2, 3):
+            view.refresh()
+            _view_equals_recompute(view, base, oracle)
+            ops_since_refresh = 0
+    view.refresh()
+    _view_equals_recompute(view, base, oracle)

@@ -325,3 +325,123 @@ def test_racing_disjoint_mergers_all_succeed(spark, tmp_path):
             for k in range(w * 100 + s * 20, w * 100 + s * 20 + 10):
                 assert got[k] == w, (w, s, k)
     assert t0.row_count() == 400
+
+
+def test_racing_merges_inserting_same_absent_key_conflict(spark, tmp_path):
+    """Two concurrent merges inserting the SAME previously-absent key
+    must NOT both succeed: the loser's rebase sees the winner ADDED a
+    file whose key range may contain its source keys and raises —
+    Delta's ConcurrentAppendException semantics. (Before this check the
+    rebase only vetted TOUCHED files, so both inserts landed and the
+    merge key was silently duplicated.)"""
+    import os
+
+    from data_warehouse_project_spark.sources.txtable import TxConflictError
+
+    t = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([(i, 0) for i in range(40)], "id long, n long"),
+        key="id",
+    )
+    t.compact(target_files=4, cluster=True)
+    foreign = TxTable(spark, t.root)
+    fired = []
+
+    def interposing_claim(tmp, target):
+        if not fired:
+            fired.append(1)
+            foreign.merge(spark.createDataFrame([(999, 1)], "id long, n long"))
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+
+    t2 = TxTable(spark, t.root, claim=interposing_claim)
+    with pytest.raises(TxConflictError):
+        t2.merge(spark.createDataFrame([(999, 2)], "id long, n long"))
+    rows = t.read().filter(F.col("id") == 999).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1, "exactly one 999 row"
+    # and the caller-driven retry path works: re-running the loser's
+    # merge from the new snapshot now MATCHES the winner's row
+    r = t2.merge(spark.createDataFrame([(999, 2)], "id long, n long"))
+    assert not r.get("skipped")
+    rows = t.read().filter(F.col("id") == 999).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 2
+
+
+def test_racing_rewrites_on_same_absent_key_conflict(spark, tmp_path):
+    """rewrite_by_keys has the same hole shape: a foreign commit adding
+    rows for this op's key set between snapshot and claim must conflict
+    (the transform assumed those keys were absent outside the slice)."""
+    import os
+
+    from data_warehouse_project_spark.sources.txtable import TxConflictError
+
+    t = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([(i, 0) for i in range(20)], "id long, n long"),
+        key="id",
+    )
+    foreign = TxTable(spark, t.root)
+    fired = []
+
+    def interposing_claim(tmp, target):
+        if not fired:
+            fired.append(1)
+            foreign.append(spark.createDataFrame([(500, 7)], "id long, n long"))
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+
+    t2 = TxTable(spark, t.root, claim=interposing_claim)
+    with pytest.raises(TxConflictError):
+        t2.rewrite_by_keys(
+            spark.createDataFrame([(500,)], "id long"),
+            lambda s: s.unionByName(
+                spark.createDataFrame([(500, 8)], "id long, n long")
+            ),
+        )
+    rows = t.read().filter(F.col("id") == 500).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 7
+
+
+def test_predicate_delete_conflicts_with_concurrent_append(spark, tmp_path):
+    """A predicate-driven DELETE whose claim race is lost to an append
+    must conflict unconditionally: the appended rows could have matched
+    the predicate, and rebasing past them would leave them undeleted
+    while reporting success."""
+    import os
+
+    from data_warehouse_project_spark.sources.txtable import TxConflictError
+
+    t = TxTable.create(
+        spark,
+        tmp_path / "t",
+        spark.createDataFrame([(i, i % 2) for i in range(20)], "id long, n long"),
+        key="id",
+    )
+    foreign = TxTable(spark, t.root)
+    fired = []
+
+    def interposing_claim(tmp, target):
+        if not fired:
+            fired.append(1)
+            foreign.append(spark.createDataFrame([(100, 1)], "id long, n long"))
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+
+    t2 = TxTable(spark, t.root, claim=interposing_claim)
+    with pytest.raises(TxConflictError):
+        t2.delete(F.col("n") == 1)
+    # retry from the new snapshot deletes the appended row too
+    r = t2.delete(F.col("n") == 1)
+    assert r["rows_deleted"] == 11
+    assert t.read().filter(F.col("n") == 1).count() == 0
