@@ -86,17 +86,20 @@ def _arrow_schema(schema_json: str):
     return to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
 
 
-def _dv_positions(path: str | None, fname: str) -> set[int]:
+def _dv_positions(path: str | None, fname: str):
+    """Deleted row positions for ``fname`` as a SORTED unique int64
+    numpy array — columnar end to end (pyarrow filter + numpy), no
+    Python row loop, so a dense vector on a 1M-row file costs
+    milliseconds, not a per-element set build."""
+    import numpy as np
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     if path is None or not os.path.exists(path):
-        return set()
-    t = pq.read_table(path)
-    out = set()
-    for f, ri in zip(t.column("fname").to_pylist(), t.column("ri").to_pylist()):
-        if f == fname:
-            out.add(ri)
-    return out
+        return np.empty(0, dtype=np.int64)
+    t = pq.read_table(path, columns=["fname", "ri"])
+    ri = t.filter(pc.equal(t.column("fname"), fname)).column("ri")
+    return np.unique(ri.to_numpy(zero_copy_only=False).astype(np.int64))
 
 
 def _emit(part: TxCdfPartition, indices, change_type):
@@ -114,7 +117,8 @@ def _emit(part: TxCdfPartition, indices, change_type):
                    and f.name not in ("_commit_version", "_commit_ts")]
     tbl = pq.read_table(part.data_path)
     if indices is not None:
-        tbl = tbl.take(pa.array(sorted(indices), type=pa.int64()))
+        # indices arrive as a sorted numpy int64 array — zero-copy take
+        tbl = tbl.take(pa.array(indices, type=pa.int64()))
     n = tbl.num_rows
     if n == 0:
         return
@@ -170,6 +174,15 @@ class TxCdfStreamReader(DataSourceStreamReader):
             options.get("skipChangeCommits", "false")
         ).lower() == "true"
         self._committed: int | None = None
+        # rate-limit base fallback for a reader whose commit() has not
+        # fired yet (fresh start AND checkpoint restart): the last end
+        # offset this reader returned or planned. Seeded by
+        # initialOffset (fresh) and partitions() (a replayed batch on
+        # restart), and advanced by every latestOffset return, so at
+        # most ONE post-restart batch can exceed the cap (a clean
+        # restart's first latestOffset has no base to cap against —
+        # the Python source API exposes no start offset there).
+        self._last_end: int | None = None
         # pin the stream schema NOW (latest at start)
         latest = self._latest()
         with open(self.log_dir / _mname(latest)) as f:
@@ -196,12 +209,17 @@ class TxCdfStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         self._committed = self.start_v - 1
+        self._last_end = self.start_v - 1
         return {"version": self.start_v - 1}
 
     def latestOffset(self) -> dict:
         latest = self._latest()
-        if self.rate is not None and self._committed is not None:
-            latest = min(latest, self._committed + self.rate)
+        if self.rate is not None:
+            base = self._committed if self._committed is not None else self._last_end
+            if base is not None:
+                latest = min(latest, base + self.rate)
+        if self._last_end is None or latest > self._last_end:
+            self._last_end = latest
         return {"version": latest}
 
     def commit(self, end: dict) -> None:
@@ -222,7 +240,12 @@ class TxCdfStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        # restart seeding: a replayed batch reaches here before any
+        # commit() fires — its start offset is the checkpointed
+        # position, the correct rate-limit base for the next batch
         self._committed = lo if self._committed is None else self._committed
+        if self._last_end is None or hi > self._last_end:
+            self._last_end = hi
         parts: list[TxCdfPartition] = []
         for v in range(lo + 1, hi + 1):
             m = self._manifest(v)
@@ -274,6 +297,8 @@ class TxCdfStreamReader(DataSourceStreamReader):
     # ----------------------------------------------------- reading
 
     def read(self, partition: TxCdfPartition):
+        import numpy as np
+
         if partition.data_path is None:
             return iter(())
         fname = os.path.basename(partition.data_path)
@@ -284,16 +309,31 @@ class TxCdfStreamReader(DataSourceStreamReader):
             import pyarrow.parquet as pq
 
             n = pq.ParquetFile(partition.data_path).metadata.num_rows
-            idx = None if not dead else [i for i in range(n) if i not in dead]
+            idx = (
+                None
+                if dead.size == 0
+                else np.setdiff1d(
+                    np.arange(n, dtype=np.int64), dead, assume_unique=True
+                )
+            )
             return _emit(partition, idx, partition.change_type)
         # dv_diff: positions entering the vector are deletes; positions
-        # leaving it (restore rewound) are re-inserts
+        # leaving it (restore rewound) are re-inserts — sorted-array
+        # set difference, all columnar
         old = _dv_positions(partition.dv_old, fname)
         new = _dv_positions(partition.dv_new, fname)
 
         def gen():
-            yield from _emit(partition, new - old, "delete")
-            yield from _emit(partition, old - new, "insert")
+            yield from _emit(
+                partition,
+                np.setdiff1d(new, old, assume_unique=True),
+                "delete",
+            )
+            yield from _emit(
+                partition,
+                np.setdiff1d(old, new, assume_unique=True),
+                "insert",
+            )
 
         return gen()
 

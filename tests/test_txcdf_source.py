@@ -247,3 +247,36 @@ def test_starting_timestamp_resolves_to_version(registered, tmp_path):
     with pytest.raises(TxError, match="OR startingTimestamp"):
         TxCdfStreamReader({"path": str(t.root), "startingVersion": "0",
                            "startingTimestamp": cut})
+
+
+def test_rate_limit_applies_after_restart(registered, tmp_path):
+    """maxVersionsPerBatch must survive a checkpoint restart: a fresh
+    reader (as the engine builds on restart) has no commit() history,
+    so the cap base is seeded from the replayed batch's start offset
+    (partitions) or the last offset this reader returned — one trigger
+    must never consume the whole backlog after the first."""
+    spark = registered
+    t = _churny_table(spark, tmp_path / "t")
+    latest = t.latest_version()
+    assert latest >= 4, "need a backlog for the test to mean anything"
+    from data_warehouse_project_spark.sources.txcdf import TxCdfStreamReader
+
+    # case 1: restart with an uncommitted batch — the engine re-plans
+    # it via partitions(start, end), commits it, THEN asks for a new
+    # offset: the new offset must advance by at most the rate
+    r1 = TxCdfStreamReader({"path": str(t.root), "maxVersionsPerBatch": "1"})
+    r1.partitions({"version": 0}, {"version": 1})  # replayed batch
+    assert r1.latestOffset()["version"] <= 2, "capped even before commit"
+    r1.commit({"version": 1})
+    nxt = r1.latestOffset()
+    assert nxt["version"] == 2, "first post-restart batch must be capped"
+
+    # case 2: clean restart — the first latestOffset has no base (the
+    # API exposes none) but every subsequent one caps against it
+    r2 = TxCdfStreamReader({"path": str(t.root), "maxVersionsPerBatch": "1"})
+    first = r2.latestOffset()["version"]
+    t.append(spark.createDataFrame([(900, "z")], "id long, v string"))
+    t.append(spark.createDataFrame([(901, "z")], "id long, v string"))
+    assert r2.latestOffset()["version"] <= first + 1, (
+        "second batch after a clean restart must be rate-capped"
+    )
