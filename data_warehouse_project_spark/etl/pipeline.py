@@ -606,6 +606,7 @@ def _tx_scd1_merge(
         t = TxTable.create(
             wh.spark, root, next_fn(None, 1), key=key, stats_cols=[id_col]
         )
+        wh.record_tx_pin("bl_3nf", name, 0)
         return t.row_count()
 
     latest = _latest_per_key(updates, key, ["change_seq"]).select(key, *tracked)
@@ -634,6 +635,7 @@ def _tx_scd1_merge(
         # (its original update_dt) untouched, like the snapshot path
         matched_condition=_any_changed("t", "s", tracked),
     )
+    wh.record_tx_pin("bl_3nf", name, int(r["version"]))
     return int(abs(r.get("rows_delta", 0)))
 
 
@@ -667,12 +669,14 @@ def _tx_scd2_rewrite(
         t = TxTable.create(
             wh.spark, root, next_fn(None, 1), key=key, stats_cols=[id_col]
         )
+        wh.record_tx_pin("bl_3nf", name, 0)
         return t.row_count()
     offset = _tx_id_offset(t, id_col)
     r = t.rewrite_by_keys(
         updates.select(key).distinct(),
         lambda cur: next_fn(cur, offset),
     )
+    wh.record_tx_pin("bl_3nf", name, int(r["version"]))
     return int(r.get("files_rewritten", 0))
 
 
@@ -909,6 +913,18 @@ def load_3nf_stores(
     wh.log("load_3nf_ce_stores", "insert-only dim ok", n)
 
 
+def _run_stamp(run_ts: dt.datetime) -> int:
+    """Idempotence-fence stamp for a pipeline run: MICROSECOND-resolution
+    epoch integer. Second-granularity stamps (the original
+    ``%Y%m%d%H%M%S``) made two DISTINCT incremental runs launched within
+    the same wall-clock second indistinguishable from a crash replay —
+    the fence silently dropped the second batch. At microseconds a
+    collision requires two runs constructed in the same microsecond,
+    which run_full_etl's own setup work makes unreachable; a true
+    replay (same run_ts object) still fences exactly-once."""
+    return int(run_ts.timestamp() * 1_000_000)
+
+
 def _tx_fact_append(
     wh: Warehouse, name: str, batch: DataFrame, run_ts: dt.datetime
 ) -> int:
@@ -934,8 +950,16 @@ def _tx_fact_append(
         # bootstrap as empty-create + fenced append so even the FIRST
         # batch is covered by the replay fence
         t = TxTable.create(wh.spark, root, batch.limit(0))
-    stamp = int(run_ts.strftime("%Y%m%d%H%M%S"))
+    stamp = _run_stamp(run_ts)
     r = t.append(batch, txn=(f"etl_{name}", stamp))
+    # pin for the end-of-run catalog publish: on a fenced skip the
+    # returned version is the LATEST at skip time (possibly a foreign
+    # commit) — resolve the version the fence actually committed at
+    if r.get("skipped"):
+        v = t.txn_commit_version(f"etl_{name}", stamp)
+    else:
+        v = int(r["version"])
+    wh.record_tx_pin("bl_3nf", name, v)
     return int(r.get("rows_appended", 0))
 
 
@@ -965,7 +989,7 @@ GOLD_VIEWS: dict[str, tuple[str, dict]] = {
 }
 
 
-def refresh_gold_views(wh: Warehouse) -> dict[str, dict]:
+def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
     """Maintain the incremental gold aggregates over the transactional
     fact (requires ``scd_strategy="tx"`` — ce_sales must be a TxTable).
     First call full-computes each view at the fact's current version;
@@ -977,13 +1001,16 @@ def refresh_gold_views(wh: Warehouse) -> dict[str, dict]:
     aggregate semantics, equal to a full GROUP BY recompute after every
     refresh (pinned in tests/test_etl_tx.py).
 
-    When to use (measured, COVERAGE.md round 9): below ~10M fact rows a
-    full recompute is FASTER (a 457k-row fact recomputes in ~1.2 s;
-    refresh carries ~3-7 s of fixed plan cost, more when a MIN/MAX
-    extremal row dies and its group repairs from the base). The
-    incremental path is the 100 TB design — refresh is O(churn +
-    touched groups) while recompute is O(base) once the fact outgrows
-    the scan floor."""
+    ``mode="auto"`` (default) encodes the measured crossover
+    (COVERAGE.md round 9: below ~10M fact rows a full recompute is
+    FASTER — a 457k-row fact recomputes in ~1.2 s while the fold
+    carries ~3-7 s of fixed plan cost): each view picks recompute vs
+    incremental from manifest metadata alone (live base rows + the
+    unconsumed churn's file rows — zero Spark jobs,
+    ``TxAggView.refresh``), landing the identical state either way.
+    ``mode="incremental"`` / ``"recompute"`` force a path — the
+    incremental fold is the 100 TB design: O(churn + touched groups)
+    while recompute is O(base)."""
     from data_warehouse_project_spark.sources.txtable import TxError
     from data_warehouse_project_spark.sources.txview import TxAggView
 
@@ -1005,7 +1032,7 @@ def refresh_gold_views(wh: Warehouse) -> dict[str, dict]:
             out[name] = {"created": True,
                          "base_version": view.applied_base_version()}
             continue
-        out[name] = view.refresh()
+        out[name] = view.refresh(mode=mode)
     return out
 
 
@@ -1355,7 +1382,13 @@ def run_full_etl(
     run-stamped idempotence fence — the closest execution model to the
     reference's in-transaction ON CONFLICT loads, with time travel and
     concurrent-writer safety on top. Downstream stages read the tx
-    tables transparently through ``Warehouse.read``.
+    tables transparently through ``Warehouse.read``. The run ends with
+    a WHOLE-RUN atomic publish: one ``TxCatalog`` commit under
+    ``<root>/_txcatalog`` pins every tx-table version this run
+    committed, so ``Warehouse.snapshot_reader()`` readers only ever
+    see complete runs (a crash mid-pipeline leaves them on the
+    previous run's consistent cross-table snapshot; the rerun
+    publishes exactly once, fenced per run stamp).
     """
     if scd_strategy not in ("snapshot", "merge", "tx"):
         raise ValueError(f"scd_strategy: {scd_strategy!r}")
@@ -1429,6 +1462,25 @@ def run_full_etl(
             if errors:
                 wh.flush_log()
                 raise errors[0]
+    if scd_strategy == "tx" and wh.tx_pins:
+        # whole-run atomic publish: ONE catalog commit pins every tx
+        # table version this run committed, fenced per run stamp. A
+        # crash anywhere above leaves the catalog at the previous run's
+        # pins — Warehouse.snapshot_reader() readers never observe a
+        # cross-table-inconsistent warehouse (the reference's analogue
+        # is per-procedure transactions, run_full_etl_process.sql:36-104,
+        # strengthened here to the whole run); the rerun replays each
+        # idempotent stage and publishes exactly once.
+        t0 = time.perf_counter()
+        cat = wh.tx_catalog(create=True)
+        r = cat.pin(dict(wh.tx_pins), txn=("etl_run", _run_stamp(run_ts)))
+        timings["catalog_publish"] = round(time.perf_counter() - t0, 3)
+        wh.log(
+            "catalog_publish",
+            f"pinned {sorted(wh.tx_pins)} at catalog v{r.get('version')}"
+            + (" (fenced replay, skipped)" if r.get("skipped") else ""),
+            len(wh.tx_pins),
+        )
     wh.log("run_full_etl", "pipeline complete", 0)
     wh.flush_log()
     return timings

@@ -55,6 +55,9 @@ def _capture_plan(df: DataFrame, label: str) -> None:
 
 
 class Warehouse:
+    #: catalog directory name for the tx pipeline's whole-run publish
+    TX_CATALOG_DIR = "_txcatalog"
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = Path(root)
@@ -62,6 +65,13 @@ class Warehouse:
         # initialized eagerly: concurrent ETL stages log from worker
         # threads, and a lazy hasattr-check create would race
         self._log_buffer: list[tuple] = []
+        # tx-strategy loaders record (layer/name -> committed version)
+        # here; run_full_etl publishes them in ONE catalog commit at
+        # the end of the run (whole-run atomic publish)
+        self.tx_pins: dict[str, int] = {}
+        # snapshot_reader() sets this to a catalog pin map; read() then
+        # resolves tx tables at their pinned versions
+        self._tx_pin_map: dict[str, int] | None = None
 
     # -- table IO ----------------------------------------------------------
     def path(self, layer: str, name: str) -> Path:
@@ -81,6 +91,51 @@ class Warehouse:
         from data_warehouse_project_spark.sources.txtable import TxTable
 
         return TxTable(self.spark, self.path(layer, name))
+
+    def record_tx_pin(self, layer: str, name: str, version: int) -> None:
+        """A tx-strategy loader just committed ``version`` on this
+        table; remember it for the end-of-run catalog publish. Pins
+        only advance (concurrent phase threads write distinct tables,
+        and a table loaded twice in one run keeps its newest commit)."""
+        key = f"{layer}/{name}"
+        self.tx_pins[key] = max(int(version), self.tx_pins.get(key, -1))
+
+    def tx_catalog(self, create: bool = False):
+        """The root's transactional catalog (``_txcatalog``) — the
+        commit log whose pins publish a whole ETL run's tx-table
+        versions atomically. ``None`` when absent and not ``create``.
+        Member-table names are ``<layer>/<name>`` resolved against the
+        warehouse root."""
+        from data_warehouse_project_spark.sources.txcatalog import TxCatalog
+        from data_warehouse_project_spark.sources.txtable import TXLOG_DIR
+
+        root = self.root / self.TX_CATALOG_DIR
+        if not (root / TXLOG_DIR).is_dir():
+            if not create:
+                return None
+            return TxCatalog.create(self.spark, root, tables_base=self.root)
+        return TxCatalog(self.spark, root, tables_base=self.root)
+
+    def snapshot_reader(self, version: int | None = None) -> "Warehouse":
+        """A reader pinned to the catalog's last PUBLISHED cross-table
+        snapshot (or an earlier catalog ``version`` — time travel over
+        whole ETL runs): ``read`` resolves every pinned tx table at its
+        catalog-pinned version, so a crashed half-finished tx run is
+        never observable through this surface — dims and fact move
+        together, at the end-of-run publish. Non-tx tables (staging,
+        bl_dm parquet) and tx tables the catalog has never pinned still
+        read latest, like any path-based reader. Raises when no run has
+        ever published a catalog."""
+        cat = self.tx_catalog()
+        if cat is None:
+            raise ValueError(
+                f"no transactional catalog under {self.root} — "
+                "snapshot_reader needs at least one completed "
+                "scd_strategy='tx' pipeline run"
+            )
+        w = Warehouse(self.spark, str(self.root))
+        w._tx_pin_map = cat.snapshot(version)
+        return w
 
     def _refuse_tx(self, layer: str, name: str, op: str) -> None:
         if self.is_tx(layer, name):
@@ -117,8 +172,15 @@ class Warehouse:
         when a table is mid-migration."""
         if self.is_tx(layer, name):
             # manifest-pinned snapshot read; schema evolution is
-            # inherent (old files NULL-fill added columns)
-            return self.tx(layer, name).read()
+            # inherent (old files NULL-fill added columns). A
+            # snapshot_reader resolves the version through the catalog
+            # pins instead of latest — the consistent cross-table view.
+            pinned = (
+                None
+                if self._tx_pin_map is None
+                else self._tx_pin_map.get(f"{layer}/{name}")
+            )
+            return self.tx(layer, name).read(pinned)
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")

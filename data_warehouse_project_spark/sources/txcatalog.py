@@ -52,27 +52,61 @@ TABLES_DIR = "tables"
 
 class TxCatalog:
     """A directory of transactional tables plus a catalog commit log
-    pinning a consistent version of each."""
+    pinning a consistent version of each.
 
-    def __init__(self, spark: SparkSession, root: str | Path):
+    ``tables_base`` overrides where member tables live: by default they
+    sit under ``<root>/tables/<name>``, but a catalog can also pin
+    EXTERNAL tables (e.g. a warehouse's ``bl_3nf/ce_sales``) by rooting
+    name resolution at another directory — the Iceberg-style split
+    between the catalog pointer and the table locations. The base is a
+    resolution rule of the handle, not catalog state: every opener must
+    pass the same one (the warehouse does)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path,
+        tables_base: str | Path | None = None,
+    ):
         self.spark = spark
         self.root = Path(root)
         self.log_dir = self.root / TXLOG_DIR
-        self.tables_dir = self.root / TABLES_DIR
+        self.tables_dir = (
+            Path(tables_base) if tables_base is not None else self.root / TABLES_DIR
+        )
         if not self.log_dir.is_dir():
             raise TxError(f"not a transactional catalog (no {TXLOG_DIR}): {root}")
 
     @classmethod
-    def create(cls, spark: SparkSession, root: str | Path) -> "TxCatalog":
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str | Path,
+        tables_base: str | Path | None = None,
+    ) -> "TxCatalog":
         root = Path(root)
         if (root / TXLOG_DIR).exists():
             raise TxError(f"already a transactional catalog: {root}")
         root.mkdir(parents=True, exist_ok=True)
         (root / TXLOG_DIR).mkdir()
-        (root / TABLES_DIR).mkdir(exist_ok=True)
-        cat = cls(spark, root)
+        if tables_base is None:
+            (root / TABLES_DIR).mkdir(exist_ok=True)
+        cat = cls(spark, root, tables_base)
         cat._commit(0, {}, {})
         return cat
+
+    @classmethod
+    def ensure(
+        cls,
+        spark: SparkSession,
+        root: str | Path,
+        tables_base: str | Path | None = None,
+    ) -> "TxCatalog":
+        """Open the catalog at ``root``, creating it if absent."""
+        try:
+            return cls(spark, root, tables_base)
+        except TxError:
+            return cls.create(spark, root, tables_base)
 
     # ------------------------------------------------------- manifests
 
@@ -150,6 +184,38 @@ class TxCatalog:
 
     def transaction(self, txn: tuple[str, int] | None = None) -> "TxTransaction":
         return TxTransaction(self, txn)
+
+    #: pin-commit claim retries (pins merge monotonically, so a lost
+    #: race just re-reads and retries; bounded to fail loudly on bugs)
+    _PIN_RETRIES = 20
+
+    def pin(self, pins: dict, txn: tuple[str, int] | None = None) -> dict:
+        """Atomically advance the catalog's (table → version) map with
+        ``pins`` in ONE commit — the publish step for a writer that ran
+        its per-table commits OUTSIDE a ``TxTransaction`` (e.g. the tx
+        ETL pipeline, whose loaders commit as they go and publish the
+        whole run here). Pins only ever advance (max-merge), so racing
+        publishers converge; ``txn`` fences the publish exactly-once
+        across crash replays."""
+        for _ in range(self._PIN_RETRIES):
+            m = self._manifest()
+            txns = dict(m["txns"])
+            if txn is not None:
+                app, ver = txn
+                if txns.get(app, -(1 << 62)) >= ver:
+                    return {"skipped": True, "version": m["version"]}
+                txns[app] = ver
+            merged = dict(m["tables"])
+            for name, v in pins.items():
+                merged[name] = max(int(v), int(merged.get(name, -1)))
+            try:
+                self._commit(m["version"] + 1, merged, txns)
+            except TxConflictError:
+                continue
+            return {"version": m["version"] + 1, "tables": dict(pins)}
+        raise TxConflictError(
+            f"catalog pin lost the commit race {self._PIN_RETRIES} times"
+        )
 
     def restore(self, version: int) -> dict:
         """RESTORE the catalog to an earlier version: a NEW catalog

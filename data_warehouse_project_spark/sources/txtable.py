@@ -851,11 +851,21 @@ class TxTable:
             f"append lost the commit race {_APPEND_RETRIES} times"
         )
 
-    def overwrite(self, df: DataFrame, key: str | None = None) -> dict:
+    def overwrite(
+        self,
+        df: DataFrame,
+        key: str | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
         """Replace the table contents (and optionally re-declare the
         merge key / schema). Old versions stay time-travel readable
-        until vacuumed."""
+        until vacuumed. ``txn`` fences the overwrite like append/merge
+        — the replay-safe primitive for derived tables (a view
+        recompute at base version V is idempotent per V)."""
         m = self._manifest()
+        skip, txns = _fence(m, txn)
+        if skip:
+            return {"version": m["version"], "skipped": True}
         key = m["key"] if key is None else key
         if key is not None and key not in df.columns:
             raise TxError(f"key column {key!r} not in dataframe")
@@ -869,7 +879,7 @@ class TxTable:
             _schema_json(df.schema),
             key,
             {"rows_written": sum(f["rows"] for f in files)},
-            m.get("txns", {}),
+            txns,
             m.get("checks", {}),
             m.get("stats_cols"),
         )

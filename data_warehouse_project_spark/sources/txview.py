@@ -57,7 +57,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .txtable import TXLOG_DIR, TxError, TxTable
+from .txtable import TXLOG_DIR, TxError, TxTable, _live
 
 _SIDECAR = "_view.json"
 _N = "n_rows"  # hidden support count: a group at 0 leaves the view
@@ -135,6 +135,18 @@ class TxAggView:
     """
 
     APP = "txview"
+
+    #: measured local crossover (COVERAGE.md round 9): below ~10M live
+    #: base rows a full recompute beats the incremental fold's fixed
+    #: plan cost (a 457k-row fact recomputes in ~1.2 s vs ~3-7 s of
+    #: refresh plan overhead). ``refresh(mode="auto")`` recomputes
+    #: under this floor and folds incrementally above it.
+    RECOMPUTE_FLOOR_ROWS = 10_000_000
+    #: above the floor, recompute still wins when the unconsumed churn
+    #: (the change feed's own read cost, added+removed file rows) is a
+    #: large fraction of the base — the fold would rewrite most groups
+    #: anyway and the feed scan approaches a full pass
+    RECOMPUTE_CHURN_FRACTION = 0.2
 
     def __init__(self, spark: SparkSession, root: str | Path):
         self.root = Path(root)
@@ -227,7 +239,51 @@ class TxAggView:
 
     # -------------------------------------------------------- refresh
 
-    def refresh(self) -> dict:
+    def _churn_rows(self, lo: int, hi: int) -> int:
+        """The change feed's own read cost for versions [lo, hi]: rows
+        of files added or removed (plus deletion-vector growth) per
+        non-compact commit — pure manifest metadata, zero Spark jobs.
+        This is what ``refresh(mode="auto")`` weighs against a full
+        base scan."""
+        total = 0
+        for v in range(lo, hi + 1):
+            m = self.base._manifest(v)
+            if m["op"] == "compact":
+                continue
+            prev = self.base._manifest(v - 1)["files"] if v > 0 else []
+            prev_by = {f["path"]: f for f in prev}
+            cur_paths = {f["path"] for f in m["files"]}
+            for f in m["files"]:
+                p = prev_by.get(f["path"])
+                if p is None:
+                    total += f["rows"]
+                elif p.get("dv") != f.get("dv"):
+                    total += abs(
+                        f.get("dv", {}).get("rows", 0)
+                        - p.get("dv", {}).get("rows", 0)
+                    )
+            for f in prev:
+                if f["path"] not in cur_paths:
+                    total += _live(f)
+        return total
+
+    def _recompute(self, target: int) -> dict:
+        """Full GROUP BY recompute at base version ``target``, landed
+        as a fenced overwrite of the view table — same exactly-once
+        replay contract as the incremental path (a crash after the
+        commit skips on rerun)."""
+        g = self.spec["group_col"]
+        full = self.base.read(target).groupBy(g).agg(
+            *_physical_agg(self.spec["measures"])
+        )
+        r = self.table.overwrite(full, txn=(self.APP, target))
+        return {
+            "refreshed_to": target,
+            "mode": "recompute",
+            "skipped": bool(r.get("skipped", False)),
+        }
+
+    def refresh(self, mode: str = "incremental") -> dict:
         """Fold every base commit since the last refresh into the view.
 
         One change-feed read + one aggregation to per-group deltas +
@@ -235,11 +291,33 @@ class TxAggView:
         only when a MIN/MAX measure's extremal row died, a semi-joined
         recompute of exactly the dirty groups from the base). A
         replayed refresh (crash after commit, rerun) is skipped by the
-        fence; a base that has not moved is a no-op without a commit."""
+        fence; a base that has not moved is a no-op without a commit.
+
+        ``mode``: ``"incremental"`` (the O(churn) fold), ``"recompute"``
+        (full GROUP BY overwrite at the base's current version — same
+        fence), or ``"auto"`` — pick from manifest metadata alone:
+        recompute below ``RECOMPUTE_FLOOR_ROWS`` live base rows (the
+        measured local crossover) or when the unconsumed churn exceeds
+        ``RECOMPUTE_CHURN_FRACTION`` of the base; fold incrementally
+        otherwise. Either path lands the identical view state
+        (test-pinned), so the choice is purely a cost decision."""
+        if mode not in ("incremental", "recompute", "auto"):
+            raise TxError(f"refresh mode: {mode!r}")
         applied = self.applied_base_version()
         target = self.base.latest_version()
         if target <= applied:
             return {"refreshed_to": applied, "groups_touched": 0, "skipped": True}
+        if mode == "auto":
+            base_rows = self.base.row_count()
+            churn = self._churn_rows(applied + 1, target)
+            mode = (
+                "recompute"
+                if base_rows < self.RECOMPUTE_FLOOR_ROWS
+                or churn >= self.RECOMPUTE_CHURN_FRACTION * base_rows
+                else "incremental"
+            )
+        if mode == "recompute":
+            return self._recompute(target)
         g = self.spec["group_col"]
         measures = self.spec["measures"]
         minmax = {n: m for n, m in measures.items() if m["fn"] in ("min", "max")}
@@ -425,6 +503,7 @@ class TxAggView:
         )
         return {
             "refreshed_to": target,
+            "mode": "incremental",
             "groups_touched": delta.count(),
             "files_rewritten": r.get("files_rewritten", 0),
             "skipped": bool(r.get("skipped", False)),

@@ -83,7 +83,9 @@ def test_tx_rerun_is_idempotent_and_fenced(spark, tmp_path):
     # crash-replay at the SAME run_ts: the fact append is skipped by the
     # txn fence (no new version), dims are logically unchanged
     run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
-    assert t_sales.txn_version("etl_ce_sales") == int(T0.strftime("%Y%m%d%H%M%S"))
+    from data_warehouse_project_spark.etl.pipeline import _run_stamp
+
+    assert t_sales.txn_version("etl_ce_sales") == _run_stamp(T0)
     assert wh.tx("bl_3nf", "ce_sales").latest_version() == v1
     assert wh.tx("bl_3nf", "ce_sales").row_count() == rows1
     # a NEXT-day rerun over the same sources: anti-joins and
@@ -262,6 +264,20 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
     fact.delete(F.col("sale_src_id") == sample[0]["sale_src_id"], mode="dv")
     r = refresh_gold_views(wh)
     assert all(not v.get("skipped") for v in r.values())
+    # the sf-smoke fact is far below the measured ~10M-row crossover,
+    # so mode="auto" (default) picks the full recompute — same state
+    assert all(v.get("mode") == "recompute" for v in r.values())
+    check_all()
+
+    # more churn, then FORCE the incremental fold: identical state
+    late2 = [
+        {**row.asDict(), "sale_src_id": f"late2-{i}",
+         "extended_price": 67.89, "quantity": float(2 + i)}
+        for i, row in enumerate(sample)
+    ]
+    fact.append(spark.createDataFrame(late2, fact.read().schema))
+    r = refresh_gold_views(wh, mode="incremental")
+    assert all(v.get("mode") == "incremental" for v in r.values())
     assert all(v.get("groups_touched", 0) >= 1 for v in r.values())
     check_all()
 
@@ -303,3 +319,112 @@ def test_warehouse_footer_stats_on_tx_tables(spark, tmp_path):
     assert wh.footer_min_max("bl_3nf", "t", "id") is None
     # the Spark fallback (what callers do on None) is exact
     assert wh.read("bl_3nf", "t").agg(F.max("id")).first()[0] == 18
+
+
+def test_tx_fact_fence_lands_distinct_same_second_runs(spark, tmp_path):
+    """Two DISTINCT incremental runs launched within the same wall-clock
+    second must both land (the second-granularity stamp used to make
+    the fence treat the second one as a crash replay — silent data
+    loss); true replays of either run still fence exactly-once."""
+    from data_warehouse_project_spark.etl.pipeline import (
+        _run_stamp,
+        _tx_fact_append,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ts_a = dt.datetime(2024, 1, 2, 10, 0, 0, 100_000)
+    ts_b = dt.datetime(2024, 1, 2, 10, 0, 0, 700_000)  # same second
+    assert _run_stamp(ts_a) != _run_stamp(ts_b)
+    b1 = spark.createDataFrame([(1, 5)], "k long, v long")
+    b2 = spark.createDataFrame([(2, 6)], "k long, v long")
+    assert _tx_fact_append(wh, "f", b1, ts_a) == 1
+    assert _tx_fact_append(wh, "f", b2, ts_b) == 1, (
+        "a distinct run in the same second must not be fenced away"
+    )
+    # crash replays of either run are still exactly-once
+    assert _tx_fact_append(wh, "f", b2, ts_b) == 0
+    assert _tx_fact_append(wh, "f", b1, ts_a) == 0
+    assert wh.tx("bl_3nf", "f").row_count() == 2
+
+
+def test_tx_crash_mid_run_never_exposes_inconsistent_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """Whole-run atomic publish: a pipeline crash BETWEEN the dim and
+    fact stages leaves the catalog at the previous run's pins, so
+    ``Warehouse.snapshot_reader`` readers keep seeing the old,
+    cross-table-consistent state (new dims + old fact are never
+    observable together); the rerun completes and publishes exactly
+    once."""
+    import shutil
+
+    import data_warehouse_project_spark.etl.pipeline as pl
+
+    src = tmp_path / "src"
+    shutil.copytree(SF_SMOKE, src)
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, str(src), root, run_ts=T0, scd_strategy="tx")
+    wh = Warehouse(spark, root)
+    cat = wh.tx_catalog()
+    assert cat is not None
+    v_cat1 = cat.latest_version()
+    pins1 = cat.snapshot()
+    assert {"bl_3nf/ce_customers", "bl_3nf/ce_products_scd",
+            "bl_3nf/ce_sales"} <= set(pins1)
+
+    # mutate one customer upstream, then crash run 2 inside the fact
+    # stage — AFTER the dims committed their new versions
+    cust = spark.read.parquet(str(src / "customer.parquet"))
+    key = cust.select("c_custkey").orderBy("c_custkey").first()[0]
+    mutated = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") == key, F.lit("CRASHED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    tmp = tmp_path / "swap"
+    mutated.write.mode("overwrite").parquet(str(tmp))
+    tgt = src / "customer.parquet"
+    (tgt.unlink() if tgt.is_file() else shutil.rmtree(tgt))
+    shutil.move(str(tmp), str(tgt))
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before the fact append")
+
+    monkeypatch.setattr(pl, "_tx_fact_append", boom)
+    t1 = T0 + dt.timedelta(days=3)
+    with pytest.raises(RuntimeError):
+        run_full_etl(spark, str(src), root, run_ts=t1, scd_strategy="tx")
+    monkeypatch.undo()
+
+    # the dim table DID advance (direct read sees the new segment)...
+    direct = wh.read("bl_3nf", "ce_customers").filter(
+        F.col("customer_src_id") == int(key)
+    ).collect()
+    assert direct[0]["market_segment"] == "CRASHED"
+    # ...but the catalog never moved, and the pinned snapshot still
+    # shows the PRE-run consistent state
+    assert wh.tx_catalog().latest_version() == v_cat1
+    snap = wh.snapshot_reader()
+    pre = snap.read("bl_3nf", "ce_customers").filter(
+        F.col("customer_src_id") == int(key)
+    ).collect()
+    assert pre[0]["market_segment"] != "CRASHED"
+    assert snap.read("bl_3nf", "ce_sales").count() == wh.tx(
+        "bl_3nf", "ce_sales"
+    ).read(pins1["bl_3nf/ce_sales"]).count()
+
+    # rerun completes: ONE new catalog commit pins dims + fact together
+    run_full_etl(spark, str(src), root, run_ts=t1, scd_strategy="tx")
+    cat2 = wh.tx_catalog()
+    assert cat2.latest_version() == v_cat1 + 1
+    snap2 = wh.snapshot_reader()
+    post = snap2.read("bl_3nf", "ce_customers").filter(
+        F.col("customer_src_id") == int(key)
+    ).collect()
+    assert post[0]["market_segment"] == "CRASHED"
+    pins2 = cat2.snapshot()
+    assert pins2["bl_3nf/ce_customers"] > pins1["bl_3nf/ce_customers"]
+    # a replay of the SAME completed run publishes nothing new (fence)
+    run_full_etl(spark, str(src), root, run_ts=t1, scd_strategy="tx")
+    assert wh.tx_catalog().latest_version() == cat2.latest_version()

@@ -613,3 +613,54 @@ def test_view_equals_recompute_with_multi_commit_refresh_ranges(spark, tmp_path)
             ops_since_refresh = 0
     view.refresh()
     _view_equals_recompute(view, base, oracle)
+
+
+def test_view_auto_mode_picks_the_measured_side(spark, tmp_path, monkeypatch):
+    """refresh(mode='auto') chooses from manifest metadata alone:
+    recompute below the measured row-count crossover (or when churn is
+    a large base fraction), incremental above it — and both paths land
+    the identical, fenced view state."""
+    base = TxTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame(
+            [(i, i % 4, i * 3) for i in range(40)], "id long, g long, amt long"
+        ),
+        key="id",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"total": ("sum", "amt"), "lo": ("min", "amt")},
+    )
+    oracle = [
+        F.sum("amt").alias("total"),
+        F.min("amt").alias("lo"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    # below the ~10M floor: auto -> recompute (an 'overwrite' commit)
+    base.append(spark.createDataFrame([(100, 1, 7)], "id long, g long, amt long"))
+    r = view.refresh(mode="auto")
+    assert r["mode"] == "recompute"
+    assert view.table.history()[-1]["op"] == "overwrite"
+    _view_equals_recompute(view, base, oracle)
+    # replay fence: same base version -> skip, either mode
+    assert view.refresh(mode="auto")["skipped"]
+
+    # force the crossover the other way: tiny floor, huge churn bar
+    monkeypatch.setattr(TxAggView, "RECOMPUTE_FLOOR_ROWS", 1)
+    monkeypatch.setattr(TxAggView, "RECOMPUTE_CHURN_FRACTION", 1000.0)
+    base.append(spark.createDataFrame([(101, 2, -9)], "id long, g long, amt long"))
+    r = view.refresh(mode="auto")
+    assert r["mode"] == "incremental" and r["groups_touched"] == 1
+    assert view.table.history()[-1]["op"] == "rewrite"
+    _view_equals_recompute(view, base, oracle)
+
+    # churn dominating the base flips auto back to recompute even
+    # above the row floor
+    monkeypatch.setattr(TxAggView, "RECOMPUTE_CHURN_FRACTION", 0.0)
+    base.append(spark.createDataFrame([(102, 3, 5)], "id long, g long, amt long"))
+    r = view.refresh(mode="auto")
+    assert r["mode"] == "recompute"
+    _view_equals_recompute(view, base, oracle)
+    with pytest.raises(TxError, match="refresh mode"):
+        view.refresh(mode="bogus")
