@@ -15,7 +15,36 @@ from pyspark.sql import functions as F
 from data_warehouse_project_spark.sources.txtable import TxTable
 
 
-def test_concurrent_appends_lose_nothing(spark, tmp_path):
+@pytest.fixture(params=["link", "objstore"])
+def mk_handle(request):
+    """Handle factory parametrizing the racing suites over BOTH commit
+    claims: the local os.link primitive and the object-store double
+    (sources/objstore.DirectoryConditionalPutClaim — conditional PUT
+    with injected latency and 20% lost acks), so the Delta-shaped
+    claim contract is EXECUTED against object-store semantics, not
+    just documented."""
+    from data_warehouse_project_spark.sources.objstore import (
+        DirectoryConditionalPutClaim,
+    )
+
+    counter = [0]
+
+    def make(spark, root):
+        if request.param == "link":
+            return TxTable(spark, root)
+        counter[0] += 1
+        return TxTable(
+            spark,
+            root,
+            claim=DirectoryConditionalPutClaim(
+                latency_s=0.02, lost_ack_rate=0.2, seed=counter[0]
+            ),
+        )
+
+    return make
+
+
+def test_concurrent_appends_lose_nothing(spark, tmp_path, mk_handle):
     t0 = TxTable.create(
         spark,
         tmp_path / "t",
@@ -27,7 +56,7 @@ def test_concurrent_appends_lose_nothing(spark, tmp_path):
 
     def writer(w: int) -> None:
         try:
-            h = TxTable(spark, t0.root)  # own handle, shared log
+            h = mk_handle(spark, t0.root)  # own handle, shared log
             for s in range(n_batches):
                 h.append(
                     spark.createDataFrame([(w, s)], "writer long, seq long")
@@ -52,7 +81,7 @@ def test_concurrent_appends_lose_nothing(spark, tmp_path):
     assert ops == ["create"] + ["append"] * (n_writers * n_batches)
 
 
-def test_concurrent_fenced_appends_are_exactly_once(spark, tmp_path):
+def test_concurrent_fenced_appends_are_exactly_once(spark, tmp_path, mk_handle):
     """Two handles racing the SAME (app, batch) — e.g. a zombie
     executor replaying a foreachBatch alongside its successor — must
     land the batch exactly once: the loser's claim either fails and
@@ -67,7 +96,7 @@ def test_concurrent_fenced_appends_are_exactly_once(spark, tmp_path):
     results = []
 
     def racer(tag: int) -> None:
-        h = TxTable(spark, t0.root)
+        h = mk_handle(spark, t0.root)
         df = spark.createDataFrame([(tag,)], "x long")
         barrier.wait(timeout=60)
         results.append(h.append(df, txn=("app", 7)))
@@ -282,7 +311,7 @@ def test_fenced_twin_rebase_degrades_to_skip(spark, tmp_path):
     assert got[3] == 1, "first twin's effect wins exactly once"
 
 
-def test_racing_disjoint_mergers_all_succeed(spark, tmp_path):
+def test_racing_disjoint_mergers_all_succeed(spark, tmp_path, mk_handle):
     """Integration: writer threads merging DISJOINT key ranges of a
     clustered table never see a conflict (rebase absorbs the races) and
     every batch lands."""
@@ -300,7 +329,7 @@ def test_racing_disjoint_mergers_all_succeed(spark, tmp_path):
 
     def writer(w: int) -> None:
         try:
-            h = TxTable(spark, t0.root)
+            h = mk_handle(spark, t0.root)
             for s in range(n_batches):
                 lo = w * 100 + s * 20
                 h.merge(
