@@ -79,14 +79,16 @@ def main() -> None:
     # trial's per-stage breakdown goes to stderr + bench_stages.json so
     # a regression localizes to a stage instead of a total.
     stage_tables: dict[str, dict[str, float]] = {}
+    tx_root = None  # the last tx trial's warehouse feeds the CDC benches
     for label, strategy in (
         ("etl_full_pipeline", "snapshot"),
         ("etl_full_pipeline_merge", "merge"),
         ("etl_full_pipeline_tx", "tx"),
     ):
         etl_trials = []
-        for _ in range(2):
+        for i in range(2):
             wh_root = tempfile.mkdtemp(prefix="bench_wh_")
+            keep = strategy == "tx" and i == 1
             try:
                 t0 = time.perf_counter()
                 stages = run_full_etl(spark, sf_dir, wh_root, scd_strategy=strategy)
@@ -97,8 +99,79 @@ def main() -> None:
                     }
                 etl_trials.append(dt)
             finally:
-                shutil.rmtree(wh_root, ignore_errors=True)
+                if keep:
+                    tx_root = wh_root
+                else:
+                    shutil.rmtree(wh_root, ignore_errors=True)
         timings[label] = round(min(etl_trials), 3)
+
+    # CDC surfaces (round 10): the incremental gold-view churn-fold and
+    # a native txcdf stream drain, on the tx warehouse the ETL bench
+    # just built — perf-tracked so the change-feed path cannot silently
+    # regress round over round. The refresh is FORCED incremental (the
+    # 100 TB path under measurement; mode="auto" would recompute at
+    # this scale and measure the wrong plan).
+    try:
+        from pyspark.sql import functions as F
+
+        from data_warehouse_project_spark.etl import Warehouse
+        from data_warehouse_project_spark.etl.pipeline import refresh_gold_views
+
+        wh = Warehouse(spark, tx_root)
+        fact = wh.tx("bl_3nf", "ce_sales")
+        cdc_stages: dict[str, float] = {}
+        t0 = time.perf_counter()
+        refresh_gold_views(wh)  # first call: full view create (untimed entry)
+        cdc_stages["view_create"] = round(time.perf_counter() - t0, 3)
+        # churn shape: ~1% late-arriving rows + a ~0.1% correction delete
+        t0 = time.perf_counter()
+        late = (
+            fact.read()
+            .sample(0.01, seed=7)
+            .withColumn(
+                "sale_src_id", F.concat(F.lit("late-"), F.col("sale_src_id"))
+            )
+        )
+        fact.append(late)
+        fact.delete(F.col("order_key") % 997 == 0, mode="dv")
+        cdc_stages["churn_commits"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        r = refresh_gold_views(wh, mode="incremental")
+        cdc_stages["refresh_incremental"] = round(time.perf_counter() - t0, 3)
+        assert all(v.get("mode") == "incremental" for v in r.values()), r
+        timings["gold_views_refresh"] = cdc_stages["refresh_incremental"]
+        stage_tables["gold_views_refresh"] = cdc_stages
+
+        from data_warehouse_project_spark.sources.txcdf import TxCdfDataSource
+
+        try:
+            spark.dataSource.register(TxCdfDataSource)
+        except Exception:
+            pass  # already registered in this session
+        drain_dir = tempfile.mkdtemp(prefix="bench_cdf_")
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("txcdf")
+            .option("path", tx_root + "/bl_3nf/ce_sales")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", os.path.join(drain_dir, "out"))
+            .option("checkpointLocation", os.path.join(drain_dir, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        drain_s = round(time.perf_counter() - t0, 3)
+        timings["txcdf_stream_drain"] = drain_s
+        stage_tables["txcdf_stream_drain"] = {
+            "drain_full_history": drain_s,
+            "rows_drained": float(
+                spark.read.parquet(os.path.join(drain_dir, "out")).count()
+            ),
+        }
+        shutil.rmtree(drain_dir, ignore_errors=True)
+    finally:
+        shutil.rmtree(tx_root, ignore_errors=True)
 
     import sys
 
