@@ -627,6 +627,63 @@ class Warehouse:
                     removed += 1
         return {"restored": restored, "removed": removed}
 
+    def vacuum_tx(
+        self,
+        retain_runs: int = 2,
+        min_age_s: float | None = None,
+        force: bool = False,
+    ) -> dict:
+        """Space reclaim for the TRANSACTIONAL layer, snapshot-safe.
+
+        ``Warehouse.vacuum`` handles plain-parquet scratch; the tx
+        tables have their own commit-log retention, and vacuuming them
+        independently could reap a version the catalog still pins —
+        breaking ``snapshot_reader`` time travel. This goes through
+        ``TxCatalog.vacuum`` instead: the newest ``retain_runs``
+        catalog manifests survive, and every member table keeps every
+        version those manifests pin (plus its own latest). Gold views
+        (derived, unpinned) vacuum with the same retention count. A
+        warehouse with no published catalog falls back to per-table
+        retention on the bl_3nf tx tables.
+
+        ``min_age_s``/``force`` follow ``TxTable.vacuum``'s
+        concurrent-writer safety contract (default 1 h age floor).
+
+        Retention sizing note: ``TxAggView.refresh`` reads the fact's
+        change feed from its last applied version — vacuum the fact
+        slower than the slowest view/stream consumer or the feed raises
+        ``TxVacuumedError`` (loudly, never silently)."""
+        from data_warehouse_project_spark.sources.txtable import (
+            TXLOG_DIR,
+            TxTable,
+        )
+
+        kw: dict = {"force": force}
+        if min_age_s is not None:
+            kw["min_age_s"] = min_age_s
+        out: dict = {}
+        cat = self.tx_catalog()
+        if cat is not None:
+            out["catalog"] = cat.vacuum(retain_versions=retain_runs, **kw)
+        else:
+            for layer in ("bl_3nf",):
+                ldir = self.root / layer
+                if not ldir.is_dir():
+                    continue
+                for p in sorted(ldir.iterdir()):
+                    if (p / TXLOG_DIR).is_dir():
+                        out[f"{layer}/{p.name}"] = TxTable(
+                            self.spark, p
+                        ).vacuum(retain_versions=max(retain_runs, 1), **kw)
+        gold = self.root / "gold_views"
+        if gold.is_dir():
+            for p in sorted(gold.iterdir()):
+                if (p / TXLOG_DIR).is_dir():
+                    out[f"gold_views/{p.name}"] = TxTable(self.spark, p).vacuum(
+                        retain_versions=max(retain_runs, 1), **kw
+                    )
+        return out
+
     def compact(
         self,
         layer: str,

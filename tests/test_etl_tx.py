@@ -428,3 +428,76 @@ def test_tx_crash_mid_run_never_exposes_inconsistent_snapshot(
     # a replay of the SAME completed run publishes nothing new (fence)
     run_full_etl(spark, str(src), root, run_ts=t1, scd_strategy="tx")
     assert wh.tx_catalog().latest_version() == cat2.latest_version()
+
+
+def test_vacuum_tx_is_snapshot_safe(spark, tmp_path):
+    """Warehouse.vacuum_tx goes through the catalog so retention is in
+    RUNS: every table version a retained catalog manifest pins stays
+    readable (snapshot_reader time travel), and tightening retention
+    reclaims the old run's versions without touching the live one."""
+    import shutil
+
+    src = tmp_path / "src"
+    shutil.copytree(SF_SMOKE, src)
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, str(src), root, run_ts=T0, scd_strategy="tx")
+    wh = Warehouse(spark, root)
+    refresh_gold = __import__(
+        "data_warehouse_project_spark.etl.pipeline", fromlist=["refresh_gold_views"]
+    ).refresh_gold_views
+    refresh_gold(wh)
+
+    # run 2 with a changed customer so the dims really move
+    cust = spark.read.parquet(str(src / "customer.parquet"))
+    key = cust.select("c_custkey").orderBy("c_custkey").first()[0]
+    mutated = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") == key, F.lit("VAC")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    tmp = tmp_path / "swap"
+    mutated.write.mode("overwrite").parquet(str(tmp))
+    tgt = src / "customer.parquet"
+    shutil.rmtree(tgt) if tgt.is_dir() else tgt.unlink()
+    shutil.move(str(tmp), str(tgt))
+    run_full_etl(spark, str(src), root, run_ts=T0 + dt.timedelta(days=1),
+                 scd_strategy="tx")
+    refresh_gold(wh)
+
+    cat = wh.tx_catalog()
+    v_old, v_new = cat.latest_version() - 1, cat.latest_version()
+
+    # retain both runs: BOTH catalog snapshots must stay fully readable
+    wh.vacuum_tx(retain_runs=2, min_age_s=0, force=True)
+    for v in (v_old, v_new):
+        snap = wh.snapshot_reader(version=v)
+        assert snap.read("bl_3nf", "ce_customers").count() > 0
+        assert snap.read("bl_3nf", "ce_sales").count() > 0
+    old_seg = {
+        r["market_segment"]
+        for r in wh.snapshot_reader(version=v_old)
+        .read("bl_3nf", "ce_customers")
+        .filter(F.col("customer_src_id") == int(key))
+        .collect()
+    }
+    assert old_seg != {"VAC"}, "old run's snapshot survived the vacuum"
+
+    # tighten to 1 run: the old catalog snapshot goes away, the live
+    # one still reads, and the dims actually dropped manifests
+    r = wh.vacuum_tx(retain_runs=1, min_age_s=0, force=True)
+    assert r["catalog"], r
+    from data_warehouse_project_spark.sources.txtable import TxVacuumedError
+
+    with pytest.raises((TxVacuumedError, Exception)):
+        wh.snapshot_reader(version=v_old).read("bl_3nf", "ce_customers").count()
+    live = wh.snapshot_reader()
+    got = live.read("bl_3nf", "ce_customers").filter(
+        F.col("customer_src_id") == int(key)
+    ).collect()
+    assert got[0]["market_segment"] == "VAC"
+    # gold views were vacuumed too and still read
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    view = TxAggView(spark, wh.root / "gold_views" / "sales_by_customer")
+    assert view.read().count() > 0

@@ -63,6 +63,7 @@ def main() -> int:
             t[label] = round(time.perf_counter() - t0, 3)
         results[name] = t
 
+    tx_roots: dict[str, str] = {}  # scale label -> kept tx warehouse
     for strategy in ("snapshot", "merge", "tx"):
         t = {}
         for label, d in (("sf0.1", SF01), ("sf1", SF1)):
@@ -72,9 +73,70 @@ def main() -> int:
                 run_full_etl(spark, d, root, scd_strategy=strategy)
                 t[label] = round(time.perf_counter() - t0, 3)
             finally:
-                shutil.rmtree(root, ignore_errors=True)
+                if strategy == "tx":
+                    tx_roots[label] = root
+                else:
+                    shutil.rmtree(root, ignore_errors=True)
         suffix = "" if strategy == "snapshot" else f"_{strategy}"
         results[f"etl_full_pipeline{suffix}"] = t
+
+    # CDC surfaces on the kept tx warehouses: the incremental gold-view
+    # fold (churn scales WITH the base — same ~1% + ~0.1% shape as
+    # bench.py, so O(churn) must track the row ratio, not outgrow it)
+    # and a full-history txcdf stream drain (O(history rows)).
+    try:
+        from pyspark.sql import functions as F
+
+        from data_warehouse_project_spark.etl import Warehouse
+        from data_warehouse_project_spark.etl.pipeline import (
+            refresh_gold_views,
+        )
+        from data_warehouse_project_spark.sources.txcdf import TxCdfDataSource
+
+        try:
+            spark.dataSource.register(TxCdfDataSource)
+        except Exception:
+            pass
+        t_refresh: dict[str, float] = {}
+        t_drain: dict[str, float] = {}
+        for label in ("sf0.1", "sf1"):
+            wh = Warehouse(spark, tx_roots[label])
+            fact = wh.tx("bl_3nf", "ce_sales")
+            refresh_gold_views(wh)  # create (untimed)
+            late = (
+                fact.read()
+                .sample(0.01, seed=7)
+                .withColumn(
+                    "sale_src_id",
+                    F.concat(F.lit("late-"), F.col("sale_src_id")),
+                )
+            )
+            fact.append(late)
+            fact.delete(F.col("order_key") % 997 == 0, mode="dv")
+            t0 = time.perf_counter()
+            r = refresh_gold_views(wh, mode="incremental")
+            t_refresh[label] = round(time.perf_counter() - t0, 3)
+            assert all(v.get("mode") == "incremental" for v in r.values()), r
+            drain_dir = tempfile.mkdtemp(prefix="smoke_cdf_")
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.format("txcdf")
+                .option("path", tx_roots[label] + "/bl_3nf/ce_sales")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", f"{drain_dir}/out")
+                .option("checkpointLocation", f"{drain_dir}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(1200)
+            t_drain[label] = round(time.perf_counter() - t0, 3)
+            shutil.rmtree(drain_dir, ignore_errors=True)
+        results["gold_views_refresh"] = t_refresh
+        results["txcdf_stream_drain"] = t_drain
+    finally:
+        for root in tx_roots.values():
+            shutil.rmtree(root, ignore_errors=True)
 
     failures = 0
     print(f"{'entry':<34}{'sf0.1':>9}{'sf1':>9}{'ratio':>8}  verdict")
