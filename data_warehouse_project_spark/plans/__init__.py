@@ -40,6 +40,8 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 # mechanically: every never-green query must sit inside the prefix.
 _NEVER_DRIVER_GREEN_R9 = [
     "scd2_user_state_history",
+    # new in round 10 (never sampled yet): the native batch data source
+    "tx_pruned_snapshot_scan",
 ]
 
 # Round 9: front-load the last 14 queries never yet driver-hashed

@@ -531,3 +531,90 @@ def zorder_locality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_cell")
     )
+
+
+@register(
+    "tx_pruned_snapshot_scan",
+    oracle="""
+    WITH churned AS (
+      SELECT o_orderkey AS k, o_custkey, o_orderstatus FROM orders
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS k, o_custkey, o_orderstatus
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max
+    FROM churned
+    WHERE k % 13 <> 0 AND k BETWEEN 5000 AND 60000
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    doc="The transactional snapshot consumed through the NATIVE batch "
+    "data source (sources/txbatch.py): orders loaded into a TxTable "
+    "keyed on the order key, churned (append of shifted-key clones + a "
+    "deletion-vector delete), then read back via "
+    "spark.read.format('txtable') with pruneFiles=true — Catalyst "
+    "pushes the BETWEEN down and the source skips every file whose "
+    "manifest key range misses it before Spark sees a path. The oracle "
+    "recomputes the churned logical state in plain SQL, so what's "
+    "cross-checked is the whole loop: commit protocol, dv "
+    "merge-on-read in the Arrow executor path, manifest stat pruning, "
+    "and Spark's re-application of the pushed predicate over "
+    "straddling files. Reference analogue: any SQL client reading the "
+    "warehouse through the Postgres catalog (readme.md Data Analysis) "
+    "— here the catalog is the commit manifest. Scale shape: driver "
+    "plans O(live files) from one manifest JSON; a key-range probe on "
+    "a 100 TB table opens only intersecting files.",
+    tags=("tx", "source", "pruning"),
+    eager=True,
+    bench=True,
+)
+def tx_pruned_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txbatch import TxBatchDataSource
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    try:
+        spark.dataSource.register(TxBatchDataSource)
+    except Exception:
+        pass  # already registered in this session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="txbq_")
+    try:
+        t = TxTable.create(spark, tmp + "/t", o, key="k")
+        t.append(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                (F.col("k") + 1000000).alias("k"), "o_custkey", "o_orderstatus"
+            )
+        )
+        t.delete(F.expr("k % 13 = 0"), mode="dv")
+        df = (
+            spark.read.format("txtable")
+            .option("path", tmp + "/t")
+            .option("pruneFiles", "true")
+            .load()
+        )
+        res = (
+            df.filter((F.col("k") >= 5000) & (F.col("k") <= 60000))
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+                F.min("k").cast("bigint").alias("k_min"),
+                F.max("k").cast("bigint").alias("k_max"),
+            )
+            .orderBy("status")
+        )
+        # eager: the scratch table is deleted on return, so pin the
+        # (tiny) result before the finally block tears the files down
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -47,6 +47,11 @@ def get_spark(app_name: str = "dwp-spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python data sources (sources/txbatch.py) prune files against
+        # manifest stats from Catalyst's pushed filters; off by default
+        # in Spark 4.1. Runtime-settable, so sessions built elsewhere
+        # (the correctness driver's plain session) can enable it late.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # keep order_month=yyyyMM partition values as strings on read:
         # type inference would flip them to INT and break the (stringly
         # monotonic) watermark comparisons against date_format output

@@ -1,0 +1,338 @@
+"""``txtable`` — BATCH reads of the transactional table format as a
+first-class Spark data source (Spark 4 Python Data Source API), with
+manifest-statistics file skipping driven by Catalyst's pushed filters.
+
+``sources/txcdf.py`` already makes the table's change feed a native
+*streaming* source; this module is the snapshot half of the same
+packaging: register once, then the tx layer is consumable from plain
+DataFrame/SQL code with no ``TxTable`` import on the query side —
+
+    spark.dataSource.register(TxBatchDataSource)
+    df = (spark.read.format("txtable")
+          .option("path", table_root)
+          .option("versionAsOf", 7)        # or timestampAsOf
+          .load())
+    df.createOrReplaceTempView("sales")    # full Spark SQL from here
+
+Reference parity: the reference exposes every warehouse table to any
+SQL client through the Postgres catalog (readme.md "Data Analysis"
+section); this source is the Spark-native equivalent for the
+transactional layer — ``TxTable.read()`` needs the library,
+``format("txtable")`` needs only the registered name.
+
+Execution shape (the 100 TB contract):
+
+- the DRIVER plans from the commit manifest only — O(live files)
+  metadata, no listing, no footer reads (footer stats were hoisted
+  into the manifest at write time);
+- Catalyst pushes the query's conjunctive predicates down
+  (``pushFilters``); any comparison/equality/IN/NULL test on the
+  table's key or declared ``stats_cols`` prunes files against the
+  manifest's exact integer [min, max] (+ null-count) stats BEFORE
+  Spark sees a path — Delta-style data skipping, so a key-range query
+  on a z-ordered 100 TB table opens the few straddling files, not the
+  table. Every filter is also RETURNED to Spark as unsupported:
+  file-granularity skipping is approximate (straddling files carry
+  out-of-range rows), so Spark re-applies the exact predicate above
+  the scan. Correctness never depends on the pruning;
+- each surviving live file is one ``InputPartition``; EXECUTORS read
+  parquet (and the file's deletion-vector sidecar) with pyarrow and
+  emit Arrow record batches — columnar end to end, no Python row
+  loop, no SparkSession on the executor. Deletion vectors apply as a
+  sorted-position ``setdiff`` + ``take``, the merge-on-read half of
+  DV deletes at file scope;
+- schema is pinned to the requested snapshot's manifest; files
+  written before a schema evolution NULL-fill the evolved columns
+  (same rule as ``TxTable._read_files``).
+
+File skipping is OPT-IN per load — ``.option("pruneFiles", "true")``
+— because of a measured Spark 4.1 sharp edge this module refuses to
+expose by default: the JVM caches a Python source's planned read
+(partitions + read function) on the relation and re-plans ONLY when
+the new query has filters to push, so a filter-LESS query issued
+against the same DataFrame or temp view after a filtered one reuses
+the stale filter-pruned partition list and silently drops rows. (The
+probe in tests/test_txbatch_source.py pins it: count → filter.count →
+count on one DataFrame returns the pruned count the third time, and
+claiming the filters as supported does not change the replanning
+decision.) The default reader therefore implements no ``pushFilters``
+at all — its plan is filter-independent, correct under every reuse
+pattern, and needs no pushdown conf. Pass ``pruneFiles=true`` from
+code that builds a FRESH DataFrame per query (the engine's own
+helpers do) to get manifest skipping; that path also requires
+``spark.sql.python.filterPushdown.enabled`` (on in ``get_spark()``,
+runtime-settable elsewhere).
+
+Honest API gap: the Python data source API (Spark 4.1) exposes filter
+pushdown but NOT column pruning, so this path reads every column of
+the files it does open. ``TxTable.read()`` rides the JVM parquet scan
+(column pruning + row-group pushdown) and stays the hot path for wide
+tables; ``format("txtable")`` buys SQL-surface access + manifest
+skipping. Both return identical rows (test-pinned).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from data_warehouse_project_spark.sources.txcdf import _dv_positions
+from data_warehouse_project_spark.sources.txtable import (
+    TXLOG_DIR,
+    TxError,
+    TxVacuumedError,
+    _mname,
+)
+
+
+class TxFilePartition(InputPartition):
+    """One live data file of the snapshot. Self-contained: the executor
+    needs nothing but this object and pyarrow."""
+
+    def __init__(self, data_path, dv_path, schema_json):
+        self.data_path = data_path  # absolute parquet path (None = no rows)
+        self.dv_path = dv_path  # dv sidecar absolute path or None
+        self.schema_json = schema_json
+
+
+def _is_plain_int(v) -> bool:
+    # bool is an int subclass but footer stats never describe booleans
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+class TxBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = Path(options["path"])
+        self.log_dir = self.root / TXLOG_DIR
+        if not self.log_dir.is_dir():
+            raise TxError(f"not a transactional table: {self.root}")
+        if "versionAsOf" in options and "timestampAsOf" in options:
+            raise TxError("txtable: pass versionAsOf OR timestampAsOf")
+        version = (
+            int(options["versionAsOf"]) if "versionAsOf" in options else None
+        )
+        if "timestampAsOf" in options:
+            version = self._version_as_of(
+                options["timestampAsOf"].replace(" ", "T")
+            )
+        self.m = self._manifest(version)
+        self.schema_json = self.m["schema"]
+        self._filters: list = []
+
+    # ------------------------------------------------- manifest (driver)
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(p.name[1:21])
+            for p in self.log_dir.iterdir()
+            if p.name.startswith("v") and p.name.endswith(".json")
+        )
+
+    def _manifest(self, version: int | None) -> dict:
+        vs = self._versions()
+        if not vs:
+            raise TxError(f"no committed version in {self.log_dir}")
+        v = vs[-1] if version is None else version
+        p = self.log_dir / _mname(v)
+        if not p.exists():
+            raise TxVacuumedError(
+                f"version {v} is not on disk (retained: {vs[0]}..{vs[-1]})"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def _version_as_of(self, ts: str) -> int:
+        best = None
+        for v in self._versions():
+            if self._manifest(v)["ts"] <= ts:
+                best = v
+        if best is None:
+            raise TxError(f"no retained version committed at or before {ts!r}")
+        return best
+
+    # ----------------------------------------------- filter pruning
+    # (driven by the subclass's pushFilters; the base class never
+    # receives filters, so its plan is filter-independent)
+
+    def _stats_for(self, col: str):
+        """Columns with per-file stats: the table key (kmin/kmax/knulls)
+        and the declared stats_cols (cs)."""
+        if col == self.m.get("key"):
+            return "key"
+        if col in self.m.get("stats_cols", []):
+            return "cs"
+        return None
+
+    def _prunable(self, flt) -> bool:
+        attr = getattr(flt, "attribute", None)
+        if not (isinstance(attr, tuple) and len(attr) == 1):
+            return False
+        where = self._stats_for(attr[0])
+        if where is None:
+            return False
+        if isinstance(flt, (IsNull, IsNotNull)):
+            return where == "key"  # null counts ride the key stats only
+        if isinstance(flt, In):
+            return all(_is_plain_int(v) for v in flt.value)
+        if isinstance(
+            flt,
+            (
+                EqualTo,
+                EqualNullSafe,
+                GreaterThan,
+                GreaterThanOrEqual,
+                LessThan,
+                LessThanOrEqual,
+            ),
+        ):
+            return _is_plain_int(flt.value)
+        return False
+
+    def _may_match(self, entry: dict, flt) -> bool:
+        """True unless the file's manifest stats PROVE no row matches.
+        Missing stats are conservatively 'may match'. Footer stats
+        describe all physical rows incl. dv-deleted ones — a dv only
+        removes rows, so proving emptiness stays valid."""
+        col = flt.attribute[0]
+        if col == self.m.get("key"):
+            lo, hi = entry.get("kmin"), entry.get("kmax")
+            nulls = entry.get("knulls")
+        else:
+            r = entry.get("cs", {}).get(col)
+            lo, hi = (r[0], r[1]) if r else (None, None)
+            nulls = None
+        if isinstance(flt, IsNull):
+            return nulls is None or nulls > 0
+        if isinstance(flt, IsNotNull):
+            if lo is not None:
+                return True  # a recorded range means >=1 non-null value
+            if nulls is not None and nulls >= entry["rows"]:
+                return False  # every physical row is null
+            return True
+        if lo is None:
+            return True
+        if isinstance(flt, (EqualTo, EqualNullSafe)):
+            return lo <= flt.value <= hi
+        if isinstance(flt, In):
+            return any(lo <= v <= hi for v in flt.value)
+        if isinstance(flt, GreaterThan):
+            return hi > flt.value
+        if isinstance(flt, GreaterThanOrEqual):
+            return hi >= flt.value
+        if isinstance(flt, LessThan):
+            return lo < flt.value
+        if isinstance(flt, LessThanOrEqual):
+            return lo <= flt.value
+        return True
+
+    # ----------------------------------------------------------- plan
+
+    def partitions(self):
+        files = self.m["files"]
+        for flt in self._filters:
+            files = [f for f in files if self._may_match(f, flt)]
+        parts = [
+            TxFilePartition(
+                str(self.root / f["path"]),
+                str(self.root / f["dv"]["path"]) if "dv" in f else None,
+                self.schema_json,
+            )
+            for f in files
+        ]
+        return parts or [TxFilePartition(None, None, self.schema_json)]
+
+    # ----------------------------------------------------------- read
+
+    def read(self, partition: TxFilePartition):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if partition.data_path is None:
+            return
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = to_arrow_schema(
+            StructType.fromJson(json.loads(partition.schema_json))
+        )
+        tbl = pq.read_table(partition.data_path)
+        if partition.dv_path is not None:
+            dead = _dv_positions(
+                partition.dv_path, os.path.basename(partition.data_path)
+            )
+            if dead.size:
+                live = np.setdiff1d(
+                    np.arange(tbl.num_rows, dtype=np.int64),
+                    dead,
+                    assume_unique=True,
+                )
+                tbl = tbl.take(pa.array(live, type=pa.int64()))
+        n = tbl.num_rows
+        if n == 0:
+            return
+        cols = []
+        for f in schema:
+            if f.name in tbl.column_names:
+                cols.append(tbl.column(f.name).cast(f.type))
+            else:  # pre-evolution file: NULL-fill
+                cols.append(pa.nulls(n, type=f.type))
+        yield from pa.table(cols, schema=schema).to_batches()
+
+
+class TxBatchPruningReader(TxBatchReader):
+    """The opt-in pruning variant: implements ``pushFilters`` so
+    Catalyst hands the query's conjuncts over, and ``partitions()``
+    skips files the manifest stats prove empty. ONLY safe when the
+    DataFrame is built fresh per query — see the module docstring for
+    the stale-plan-reuse hazard that keeps this out of the default."""
+
+    def pushFilters(self, filters):
+        """Keep every filter usable for manifest-stat skipping; report
+        ALL filters back as unsupported so Spark re-applies them above
+        the scan (file-level pruning is approximate by design)."""
+        self._filters = [f for f in filters if self._prunable(f)]
+        return filters
+
+
+class TxBatchDataSource(DataSource):
+    """``spark.read.format("txtable").option("path", root)`` — options:
+    ``path`` (table root, required), ``versionAsOf`` (int),
+    ``timestampAsOf`` (ISO-8601; mutually exclusive with versionAsOf),
+    ``pruneFiles`` ("true" to skip files via manifest stats + pushed
+    filters; needs spark.sql.python.filterPushdown.enabled and a fresh
+    DataFrame per query — module docstring has the why)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable"
+
+    def _cls(self):
+        prune = str(self.options.get("pruneFiles", "false")).lower() == "true"
+        return TxBatchPruningReader if prune else TxBatchReader
+
+    def schema(self):
+        return StructType.fromJson(
+            json.loads(TxBatchReader(self.options).schema_json)
+        )
+
+    def reader(self, schema):
+        # always a fresh reader: one DataSource instance is reused
+        # across plannings, and pushFilters state must never leak
+        return self._cls()(self.options)
