@@ -984,6 +984,10 @@ GOLD_VIEWS: dict[str, tuple[str, dict]] = {
         {
             "revenue_cents": ("sum", "cast(round(extended_price * 100) as bigint)"),
             "n_sales": ("count", "sale_src_id"),
+            # distinct buyers per month, incrementally maintained as an
+            # HLL sketch: appends FOLD (union), deletes dirty-repair —
+            # the one ε-approximate gold measure (see txview docstring)
+            "approx_buyers": ("approx_distinct", "customer_id"),
         },
     ),
 }

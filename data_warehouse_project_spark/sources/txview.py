@@ -31,6 +31,18 @@ Data Eng. Bulletin 1995):
   the base table against the dirty-group set: O(churn + dirty groups'
   base rows), still never O(table) unless every group loses its
   extremum at once.
+- APPROX_DISTINCT maintains a per-group HyperLogLog sketch (Spark's
+  Apache DataSketches ``hll_sketch_agg`` / ``hll_union`` /
+  ``hll_sketch_estimate``). DISTINCT counts are the textbook
+  non-self-maintainable aggregate — an exact incremental distinct
+  would need the full value multiset per group — but the sketch makes
+  INSERTS foldable (HLL union is lossless on the register state), so
+  the common append-mostly fact workload refreshes in O(churn).
+  Deletes dirty the group (sketches are not subtractable) and ride
+  the same base-repair path as MIN/MAX. The one measure where the
+  view is ε-approximate BY CONTRACT: estimates carry HLL's standard
+  ~1.6% relative error at the default lgK=12, and the test pins a 5%
+  envelope against the exact distinct count plus refresh determinism.
 
 Exactness contract: SUM/AVG measure expressions should be
 integer-valued (cents, micros — the house rule for every
@@ -61,7 +73,7 @@ from .txtable import TXLOG_DIR, TxError, TxTable, _live
 
 _SIDECAR = "_view.json"
 _N = "n_rows"  # hidden support count: a group at 0 leaves the view
-_FNS = ("sum", "count", "avg", "min", "max")
+_FNS = ("sum", "count", "avg", "min", "max", "approx_distinct")
 
 
 def _signed(changes: DataFrame) -> DataFrame:
@@ -109,8 +121,10 @@ def _physical_agg(measures: dict[str, dict]) -> list:
             aggs.append(F.count(e).alias(f"__c_{n}"))
         elif m["fn"] == "min":
             aggs.append(F.min(e).alias(f"__m_{n}"))
-        else:  # max
+        elif m["fn"] == "max":
             aggs.append(F.max(e).alias(f"__m_{n}"))
+        else:  # approx_distinct: the HLL sketch IS the physical state
+            aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
     aggs.append(F.count(F.lit(1)).alias(_N))
     return aggs
 
@@ -122,7 +136,8 @@ class TxAggView:
 
     ``measures`` maps output column -> SQL expression over base columns
     (bare string = SUM) or ``(fn, expr)`` with fn in sum / count / avg
-    / min / max. ``read()`` projects the logical view: the group
+    / min / max / approx_distinct. ``read()`` projects the logical
+    view: the group
     column, each measure under its own name with exact SQL aggregate
     semantics (NULL for empty-of-non-null SUM/AVG), plus ``n_rows``
     (the group's live row count). Groups whose count reaches zero are
@@ -225,6 +240,15 @@ class TxAggView:
                 )
             elif m["fn"] == "count":
                 cols.append(F.col(f"__c_{n}").alias(n))
+            elif m["fn"] == "approx_distinct":
+                # COUNT(DISTINCT ...) semantics: 0 for no non-null
+                # values, never NULL (an all-null group's sketch is the
+                # EMPTY sketch, estimate 0 — test-pinned)
+                cols.append(
+                    F.coalesce(
+                        F.hll_sketch_estimate(F.col(f"__h_{n}")), F.lit(0)
+                    ).alias(n)
+                )
             else:  # min / max
                 cols.append(F.col(f"__m_{n}").alias(n))
         cols.append(F.col(_N))
@@ -320,7 +344,15 @@ class TxAggView:
             return self._recompute(target)
         g = self.spec["group_col"]
         measures = self.spec["measures"]
-        minmax = {n: m for n, m in measures.items() if m["fn"] in ("min", "max")}
+        # measures that need a base repair when a delete can invalidate
+        # the folded state: MIN/MAX (extremal row died) and
+        # APPROX_DISTINCT (sketches are not subtractable — ANY deleted
+        # non-null value dirties the group)
+        repairable = {
+            n: m
+            for n, m in measures.items()
+            if m["fn"] in ("min", "max", "approx_distinct")
+        }
 
         sign = F.col("__vw_sign")
         delta_aggs = []
@@ -340,6 +372,17 @@ class TxAggView:
             if m["fn"] == "max":
                 delta_aggs.append(F.max(F.when(sign > 0, e)).alias(f"__i_{n}"))
                 delta_aggs.append(F.max(F.when(sign < 0, e)).alias(f"__x_{n}"))
+            if m["fn"] == "approx_distinct":
+                delta_aggs.append(
+                    F.hll_sketch_agg(F.when(sign > 0, e)).alias(f"__i_{n}")
+                )
+                delta_aggs.append(
+                    F.sum(
+                        F.when((sign < 0) & e.isNotNull(), F.lit(1)).otherwise(
+                            F.lit(0)
+                        )
+                    ).alias(f"__x_{n}")
+                )
         delta_aggs.append(F.sum(sign).alias(_N))
         delta = (
             _signed(self.base.read_changes(applied + 1, target))
@@ -382,6 +425,27 @@ class TxAggView:
                     out_cols.append(combine_cnt(n))
                 elif m["fn"] == "count":
                     out_cols.append(combine_cnt(n))
+                elif m["fn"] == "approx_distinct":
+                    vh = F.col(f"v.__h_{n}")
+                    ins = F.col(f"d.__i_{n}")
+                    dead = F.col(f"d.__x_{n}")
+                    # inserts FOLD (HLL union is lossless on the
+                    # register state); deletes cannot be subtracted
+                    # from a sketch, so any deleted non-null value
+                    # sends the group to the base-repair path
+                    dirty = F.coalesce(dead, F.lit(0)) > 0
+                    fold = (
+                        F.when(vh.isNull(), ins)
+                        .when(ins.isNull(), vh)
+                        .otherwise(F.hll_union(vh, ins))
+                    )
+                    out_cols.append(
+                        F.when(dirty, F.lit(None)).otherwise(fold).alias(
+                            f"__h_{n}"
+                        )
+                    )
+                    out_cols.append(dirty.alias(f"__dirty_{n}"))
+                    dirty_flags.append(f"__dirty_{n}")
                 else:
                     vm = F.col(f"v.__m_{n}")
                     ins = F.col(f"d.__i_{n}")
@@ -434,6 +498,14 @@ class TxAggView:
                             ).cast("boolean"),
                         ).otherwise(F.col(_N) > 0)
                     )
+                def repair_agg(n: str, m: dict):
+                    e = F.expr(m["expr"])
+                    if m["fn"] == "min":
+                        return F.min(e).alias(f"__r_{n}")
+                    if m["fn"] == "max":
+                        return F.max(e).alias(f"__r_{n}")
+                    return F.hll_sketch_agg(e).alias(f"__r_{n}")
+
                 dirty_keys = out.filter(any_dirty).select(g)
                 rep = (
                     self.base.read(target)
@@ -444,15 +516,26 @@ class TxAggView:
                         "left_semi",
                     )
                     .groupBy(g)
-                    .agg(
-                        *[
-                            (F.min if m["fn"] == "min" else F.max)(
-                                F.expr(m["expr"])
-                            ).alias(f"__r_{n}")
-                            for n, m in minmax.items()
-                        ]
-                    )
+                    .agg(*[repair_agg(n, m) for n, m in repairable.items()])
                 )
+
+                def repaired_cols(n: str, m: dict) -> list:
+                    if m["fn"] in ("sum", "avg"):
+                        return [
+                            F.col(f"m.__s_{n}").alias(f"__s_{n}"),
+                            F.col(f"m.__c_{n}").alias(f"__c_{n}"),
+                        ]
+                    if m["fn"] == "count":
+                        return [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
+                    phys = "__h_" if m["fn"] == "approx_distinct" else "__m_"
+                    return [
+                        F.when(
+                            F.col(f"m.__dirty_{n}"), F.col(f"r.__r_{n}")
+                        )
+                        .otherwise(F.col(f"m.{phys}{n}"))
+                        .alias(f"{phys}{n}")
+                    ]
+
                 out = (
                     out.alias("m")
                     .join(
@@ -465,21 +548,7 @@ class TxAggView:
                         *[
                             c
                             for n, m in measures.items()
-                            for c in (
-                                [F.col(f"m.__s_{n}").alias(f"__s_{n}"),
-                                 F.col(f"m.__c_{n}").alias(f"__c_{n}")]
-                                if m["fn"] in ("sum", "avg")
-                                else [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
-                                if m["fn"] == "count"
-                                else [
-                                    F.when(
-                                        F.col(f"m.__dirty_{n}"),
-                                        F.col(f"r.__r_{n}"),
-                                    )
-                                    .otherwise(F.col(f"m.__m_{n}"))
-                                    .alias(f"__m_{n}")
-                                ]
-                            )
+                            for c in repaired_cols(n, m)
                         ],
                         F.col(f"m.{_N}").alias(_N),
                     )

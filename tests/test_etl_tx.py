@@ -230,8 +230,12 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
             aggs = []
             for out_name, (fn, expr) in measures.items():
                 e = F.expr(expr)
+                # approx_distinct: exact at sf-smoke cardinality (the
+                # DataSketches HLL stays in its exact SET mode well
+                # past the distinct buyers a smoke month has)
                 agg = {"sum": F.sum, "count": F.count, "avg": F.avg,
-                       "min": F.min, "max": F.max}[fn](e)
+                       "min": F.min, "max": F.max,
+                       "approx_distinct": F.countDistinct}[fn](e)
                 aggs.append(agg.alias(out_name))
             aggs.append(F.count(F.lit(1)).alias("n_rows"))
             want_df = wh.read("bl_3nf", "ce_sales").groupBy(g).agg(*aggs)

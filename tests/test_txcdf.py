@@ -664,3 +664,155 @@ def test_view_auto_mode_picks_the_measured_side(spark, tmp_path, monkeypatch):
     _view_equals_recompute(view, base, oracle)
     with pytest.raises(TxError, match="refresh mode"):
         view.refresh(mode="bogus")
+
+
+def test_view_approx_distinct_small_cardinality_is_exact(spark, tmp_path):
+    """APPROX_DISTINCT via HLL sketches: at small per-group cardinality
+    the DataSketches HLL is exact (LIST/SET promotion modes), so every
+    maintenance path — insert fold (union), duplicate re-inserts,
+    delete repair (cow AND dv), NULL values, NULL group, group born
+    and killed — pins EXACTLY to COUNT(DISTINCT) of a recompute."""
+    rows = [(i, i % 3, (i * 7) % 11) for i in range(30)] + [
+        (100, None, 5),     # NULL group
+        (101, 9, None),     # all-NULL-value group -> nd = 0
+        (102, 9, None),
+    ]
+    base = TxTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame(rows, "id long, g long, v long"),
+        key="id",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"nd": ("approx_distinct", "v"), "n_v": ("count", "v")},
+    )
+    oracle = [
+        F.countDistinct("v").alias("nd"),
+        F.count("v").alias("n_v"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    _view_equals_recompute(view, base, oracle)
+
+    # insert fold: duplicates must not inflate the distinct count
+    base.append(spark.createDataFrame(
+        [(200, 0, 0), (201, 0, 0), (202, 0, 999), (203, None, 5)],
+        "id long, g long, v long"))
+    view.refresh()
+    _view_equals_recompute(view, base, oracle)
+
+    # deletes dirty the group -> base repair (both delete mechanisms);
+    # the duplicate value 0 must SURVIVE one copy's deletion
+    base.delete(F.col("id") == 200)               # copy-on-write
+    base.delete(F.col("id") == 202, mode="dv")    # deletion vector
+    view.refresh()
+    _view_equals_recompute(view, base, oracle)
+
+    # group killed entirely leaves the view; born-and-churned in one
+    # multi-commit range folds correctly
+    base.delete(F.col("g") == 1)
+    base.append(spark.createDataFrame(
+        [(300, 50, 1), (301, 50, 1), (302, 50, 2)], "id long, g long, v long"))
+    base.delete(F.col("id") == 301)
+    view.refresh()  # one range: delete + births + delete
+    _view_equals_recompute(view, base, oracle)
+
+
+def test_view_approx_distinct_insert_only_never_reads_base(spark, tmp_path):
+    """Append-only churn on an APPROX_DISTINCT view folds sketches
+    without touching the base (deletes are what dirty a group), so the
+    common fact workload keeps the O(churn) refresh shape."""
+    base = TxTable.create(
+        spark,
+        tmp_path / "base",
+        spark.createDataFrame([(0, 0, 1)], "id long, g long, v long"),
+        key="id",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"nd": ("approx_distinct", "v")},
+    )
+    base.append(spark.createDataFrame(
+        [(1, 0, 1), (2, 0, 2), (3, 5, 9)], "id long, g long, v long"))
+
+    real_read = view.base.read
+
+    def guarded_read(*a, **kw):
+        raise AssertionError(
+            "insert-only approx_distinct refresh read the base table"
+        )
+
+    view.base.read = guarded_read
+    try:
+        r = view.refresh()
+    finally:
+        view.base.read = real_read
+    assert r["groups_touched"] == 2
+    oracle = [
+        F.countDistinct("v").alias("nd"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    _view_equals_recompute(view, base, oracle)
+
+
+def test_view_approx_distinct_envelope_and_determinism_at_scale(spark, tmp_path):
+    """Past the sketch's exact regime the contract is ε-approximation:
+    estimates stay within 5% of the exact distinct count (default
+    lgK=12 gives ~1.6% typical), the incremental fold lands within the
+    same envelope as a recompute refresh, and rebuilding the identical
+    view is bit-deterministic."""
+    big = spark.range(0, 60000).select(
+        F.col("id").alias("id"),
+        (F.col("id") % 3).alias("g"),
+        # ~20k distinct values per group, with collisions
+        ((F.col("id") * 2654435761) % 20011).alias("v"),
+    )
+    base = TxTable.create(spark, tmp_path / "base", big, key="id")
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"nd": ("approx_distinct", "v")},
+    )
+    base.append(
+        spark.range(60000, 90000).select(
+            F.col("id").alias("id"),
+            (F.col("id") % 3).alias("g"),
+            ((F.col("id") * 1099511628211) % 40009).alias("v"),
+        )
+    )
+    view.refresh()  # pure-insert union fold
+    got = {r["g"]: r["nd"] for r in view.read().collect()}
+    exact = {
+        r["g"]: r["x"]
+        for r in base.read().groupBy("g").agg(F.countDistinct("v").alias("x")).collect()
+    }
+    for g in exact:
+        assert abs(got[g] - exact[g]) <= 0.05 * exact[g], (g, got[g], exact[g])
+
+    # determinism: same base history + same refresh schedule -> same estimates
+    base2 = TxTable.create(spark, tmp_path / "base2", big, key="id")
+    view2 = TxAggView.create(
+        spark, tmp_path / "view2", base2, group_col="g",
+        measures={"nd": ("approx_distinct", "v")},
+    )
+    base2.append(
+        spark.range(60000, 90000).select(
+            F.col("id").alias("id"),
+            (F.col("id") % 3).alias("g"),
+            ((F.col("id") * 1099511628211) % 40009).alias("v"),
+        )
+    )
+    view2.refresh()
+    assert {r["g"]: r["nd"] for r in view2.read().collect()} == got
+
+    # a recompute refresh lands in the same envelope (estimates may
+    # differ from the fold by sketch-merge order, never by much)
+    base.delete(F.col("id") % 1000 == 7, mode="dv")
+    r = view.refresh(mode="recompute")
+    assert r["mode"] == "recompute"
+    exact2 = {
+        r["g"]: r["x"]
+        for r in base.read().groupBy("g").agg(F.countDistinct("v").alias("x")).collect()
+    }
+    got_rc = {r["g"]: r["nd"] for r in view.read().collect()}
+    for g in exact2:
+        assert abs(got_rc[g] - exact2[g]) <= 0.05 * exact2[g]
