@@ -1,6 +1,7 @@
-"""``txtable`` — BATCH reads of the transactional table format as a
-first-class Spark data source (Spark 4 Python Data Source API), with
-manifest-statistics file skipping driven by Catalyst's pushed filters.
+"""``txtable`` — BATCH reads AND writes of the transactional table
+format as a first-class Spark data source (Spark 4 Python Data Source
+API), with manifest-statistics file skipping driven by Catalyst's
+pushed filters.
 
 ``sources/txcdf.py`` already makes the table's change feed a native
 *streaming* source; this module is the snapshot half of the same
@@ -13,6 +14,9 @@ DataFrame/SQL code with no ``TxTable`` import on the query side —
           .option("versionAsOf", 7)        # or timestampAsOf
           .load())
     df.createOrReplaceTempView("sales")    # full Spark SQL from here
+
+    out.write.format("txtable").option("path", table_root) \\
+       .mode("append").save()              # ACID append (TxBatchWriter)
 
 Reference parity: the reference exposes every warehouse table to any
 SQL client through the Postgres catalog (readme.md "Data Analysis"
@@ -79,6 +83,7 @@ from pathlib import Path
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualNullSafe,
     EqualTo,
@@ -90,14 +95,19 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from data_warehouse_project_spark.sources.txcdf import _dv_positions
 from data_warehouse_project_spark.sources.txtable import (
+    DATA_DIR,
     TXLOG_DIR,
     TxError,
+    TxTable,
     TxVacuumedError,
+    _footer_nulls,
+    _footer_range,
     _mname,
 )
 
@@ -311,6 +321,182 @@ class TxBatchPruningReader(TxBatchReader):
         return filters
 
 
+class TxWriteCommit(WriterCommitMessage):
+    """One task's written file: its absolute path (for abort cleanup)
+    and its prebuilt manifest entry (rows + footer stats)."""
+
+    def __init__(self, path, entry):
+        self.path = path
+        self.entry = entry
+
+
+def _schema_types(schema_json: str) -> dict:
+    return {
+        f["name"]: f["type"] for f in json.loads(schema_json)["fields"]
+    }
+
+
+class TxBatchWriter(DataSourceArrowWriter):
+    """The write half of ``format("txtable")`` — Delta-shaped batch
+    writes from plain ``df.write``:
+
+        df.write.format("txtable").option("path", root) \\
+          .mode("append").save()        # or mode("overwrite")
+
+    EXECUTORS stream their Arrow record batches straight into one
+    uniquely-named parquet file each under ``data/`` (invisible until a
+    manifest references them — the same staging contract as
+    ``TxTable._write_files``) and return the file's manifest entry
+    built from its own footer (rows, key min/max + null count,
+    declared stats columns). The DRIVER-side ``commit`` then runs the
+    ordinary claim protocol via ``TxTable.commit_prewritten`` — fence,
+    lost-race retry, conflict semantics all identical to
+    ``TxTable.append``/``overwrite``. ``abort`` deletes the orphans.
+
+    Options: ``txnAppId`` + ``txnVersion`` make the write idempotent
+    (the foreachBatch exactly-once fence); on a path that is not yet a
+    table, ``key`` and ``statsCols`` (comma-separated) declare the
+    layout and the write commits as version 0 (CREATE).
+
+    Honest limits, enforced loudly at plan time: the batch schema must
+    EQUAL the table schema (no mergeSchema through this path), and
+    CHECK-constrained tables refuse (enforcement is in-plan on the
+    write job; prewritten files would bypass it)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.root = Path(options["path"])
+        self.overwrite = overwrite
+        self.schema_json = json.dumps(schema.jsonValue())
+        self.txn = None
+        if "txnAppId" in options or "txnVersion" in options:
+            if not ("txnAppId" in options and "txnVersion" in options):
+                raise TxError("txnAppId and txnVersion come together")
+            self.txn = (options["txnAppId"], int(options["txnVersion"]))
+        self.creating = not (self.root / TXLOG_DIR).is_dir()
+        names = {f.name for f in schema.fields}
+        if self.creating:
+            self.key = options.get("key")
+            self.stats_cols = [
+                c for c in options.get("statsCols", "").split(",") if c
+            ]
+            for c in ([self.key] if self.key else []) + self.stats_cols:
+                if c not in names:
+                    raise TxError(f"declared column {c!r} not in batch schema")
+            (self.root / TXLOG_DIR).mkdir(parents=True, exist_ok=True)
+            (self.root / DATA_DIR).mkdir(exist_ok=True)
+        else:
+            # fail BEFORE any task runs: schema mismatch / CHECKs
+            vs = sorted(
+                int(p.name[1:21])
+                for p in (self.root / TXLOG_DIR).iterdir()
+                if p.name.startswith("v") and p.name.endswith(".json")
+            )
+            if not vs:
+                raise TxError(f"no committed version in {self.root}")
+            with open(self.root / TXLOG_DIR / _mname(vs[-1])) as f:
+                m = json.load(f)
+            if m.get("checks"):
+                raise TxError(
+                    "the batch writer cannot enforce CHECK constraints "
+                    f"({sorted(m['checks'])}) — use TxTable.append"
+                )
+            if _schema_types(self.schema_json) != _schema_types(m["schema"]):
+                raise TxError(
+                    "batch schema != table schema (no schema evolution "
+                    "through the batch writer — use TxTable.append("
+                    "merge_schema=True))"
+                )
+            self.key = m["key"]
+            self.stats_cols = m.get("stats_cols") or []
+
+    # ------------------------------------------------------ executors
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        path = self.root / DATA_DIR / f"{uuid.uuid4().hex}.parquet"
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(str(path), batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return TxWriteCommit(None, None)  # empty task
+        md = pq.ParquetFile(str(path)).metadata
+        if md.num_rows == 0:
+            os.unlink(path)
+            return TxWriteCommit(None, None)
+        entry: dict = {"path": f"{DATA_DIR}/{path.name}", "rows": md.num_rows}
+        if self.key is not None:
+            r = _footer_range(md, self.key)
+            if r is not None:
+                entry["kmin"], entry["kmax"] = r
+                nulls = _footer_nulls(md, self.key)
+                if nulls is not None:
+                    entry["knulls"] = nulls
+        cs = {}
+        for c in self.stats_cols:
+            if c == self.key:
+                continue
+            r = _footer_range(md, c)
+            if r is not None:
+                cs[c] = [r[0], r[1]]
+        if cs:
+            entry["cs"] = cs
+        return TxWriteCommit(str(path), entry)
+
+    # --------------------------------------------------------- driver
+
+    def commit(self, messages):
+        entries = [m.entry for m in messages if m is not None and m.entry]
+        rows = sum(e["rows"] for e in entries)
+        if self.creating:
+            t = TxTable(None, self.root)
+            t._commit(
+                0,
+                "create",
+                entries,
+                self.schema_json,
+                self.key,
+                {"rows_written": rows},
+                stats_cols=self.stats_cols,
+            )
+            return
+        if not entries and not self.overwrite and self.txn is None:
+            return  # empty append: nothing to claim
+        TxTable(None, self.root).commit_prewritten(
+            entries,
+            "overwrite" if self.overwrite else "append",
+            self.schema_json,
+            txn=self.txn,
+        )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.unlink(m.path)
+                except FileNotFoundError:
+                    pass
+        if self.creating:
+            # no manifest ever landed: remove the husk so TxTable.create
+            # / a retried write can claim the path again
+            log_dir = self.root / TXLOG_DIR
+            try:
+                if not any(
+                    p.name.endswith(".json") for p in log_dir.iterdir()
+                ):
+                    log_dir.rmdir()
+            except OSError:
+                pass
+
+
 class TxBatchDataSource(DataSource):
     """``spark.read.format("txtable").option("path", root)`` — options:
     ``path`` (table root, required), ``versionAsOf`` (int),
@@ -336,3 +522,6 @@ class TxBatchDataSource(DataSource):
         # always a fresh reader: one DataSource instance is reused
         # across plannings, and pushFilters state must never leak
         return self._cls()(self.options)
+
+    def writer(self, schema, overwrite):
+        return TxBatchWriter(self.options, schema, overwrite)

@@ -851,6 +851,80 @@ class TxTable:
             f"append lost the commit race {_APPEND_RETRIES} times"
         )
 
+    def commit_prewritten(
+        self,
+        entries: list[dict],
+        op: str,
+        schema_json: str,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Commit data files ALREADY sitting under ``data/`` (manifest
+        entries prebuilt from their footers) as an ``append`` or
+        ``overwrite`` — the driver half of the native batch writer
+        (sources/txbatch.py), whose EXECUTORS write the parquet with
+        pyarrow and must not round-trip rows through a DataFrame again.
+
+        Runs without a SparkSession (manifest JSON + claim protocol
+        only), so it is callable from a Python data source worker.
+        Consequences, both surfaced loudly rather than silently
+        weakened: the batch schema must EQUAL the table schema (no
+        mergeSchema through this path), and tables carrying CHECK
+        constraints refuse (enforcement is in-plan on the write job;
+        prewritten files bypassed it — use ``TxTable.append``).
+
+        Same fence + lost-race retry contract as ``append``; an
+        overwrite claims exactly once like ``overwrite``."""
+        if op not in ("append", "overwrite"):
+            raise TxError(f"commit_prewritten: op {op!r}")
+        want = {
+            f["name"]: f["type"]
+            for f in json.loads(schema_json)["fields"]
+        }
+        rows = sum(f["rows"] for f in entries)
+        for _ in range(_APPEND_RETRIES):
+            m = self._manifest()
+            if m.get("checks"):
+                raise TxError(
+                    "commit_prewritten cannot enforce CHECK constraints "
+                    f"({sorted(m['checks'])}) — write through "
+                    "TxTable.append/overwrite instead"
+                )
+            have = {
+                f["name"]: f["type"]
+                for f in json.loads(m["schema"])["fields"]
+            }
+            if want != have:
+                raise TxError(
+                    f"batch schema {sorted(want)} != table schema "
+                    f"{sorted(have)} (no schema evolution through the "
+                    "batch writer)"
+                )
+            skip, txns = _fence(m, txn)
+            if skip:
+                return {"rows": 0, "version": m["version"], "skipped": True}
+            files = m["files"] + entries if op == "append" else entries
+            metric = "rows_appended" if op == "append" else "rows_written"
+            try:
+                self._commit(
+                    m["version"] + 1,
+                    op,
+                    files,
+                    m["schema"],
+                    m["key"],
+                    {metric: rows},
+                    txns,
+                    m.get("checks", {}),
+                    m.get("stats_cols"),
+                )
+                return {metric: rows, "version": m["version"] + 1}
+            except TxConflictError:
+                if op == "overwrite":
+                    raise  # snapshot-replacing: caller must re-decide
+                continue
+        raise TxConflictError(
+            f"commit_prewritten lost the commit race {_APPEND_RETRIES} times"
+        )
+
     def overwrite(
         self,
         df: DataFrame,

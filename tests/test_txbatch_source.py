@@ -292,3 +292,145 @@ def test_all_rows_deleted_reads_empty(registered, tmp_path):
 def test_not_a_tx_table_raises(registered, tmp_path):
     with pytest.raises(TxError, match="not a transactional table"):
         TxBatchReader({"path": str(tmp_path / "nope")})
+
+
+# --------------------------------------------------------------- writer
+
+
+def _w(df, root, mode="append", **opts):
+    w = df.write.format("txtable").option("path", str(root)).mode(mode)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save()
+
+
+def test_writer_create_append_overwrite_roundtrip(registered, tmp_path):
+    """df.write.format('txtable'): CREATE with declared key/stats,
+    append, fenced idempotent replay, overwrite — all landing the same
+    state and manifest stats a TxTable-API write would."""
+    import datetime as dt
+
+    spark = registered
+    root = tmp_path / "t"
+    df = spark.createDataFrame(
+        [
+            (i, f"n{i}", dt.date(2024, 1, 1 + i % 28), dt.datetime(2024, 1, 1, i % 24))
+            for i in range(200)
+        ],
+        "k long, name string, d date, ts timestamp",
+    )
+    _w(df, root, key="k", statsCols="k")
+    t = TxTable(spark, root)
+    assert t.latest_version() == 0
+    assert t._manifest()["key"] == "k"
+    assert _bag(t.read()) == _bag(df)
+    ent = t._manifest()["files"][0]
+    assert "kmin" in ent and "knulls" in ent  # footer stats landed
+
+    more = spark.createDataFrame(
+        [(1000, "x", dt.date(2024, 2, 1), dt.datetime(2024, 2, 1, 0))],
+        "k long, name string, d date, ts timestamp",
+    )
+    _w(more, root)
+    assert t.read().count() == 201
+
+    # fenced replay: second identical txn write is skipped
+    _w(more, root, txnAppId="job", txnVersion="9")
+    _w(more, root, txnAppId="job", txnVersion="9")
+    assert t.read().count() == 202
+
+    _w(df.limit(10), root, mode="overwrite")
+    assert t.read().count() == 10
+    # time travel across writer commits
+    assert t.read(version=0).count() == 200
+
+    # the writer-created table is a full citizen: merge + key pruning
+    t.merge(spark.createDataFrame(
+        [(3, "M", dt.date(2024, 3, 1), dt.datetime(2024, 3, 1, 0))],
+        "k long, name string, d date, ts timestamp"))
+    assert t.read().filter(F.col("k") == 3).first()["name"] == "M"
+
+
+def test_writer_refuses_schema_drift_and_checks(registered, tmp_path):
+    spark = registered
+    root = tmp_path / "t"
+    base = spark.createDataFrame([(1, 5)], "k long, v long")
+    _w(base, root, key="k")
+    with pytest.raises(Exception, match="batch schema"):
+        _w(spark.createDataFrame([(2,)], "k long"), root)
+    # type change is drift too
+    with pytest.raises(Exception, match="batch schema"):
+        _w(spark.createDataFrame([(2, "s")], "k long, v string"), root)
+
+    t2root = tmp_path / "t2"
+    t2 = TxTable.create(spark, t2root, base, key="k",
+                        checks={"pos": "v > 0"})
+    with pytest.raises(Exception, match="CHECK"):
+        _w(spark.createDataFrame([(2, 7)], "k long, v long"), t2root)
+    assert t2.latest_version() == 0  # untouched
+
+
+def test_writer_failed_job_leaves_table_unchanged(registered, tmp_path):
+    """A task failure mid-write aborts the job: no manifest lands, the
+    table stays at its prior version, and completed tasks' files are
+    deleted (the failed task's own file stays an invisible orphan for
+    vacuum — same as any torn TxTable write)."""
+    from pyspark.sql.types import LongType
+
+    spark = registered
+    root = tmp_path / "t"
+    _w(spark.createDataFrame([(1, 5)], "k long, v long"), root, key="k")
+    t = TxTable(spark, root)
+
+    @F.udf(returnType=LongType())
+    def boom(x):
+        if x == 7:
+            raise RuntimeError("injected task failure")
+        return x
+
+    bad = spark.range(0, 16, 1, 4).select(
+        F.col("id").alias("k"), boom(F.col("id")).alias("v")
+    )
+    with pytest.raises(Exception):
+        _w(bad, root)
+    assert t.latest_version() == 0
+    assert t.read().count() == 1
+    # a follow-up good write proceeds normally
+    _w(spark.createDataFrame([(2, 6)], "k long, v long"), root)
+    assert t.read().count() == 2
+
+
+def test_writer_failed_create_removes_husk(registered, tmp_path):
+    from pyspark.sql.types import LongType
+
+    spark = registered
+    root = tmp_path / "fresh"
+
+    @F.udf(returnType=LongType())
+    def boom(x):
+        raise RuntimeError("injected")
+
+    with pytest.raises(Exception):
+        _w(spark.range(0, 4, 1, 2).select(
+            F.col("id").alias("k"), boom(F.col("id")).alias("v")), root, key="k")
+    # the husk _txlog (no manifest) must not block a real create
+    t = TxTable.create(
+        spark, root, spark.createDataFrame([(1, 2)], "k long, v long"), key="k"
+    )
+    assert t.read().count() == 1
+
+
+def test_writer_read_writer_loop_matches_txtable_api(registered, tmp_path):
+    """Full native loop: write with the writer, churn with the API,
+    read with the batch source — one state everywhere."""
+    spark = registered
+    root = tmp_path / "t"
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 17).alias("v")
+    )
+    _w(df, root, key="k")
+    t = TxTable(spark, root)
+    t.delete(F.col("k") % 5 == 0, mode="dv")
+    _w(spark.createDataFrame([(900, 1)], "k long, v long"), root)
+    got = spark.read.format("txtable").option("path", str(root)).load()
+    assert _bag(got) == _bag(t.read())
