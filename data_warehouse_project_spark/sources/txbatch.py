@@ -85,6 +85,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualNullSafe,
     EqualTo,
     GreaterThan,
@@ -372,7 +373,21 @@ class TxBatchWriter(DataSourceArrowWriter):
             if not ("txnAppId" in options and "txnVersion" in options):
                 raise TxError("txnAppId and txnVersion come together")
             self.txn = (options["txnAppId"], int(options["txnVersion"]))
-        self.creating = not (self.root / TXLOG_DIR).is_dir()
+        # "creating" = no committed manifest yet. The log dir ALONE is
+        # not the signal: streaming re-instantiates this writer for the
+        # commit phase, by which time __init__'s own mkdir has run but
+        # version 0 has not landed.
+        log_dir = self.root / TXLOG_DIR
+        vs = (
+            sorted(
+                int(p.name[1:21])
+                for p in log_dir.iterdir()
+                if p.name.startswith("v") and p.name.endswith(".json")
+            )
+            if log_dir.is_dir()
+            else []
+        )
+        self.creating = not vs
         names = {f.name for f in schema.fields}
         if self.creating:
             self.key = options.get("key")
@@ -386,13 +401,6 @@ class TxBatchWriter(DataSourceArrowWriter):
             (self.root / DATA_DIR).mkdir(exist_ok=True)
         else:
             # fail BEFORE any task runs: schema mismatch / CHECKs
-            vs = sorted(
-                int(p.name[1:21])
-                for p in (self.root / TXLOG_DIR).iterdir()
-                if p.name.startswith("v") and p.name.endswith(".json")
-            )
-            if not vs:
-                raise TxError(f"no committed version in {self.root}")
             with open(self.root / TXLOG_DIR / _mname(vs[-1])) as f:
                 m = json.load(f)
             if m.get("checks"):
@@ -453,11 +461,23 @@ class TxBatchWriter(DataSourceArrowWriter):
 
     # --------------------------------------------------------- driver
 
-    def commit(self, messages):
+    def _land(self, messages, txn) -> dict:
+        """Driver-side landing shared by the batch and streaming
+        writers: CREATE as version 0 if no manifest exists yet (the
+        fence, if any, is recorded in the create commit so a replayed
+        first batch still skips), else the ordinary
+        ``commit_prewritten``. A fenced SKIP deletes this job's
+        just-written files — they would otherwise accumulate as
+        orphans on every replay."""
         entries = [m.entry for m in messages if m is not None and m.entry]
         rows = sum(e["rows"] for e in entries)
-        if self.creating:
-            t = TxTable(None, self.root)
+        t = TxTable(None, self.root)
+        try:
+            t.latest_version()
+            fresh = False
+        except TxError:
+            fresh = True
+        if fresh:
             t._commit(
                 0,
                 "create",
@@ -465,17 +485,29 @@ class TxBatchWriter(DataSourceArrowWriter):
                 self.schema_json,
                 self.key,
                 {"rows_written": rows},
+                txns={txn[0]: txn[1]} if txn else None,
                 stats_cols=self.stats_cols,
             )
-            return
-        if not entries and not self.overwrite and self.txn is None:
-            return  # empty append: nothing to claim
-        TxTable(None, self.root).commit_prewritten(
+            return {"rows_written": rows, "version": 0}
+        if not entries and not self.overwrite and txn is None:
+            return {"rows_appended": 0, "skipped": True}
+        r = t.commit_prewritten(
             entries,
             "overwrite" if self.overwrite else "append",
             self.schema_json,
-            txn=self.txn,
+            txn=txn,
         )
+        if r.get("skipped"):
+            for m in messages:
+                if m is not None and m.path:
+                    try:
+                        os.unlink(m.path)
+                    except FileNotFoundError:
+                        pass
+        return r
+
+    def commit(self, messages):
+        self._land(messages, self.txn)
 
     def abort(self, messages):
         for m in messages:
@@ -495,6 +527,40 @@ class TxBatchWriter(DataSourceArrowWriter):
                     log_dir.rmdir()
             except OSError:
                 pass
+
+
+class TxStreamWriter(TxBatchWriter, DataSourceStreamArrowWriter):
+    """Structured Streaming sink for the transactional format —
+
+        df.writeStream.format("txtable").option("path", root) \\
+          .option("checkpointLocation", ck).start()
+
+    — with EXACTLY-ONCE delivery for free: every micro-batch commits
+    behind the txn fence ``(txnAppId, batchId)``. A restarted query
+    replays its last uncommitted batch (Spark's at-least-once
+    contract); the fence turns the replay into a no-op commit AND
+    deletes the replay's just-written files, so the table sees each
+    batch once — the same guarantee foreachBatch + TxTable.append(txn=)
+    gives, packaged as a native sink with zero user code.
+
+    ``txnAppId`` defaults to ``"txtable-stream"``; set it per query
+    when MULTIPLE streams append to one table (the fence is
+    max-per-app, so two queries sharing an app id would skip each
+    other's lower batch ids). ``outputMode("complete")`` maps to a
+    fenced per-batch overwrite — a streaming aggregation materializes
+    as a transactional table with time travel across batches."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        opts = dict(options)
+        opts.setdefault("txnAppId", "txtable-stream")
+        opts.setdefault("txnVersion", "0")  # real fence is the batchId
+        super().__init__(opts, schema, overwrite)
+
+    def commit(self, messages, batchId: int):
+        self._land(messages, (self.txn[0], int(batchId)))
+
+    def abort(self, messages, batchId: int):
+        TxBatchWriter.abort(self, messages)
 
 
 class TxBatchDataSource(DataSource):
@@ -525,3 +591,6 @@ class TxBatchDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return TxBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return TxStreamWriter(self.options, schema, overwrite)

@@ -434,3 +434,96 @@ def test_writer_read_writer_loop_matches_txtable_api(registered, tmp_path):
     _w(spark.createDataFrame([(900, 1)], "k long, v long"), root)
     got = spark.read.format("txtable").option("path", str(root)).load()
     assert _bag(got) == _bag(t.read())
+
+
+def test_stream_sink_exactly_once_across_replay(registered, tmp_path):
+    """writeStream.format('txtable'): every micro-batch commits behind
+    the (txnAppId, batchId) fence, so a checkpoint-rewound replay is a
+    skipped commit AND leaves no orphan files — the foreachBatch
+    exactly-once pattern as a native sink."""
+    import os
+    import shutil
+
+    spark = registered
+    src, tgt, ck = (str(tmp_path / d) for d in ("src", "tgt", "ck"))
+    os.makedirs(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, v long").parquet(src)
+            .writeStream.format("txtable")
+            .option("path", tgt).option("key", "k")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    run()
+    t = TxTable(spark, tgt)
+    assert (t.latest_version(), t.read().count()) == (0, 100)  # CREATE fence
+    assert t.txn_version("txtable-stream") == 0
+
+    shutil.copytree(ck, ck + "_pre")
+    spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert (t.latest_version(), t.read().count()) == (1, 150)
+
+    # rewind the checkpoint: the rerun REPLAYS batch 1
+    shutil.rmtree(ck)
+    shutil.move(ck + "_pre", ck)
+    run()
+    assert (t.latest_version(), t.read().count()) == (1, 150)  # skipped
+    live = {f["path"].split("/")[-1] for f in t._manifest()["files"]}
+    assert set(os.listdir(tgt + "/data")) == live  # replay files deleted
+
+    # the sink's table is a full tx citizen
+    t.delete(F.col("k") < 10, mode="dv")
+    assert t.read().count() == 140
+
+
+def test_stream_sink_complete_mode_overwrites_per_batch(registered, tmp_path):
+    """outputMode('complete') maps to a fenced per-batch OVERWRITE: a
+    streaming aggregation materializes as a transactional table whose
+    versions are the batch results (time travel across batches)."""
+    import os
+
+    spark = registered
+    src, tgt, ck = (str(tmp_path / d) for d in ("src", "tgt", "ck"))
+    os.makedirs(src)
+    spark.range(0, 50).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("g long, v long").parquet(src)
+            .groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("txtable")
+            .option("path", tgt)
+            .option("checkpointLocation", ck)
+            .outputMode("complete")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    t = TxTable(spark, tgt)
+    assert {(r["g"], r["n"]) for r in t.read().collect()} == {
+        (i, 10) for i in range(5)
+    }
+    spark.range(50, 60).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {(r["g"], r["n"]) for r in t.read().collect()} == {
+        (i, 12) for i in range(5)
+    }
+    # time travel to the first batch's aggregate
+    assert {(r["g"], r["n"]) for r in t.read(version=0).collect()} == {
+        (i, 10) for i in range(5)
+    }
