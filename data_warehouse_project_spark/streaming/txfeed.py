@@ -133,3 +133,155 @@ def replicate_changes(
         "pending": len(_plan_batches(consumed_to, src.latest_version(),
                                      max_versions_per_batch)),
     }
+
+
+SCD2_COLS = ("_scd_start_v", "_scd_start_ts", "_scd_end_v", "_scd_end_ts")
+
+
+def scd2_apply_changes(
+    spark: SparkSession,
+    source_root: str,
+    sink_root: str,
+    app: str,
+    max_versions_per_batch: int | None = None,
+    max_batches: int | None = None,
+) -> dict:
+    """Maintain a Type-2 HISTORY table from the source's change feed —
+    the lakehouse ``APPLY CHANGES`` shape (Delta Live Tables' SCD2 /
+    the reference's expire-and-insert procedure,
+    load_3nf_ce_products_scd_table_type2.sql:59-248, re-expressed as a
+    CDC consumer instead of a snapshot diff).
+
+    Every source row version becomes one history row carrying its
+    validity interval in BASE COMMIT coordinates: ``_scd_start_v`` /
+    ``_scd_start_ts`` (the commit that created it) and nullable
+    ``_scd_end_v`` / ``_scd_end_ts`` (the commit that replaced or
+    deleted it; NULL = current). No 9999-12-31 sentinel anywhere — the
+    open end is a SQL NULL, so Arrow/pandas consumers never overflow
+    (the r1 driver-harness lesson, plans/scd.py:150).
+
+    Per micro-batch (rate-limited like ``replicate_changes``):
+    close/open events per key are interleaved by (version, close<open)
+    — within one version an update's preimage closes the prior row
+    BEFORE its postimage opens the next — so each open's end is simply
+    the next event in its key's ordered sequence (``lead``), and the
+    history slice's existing current row closes at the key's FIRST
+    close version. One ``rewrite_by_keys`` per batch: O(churn +
+    touched history files), fenced ``(app, upto)`` — crash replay
+    applies exactly once.
+
+    The invariant the tests pin, for EVERY base version v:
+    ``rows where _scd_start_v <= v < coalesce(_scd_end_v, inf)`` ==
+    ``source.read(version=v)`` — the history table IS the time-travel
+    index, queryable without the source's retained manifests (vacuum
+    the source freely; history keeps the full lineage).
+
+    Assumes the source key is unique per snapshot (the same contract
+    MERGE enforces); duplicate-key appends degrade to parallel current
+    rows, exactly mirroring the duplicate in the base."""
+    from pyspark.sql import Window
+
+    src = TxTable(spark, source_root)
+    key = src._manifest()["key"]
+    if key is None:
+        raise TxError("scd2_apply_changes needs a source created with key=...")
+    cols = src.columns()
+    try:
+        sink = TxTable(spark, sink_root)
+    except TxError:
+        shell = (
+            src.read()
+            .limit(0)
+            .select(
+                *cols,
+                F.lit(None).cast("bigint").alias("_scd_start_v"),
+                F.lit(None).cast("timestamp").alias("_scd_start_ts"),
+                F.lit(None).cast("bigint").alias("_scd_end_v"),
+                F.lit(None).cast("timestamp").alias("_scd_end_ts"),
+            )
+        )
+        sink = TxTable.create(spark, sink_root, shell, key=key)
+
+    applied = sink.txn_version(app)
+    applied = -1 if applied is None else applied
+    latest = src.latest_version()
+    batches = _plan_batches(applied, latest, max_versions_per_batch)
+    if max_batches is not None:
+        batches = batches[:max_batches]
+    done = 0
+    consumed_to = applied
+    for start, upto in batches:
+        ch = src.read_changes(max(start, 0), upto)
+        ev = ch.select(
+            *cols,
+            F.col("_commit_version").alias("__v"),
+            F.col("_commit_ts").alias("__ts"),
+            F.col("_change_type")
+            .isin("insert", "update_postimage")
+            .alias("__open"),
+        ).localCheckpoint(eager=False)
+
+        w = Window.partitionBy(key).orderBy(
+            "__v", F.col("__open").cast("int")  # close sorts before open
+        )
+        opens = (
+            ev.withColumn("__next_v", F.lead("__v").over(w))
+            .withColumn("__next_ts", F.lead("__ts").over(w))
+            .filter(F.col("__open"))
+            .select(
+                *cols,
+                F.col("__v").alias("_scd_start_v"),
+                F.col("__ts").alias("_scd_start_ts"),
+                F.col("__next_v").alias("_scd_end_v"),
+                F.col("__next_ts").alias("_scd_end_ts"),
+            )
+        )
+        first_close = (
+            ev.filter(~F.col("__open"))
+            .groupBy(key)
+            .agg(
+                F.min("__v").alias("__cv"),
+                F.min_by("__ts", "__v").alias("__cts"),
+            )
+        )
+
+        def apply_batch(cur: DataFrame, opens=opens, first_close=first_close):
+            # the slice's CURRENT row for a key with any close event
+            # ends at that key's first close; everything else carries
+            closed = (
+                cur.alias("h")
+                .join(
+                    F.broadcast(first_close.alias("c")),
+                    F.col(f"h.{key}").eqNullSafe(F.col(f"c.{key}")),
+                    "left",
+                )
+                .select(
+                    *[F.col(f"h.{c}").alias(c) for c in cols],
+                    F.col("h._scd_start_v").alias("_scd_start_v"),
+                    F.col("h._scd_start_ts").alias("_scd_start_ts"),
+                    F.when(
+                        F.col("h._scd_end_v").isNull(), F.col("c.__cv")
+                    )
+                    .otherwise(F.col("h._scd_end_v"))
+                    .alias("_scd_end_v"),
+                    F.when(
+                        F.col("h._scd_end_ts").isNull(), F.col("c.__cts")
+                    )
+                    .otherwise(F.col("h._scd_end_ts"))
+                    .alias("_scd_end_ts"),
+                )
+            )
+            return closed.unionByName(opens)
+
+        r = sink.rewrite_by_keys(ev.select(key), apply_batch, txn=(app, upto))
+        done += 0 if r.get("skipped") else 1
+        consumed_to = upto
+    return {
+        "batches": done,
+        "consumed_to": consumed_to,
+        "skipped": done == 0 and bool(batches),
+        "pending": len(
+            _plan_batches(consumed_to, src.latest_version(),
+                          max_versions_per_batch)
+        ),
+    }

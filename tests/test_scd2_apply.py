@@ -1,0 +1,137 @@
+"""scd2_apply_changes: a Type-2 history table maintained from the
+change feed (the APPLY CHANGES / DLT-SCD2 shape). Oracle: for EVERY
+base version v, the rows valid at v reproduce source.read(version=v)
+exactly — the history table is a self-contained time-travel index."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txtable import TxTable
+from data_warehouse_project_spark.streaming.txfeed import scd2_apply_changes
+
+APP = "scd2"
+
+
+def _churny(spark, root):
+    t = TxTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"v{i}", i * 10) for i in range(12)],
+            "id long, v string, amt long",
+        ),
+        key="id",
+    )
+    t.append(spark.createDataFrame(
+        [(100, "new", 0), (101, "new", 1)], "id long, v string, amt long"))
+    t.merge(spark.createDataFrame(
+        [(3, "M3", 333), (200, "M", 2)], "id long, v string, amt long"))
+    t.delete(F.col("id") % 7 == 1)            # cow: ids 1, 8, signal 99?
+    t.delete(F.col("id") == 4, mode="dv")     # deletion vector
+    t.compact(target_files=2)                 # no logical change
+    t.merge(spark.createDataFrame(
+        [(3, "M3b", 334), (100, "upd", 9)], "id long, v string, amt long"))
+    t.append(spark.createDataFrame(
+        [(1, "reborn", 7)], "id long, v string, amt long"))  # key resurrection
+    return t
+
+
+def _bag(df, cols):
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _asof_invariant(spark, src, hist, cols):
+    for v in range(src.latest_version() + 1):
+        valid = hist.read().filter(
+            (F.col("_scd_start_v") <= v)
+            & (F.col("_scd_end_v").isNull() | (F.col("_scd_end_v") > v))
+        )
+        assert _bag(valid, cols) == _bag(src.read(version=v), cols), (
+            f"history != source at base version {v}"
+        )
+
+
+def test_history_reproduces_every_base_version(spark, tmp_path):
+    src = _churny(spark, tmp_path / "src")
+    r = scd2_apply_changes(spark, str(src.root), str(tmp_path / "hist"), APP)
+    assert r["batches"] >= 1 and r["pending"] == 0
+    hist = TxTable(spark, tmp_path / "hist")
+    cols = ["id", "v", "amt"]
+    _asof_invariant(spark, src, hist, cols)
+
+    h = hist.read()
+    # at most one CURRENT row per key, and the current slice == snapshot
+    cur = h.filter(F.col("_scd_end_v").isNull())
+    assert cur.groupBy("id").count().filter("count > 1").count() == 0
+    assert _bag(cur, cols) == _bag(src.read(), cols)
+    # intervals are well-formed and attributed: key 3 has three
+    # versions (create, M3, M3b), each closed by the next's start
+    k3 = sorted(
+        (r["_scd_start_v"], r["_scd_end_v"], r["v"])
+        for r in h.filter(F.col("id") == 3).collect()
+    )
+    assert [x[2] for x in k3] == ["v3", "M3", "M3b"]
+    assert k3[0][1] == k3[1][0] and k3[1][1] == k3[2][0]
+    assert k3[2][1] is None
+    # the resurrected key 1 has a gap: closed by the cow delete, new
+    # interval born at the final append
+    k1 = sorted(
+        (r["_scd_start_v"], r["_scd_end_v"]) for r in
+        h.filter(F.col("id") == 1).collect()
+    )
+    assert len(k1) == 2 and k1[0][1] is not None and k1[0][1] < k1[1][0]
+    assert k1[1][1] is None
+    # no timestamp sentinel anywhere: open ends are SQL NULL
+    assert h.filter(F.col("_scd_end_ts") > F.lit("9000-01-01")).count() == 0
+
+
+def test_rate_limited_batches_land_identical_history(spark, tmp_path):
+    src = _churny(spark, tmp_path / "src")
+    scd2_apply_changes(spark, str(src.root), str(tmp_path / "one"), APP)
+    r = scd2_apply_changes(
+        spark, str(src.root), str(tmp_path / "drip"), APP,
+        max_versions_per_batch=1,
+    )
+    assert r["batches"] > 1
+    one = TxTable(spark, tmp_path / "one").read()
+    drip = TxTable(spark, tmp_path / "drip").read()
+    cols = one.columns
+    # version coordinates AND payloads identical batch-size-independent
+    assert _bag(one, cols) == _bag(drip, cols)
+
+
+def test_crash_resume_and_replay_are_exactly_once(spark, tmp_path):
+    src = _churny(spark, tmp_path / "src")
+    hroot = str(tmp_path / "hist")
+    r1 = scd2_apply_changes(
+        spark, str(src.root), hroot, APP,
+        max_versions_per_batch=2, max_batches=1,
+    )
+    assert r1["pending"] > 0  # mid-stream "crash"
+    r2 = scd2_apply_changes(spark, str(src.root), hroot, APP,
+                            max_versions_per_batch=2)
+    assert r2["pending"] == 0
+    hist = TxTable(spark, tmp_path / "hist")
+    _asof_invariant(spark, src, hist, ["id", "v", "amt"])
+    v_done = hist.latest_version()
+    # replay with nothing pending: fenced no-op
+    r3 = scd2_apply_changes(spark, str(src.root), hroot, APP)
+    assert hist.latest_version() == v_done
+    # new source churn resumes incrementally
+    src.merge(spark.createDataFrame(
+        [(5, "late", 555)], "id long, v string, amt long"))
+    scd2_apply_changes(spark, str(src.root), hroot, APP)
+    _asof_invariant(spark, src, hist, ["id", "v", "amt"])
+
+
+def test_requires_keyed_source(spark, tmp_path):
+    t = TxTable.create(
+        spark, tmp_path / "nk",
+        spark.createDataFrame([(1,)], "a long"),
+    )
+    with pytest.raises(Exception, match="key"):
+        scd2_apply_changes(spark, str(t.root), str(tmp_path / "h"), APP)
