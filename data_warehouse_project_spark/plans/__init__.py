@@ -41,7 +41,9 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 _NEVER_DRIVER_GREEN_R9 = [
     "scd2_user_state_history",
     # new in round 10 (never sampled yet): the native batch data source
+    # and the CDC-driven SCD2 history
     "tx_pruned_snapshot_scan",
+    "scd2_cdc_history_profile",
 ]
 
 # Round 9: front-load the last 14 queries never yet driver-hashed

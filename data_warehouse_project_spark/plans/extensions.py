@@ -618,3 +618,89 @@ def tx_pruned_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "scd2_cdc_history_profile",
+    oracle="""
+    WITH hist AS (
+      -- interval 1: every order's ORIGINAL row, born at the create (v0),
+      -- closed at v1 by the status update (k%10=0) else at v2 by the
+      -- delete (k%13=0), else still current
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_custkey,
+             0 AS start_v,
+             CASE WHEN o_orderkey % 10 = 0 THEN 1
+                  WHEN o_orderkey % 13 = 0 THEN 2 END AS end_v
+      FROM orders
+      UNION ALL
+      -- interval 2: the updated row (status 'U'), born at v1, closed at
+      -- v2 if the key was also deleted
+      SELECT o_orderkey AS k, 'U' AS status, o_custkey,
+             1 AS start_v,
+             CASE WHEN o_orderkey % 13 = 0 THEN 2 END AS end_v
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT status,
+           CAST(start_v AS BIGINT) AS start_v,
+           CAST(COALESCE(end_v, -1) AS BIGINT) AS end_v,
+           COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM hist
+    GROUP BY status, start_v, end_v
+    ORDER BY status, start_v, end_v
+    """,
+    doc="CDC-driven SCD2 (streaming/txfeed.scd2_apply_changes — the "
+    "APPLY CHANGES / expire-and-insert shape of the reference's "
+    "load_3nf_ce_products_scd_table_type2.sql:59-248, re-expressed as "
+    "a change-feed consumer): orders loaded into a TxTable, churned "
+    "with a deterministic script (v1 MERGE flips k%10=0 to status 'U', "
+    "v2 deletes k%13=0 via deletion vector), then the history table is "
+    "built FROM THE FEED and profiled by validity interval. The oracle "
+    "recomputes every interval's (start_v, end_v) assignment in plain "
+    "SQL, so what's cross-checked is the event interleave (an update's "
+    "preimage closes before its postimage opens), existing-current "
+    "closure, and the fenced rewrite — in base-commit coordinates with "
+    "SQL-NULL open ends (-1 in the profile). Scale shape: O(churn + "
+    "touched history files) per batch, never O(history).",
+    tags=("tx", "scd", "cdc"),
+    eager=True,
+    bench=True,
+)
+def scd2_cdc_history_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txtable import TxTable
+    from data_warehouse_project_spark.streaming.txfeed import (
+        scd2_apply_changes,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        "o_custkey",
+    )
+    tmp = tempfile.mkdtemp(prefix="scd2cdc_")
+    try:
+        t = TxTable.create(spark, tmp + "/src", o, key="k")
+        t.merge(
+            o.filter(F.col("k") % 10 == 0).withColumn("status", F.lit("U"))
+        )
+        t.delete(F.col("k") % 13 == 0, mode="dv")
+        scd2_apply_changes(spark, tmp + "/src", tmp + "/hist", "q")
+        h = TxTable(spark, tmp + "/hist").read()
+        res = (
+            h.groupBy(
+                "status",
+                F.col("_scd_start_v").alias("start_v"),
+                F.coalesce(F.col("_scd_end_v"), F.lit(-1)).alias("end_v"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            )
+            .orderBy("status", "start_v", "end_v")
+        )
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
