@@ -1883,6 +1883,135 @@ class TxTable:
         packed = self._read_files(m, touched).coalesce(target_files)
         return self._cow_commit(m, "compact", touched, packed, {})
 
+    def maintenance_plan(
+        self,
+        small_rows: int = 10_000,
+        min_small_files: int = 4,
+        dv_file_fraction: float = 0.25,
+        stab_threshold: float = 3.0,
+        reclaim_fraction: float = 0.5,
+    ) -> dict:
+        """What OPTIMIZE work this table needs, decided from the latest
+        manifest plus local file metadata — ZERO Spark jobs (callable
+        with ``TxTable(None, root)``, test-pinned). The metadata-driven
+        half of an auto-OPTIMIZE loop (Delta's optimizeWrite/autoCompact
+        decisions, here as an inspectable plan):
+
+        - ``compact_small`` when >= ``min_small_files`` live files fall
+          under ``small_rows`` rows (append-heavy fragmentation: every
+          scan pays per-file open cost) OR when more than
+          ``dv_file_fraction`` of live files carry a deletion vector
+          (each one taxes every read with the merge-on-read anti-join;
+          compact_small also materializes dvs away).
+        - ``cluster`` when the mean key-range STABBING DEPTH — how many
+          files an average point-probe key must open,
+          sum(per-file key span) / overall span — exceeds
+          ``stab_threshold`` with enough ranged files to matter.
+          Footer stats are only as selective as the layout is
+          clustered; this is the metric that says the layout, not the
+          stats, is the bottleneck.
+        - ``vacuum`` when non-live bytes under the table root (aged-out
+          versions + crash orphans) exceed ``reclaim_fraction`` of live
+          bytes. REPORTED, never auto-run: retention must be sized to
+          the slowest snapshot/stream/catalog consumer
+          (``Warehouse.vacuum_tx`` is the snapshot-safe executor).
+
+        Returns {"actions": [...], "stats": {...}} with one reasoned
+        entry per recommended action."""
+        m = self._manifest()
+        files = m["files"]
+        small = [f for f in files if f["rows"] < small_rows]
+        dvf = [f for f in files if "dv" in f]
+        ranged = [f for f in files if "kmin" in f]
+        depth = None
+        if len(ranged) >= 2:
+            lo = min(f["kmin"] for f in ranged)
+            hi = max(f["kmax"] for f in ranged)
+            if hi > lo:
+                depth = sum(f["kmax"] - f["kmin"] + 1 for f in ranged) / (
+                    hi - lo + 1
+                )
+        live_paths = {f["path"] for f in files}
+        live_b = dead_b = 0
+        dead_n = 0
+        if self.data_dir.is_dir():
+            for p in self.data_dir.iterdir():
+                if not p.is_file():
+                    continue
+                try:
+                    sz = p.stat().st_size
+                except OSError:
+                    continue
+                if f"{DATA_DIR}/{p.name}" in live_paths:
+                    live_b += sz
+                else:
+                    dead_b += sz
+                    dead_n += 1
+        stats = {
+            "files": len(files),
+            "small_files": len(small),
+            "dv_files": len(dvf),
+            "stabbing_depth": None if depth is None else round(depth, 2),
+            "live_bytes": live_b,
+            "reclaimable_bytes": dead_b,
+            "reclaimable_files": dead_n,
+            "retained_versions": len(self._versions()),
+        }
+        actions = []
+        if len(small) >= min_small_files or (
+            files and len(dvf) / len(files) > dv_file_fraction
+        ):
+            actions.append(
+                {
+                    "action": "compact_small",
+                    "args": {"min_rows": small_rows},
+                    "reason": f"{len(small)} files under {small_rows} rows"
+                    + (f", {len(dvf)} carrying deletion vectors" if dvf else ""),
+                }
+            )
+        if depth is not None and depth > stab_threshold and len(ranged) >= 4:
+            actions.append(
+                {
+                    "action": "cluster",
+                    "args": {"cluster": True},
+                    "reason": f"mean key stabbing depth {depth:.1f} — a "
+                    "point probe opens that many files; clustering makes "
+                    "ranges (near-)disjoint",
+                }
+            )
+        if live_b and dead_b > reclaim_fraction * live_b:
+            actions.append(
+                {
+                    "action": "vacuum",
+                    "args": {},
+                    "reason": f"{dead_b} reclaimable vs {live_b} live bytes "
+                    "(size retention to the slowest consumer; "
+                    "Warehouse.vacuum_tx is the snapshot-safe path)",
+                }
+            )
+        return {"actions": actions, "stats": stats}
+
+    def maintain(self, plan: dict | None = None, **plan_kw) -> dict:
+        """Execute the COMPACTION half of ``maintenance_plan`` (vacuum
+        is reported but never auto-run — see the plan docstring). Runs
+        ``compact_small`` before ``cluster`` so a clustering rewrite
+        never re-reads files the bin-packing pass was about to fold.
+        Returns per-action results plus the plan it executed."""
+        plan = plan if plan is not None else self.maintenance_plan(**plan_kw)
+        order = {"compact_small": 0, "cluster": 1}
+        done: dict = {"plan": plan, "results": {}}
+        for a in sorted(
+            (a for a in plan["actions"] if a["action"] in order),
+            key=lambda a: order[a["action"]],
+        ):
+            if a["action"] == "compact_small":
+                done["results"]["compact_small"] = self.compact_small(
+                    **a["args"]
+                )
+            else:
+                done["results"]["cluster"] = self.compact(cluster=True)
+        return done
+
     def vacuum(
         self,
         retain_versions: int = 2,

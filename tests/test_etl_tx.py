@@ -505,3 +505,57 @@ def test_vacuum_tx_is_snapshot_safe(spark, tmp_path):
 
     view = TxAggView(spark, wh.root / "gold_views" / "sales_by_customer")
     assert view.read().count() > 0
+
+
+def test_maintenance_plan_and_maintain(spark, tmp_path):
+    """maintenance_plan decides OPTIMIZE work from manifest metadata
+    with ZERO Spark jobs (callable without a session); maintain
+    executes the compaction half and the post-state plan goes quiet."""
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    root = tmp_path / "t"
+    t = TxTable.create(
+        spark, root,
+        spark.range(0, 20000, 1, 4).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        key="k",
+    )
+    # fragment: 6 tiny appends + a dv delete
+    for i in range(6):
+        t.append(spark.createDataFrame(
+            [(100000 + i, 1)], "k long, v long"))
+    t.delete(F.col("k") == 5, mode="dv")
+
+    # ZERO jobs: plan computes without any SparkSession at all
+    plan = TxTable(None, root).maintenance_plan()
+    acts = {a["action"] for a in plan["actions"]}
+    assert "compact_small" in acts
+    assert plan["stats"]["small_files"] >= 6
+    assert plan["stats"]["dv_files"] == 1
+
+    r = t.maintain(plan)
+    assert r["results"]["compact_small"]["files_rewritten"] >= 6
+    after = TxTable(None, root).maintenance_plan()
+    assert "compact_small" not in {a["action"] for a in after["actions"]}
+    assert after["stats"]["dv_files"] == 0  # dv materialized away
+    # old versions now hold reclaimable bytes -> vacuum is REPORTED
+    assert after["stats"]["reclaimable_bytes"] > 0
+    # state unchanged by maintenance
+    assert t.read().count() == 20005
+
+    # interleaved key ranges (round-robin writes overlap): cluster
+    # recommended; after the rewrite the layout metric goes quiet
+    r2 = tmp_path / "t2"
+    t2 = TxTable.create(
+        spark, r2,
+        spark.range(0, 40000).repartition(8).select(
+            F.col("id").alias("k"), F.col("id").alias("v")),
+        key="k",
+    )
+    p2 = TxTable(None, r2).maintenance_plan()
+    assert "cluster" in {a["action"] for a in p2["actions"]}
+    assert p2["stats"]["stabbing_depth"] > 3
+    t2.maintain(p2)
+    p2b = TxTable(None, r2).maintenance_plan()
+    assert "cluster" not in {a["action"] for a in p2b["actions"]}
+    assert t2.read().count() == 40000
