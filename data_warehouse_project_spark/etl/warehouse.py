@@ -147,6 +147,50 @@ class Warehouse:
             )
 
 
+    def tables(self) -> list[tuple[str, str]]:
+        """Every (layer, table) with content — directory metadata only,
+        no Spark jobs."""
+        out = []
+        for layer in LAYERS:
+            ldir = self.root / layer
+            if not ldir.is_dir():
+                continue
+            for p in sorted(ldir.iterdir()):
+                if p.is_dir() and not p.name.startswith(".") and any(p.iterdir()):
+                    out.append((layer, p.name))
+        return out
+
+    def create_sql_views(self, prefix: str = "", snapshot: bool = False) -> list[str]:
+        """Register every warehouse table as a temp view named
+        ``<prefix><layer>_<name>`` (plus ``<prefix>gold_<name>`` for
+        the incremental aggregate views, through their LOGICAL
+        projection), so the whole warehouse is queryable from plain
+        ``spark.sql`` — the engine's twin of the reference exposing all
+        layers to any SQL client through the Postgres catalog
+        (readme.md "Data Analysis"). ``snapshot=True`` resolves tx
+        tables through the newest catalog pins, giving the SQL surface
+        the crash-consistent cross-table view instead of per-table
+        freshness. Returns the view names registered."""
+        src = self.snapshot_reader() if snapshot else self
+        names = []
+        for layer, name in self.tables():
+            vn = f"{prefix}{layer}_{name}"
+            src.read(layer, name).createOrReplaceTempView(vn)
+            names.append(vn)
+        gold = self.root / "gold_views"
+        if gold.is_dir():
+            from data_warehouse_project_spark.sources.txview import TxAggView
+
+            for p in sorted(gold.iterdir()):
+                try:
+                    view = TxAggView(self.spark, p)
+                except Exception:
+                    continue
+                vn = f"{prefix}gold_{p.name}"
+                view.read().createOrReplaceTempView(vn)
+                names.append(vn)
+        return names
+
     def exists(self, layer: str, name: str) -> bool:
         """True if the table has content. Self-healing: a missing table
         with a ``.{name}.old-*`` snapshot next to it marks a crash

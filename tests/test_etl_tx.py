@@ -559,3 +559,44 @@ def test_maintenance_plan_and_maintain(spark, tmp_path):
     p2b = TxTable(None, r2).maintenance_plan()
     assert "cluster" not in {a["action"] for a in p2b["actions"]}
     assert t2.read().count() == 40000
+
+
+def test_create_sql_views_exposes_whole_warehouse(spark, tmp_path):
+    """create_sql_views: the full warehouse (every layer + the gold
+    aggregate views' LOGICAL projection) as temp views for plain
+    spark.sql — the reference's any-SQL-client surface. snapshot=True
+    rides the catalog pins."""
+    from data_warehouse_project_spark.etl.pipeline import refresh_gold_views
+
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
+    wh = Warehouse(spark, root)
+    refresh_gold_views(wh)
+
+    names = wh.create_sql_views(prefix="whv_", snapshot=True)
+    assert "whv_bl_3nf_ce_sales" in names
+    assert "whv_bl_dm_fct_sales" in names
+    assert "whv_gold_sales_by_customer" in names
+
+    # cross-layer SQL join over the views matches the DataFrame API
+    got = spark.sql("""
+        select count(*) n from whv_bl_dm_fct_sales f
+        join whv_bl_dm_dim_dates d on f.sale_order_dt = d.date_id
+    """).first()["n"]
+    want = (
+        wh.read("bl_dm", "fct_sales").alias("f")
+        .join(wh.read("bl_dm", "dim_dates").alias("d"),
+              F.col("f.sale_order_dt") == F.col("d.date_id"))
+        .count()
+    )
+    assert got == want and got > 0
+
+    # the gold view surfaces LOGICAL measure columns incl. the HLL
+    # estimate, not the physical sketch/sum columns
+    cols = set(spark.table("whv_gold_sales_by_month").columns)
+    assert "approx_buyers" in cols and "revenue_cents" in cols
+    assert not any(c.startswith("__") for c in cols)
+    total = spark.sql(
+        "select sum(n_sales) s from whv_gold_sales_by_month"
+    ).first()["s"]
+    assert total == wh.read("bl_3nf", "ce_sales").count()
