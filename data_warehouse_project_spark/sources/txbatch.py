@@ -115,12 +115,17 @@ from data_warehouse_project_spark.sources.txtable import (
 
 class TxFilePartition(InputPartition):
     """One live data file of the snapshot. Self-contained: the executor
-    needs nothing but this object and pyarrow."""
+    needs nothing but this object and pyarrow. ``row_filters`` (set
+    only by the pruning reader) are DNF-free conjunct tuples
+    ``(col, op, value)`` implied by the query's pushed filters —
+    applied at read as pyarrow row-group pruning + row filtering, a
+    strict subset of what Spark re-applies above the scan."""
 
-    def __init__(self, data_path, dv_path, schema_json):
+    def __init__(self, data_path, dv_path, schema_json, row_filters=None):
         self.data_path = data_path  # absolute parquet path (None = no rows)
         self.dv_path = dv_path  # dv sidecar absolute path or None
         self.schema_json = schema_json
+        self.row_filters = row_filters
 
 
 def _is_plain_int(v) -> bool:
@@ -255,15 +260,41 @@ class TxBatchReader(DataSourceReader):
 
     # ----------------------------------------------------------- plan
 
+    def _row_filters(self):
+        """The pushed conjuncts as pyarrow-filter tuples — row-group
+        pruning + row filtering INSIDE the parquet read, for the
+        filters whose semantics pyarrow reproduces exactly (integer
+        comparisons and IN; null tests excluded — pyarrow's filter DNF
+        has no is-null op). Spark re-applies everything above the scan,
+        so this is a pure work-saver, never load-bearing."""
+        out = []
+        for flt in self._filters:
+            col = flt.attribute[0]
+            if isinstance(flt, (EqualTo, EqualNullSafe)):
+                out.append((col, "==", flt.value))
+            elif isinstance(flt, GreaterThan):
+                out.append((col, ">", flt.value))
+            elif isinstance(flt, GreaterThanOrEqual):
+                out.append((col, ">=", flt.value))
+            elif isinstance(flt, LessThan):
+                out.append((col, "<", flt.value))
+            elif isinstance(flt, LessThanOrEqual):
+                out.append((col, "<=", flt.value))
+            elif isinstance(flt, In):
+                out.append((col, "in", list(flt.value)))
+        return out or None
+
     def partitions(self):
         files = self.m["files"]
         for flt in self._filters:
             files = [f for f in files if self._may_match(f, flt)]
+        rf = self._row_filters()
         parts = [
             TxFilePartition(
                 str(self.root / f["path"]),
                 str(self.root / f["dv"]["path"]) if "dv" in f else None,
                 self.schema_json,
+                rf,
             )
             for f in files
         ]
@@ -283,8 +314,22 @@ class TxBatchReader(DataSourceReader):
         schema = to_arrow_schema(
             StructType.fromJson(json.loads(partition.schema_json))
         )
-        tbl = pq.read_table(partition.data_path)
-        if partition.dv_path is not None:
+        if partition.dv_path is None:
+            # clean file: pushed conjuncts become row-group pruning +
+            # row filtering inside the read itself. A pre-evolution
+            # file may lack a filtered column — drop those conjuncts
+            # for that file (footer-only check); Spark re-filters.
+            rf = partition.row_filters
+            if rf:
+                names = set(pq.read_schema(partition.data_path).names)
+                rf = [t for t in rf if t[0] in names] or None
+            tbl = pq.read_table(partition.data_path, filters=rf)
+        else:
+            # dv files read WHOLE: the deletion-vector mask is
+            # POSITIONAL, so any row filtering before it would shift
+            # indices and resurrect deleted rows. Spark's re-applied
+            # predicate handles the filtering above the scan.
+            tbl = pq.read_table(partition.data_path)
             dead = _dv_positions(
                 partition.dv_path, os.path.basename(partition.data_path)
             )

@@ -527,3 +527,40 @@ def test_stream_sink_complete_mode_overwrites_per_batch(registered, tmp_path):
     assert {(r["g"], r["n"]) for r in t.read(version=0).collect()} == {
         (i, 10) for i in range(5)
     }
+
+
+def test_row_filters_inside_the_read(registered, tmp_path):
+    """The pruning reader pushes its conjuncts INTO pq.read_table
+    (row-group pruning + row filtering) for clean files; dv files read
+    whole because the deletion-vector mask is positional. Equality with
+    the unfiltered path is pinned either way."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    spark = registered
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        root,
+        spark.range(0, 1000, 1, 1).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        key="k",
+    )
+    r = TxBatchPruningReader({"path": root})
+    r.pushFilters([GreaterThanOrEqual(("k",), 100), LessThan(("k",), 110)])
+    parts = r.partitions()
+    assert parts[0].row_filters == [("k", ">=", 100), ("k", "<", 110)]
+    rows = sum(b.num_rows for p in parts for b in r.read(p))
+    assert rows == 10  # executor emitted ONLY the matching rows
+
+    # dv file: whole-file read + positional mask, filters NOT applied
+    # in the read (Spark re-filters) — results still exact end to end
+    t.delete(F.col("k") == 105, mode="dv")
+    df = (
+        spark.read.format("txtable").option("path", root)
+        .option("pruneFiles", "true").load()
+    )
+    got = df.filter((F.col("k") >= 100) & (F.col("k") < 110))
+    assert sorted(r["k"] for r in got.collect()) == [
+        100, 101, 102, 103, 104, 106, 107, 108, 109
+    ]
