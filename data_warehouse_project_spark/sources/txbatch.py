@@ -418,6 +418,11 @@ class TxBatchWriter(DataSourceArrowWriter):
             if not ("txnAppId" in options and "txnVersion" in options):
                 raise TxError("txnAppId and txnVersion come together")
             self.txn = (options["txnAppId"], int(options["txnVersion"]))
+        self.merge_schema = (
+            str(options.get("mergeSchema", "false")).lower() == "true"
+        )
+        if self.merge_schema and overwrite:
+            raise TxError("mergeSchema applies to append mode only")
         # "creating" = no committed manifest yet. The log dir ALONE is
         # not the signal: streaming re-instantiates this writer for the
         # commit phase, by which time __init__'s own mkdir has run but
@@ -453,11 +458,20 @@ class TxBatchWriter(DataSourceArrowWriter):
                     "the batch writer cannot enforce CHECK constraints "
                     f"({sorted(m['checks'])}) — use TxTable.append"
                 )
-            if _schema_types(self.schema_json) != _schema_types(m["schema"]):
+            if self.merge_schema:
+                from data_warehouse_project_spark.sources.txtable import (
+                    _evolve_schema_json,
+                )
+
+                # fail BEFORE tasks if the widened schema is invalid
+                # (missing existing column / type change); the commit
+                # re-evolves against the then-current manifest
+                _evolve_schema_json(m, self.schema_json)
+            elif _schema_types(self.schema_json) != _schema_types(m["schema"]):
                 raise TxError(
-                    "batch schema != table schema (no schema evolution "
-                    "through the batch writer — use TxTable.append("
-                    "merge_schema=True))"
+                    "batch schema != table schema (set "
+                    '.option("mergeSchema","true") to widen with new '
+                    "nullable columns)"
                 )
             self.key = m["key"]
             self.stats_cols = m.get("stats_cols") or []
@@ -541,6 +555,7 @@ class TxBatchWriter(DataSourceArrowWriter):
             "overwrite" if self.overwrite else "append",
             self.schema_json,
             txn=txn,
+            merge_schema=self.merge_schema,
         )
         if r.get("skipped"):
             for m in messages:

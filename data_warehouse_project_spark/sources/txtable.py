@@ -857,6 +857,7 @@ class TxTable:
         op: str,
         schema_json: str,
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> dict:
         """Commit data files ALREADY sitting under ``data/`` (manifest
         entries prebuilt from their footers) as an ``append`` or
@@ -867,15 +868,21 @@ class TxTable:
         Runs without a SparkSession (manifest JSON + claim protocol
         only), so it is callable from a Python data source worker.
         Consequences, both surfaced loudly rather than silently
-        weakened: the batch schema must EQUAL the table schema (no
-        mergeSchema through this path), and tables carrying CHECK
-        constraints refuse (enforcement is in-plan on the write job;
-        prewritten files bypassed it — use ``TxTable.append``).
+        weakened: the batch schema must EQUAL the table schema —
+        unless ``merge_schema=True``, which widens the table with the
+        batch's NEW nullable columns under the same rules as
+        ``append(merge_schema=True)`` (every existing column present,
+        exact types; older files NULL-fill on read) — and tables
+        carrying CHECK constraints refuse (enforcement is in-plan on
+        the write job; prewritten files bypassed it — use
+        ``TxTable.append``).
 
         Same fence + lost-race retry contract as ``append``; an
         overwrite claims exactly once like ``overwrite``."""
         if op not in ("append", "overwrite"):
             raise TxError(f"commit_prewritten: op {op!r}")
+        if merge_schema and op != "append":
+            raise TxError("merge_schema applies to append only")
         want = {
             f["name"]: f["type"]
             for f in json.loads(schema_json)["fields"]
@@ -889,16 +896,20 @@ class TxTable:
                     f"({sorted(m['checks'])}) — write through "
                     "TxTable.append/overwrite instead"
                 )
-            have = {
-                f["name"]: f["type"]
-                for f in json.loads(m["schema"])["fields"]
-            }
-            if want != have:
-                raise TxError(
-                    f"batch schema {sorted(want)} != table schema "
-                    f"{sorted(have)} (no schema evolution through the "
-                    "batch writer)"
-                )
+            if merge_schema:
+                commit_schema = _evolve_schema_json(m, schema_json)
+            else:
+                commit_schema = m["schema"]
+                have = {
+                    f["name"]: f["type"]
+                    for f in json.loads(m["schema"])["fields"]
+                }
+                if want != have:
+                    raise TxError(
+                        f"batch schema {sorted(want)} != table schema "
+                        f"{sorted(have)} (pass mergeSchema/merge_schema "
+                        "to widen with new nullable columns)"
+                    )
             skip, txns = _fence(m, txn)
             if skip:
                 return {"rows": 0, "version": m["version"], "skipped": True}
@@ -909,7 +920,7 @@ class TxTable:
                     m["version"] + 1,
                     op,
                     files,
-                    m["schema"],
+                    commit_schema,
                     m["key"],
                     {metric: rows},
                     txns,
@@ -2104,11 +2115,15 @@ def _checked(df: DataFrame, checks: dict | None) -> DataFrame:
 
 
 def _evolve_schema(manifest: dict, df: DataFrame) -> str:
+    return _evolve_schema_json(manifest, _schema_json(df.schema))
+
+
+def _evolve_schema_json(manifest: dict, schema_json: str) -> str:
     """mergeSchema append: widen the table schema with the batch's NEW
     columns (nullable). Existing columns must keep their exact types
     and must all be present in the batch."""
     have = {f["name"]: f for f in json.loads(manifest["schema"])["fields"]}
-    batch = json.loads(_schema_json(df.schema))
+    batch = json.loads(schema_json)
     batch_by_name = {f["name"]: f for f in batch["fields"]}
     missing = set(have) - set(batch_by_name)
     if missing:

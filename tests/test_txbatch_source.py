@@ -564,3 +564,38 @@ def test_row_filters_inside_the_read(registered, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == [
         100, 101, 102, 103, 104, 106, 107, 108, 109
     ]
+
+
+def test_writer_merge_schema_widens(registered, tmp_path):
+    """.option('mergeSchema','true'): the batch writer (and stream
+    sink, same path) widens the table with new nullable columns under
+    append()'s evolution rules; pre-evolution rows NULL-fill."""
+    spark = registered
+    root = tmp_path / "t"
+    _w(spark.createDataFrame([(1, "a")], "k long, v string"), root, key="k")
+    # widened batch
+    _w(
+        spark.createDataFrame([(2, "b", 9)], "k long, v string, extra long"),
+        root,
+        mergeSchema="true",
+    )
+    t = TxTable(spark, root)
+    got = {(r["k"], r["v"], r["extra"]) for r in t.read().collect()}
+    assert got == {(1, "a", None), (2, "b", 9)}
+    # type change still refuses, early
+    with pytest.raises(Exception, match="cannot change column"):
+        _w(
+            spark.createDataFrame([(3, 5, 1)], "k long, v long, extra long"),
+            root,
+            mergeSchema="true",
+        )
+    # dropping an existing column refuses too
+    with pytest.raises(Exception, match="every existing"):
+        _w(spark.createDataFrame([(3,)], "k long"), root, mergeSchema="true")
+    with pytest.raises(Exception, match="append mode only"):
+        _w(
+            spark.createDataFrame([(3, "c", 1)], "k long, v string, extra long"),
+            root,
+            mode="overwrite",
+            mergeSchema="true",
+        )
