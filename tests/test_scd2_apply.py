@@ -135,3 +135,52 @@ def test_requires_keyed_source(spark, tmp_path):
     )
     with pytest.raises(Exception, match="key"):
         scd2_apply_changes(spark, str(t.root), str(tmp_path / "h"), APP)
+
+
+def test_randomized_oplog_history_matches_every_version(spark, tmp_path):
+    """Randomized op sequence (appends of new keys, merge updates,
+    cow + dv deletes, compaction), refreshed every few commits so
+    multi-version batches are the norm — the as-of invariant must hold
+    at every base version regardless of the op interleaving."""
+    import random
+
+    rng = random.Random(47)
+    src = TxTable.create(
+        spark, tmp_path / "src",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(15)], "id long, v string"),
+        key="id",
+    )
+    hroot = str(tmp_path / "hist")
+    live = set(range(15))
+    next_id = 100
+    for step in range(10):
+        op = rng.choice(["append", "update", "del", "del_dv", "compact"])
+        if op == "append":
+            n = rng.randint(1, 3)
+            rows = [(next_id + i, f"n{step}") for i in range(n)]
+            live |= {next_id + i for i in range(n)}
+            next_id += n
+            src.append(spark.createDataFrame(rows, "id long, v string"))
+        elif op == "update" and live:
+            ks = rng.sample(sorted(live), min(2, len(live)))
+            src.merge(spark.createDataFrame(
+                [(k, f"u{step}") for k in ks], "id long, v string"))
+        elif op == "del" and live:
+            k = rng.choice(sorted(live))
+            src.delete(F.col("id") == k)
+            live.discard(k)
+        elif op == "del_dv" and live:
+            k = rng.choice(sorted(live))
+            src.delete(F.col("id") == k, mode="dv")
+            live.discard(k)
+        else:
+            src.compact(target_files=2)
+        if step % 3 == 2:
+            scd2_apply_changes(spark, str(src.root), hroot, APP,
+                               max_versions_per_batch=rng.choice([1, 2, None]))
+    scd2_apply_changes(spark, str(src.root), hroot, APP)
+    hist = TxTable(spark, tmp_path / "hist")
+    _asof_invariant(spark, src, hist, ["id", "v"])
+    cur = hist.read().filter(F.col("_scd_end_v").isNull())
+    assert cur.groupBy("id").count().filter("count > 1").count() == 0
