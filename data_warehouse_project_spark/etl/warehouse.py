@@ -728,6 +728,58 @@ class Warehouse:
                     )
         return out
 
+    def maintain_tx(self, execute: bool = True, **plan_kw) -> dict:
+        """Auto-OPTIMIZE sweep over every transactional table in the
+        warehouse (all layers plus gold views): run the zero-job
+        advisor (``TxTable.maintenance_plan`` — latest manifest + local
+        file metadata, no Spark jobs) and, when ``execute``, carry out
+        its compaction half (``TxTable.maintain``: bin-packing
+        ``compact_small`` first, key clustering after). The janitor
+        loop a lakehouse runs between ETL batches — the reference's
+        closest analogue is routine VACUUM/CLUSTER on the 3NF tables;
+        here the ENGINE decides per table from fragmentation, dv read
+        tax, and key stabbing depth, and tables needing nothing are
+        skipped for free.
+
+        Vacuum recommendations are REPORTED in each table's plan but
+        never executed here — space reclaim must honor catalog pins and
+        the slowest stream/view consumer (``vacuum_tx`` is the
+        snapshot-safe executor). Compaction commits are normal
+        copy-on-write versions: time travel, catalog snapshots, and the
+        change feed (CDF-invisible) are all preserved.
+
+        Returns ``{"<layer>/<name>": {"plan": ..., "results": ...}}``
+        for every tx table whose plan had at least one action (or every
+        table when ``execute`` is False, so a dry run shows the full
+        survey)."""
+        from data_warehouse_project_spark.sources.txtable import (
+            TXLOG_DIR,
+            TxTable,
+        )
+
+        out: dict = {}
+        roots = [(layer, self.root / layer) for layer in LAYERS]
+        roots.append(("gold_views", self.root / "gold_views"))
+        for layer, ldir in roots:
+            if not ldir.is_dir():
+                continue
+            for p in sorted(ldir.iterdir()):
+                if not (p / TXLOG_DIR).is_dir():
+                    continue
+                t = TxTable(self.spark, p)
+                plan = t.maintenance_plan(**plan_kw)
+                if not execute:
+                    out[f"{layer}/{p.name}"] = {"plan": plan, "results": {}}
+                    continue
+                if plan["actions"]:
+                    out[f"{layer}/{p.name}"] = t.maintain(plan=plan)
+        acted = {
+            k: sorted(v["results"]) for k, v in out.items() if v["results"]
+        }
+        if execute and acted:
+            self.log("maintain_tx", f"optimized: {acted}", len(acted))
+        return out
+
     def compact(
         self,
         layer: str,

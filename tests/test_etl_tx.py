@@ -561,6 +561,65 @@ def test_maintenance_plan_and_maintain(spark, tmp_path):
     assert t2.read().count() == 40000
 
 
+def test_warehouse_maintain_tx_sweeps_every_tx_table(spark, tmp_path):
+    """Warehouse.maintain_tx: the warehouse-level auto-OPTIMIZE loop.
+    The advisor surveys every tx table (zero Spark jobs per table),
+    compaction runs only where the plan says so, clean tables are
+    skipped, vacuum stays report-only, and data/time-travel survive."""
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    root = tmp_path / "wh"
+    frag_root = root / "bl_3nf" / "frag"
+    clean_root = root / "bl_3nf" / "clean"
+    frag = TxTable.create(
+        spark, frag_root,
+        spark.range(0, 20000, 1, 2).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")),
+        key="k",
+    )
+    for i in range(6):  # append fragmentation + one dv read tax
+        frag.append(spark.createDataFrame([(200000 + i, 1)], "k long, v long"))
+    frag.delete(F.col("k") == 7, mode="dv")
+    TxTable.create(
+        spark, clean_root,
+        spark.range(0, 1000).coalesce(1).select(
+            F.col("id").alias("k"), F.col("id").alias("v")),
+        key="k",
+    )
+    wh = Warehouse(spark, str(root))
+
+    # dry run: full survey, both tables present, nothing executed
+    dry = wh.maintain_tx(execute=False)
+    assert set(dry) == {"bl_3nf/frag", "bl_3nf/clean"}
+    acts = {a["action"] for a in dry["bl_3nf/frag"]["plan"]["actions"]}
+    assert "compact_small" in acts
+    assert dry["bl_3nf/clean"]["plan"]["actions"] == []
+    assert all(v["results"] == {} for v in dry.values())
+    files_before = len(frag._manifest()["files"])
+
+    res = wh.maintain_tx()
+    assert set(res) == {"bl_3nf/frag"}  # clean table skipped entirely
+    assert res["bl_3nf/frag"]["results"]["compact_small"]["files_rewritten"] >= 6
+    assert len(frag._manifest()["files"]) < files_before
+    assert frag.read().count() == 20005  # data unchanged, dv applied
+    # vacuum was reported (old versions reclaimable) but NOT executed:
+    # the pre-compaction version still time-travels
+    assert frag.read(version=frag._manifest()["version"] - 1).count() == 20005
+    # steady state: a second sweep compacts nothing — the only thing
+    # left is the report-only vacuum recommendation (old versions now
+    # hold reclaimable bytes; vacuum_tx is the snapshot-safe executor)
+    again = wh.maintain_tx()
+    assert all(v["results"] == {} for v in again.values())
+    assert {a["action"] for v in again.values()
+            for a in v["plan"]["actions"]} <= {"vacuum"}
+    # the run log recorded the optimization
+    wh.flush_log()
+    log = wh.read_log()
+    assert any(
+        r["procedure_name"] == "maintain_tx" for r in log.collect()
+    )
+
+
 def test_create_sql_views_exposes_whole_warehouse(spark, tmp_path):
     """create_sql_views: the full warehouse (every layer + the gold
     aggregate views' LOGICAL projection) as temp views for plain
