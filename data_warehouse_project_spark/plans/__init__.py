@@ -40,10 +40,11 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 # mechanically: every never-green query must sit inside the prefix.
 _NEVER_DRIVER_GREEN_R9 = [
     "scd2_user_state_history",
-    # new in round 10 (never sampled yet): the native batch data source
-    # and the CDC-driven SCD2 history
+    # new in round 10 (never sampled yet): the native batch data source,
+    # the CDC-driven SCD2 history, and the incremental join-agg view
     "tx_pruned_snapshot_scan",
     "scd2_cdc_history_profile",
+    "join_view_brand_rollup",
 ]
 
 # Round 9: front-load the last 14 queries never yet driver-hashed

@@ -621,6 +621,110 @@ def tx_pruned_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_view_brand_rollup",
+    oracle="""
+    WITH fact AS (
+      SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS oid,
+             l_partkey AS pk,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS amt
+      FROM lineitem
+      UNION ALL
+      SELECT CAST(l_orderkey * 10 + l_linenumber + 100000000 AS BIGINT),
+             l_partkey,
+             CAST(2 * ROUND(l_extendedprice * 100) AS BIGINT)
+      FROM lineitem WHERE l_partkey % 7 = 0
+    ),
+    live AS (SELECT * FROM fact WHERE oid % 13 <> 0),
+    dim AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 10 = 0 THEN 'MOVED' ELSE p_brand END
+               AS brand
+      FROM part WHERE p_partkey % 17 <> 0
+    )
+    SELECT brand,
+           COUNT(amt) AS n_items,
+           CAST(SUM(amt) AS BIGINT) AS total_cents
+    FROM live JOIN dim ON pk = p_partkey
+    GROUP BY brand
+    ORDER BY brand
+    """,
+    doc="Incremental JOIN-aggregate view (sources/txjoinview."
+    "TxJoinAggView): revenue by product brand — fact ⋈ dim GROUP BY a "
+    "DIM attribute — maintained from BOTH change feeds via the "
+    "bilinear delta decomposition ΔF⋈D1 + F0⋈ΔD. The churn script "
+    "exercises every maintenance shape in ONE refresh window: fact "
+    "append (term A), a dim attribute move to brand 'MOVED' that "
+    "re-buckets every joined fact row of the key (term B, fact read "
+    "stats-pruned on the fk), a dim delete killing its groups' rows, "
+    "and a fact dv delete. The oracle recomputes the final join-group "
+    "state in plain SQL, so what's cross-checked is the algebra, the "
+    "overlap accounting (keys churned on both sides in one window), "
+    "and the fenced rewrite. Reference analogue: the gold-layer "
+    "brand/geo rollups (dw_etl_tests.py:480-506) the reference "
+    "rebuilds wholesale per run — here maintained in O(churn). Scale "
+    "shape: refresh is O(fact churn + moved dim keys' fact rows + "
+    "touched groups); neither base is ever scanned.",
+    tags=("tx", "ivm", "join"),
+    eager=True,
+    bench=True,
+)
+def join_view_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("oid"),
+        F.col("l_partkey").alias("pk"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("amt"),
+    )
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    tmp = tempfile.mkdtemp(prefix="jview_")
+    try:
+        fact = TxTable.create(
+            spark, tmp + "/fact", li, key="oid", stats_cols=["pk"]
+        )
+        dim = TxTable.create(spark, tmp + "/dim", p, key="p_partkey")
+        view = TxJoinAggView.create(
+            spark, tmp + "/view", fact, dim,
+            fk="pk", group_expr="brand", group_col="brand",
+            measures={
+                "total_cents": "amt",
+                "n_items": ("count", "amt"),
+            },
+        )
+        # churn BOTH sides, then one incremental refresh over the window
+        fact.append(
+            li.filter(F.col("pk") % 7 == 0).select(
+                (F.col("oid") + 100000000).alias("oid"),
+                "pk",
+                (F.col("amt") * 2).alias("amt"),
+            )
+        )
+        dim.merge(
+            p.filter(F.col("p_partkey") % 10 == 0).withColumn(
+                "brand", F.lit("MOVED")
+            )
+        )
+        dim.delete(F.col("p_partkey") % 17 == 0)
+        fact.delete(F.col("oid") % 13 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        res = view.read().select(
+            "brand", "n_items", "total_cents"
+        ).orderBy("brand")
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "scd2_cdc_history_profile",
     oracle="""
     WITH hist AS (

@@ -13,4 +13,7 @@ from data_warehouse_project_spark.sources.txtable import (  # noqa: F401
     TxTable,
     TxVacuumedError,
 )
+from data_warehouse_project_spark.sources.txjoinview import (  # noqa: F401
+    TxJoinAggView,
+)
 from data_warehouse_project_spark.sources.txview import TxAggView  # noqa: F401

@@ -76,6 +76,34 @@ _N = "n_rows"  # hidden support count: a group at 0 leaves the view
 _FNS = ("sum", "count", "avg", "min", "max", "approx_distinct")
 
 
+def churn_rows(table: TxTable, lo: int, hi: int) -> int:
+    """The change feed's read cost for ``table``'s versions [lo, hi]:
+    rows of files added or removed (plus deletion-vector growth) per
+    non-compact commit — pure manifest metadata, zero Spark jobs. What
+    auto-mode refreshes weigh against a full base scan."""
+    total = 0
+    for v in range(lo, hi + 1):
+        m = table._manifest(v)
+        if m["op"] == "compact":
+            continue
+        prev = table._manifest(v - 1)["files"] if v > 0 else []
+        prev_by = {f["path"]: f for f in prev}
+        cur_paths = {f["path"] for f in m["files"]}
+        for f in m["files"]:
+            p = prev_by.get(f["path"])
+            if p is None:
+                total += f["rows"]
+            elif p.get("dv") != f.get("dv"):
+                total += abs(
+                    f.get("dv", {}).get("rows", 0)
+                    - p.get("dv", {}).get("rows", 0)
+                )
+        for f in prev:
+            if f["path"] not in cur_paths:
+                total += _live(f)
+    return total
+
+
 def _signed(changes: DataFrame) -> DataFrame:
     """Change rows weighted for additive maintenance: +1 for rows
     entering the base table, -1 for rows leaving it."""
@@ -264,32 +292,11 @@ class TxAggView:
     # -------------------------------------------------------- refresh
 
     def _churn_rows(self, lo: int, hi: int) -> int:
-        """The change feed's own read cost for versions [lo, hi]: rows
-        of files added or removed (plus deletion-vector growth) per
-        non-compact commit — pure manifest metadata, zero Spark jobs.
+        """The change feed's own read cost for versions [lo, hi] —
+        pure manifest metadata, zero Spark jobs (see ``churn_rows``).
         This is what ``refresh(mode="auto")`` weighs against a full
         base scan."""
-        total = 0
-        for v in range(lo, hi + 1):
-            m = self.base._manifest(v)
-            if m["op"] == "compact":
-                continue
-            prev = self.base._manifest(v - 1)["files"] if v > 0 else []
-            prev_by = {f["path"]: f for f in prev}
-            cur_paths = {f["path"] for f in m["files"]}
-            for f in m["files"]:
-                p = prev_by.get(f["path"])
-                if p is None:
-                    total += f["rows"]
-                elif p.get("dv") != f.get("dv"):
-                    total += abs(
-                        f.get("dv", {}).get("rows", 0)
-                        - p.get("dv", {}).get("rows", 0)
-                    )
-            for f in prev:
-                if f["path"] not in cur_paths:
-                    total += _live(f)
-        return total
+        return churn_rows(self.base, lo, hi)
 
     def _recompute(self, target: int) -> dict:
         """Full GROUP BY recompute at base version ``target``, landed

@@ -1,0 +1,352 @@
+"""Incremental JOIN-aggregate views (sources/txjoinview.TxJoinAggView).
+
+Core invariant: after every refresh, ``read()`` equals a full
+``fact JOIN dim GROUP BY group_expr`` recompute — under fact churn
+(append / merge / dv + cow deletes), dim churn (attribute updates that
+MOVE fact rows between groups, late-arriving dim keys, dim deletes),
+NULL foreign keys, NULL measure values, group birth and death, and any
+interleaving of the two feeds between refreshes. Plus the O-shape
+pins: the dim is never scanned, the fact's term-B read is pruned per
+layout, and a crash-replayed refresh is a fenced skip.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+from data_warehouse_project_spark.sources.txtable import TxError, TxTable
+
+FACT_SCHEMA = "oid long, cust long, amt long"
+DIM_SCHEMA = "cust long, seg string"
+
+
+def _mk_fact(spark, path, rows):
+    return TxTable.create(
+        spark, path, spark.createDataFrame(rows, FACT_SCHEMA), key="oid"
+    )
+
+
+def _mk_dim(spark, path, rows):
+    return TxTable.create(
+        spark, path, spark.createDataFrame(rows, DIM_SCHEMA), key="cust"
+    )
+
+
+def _mk_view(spark, path, fact, dim):
+    return TxJoinAggView.create(
+        spark, path, fact, dim,
+        fk="cust", group_expr="seg", group_col="seg",
+        measures={"total": "amt", "n_amt": ("count", "amt"),
+                  "mean_amt": ("avg", "amt")},
+    )
+
+
+def _expected(fact_rows, dim_attr):
+    """Python oracle: INNER join + GROUP BY with SQL NULL semantics.
+    fact_rows: iterable of (cust, amt); dim_attr: {cust: seg}."""
+    agg: dict = {}
+    for cust, amt in fact_rows:
+        if cust is None or cust not in dim_attr:
+            continue
+        g = dim_attr[cust]
+        a = agg.setdefault(g, [0, 0, 0])  # sum, non-null count, n_rows
+        if amt is not None:
+            a[0] += amt
+            a[1] += 1
+        a[2] += 1
+    return {
+        g: (s if c > 0 else None, c, n) for g, (s, c, n) in agg.items()
+    }
+
+
+def _actual(view):
+    return {
+        r["seg"]: (r["total"], r["n_amt"], r["n_rows"])
+        for r in view.read().collect()
+    }
+
+
+def _model_fact_rows(fact_model):
+    return [(c, a) for (c, a) in fact_model.values()]
+
+
+def test_joinview_lifecycle(spark, tmp_path):
+    """Create, then one refresh per churn shape, equal to the Python
+    join-group oracle after each: fact append (incl. a NULL fk and a
+    fk with no dim row), dim attribute move, late-arriving dim key,
+    fact dv delete, dim delete killing a group."""
+    fact = _mk_fact(spark, tmp_path / "f", [
+        (1, 10, 5), (2, 10, None), (3, 20, 7), (4, 30, 1),
+    ])
+    dim = _mk_dim(spark, tmp_path / "d", [
+        (10, "a"), (20, "b"), (30, "a"),
+    ])
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+
+    model_f = {1: (10, 5), 2: (10, None), 3: (20, 7), 4: (30, 1)}
+    model_d = {10: "a", 20: "b", 30: "a"}
+    assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
+    # avg derives from the physical sum/count
+    avgs = {r["seg"]: r["mean_amt"] for r in view.read().collect()}
+    assert avgs == {"a": 3.0, "b": 7.0}
+
+    # fact churn only: new rows — one NULL fk, one fk (99) with no dim
+    fact.append(spark.createDataFrame(
+        [(5, 20, 100), (6, None, 9), (7, 99, 9)], FACT_SCHEMA))
+    model_f.update({5: (20, 100), 6: (None, 9), 7: (99, 9)})
+    r = view.refresh()
+    assert r["mode"] == "incremental" and not r["skipped"]
+    assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
+
+    # dim churn only: cust 10 moves a -> b (BOTH its fact rows move,
+    # including the NULL-amt one)
+    dim.merge(spark.createDataFrame([(10, "b")], DIM_SCHEMA))
+    model_d[10] = "b"
+    view.refresh()
+    assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
+
+    # late-arriving dim key: 99 appears, its EXISTING fact row joins in
+    dim.merge(spark.createDataFrame([(99, "c")], DIM_SCHEMA))
+    model_d[99] = "c"
+    view.refresh()
+    assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
+    assert _actual(view)["c"] == (9, 1, 1)
+
+    # both feeds in one refresh window: fact dv delete + dim delete
+    fact.delete(F.col("oid").isin([3, 5]), mode="dv")
+    del model_f[3], model_f[5]
+    dim.delete(F.col("cust") == 99)
+    del model_d[99]
+    view.refresh()
+    assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
+    assert "c" not in _actual(view)  # group died with its dim key
+
+    # recompute mode lands the identical state (same fence machinery)
+    fact.append(spark.createDataFrame([(8, 20, 2)], FACT_SCHEMA))
+    model_f[8] = (20, 2)
+    r = view.refresh(mode="recompute")
+    assert r["mode"] == "recompute" and not r["skipped"]
+    assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
+
+
+def test_joinview_equals_recompute_random_ops(spark, tmp_path):
+    """Randomized op-log over BOTH tables, refresh every 2-3 ops:
+    incremental read() must equal the Python oracle at every refresh,
+    and a final recompute must change nothing."""
+    rng = random.Random(20260815)
+    fact = _mk_fact(spark, tmp_path / "f", [
+        (i, rng.choice([10, 20, 30, 40, None]), rng.choice([None, 1, 5]))
+        for i in range(40)
+    ])
+    # dim starts WITHOUT key 40 (late-arriving later); NULL group for 30
+    dim = _mk_dim(spark, tmp_path / "d", [
+        (10, "a"), (20, "b"), (30, None),
+    ])
+    model_f = {
+        r["oid"]: (r["cust"], r["amt"]) for r in fact.read().collect()
+    }
+    model_d = {r["cust"]: r["seg"] for r in dim.read().collect()}
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    next_oid = 1000
+
+    def op_fact_append():
+        nonlocal next_oid
+        rows = [
+            (next_oid + j,
+             rng.choice([10, 20, 30, 40, 50, None]),
+             rng.choice([None, 2, 9]))
+            for j in range(rng.randint(1, 5))
+        ]
+        next_oid += len(rows)
+        fact.append(spark.createDataFrame(rows, FACT_SCHEMA))
+        model_f.update({o: (c, a) for o, c, a in rows})
+
+    def op_fact_update():
+        ids = rng.sample(sorted(model_f), min(3, len(model_f)))
+        rows = [(o, model_f[o][0], rng.choice([None, 4, 11])) for o in ids]
+        fact.merge(spark.createDataFrame(rows, FACT_SCHEMA))
+        model_f.update({o: (c, a) for o, c, a in rows})
+
+    def op_fact_delete():
+        ids = rng.sample(sorted(model_f), min(2, len(model_f)))
+        fact.delete(F.col("oid").isin(ids), mode=rng.choice(["dv", "rewrite"]))
+        for o in ids:
+            del model_f[o]
+
+    def op_dim_move():
+        if not model_d:
+            return
+        k = rng.choice(sorted(model_d, key=str))
+        seg = rng.choice(["a", "b", "c", None])
+        dim.merge(spark.createDataFrame([(k, seg)], DIM_SCHEMA))
+        model_d[k] = seg
+
+    def op_dim_insert():
+        k = rng.choice([40, 50, 60])
+        if k in model_d:
+            return
+        dim.merge(spark.createDataFrame([(k, rng.choice(["a", "c"]))],
+                                        DIM_SCHEMA))
+        model_d[k] = dim.read().filter(F.col("cust") == k).first()["seg"]
+
+    def op_dim_delete():
+        if len(model_d) <= 1:
+            return
+        k = rng.choice(sorted(model_d, key=str))
+        dim.delete(F.col("cust") == k)
+        del model_d[k]
+
+    ops = [op_fact_append, op_fact_update, op_fact_delete,
+           op_dim_move, op_dim_insert, op_dim_delete]
+    done = 0
+    while done < 24:
+        for _ in range(rng.randint(2, 3)):
+            rng.choice(ops)()
+            done += 1
+        view.refresh()
+        assert _actual(view) == _expected(
+            _model_fact_rows(model_f), model_d
+        ), f"diverged after {done} ops"
+    view.refresh(mode="recompute")
+    assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
+
+
+def test_joinview_replay_is_fenced_and_versions_tracked(spark, tmp_path):
+    fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a")])
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    assert view.applied_versions() == (0, 0)
+
+    fact.append(spark.createDataFrame([(2, 10, 7)], FACT_SCHEMA))
+    dim.merge(spark.createDataFrame([(10, "b")], DIM_SCHEMA))
+    r = view.refresh()
+    assert r["refreshed_to"] == (1, 1) and not r["skipped"]
+    assert view.applied_versions() == (1, 1)
+    state = _actual(view)
+
+    # crash replay: a second refresh over the same range is a fenced
+    # skip and the double-apply never happens
+    r2 = view.refresh()
+    assert r2["skipped"]
+    assert _actual(view) == state == {"b": (12, 2, 2)}
+
+    # a reconstructed handle recovers its cursors from the fence
+    again = TxJoinAggView(spark, tmp_path / "v")
+    assert again.applied_versions() == (1, 1)
+
+
+def test_joinview_dim_is_never_scanned(spark, tmp_path):
+    """Term A reads the dim ONLY through key-pruned point reads."""
+    fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a"), (20, "b")])
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    fact.append(spark.createDataFrame([(2, 20, 3)], FACT_SCHEMA))
+
+    def boom(*a, **k):
+        raise AssertionError("dim.read() called during fact-churn refresh")
+
+    view.dim.read = boom  # read_for_keys goes through _read_files, not read
+    view.refresh()
+    assert _actual(view) == {"a": (5, 1, 1), "b": (3, 1, 1)}
+
+
+def test_joinview_term_b_pruned_reads_by_fact_layout(spark, tmp_path):
+    """Fact keyed BY the fk -> read_for_keys (fact.read never called);
+    fk in stats_cols -> read(prune={fk: range}); neither -> full read."""
+    # layout 1: fact keyed by the fk itself
+    f1 = TxTable.create(
+        spark, tmp_path / "f1",
+        spark.createDataFrame([(10, 5), (20, 7)], "cust long, amt long"),
+        key="cust",
+    )
+    d1 = _mk_dim(spark, tmp_path / "d1", [(10, "a"), (20, "b")])
+    v1 = TxJoinAggView.create(
+        spark, tmp_path / "v1", f1, d1, fk="cust",
+        group_expr="seg", group_col="seg", measures={"total": "amt"},
+    )
+    d1.merge(spark.createDataFrame([(10, "b")], DIM_SCHEMA))
+
+    def boom(*a, **k):
+        raise AssertionError("fact.read() called — term B must key-prune")
+
+    v1.fact.read = boom
+    v1.refresh()
+    assert {r["seg"]: r["total"] for r in v1.read().collect()} == {"b": 12}
+
+    # layout 2: fk declared in stats_cols -> prune= reaches the read
+    f2 = TxTable.create(
+        spark, tmp_path / "f2",
+        spark.createDataFrame([(1, 10, 5), (2, 20, 7)], FACT_SCHEMA),
+        key="oid", stats_cols=["cust"],
+    )
+    d2 = _mk_dim(spark, tmp_path / "d2", [(10, "a"), (20, "b")])
+    v2 = _mk_view(spark, tmp_path / "v2", f2, d2)
+    d2.merge(spark.createDataFrame([(20, "a")], DIM_SCHEMA))
+    seen: dict = {}
+    orig = v2.fact.read
+
+    def spy(*a, **k):
+        seen.update(k)
+        return orig(*a, **k)
+
+    v2.fact.read = spy
+    v2.refresh()
+    assert seen.get("prune") == {"cust": (20, 20)}
+    assert _actual(v2) == {"a": (12, 2, 2)}
+
+
+def test_joinview_guards(spark, tmp_path):
+    fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a")])
+    with pytest.raises(TxError, match="sum/count/avg"):
+        TxJoinAggView.create(
+            spark, tmp_path / "v", fact, dim, fk="cust",
+            group_expr="seg", group_col="seg",
+            measures={"worst": ("min", "amt")},
+        )
+    nokey = TxTable.create(
+        spark, tmp_path / "nk",
+        spark.createDataFrame([(10, "a")], DIM_SCHEMA),
+    )
+    with pytest.raises(TxError, match="keyed"):
+        TxJoinAggView.create(
+            spark, tmp_path / "v2", fact, nokey, fk="cust",
+            group_expr="seg", group_col="seg", measures={"total": "amt"},
+        )
+    with pytest.raises(TxError, match="reserved"):
+        TxJoinAggView.create(
+            spark, tmp_path / "v3", fact, dim, fk="cust",
+            group_expr="seg", group_col="seg", measures={"n_rows": "amt"},
+        )
+    with pytest.raises(TxError, match="not a TxJoinAggView"):
+        TxJoinAggView(spark, tmp_path / "missing")
+
+
+def test_joinview_auto_mode(spark, tmp_path, monkeypatch):
+    """auto picks recompute below the row floor and incremental above
+    (thresholds monkeypatched down); both land the same state."""
+    fact = _mk_fact(spark, tmp_path / "f",
+                    [(i, 10 + 10 * (i % 3), i) for i in range(60)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a"), (20, "b"), (30, "c")])
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+
+    fact.append(spark.createDataFrame([(100, 10, 1)], FACT_SCHEMA))
+    r = view.refresh(mode="auto")  # 61 rows << floor -> recompute
+    assert r["mode"] == "recompute"
+
+    monkeypatch.setattr(TxJoinAggView, "RECOMPUTE_FLOOR_ROWS", 10)
+    fact.append(spark.createDataFrame([(101, 20, 2)], FACT_SCHEMA))
+    r = view.refresh(mode="auto")  # small churn over the floor -> fold
+    assert r["mode"] == "incremental"
+
+    # heavy DIM churn (2 of 3 keys move) trips the dim fraction
+    dim.merge(spark.createDataFrame([(10, "c"), (20, "c")], DIM_SCHEMA))
+    r = view.refresh(mode="auto")
+    assert r["mode"] == "recompute"
+    model_f = {r["oid"]: (r["cust"], r["amt"]) for r in fact.read().collect()}
+    model_d = {r["cust"]: r["seg"] for r in dim.read().collect()}
+    assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
