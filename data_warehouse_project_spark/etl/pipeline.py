@@ -948,8 +948,14 @@ def _tx_fact_append(
                 "built by another scd_strategy; refusing to shadow it"
             ) from None
         # bootstrap as empty-create + fenced append so even the FIRST
-        # batch is covered by the replay fence
-        t = TxTable.create(wh.spark, root, batch.limit(0))
+        # batch is covered by the replay fence. customer_id in
+        # stats_cols gives the join gold view's term-B probe (and any
+        # per-customer point query) manifest file skipping instead of a
+        # full fact scan — tight after clustering, conservative before
+        stats = [c for c in ("customer_id",) if c in batch.columns]
+        t = TxTable.create(
+            wh.spark, root, batch.limit(0), stats_cols=stats or None
+        )
     stamp = _run_stamp(run_ts)
     r = t.append(batch, txn=(f"etl_{name}", stamp))
     # pin for the end-of-run catalog publish: on a fenced skip the
@@ -992,6 +998,29 @@ GOLD_VIEWS: dict[str, tuple[str, dict]] = {
     ),
 }
 
+# join gold views: fact ⋈ dim GROUP BY a DIM attribute, maintained from
+# BOTH change feeds (sources/txjoinview.TxJoinAggView — the bilinear
+# delta decomposition). An SCD1 segment change on one customer moves
+# exactly that customer's fact rows between groups — CURRENT-state
+# reporting, the semantics the reference's brand/geo rollups recompute
+# wholesale each run (dw_etl_tests.py:480-506). The dim side joins on
+# the surrogate id the fact carries, which ce_customers declares in
+# stats_cols, so term-B fact probes AND term-A dim probes both prune.
+GOLD_JOIN_VIEWS: dict[str, dict] = {
+    "sales_by_segment": {
+        "dim": "ce_customers",
+        "fk": "customer_id",
+        "dim_on": "customer_id",
+        "group_expr": "market_segment",
+        "group_col": "market_segment",
+        "measures": {
+            "revenue_cents": ("sum", "cast(round(extended_price * 100) as bigint)"),
+            "n_sales": ("count", "sale_src_id"),
+            "avg_qty": ("avg", "cast(quantity as bigint)"),
+        },
+    },
+}
+
 
 def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
     """Maintain the incremental gold aggregates over the transactional
@@ -1015,6 +1044,7 @@ def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
     ``mode="incremental"`` / ``"recompute"`` force a path — the
     incremental fold is the 100 TB design: O(churn + touched groups)
     while recompute is O(base)."""
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
     from data_warehouse_project_spark.sources.txtable import TxError
     from data_warehouse_project_spark.sources.txview import TxAggView
 
@@ -1037,6 +1067,21 @@ def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
                          "base_version": view.applied_base_version()}
             continue
         out[name] = view.refresh(mode=mode)
+    for name, jspec in GOLD_JOIN_VIEWS.items():
+        root = wh.root / "gold_views" / name
+        try:
+            jview = TxJoinAggView(wh.spark, root)
+        except TxError:
+            jview = TxJoinAggView.create(
+                wh.spark, root, base, wh.tx("bl_3nf", jspec["dim"]),
+                fk=jspec["fk"], group_expr=jspec["group_expr"],
+                group_col=jspec["group_col"], measures=jspec["measures"],
+                dim_on=jspec.get("dim_on"),
+            )
+            out[name] = {"created": True,
+                         "base_versions": jview.applied_versions()}
+            continue
+        out[name] = jview.refresh(mode=mode)
     return out
 
 

@@ -179,12 +179,20 @@ class Warehouse:
             names.append(vn)
         gold = self.root / "gold_views"
         if gold.is_dir():
+            from data_warehouse_project_spark.sources.txjoinview import (
+                TxJoinAggView,
+            )
             from data_warehouse_project_spark.sources.txview import TxAggView
 
             for p in sorted(gold.iterdir()):
-                try:
-                    view = TxAggView(self.spark, p)
-                except Exception:
+                view = None
+                for cls in (TxAggView, TxJoinAggView):
+                    try:
+                        view = cls(self.spark, p)
+                        break
+                    except Exception:
+                        continue
+                if view is None:
                     continue
                 vn = f"{prefix}gold_{p.name}"
                 view.read().createOrReplaceTempView(vn)

@@ -48,22 +48,22 @@ join view needs the dirty-group base repair against the joined pair —
 use ``refresh(mode="recompute")`` (same fence) or a ``TxAggView`` on a
 pre-joined table when extremal measures are required.
 
-Join semantics are INNER on ``fact.fk = dim.key`` with the standard
-SQL treatment: NULL foreign keys match nothing; a fact row with no
+Join semantics are INNER on ``fact.fk = dim.<dim_on>`` (``dim_on``
+defaults to the dim's table key — e.g. a surrogate-id column when the
+dim is merge-keyed by its natural key) with the standard SQL
+treatment: NULL foreign keys match nothing; a fact row with no
 dimension row contributes to no group until the dim row arrives (term
 B then picks its rows up — late-arriving dimensions are handled by the
-algebra, not by special cases). The dimension must be unique per key
-(an SCD1 dim — the same contract the SQL join would need to avoid
-fanout).
+algebra, not by special cases). The dimension must be unique per
+``dim_on`` value (an SCD1 dim — the same contract the SQL join would
+need to avoid fanout).
 
 100 TB shape: refresh cost is O(fact churn + moved dim keys' fact rows
-+ touched view groups). The dim side is never scanned (key-pruned
-reads only — test-pinned by a monkeypatched ``read``); the fact side
-of term B prunes by the fact's layout (exact file pruning when the
-fact is keyed by the fk, manifest range skipping when the fk is in
-``stats_cols``, honest full scan otherwise — see
-``_fact_for_dim_keys``); the view rewrite touches only files whose key
-range holds a touched group.
++ touched view groups). Both point reads prune by each base's layout
+(exact file pruning when the probe column is the table key, manifest
+range skipping when it is in ``stats_cols``, honest full scan
+otherwise — see ``_pruned_rows``); the view rewrite touches only files
+whose key range holds a touched group.
 """
 
 from __future__ import annotations
@@ -113,6 +113,31 @@ def _dec(fence: int) -> tuple[int, int]:
     return fence >> _DIM_BITS, fence & ((1 << _DIM_BITS) - 1)
 
 
+def _pruned_rows(
+    table: TxTable, col: str, keys: DataFrame, version: int
+) -> DataFrame:
+    """Rows of ``table`` (at ``version``) that MAY carry a ``col``
+    value from ``keys`` — pruned as tightly as the table's layout
+    allows; exactness comes from the caller's inner join, this only
+    bounds IO:
+
+    - ``col`` IS the table key: exact file pruning (``read_for_keys``);
+    - ``col`` declared in ``stats_cols``: manifest range skipping over
+      the keys' [min, max] (tight after a z-order/cluster on the
+      column, conservative otherwise);
+    - neither: a full scan at ``version`` — the honest fallback. At
+      scale, key or stats-declare the join columns on both bases."""
+    m = table._manifest(version)
+    keyed = keys.select(F.col(keys.columns[0]).alias(col)).distinct()
+    if m["key"] == col:
+        return table.read_for_keys(keyed, version=version)
+    if col in (m.get("stats_cols") or []):
+        r = keyed.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        if r["lo"] is not None:
+            return table.read(version=version, prune={col: (r["lo"], r["hi"])})
+    return table.read(version)
+
+
 class TxJoinAggView:
     """A fact ⋈ dim GROUP BY view stored as its own ``TxTable`` keyed
     by the group column, refreshed incrementally from BOTH bases'
@@ -159,11 +184,15 @@ class TxJoinAggView:
         group_expr: str,
         group_col: str,
         measures: dict,
+        dim_on: str | None = None,
     ) -> "TxJoinAggView":
         """Full-compute the view at both bases' CURRENT versions and
         persist the definition; later ``refresh()`` calls fold feeds
         from those versions. ``fk`` is the fact's join column; the dim
-        side joins on its table key (``dim`` must be keyed)."""
+        side joins on ``dim_on`` (default: its table key — ``dim`` must
+        be keyed so its feed and rewrites stay key-pruned; pass a
+        different unique column, e.g. a surrogate id, when the fact
+        references that instead of the merge key)."""
         root = Path(root)
         if (root / TXLOG_DIR).exists() or (root / _SIDECAR).exists():
             raise TxError(f"already a view or table: {root}")
@@ -178,7 +207,7 @@ class TxJoinAggView:
             "fact_root": str(fact.root),
             "dim_root": str(dim.root),
             "fk": fk,
-            "dim_key": dim._manifest()["key"],
+            "dim_key": dim_on or dim._manifest()["key"],
             "group_expr": group_expr,
             "group_col": group_col,
             "measures": norm,
@@ -274,32 +303,6 @@ class TxJoinAggView:
 
     # -------------------------------------------------------- refresh
 
-    def _fact_for_dim_keys(self, dd: DataFrame, f0: int) -> DataFrame:
-        """Fact rows (at version ``f0``) that MAY join a changed dim
-        key — the term-B read, pruned as tightly as the fact's layout
-        allows. Exactness comes from the inner join above; this only
-        bounds IO:
-
-        - fact keyed BY the fk: exact file pruning (``read_for_keys``);
-        - fk declared in ``stats_cols``: manifest range skipping over
-          the changed keys' [min, max] (tight after a z-order/cluster
-          on fk, conservative otherwise);
-        - neither: a full fact scan at f0 — the honest fallback. At
-          scale, declare the fk in ``stats_cols`` (or key the fact by
-          it) to keep term B O(moved keys' files)."""
-        fk = self.spec["fk"]
-        m = self.fact._manifest(f0)
-        keys = dd.select(F.col("__dk").alias(fk)).distinct()
-        if m["key"] == fk:
-            return self.fact.read_for_keys(keys, version=f0)
-        if fk in (m.get("stats_cols") or []):
-            r = keys.agg(F.min(fk).alias("lo"), F.max(fk).alias("hi")).first()
-            if r["lo"] is not None:
-                return self.fact.read(
-                    version=f0, prune={fk: (r["lo"], r["hi"])}
-                )
-        return self.fact.read(f0)
-
     def _recompute(self, f1: int, d1: int) -> dict:
         full = self._joined_agg(
             self.spec, self.fact.read(f1), self.dim.read(d1)
@@ -348,16 +351,15 @@ class TxJoinAggView:
         g = spec["group_col"]
         terms = []
         if f1 > f0:
-            # term A: ΔF ⋈ D1 — signed fact churn, dim read key-pruned
-            # to the churned fks and pinned at its NEW version
+            # term A: ΔF ⋈ D1 — signed fact churn, dim read pruned to
+            # the churned fks and pinned at its NEW version
             df = self._fact_proj(
                 spec, _signed(self.fact.read_changes(f0 + 1, f1))
             )
             dim_slice = self._dim_proj(
                 spec,
-                self.dim.read_for_keys(
-                    df.select(F.col("__jk").alias(spec["dim_key"])).distinct(),
-                    version=d1,
+                _pruned_rows(
+                    self.dim, spec["dim_key"], df.select("__jk"), d1
                 ),
             )
             terms.append(df.join(dim_slice, F.col("__jk") == F.col("__dk")))
@@ -369,7 +371,8 @@ class TxJoinAggView:
                 spec, _signed(self.dim.read_changes(d0 + 1, d1))
             ).localCheckpoint(eager=False)
             fact_slice = self._fact_proj(
-                spec, self._fact_for_dim_keys(dd, f0)
+                spec,
+                _pruned_rows(self.fact, spec["fk"], dd.select("__dk"), f0),
             )
             terms.append(fact_slice.join(dd, F.col("__jk") == F.col("__dk")))
 

@@ -215,14 +215,47 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
     recompute each time — the incremental replacement for the
     reference's full gold re-derivation."""
     from data_warehouse_project_spark.etl.pipeline import (
+        GOLD_JOIN_VIEWS,
         GOLD_VIEWS,
         refresh_gold_views,
     )
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
     from data_warehouse_project_spark.sources.txview import TxAggView
 
     root = str(tmp_path / "wh")
     run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
     wh = Warehouse(spark, root)
+
+    def check_join():
+        """Every join gold view == a fresh fact ⋈ dim GROUP BY."""
+        for name, js in GOLD_JOIN_VIEWS.items():
+            view = TxJoinAggView(spark, wh.root / "gold_views" / name)
+            aggs = []
+            for out_name, (fn, expr) in js["measures"].items():
+                agg = {"sum": F.sum, "count": F.count, "avg": F.avg}[fn](
+                    F.expr(expr)
+                )
+                aggs.append(agg.alias(out_name))
+            aggs.append(F.count(F.lit(1)).alias("n_rows"))
+            d = wh.read("bl_3nf", js["dim"]).select(
+                F.col(js["dim_on"]).alias("__dk"),
+                F.expr(js["group_expr"]).alias("__g"),
+            )
+            want_df = (
+                wh.read("bl_3nf", "ce_sales")
+                .join(d, on=F.col(js["fk"]) == F.col("__dk"))
+                .groupBy(F.col("__g").alias(js["group_col"]))
+                .agg(*aggs)
+            )
+            want = sorted(
+                tuple(r[c] for c in want_df.columns)
+                for r in want_df.collect()
+            )
+            got = sorted(
+                tuple(r[c] for c in view.read().columns)
+                for r in view.read().collect()
+            )
+            assert got == want, f"join gold view {name} != recompute"
 
     def check_all():
         for name, (g, measures) in GOLD_VIEWS.items():
@@ -251,8 +284,10 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
 
     r = refresh_gold_views(wh)
     assert all(v.get("created") for v in r.values())
+    assert set(GOLD_JOIN_VIEWS) <= set(r)
     check_all()
-    # no fact movement -> refresh is a fenced no-op
+    check_join()
+    # no movement on either base -> every refresh is a fenced no-op
     r = refresh_gold_views(wh)
     assert all(v.get("skipped") for v in r.values())
 
@@ -284,6 +319,44 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
     assert all(v.get("mode") == "incremental" for v in r.values())
     assert all(v.get("groups_touched", 0) >= 1 for v in r.values())
     check_all()
+    check_join()
+
+    # DIM churn only: one customer's segment moves — the join view
+    # re-buckets exactly that customer's fact rows (term B); the
+    # fact-only agg views have nothing to fold and skip
+    cust = wh.tx("bl_3nf", "ce_customers")
+    seg_row = (
+        wh.read("bl_3nf", "ce_sales")
+        .join(
+            cust.read().select(
+                F.col("customer_id").alias("cid"), "customer_src_id",
+                "market_segment",
+            ),
+            on=F.col("customer_id") == F.col("cid"),
+        )
+        .select("customer_src_id", "market_segment")
+        .first()
+    )
+    moved = cust.read().filter(
+        F.col("customer_src_id") == seg_row["customer_src_id"]
+    ).withColumn("market_segment", F.lit("MOVED-SEG"))
+    cust.merge(moved)
+    r = refresh_gold_views(wh, mode="incremental")
+    assert all(
+        v.get("skipped") for k, v in r.items() if k in GOLD_VIEWS
+    )
+    assert all(
+        v.get("mode") == "incremental"
+        for k, v in r.items() if k in GOLD_JOIN_VIEWS
+    )
+    check_join()
+    segs = {
+        r0["market_segment"]
+        for r0 in TxJoinAggView(
+            spark, wh.root / "gold_views" / "sales_by_segment"
+        ).read().collect()
+    }
+    assert "MOVED-SEG" in segs  # the moved customer's group was born
 
     # non-tx warehouse refuses
     root_s = str(tmp_path / "wh_snap")
