@@ -1017,6 +1017,9 @@ GOLD_JOIN_VIEWS: dict[str, dict] = {
             "revenue_cents": ("sum", "cast(round(extended_price * 100) as bigint)"),
             "n_sales": ("count", "sale_src_id"),
             "avg_qty": ("avg", "cast(quantity as bigint)"),
+            # extremal measure: rides the dirty-group repair when a
+            # correction delete (or a segment move) kills a maximum
+            "max_sale_cents": ("max", "cast(round(extended_price * 100) as bigint)"),
         },
     },
 }

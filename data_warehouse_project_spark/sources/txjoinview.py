@@ -40,13 +40,17 @@ version PAIR is packed into the single monotonic fence version
 (fact<<31 | dim), so one commit atomically records both cursors and a
 crash replay of either fold is a fenced skip.
 
-Measures: SUM / COUNT / AVG — the self-maintainable aggregates (the
-view stores per-measure running sum + non-null count, so SQL NULL
-semantics are exact). Measure expressions range over FACT columns;
-the group expression ranges over DIMENSION columns. MIN/MAX over a
-join view needs the dirty-group base repair against the joined pair —
-use ``refresh(mode="recompute")`` (same fence) or a ``TxAggView`` on a
-pre-joined table when extremal measures are required.
+Measures: SUM / COUNT / AVG (self-maintainable — the view stores
+per-measure running sum + non-null count, so SQL NULL semantics are
+exact) plus MIN / MAX with the standard delete-repair: inserts fold
+(least/greatest), but a negative contribution at or past a group's
+stored extremum — a fact delete, OR a dim change moving rows out of
+the group — dirties it, and dirty groups recompute from the CURRENT
+joined pair, restricted to exactly those groups (dim scan filtered to
+the dirty groups' rows, fact read pruned to their keys). Repair cost
+is O(dim + dirty groups' fact rows), never O(fact). Measure
+expressions range over FACT columns; the group expression ranges over
+DIMENSION columns.
 
 Join semantics are INNER on ``fact.fk = dim.<dim_on>`` (``dim_on``
 defaults to the dim's table key — e.g. a surrogate-id column when the
@@ -92,12 +96,10 @@ def _norm_measures(measures: dict) -> dict[str, dict]:
         else:
             fn, expr = spec
         fn = fn.lower()
-        if fn not in ("sum", "count", "avg"):
+        if fn not in ("sum", "count", "avg", "min", "max"):
             raise TxError(
-                f"measure {name!r}: join views maintain sum/count/avg "
-                f"(self-maintainable under churn); got {fn!r}. For "
-                "min/max use refresh(mode='recompute') semantics via a "
-                "TxAggView over a pre-joined table."
+                f"measure {name!r}: join views maintain "
+                f"sum/count/avg/min/max; got {fn!r}"
             )
         out[name] = {"fn": fn, "expr": expr}
     return out
@@ -133,8 +135,11 @@ def _pruned_rows(
         return table.read_for_keys(keyed, version=version)
     if col in (m.get("stats_cols") or []):
         r = keyed.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
-        if r["lo"] is not None:
-            return table.read(version=version, prune={col: (r["lo"], r["hi"])})
+        if r["lo"] is None:
+            # no non-null probe keys: equality joins match nothing —
+            # an empty slice, not a full scan
+            return table.read(version).limit(0)
+        return table.read(version=version, prune={col: (r["lo"], r["hi"])})
     return table.read(version)
 
 
@@ -262,7 +267,12 @@ class TxJoinAggView:
             e = F.col(f"__e_{n}")
             if m["fn"] in ("sum", "avg"):
                 aggs.append(F.sum(e).alias(f"__s_{n}"))
-            aggs.append(F.count(e).alias(f"__c_{n}"))
+            if m["fn"] in ("sum", "avg", "count"):
+                aggs.append(F.count(e).alias(f"__c_{n}"))
+            if m["fn"] == "min":
+                aggs.append(F.min(e).alias(f"__m_{n}"))
+            if m["fn"] == "max":
+                aggs.append(F.max(e).alias(f"__m_{n}"))
         aggs.append(F.count(F.lit(1)).alias(_N))
         return j.groupBy(spec["group_col"]).agg(*aggs)
 
@@ -286,8 +296,10 @@ class TxJoinAggView:
                         F.col(f"__s_{n}") / F.col(f"__c_{n}"),
                     ).alias(n)
                 )
-            else:
+            elif m["fn"] == "count":
                 cols.append(F.col(f"__c_{n}").alias(n))
+            else:  # min / max
+                cols.append(F.col(f"__m_{n}").alias(n))
         cols.append(F.col(_N))
         return self.table.read(version).select(*cols)
 
@@ -383,15 +395,26 @@ class TxJoinAggView:
             e = F.col(f"__e_{n}")
             if m["fn"] in ("sum", "avg"):
                 delta_aggs.append(F.sum(sign * e).alias(f"__s_{n}"))
-            delta_aggs.append(
-                F.sum(F.when(e.isNotNull(), sign).otherwise(F.lit(0))).alias(
-                    f"__c_{n}"
+            if m["fn"] in ("sum", "avg", "count"):
+                delta_aggs.append(
+                    F.sum(
+                        F.when(e.isNotNull(), sign).otherwise(F.lit(0))
+                    ).alias(f"__c_{n}")
                 )
-            )
+            if m["fn"] == "min":
+                delta_aggs.append(F.min(F.when(sign > 0, e)).alias(f"__i_{n}"))
+                delta_aggs.append(F.min(F.when(sign < 0, e)).alias(f"__x_{n}"))
+            if m["fn"] == "max":
+                delta_aggs.append(F.max(F.when(sign > 0, e)).alias(f"__i_{n}"))
+                delta_aggs.append(F.max(F.when(sign < 0, e)).alias(f"__x_{n}"))
         delta_aggs.append(F.sum(sign).alias(_N))
         delta = (
             churn.groupBy(g).agg(*delta_aggs).localCheckpoint(eager=False)
         )
+        repairable = {
+            n: m for n, m in spec["measures"].items()
+            if m["fn"] in ("min", "max")
+        }
 
         def apply_delta(view_slice: DataFrame) -> DataFrame:
             s = view_slice.alias("v")
@@ -405,6 +428,7 @@ class TxJoinAggView:
                 .otherwise(F.col(f"d.{g}"))
                 .alias(g)
             ]
+            dirty_flags = []
             for n, m in spec["measures"].items():
                 if m["fn"] in ("sum", "avg"):
                     out_cols.append(
@@ -413,29 +437,129 @@ class TxJoinAggView:
                             + F.coalesce(F.col(f"d.__s_{n}"), F.lit(0))
                         ).alias(f"__s_{n}")
                     )
-                out_cols.append(
-                    (
-                        F.coalesce(F.col(f"v.__c_{n}"), F.lit(0))
-                        + F.coalesce(F.col(f"d.__c_{n}"), F.lit(0))
-                    ).alias(f"__c_{n}")
-                )
+                if m["fn"] in ("sum", "avg", "count"):
+                    out_cols.append(
+                        (
+                            F.coalesce(F.col(f"v.__c_{n}"), F.lit(0))
+                            + F.coalesce(F.col(f"d.__c_{n}"), F.lit(0))
+                        ).alias(f"__c_{n}")
+                    )
+                if m["fn"] in ("min", "max"):
+                    vm = F.col(f"v.__m_{n}")
+                    ins = F.col(f"d.__i_{n}")
+                    dead = F.col(f"d.__x_{n}")
+                    # inserts only improve the extremum; a negative
+                    # contribution AT/PAST it (fact delete, or a dim
+                    # change moving rows out of the group) may expose a
+                    # new one only the joined pair knows — repair. A
+                    # group NEW to the view with any dead rows in the
+                    # range repairs too (the range's surviving extremum
+                    # is not derivable from its inserts alone).
+                    if m["fn"] == "min":
+                        dirty = dead.isNotNull() & (vm.isNull() | (dead <= vm))
+                        fold = F.least(vm, ins)
+                    else:
+                        dirty = dead.isNotNull() & (vm.isNull() | (dead >= vm))
+                        fold = F.greatest(vm, ins)
+                    out_cols.append(
+                        F.when(dirty, F.lit(None))
+                        .otherwise(fold)
+                        .alias(f"__m_{n}")
+                    )
+                    out_cols.append(dirty.alias(f"__dirty_{n}"))
+                    dirty_flags.append(f"__dirty_{n}")
             out_cols.append(
                 (
                     F.coalesce(F.col(f"v.{_N}"), F.lit(0))
                     + F.coalesce(F.col(f"d.{_N}"), F.lit(0))
                 ).alias(_N)
             )
-            return merged.select(*out_cols).filter(
-                F.when(
-                    F.col(_N) < 0,
-                    F.raise_error(
-                        F.lit(
-                            "txjoinview: negative group count — view out "
-                            "of sync with the base change feeds"
-                        )
-                    ).cast("boolean"),
-                ).otherwise(F.col(_N) > 0)
+            out = merged.select(*out_cols)
+
+            guard = F.when(
+                F.col(_N) < 0,
+                F.raise_error(
+                    F.lit(
+                        "txjoinview: negative group count — view out "
+                        "of sync with the base change feeds"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col(_N) > 0)
+
+            if not dirty_flags:
+                return out.filter(guard)
+            out = out.localCheckpoint(eager=False)
+            any_dirty = F.lit(False)
+            for fl in dirty_flags:
+                any_dirty = any_dirty | F.col(fl)
+            # steady state (no extremal row died this range): skip the
+            # repair recompute entirely — refresh stays O(churn)
+            if out.filter(any_dirty).limit(1).count() == 0:
+                return out.drop(*dirty_flags).filter(guard)
+
+            # repair: recompute EXACTLY the dirty groups from the
+            # CURRENT joined pair — dim scan filtered to those groups
+            # (group membership lives in the dim attr, O(dim)), fact
+            # read pruned to their keys
+            dirty_keys = out.filter(any_dirty).select(g)
+            d_slice = (
+                self._dim_proj(spec, self.dim.read(d1))
+                .alias("b")
+                .join(
+                    F.broadcast(dirty_keys.alias("k")),
+                    F.col(f"b.{g}").eqNullSafe(F.col(f"k.{g}")),
+                    "left_semi",
+                )
             )
+            f_slice = self._fact_proj(
+                spec,
+                _pruned_rows(self.fact, spec["fk"], d_slice.select("__dk"), f1),
+            )
+            rep = (
+                f_slice.join(d_slice, F.col("__jk") == F.col("__dk"))
+                .groupBy(g)
+                .agg(
+                    *[
+                        (F.min if m["fn"] == "min" else F.max)(
+                            F.col(f"__e_{n}")
+                        ).alias(f"__r_{n}")
+                        for n, m in repairable.items()
+                    ]
+                )
+            )
+
+            def repaired_cols(n: str, m: dict) -> list:
+                if m["fn"] in ("sum", "avg"):
+                    return [
+                        F.col(f"m.__s_{n}").alias(f"__s_{n}"),
+                        F.col(f"m.__c_{n}").alias(f"__c_{n}"),
+                    ]
+                if m["fn"] == "count":
+                    return [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
+                return [
+                    F.when(F.col(f"m.__dirty_{n}"), F.col(f"r.__r_{n}"))
+                    .otherwise(F.col(f"m.__m_{n}"))
+                    .alias(f"__m_{n}")
+                ]
+
+            out = (
+                out.alias("m")
+                .join(
+                    rep.alias("r"),
+                    F.col(f"m.{g}").eqNullSafe(F.col(f"r.{g}")),
+                    "left",
+                )
+                .select(
+                    F.col(f"m.{g}").alias(g),
+                    *[
+                        c
+                        for n, m in spec["measures"].items()
+                        for c in repaired_cols(n, m)
+                    ],
+                    F.col(f"m.{_N}").alias(_N),
+                )
+            )
+            return out.filter(guard)
 
         r = self.table.rewrite_by_keys(
             delta.select(g), apply_delta, txn=(self.APP, _enc(f1, d1))

@@ -41,7 +41,8 @@ def _mk_view(spark, path, fact, dim):
         spark, path, fact, dim,
         fk="cust", group_expr="seg", group_col="seg",
         measures={"total": "amt", "n_amt": ("count", "amt"),
-                  "mean_amt": ("avg", "amt")},
+                  "mean_amt": ("avg", "amt"),
+                  "lo_amt": ("min", "amt"), "hi_amt": ("max", "amt")},
     )
 
 
@@ -53,19 +54,28 @@ def _expected(fact_rows, dim_attr):
         if cust is None or cust not in dim_attr:
             continue
         g = dim_attr[cust]
-        a = agg.setdefault(g, [0, 0, 0])  # sum, non-null count, n_rows
+        a = agg.setdefault(g, [0, 0, 0, []])  # sum, nn count, n_rows, vals
         if amt is not None:
             a[0] += amt
             a[1] += 1
+            a[3].append(amt)
         a[2] += 1
     return {
-        g: (s if c > 0 else None, c, n) for g, (s, c, n) in agg.items()
+        g: (
+            s if c > 0 else None,
+            c,
+            n,
+            min(vals) if vals else None,
+            max(vals) if vals else None,
+        )
+        for g, (s, c, n, vals) in agg.items()
     }
 
 
 def _actual(view):
     return {
-        r["seg"]: (r["total"], r["n_amt"], r["n_rows"])
+        r["seg"]: (r["total"], r["n_amt"], r["n_rows"],
+                   r["lo_amt"], r["hi_amt"])
         for r in view.read().collect()
     }
 
@@ -114,7 +124,7 @@ def test_joinview_lifecycle(spark, tmp_path):
     model_d[99] = "c"
     view.refresh()
     assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
-    assert _actual(view)["c"] == (9, 1, 1)
+    assert _actual(view)["c"] == (9, 1, 1, 9, 9)
 
     # both feeds in one refresh window: fact dv delete + dim delete
     fact.delete(F.col("oid").isin([3, 5]), mode="dv")
@@ -232,7 +242,7 @@ def test_joinview_replay_is_fenced_and_versions_tracked(spark, tmp_path):
     # skip and the double-apply never happens
     r2 = view.refresh()
     assert r2["skipped"]
-    assert _actual(view) == state == {"b": (12, 2, 2)}
+    assert _actual(view) == state == {"b": (12, 2, 2, 5, 7)}
 
     # a reconstructed handle recovers its cursors from the fence
     again = TxJoinAggView(spark, tmp_path / "v")
@@ -240,18 +250,21 @@ def test_joinview_replay_is_fenced_and_versions_tracked(spark, tmp_path):
 
 
 def test_joinview_dim_is_never_scanned(spark, tmp_path):
-    """Term A reads the dim ONLY through key-pruned point reads."""
+    """Term A reads the dim ONLY through key-pruned point reads, and
+    insert-only churn (no dead extremes) never triggers the min/max
+    repair — neither base is scanned in the steady state."""
     fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5)])
     dim = _mk_dim(spark, tmp_path / "d", [(10, "a"), (20, "b")])
     view = _mk_view(spark, tmp_path / "v", fact, dim)
     fact.append(spark.createDataFrame([(2, 20, 3)], FACT_SCHEMA))
 
     def boom(*a, **k):
-        raise AssertionError("dim.read() called during fact-churn refresh")
+        raise AssertionError("full read during an insert-only refresh")
 
     view.dim.read = boom  # read_for_keys goes through _read_files, not read
+    view.fact.read = boom  # min/max repair would need it — must not fire
     view.refresh()
-    assert _actual(view) == {"a": (5, 1, 1), "b": (3, 1, 1)}
+    assert _actual(view) == {"a": (5, 1, 1, 5, 5), "b": (3, 1, 1, 3, 3)}
 
 
 def test_joinview_term_b_pruned_reads_by_fact_layout(spark, tmp_path):
@@ -296,17 +309,17 @@ def test_joinview_term_b_pruned_reads_by_fact_layout(spark, tmp_path):
     v2.fact.read = spy
     v2.refresh()
     assert seen.get("prune") == {"cust": (20, 20)}
-    assert _actual(v2) == {"a": (12, 2, 2)}
+    assert _actual(v2) == {"a": (12, 2, 2, 5, 7)}
 
 
 def test_joinview_guards(spark, tmp_path):
     fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5)])
     dim = _mk_dim(spark, tmp_path / "d", [(10, "a")])
-    with pytest.raises(TxError, match="sum/count/avg"):
+    with pytest.raises(TxError, match="sum/count/avg/min/max"):
         TxJoinAggView.create(
             spark, tmp_path / "v", fact, dim, fk="cust",
             group_expr="seg", group_col="seg",
-            measures={"worst": ("min", "amt")},
+            measures={"buyers": ("approx_distinct", "cust")},
         )
     nokey = TxTable.create(
         spark, tmp_path / "nk",
