@@ -1020,6 +1020,9 @@ GOLD_JOIN_VIEWS: dict[str, dict] = {
             # extremal measure: rides the dirty-group repair when a
             # correction delete (or a segment move) kills a maximum
             "max_sale_cents": ("max", "cast(round(extended_price * 100) as bigint)"),
+            # distinct buyers per segment as an HLL sketch (exact at
+            # smoke cardinality, ~1.6% at scale)
+            "approx_buyers": ("approx_distinct", "customer_id"),
         },
     },
 }

@@ -48,7 +48,10 @@ stored extremum — a fact delete, OR a dim change moving rows out of
 the group — dirties it, and dirty groups recompute from the CURRENT
 joined pair, restricted to exactly those groups (dim scan filtered to
 the dirty groups' rows, fact read pruned to their keys). Repair cost
-is O(dim + dirty groups' fact rows), never O(fact). Measure
+is O(dim + dirty groups' fact rows), never O(fact). APPROX_DISTINCT
+maintains a per-group HyperLogLog sketch like ``TxAggView``: inserts
+fold (HLL union), any deleted non-null value rides the same repair
+path, and ``read()`` keeps COUNT(DISTINCT) surface semantics. Measure
 expressions range over FACT columns; the group expression ranges over
 DIMENSION columns.
 
@@ -96,10 +99,10 @@ def _norm_measures(measures: dict) -> dict[str, dict]:
         else:
             fn, expr = spec
         fn = fn.lower()
-        if fn not in ("sum", "count", "avg", "min", "max"):
+        if fn not in ("sum", "count", "avg", "min", "max", "approx_distinct"):
             raise TxError(
                 f"measure {name!r}: join views maintain "
-                f"sum/count/avg/min/max; got {fn!r}"
+                f"sum/count/avg/min/max/approx_distinct; got {fn!r}"
             )
         out[name] = {"fn": fn, "expr": expr}
     return out
@@ -273,6 +276,8 @@ class TxJoinAggView:
                 aggs.append(F.min(e).alias(f"__m_{n}"))
             if m["fn"] == "max":
                 aggs.append(F.max(e).alias(f"__m_{n}"))
+            if m["fn"] == "approx_distinct":
+                aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
         aggs.append(F.count(F.lit(1)).alias(_N))
         return j.groupBy(spec["group_col"]).agg(*aggs)
 
@@ -298,6 +303,14 @@ class TxJoinAggView:
                 )
             elif m["fn"] == "count":
                 cols.append(F.col(f"__c_{n}").alias(n))
+            elif m["fn"] == "approx_distinct":
+                # COUNT(DISTINCT) surface semantics: 0 for all-null
+                # groups, never NULL (empty sketch estimates 0)
+                cols.append(
+                    F.coalesce(
+                        F.hll_sketch_estimate(F.col(f"__h_{n}")), F.lit(0)
+                    ).alias(n)
+                )
             else:  # min / max
                 cols.append(F.col(f"__m_{n}").alias(n))
         cols.append(F.col(_N))
@@ -407,13 +420,24 @@ class TxJoinAggView:
             if m["fn"] == "max":
                 delta_aggs.append(F.max(F.when(sign > 0, e)).alias(f"__i_{n}"))
                 delta_aggs.append(F.max(F.when(sign < 0, e)).alias(f"__x_{n}"))
+            if m["fn"] == "approx_distinct":
+                delta_aggs.append(
+                    F.hll_sketch_agg(F.when(sign > 0, e)).alias(f"__i_{n}")
+                )
+                delta_aggs.append(
+                    F.sum(
+                        F.when(
+                            (sign < 0) & e.isNotNull(), F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ).alias(f"__x_{n}")
+                )
         delta_aggs.append(F.sum(sign).alias(_N))
         delta = (
             churn.groupBy(g).agg(*delta_aggs).localCheckpoint(eager=False)
         )
         repairable = {
             n: m for n, m in spec["measures"].items()
-            if m["fn"] in ("min", "max")
+            if m["fn"] in ("min", "max", "approx_distinct")
         }
 
         def apply_delta(view_slice: DataFrame) -> DataFrame:
@@ -444,6 +468,26 @@ class TxJoinAggView:
                             + F.coalesce(F.col(f"d.__c_{n}"), F.lit(0))
                         ).alias(f"__c_{n}")
                     )
+                if m["fn"] == "approx_distinct":
+                    vh = F.col(f"v.__h_{n}")
+                    ins = F.col(f"d.__i_{n}")
+                    dead = F.col(f"d.__x_{n}")
+                    # inserts FOLD (HLL union is lossless on register
+                    # state); sketches cannot subtract, so ANY deleted
+                    # non-null value rides the repair path
+                    dirty = F.coalesce(dead, F.lit(0)) > 0
+                    fold = (
+                        F.when(vh.isNull(), ins)
+                        .when(ins.isNull(), vh)
+                        .otherwise(F.hll_union(vh, ins))
+                    )
+                    out_cols.append(
+                        F.when(dirty, F.lit(None))
+                        .otherwise(fold)
+                        .alias(f"__h_{n}")
+                    )
+                    out_cols.append(dirty.alias(f"__dirty_{n}"))
+                    dirty_flags.append(f"__dirty_{n}")
                 if m["fn"] in ("min", "max"):
                     vm = F.col(f"v.__m_{n}")
                     ins = F.col(f"d.__i_{n}")
@@ -520,8 +564,12 @@ class TxJoinAggView:
                 .groupBy(g)
                 .agg(
                     *[
-                        (F.min if m["fn"] == "min" else F.max)(
-                            F.col(f"__e_{n}")
+                        (
+                            F.hll_sketch_agg(F.col(f"__e_{n}"))
+                            if m["fn"] == "approx_distinct"
+                            else (F.min if m["fn"] == "min" else F.max)(
+                                F.col(f"__e_{n}")
+                            )
                         ).alias(f"__r_{n}")
                         for n, m in repairable.items()
                     ]
@@ -536,10 +584,11 @@ class TxJoinAggView:
                     ]
                 if m["fn"] == "count":
                     return [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
+                phys = "__h_" if m["fn"] == "approx_distinct" else "__m_"
                 return [
                     F.when(F.col(f"m.__dirty_{n}"), F.col(f"r.__r_{n}"))
-                    .otherwise(F.col(f"m.__m_{n}"))
-                    .alias(f"__m_{n}")
+                    .otherwise(F.col(f"m.{phys}{n}"))
+                    .alias(f"{phys}{n}")
                 ]
 
             out = (

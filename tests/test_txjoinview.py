@@ -42,7 +42,10 @@ def _mk_view(spark, path, fact, dim):
         fk="cust", group_expr="seg", group_col="seg",
         measures={"total": "amt", "n_amt": ("count", "amt"),
                   "mean_amt": ("avg", "amt"),
-                  "lo_amt": ("min", "amt"), "hi_amt": ("max", "amt")},
+                  "lo_amt": ("min", "amt"), "hi_amt": ("max", "amt"),
+                  # tiny cardinality -> the HLL sketch is in its exact
+                  # LIST/SET regime, so equality to COUNT(DISTINCT) holds
+                  "uniq_amt": ("approx_distinct", "amt")},
     )
 
 
@@ -67,6 +70,7 @@ def _expected(fact_rows, dim_attr):
             n,
             min(vals) if vals else None,
             max(vals) if vals else None,
+            len(set(vals)),
         )
         for g, (s, c, n, vals) in agg.items()
     }
@@ -75,7 +79,7 @@ def _expected(fact_rows, dim_attr):
 def _actual(view):
     return {
         r["seg"]: (r["total"], r["n_amt"], r["n_rows"],
-                   r["lo_amt"], r["hi_amt"])
+                   r["lo_amt"], r["hi_amt"], r["uniq_amt"])
         for r in view.read().collect()
     }
 
@@ -124,7 +128,7 @@ def test_joinview_lifecycle(spark, tmp_path):
     model_d[99] = "c"
     view.refresh()
     assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
-    assert _actual(view)["c"] == (9, 1, 1, 9, 9)
+    assert _actual(view)["c"] == (9, 1, 1, 9, 9, 1)
 
     # both feeds in one refresh window: fact dv delete + dim delete
     fact.delete(F.col("oid").isin([3, 5]), mode="dv")
@@ -242,7 +246,7 @@ def test_joinview_replay_is_fenced_and_versions_tracked(spark, tmp_path):
     # skip and the double-apply never happens
     r2 = view.refresh()
     assert r2["skipped"]
-    assert _actual(view) == state == {"b": (12, 2, 2, 5, 7)}
+    assert _actual(view) == state == {"b": (12, 2, 2, 5, 7, 2)}
 
     # a reconstructed handle recovers its cursors from the fence
     again = TxJoinAggView(spark, tmp_path / "v")
@@ -264,7 +268,7 @@ def test_joinview_dim_is_never_scanned(spark, tmp_path):
     view.dim.read = boom  # read_for_keys goes through _read_files, not read
     view.fact.read = boom  # min/max repair would need it — must not fire
     view.refresh()
-    assert _actual(view) == {"a": (5, 1, 1, 5, 5), "b": (3, 1, 1, 3, 3)}
+    assert _actual(view) == {"a": (5, 1, 1, 5, 5, 1), "b": (3, 1, 1, 3, 3, 1)}
 
 
 def test_joinview_term_b_pruned_reads_by_fact_layout(spark, tmp_path):
@@ -309,7 +313,7 @@ def test_joinview_term_b_pruned_reads_by_fact_layout(spark, tmp_path):
     v2.fact.read = spy
     v2.refresh()
     assert seen.get("prune") == {"cust": (20, 20)}
-    assert _actual(v2) == {"a": (12, 2, 2, 5, 7)}
+    assert _actual(v2) == {"a": (12, 2, 2, 5, 7, 2)}
 
 
 def test_joinview_guards(spark, tmp_path):
@@ -319,7 +323,7 @@ def test_joinview_guards(spark, tmp_path):
         TxJoinAggView.create(
             spark, tmp_path / "v", fact, dim, fk="cust",
             group_expr="seg", group_col="seg",
-            measures={"buyers": ("approx_distinct", "cust")},
+            measures={"worst": ("median", "amt")},
         )
     nokey = TxTable.create(
         spark, tmp_path / "nk",
