@@ -367,3 +367,35 @@ def test_joinview_auto_mode(spark, tmp_path, monkeypatch):
     model_f = {r["oid"]: (r["cust"], r["amt"]) for r in fact.read().collect()}
     model_d = {r["cust"]: r["seg"] for r in dim.read().collect()}
     assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
+
+
+def test_joinview_concurrent_refreshes_fold_exactly_once(spark, tmp_path):
+    """Three handles refreshing the SAME join view over the same churn
+    window (fact append + dim move): the packed (fact, dim) fence +
+    commit rebase ensure the combined delta folds exactly once."""
+    import threading
+
+    fact = _mk_fact(spark, tmp_path / "f",
+                    [(i, 10 + 10 * (i % 3), i % 7) for i in range(40)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a"), (20, "b"), (30, "c")])
+    _mk_view(spark, tmp_path / "v", fact, dim)
+    fact.append(spark.createDataFrame([(100, 10, 3)], FACT_SCHEMA))
+    dim.merge(spark.createDataFrame([(20, "a")], DIM_SCHEMA))
+    errors = []
+
+    def refresher():
+        try:
+            TxJoinAggView(spark, tmp_path / "v").refresh()
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    ths = [threading.Thread(target=refresher) for _ in range(3)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join(timeout=300)
+    assert not errors, errors
+    model_f = {r["oid"]: (r["cust"], r["amt"]) for r in fact.read().collect()}
+    model_d = {r["cust"]: r["seg"] for r in dim.read().collect()}
+    view = TxJoinAggView(spark, tmp_path / "v")
+    assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
