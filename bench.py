@@ -139,6 +139,10 @@ def main() -> None:
         r = refresh_gold_views(wh, mode="incremental")
         cdc_stages["refresh_incremental"] = round(time.perf_counter() - t0, 3)
         assert all(v.get("mode") == "incremental" for v in r.values()), r
+        # per-view share so a regression localizes to one view (the
+        # join view's repair path is the expensive one under deletes)
+        for vn, vr in r.items():
+            cdc_stages[f"view_{vn}"] = vr.get("secs", 0.0)
         timings["gold_views_refresh"] = cdc_stages["refresh_incremental"]
         stage_tables["gold_views_refresh"] = cdc_stages
 

@@ -1072,7 +1072,9 @@ def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
             out[name] = {"created": True,
                          "base_version": view.applied_base_version()}
             continue
+        t0 = time.perf_counter()
         out[name] = view.refresh(mode=mode)
+        out[name]["secs"] = round(time.perf_counter() - t0, 3)
     for name, jspec in GOLD_JOIN_VIEWS.items():
         root = wh.root / "gold_views" / name
         try:
@@ -1087,7 +1089,9 @@ def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
             out[name] = {"created": True,
                          "base_versions": jview.applied_versions()}
             continue
+        t0 = time.perf_counter()
         out[name] = jview.refresh(mode=mode)
+        out[name]["secs"] = round(time.perf_counter() - t0, 3)
     return out
 
 
