@@ -399,3 +399,19 @@ def test_joinview_concurrent_refreshes_fold_exactly_once(spark, tmp_path):
     model_d = {r["cust"]: r["seg"] for r in dim.read().collect()}
     view = TxJoinAggView(spark, tmp_path / "v")
     assert _actual(view) == _expected(_model_fact_rows(model_f), model_d)
+
+
+def test_joinview_refresh_with_no_joining_churn_still_advances(spark, tmp_path):
+    """A window whose churn joins nothing (NULL fks / keys with no dim
+    row) produces an EMPTY delta — the fenced commit must still land so
+    the cursors advance and the range is never re-read."""
+    fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a")])
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    fact.append(spark.createDataFrame([(2, None, 7), (3, 999, 8)],
+                                      FACT_SCHEMA))
+    r = view.refresh()
+    assert r["mode"] == "incremental" and r["groups_touched"] == 0
+    assert view.applied_versions() == (1, 0)
+    assert view.refresh()["skipped"]  # cursors moved — nothing re-read
+    assert _actual(view) == {"a": (5, 1, 1, 5, 5, 1)}
