@@ -1921,6 +1921,16 @@ class TxTable:
           Footer stats are only as selective as the layout is
           clustered; this is the metric that says the layout, not the
           stats, is the bottleneck.
+        - ``zorder`` when a declared NUMERIC ``stats_cols`` column has
+          the same problem (deep stabbing over its per-file ``cs``
+          ranges) and no key clustering is pending — e.g. an unkeyed
+          append-only fact whose every batch spans all customers:
+          ``read(prune={col: ...})`` and any join-view point probe on
+          it open every file until a ``compact(zorder=[...])`` makes
+          the ranges tight. All deep columns land in ONE recommended
+          z-order (Morton interleave keeps every dimension selective).
+          Suppressed while ``cluster`` is recommended — the key rewrite
+          comes first; rerun the plan after.
         - ``vacuum`` when non-live bytes under the table root (aged-out
           versions + crash orphans) exceed ``reclaim_fraction`` of live
           bytes. REPORTED, never auto-run: retention must be sized to
@@ -1980,7 +1990,10 @@ class TxTable:
                     + (f", {len(dvf)} carrying deletion vectors" if dvf else ""),
                 }
             )
-        if depth is not None and depth > stab_threshold and len(ranged) >= 4:
+        cluster_due = (
+            depth is not None and depth > stab_threshold and len(ranged) >= 4
+        )
+        if cluster_due:
             actions.append(
                 {
                     "action": "cluster",
@@ -1988,6 +2001,40 @@ class TxTable:
                     "reason": f"mean key stabbing depth {depth:.1f} — a "
                     "point probe opens that many files; clustering makes "
                     "ranges (near-)disjoint",
+                }
+            )
+        deep_cols = []
+        col_depths = {}
+        for col in m.get("stats_cols") or []:
+            spans = [
+                f["cs"][col]
+                for f in files
+                if isinstance(f.get("cs", {}).get(col, [None])[0], (int, float))
+                and not isinstance(f["cs"][col][0], bool)
+            ]
+            if len(spans) < 4:
+                continue
+            lo = min(s[0] for s in spans)
+            hi = max(s[1] for s in spans)
+            if hi <= lo:
+                continue
+            cdepth = sum(s[1] - s[0] + 1 for s in spans) / (hi - lo + 1)
+            col_depths[col] = round(cdepth, 2)
+            if cdepth > stab_threshold:
+                deep_cols.append(col)
+        if col_depths:
+            stats["stats_col_depths"] = col_depths
+        if deep_cols and not cluster_due:
+            actions.append(
+                {
+                    "action": "zorder",
+                    "args": {"zorder": deep_cols},
+                    "reason": "stats-column stabbing depth "
+                    + ", ".join(
+                        f"{c}={col_depths[c]:.1f}" for c in deep_cols
+                    )
+                    + " — prune= / join-view point probes open that many "
+                    "files; a z-order rewrite makes the ranges tight",
                 }
             )
         if live_b and dead_b > reclaim_fraction * live_b:
@@ -2009,7 +2056,7 @@ class TxTable:
         never re-reads files the bin-packing pass was about to fold.
         Returns per-action results plus the plan it executed."""
         plan = plan if plan is not None else self.maintenance_plan(**plan_kw)
-        order = {"compact_small": 0, "cluster": 1}
+        order = {"compact_small": 0, "cluster": 1, "zorder": 1}
         done: dict = {"plan": plan, "results": {}}
         for a in sorted(
             (a for a in plan["actions"] if a["action"] in order),
@@ -2019,8 +2066,12 @@ class TxTable:
                 done["results"]["compact_small"] = self.compact_small(
                     **a["args"]
                 )
-            else:
+            elif a["action"] == "cluster":
                 done["results"]["cluster"] = self.compact(cluster=True)
+            else:
+                done["results"]["zorder"] = self.compact(
+                    zorder=a["args"]["zorder"]
+                )
         return done
 
     def vacuum(

@@ -732,3 +732,51 @@ def test_create_sql_views_exposes_whole_warehouse(spark, tmp_path):
         "select sum(n_sales) s from whv_gold_sales_by_month"
     ).first()["s"]
     assert total == wh.read("bl_3nf", "ce_sales").count()
+
+
+def test_maintenance_plan_zorder_on_stats_cols(spark, tmp_path):
+    """The advisor notices overlapping stats-column ranges on an
+    UNKEYED table (the tx fact's shape: every append spans all
+    customers) and recommends ONE z-order; maintain executes it, the
+    metric goes quiet, and prune= actually narrows afterwards."""
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    root = tmp_path / "t"
+    df = spark.range(0, 40000).repartition(8).select(
+        (F.col("id") % 1000).alias("c"), F.col("id").alias("v")
+    )
+    t = TxTable.create(spark, root, df, stats_cols=["c"])
+
+    plan = TxTable(None, root).maintenance_plan()  # zero Spark jobs
+    acts = {a["action"] for a in plan["actions"]}
+    assert "zorder" in acts and "cluster" not in acts
+    assert plan["stats"]["stats_col_depths"]["c"] > 3
+    [za] = [a for a in plan["actions"] if a["action"] == "zorder"]
+    assert za["args"] == {"zorder": ["c"]}
+
+    r = t.maintain(plan)
+    assert "zorder" in r["results"]
+    after = TxTable(None, root).maintenance_plan()
+    assert "zorder" not in {a["action"] for a in after["actions"]}
+    assert t.read().count() == 40000  # layout-only rewrite
+    # a 10-value window now intersects ~1 file instead of all 8
+    m = t._manifest()
+    hits = [
+        f for f in m["files"]
+        if f["cs"]["c"][0] <= 20 and f["cs"]["c"][1] >= 10
+    ]
+    assert len(hits) <= 2
+
+    # a keyed table with BOTH deep key and deep stats col: the key
+    # rewrite wins, zorder is suppressed until the next plan
+    root2 = tmp_path / "t2"
+    TxTable.create(
+        spark, root2,
+        spark.range(0, 40000).repartition(8).select(
+            F.col("id").alias("k"), (F.col("id") % 1000).alias("c")
+        ),
+        key="k", stats_cols=["c"],
+    )
+    p2 = TxTable(None, root2).maintenance_plan()
+    a2 = {a["action"] for a in p2["actions"]}
+    assert "cluster" in a2 and "zorder" not in a2
