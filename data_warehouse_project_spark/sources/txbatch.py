@@ -104,6 +104,7 @@ from data_warehouse_project_spark.sources.txcdf import _dv_positions
 from data_warehouse_project_spark.sources.txtable import (
     DATA_DIR,
     TXLOG_DIR,
+    TxConflictError,
     TxError,
     TxTable,
     TxVacuumedError,
@@ -537,17 +538,32 @@ class TxBatchWriter(DataSourceArrowWriter):
         except TxError:
             fresh = True
         if fresh:
-            t._commit(
-                0,
-                "create",
-                entries,
-                self.schema_json,
-                self.key,
-                {"rows_written": rows},
-                txns={txn[0]: txn[1]} if txn else None,
-                stats_cols=self.stats_cols,
-            )
-            return {"rows_written": rows, "version": 0}
+            try:
+                t._commit(
+                    0,
+                    "create",
+                    entries,
+                    self.schema_json,
+                    self.key,
+                    {"rows_written": rows},
+                    txns={txn[0]: txn[1]} if txn else None,
+                    stats_cols=self.stats_cols,
+                )
+                return {"rows_written": rows, "version": 0}
+            except TxConflictError:
+                # lost a concurrent fresh-create race: the table exists
+                # NOW — land this job's already-written files as an
+                # ordinary append against it (same retry contract as
+                # any other append), instead of failing the whole write.
+                # The key must agree with the winner's: the file entries'
+                # kmin/kmax were computed for OUR key column and would
+                # corrupt pruning under a different table key.
+                winner_key = t._manifest()["key"]
+                if winner_key != self.key:
+                    raise TxError(
+                        "concurrent create race: winning writer declared "
+                        f"key={winner_key!r}, this writer key={self.key!r}"
+                    )
         if not entries and not self.overwrite and txn is None:
             return {"rows_appended": 0, "skipped": True}
         r = t.commit_prewritten(

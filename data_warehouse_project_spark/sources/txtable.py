@@ -911,10 +911,14 @@ class TxTable:
                         "to widen with new nullable columns)"
                     )
             skip, txns = _fence(m, txn)
-            if skip:
-                return {"rows": 0, "version": m["version"], "skipped": True}
-            files = m["files"] + entries if op == "append" else entries
             metric = "rows_appended" if op == "append" else "rows_written"
+            if skip:
+                # uniform result shape: the op's metric key is present
+                # (= 0) on a fenced skip, so callers reading
+                # r["rows_appended"] / r["rows_written"] see zero rather
+                # than a missing key (r10 ADVICE)
+                return {metric: 0, "version": m["version"], "skipped": True}
+            files = m["files"] + entries if op == "append" else entries
             try:
                 self._commit(
                     m["version"] + 1,

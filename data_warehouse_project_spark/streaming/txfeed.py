@@ -163,12 +163,13 @@ def scd2_apply_changes(
     Per micro-batch (rate-limited like ``replicate_changes``):
     close/open events per key are interleaved by (version, close<open)
     — within one version an update's preimage closes the prior row
-    BEFORE its postimage opens the next — so each open's end is simply
-    the next event in its key's ordered sequence (``lead``), and the
-    history slice's existing current row closes at the key's FIRST
-    close version. One ``rewrite_by_keys`` per batch: O(churn +
-    touched history files), fenced ``(app, upto)`` — crash replay
-    applies exactly once.
+    BEFORE its postimage opens the next — so each open's end is the
+    key's next CLOSE event (first delete/update_preimage strictly
+    after it in the ordered sequence; another OPEN never closes a
+    row), and the history slice's existing current row closes at the
+    key's FIRST close version. One ``rewrite_by_keys`` per batch:
+    O(churn + touched history files), fenced ``(app, upto)`` — crash
+    replay applies exactly once.
 
     The invariant the tests pin, for EVERY base version v:
     ``rows where _scd_start_v <= v < coalesce(_scd_end_v, inf)`` ==
@@ -224,9 +225,21 @@ def scd2_apply_changes(
         w = Window.partitionBy(key).orderBy(
             "__v", F.col("__open").cast("int")  # close sorts before open
         )
+        # an open row ends at the key's next CLOSE event, not merely the
+        # next event: a duplicate-key append (two inserts, no close
+        # between) must leave BOTH rows current — parallel current rows,
+        # mirroring the duplicate in the base — instead of the later
+        # insert silently expiring the earlier one (r10 ADVICE).
+        wf = w.rowsBetween(1, Window.unboundedFollowing)
+        close_v = F.when(~F.col("__open"), F.col("__v"))
+        close_ts = F.when(~F.col("__open"), F.col("__ts"))
         opens = (
-            ev.withColumn("__next_v", F.lead("__v").over(w))
-            .withColumn("__next_ts", F.lead("__ts").over(w))
+            ev.withColumn(
+                "__next_v", F.first(close_v, ignorenulls=True).over(wf)
+            )
+            .withColumn(
+                "__next_ts", F.first(close_ts, ignorenulls=True).over(wf)
+            )
             .filter(F.col("__open"))
             .select(
                 *cols,

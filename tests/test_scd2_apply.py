@@ -184,3 +184,51 @@ def test_randomized_oplog_history_matches_every_version(spark, tmp_path):
     _asof_invariant(spark, src, hist, ["id", "v"])
     cur = hist.read().filter(F.col("_scd_end_v").isNull())
     assert cur.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_duplicate_key_appends_stay_parallel_current(spark, tmp_path):
+    # r10 ADVICE pin: two inserts for one key with NO close between
+    # must leave BOTH rows current ("parallel current rows", mirroring
+    # the duplicate the base itself carries) — an open is only ever
+    # closed by the key's next CLOSE event, never by a later open.
+    src = TxTable.create(
+        spark, tmp_path / "src",
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        key="id",
+    )
+    src.append(spark.createDataFrame([(1, "a2")], "id long, v string"))
+    hroot = str(tmp_path / "hist")
+    scd2_apply_changes(spark, str(src.root), hroot, APP)
+    hist = TxTable(spark, tmp_path / "hist")
+    cur = hist.read().filter(F.col("_scd_end_v").isNull())
+    assert _bag(cur, ["id", "v"]) == Counter(
+        {(1, "a"): 1, (1, "a2"): 1, (2, "b"): 1}
+    )
+    _asof_invariant(spark, src, hist, ["id", "v"])
+    # a delete of the key then closes BOTH parallel rows at its version
+    src.delete(F.col("id") == 1)
+    scd2_apply_changes(spark, str(src.root), hroot, APP)
+    hist = TxTable(spark, tmp_path / "hist")
+    k1 = hist.read().filter(F.col("id") == 1)
+    assert k1.filter(F.col("_scd_end_v").isNull()).count() == 0
+    assert {r["_scd_end_v"] for r in k1.collect()} == {2}
+    _asof_invariant(spark, src, hist, ["id", "v"])
+
+
+def test_duplicate_key_append_split_across_batches(spark, tmp_path):
+    # same shape but the duplicate insert arrives in a LATER batch than
+    # the first: the sink's existing current row must survive (only
+    # close events expire history rows across batch boundaries)
+    src = TxTable.create(
+        spark, tmp_path / "src",
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        key="id",
+    )
+    hroot = str(tmp_path / "hist")
+    scd2_apply_changes(spark, str(src.root), hroot, APP)
+    src.append(spark.createDataFrame([(1, "a2")], "id long, v string"))
+    scd2_apply_changes(spark, str(src.root), hroot, APP)
+    hist = TxTable(spark, tmp_path / "hist")
+    cur = hist.read().filter(F.col("_scd_end_v").isNull())
+    assert _bag(cur, ["id", "v"]) == Counter({(1, "a"): 1, (1, "a2"): 1})
+    _asof_invariant(spark, src, hist, ["id", "v"])

@@ -599,3 +599,84 @@ def test_writer_merge_schema_widens(registered, tmp_path):
             mode="overwrite",
             mergeSchema="true",
         )
+
+
+def test_concurrent_fresh_create_race_loser_appends(
+    registered, tmp_path, monkeypatch
+):
+    """Two writers racing the very first commit to one path (r10
+    ADVICE): the loser's version-0 commit conflicts and must fall
+    through to an ordinary append of its already-written files against
+    the winner's table — not fail the whole job. A loser that declared
+    a DIFFERENT key fails loudly (its footer stats were computed for
+    the wrong column)."""
+    import pyarrow as pa
+
+    from data_warehouse_project_spark.sources.txbatch import TxBatchWriter
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = registered
+    root = tmp_path / "t"
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", LongType())]
+    )
+    # all three constructed while the path is fresh — the race window
+    wA = TxBatchWriter({"path": str(root), "key": "k"}, schema, False)
+    wB = TxBatchWriter({"path": str(root), "key": "k"}, schema, False)
+    wC = TxBatchWriter({"path": str(root), "key": "v"}, schema, False)
+    mk = lambda ks, vs: pa.record_batch(
+        {"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.int64())}
+    )
+    mA = wA.write(iter([mk([1, 2], [10, 20])]))
+    mB = wB.write(iter([mk([3], [30])]))
+    mC = wC.write(iter([mk([4], [40])]))
+    wA._land([mA], None)  # A wins the create
+
+    # B's pre-commit probe raced A (saw no manifest): first
+    # latest_version raises, the version-0 claim genuinely conflicts
+    orig = TxTable.latest_version
+    state = {"first": True}
+
+    def stale(self):
+        if state["first"]:
+            state["first"] = False
+            raise TxError("raced: no manifest visible yet")
+        return orig(self)
+
+    monkeypatch.setattr(TxTable, "latest_version", stale)
+    r = wB._land([mB], None)
+    assert r.get("rows_appended") == 1 and r["version"] == 1
+
+    state["first"] = True  # C races the same way but declared key="v"
+    with pytest.raises(TxError, match="create race"):
+        wC._land([mC], None)
+    wC.abort([mC])
+
+    t = TxTable(spark, root)
+    assert t.latest_version() == 1 and t._manifest()["key"] == "k"
+    assert _bag(t.read()) == _bag(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        )
+    )
+    # the loser's entry carries key stats for the WINNER's key column
+    ent = [e for e in t._manifest()["files"] if e["rows"] == 1]
+    assert ent and ent[0]["kmin"] == 3 and ent[0]["kmax"] == 3
+
+
+def test_fenced_skip_returns_uniform_metric_key(registered, tmp_path):
+    """commit_prewritten's fenced-skip result carries the op's metric
+    key (= 0), so callers reading r['rows_appended'] see zero on a
+    replay rather than a missing key (r10 ADVICE)."""
+    spark = registered
+    root = tmp_path / "t"
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    _w(df, root, key="k")
+    t = TxTable(spark, root)
+    e = t._manifest()["files"]
+    r1 = t.commit_prewritten(e, "append", t._manifest()["schema"],
+                             txn=("app", 5))
+    assert r1["rows_appended"] == 1 and not r1.get("skipped")
+    r2 = t.commit_prewritten(e, "append", t._manifest()["schema"],
+                             txn=("app", 5))
+    assert r2["skipped"] and r2["rows_appended"] == 0
