@@ -952,7 +952,9 @@ def _tx_fact_append(
         # stats_cols gives the join gold view's term-B probe (and any
         # per-customer point query) manifest file skipping instead of a
         # full fact scan — tight after clustering, conservative before
-        stats = [c for c in ("customer_id",) if c in batch.columns]
+        stats = [
+            c for c in ("customer_id", "product_id") if c in batch.columns
+        ]
         t = TxTable.create(
             wh.spark, root, batch.limit(0), stats_cols=stats or None
         )
@@ -1025,6 +1027,44 @@ GOLD_JOIN_VIEWS: dict[str, dict] = {
             "approx_buyers": ("approx_distinct", "customer_id"),
         },
     },
+    # composite group key from ONE dim — the reference's geo-rollup
+    # SHAPE (dw_etl_tests.py:494-506 groups by the (country, state)
+    # pair): revenue by (brand, product_type) as sold, maintained
+    # incrementally. The dim is the SCD2 product table joined on its
+    # per-version surrogate, so each sale's brand is the brand AT SALE
+    # TIME — versions are unique per product_id, satisfying the
+    # no-fanout contract without an is_active filter.
+    "sales_by_product_line": {
+        "dim": "ce_products_scd",
+        "fk": "product_id",
+        "dim_on": "product_id",
+        "group_expr": ["brand", "product_type"],
+        "group_col": ["brand", "product_type"],
+        "measures": {
+            "revenue_cents": ("sum", "cast(round(extended_price * 100) as bigint)"),
+            "n_sales": ("count", "sale_src_id"),
+        },
+    },
+    # TWO dims (fact ⋈ products ⋈ customers), one group column from
+    # EACH — the trilinear delta decomposition (txjoinview docstring):
+    # a segment move on one customer re-buckets exactly that
+    # customer's rows; a brand change exactly that product's.
+    "sales_by_brand_segment": {
+        "dim": "ce_products_scd",
+        "fk": "product_id",
+        "dim_on": "product_id",
+        "extra_dims": [
+            {"dim": "ce_customers", "fk": "customer_id",
+             "dim_on": "customer_id"},
+        ],
+        "group_expr": ["brand", "market_segment"],
+        "group_col": ["brand", "market_segment"],
+        "group_dims": [0, 1],
+        "measures": {
+            "revenue_cents": ("sum", "cast(round(extended_price * 100) as bigint)"),
+            "n_sales": ("count", "sale_src_id"),
+        },
+    },
 }
 
 
@@ -1080,11 +1120,18 @@ def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
         try:
             jview = TxJoinAggView(wh.spark, root)
         except TxError:
+            extra = [
+                {"dim": wh.tx("bl_3nf", e["dim"]), "fk": e["fk"],
+                 "dim_on": e.get("dim_on")}
+                for e in jspec.get("extra_dims", [])
+            ]
             jview = TxJoinAggView.create(
                 wh.spark, root, base, wh.tx("bl_3nf", jspec["dim"]),
                 fk=jspec["fk"], group_expr=jspec["group_expr"],
                 group_col=jspec["group_col"], measures=jspec["measures"],
                 dim_on=jspec.get("dim_on"),
+                extra_dims=extra or None,
+                group_dims=jspec.get("group_dims"),
             )
             out[name] = {"created": True,
                          "base_versions": jview.applied_versions()}

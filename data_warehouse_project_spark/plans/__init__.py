@@ -38,6 +38,13 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 # string-carrier fix has had parity coverage ever since but no driver
 # re-sample). tools/rotation_guard.py now enforces this invariant
 # mechanically: every never-green query must sit inside the prefix.
+_NEVER_DRIVER_GREEN_R10 = [
+    # new in round 11 (never sampled yet): the composite-key and the
+    # multi-dim incremental join-aggregate views
+    "join_view_geo_rollup",
+    "join_view_two_dim_rollup",
+]
+
 _NEVER_DRIVER_GREEN_R9 = [
     "scd2_user_state_history",
     # new in round 10 (never sampled yet): the native batch data source,
@@ -133,8 +140,11 @@ _NEVER_DRIVER_HASHED_R7 = [
     "rolling_28d_active_users",
 ]
 _rotated = {
-    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R9 if k in QUERIES
+    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R10 if k in QUERIES
 }
+_rotated.update(
+    {k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R9 if k in QUERIES}
+)
 _rotated.update(
     {k: QUERIES[k] for k in _NEVER_DRIVER_HASHED_R8 if k in QUERIES}
 )

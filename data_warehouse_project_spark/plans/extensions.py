@@ -808,3 +808,226 @@ def scd2_cdc_history_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "join_view_geo_rollup",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey AS ok, o_custkey AS ck,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey,
+             CAST(2 * ROUND(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    live AS (SELECT * FROM fact WHERE ok % 7 <> 0),
+    dim AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg,
+             CAST(c_nationkey AS BIGINT) AS nk
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT seg, nk,
+           COUNT(amt) AS n_orders,
+           CAST(SUM(amt) AS BIGINT) AS total_cents,
+           CAST(MAX(amt) AS BIGINT) AS max_cents
+    FROM live JOIN dim ON ck = c_custkey
+    GROUP BY seg, nk
+    ORDER BY seg, nk
+    """,
+    doc="COMPOSITE-KEY incremental join-aggregate view (r11, "
+    "sources/txjoinview.TxJoinAggView with group_expr/group_col "
+    "lists): revenue by the (segment, nation) PAIR from one dim — the "
+    "reference's flagship geo rollup shape (dw_etl_tests.py:494-506 "
+    "groups by country AND state), previously answerable but not "
+    "MAINTAINABLE. The view is physically keyed by __gk, a "
+    "prefix-ordered null-distinct encoding of the tuple, so rewrites "
+    "range-prune by the first key part; all merge/repair joins match "
+    "the real columns null-safely. The churn window exercises term A "
+    "(fact append), term B re-bucketing along ONE key part (segment "
+    "moves, nation stays), a dim delete killing groups, and a fact dv "
+    "delete that kills a group MAX (forcing the dirty-group repair "
+    "over the composite key). Oracle recomputes the final join-group "
+    "state in SQL.",
+    tags=("tx", "ivm", "join"),
+    eager=True,
+)
+def join_view_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="jvgeo_")
+    try:
+        fact = TxTable.create(
+            spark, tmp + "/fact", o, key="ok", stats_cols=["ck"]
+        )
+        dim = TxTable.create(spark, tmp + "/dim", c, key="c_custkey")
+        view = TxJoinAggView.create(
+            spark, tmp + "/view", fact, dim,
+            fk="ck",
+            group_expr=["c_mktsegment", "cast(c_nationkey as bigint)"],
+            group_col=["seg", "nk"],
+            measures={
+                "total_cents": "amt",
+                "n_orders": ("count", "amt"),
+                "max_cents": ("max", "amt"),
+            },
+        )
+        fact.append(
+            o.filter(F.col("ok") % 5 == 0).select(
+                (F.col("ok") + 100000000).alias("ok"),
+                "ck",
+                (F.col("amt") * 2).alias("amt"),
+            )
+        )
+        dim.merge(
+            c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+                "c_mktsegment", F.lit("MOVED")
+            )
+        )
+        dim.delete(F.col("c_custkey") % 13 == 0)
+        fact.delete(F.col("ok") % 7 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        res = view.read().select(
+            "seg", "nk", "n_orders", "total_cents",
+            F.col("max_cents").cast("long").alias("max_cents"),
+        ).orderBy("seg", "nk")
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "join_view_two_dim_rollup",
+    oracle="""
+    WITH fact AS (
+      SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS oid,
+             l_partkey AS pk, l_suppkey AS sk,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS amt
+      FROM lineitem
+      UNION ALL
+      SELECT CAST(l_orderkey * 10 + l_linenumber + 100000000 AS BIGINT),
+             l_partkey, l_suppkey,
+             CAST(2 * ROUND(l_extendedprice * 100) AS BIGINT)
+      FROM lineitem WHERE l_partkey % 7 = 0
+    ),
+    live AS (SELECT * FROM fact WHERE oid % 13 <> 0),
+    d1 AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 10 = 0 THEN 'MOVED' ELSE p_brand END
+               AS brand
+      FROM part WHERE p_partkey % 17 <> 0
+    ),
+    d2 AS (
+      SELECT s_suppkey,
+             CAST(CASE WHEN s_suppkey % 6 = 0 THEN -1
+                       ELSE s_nationkey END AS BIGINT) AS supp_nation
+      FROM supplier WHERE s_suppkey % 9 <> 0
+    )
+    SELECT brand, supp_nation,
+           COUNT(amt) AS n_items,
+           CAST(SUM(amt) AS BIGINT) AS total_cents
+    FROM live JOIN d1 ON pk = p_partkey JOIN d2 ON sk = s_suppkey
+    GROUP BY brand, supp_nation
+    ORDER BY brand, supp_nation
+    """,
+    doc="MULTI-DIM incremental join-aggregate view (r11, "
+    "sources/txjoinview.TxJoinAggView with extra_dims): fact ⋈ part ⋈ "
+    "supplier grouped by one column from EACH dim, maintained from all "
+    "THREE change feeds via the trilinear delta decomposition "
+    "ΔF⋈D1'⋈D2' + F0⋈ΔD1⋈D2' + F0⋈D10⋈ΔD2 (earlier relations at old "
+    "versions, later at new — one-window churn on every base counts "
+    "exactly once). The churn script hits all three terms plus "
+    "overlap: fact append + dv delete, a brand move on d1, a nation "
+    "move AND a delete on d2. Oracle recomputes the final state in "
+    "plain SQL, cross-checking the multi-feed algebra, the composite "
+    "(brand, nation) key plumbing, and the fenced vector cursor "
+    "(fact<<62|d1<<31|d2). Scale shape: refresh is O(fact churn + "
+    "moved dim keys' fact rows + touched groups); no base is ever "
+    "scanned (stats-pruned term probes per layout).",
+    tags=("tx", "ivm", "join"),
+    eager=True,
+    bench=True,
+)
+def join_view_two_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("oid"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("amt"),
+    )
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    tmp = tempfile.mkdtemp(prefix="jv2d_")
+    try:
+        fact = TxTable.create(
+            spark, tmp + "/fact", li, key="oid", stats_cols=["pk", "sk"]
+        )
+        d1 = TxTable.create(spark, tmp + "/d1", p, key="p_partkey")
+        d2 = TxTable.create(spark, tmp + "/d2", s, key="s_suppkey")
+        view = TxJoinAggView.create(
+            spark, tmp + "/view", fact, d1,
+            fk="pk",
+            group_expr=["brand", "cast(s_nationkey as bigint)"],
+            group_col=["brand", "supp_nation"],
+            measures={
+                "total_cents": "amt",
+                "n_items": ("count", "amt"),
+            },
+            extra_dims=[{"dim": d2, "fk": "sk"}],
+            group_dims=[0, 1],
+        )
+        # churn ALL THREE bases, then one incremental refresh window
+        fact.append(
+            li.filter(F.col("pk") % 7 == 0).select(
+                (F.col("oid") + 100000000).alias("oid"),
+                "pk", "sk",
+                (F.col("amt") * 2).alias("amt"),
+            )
+        )
+        d1.merge(
+            p.filter(F.col("p_partkey") % 10 == 0).withColumn(
+                "brand", F.lit("MOVED")
+            )
+        )
+        d1.delete(F.col("p_partkey") % 17 == 0)
+        d2.merge(
+            s.filter(F.col("s_suppkey") % 6 == 0).withColumn(
+                "s_nationkey", F.lit(-1).cast(dict(s.dtypes)["s_nationkey"])
+            )
+        )
+        d2.delete(F.col("s_suppkey") % 9 == 0)
+        fact.delete(F.col("oid") % 13 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        res = view.read().select(
+            "brand", "supp_nation", "n_items", "total_cents"
+        ).orderBy("brand", "supp_nation")
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,44 +1,70 @@
 """Incrementally-maintained JOIN-aggregate views: star-schema rollups
-(fact ⋈ dimension, grouped by a dimension attribute) kept in sync with
-BOTH base tables from their change feeds.
+(fact ⋈ one or more dimensions, grouped by dimension attributes) kept
+in sync with ALL base tables from their change feeds.
 
 ``TxAggView`` maintains ``GROUP BY`` over ONE table; the gold layer's
 real queries group a fact by DIMENSION attributes (reference:
 dw_etl_tests.py Q2/Q3 group fct_sales by product brand / customer
-geography after joining the dims). The reference recomputes those
-rollups wholesale each run — right at 80k rows, wrong at 100 TB where
-a day moves ~0.1% of the fact and a handful of dimension rows.
+geography — Q3 by the composite (country, state) pair). The reference
+recomputes those rollups wholesale each run — right at 80k rows, wrong
+at 100 TB where a day moves ~0.1% of the fact and a handful of
+dimension rows.
 
 ``TxJoinAggView`` materializes
 
-    SELECT <group_expr over dim>, agg(<measure exprs over fact>) ...
-    FROM fact JOIN dim ON fact.<fk> = dim.<key>
-    GROUP BY <group_expr>
+    SELECT <group exprs over dims>, agg(<measure exprs over fact>) ...
+    FROM fact JOIN d1 ON fact.<fk1> = d1.<key1>
+              [JOIN d2 ON fact.<fk2> = d2.<key2> ...]
+    GROUP BY <group exprs>
 
-and refreshes it in O(churn) using the classic bilinear delta
-decomposition (Gupta & Mumick, IEEE Data Eng. Bulletin 1995; Blakeley
-et al., SIGMOD 1986 — the join-view maintenance algebra):
+and refreshes it in O(churn) using the classic delta decomposition
+(Gupta & Mumick, IEEE Data Eng. Bulletin 1995; Blakeley et al., SIGMOD
+1986 — the join-view maintenance algebra), generalized from bilinear
+to k+1 relations: with F1 = F0 + ΔF and Di1 = Di0 + ΔDi,
 
-    F1 ⋈ D1  −  F0 ⋈ D0   =   ΔF ⋈ D1   +   F0 ⋈ ΔD
+    F1⋈D11⋈…⋈Dk1 − F0⋈D10⋈…⋈Dk0
+      =  ΔF ⋈ D11 ⋈ … ⋈ Dk1                      (term A)
+      +  Σ_i  F0 ⋈ D10 ⋈ … ⋈ D(i-1)0 ⋈ ΔDi ⋈ D(i+1)1 ⋈ … ⋈ Dk1
+
+(each delta is paired with every EARLIER relation at its OLD version
+and every LATER one at its NEW version — the telescoping expansion of
+the product difference, so overlapping churn on several bases in one
+window is counted exactly once).
 
 - **Term A (fact churn)**: the fact's change feed rows (signed +1 in /
-  −1 out), joined to the dimension AT ITS NEW VERSION — the dim side is
-  read key-pruned for exactly the churned foreign keys
+  −1 out), joined to every dimension AT ITS NEW VERSION — each dim
+  side is read key-pruned for exactly the churned foreign keys
   (``read_for_keys``), never scanned. O(fact churn).
-- **Term B (dimension churn)**: the dim's change feed rows (an
+- **Term for dim i (dimension churn)**: the dim's change feed rows (an
   attribute update is a signed pair: preimage −old attr, postimage
-  +new attr), joined to the fact AT ITS OLD VERSION, again key-pruned
-  to the changed dimension keys. This is the re-bucketing cost — a
-  dimension attribute change moves ALL of that key's fact rows between
-  groups, and term B touches exactly those rows. O(fact rows of
-  changed dim keys) — the minimum possible work for the semantics.
+  +new attr), joined to the fact AT ITS OLD VERSION, key-pruned to the
+  changed dimension keys, and to the other dims at the versions the
+  expansion dictates, pruned to the fact slice's foreign keys. This is
+  the re-bucketing cost — a dimension attribute change moves ALL of
+  that key's fact rows between groups, and the term touches exactly
+  those rows. O(fact rows of changed dim keys) — the minimum possible
+  work for the semantics.
 
-Both terms aggregate to one signed physical delta per touched group,
+All terms aggregate to one signed physical delta per touched group,
 landed with a key-pruned fenced ``rewrite_by_keys`` — identical
-exactly-once machinery to ``TxAggView``. The applied (fact, dim)
-version PAIR is packed into the single monotonic fence version
-(fact<<31 | dim), so one commit atomically records both cursors and a
-crash replay of either fold is a fenced skip.
+exactly-once machinery to ``TxAggView``. The applied (fact, dim…)
+version VECTOR is packed into the single monotonic fence version
+(fact<<31k | d1<<31(k−1) | … | dk — Python ints are arbitrary
+precision, and every component is non-decreasing, so the packing is
+monotone), so one commit atomically records all cursors and a crash
+replay of any fold is a fenced skip.
+
+Group keys: ``group_expr``/``group_col`` accept a single expression or
+a LIST — the composite (country, state)-style rollup of the
+reference's geo query (dw_etl_tests.py:494-506). A multi-column view
+is physically keyed by ``__gk``, a deterministic order-preserving
+string encoding of the group tuple (first column is the prefix, so
+the view's file pruning clusters by it; NULL is a distinct sentinel,
+never conflated with a literal string). ``__gk`` is pure plumbing —
+``read()`` never exposes it, and all merge/repair joins match on the
+REAL group columns with null-safe equality, so even a pathological
+encoding collision could only widen a rewrite slice, never corrupt a
+group.
 
 Measures: SUM / COUNT / AVG (self-maintainable — the view stores
 per-measure running sum + non-null count, so SQL NULL semantics are
@@ -46,27 +72,29 @@ exact) plus MIN / MAX with the standard delete-repair: inserts fold
 (least/greatest), but a negative contribution at or past a group's
 stored extremum — a fact delete, OR a dim change moving rows out of
 the group — dirties it, and dirty groups recompute from the CURRENT
-joined pair, restricted to exactly those groups (dim scan filtered to
-the dirty groups' rows, fact read pruned to their keys). Repair cost
-is O(dim + dirty groups' fact rows), never O(fact). APPROX_DISTINCT
-maintains a per-group HyperLogLog sketch like ``TxAggView``: inserts
-fold (HLL union), any deleted non-null value rides the same repair
-path, and ``read()`` keeps COUNT(DISTINCT) surface semantics. Measure
-expressions range over FACT columns; the group expression ranges over
-DIMENSION columns.
+joined bases, restricted to exactly those groups (each dim scan
+filtered to the dirty groups' rows, fact read pruned to their keys).
+Repair cost is O(dims + dirty groups' fact rows), never O(fact).
+APPROX_DISTINCT maintains a per-group HyperLogLog sketch like
+``TxAggView``: inserts fold (HLL union), any deleted non-null value
+rides the same repair path, and ``read()`` keeps COUNT(DISTINCT)
+surface semantics. Measure expressions range over FACT columns; each
+group expression ranges over ONE dimension's columns (``group_dims``
+tags which).
 
-Join semantics are INNER on ``fact.fk = dim.<dim_on>`` (``dim_on``
-defaults to the dim's table key — e.g. a surrogate-id column when the
-dim is merge-keyed by its natural key) with the standard SQL
-treatment: NULL foreign keys match nothing; a fact row with no
-dimension row contributes to no group until the dim row arrives (term
-B then picks its rows up — late-arriving dimensions are handled by the
-algebra, not by special cases). The dimension must be unique per
-``dim_on`` value (an SCD1 dim — the same contract the SQL join would
-need to avoid fanout).
+Join semantics are INNER on each ``fact.fk_i = d_i.<dim_on_i>``
+(``dim_on`` defaults to the dim's table key — e.g. a surrogate-id
+column when the dim is merge-keyed by its natural key) with the
+standard SQL treatment: NULL foreign keys match nothing; a fact row
+with no dimension row contributes to no group until the dim row
+arrives (the dim's term then picks its rows up — late-arriving
+dimensions are handled by the algebra, not by special cases). Each
+dimension must be unique per its ``dim_on`` value (an SCD1 dim, or an
+SCD2 dim joined on its per-version surrogate — the same contract the
+SQL join would need to avoid fanout).
 
 100 TB shape: refresh cost is O(fact churn + moved dim keys' fact rows
-+ touched view groups). Both point reads prune by each base's layout
++ touched view groups). Every point read prunes by its base's layout
 (exact file pruning when the probe column is the table key, manifest
 range skipping when it is in ``stats_cols``, honest full scan
 otherwise — see ``_pruned_rows``); the view rewrite touches only files
@@ -77,6 +105,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,7 +115,8 @@ from .txtable import TXLOG_DIR, TxError, TxTable
 from .txview import _N, _signed, churn_rows
 
 _SIDECAR = "_joinview.json"
-_DIM_BITS = 31  # fence packing: fact_version << 31 | dim_version
+_DIM_BITS = 31  # fence packing: fact << 31k | d1 << 31(k-1) | ... | dk
+_GK = "__gk"  # physical composite view key (multi-column groups only)
 
 
 def _norm_measures(measures: dict) -> dict[str, dict]:
@@ -108,14 +138,73 @@ def _norm_measures(measures: dict) -> dict[str, dict]:
     return out
 
 
-def _enc(fact_v: int, dim_v: int) -> int:
-    if dim_v >= (1 << _DIM_BITS):
-        raise TxError(f"dim version {dim_v} exceeds fence packing range")
-    return (fact_v << _DIM_BITS) | dim_v
+def _norm_spec(spec: dict) -> dict:
+    """Normalize a sidecar to the multi-dim shape (``dims`` list +
+    ``group`` list); pre-r11 single-dim sidecars load unchanged — their
+    packed fences decode identically (k=1)."""
+    if "dims" not in spec:
+        spec = {
+            "fact_root": spec["fact_root"],
+            "dims": [{
+                "root": spec["dim_root"],
+                "fk": spec["fk"],
+                "dim_key": spec["dim_key"],
+            }],
+            "group": [{
+                "expr": spec["group_expr"],
+                "col": spec["group_col"],
+                "dim": 0,
+            }],
+            "measures": spec["measures"],
+            "versions_at_create": [
+                spec["fact_version_at_create"],
+                spec["dim_version_at_create"],
+            ],
+        }
+    spec["measures"] = _norm_measures(spec["measures"])
+    return spec
 
 
-def _dec(fence: int) -> tuple[int, int]:
-    return fence >> _DIM_BITS, fence & ((1 << _DIM_BITS) - 1)
+def _enc(versions: list[int]) -> int:
+    """Pack a (fact, d1, …, dk) version vector into one monotone fence
+    int — 31 bits per DIM slot (the fact rides the unbounded top).
+    Components are non-decreasing across refreshes, so the packed value
+    is too; Python ints are arbitrary precision, and the txlog stores
+    them as JSON numbers, so k is not width-limited."""
+    out = int(versions[0])
+    for v in versions[1:]:
+        if v >= (1 << _DIM_BITS):
+            raise TxError(f"dim version {v} exceeds fence packing range")
+        out = (out << _DIM_BITS) | int(v)
+    return out
+
+
+def _dec(fence: int, ndims: int) -> tuple[int, ...]:
+    vs = []
+    for _ in range(ndims):
+        vs.append(fence & ((1 << _DIM_BITS) - 1))
+        fence >>= _DIM_BITS
+    return tuple([fence] + list(reversed(vs)))
+
+
+def _gk_expr(group_cols: list[str]):
+    """Deterministic string encoding of the group tuple, usable as a
+    single physical view key: \\x1f-joined, NULL a distinct \\x00
+    sentinel (never conflated with any cast string, which is prefixed
+    \\x01). Prefix-ordered by the FIRST group column, so view files
+    cluster by it and rewrites range-prune. Purely plumbing — merge and
+    repair joins match on the real columns (see module docstring)."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("\x01"), F.col(c).cast("string"))
+        )
+        for c in group_cols
+    ]
+    return F.concat_ws("\x1f", *parts)
+
+
+def _and_all(conds) -> "F.Column":
+    return reduce(lambda a, b: a & b, conds)
 
 
 def _pruned_rows(
@@ -147,17 +236,21 @@ def _pruned_rows(
 
 
 class TxJoinAggView:
-    """A fact ⋈ dim GROUP BY view stored as its own ``TxTable`` keyed
-    by the group column, refreshed incrementally from BOTH bases'
-    change feeds. See the module docstring for the algebra.
+    """A fact ⋈ dims GROUP BY view stored as its own ``TxTable`` keyed
+    by the group column (single-column groups) or by ``__gk``, the
+    composite encoding (multi-column groups), refreshed incrementally
+    from EVERY base's change feed. See the module docstring for the
+    algebra.
 
-    ``group_expr`` is a SQL expression over DIMENSION columns (its
-    output is the view key — single column, like ``TxAggView``);
-    ``measures`` maps output name -> SQL expression over FACT columns
-    (bare string = SUM, or ``(fn, expr)`` with fn in sum/count/avg).
-    ``read()`` projects the logical view plus ``n_rows``; groups whose
-    joined row count reaches zero leave the view, exactly like a
-    recompute (test-pinned equal after every refresh)."""
+    ``group_expr`` is a SQL expression over ONE dimension's columns —
+    or a LIST of them for composite groups (``group_col`` names the
+    output column(s); ``group_dims`` optionally tags which dim each
+    expression reads, default the first). ``measures`` maps output
+    name -> SQL expression over FACT columns (bare string = SUM, or
+    ``(fn, expr)``). ``read()`` projects the logical view plus
+    ``n_rows``; groups whose joined row count reaches zero leave the
+    view, exactly like a recompute (test-pinned equal after every
+    refresh)."""
 
     APP = "txjoinview"
     RECOMPUTE_FLOOR_ROWS = 10_000_000
@@ -172,12 +265,15 @@ class TxJoinAggView:
         if not side.is_file():
             raise TxError(f"not a TxJoinAggView (no {_SIDECAR}): {root}")
         with open(side) as f:
-            self.spec = json.load(f)
-        self.spec["measures"] = _norm_measures(self.spec["measures"])
+            self.spec = _norm_spec(json.load(f))
         self.spark = spark
         self.table = TxTable(spark, self.root)
         self.fact = TxTable(spark, self.spec["fact_root"])
-        self.dim = TxTable(spark, self.spec["dim_root"])
+        self.dims = [
+            TxTable(spark, d["root"]) for d in self.spec["dims"]
+        ]
+        # single-dim convenience alias (the original surface)
+        self.dim = self.dims[0]
 
     # ------------------------------------------------------------ init
 
@@ -189,81 +285,145 @@ class TxJoinAggView:
         fact: TxTable,
         dim: TxTable,
         fk: str,
-        group_expr: str,
-        group_col: str,
+        group_expr: str | list[str],
+        group_col: str | list[str],
         measures: dict,
         dim_on: str | None = None,
+        extra_dims: list[dict] | None = None,
+        group_dims: list[int] | None = None,
     ) -> "TxJoinAggView":
-        """Full-compute the view at both bases' CURRENT versions and
+        """Full-compute the view at every base's CURRENT version and
         persist the definition; later ``refresh()`` calls fold feeds
-        from those versions. ``fk`` is the fact's join column; the dim
-        side joins on ``dim_on`` (default: its table key — ``dim`` must
-        be keyed so its feed and rewrites stay key-pruned; pass a
-        different unique column, e.g. a surrogate id, when the fact
-        references that instead of the merge key)."""
+        from those versions. ``fk`` is the fact's join column for
+        ``dim``; the dim side joins on ``dim_on`` (default: its table
+        key — every dim must be keyed so its feed and rewrites stay
+        key-pruned; pass a different unique column, e.g. a surrogate
+        id, when the fact references that instead of the merge key).
+
+        ``extra_dims`` adds more star dimensions, each a dict
+        ``{"dim": TxTable, "fk": str, "dim_on": str | None}``;
+        ``group_expr``/``group_col`` may then be lists, with
+        ``group_dims`` tagging which dim each expression reads
+        (default: the first dim)."""
         root = Path(root)
         if (root / TXLOG_DIR).exists() or (root / _SIDECAR).exists():
             raise TxError(f"already a view or table: {root}")
-        if dim._manifest()["key"] is None:
-            raise TxError("join-view dim must be a keyed TxTable")
+        dim_specs = [(dim, fk, dim_on)] + [
+            (d["dim"], d["fk"], d.get("dim_on")) for d in (extra_dims or [])
+        ]
+        for d, _, _ in dim_specs:
+            if d._manifest()["key"] is None:
+                raise TxError("join-view dims must be keyed TxTables")
+        exprs = [group_expr] if isinstance(group_expr, str) else list(group_expr)
+        cols = [group_col] if isinstance(group_col, str) else list(group_col)
+        if len(exprs) != len(cols) or not exprs:
+            raise TxError("group_expr and group_col must pair up, non-empty")
+        if len(set(cols)) != len(cols):
+            raise TxError(f"duplicate group column names: {cols}")
+        gdims = group_dims if group_dims is not None else [0] * len(cols)
+        if len(gdims) != len(cols) or any(
+            not (0 <= g < len(dim_specs)) for g in gdims
+        ):
+            raise TxError(
+                f"group_dims must tag each group column with a dim index "
+                f"in [0, {len(dim_specs)})"
+            )
         norm = _norm_measures(measures)
-        bad = {n for n in norm if n == _N or n.startswith("__")}
-        if bad:
-            raise TxError(f"measure name(s) reserved: {sorted(bad)}")
-        f_v, d_v = fact.latest_version(), dim.latest_version()
-        spec = {
-            "fact_root": str(fact.root),
-            "dim_root": str(dim.root),
-            "fk": fk,
-            "dim_key": dim_on or dim._manifest()["key"],
-            "group_expr": group_expr,
-            "group_col": group_col,
-            "measures": norm,
-            "fact_version_at_create": f_v,
-            "dim_version_at_create": d_v,
+        bad = {
+            n for n in list(norm) + cols
+            if n == _N or n.startswith("__")
         }
+        if bad:
+            raise TxError(f"measure/group name(s) reserved: {sorted(bad)}")
+        versions = [fact.latest_version()] + [
+            d.latest_version() for d, _, _ in dim_specs
+        ]
+        spec = _norm_spec({
+            "fact_root": str(fact.root),
+            "dims": [
+                {
+                    "root": str(d.root),
+                    "fk": f,
+                    "dim_key": on or d._manifest()["key"],
+                }
+                for d, f, on in dim_specs
+            ],
+            "group": [
+                {"expr": e, "col": c, "dim": g}
+                for e, c, g in zip(exprs, cols, gdims)
+            ],
+            "measures": norm,
+            "versions_at_create": versions,
+        })
         full = cls._joined_agg(
-            spec, fact.read(f_v), dim.read(d_v)
+            spec,
+            fact.read(versions[0]),
+            [d.read(v) for (d, _, _), v in zip(dim_specs, versions[1:])],
         )
         root.mkdir(parents=True, exist_ok=True)
         with open(root / _SIDECAR, "w") as f:
             json.dump(spec, f)
             f.flush()
             os.fsync(f.fileno())
-        TxTable.create(spark, root, full, key=group_col)
+        key = _GK if len(cols) > 1 else cols[0]
+        TxTable.create(spark, root, full, key=key)
         return cls(spark, root)
 
     # -------------------------------------------------------- internals
 
+    def _gcols(self) -> list[str]:
+        return [g["col"] for g in self.spec["group"]]
+
+    @staticmethod
+    def _spec_gcols(spec: dict) -> list[str]:
+        return [g["col"] for g in spec["group"]]
+
+    @staticmethod
+    def _composite(spec: dict) -> bool:
+        return len(spec["group"]) > 1
+
     @staticmethod
     def _fact_proj(spec: dict, fact_df: DataFrame) -> DataFrame:
-        """Project a fact-side frame to (fk, one evaluated column per
-        measure) — measure expressions are evaluated BEFORE the dim
-        join so fact/dim column-name collisions cannot misbind."""
-        cols = [F.col(spec["fk"]).alias("__jk")]
+        """Project a fact-side frame to (one fk per dim, one evaluated
+        column per measure) — measure expressions are evaluated BEFORE
+        the dim joins so fact/dim column-name collisions cannot
+        misbind."""
+        cols = [
+            F.col(d["fk"]).alias(f"__jk{i}")
+            for i, d in enumerate(spec["dims"])
+        ]
         for n, m in spec["measures"].items():
             cols.append(F.expr(m["expr"]).alias(f"__e_{n}"))
         extra = [c for c in ("__vw_sign",) if c in fact_df.columns]
         return fact_df.select(*cols, *extra)
 
     @staticmethod
-    def _dim_proj(spec: dict, dim_df: DataFrame) -> DataFrame:
-        cols = [
-            F.col(spec["dim_key"]).alias("__dk"),
-            F.expr(spec["group_expr"]).alias(spec["group_col"]),
-        ]
+    def _dim_proj(spec: dict, i: int, dim_df: DataFrame) -> DataFrame:
+        cols = [F.col(spec["dims"][i]["dim_key"]).alias(f"__dk{i}")]
+        for g in spec["group"]:
+            if g["dim"] == i:
+                cols.append(F.expr(g["expr"]).alias(g["col"]))
         extra = [c for c in ("__vw_sign",) if c in dim_df.columns]
         return dim_df.select(*cols, *extra)
 
     @classmethod
-    def _joined_agg(
-        cls, spec: dict, fact_df: DataFrame, dim_df: DataFrame
+    def _join_all(
+        cls, fact_proj: DataFrame, dim_projs: list[DataFrame]
     ) -> DataFrame:
-        """Full-recompute plan: fact ⋈ dim, grouped to the PHYSICAL
+        j = fact_proj
+        for i, dp in enumerate(dim_projs):
+            j = j.join(dp, F.col(f"__jk{i}") == F.col(f"__dk{i}"))
+        return j
+
+    @classmethod
+    def _joined_agg(
+        cls, spec: dict, fact_df: DataFrame, dim_dfs: list[DataFrame]
+    ) -> DataFrame:
+        """Full-recompute plan: fact ⋈ dims, grouped to the PHYSICAL
         view columns (running sum + non-null count per measure)."""
-        j = cls._fact_proj(spec, fact_df).join(
-            cls._dim_proj(spec, dim_df),
-            F.col("__jk") == F.col("__dk"),
+        j = cls._join_all(
+            cls._fact_proj(spec, fact_df),
+            [cls._dim_proj(spec, i, d) for i, d in enumerate(dim_dfs)],
         )
         aggs = []
         for n, m in spec["measures"].items():
@@ -279,16 +439,18 @@ class TxJoinAggView:
             if m["fn"] == "approx_distinct":
                 aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
         aggs.append(F.count(F.lit(1)).alias(_N))
-        return j.groupBy(spec["group_col"]).agg(*aggs)
+        out = j.groupBy(*cls._spec_gcols(spec)).agg(*aggs)
+        if cls._composite(spec):
+            out = out.withColumn(_GK, _gk_expr(cls._spec_gcols(spec)))
+        return out
 
     # ---------------------------------------------------------- reads
 
     def read(self, version: int | None = None) -> DataFrame:
-        """The LOGICAL view: group column + each measure with exact SQL
-        aggregate semantics (NULL SUM/AVG for empty-of-non-null groups)
-        + ``n_rows`` (live joined row count)."""
-        g = self.spec["group_col"]
-        cols = [F.col(g)]
+        """The LOGICAL view: group column(s) + each measure with exact
+        SQL aggregate semantics (NULL SUM/AVG for empty-of-non-null
+        groups) + ``n_rows`` (live joined row count)."""
+        cols = [F.col(c) for c in self._gcols()]
         for n, m in self.spec["measures"].items():
             if m["fn"] == "sum":
                 cols.append(
@@ -316,92 +478,145 @@ class TxJoinAggView:
         cols.append(F.col(_N))
         return self.table.read(version).select(*cols)
 
-    def applied_versions(self) -> tuple[int, int]:
-        """(fact version, dim version) whose effects the view reflects."""
-        fence = self.table.txn_version(self.APP)
+    def applied_versions(self, at: int | None = None) -> tuple[int, ...]:
+        """(fact version, dim versions…) whose effects the view
+        reflects — at the view table's version ``at`` (default:
+        latest), so catalog-consistent readers can pick the newest view
+        state not ahead of a pinned base snapshot."""
+        created = tuple(int(v) for v in self.spec["versions_at_create"])
+        if at is None:
+            fence = self.table.txn_version(self.APP)
+        else:
+            fence = self.table._manifest(at).get("txns", {}).get(self.APP)
         if fence is None:
-            return (
-                int(self.spec["fact_version_at_create"]),
-                int(self.spec["dim_version_at_create"]),
-            )
-        return _dec(fence)
+            return created
+        return _dec(int(fence), len(self.spec["dims"]))
+
+    def base_roots(self) -> list[str]:
+        """The base table roots, fact first — positionally aligned with
+        ``applied_versions()``."""
+        return [self.spec["fact_root"]] + [
+            d["root"] for d in self.spec["dims"]
+        ]
 
     # -------------------------------------------------------- refresh
 
-    def _recompute(self, f1: int, d1: int) -> dict:
+    def _recompute(self, targets: list[int]) -> dict:
         full = self._joined_agg(
-            self.spec, self.fact.read(f1), self.dim.read(d1)
+            self.spec,
+            self.fact.read(targets[0]),
+            [d.read(v) for d, v in zip(self.dims, targets[1:])],
         )
-        r = self.table.overwrite(full, txn=(self.APP, _enc(f1, d1)))
+        r = self.table.overwrite(full, txn=(self.APP, _enc(targets)))
         return {
-            "refreshed_to": (f1, d1),
+            "refreshed_to": tuple(targets),
             "mode": "recompute",
             "skipped": bool(r.get("skipped", False)),
         }
 
     def refresh(self, mode: str = "incremental") -> dict:
-        """Fold both bases' commits since the last refresh into the
-        view: term A (fact feed ⋈ dim@new, dim read key-pruned to the
-        churned fks) plus term B (dim feed ⋈ fact@old, fact read
-        key-pruned to the changed dim keys), aggregated to one signed
-        delta per touched group and landed in one fenced key-pruned
-        rewrite. A replayed refresh is a fenced skip; unmoved bases are
-        a no-op without a commit. ``mode`` as in ``TxAggView.refresh``:
-        incremental / recompute / auto (cost pick from manifest
-        metadata alone — zero Spark jobs)."""
+        """Fold every base's commits since the last refresh into the
+        view: term A (fact feed ⋈ dims@new, each dim read key-pruned to
+        the churned fks) plus one term per churned dim (dim feed ⋈
+        fact@old key-pruned to the changed dim keys ⋈ the other dims at
+        the versions the telescoping expansion dictates), aggregated to
+        one signed delta per touched group and landed in one fenced
+        key-pruned rewrite. A replayed refresh is a fenced skip;
+        unmoved bases are a no-op without a commit. ``mode`` as in
+        ``TxAggView.refresh``: incremental / recompute / auto (cost
+        pick from manifest metadata alone — zero Spark jobs)."""
         if mode not in ("incremental", "recompute", "auto"):
             raise TxError(f"refresh mode: {mode!r}")
-        f0, d0 = self.applied_versions()
-        f1 = self.fact.latest_version()
-        d1 = self.dim.latest_version()
-        if f1 <= f0 and d1 <= d0:
-            return {"refreshed_to": (f0, d0), "groups_touched": 0,
+        spec = self.spec
+        ndims = len(self.dims)
+        v0 = list(self.applied_versions())
+        v1 = [self.fact.latest_version()] + [
+            d.latest_version() for d in self.dims
+        ]
+        if all(a <= b for a, b in zip(v1, v0)):
+            return {"refreshed_to": tuple(v0), "groups_touched": 0,
                     "skipped": True}
         if mode == "auto":
             fact_rows = self.fact.row_count()
-            f_churn = churn_rows(self.fact, f0 + 1, f1) if f1 > f0 else 0
-            d_churn = churn_rows(self.dim, d0 + 1, d1) if d1 > d0 else 0
-            dim_rows = max(self.dim.row_count(), 1)
-            mode = (
-                "recompute"
-                if fact_rows < self.RECOMPUTE_FLOOR_ROWS
+            f_churn = (
+                churn_rows(self.fact, v0[0] + 1, v1[0])
+                if v1[0] > v0[0] else 0
+            )
+            mode = "incremental"
+            if (
+                fact_rows < self.RECOMPUTE_FLOOR_ROWS
                 or f_churn >= self.RECOMPUTE_CHURN_FRACTION * fact_rows
-                or d_churn >= self.RECOMPUTE_DIM_FRACTION * dim_rows
-                else "incremental"
-            )
+            ):
+                mode = "recompute"
+            else:
+                for i, d in enumerate(self.dims):
+                    if v1[i + 1] <= v0[i + 1]:
+                        continue
+                    d_churn = churn_rows(d, v0[i + 1] + 1, v1[i + 1])
+                    if d_churn >= self.RECOMPUTE_DIM_FRACTION * max(
+                        d.row_count(), 1
+                    ):
+                        mode = "recompute"
+                        break
         if mode == "recompute":
-            return self._recompute(f1, d1)
+            return self._recompute(v1)
 
-        spec = self.spec
-        g = spec["group_col"]
+        gcols = self._gcols()
         terms = []
-        if f1 > f0:
-            # term A: ΔF ⋈ D1 — signed fact churn, dim read pruned to
-            # the churned fks and pinned at its NEW version
+        if v1[0] > v0[0]:
+            # term A: ΔF ⋈ D1@new ⋈ … — signed fact churn, every dim
+            # read pruned to the churned fks and pinned at its NEW
+            # version
             df = self._fact_proj(
-                spec, _signed(self.fact.read_changes(f0 + 1, f1))
-            )
-            dim_slice = self._dim_proj(
-                spec,
-                _pruned_rows(
-                    self.dim, spec["dim_key"], df.select("__jk"), d1
-                ),
-            )
-            terms.append(df.join(dim_slice, F.col("__jk") == F.col("__dk")))
-        if d1 > d0:
-            # term B: F0 ⋈ ΔD — signed dim churn (an attribute update is
-            # −old attr / +new attr), fact read pruned to the changed
-            # dim keys and pinned at its OLD version
+                spec, _signed(self.fact.read_changes(v0[0] + 1, v1[0]))
+            ).localCheckpoint(eager=False)
+            dim_slices = [
+                self._dim_proj(
+                    spec, i,
+                    _pruned_rows(
+                        d, spec["dims"][i]["dim_key"],
+                        df.select(f"__jk{i}"), v1[i + 1],
+                    ),
+                )
+                for i, d in enumerate(self.dims)
+            ]
+            terms.append(self._join_all(df, dim_slices))
+        for i, d in enumerate(self.dims):
+            if v1[i + 1] <= v0[i + 1]:
+                continue
+            # term for dim i: F@old ⋈ D<i@old ⋈ ΔDi ⋈ D>i@new — signed
+            # dim churn (an attribute update is −old attr / +new attr),
+            # fact read pruned to the changed dim keys and pinned at
+            # its OLD version; the other dims pruned to the fact
+            # slice's fks
             dd = self._dim_proj(
-                spec, _signed(self.dim.read_changes(d0 + 1, d1))
+                spec, i, _signed(d.read_changes(v0[i + 1] + 1, v1[i + 1]))
             ).localCheckpoint(eager=False)
             fact_slice = self._fact_proj(
                 spec,
-                _pruned_rows(self.fact, spec["fk"], dd.select("__dk"), f0),
-            )
-            terms.append(fact_slice.join(dd, F.col("__jk") == F.col("__dk")))
+                _pruned_rows(
+                    self.fact, spec["dims"][i]["fk"],
+                    dd.select(f"__dk{i}"), v0[0],
+                ),
+            ).localCheckpoint(eager=False)
+            others = []
+            for j, dj in enumerate(self.dims):
+                if j == i:
+                    others.append(dd)
+                    continue
+                vj = v0[j + 1] if j < i else v1[j + 1]
+                others.append(
+                    self._dim_proj(
+                        spec, j,
+                        _pruned_rows(
+                            dj, spec["dims"][j]["dim_key"],
+                            fact_slice.select(f"__jk{j}"), vj,
+                        ),
+                    )
+                )
+            terms.append(self._join_all(fact_slice, others))
 
-        churn = terms[0] if len(terms) == 1 else terms[0].unionByName(terms[1])
+        churn = reduce(lambda a, b: a.unionByName(b), terms)
         sign = F.col("__vw_sign")
         delta_aggs = []
         for n, m in spec["measures"].items():
@@ -433,24 +648,32 @@ class TxJoinAggView:
                 )
         delta_aggs.append(F.sum(sign).alias(_N))
         delta = (
-            churn.groupBy(g).agg(*delta_aggs).localCheckpoint(eager=False)
+            churn.groupBy(*gcols).agg(*delta_aggs)
+            .localCheckpoint(eager=False)
         )
         repairable = {
             n: m for n, m in spec["measures"].items()
             if m["fn"] in ("min", "max", "approx_distinct")
         }
+        composite = self._composite(spec)
+        view_key = _GK if composite else gcols[0]
+
+        def _on_gcols(a: str, b: str):
+            return _and_all(
+                F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+                for c in gcols
+            )
 
         def apply_delta(view_slice: DataFrame) -> DataFrame:
             s = view_slice.alias("v")
             d = delta.alias("d")
-            merged = s.join(
-                d, F.col(f"v.{g}").eqNullSafe(F.col(f"d.{g}")), "full_outer"
-            )
+            merged = s.join(d, _on_gcols("v", "d"), "full_outer")
             v_here = F.col(f"v.{_N}").isNotNull()
             out_cols = [
-                F.when(v_here, F.col(f"v.{g}"))
-                .otherwise(F.col(f"d.{g}"))
-                .alias(g)
+                F.when(v_here, F.col(f"v.{c}"))
+                .otherwise(F.col(f"d.{c}"))
+                .alias(c)
+                for c in gcols
             ]
             dirty_flags = []
             for n, m in spec["measures"].items():
@@ -495,7 +718,7 @@ class TxJoinAggView:
                     # inserts only improve the extremum; a negative
                     # contribution AT/PAST it (fact delete, or a dim
                     # change moving rows out of the group) may expose a
-                    # new one only the joined pair knows — repair. A
+                    # new one only the joined bases know — repair. A
                     # group NEW to the view with any dead rows in the
                     # range repairs too (the range's surviving extremum
                     # is not derivable from its inserts alone).
@@ -530,8 +753,13 @@ class TxJoinAggView:
                 ).cast("boolean"),
             ).otherwise(F.col(_N) > 0)
 
+            def finish(frame: DataFrame) -> DataFrame:
+                if composite:
+                    frame = frame.withColumn(_GK, _gk_expr(gcols))
+                return frame.filter(guard)
+
             if not dirty_flags:
-                return out.filter(guard)
+                return finish(out)
             out = out.localCheckpoint(eager=False)
             any_dirty = F.lit(False)
             for fl in dirty_flags:
@@ -539,29 +767,44 @@ class TxJoinAggView:
             # steady state (no extremal row died this range): skip the
             # repair recompute entirely — refresh stays O(churn)
             if out.filter(any_dirty).limit(1).count() == 0:
-                return out.drop(*dirty_flags).filter(guard)
+                return finish(out.drop(*dirty_flags))
 
             # repair: recompute EXACTLY the dirty groups from the
-            # CURRENT joined pair — dim scan filtered to those groups
-            # (group membership lives in the dim attr, O(dim)), fact
-            # read pruned to their keys
-            dirty_keys = out.filter(any_dirty).select(g)
-            d_slice = (
-                self._dim_proj(spec, self.dim.read(d1))
-                .alias("b")
-                .join(
-                    F.broadcast(dirty_keys.alias("k")),
-                    F.col(f"b.{g}").eqNullSafe(F.col(f"k.{g}")),
-                    "left_semi",
-                )
-            )
+            # CURRENT joined bases — each group-bearing dim scan
+            # filtered to those groups' rows (group membership lives in
+            # the dim attrs, O(dim)), fact read pruned to their keys
+            dirty_keys = out.filter(any_dirty).select(*gcols)
+            d_slices = []
+            anchor = None  # first dim carrying group cols: fact pruner
+            for i, dj in enumerate(self.dims):
+                proj = self._dim_proj(spec, i, dj.read(v1[i + 1]))
+                own = [g["col"] for g in spec["group"] if g["dim"] == i]
+                if own:
+                    cond = _and_all(
+                        F.col(f"b.{c}").eqNullSafe(F.col(f"k.{c}"))
+                        for c in own
+                    )
+                    proj = proj.alias("b").join(
+                        F.broadcast(
+                            dirty_keys.select(*own).distinct().alias("k")
+                        ),
+                        cond,
+                        "left_semi",
+                    )
+                    if anchor is None:
+                        anchor = i
+                d_slices.append(proj)
+            anchor = 0 if anchor is None else anchor
             f_slice = self._fact_proj(
                 spec,
-                _pruned_rows(self.fact, spec["fk"], d_slice.select("__dk"), f1),
+                _pruned_rows(
+                    self.fact, spec["dims"][anchor]["fk"],
+                    d_slices[anchor].select(f"__dk{anchor}"), v1[0],
+                ),
             )
             rep = (
-                f_slice.join(d_slice, F.col("__jk") == F.col("__dk"))
-                .groupBy(g)
+                self._join_all(f_slice, d_slices)
+                .groupBy(*gcols)
                 .agg(
                     *[
                         (
@@ -593,13 +836,9 @@ class TxJoinAggView:
 
             out = (
                 out.alias("m")
-                .join(
-                    rep.alias("r"),
-                    F.col(f"m.{g}").eqNullSafe(F.col(f"r.{g}")),
-                    "left",
-                )
+                .join(rep.alias("r"), _on_gcols("m", "r"), "left")
                 .select(
-                    F.col(f"m.{g}").alias(g),
+                    *[F.col(f"m.{c}").alias(c) for c in gcols],
                     *[
                         c
                         for n, m in spec["measures"].items()
@@ -608,13 +847,16 @@ class TxJoinAggView:
                     F.col(f"m.{_N}").alias(_N),
                 )
             )
-            return out.filter(guard)
+            return finish(out)
 
+        keys = delta
+        if composite:
+            keys = delta.withColumn(_GK, _gk_expr(gcols))
         r = self.table.rewrite_by_keys(
-            delta.select(g), apply_delta, txn=(self.APP, _enc(f1, d1))
+            keys.select(view_key), apply_delta, txn=(self.APP, _enc(v1))
         )
         return {
-            "refreshed_to": (f1, d1),
+            "refreshed_to": tuple(v1),
             "mode": "incremental",
             "groups_touched": delta.count(),
             "files_rewritten": r.get("files_rewritten", 0),

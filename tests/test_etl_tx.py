@@ -227,7 +227,8 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
     wh = Warehouse(spark, root)
 
     def check_join():
-        """Every join gold view == a fresh fact ⋈ dim GROUP BY."""
+        """Every join gold view == a fresh fact ⋈ dims GROUP BY
+        (single- or multi-dim, scalar or composite group keys)."""
         for name, js in GOLD_JOIN_VIEWS.items():
             view = TxJoinAggView(spark, wh.root / "gold_views" / name)
             aggs = []
@@ -237,16 +238,23 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
                        "approx_distinct": F.countDistinct}[fn](F.expr(expr))
                 aggs.append(agg.alias(out_name))
             aggs.append(F.count(F.lit(1)).alias("n_rows"))
-            d = wh.read("bl_3nf", js["dim"]).select(
-                F.col(js["dim_on"]).alias("__dk"),
-                F.expr(js["group_expr"]).alias("__g"),
-            )
-            want_df = (
-                wh.read("bl_3nf", "ce_sales")
-                .join(d, on=F.col(js["fk"]) == F.col("__dk"))
-                .groupBy(F.col("__g").alias(js["group_col"]))
-                .agg(*aggs)
-            )
+            dims = [{"dim": js["dim"], "fk": js["fk"],
+                     "dim_on": js["dim_on"]}] + js.get("extra_dims", [])
+            ge = js["group_expr"]
+            gexprs = ge if isinstance(ge, list) else [ge]
+            gc = js["group_col"]
+            gcols = gc if isinstance(gc, list) else [gc]
+            gdims = js.get("group_dims", [0] * len(gcols))
+            j = wh.read("bl_3nf", "ce_sales")
+            for i, ds in enumerate(dims):
+                dproj = wh.read("bl_3nf", ds["dim"]).select(
+                    F.col(ds["dim_on"]).alias(f"__dk{i}"),
+                    *[F.expr(e).alias(c)
+                      for e, c, gd in zip(gexprs, gcols, gdims)
+                      if gd == i],
+                )
+                j = j.join(dproj, on=F.col(ds["fk"]) == F.col(f"__dk{i}"))
+            want_df = j.groupBy(*gcols).agg(*aggs)
             want = sorted(
                 tuple(r[c] for c in want_df.columns)
                 for r in want_df.collect()
@@ -345,10 +353,11 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
     assert all(
         v.get("skipped") for k, v in r.items() if k in GOLD_VIEWS
     )
-    assert all(
-        v.get("mode") == "incremental"
-        for k, v in r.items() if k in GOLD_JOIN_VIEWS
-    )
+    # join views whose bases include ce_customers fold the move; the
+    # products-only view has no base movement and is a fenced no-op
+    assert r["sales_by_segment"].get("mode") == "incremental"
+    assert r["sales_by_brand_segment"].get("mode") == "incremental"
+    assert r["sales_by_product_line"].get("skipped")
     check_join()
     segs = {
         r0["market_segment"]

@@ -415,3 +415,407 @@ def test_joinview_refresh_with_no_joining_churn_still_advances(spark, tmp_path):
     assert view.applied_versions() == (1, 0)
     assert view.refresh()["skipped"]  # cursors moved — nothing re-read
     assert _actual(view) == {"a": (5, 1, 1, 5, 5, 1)}
+
+
+# ------------------------- r11: composite group keys + multiple dims
+
+
+def _expected2(fact_rows, d1, d2):
+    """Python oracle for fact ⋈ d1 ⋈ d2 GROUP BY (attr1, attr2) with
+    INNER-join + SQL NULL semantics. fact_rows: (k1, k2, amt);
+    d1/d2: {key: attr}."""
+    agg: dict = {}
+    for k1, k2, amt in fact_rows:
+        if k1 is None or k1 not in d1 or k2 is None or k2 not in d2:
+            continue
+        g = (d1[k1], d2[k2])
+        a = agg.setdefault(g, [0, 0, 0, []])
+        if amt is not None:
+            a[0] += amt
+            a[1] += 1
+            a[3].append(amt)
+        a[2] += 1
+    return {
+        g: (
+            s if c > 0 else None, c, n,
+            min(vals) if vals else None,
+            max(vals) if vals else None,
+            len(set(vals)),
+        )
+        for g, (s, c, n, vals) in agg.items()
+    }
+
+
+F2_SCHEMA = "oid long, cust long, prod long, amt long"
+
+
+def _mk_view2(spark, path, fact, d1, d2):
+    return TxJoinAggView.create(
+        spark, path, fact, d1,
+        fk="cust", group_expr=["seg", "upper(cat)"],
+        group_col=["seg", "cat_u"], measures={
+            "total": "amt", "n_amt": ("count", "amt"),
+            "lo_amt": ("min", "amt"), "hi_amt": ("max", "amt"),
+            "uniq_amt": ("approx_distinct", "amt"),
+        },
+        extra_dims=[{"dim": d2, "fk": "prod"}],
+        group_dims=[0, 1],
+    )
+
+
+def _actual2(view):
+    return {
+        (r["seg"], r["cat_u"]): (r["total"], r["n_amt"], r["n_rows"],
+                                 r["lo_amt"], r["hi_amt"], r["uniq_amt"])
+        for r in view.read().collect()
+    }
+
+
+def test_joinview_composite_group_single_dim(spark, tmp_path):
+    """Two group columns from ONE dim (the reference's (country, state)
+    geo shape, dw_etl_tests.py:494-506): lifecycle equality to a plain
+    recompute through fact churn, a group MOVE along one of the two
+    key parts, and a dim delete — plus the fenced replay skip."""
+    fact = _mk_fact(spark, tmp_path / "f", [
+        (1, 10, 5), (2, 10, None), (3, 20, 7), (4, 30, 1),
+    ])
+    d = TxTable.create(
+        spark, tmp_path / "d",
+        spark.createDataFrame(
+            [(10, "EU", "de"), (20, "EU", "fr"), (30, "NA", "us")],
+            "cust long, region string, nation string",
+        ),
+        key="cust",
+    )
+    view = TxJoinAggView.create(
+        spark, tmp_path / "v", fact, d,
+        fk="cust", group_expr=["region", "nation"],
+        group_col=["region", "nation"],
+        measures={"total": "amt", "n_amt": ("count", "amt"),
+                  "lo_amt": ("min", "amt"), "hi_amt": ("max", "amt")},
+    )
+
+    def actual():
+        return {
+            (r["region"], r["nation"]):
+                (r["total"], r["n_amt"], r["n_rows"], r["lo_amt"],
+                 r["hi_amt"])
+            for r in view.read().collect()
+        }
+
+    def recomputed():
+        j = fact.read().alias("f").join(
+            d.read().alias("d"), F.col("f.cust") == F.col("d.cust"))
+        return {
+            (r["region"], r["nation"]):
+                (r["total"], r["n_amt"], r["n_rows"], r["lo_amt"],
+                 r["hi_amt"])
+            for r in j.groupBy("region", "nation").agg(
+                F.sum("amt").alias("total"),
+                F.count("amt").alias("n_amt"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("amt").alias("lo_amt"),
+                F.max("amt").alias("hi_amt"),
+            ).collect()
+        }
+
+    assert actual() == recomputed()
+    assert ("EU", "de") in actual()
+    # the physical view is keyed by the composite encoding, but the
+    # logical read never exposes it
+    assert "__gk" not in view.read().columns
+    assert view.table._manifest()["key"] == "__gk"
+
+    # fact churn + a nation move WITHIN a region (second key part only)
+    fact.append(spark.createDataFrame([(5, 20, 100), (6, 30, 2)],
+                                      FACT_SCHEMA.replace("cust", "cust")))
+    d.merge(spark.createDataFrame([(20, "EU", "de")],
+                                  "cust long, region string, nation string"))
+    r = view.refresh()
+    assert r["mode"] == "incremental" and not r["skipped"]
+    assert actual() == recomputed()
+
+    # region move (first key part), max death forces the dirty repair
+    d.merge(spark.createDataFrame([(10, "NA", "mx")],
+                                  "cust long, region string, nation string"))
+    fact.delete(F.col("oid") == 5, mode="dv")  # kills (EU, de) max=100
+    view.refresh()
+    assert actual() == recomputed()
+
+    # dim delete removes its groups; NULL group values stay distinct
+    d.delete(F.col("cust") == 30)
+    d.merge(spark.createDataFrame([(40, None, "xx")],
+                                  "cust long, region string, nation string"))
+    fact.append(spark.createDataFrame([(7, 40, 9)], FACT_SCHEMA))
+    view.refresh()
+    assert actual() == recomputed()
+    assert (None, "xx") in actual()
+
+    # replay is a fenced skip; recompute lands the identical state
+    assert view.refresh()["skipped"]
+    state = actual()
+    view.refresh(mode="recompute")
+    assert actual() == state == recomputed()
+
+
+def test_joinview_two_dims_lifecycle(spark, tmp_path):
+    """fact ⋈ d1 ⋈ d2 with one group column from EACH dim: the
+    trilinear expansion (term A + one term per dim, earlier dims at
+    old versions, later at new) under every churn shape including
+    same-window churn on all three bases."""
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame(
+            [(1, 10, 7, 5), (2, 10, 8, None), (3, 20, 7, 7), (4, 30, 8, 1)],
+            F2_SCHEMA,
+        ),
+        key="oid", stats_cols=["cust", "prod"],
+    )
+    d1 = _mk_dim(spark, tmp_path / "d1", [(10, "a"), (20, "b"), (30, "a")])
+    d2 = TxTable.create(
+        spark, tmp_path / "d2",
+        spark.createDataFrame([(7, "x"), (8, "y")], "prod long, cat string"),
+        key="prod",
+    )
+    view = _mk_view2(spark, tmp_path / "v", fact, d1, d2)
+
+    model_f = {1: (10, 7, 5), 2: (10, 8, None), 3: (20, 7, 7),
+               4: (30, 8, 1)}
+    model_d1 = {10: "a", 20: "b", 30: "a"}
+    model_d2 = {7: "X", 8: "Y"}
+    assert _actual2(view) == _expected2(model_f.values(), model_d1, model_d2)
+    assert view.applied_versions() == (0, 0, 0)
+
+    # fact-only churn (term A joins BOTH dims at new versions)
+    fact.append(spark.createDataFrame(
+        [(5, 20, 8, 100), (6, None, 7, 9), (7, 10, None, 3), (8, 99, 7, 2)],
+        F2_SCHEMA))
+    model_f.update({5: (20, 8, 100), 6: (None, 7, 9), 7: (10, None, 3),
+                    8: (99, 7, 2)})
+    r = view.refresh()
+    assert r["mode"] == "incremental" and not r["skipped"]
+    assert _actual2(view) == _expected2(model_f.values(), model_d1, model_d2)
+
+    # d1-only churn: a segment move re-buckets the first key part
+    d1.merge(spark.createDataFrame([(10, "b")], DIM_SCHEMA))
+    model_d1[10] = "b"
+    view.refresh()
+    assert _actual2(view) == _expected2(model_f.values(), model_d1, model_d2)
+
+    # d2-only churn: category move re-buckets the second key part
+    d2.merge(spark.createDataFrame([(7, "z")], "prod long, cat string"))
+    model_d2[7] = "Z"
+    view.refresh()
+    assert _actual2(view) == _expected2(model_f.values(), model_d1, model_d2)
+
+    # ALL THREE bases churn in one refresh window, with overlap: the
+    # moved dim keys also gain/lose fact rows
+    fact.append(spark.createDataFrame([(9, 20, 7, 11)], F2_SCHEMA))
+    model_f[9] = (20, 7, 11)
+    fact.delete(F.col("oid") == 5, mode="dv")   # kills the (b,Y) max
+    del model_f[5]
+    d1.merge(spark.createDataFrame([(20, "c"), (99, "d")], DIM_SCHEMA))
+    model_d1[20] = "c"
+    model_d1[99] = "d"                          # late-arriving d1 key
+    d2.delete(F.col("prod") == 8)               # kills every *,Y group
+    del model_d2[8]
+    r = view.refresh()
+    assert r["mode"] == "incremental" and not r["skipped"]
+    assert view.applied_versions() == (
+        fact.latest_version(), d1.latest_version(), d2.latest_version())
+    assert _actual2(view) == _expected2(model_f.values(), model_d1, model_d2)
+
+    # replay fenced; a reconstructed handle recovers the full vector
+    assert view.refresh()["skipped"]
+    again = TxJoinAggView(spark, tmp_path / "v")
+    assert again.applied_versions() == view.applied_versions()
+    assert again.base_roots() == [
+        str(fact.root), str(d1.root), str(d2.root)]
+    # recompute mode lands the identical state over the same fence
+    fact.append(spark.createDataFrame([(10, 10, 7, 4)], F2_SCHEMA))
+    model_f[10] = (10, 7, 4)
+    view.refresh(mode="recompute")
+    assert _actual2(view) == _expected2(model_f.values(), model_d1, model_d2)
+
+
+def test_joinview_two_dims_equals_oracle_random_ops(spark, tmp_path):
+    """Randomized op-log across ALL THREE bases, refresh every 2-3 ops:
+    the incremental view equals the Python oracle at every refresh and
+    a final recompute changes nothing."""
+    rng = random.Random(20260815)
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame(
+            [(i, rng.choice([10, 20, 30, None]),
+              rng.choice([7, 8, 9, None]),
+              rng.choice([None, 1, 5]))
+             for i in range(40)],
+            F2_SCHEMA,
+        ),
+        key="oid", stats_cols=["cust", "prod"],
+    )
+    d1 = _mk_dim(spark, tmp_path / "d1", [(10, "a"), (20, "b"), (30, None)])
+    d2 = TxTable.create(
+        spark, tmp_path / "d2",
+        spark.createDataFrame([(7, "x"), (8, None)], "prod long, cat string"),
+        key="prod",
+    )
+    model_f = {r["oid"]: (r["cust"], r["prod"], r["amt"])
+               for r in fact.read().collect()}
+    model_d1 = {r["cust"]: r["seg"] for r in d1.read().collect()}
+    model_d2 = {r["prod"]: (r["cat"].upper() if r["cat"] is not None
+                            else None)
+                for r in d2.read().collect()}
+    view = _mk_view2(spark, tmp_path / "v", fact, d1, d2)
+    next_oid = 1000
+
+    def op_fact_append():
+        nonlocal next_oid
+        rows = [(next_oid + j,
+                 rng.choice([10, 20, 30, 40, None]),
+                 rng.choice([7, 8, 9, None]),
+                 rng.choice([None, 2, 9, 11]))
+                for j in range(rng.randint(1, 5))]
+        next_oid += len(rows)
+        fact.append(spark.createDataFrame(rows, F2_SCHEMA))
+        model_f.update({o: (c, p, a) for o, c, p, a in rows})
+
+    def op_fact_delete():
+        if not model_f:
+            return
+        ids = rng.sample(sorted(model_f), min(2, len(model_f)))
+        fact.delete(F.col("oid").isin(ids),
+                    mode=rng.choice(["dv", "rewrite"]))
+        for o in ids:
+            del model_f[o]
+
+    def op_d1_move():
+        if not model_d1:
+            return
+        k = rng.choice(sorted(model_d1, key=str))
+        seg = rng.choice(["a", "b", "c", None])
+        d1.merge(spark.createDataFrame([(k, seg)], DIM_SCHEMA))
+        model_d1[k] = seg
+
+    def op_d1_insert_delete():
+        k = rng.choice([40, 50])
+        if k in model_d1:
+            d1.delete(F.col("cust") == k)
+            del model_d1[k]
+        else:
+            d1.merge(spark.createDataFrame([(k, "e")], DIM_SCHEMA))
+            model_d1[k] = "e"
+
+    def op_d2_move():
+        if not model_d2:
+            return
+        k = rng.choice(sorted(model_d2))
+        cat = rng.choice(["x", "y", "z", None])
+        d2.merge(spark.createDataFrame([(k, cat)], "prod long, cat string"))
+        model_d2[k] = cat.upper() if cat is not None else None
+
+    def op_d2_insert_delete():
+        k = rng.choice([9, 11])
+        if k in model_d2:
+            d2.delete(F.col("prod") == k)
+            del model_d2[k]
+        else:
+            d2.merge(spark.createDataFrame([(k, "w")],
+                                           "prod long, cat string"))
+            model_d2[k] = "W"
+
+    ops = [op_fact_append, op_fact_delete, op_d1_move,
+           op_d1_insert_delete, op_d2_move, op_d2_insert_delete]
+    done = 0
+    while done < 24:
+        for _ in range(rng.randint(2, 3)):
+            rng.choice(ops)()
+            done += 1
+        view.refresh()
+        assert _actual2(view) == _expected2(
+            model_f.values(), model_d1, model_d2
+        ), f"diverged after {done} ops"
+    view.refresh(mode="recompute")
+    assert _actual2(view) == _expected2(
+        model_f.values(), model_d1, model_d2)
+
+
+def test_joinview_legacy_sidecar_loads(spark, tmp_path):
+    """A pre-r11 single-dim sidecar (scalar group_expr/group_col,
+    fact/dim version pair) must load, decode its fence, and refresh."""
+    import json as _json
+
+    fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a")])
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    # rewrite the sidecar in the legacy format
+    legacy = {
+        "fact_root": view.spec["fact_root"],
+        "dim_root": view.spec["dims"][0]["root"],
+        "fk": "cust",
+        "dim_key": "cust",
+        "group_expr": "seg",
+        "group_col": "seg",
+        "measures": {k: (m["fn"], m["expr"])
+                     for k, m in view.spec["measures"].items()},
+        "fact_version_at_create": 0,
+        "dim_version_at_create": 0,
+    }
+    with open(tmp_path / "v" / "_joinview.json", "w") as fh:
+        _json.dump(legacy, fh)
+    old = TxJoinAggView(spark, tmp_path / "v")
+    assert old.applied_versions() == (0, 0)
+    fact.append(spark.createDataFrame([(2, 10, 7)], FACT_SCHEMA))
+    old.refresh()
+    assert _actual(old) == {"a": (12, 2, 2, 5, 7, 2)}
+
+
+def test_joinview_two_dims_never_scan_on_insert_only(spark, tmp_path):
+    """Insert-only fact churn: BOTH dims are read only through pruned
+    point reads and the min/max repair never fires — no base scan."""
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame([(1, 10, 7, 5)], F2_SCHEMA),
+        key="oid", stats_cols=["cust", "prod"],
+    )
+    d1 = _mk_dim(spark, tmp_path / "d1", [(10, "a"), (20, "b")])
+    d2 = TxTable.create(
+        spark, tmp_path / "d2",
+        spark.createDataFrame([(7, "x"), (8, "y")], "prod long, cat string"),
+        key="prod",
+    )
+    view = _mk_view2(spark, tmp_path / "v", fact, d1, d2)
+    fact.append(spark.createDataFrame([(2, 20, 8, 3)], F2_SCHEMA))
+
+    def boom(*a, **k):
+        raise AssertionError("base scanned during an insert-only refresh")
+
+    view.fact.read = boom
+    for d in view.dims:
+        d.read = boom
+    view.refresh()
+    assert _actual2(view) == {("a", "X"): (5, 1, 1, 5, 5, 1),
+                              ("b", "Y"): (3, 1, 1, 3, 3, 1)}
+
+
+def test_joinview_group_guards(spark, tmp_path):
+    fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a")])
+    with pytest.raises(TxError, match="duplicate group"):
+        TxJoinAggView.create(
+            spark, tmp_path / "v", fact, dim, fk="cust",
+            group_expr=["seg", "seg"], group_col=["s", "s"],
+            measures={"total": "amt"},
+        )
+    with pytest.raises(TxError, match="group_dims"):
+        TxJoinAggView.create(
+            spark, tmp_path / "v", fact, dim, fk="cust",
+            group_expr=["seg"], group_col=["s"], group_dims=[3],
+            measures={"total": "amt"},
+        )
+    with pytest.raises(TxError, match="reserved"):
+        TxJoinAggView.create(
+            spark, tmp_path / "v", fact, dim, fk="cust",
+            group_expr=["seg", "seg || 'x'"], group_col=["s", "__bad"],
+            measures={"total": "amt"},
+        )
