@@ -914,15 +914,32 @@ def load_3nf_stores(
 
 
 def _run_stamp(run_ts: dt.datetime) -> int:
-    """Idempotence-fence stamp for a pipeline run: MICROSECOND-resolution
-    epoch integer. Second-granularity stamps (the original
-    ``%Y%m%d%H%M%S``) made two DISTINCT incremental runs launched within
-    the same wall-clock second indistinguishable from a crash replay —
-    the fence silently dropped the second batch. At microseconds a
-    collision requires two runs constructed in the same microsecond,
-    which run_full_etl's own setup work makes unreachable; a true
-    replay (same run_ts object) still fences exactly-once."""
+    """Run-identity stamp: MICROSECOND-resolution epoch integer.
+    Second-granularity stamps (the original ``%Y%m%d%H%M%S``) made two
+    DISTINCT incremental runs launched within the same wall-clock
+    second indistinguishable from a crash replay — the fence silently
+    dropped the second batch. At microseconds a collision requires two
+    runs constructed in the same microsecond, which run_full_etl's own
+    setup work makes unreachable."""
     return int(run_ts.timestamp() * 1_000_000)
+
+
+def _run_fence(app: str, run_ts: dt.datetime) -> tuple[str, int]:
+    """Idempotence fence for one pipeline run: the run identity lives
+    in the fence APP NAME (``<app>@<microsecond stamp>``) and the
+    version is the constant 1. A crash replay (same run_ts) hits the
+    same app at version 1 and is a fenced skip; ANY distinct run is a
+    new app and lands — including a run whose wall clock stepped
+    BACKWARDS across runs, the r10 residual hazard: under one shared
+    app with a monotonic stamp version, an earlier-stamped new run was
+    silently aliased to a replay. Ordering never mattered to the fence
+    (append order is commit order; catalog pins merge monotonically on
+    their own), so moving identity out of the version column removes
+    the hazard at the root. Cost: one ~40-byte ``txns`` entry per run
+    carried in the manifest — at daily loads that is ~15 KB/decade; a
+    fence-retention sweep (Delta's setTransactionRetentionDuration
+    analogue) is the upgrade if per-minute schedules ever matter."""
+    return (f"{app}@{_run_stamp(run_ts)}", 1)
 
 
 def _tx_fact_append(
@@ -958,13 +975,13 @@ def _tx_fact_append(
         t = TxTable.create(
             wh.spark, root, batch.limit(0), stats_cols=stats or None
         )
-    stamp = _run_stamp(run_ts)
-    r = t.append(batch, txn=(f"etl_{name}", stamp))
+    app, ver = _run_fence(f"etl_{name}", run_ts)
+    r = t.append(batch, txn=(app, ver))
     # pin for the end-of-run catalog publish: on a fenced skip the
     # returned version is the LATEST at skip time (possibly a foreign
     # commit) — resolve the version the fence actually committed at
     if r.get("skipped"):
-        v = t.txn_commit_version(f"etl_{name}", stamp)
+        v = t.txn_commit_version(app, ver)
     else:
         v = int(r["version"])
     wh.record_tx_pin("bl_3nf", name, v)
@@ -1579,7 +1596,7 @@ def run_full_etl(
         # idempotent stage and publishes exactly once.
         t0 = time.perf_counter()
         cat = wh.tx_catalog(create=True)
-        r = cat.pin(dict(wh.tx_pins), txn=("etl_run", _run_stamp(run_ts)))
+        r = cat.pin(dict(wh.tx_pins), txn=_run_fence("etl_run", run_ts))
         timings["catalog_publish"] = round(time.perf_counter() - t0, 3)
         wh.log(
             "catalog_publish",

@@ -14,6 +14,7 @@ Layout:  <root>/<layer>/<table>/   (parquet dir, optionally partitioned)
 from __future__ import annotations
 
 import datetime as dt
+import os
 import shutil
 import uuid
 from pathlib import Path
@@ -91,6 +92,23 @@ class Warehouse:
         from data_warehouse_project_spark.sources.txtable import TxTable
 
         return TxTable(self.spark, self.path(layer, name))
+
+    def pruned_read(self, layer: str, name: str) -> DataFrame:
+        """A FRESH pruned native-source relation for a transactional
+        member table (``TxTable.pruned_df``): manifest-stat file
+        skipping reaches the scan, and because every call builds a new
+        relation, the Spark 4.1 stale-plan-reuse hazard cannot bite —
+        this is the safe way to point-query a 100 TB tx table through
+        ``spark.read.format("txtable")``. Honors ``snapshot_reader``
+        catalog pins. Use one returned DataFrame per query."""
+        if not self.is_tx(layer, name):
+            raise ValueError(f"{layer}/{name} is not a transactional table")
+        pinned = (
+            None
+            if self._tx_pin_map is None
+            else self._tx_pin_map.get(f"{layer}/{name}")
+        )
+        return self.tx(layer, name).pruned_df(version=pinned)
 
     def record_tx_pin(self, layer: str, name: str, version: int) -> None:
         """A tx-strategy loader just committed ``version`` on this
@@ -170,7 +188,18 @@ class Warehouse:
         (readme.md "Data Analysis"). ``snapshot=True`` resolves tx
         tables through the newest catalog pins, giving the SQL surface
         the crash-consistent cross-table view instead of per-table
-        freshness. Returns the view names registered."""
+        freshness — INCLUDING the gold views, each registered at its
+        newest version whose applied base-version fence is not ahead
+        of any pinned base (``_gold_snapshot_version``); a gold view
+        that cannot be proven consistent with the pins is skipped
+        rather than silently exposing effects of commits the snapshot
+        excludes. Returns the view names registered.
+
+        These are session-scoped pruning-free relations on purpose:
+        a temp view shares ONE relation across queries, which is
+        exactly the shape the Spark 4.1 plan-reuse hazard corrupts for
+        the pruning native reader (measured — see TxTable.pruned_df);
+        point-query consumers should use ``pruned_read`` instead."""
         src = self.snapshot_reader() if snapshot else self
         names = []
         for layer, name in self.tables():
@@ -194,10 +223,44 @@ class Warehouse:
                         continue
                 if view is None:
                     continue
+                at = None
+                if snapshot:
+                    at = self._gold_snapshot_version(view, src._tx_pin_map)
+                    if at is None:
+                        continue  # no provably-consistent version
                 vn = f"{prefix}gold_{p.name}"
-                view.read().createOrReplaceTempView(vn)
+                view.read(version=at).createOrReplaceTempView(vn)
                 names.append(vn)
         return names
+
+    def _gold_snapshot_version(self, view, pin_map: dict | None) -> int | None:
+        """Newest version of a gold view table whose applied
+        base-version vector is <= the catalog pins for EVERY base —
+        the strongest consistency a derived table can offer against a
+        pinned snapshot: it exposes no effect of any base commit the
+        snapshot excludes (it may lag the pins if no refresh ran at
+        exactly the pinned versions). None when a base is outside the
+        pinned catalog or no retained version qualifies."""
+        if not pin_map:
+            return None
+        pins = []
+        for root in view.base_roots():
+            try:
+                rel = str(Path(root).resolve().relative_to(self.root.resolve()))
+            except ValueError:
+                return None
+            pin = pin_map.get(rel.replace(os.sep, "/"))
+            if pin is None:
+                return None
+            pins.append(int(pin))
+        for v in sorted(view.table._versions(), reverse=True):
+            try:
+                applied = view.applied_versions(at=v)
+            except Exception:
+                return None  # manifest vacuumed mid-walk
+            if all(a <= p for a, p in zip(applied, pins)):
+                return v
+        return None
 
     def exists(self, layer: str, name: str) -> bool:
         """True if the table has content. Self-healing: a missing table

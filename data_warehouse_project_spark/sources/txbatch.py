@@ -405,10 +405,16 @@ class TxBatchWriter(DataSourceArrowWriter):
     table, ``key`` and ``statsCols`` (comma-separated) declare the
     layout and the write commits as version 0 (CREATE).
 
-    Honest limits, enforced loudly at plan time: the batch schema must
-    EQUAL the table schema (no mergeSchema through this path), and
-    CHECK-constrained tables refuse (enforcement is in-plan on the
-    write job; prewritten files would bypass it)."""
+    CHECK constraints are enforced EXECUTOR-SIDE (r11): every write
+    task validates each Arrow batch against the manifest's predicates
+    with DuckDB before a byte lands; a violating batch fails the task
+    (and so the job), ``abort`` removes the staged files, and the
+    commit additionally refuses unless every CURRENT constraint was
+    validated with an identical predicate — a constraint added
+    concurrently between plan and commit fails loudly. Predicates must
+    evaluate in DuckDB's ANSI dialect (probed at plan time, before any
+    task runs); engine-specific syntax refuses with a pointer to
+    ``TxTable.append``'s in-plan enforcement."""
 
     def __init__(self, options, schema, overwrite: bool):
         self.root = Path(options["path"])
@@ -439,6 +445,7 @@ class TxBatchWriter(DataSourceArrowWriter):
             else []
         )
         self.creating = not vs
+        self.checks: dict = {}
         names = {f.name for f in schema.fields}
         if self.creating:
             self.key = options.get("key")
@@ -454,11 +461,29 @@ class TxBatchWriter(DataSourceArrowWriter):
             # fail BEFORE any task runs: schema mismatch / CHECKs
             with open(self.root / TXLOG_DIR / _mname(vs[-1])) as f:
                 m = json.load(f)
-            if m.get("checks"):
-                raise TxError(
-                    "the batch writer cannot enforce CHECK constraints "
-                    f"({sorted(m['checks'])}) — use TxTable.append"
-                )
+            self.checks = dict(m.get("checks") or {})
+            if self.checks:
+                # CHECK enforcement is executor-side here (each write
+                # task validates its Arrow batches with DuckDB before
+                # landing — _validate_batch). Probe the dialect NOW,
+                # before any task runs: a predicate DuckDB cannot
+                # evaluate (engine-specific syntax) refuses loudly
+                # rather than enforcing a silently different semantics.
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                empty = to_arrow_schema(schema).empty_table()
+                try:
+                    self._violations(empty)
+                except TxError:
+                    raise
+                except Exception as e:
+                    raise TxError(
+                        "the batch writer enforces CHECK constraints "
+                        "with DuckDB on each task's Arrow batches, and "
+                        f"a predicate does not evaluate there ({e!r}) "
+                        "— write through TxTable.append for in-plan "
+                        "Spark enforcement"
+                    ) from None
             if self.merge_schema:
                 from data_warehouse_project_spark.sources.txtable import (
                     _evolve_schema_json,
@@ -479,6 +504,38 @@ class TxBatchWriter(DataSourceArrowWriter):
 
     # ------------------------------------------------------ executors
 
+    def _violations(self, arrow_batch) -> None:
+        """Validate one Arrow batch against the table's CHECK
+        constraints — DuckDB evaluates each predicate directly on the
+        Arrow buffers (no Spark on the write task), with SQL CHECK
+        semantics: NULL results pass, FALSE rows abort the write with a
+        sample. The task failure fails the job, ``abort()`` removes
+        every staged file, and nothing commits — the same atomicity
+        TxTable.append's in-plan raise_error gives."""
+        if not self.checks:
+            return
+        import duckdb
+        import pyarrow as pa
+
+        if isinstance(arrow_batch, pa.RecordBatch):
+            arrow_batch = pa.Table.from_batches([arrow_batch])
+        con = duckdb.connect()
+        try:
+            con.register("__batch", arrow_batch)
+            for name, pred in self.checks.items():
+                bad = con.execute(
+                    "SELECT * FROM __batch WHERE NOT COALESCE("
+                    f"({pred}), TRUE) LIMIT 3"
+                ).fetchall()
+                if bad:
+                    raise TxError(
+                        f"CHECK constraint {name!r} ({pred}) violated "
+                        f"by {len(bad)}+ row(s) in this write, e.g. "
+                        f"{bad[0]!r} — nothing was committed"
+                    )
+        finally:
+            con.close()
+
     def write(self, iterator):
         import uuid
 
@@ -488,9 +545,17 @@ class TxBatchWriter(DataSourceArrowWriter):
         writer = None
         try:
             for batch in iterator:
+                self._violations(batch)
                 if writer is None:
                     writer = pq.ParquetWriter(str(path), batch.schema)
                 writer.write_batch(batch)
+        except TxError:
+            if writer is not None:
+                writer.close()
+                writer = None
+            if path.exists():
+                os.unlink(path)
+            raise
         finally:
             if writer is not None:
                 writer.close()
@@ -572,6 +637,7 @@ class TxBatchWriter(DataSourceArrowWriter):
             self.schema_json,
             txn=txn,
             merge_schema=self.merge_schema,
+            checks_validated=self.checks,
         )
         if r.get("skipped"):
             for m in messages:

@@ -543,6 +543,43 @@ class TxTable:
             raise TxError("read_for_keys requires a table created with key=...")
         return self._read_files(m, self._touched_by_keys(m, keys))
 
+    def pruned_df(self, version: int | None = None) -> DataFrame:
+        """A FRESH native-source relation
+        (``spark.read.format("txtable")``) with manifest-stat file
+        pruning ON and the snapshot pinned at ``version`` (default: the
+        latest, resolved NOW — later commits cannot shift the plan
+        mid-query).
+
+        This is the engine-owned safe way to a pruned native read. The
+        Spark 4.1 plan-reuse hazard (sources/txbatch.py module
+        docstring; pinned in tests) bites only when ONE pruning
+        relation is reused across queries with different pushed filters
+        — a cached DataFrame, a shared variable, a temp view (temp
+        views share the relation node, so registering a pruning reader
+        as a SQL view replays query N's pruned file list into query
+        N+1; measured, which is why ``create_sql_views`` stays on the
+        manifest-parquet path). Each call here constructs a brand-new
+        relation, so a prior query's pushed filters can never leak into
+        this one's scan. Use one returned DataFrame per query; call
+        again for the next — construction is manifest metadata only,
+        zero Spark jobs."""
+        from data_warehouse_project_spark.sources.txbatch import (
+            TxBatchDataSource,
+        )
+
+        if self.spark is None:
+            raise TxError("pruned_df needs a SparkSession-bound TxTable")
+        self.spark.dataSource.register(TxBatchDataSource)
+        self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        v = self.latest_version() if version is None else int(version)
+        return (
+            self.spark.read.format("txtable")
+            .option("path", str(self.root))
+            .option("pruneFiles", "true")
+            .option("versionAsOf", v)
+            .load()
+        )
+
     def row_count(self, version: int | None = None) -> int:
         """Exact LIVE row count from manifest metadata (file rows minus
         deletion-vector rows) — no Spark job."""
@@ -858,6 +895,7 @@ class TxTable:
         schema_json: str,
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
+        checks_validated: dict | None = None,
     ) -> dict:
         """Commit data files ALREADY sitting under ``data/`` (manifest
         entries prebuilt from their footers) as an ``append`` or
@@ -878,7 +916,15 @@ class TxTable:
         ``TxTable.append``).
 
         Same fence + lost-race retry contract as ``append``; an
-        overwrite claims exactly once like ``overwrite``."""
+        overwrite claims exactly once like ``overwrite``.
+
+        ``checks_validated`` is the writer's attestation that its
+        tasks ALREADY enforced the named CHECK predicates on every
+        batch (the native writer's executor-side DuckDB validation,
+        sources/txbatch.py). The commit refuses unless every constraint
+        in the CURRENT manifest was validated with an identical
+        predicate — a constraint added between plan time and commit
+        fails loudly rather than landing unvalidated rows."""
         if op not in ("append", "overwrite"):
             raise TxError(f"commit_prewritten: op {op!r}")
         if merge_schema and op != "append":
@@ -890,11 +936,18 @@ class TxTable:
         rows = sum(f["rows"] for f in entries)
         for _ in range(_APPEND_RETRIES):
             m = self._manifest()
-            if m.get("checks"):
+            cv = checks_validated or {}
+            unvalidated = {
+                k for k, p in (m.get("checks") or {}).items()
+                if cv.get(k) != p
+            }
+            if unvalidated:
                 raise TxError(
-                    "commit_prewritten cannot enforce CHECK constraints "
-                    f"({sorted(m['checks'])}) — write through "
-                    "TxTable.append/overwrite instead"
+                    "commit_prewritten: CHECK constraints "
+                    f"{sorted(unvalidated)} were not enforced on these "
+                    "prewritten files — write through the native "
+                    "writer (executor-side validation) or "
+                    "TxTable.append/overwrite (in-plan enforcement)"
                 )
             if merge_schema:
                 commit_schema = _evolve_schema_json(m, schema_json)

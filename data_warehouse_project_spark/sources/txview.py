@@ -282,12 +282,29 @@ class TxAggView:
         cols.append(F.col(_N))
         return self.table.read(version).select(*cols)
 
-    def applied_base_version(self) -> int:
-        """The base version whose effects the view reflects."""
-        fenced = self.table.txn_version(self.APP)
+    def applied_base_version(self, at: int | None = None) -> int:
+        """The base version whose effects the view reflects — at the
+        view table's version ``at`` (default: latest), so
+        catalog-consistent readers can pick the newest view state not
+        ahead of a pinned base snapshot."""
+        if at is None:
+            fenced = self.table.txn_version(self.APP)
+        else:
+            fenced = self.table._manifest(at).get("txns", {}).get(self.APP)
         if fenced is None:
             return int(self.spec["base_version_at_create"])
-        return max(fenced, int(self.spec["base_version_at_create"]))
+        return max(int(fenced), int(self.spec["base_version_at_create"]))
+
+    def base_roots(self) -> list[str]:
+        """The base table roots — positionally aligned with
+        ``applied_versions()`` (the single-base tuple twin of
+        ``TxJoinAggView.base_roots``)."""
+        return [self.spec["base_root"]]
+
+    def applied_versions(self, at: int | None = None) -> tuple[int, ...]:
+        """Uniform surface with ``TxJoinAggView``: a one-element
+        version vector."""
+        return (self.applied_base_version(at),)
 
     # -------------------------------------------------------- refresh
 

@@ -83,9 +83,10 @@ def test_tx_rerun_is_idempotent_and_fenced(spark, tmp_path):
     # crash-replay at the SAME run_ts: the fact append is skipped by the
     # txn fence (no new version), dims are logically unchanged
     run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
-    from data_warehouse_project_spark.etl.pipeline import _run_stamp
+    from data_warehouse_project_spark.etl.pipeline import _run_fence
 
-    assert t_sales.txn_version("etl_ce_sales") == _run_stamp(T0)
+    app, ver = _run_fence("etl_ce_sales", T0)
+    assert t_sales.txn_version(app) == ver
     assert wh.tx("bl_3nf", "ce_sales").latest_version() == v1
     assert wh.tx("bl_3nf", "ce_sales").row_count() == rows1
     # a NEXT-day rerun over the same sources: anti-joins and
@@ -433,6 +434,33 @@ def test_tx_fact_fence_lands_distinct_same_second_runs(spark, tmp_path):
     assert wh.tx("bl_3nf", "f").row_count() == 2
 
 
+def test_tx_fact_fence_survives_backwards_clock(spark, tmp_path):
+    """A run whose wall clock stepped BACKWARDS relative to an earlier
+    run must still land (r10 residual hazard: with run identity in the
+    fence VERSION, the earlier stamp was <= the recorded fence and the
+    new run was silently aliased to a replay). Identity now lives in
+    the fence APP, so clock direction is irrelevant — while true
+    replays of every run, in any order, stay exactly-once."""
+    from data_warehouse_project_spark.etl.pipeline import _tx_fact_append
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ts_late = dt.datetime(2024, 6, 1, 12, 0, 0)
+    ts_early = dt.datetime(2024, 5, 31, 9, 0, 0)  # clock stepped back
+    b1 = spark.createDataFrame([(1, 5)], "k long, v long")
+    b2 = spark.createDataFrame([(2, 6)], "k long, v long")
+    b3 = spark.createDataFrame([(3, 7)], "k long, v long")
+    assert _tx_fact_append(wh, "f", b1, ts_late) == 1
+    assert _tx_fact_append(wh, "f", b2, ts_early) == 1, (
+        "a backwards clock step must not alias a new run to a replay"
+    )
+    # replays of both runs, in both orders, are fenced
+    assert _tx_fact_append(wh, "f", b1, ts_late) == 0
+    assert _tx_fact_append(wh, "f", b2, ts_early) == 0
+    # and a third distinct run still lands after the replays
+    assert _tx_fact_append(wh, "f", b3, ts_early + dt.timedelta(hours=1)) == 1
+    assert wh.tx("bl_3nf", "f").row_count() == 3
+
+
 def test_tx_crash_mid_run_never_exposes_inconsistent_snapshot(
     spark, tmp_path, monkeypatch
 ):
@@ -741,6 +769,28 @@ def test_create_sql_views_exposes_whole_warehouse(spark, tmp_path):
         "select sum(n_sales) s from whv_gold_sales_by_month"
     ).first()["s"]
     assert total == wh.read("bl_3nf", "ce_sales").count()
+
+    # r10 ADVICE pin: snapshot=True must not expose gold effects of
+    # fact commits NEWER than the catalog pins. Churn the fact and
+    # refresh the views WITHOUT a new catalog publish (a crashed
+    # half-run's shape): the snapshot surface keeps the pinned rollup,
+    # the freshness surface sees the fold.
+    fact = wh.tx("bl_3nf", "ce_sales")
+    pre = total
+    sample = fact.read().limit(1).collect()
+    late = [{**sample[0].asDict(), "sale_src_id": "late-crash-1"}]
+    fact.append(spark.createDataFrame(late, fact.read().schema))
+    refresh_gold_views(wh, mode="incremental")
+
+    wh2 = Warehouse(spark, root)
+    wh2.create_sql_views(prefix="snap_", snapshot=True)
+    assert spark.sql(
+        "select sum(n_sales) s from snap_gold_sales_by_month"
+    ).first()["s"] == pre
+    wh2.create_sql_views(prefix="fresh_")
+    assert spark.sql(
+        "select sum(n_sales) s from fresh_gold_sales_by_month"
+    ).first()["s"] == pre + 1
 
 
 def test_maintenance_plan_zorder_on_stats_cols(spark, tmp_path):
