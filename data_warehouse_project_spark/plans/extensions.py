@@ -833,7 +833,8 @@ def scd2_cdc_history_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT seg, nk,
            COUNT(amt) AS n_orders,
            CAST(SUM(amt) AS BIGINT) AS total_cents,
-           CAST(MAX(amt) AS BIGINT) AS max_cents
+           CAST(MAX(amt) AS BIGINT) AS max_cents,
+           CAST(COUNT(DISTINCT ck) AS BIGINT) AS uniq_buyers
     FROM live JOIN dim ON ck = c_custkey
     GROUP BY seg, nk
     ORDER BY seg, nk
@@ -850,8 +851,12 @@ def scd2_cdc_history_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(fact append), term B re-bucketing along ONE key part (segment "
     "moves, nation stays), a dim delete killing groups, and a fact dv "
     "delete that kills a group MAX (forcing the dirty-group repair "
-    "over the composite key). Oracle recomputes the final join-group "
-    "state in SQL.",
+    "over the composite key). uniq_buyers is the r11 EXACT distinct "
+    "measure — transition-maintained over a per-(group, value) support "
+    "TxTable, so the correction deletes fold as occurrence decrements "
+    "with no base rescan (the bounded-delete-tax answer to the HLL "
+    "sketch's any-delete repair). Oracle recomputes the final "
+    "join-group state, including COUNT(DISTINCT), in SQL.",
     tags=("tx", "ivm", "join"),
     eager=True,
 )
@@ -885,6 +890,7 @@ def join_view_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_cents": "amt",
                 "n_orders": ("count", "amt"),
                 "max_cents": ("max", "amt"),
+                "uniq_buyers": ("distinct", "ck"),
             },
         )
         fact.append(
@@ -906,6 +912,7 @@ def join_view_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = view.read().select(
             "seg", "nk", "n_orders", "total_cents",
             F.col("max_cents").cast("long").alias("max_cents"),
+            F.col("uniq_buyers").cast("long").alias("uniq_buyers"),
         ).orderBy("seg", "nk")
         return res.localCheckpoint()
     finally:

@@ -78,9 +78,26 @@ Repair cost is O(dims + dirty groups' fact rows), never O(fact).
 APPROX_DISTINCT maintains a per-group HyperLogLog sketch like
 ``TxAggView``: inserts fold (HLL union), any deleted non-null value
 rides the same repair path, and ``read()`` keeps COUNT(DISTINCT)
-surface semantics. Measure expressions range over FACT columns; each
-group expression ranges over ONE dimension's columns (``group_dims``
-tags which).
+surface semantics.
+
+DISTINCT (r11) is the EXACT twin without the delete tax — the
+dual-level aggregation of the IVM literature (Gupta & Mumick 1995 §4:
+COUNT(DISTINCT x) is COUNT over the auxiliary view GROUP BY g, x):
+each distinct measure keeps a hidden per-(group, value) occurrence
+count in a support ``TxTable`` under the view root, maintained purely
+additively from the same signed churn, and the view's distinct count
+moves by the 0→positive / positive→0 TRANSITIONS of those counts — a
+delete decrements a value's count and only decrements the distinct
+count when the LAST occurrence leaves, so no delete ever rescans the
+bases. The trade vs the sketch is state: O(Σ_g distinct values) support
+rows (dimension-scale for a customer-id measure, but fact-scale for a
+unique-id one — choose approx_distinct there). Crash contract: the
+view commits first, the support second, both behind the same packed
+fence; a replay that finds the support lagging the view catches it up
+from the feeds (deterministic) before folding the next window, so any
+interleaving of crashes converges. Measure expressions range over FACT
+columns; each group expression ranges over ONE dimension's columns
+(``group_dims`` tags which).
 
 Join semantics are INNER on each ``fact.fk_i = d_i.<dim_on_i>``
 (``dim_on`` defaults to the dim's table key — e.g. a surrogate-id
@@ -129,10 +146,14 @@ def _norm_measures(measures: dict) -> dict[str, dict]:
         else:
             fn, expr = spec
         fn = fn.lower()
-        if fn not in ("sum", "count", "avg", "min", "max", "approx_distinct"):
+        if fn not in (
+            "sum", "count", "avg", "min", "max", "approx_distinct",
+            "distinct",
+        ):
             raise TxError(
                 f"measure {name!r}: join views maintain "
-                f"sum/count/avg/min/max/approx_distinct; got {fn!r}"
+                f"sum/count/avg/min/max/approx_distinct/distinct; "
+                f"got {fn!r}"
             )
         out[name] = {"fn": fn, "expr": expr}
     return out
@@ -355,11 +376,11 @@ class TxJoinAggView:
             "measures": norm,
             "versions_at_create": versions,
         })
-        full = cls._joined_agg(
-            spec,
-            fact.read(versions[0]),
-            [d.read(v) for (d, _, _), v in zip(dim_specs, versions[1:])],
-        )
+        fact_df = fact.read(versions[0])
+        dim_dfs = [
+            d.read(v) for (d, _, _), v in zip(dim_specs, versions[1:])
+        ]
+        full = cls._joined_agg(spec, fact_df, dim_dfs)
         root.mkdir(parents=True, exist_ok=True)
         with open(root / _SIDECAR, "w") as f:
             json.dump(spec, f)
@@ -367,6 +388,13 @@ class TxJoinAggView:
             os.fsync(f.fileno())
         key = _GK if len(cols) > 1 else cols[0]
         TxTable.create(spark, root, full, key=key)
+        for n, m in norm.items():
+            if m["fn"] == "distinct":
+                TxTable.create(
+                    spark, root / f"_vals_{n}",
+                    cls._support_full(spec, fact_df, dim_dfs, n),
+                    key=key,
+                )
         return cls(spark, root)
 
     # -------------------------------------------------------- internals
@@ -438,10 +466,33 @@ class TxJoinAggView:
                 aggs.append(F.max(e).alias(f"__m_{n}"))
             if m["fn"] == "approx_distinct":
                 aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
+            if m["fn"] == "distinct":
+                aggs.append(F.count_distinct(e).alias(f"__d_{n}"))
         aggs.append(F.count(F.lit(1)).alias(_N))
         out = j.groupBy(*cls._spec_gcols(spec)).agg(*aggs)
         if cls._composite(spec):
             out = out.withColumn(_GK, _gk_expr(cls._spec_gcols(spec)))
+        return out
+
+    @classmethod
+    def _support_full(
+        cls, spec: dict, fact_df: DataFrame, dim_dfs: list[DataFrame], n: str
+    ) -> DataFrame:
+        """Full-compute of a distinct measure's support relation: one
+        row per (group, non-null value) with its live occurrence
+        count — the auxiliary view of the dual-level aggregation."""
+        j = cls._join_all(
+            cls._fact_proj(spec, fact_df),
+            [cls._dim_proj(spec, i, d) for i, d in enumerate(dim_dfs)],
+        )
+        gcols = cls._spec_gcols(spec)
+        out = (
+            j.filter(F.col(f"__e_{n}").isNotNull())
+            .groupBy(*gcols, F.col(f"__e_{n}").alias("__val"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        if cls._composite(spec):
+            out = out.withColumn(_GK, _gk_expr(gcols))
         return out
 
     # ---------------------------------------------------------- reads
@@ -473,6 +524,9 @@ class TxJoinAggView:
                         F.hll_sketch_estimate(F.col(f"__h_{n}")), F.lit(0)
                     ).alias(n)
                 )
+            elif m["fn"] == "distinct":
+                # exact, transition-maintained — see module docstring
+                cols.append(F.col(f"__d_{n}").alias(n))
             else:  # min / max
                 cols.append(F.col(f"__m_{n}").alias(n))
         cols.append(F.col(_N))
@@ -499,69 +553,137 @@ class TxJoinAggView:
             d["root"] for d in self.spec["dims"]
         ]
 
-    # -------------------------------------------------------- refresh
+    # ---------------------------------------------- distinct supports
 
-    def _recompute(self, targets: list[int]) -> dict:
-        full = self._joined_agg(
-            self.spec,
-            self.fact.read(targets[0]),
-            [d.read(v) for d, v in zip(self.dims, targets[1:])],
-        )
-        r = self.table.overwrite(full, txn=(self.APP, _enc(targets)))
-        return {
-            "refreshed_to": tuple(targets),
-            "mode": "recompute",
-            "skipped": bool(r.get("skipped", False)),
-        }
-
-    def refresh(self, mode: str = "incremental") -> dict:
-        """Fold every base's commits since the last refresh into the
-        view: term A (fact feed ⋈ dims@new, each dim read key-pruned to
-        the churned fks) plus one term per churned dim (dim feed ⋈
-        fact@old key-pruned to the changed dim keys ⋈ the other dims at
-        the versions the telescoping expansion dictates), aggregated to
-        one signed delta per touched group and landed in one fenced
-        key-pruned rewrite. A replayed refresh is a fenced skip;
-        unmoved bases are a no-op without a commit. ``mode`` as in
-        ``TxAggView.refresh``: incremental / recompute / auto (cost
-        pick from manifest metadata alone — zero Spark jobs)."""
-        if mode not in ("incremental", "recompute", "auto"):
-            raise TxError(f"refresh mode: {mode!r}")
-        spec = self.spec
-        ndims = len(self.dims)
-        v0 = list(self.applied_versions())
-        v1 = [self.fact.latest_version()] + [
-            d.latest_version() for d in self.dims
+    def _distinct_names(self) -> list[str]:
+        return [
+            n for n, m in self.spec["measures"].items()
+            if m["fn"] == "distinct"
         ]
-        if all(a <= b for a, b in zip(v1, v0)):
-            return {"refreshed_to": tuple(v0), "groups_touched": 0,
-                    "skipped": True}
-        if mode == "auto":
-            fact_rows = self.fact.row_count()
-            f_churn = (
-                churn_rows(self.fact, v0[0] + 1, v1[0])
-                if v1[0] > v0[0] else 0
-            )
-            mode = "incremental"
-            if (
-                fact_rows < self.RECOMPUTE_FLOOR_ROWS
-                or f_churn >= self.RECOMPUTE_CHURN_FRACTION * fact_rows
-            ):
-                mode = "recompute"
-            else:
-                for i, d in enumerate(self.dims):
-                    if v1[i + 1] <= v0[i + 1]:
-                        continue
-                    d_churn = churn_rows(d, v0[i + 1] + 1, v1[i + 1])
-                    if d_churn >= self.RECOMPUTE_DIM_FRACTION * max(
-                        d.row_count(), 1
-                    ):
-                        mode = "recompute"
-                        break
-        if mode == "recompute":
-            return self._recompute(v1)
 
+    def _view_key(self) -> str:
+        return _GK if self._composite(self.spec) else self._gcols()[0]
+
+    def _support(self, n: str) -> TxTable:
+        return TxTable(self.spark, self.root / f"_vals_{n}")
+
+    def _support_vec(self, sup: TxTable) -> list[int]:
+        f = sup.txn_version(self.APP)
+        if f is None:
+            return [int(v) for v in self.spec["versions_at_create"]]
+        return list(_dec(int(f), len(self.spec["dims"])))
+
+    def _dv_frame(self, churn: DataFrame, n: str) -> DataFrame:
+        """Per-(group, value) signed occurrence delta for one distinct
+        measure, from the same signed churn the other measures fold —
+        NULL values excluded (COUNT DISTINCT ignores them), net-zero
+        rows dropped."""
         gcols = self._gcols()
+        dv = (
+            churn.filter(F.col(f"__e_{n}").isNotNull())
+            .groupBy(*gcols, F.col(f"__e_{n}").alias("__val"))
+            .agg(F.sum(F.col("__vw_sign")).alias("__dc"))
+            .filter(F.col("__dc") != 0)
+        )
+        if self._composite(self.spec):
+            dv = dv.withColumn(_GK, _gk_expr(gcols))
+        return dv.localCheckpoint(eager=False)
+
+    def _transitions(self, sup: TxTable, dv: DataFrame, n: str) -> DataFrame:
+        """Per-group distinct-count delta: +1 for every value whose
+        occurrence count transitions 0→positive this window, −1 for
+        positive→0 — computed against the support state BEFORE this
+        window's fold, read key-pruned to the touched groups. A count
+        that would go negative raises in-plan (feed desync)."""
+        gcols = self._gcols()
+        s = sup.read_for_keys(dv.select(self._view_key()))
+        cond = _and_all(
+            [
+                F.col(f"d.{c}").eqNullSafe(F.col(f"s.{c}"))
+                for c in gcols
+            ]
+            + [F.col("d.__val") == F.col("s.__val")]
+        )
+        j = dv.alias("d").join(s.alias("s"), cond, "left")
+        old = F.coalesce(F.col("s.__cnt"), F.lit(0))
+        new = old + F.col("d.__dc")
+        trans = (
+            F.when(
+                new < 0,
+                F.raise_error(
+                    F.lit(
+                        f"txjoinview: distinct measure {n!r} occurrence "
+                        "count went negative — view out of sync with "
+                        "the base change feeds"
+                    )
+                ).cast("long"),
+            )
+            .when((old == 0) & (new > 0), F.lit(1))
+            .when((old > 0) & (new == 0), F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        return (
+            j.groupBy(*[F.col(f"d.{c}") for c in gcols])
+            .agg(F.sum(trans).alias(f"__dd_{n}"))
+        )
+
+    def _apply_support(self, sup: TxTable, dv: DataFrame, fence: int) -> None:
+        """Fold a value-level delta into the support table — one fenced
+        key-pruned rewrite, purely additive (rows at count 0 leave)."""
+        gcols = self._gcols()
+        composite = self._composite(self.spec)
+
+        def xform(slice_df: DataFrame) -> DataFrame:
+            s = slice_df.alias("s")
+            d = dv.alias("d")
+            cond = _and_all(
+                [
+                    F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+                    for c in gcols
+                ]
+                + [F.col("s.__val") == F.col("d.__val")]
+            )
+            merged = s.join(d, cond, "full_outer")
+            s_here = F.col("s.__cnt").isNotNull()
+            cnt = (
+                F.coalesce(F.col("s.__cnt"), F.lit(0))
+                + F.coalesce(F.col("d.__dc"), F.lit(0))
+            )
+            out = merged.select(
+                *[
+                    F.when(s_here, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"d.{c}"))
+                    .alias(c)
+                    for c in gcols
+                ],
+                F.when(s_here, F.col("s.__val"))
+                .otherwise(F.col("d.__val"))
+                .alias("__val"),
+                cnt.alias("__cnt"),
+            )
+            guard = F.when(
+                F.col("__cnt") < 0,
+                F.raise_error(
+                    F.lit(
+                        "txjoinview: support count negative — view out "
+                        "of sync with the base change feeds"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col("__cnt") > 0)
+            if composite:
+                out = out.withColumn(_GK, _gk_expr(gcols))
+            return out.filter(guard)
+
+        sup.rewrite_by_keys(
+            dv.select(self._view_key()), xform, txn=(self.APP, fence)
+        )
+
+    def _churn_frame(self, v0: list[int], v1: list[int]) -> DataFrame | None:
+        """The signed joined churn for the window (v0, v1]: the union
+        of term A and one term per moved dim (see refresh) — every
+        measure and every distinct-value delta aggregates from this one
+        frame. None when no base moved."""
+        spec = self.spec
         terms = []
         if v1[0] > v0[0]:
             # term A: ΔF ⋈ D1@new ⋈ … — signed fact churn, every dim
@@ -615,8 +737,102 @@ class TxJoinAggView:
                     )
                 )
             terms.append(self._join_all(fact_slice, others))
+        if not terms:
+            return None
+        return reduce(lambda a, b: a.unionByName(b), terms)
 
-        churn = reduce(lambda a, b: a.unionByName(b), terms)
+    def _catchup_supports(self, v_vec: list[int]) -> None:
+        """A crash between the view commit and a support commit leaves
+        that support lagging the view's fence. Re-derive the missing
+        window's value deltas from the feeds (deterministic at pinned
+        versions) and fold them before anything else — every
+        interleaving of crashes and replays converges."""
+        for n in self._distinct_names():
+            sup = self._support(n)
+            s_vec = self._support_vec(sup)
+            if _enc(s_vec) >= _enc(v_vec):
+                continue
+            churn = self._churn_frame(s_vec, v_vec)
+            if churn is None:
+                continue
+            self._apply_support(sup, self._dv_frame(churn, n), _enc(v_vec))
+
+    # -------------------------------------------------------- refresh
+
+    def _recompute(self, targets: list[int]) -> dict:
+        fact_df = self.fact.read(targets[0])
+        dim_dfs = [d.read(v) for d, v in zip(self.dims, targets[1:])]
+        full = self._joined_agg(self.spec, fact_df, dim_dfs)
+        r = self.table.overwrite(full, txn=(self.APP, _enc(targets)))
+        if not r.get("skipped"):
+            for n in self._distinct_names():
+                self._support(n).overwrite(
+                    self._support_full(self.spec, fact_df, dim_dfs, n),
+                    txn=(self.APP, _enc(targets)),
+                )
+        return {
+            "refreshed_to": tuple(targets),
+            "mode": "recompute",
+            "skipped": bool(r.get("skipped", False)),
+        }
+
+    def refresh(self, mode: str = "incremental") -> dict:
+        """Fold every base's commits since the last refresh into the
+        view: term A (fact feed ⋈ dims@new, each dim read key-pruned to
+        the churned fks) plus one term per churned dim (dim feed ⋈
+        fact@old key-pruned to the changed dim keys ⋈ the other dims at
+        the versions the telescoping expansion dictates), aggregated to
+        one signed delta per touched group and landed in one fenced
+        key-pruned rewrite. A replayed refresh is a fenced skip;
+        unmoved bases are a no-op without a commit. ``mode`` as in
+        ``TxAggView.refresh``: incremental / recompute / auto (cost
+        pick from manifest metadata alone — zero Spark jobs)."""
+        if mode not in ("incremental", "recompute", "auto"):
+            raise TxError(f"refresh mode: {mode!r}")
+        spec = self.spec
+        v0 = list(self.applied_versions())
+        # a crash between the view commit and a support commit leaves
+        # supports lagging — converge them BEFORE the skip check, or a
+        # movement-free replay would strand them forever
+        self._catchup_supports(v0)
+        v1 = [self.fact.latest_version()] + [
+            d.latest_version() for d in self.dims
+        ]
+        if all(a <= b for a, b in zip(v1, v0)):
+            return {"refreshed_to": tuple(v0), "groups_touched": 0,
+                    "skipped": True}
+        if mode == "auto":
+            fact_rows = self.fact.row_count()
+            f_churn = (
+                churn_rows(self.fact, v0[0] + 1, v1[0])
+                if v1[0] > v0[0] else 0
+            )
+            mode = "incremental"
+            if (
+                fact_rows < self.RECOMPUTE_FLOOR_ROWS
+                or f_churn >= self.RECOMPUTE_CHURN_FRACTION * fact_rows
+            ):
+                mode = "recompute"
+            else:
+                for i, d in enumerate(self.dims):
+                    if v1[i + 1] <= v0[i + 1]:
+                        continue
+                    d_churn = churn_rows(d, v0[i + 1] + 1, v1[i + 1])
+                    if d_churn >= self.RECOMPUTE_DIM_FRACTION * max(
+                        d.row_count(), 1
+                    ):
+                        mode = "recompute"
+                        break
+        if mode == "recompute":
+            return self._recompute(v1)
+
+        gcols = self._gcols()
+        churn = self._churn_frame(v0, v1)
+        dnames = self._distinct_names()
+        if dnames:
+            # the same signed churn feeds the measure deltas AND each
+            # distinct measure's value-level delta — pin it once
+            churn = churn.localCheckpoint(eager=False)
         sign = F.col("__vw_sign")
         delta_aggs = []
         for n, m in spec["measures"].items():
@@ -647,10 +863,29 @@ class TxJoinAggView:
                     ).alias(f"__x_{n}")
                 )
         delta_aggs.append(F.sum(sign).alias(_N))
-        delta = (
-            churn.groupBy(*gcols).agg(*delta_aggs)
-            .localCheckpoint(eager=False)
-        )
+        delta = churn.groupBy(*gcols).agg(*delta_aggs)
+        # distinct measures: value-level deltas → transitions against
+        # the support state BEFORE this window's fold → one per-group
+        # count delta joined into the main delta frame (its groups are
+        # a subset of the churn's, so a left join is complete)
+        dvs: dict[str, DataFrame] = {}
+        for n in dnames:
+            dvs[n] = self._dv_frame(churn, n)
+            dg = self._transitions(self._support(n), dvs[n], n)
+            cond = _and_all(
+                F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in gcols
+            )
+            delta = (
+                delta.alias("a")
+                .join(dg.alias("b"), cond, "left")
+                .select(
+                    *[F.col(f"a.{c}").alias(c) for c in delta.columns],
+                    F.coalesce(F.col(f"b.__dd_{n}"), F.lit(0)).alias(
+                        f"__dd_{n}"
+                    ),
+                )
+            )
+        delta = delta.localCheckpoint(eager=False)
         repairable = {
             n: m for n, m in spec["measures"].items()
             if m["fn"] in ("min", "max", "approx_distinct")
@@ -690,6 +925,14 @@ class TxJoinAggView:
                             F.coalesce(F.col(f"v.__c_{n}"), F.lit(0))
                             + F.coalesce(F.col(f"d.__c_{n}"), F.lit(0))
                         ).alias(f"__c_{n}")
+                    )
+                if m["fn"] == "distinct":
+                    # exact transition fold — deletes never dirty
+                    out_cols.append(
+                        (
+                            F.coalesce(F.col(f"v.__d_{n}"), F.lit(0))
+                            + F.coalesce(F.col(f"d.__dd_{n}"), F.lit(0))
+                        ).alias(f"__d_{n}")
                     )
                 if m["fn"] == "approx_distinct":
                     vh = F.col(f"v.__h_{n}")
@@ -827,6 +1070,8 @@ class TxJoinAggView:
                     ]
                 if m["fn"] == "count":
                     return [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
+                if m["fn"] == "distinct":
+                    return [F.col(f"m.__d_{n}").alias(f"__d_{n}")]
                 phys = "__h_" if m["fn"] == "approx_distinct" else "__m_"
                 return [
                     F.when(F.col(f"m.__dirty_{n}"), F.col(f"r.__r_{n}"))
@@ -855,6 +1100,14 @@ class TxJoinAggView:
         r = self.table.rewrite_by_keys(
             keys.select(view_key), apply_delta, txn=(self.APP, _enc(v1))
         )
+        if not r.get("skipped"):
+            # supports fold AFTER the view commit, behind the same
+            # fence: a crash here leaves them lagging, and the next
+            # refresh's _catchup_supports re-derives this window from
+            # the feeds; a fenced-skip view (a concurrent refresher
+            # won) leaves supports to the winner / the catch-up.
+            for n in dnames:
+                self._apply_support(self._support(n), dvs[n], _enc(v1))
         return {
             "refreshed_to": tuple(v1),
             "mode": "incremental",

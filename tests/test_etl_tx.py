@@ -236,7 +236,8 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
             for out_name, (fn, expr) in js["measures"].items():
                 agg = {"sum": F.sum, "count": F.count, "avg": F.avg,
                        "min": F.min, "max": F.max,
-                       "approx_distinct": F.countDistinct}[fn](F.expr(expr))
+                       "approx_distinct": F.countDistinct,
+                       "distinct": F.countDistinct}[fn](F.expr(expr))
                 aggs.append(agg.alias(out_name))
             aggs.append(F.count(F.lit(1)).alias("n_rows"))
             dims = [{"dim": js["dim"], "fk": js["fk"],
