@@ -233,6 +233,75 @@ class Warehouse:
                 names.append(vn)
         return names
 
+    def register_catalog(
+        self, database: str = "wh", location: str | None = None
+    ) -> dict[str, str]:
+        """The ANY-SESSION SQL surface (the reference exposes every
+        layer to any SQL client through the Postgres catalog,
+        readme.md "Data Analysis") — one call, then OTHER SparkSessions
+        of this application query the warehouse by name with no
+        imports and no per-session registration:
+
+        - every PLAIN (non-tx) table becomes a persistent EXTERNAL
+          table ``<database>.<layer>_<name>`` (``USING parquet
+          LOCATION``) in the metastore — visible across applications,
+          zero data copied; partitioned facts get their partitions
+          recovered at registration (later appends need ``MSCK REPAIR
+          TABLE`` or a re-register);
+        - every TRANSACTIONAL table and every gold aggregate view
+          becomes a GLOBAL TEMP view (``global_temp.<layer>_<name>``,
+          ``global_temp.gold_<name>``) — shared by every session of
+          the application. They cannot be metastore tables yet: Spark
+          4.1 does not thread a catalog table's OPTIONS into a Python
+          data source's reader (options arrive empty — pinned in
+          tests/test_txbatch_source.py so an upstream fix surfaces),
+          and a manifest-resolved snapshot is not expressible as a
+          parquet LOCATION.
+
+        Returns {qualified name: kind}. Idempotent — re-registering
+        refreshes every pointer to the current snapshot."""
+        spark = self.spark
+        loc = f" LOCATION '{location}'" if location else ""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+        out: dict[str, str] = {}
+        for layer, name in self.tables():
+            if self.is_tx(layer, name):
+                gname = f"{layer}_{name}"
+                self.read(layer, name).createOrReplaceGlobalTempView(gname)
+                out[f"global_temp.{gname}"] = "tx_global_view"
+                continue
+            tbl = f"{database}.{layer}_{name}"
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(
+                f"CREATE TABLE {tbl} USING parquet "
+                f"LOCATION '{self.path(layer, name)}'"
+            )
+            try:
+                spark.sql(f"MSCK REPAIR TABLE {tbl}")
+            except Exception:
+                pass  # unpartitioned: nothing to recover
+            out[tbl] = "external_parquet"
+        gold = self.root / "gold_views"
+        if gold.is_dir():
+            from data_warehouse_project_spark.sources.txjoinview import (
+                TxJoinAggView,
+            )
+            from data_warehouse_project_spark.sources.txview import TxAggView
+
+            for p in sorted(gold.iterdir()):
+                for cls in (TxAggView, TxJoinAggView):
+                    try:
+                        view = cls(self.spark, p)
+                        break
+                    except Exception:
+                        view = None
+                if view is None:
+                    continue
+                gname = f"gold_{p.name}"
+                view.read().createOrReplaceGlobalTempView(gname)
+                out[f"global_temp.{gname}"] = "gold_global_view"
+        return out
+
     def _gold_snapshot_version(self, view, pin_map: dict | None) -> int | None:
         """Newest version of a gold view table whose applied
         base-version vector is <= the catalog pins for EVERY base —

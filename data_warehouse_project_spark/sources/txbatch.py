@@ -114,6 +114,30 @@ from data_warehouse_project_spark.sources.txtable import (
 )
 
 
+def _opt_path(p: str) -> Path:
+    """A path option as a local filesystem path. SQL DDL
+    (``CREATE TABLE ... USING txtable OPTIONS (path ...)``) hands the
+    option through Spark's path normalization, which prefixes the
+    ``file:`` scheme — strip it so the same table definition works from
+    both ``spark.read`` and the persistent catalog."""
+    if p.startswith("file://"):
+        return Path(p[7:])
+    if p.startswith("file:"):
+        return Path(p[5:])
+    return Path(p)
+
+
+def _root_from(options) -> Path:
+    """The table root from a data source's options. ``spark.read``
+    passes ``path``; a catalog table created via DDL keeps ``path``
+    only at CREATE time and hands the reader ``location`` — accept
+    either, so one table definition serves both surfaces."""
+    p = options.get("path") or options.get("location")
+    if not p:
+        raise TxError("txtable: missing 'path' option")
+    return _opt_path(p)
+
+
 class TxFilePartition(InputPartition):
     """One live data file of the snapshot. Self-contained: the executor
     needs nothing but this object and pyarrow. ``row_filters`` (set
@@ -136,7 +160,7 @@ def _is_plain_int(v) -> bool:
 
 class TxBatchReader(DataSourceReader):
     def __init__(self, options):
-        self.root = Path(options["path"])
+        self.root = _root_from(options)
         self.log_dir = self.root / TXLOG_DIR
         if not self.log_dir.is_dir():
             raise TxError(f"not a transactional table: {self.root}")
@@ -417,7 +441,7 @@ class TxBatchWriter(DataSourceArrowWriter):
     ``TxTable.append``'s in-plan enforcement."""
 
     def __init__(self, options, schema, overwrite: bool):
-        self.root = Path(options["path"])
+        self.root = _root_from(options)
         self.overwrite = overwrite
         self.schema_json = json.dumps(schema.jsonValue())
         self.txn = None

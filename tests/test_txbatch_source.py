@@ -857,3 +857,36 @@ def test_writer_enforces_checks_executor_side(registered, tmp_path):
         checks_validated={"pos": "v > 0", "key_set": "k is not null"},
     )
     assert ok["rows_appended"] == e[0]["rows"]
+
+
+def test_catalog_table_options_gap_is_pinned(registered, tmp_path):
+    """Spark 4.1 does not thread a catalog table's OPTIONS into a
+    Python data source's reader — they arrive EMPTY at read time — so
+    ``USING txtable`` metastore tables cannot resolve their root yet
+    (Warehouse.register_catalog uses global temp views for the tx
+    layer instead). Pinned so an upstream fix surfaces and the catalog
+    can flip to persistent txtable tables."""
+    spark = registered
+    t = TxTable.create(
+        spark, tmp_path / "t",
+        spark.createDataFrame([(1, 2)], "k long, v long"), key="k",
+    )
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS txgap_db LOCATION '{tmp_path}/db'"
+    )
+    try:
+        spark.sql(
+            f"CREATE TABLE txgap_db.t USING txtable "
+            f"OPTIONS (path '{t.root}')"
+        )
+        try:
+            n = spark.sql("select count(*) from txgap_db.t").first()[0]
+        except Exception as e:
+            assert "missing 'path'" in str(e)
+        else:
+            pytest.fail(
+                f"upstream fixed: catalog read returned {n} rows — flip "
+                "register_catalog to persistent USING txtable tables"
+            )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS txgap_db CASCADE")
