@@ -278,8 +278,18 @@ class Warehouse:
             )
             try:
                 spark.sql(f"MSCK REPAIR TABLE {tbl}")
-            except Exception:
-                pass  # unpartitioned: nothing to recover
+            except Exception as e:
+                # only the expected "table is not partitioned" refusal
+                # is benign; a REAL recovery failure on a partitioned
+                # table would otherwise register a silently-empty
+                # surface — re-raise it loudly
+                msg = str(e)
+                if not (
+                    "NOT_A_PARTITIONED_TABLE" in msg
+                    or "not partitioned" in msg.lower()
+                    or "only works on table with location" in msg.lower()
+                ):
+                    raise
             out[tbl] = "external_parquet"
         gold = self.root / "gold_views"
         if gold.is_dir():

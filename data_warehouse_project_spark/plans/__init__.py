@@ -39,8 +39,11 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 # re-sample). tools/rotation_guard.py now enforces this invariant
 # mechanically: every never-green query must sit inside the prefix.
 _NEVER_DRIVER_GREEN_R10 = [
-    # new in round 11 (never sampled yet): the composite-key and the
-    # multi-dim incremental join-aggregate views
+    # naming convention: the list is named for the last CLOSED round —
+    # it holds queries never driver-green AS OF the end of that round,
+    # i.e. the NEXT round's additions (R9 holds round-10's, this holds
+    # round-11's). New in round 11: the composite-key and the
+    # multi-dim incremental join-aggregate views.
     "join_view_geo_rollup",
     "join_view_two_dim_rollup",
 ]

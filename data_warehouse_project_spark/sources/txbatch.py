@@ -496,18 +496,16 @@ class TxBatchWriter(DataSourceArrowWriter):
                 from pyspark.sql.pandas.types import to_arrow_schema
 
                 empty = to_arrow_schema(schema).empty_table()
+                # any bind/parse failure surfaces as the loud
+                # "not portable" TxError from _violations; drop the
+                # probe's connection — the writer object is pickled to
+                # executors and a DuckDB handle cannot ride along
                 try:
                     self._violations(empty)
-                except TxError:
-                    raise
-                except Exception as e:
-                    raise TxError(
-                        "the batch writer enforces CHECK constraints "
-                        "with DuckDB on each task's Arrow batches, and "
-                        f"a predicate does not evaluate there ({e!r}) "
-                        "— write through TxTable.append for in-plan "
-                        "Spark enforcement"
-                    ) from None
+                finally:
+                    probe_con = self.__dict__.pop("_duck", None)
+                    if probe_con is not None:
+                        probe_con.close()
             if self.merge_schema:
                 from data_warehouse_project_spark.sources.txtable import (
                     _evolve_schema_json,
@@ -535,30 +533,51 @@ class TxBatchWriter(DataSourceArrowWriter):
         semantics: NULL results pass, FALSE rows abort the write with a
         sample. The task failure fails the job, ``abort()`` removes
         every staged file, and nothing commits — the same atomicity
-        TxTable.append's in-plan raise_error gives."""
+        TxTable.append's in-plan raise_error gives.
+
+        Honest limit: the evaluator is DuckDB, the in-plan path's is
+        Spark — the plan-time probe catches predicates that don't BIND,
+        but a predicate whose VALUE semantics differ between engines
+        (e.g. ``cast(str as int)``: Spark non-ANSI yields NULL, DuckDB
+        raises) diverges at write time. Any DuckDB evaluation ERROR
+        (not a violation) therefore fails LOUDLY as non-portable below
+        rather than silently weakening enforcement; keep CHECK
+        predicates ANSI-portable or write through TxTable.append. One
+        connection per write task, reused across its batches."""
         if not self.checks:
             return
-        import duckdb
         import pyarrow as pa
 
         if isinstance(arrow_batch, pa.RecordBatch):
             arrow_batch = pa.Table.from_batches([arrow_batch])
-        con = duckdb.connect()
-        try:
-            con.register("__batch", arrow_batch)
-            for name, pred in self.checks.items():
+        con = getattr(self, "_duck", None)
+        if con is None:
+            import duckdb
+
+            con = self._duck = duckdb.connect()
+        con.register("__batch", arrow_batch)
+        for name, pred in self.checks.items():
+            try:
                 bad = con.execute(
                     "SELECT * FROM __batch WHERE NOT COALESCE("
                     f"({pred}), TRUE) LIMIT 3"
                 ).fetchall()
-                if bad:
-                    raise TxError(
-                        f"CHECK constraint {name!r} ({pred}) violated "
-                        f"by {len(bad)}+ row(s) in this write, e.g. "
-                        f"{bad[0]!r} — nothing was committed"
-                    )
-        finally:
-            con.close()
+            except TxError:
+                raise
+            except Exception as e:
+                raise TxError(
+                    f"CHECK constraint {name!r} ({pred}) is not "
+                    f"portable: DuckDB raised {e!r} evaluating it on "
+                    "this batch (Spark may treat the same rows "
+                    "differently) — write through TxTable.append for "
+                    "in-plan Spark enforcement"
+                ) from None
+            if bad:
+                raise TxError(
+                    f"CHECK constraint {name!r} ({pred}) violated "
+                    f"by {len(bad)}+ row(s) in this write, e.g. "
+                    f"{bad[0]!r} — nothing was committed"
+                )
 
     def write(self, iterator):
         import uuid

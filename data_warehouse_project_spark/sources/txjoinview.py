@@ -564,8 +564,40 @@ class TxJoinAggView:
     def _view_key(self) -> str:
         return _GK if self._composite(self.spec) else self._gcols()[0]
 
-    def _support(self, n: str) -> TxTable:
-        return TxTable(self.spark, self.root / f"_vals_{n}")
+    def _support(self, n: str, at: list[int] | None = None) -> TxTable:
+        """The distinct measure's support table — CREATE-IF-ABSENT: a
+        crash between the view's v0 commit and the support's create in
+        ``create()`` must not strand the view, so a missing support is
+        rebuilt here by full-computing the per-(group, value) counts at
+        ``at`` (default: the view's applied versions — the state the
+        support would hold had the create finished). A concurrent
+        creator losing the race simply loads the winner's table."""
+        root = self.root / f"_vals_{n}"
+        try:
+            return TxTable(self.spark, root)
+        except TxError:
+            pass
+        vec = list(self.applied_versions()) if at is None else list(at)
+        full = self._support_full(
+            self.spec,
+            self.fact.read(vec[0]),
+            [d.read(v) for d, v in zip(self.dims, vec[1:])],
+            n,
+        )
+        try:
+            t = TxTable.create(self.spark, root, full, key=self._view_key())
+        except TxError:
+            return TxTable(self.spark, root)  # lost a concurrent create
+        if vec != [int(v) for v in self.spec["versions_at_create"]]:
+            # the rebuilt state reflects `vec`, not the sidecar's create
+            # versions — record that as the support's fence (an empty
+            # fenced append: no files, one manifest) so _support_vec and
+            # the catch-up window start from the right cursor
+            t.append(
+                self.spark.createDataFrame([], full.schema),
+                txn=(self.APP, _enc(vec)),
+            )
+        return t
 
     def _support_vec(self, sup: TxTable) -> list[int]:
         f = sup.txn_version(self.APP)
@@ -746,16 +778,36 @@ class TxJoinAggView:
         that support lagging the view's fence. Re-derive the missing
         window's value deltas from the feeds (deterministic at pinned
         versions) and fold them before anything else — every
-        interleaving of crashes and replays converges."""
+        interleaving of crashes and replays converges. Two recovery
+        tiers when the incremental path is unavailable: a support
+        table MISSING entirely (crash inside ``create()``) is rebuilt
+        by ``_support``'s create-if-absent at the view's cursor, and a
+        lagging window whose change feeds were VACUUMED (e.g. a crash
+        right after a large recompute jump) falls back to a wholesale
+        support recompute at the view's cursor — so an explicit
+        ``refresh(mode="recompute")`` can always heal, never trapped
+        behind a gone feed."""
         for n in self._distinct_names():
             sup = self._support(n)
             s_vec = self._support_vec(sup)
             if _enc(s_vec) >= _enc(v_vec):
                 continue
-            churn = self._churn_frame(s_vec, v_vec)
-            if churn is None:
+            try:
+                churn = self._churn_frame(s_vec, v_vec)
+                if churn is not None:
+                    self._apply_support(
+                        sup, self._dv_frame(churn, n), _enc(v_vec)
+                    )
                 continue
-            self._apply_support(sup, self._dv_frame(churn, n), _enc(v_vec))
+            except TxError:
+                pass  # window's feeds vacuumed — rebuild wholesale
+            full = self._support_full(
+                self.spec,
+                self.fact.read(v_vec[0]),
+                [d.read(v) for d, v in zip(self.dims, v_vec[1:])],
+                n,
+            )
+            sup.overwrite(full, txn=(self.APP, _enc(v_vec)))
 
     # -------------------------------------------------------- refresh
 
@@ -766,7 +818,7 @@ class TxJoinAggView:
         r = self.table.overwrite(full, txn=(self.APP, _enc(targets)))
         if not r.get("skipped"):
             for n in self._distinct_names():
-                self._support(n).overwrite(
+                self._support(n, at=targets).overwrite(
                     self._support_full(self.spec, fact_df, dim_dfs, n),
                     txn=(self.APP, _enc(targets)),
                 )

@@ -160,16 +160,20 @@ def scd2_apply_changes(
     open end is a SQL NULL, so Arrow/pandas consumers never overflow
     (the r1 driver-harness lesson, plans/scd.py:150).
 
-    Per micro-batch (rate-limited like ``replicate_changes``):
-    close/open events per key are interleaved by (version, close<open)
-    — within one version an update's preimage closes the prior row
-    BEFORE its postimage opens the next — so each open's end is the
-    key's next CLOSE event (first delete/update_preimage strictly
-    after it in the ordered sequence; another OPEN never closes a
-    row), and the history slice's existing current row closes at the
-    key's FIRST close version. One ``rewrite_by_keys`` per batch:
-    O(churn + touched history files), fenced ``(app, upto)`` — crash
-    replay applies exactly once.
+    Per micro-batch (rate-limited like ``replicate_changes``): a CDF
+    close event (delete / update_preimage) carries the exact row it
+    removed, so closes pair FIFO with the oldest still-open history
+    row of the IDENTICAL column tuple — sink current rows first, then
+    this batch's opens, ranked per full-tuple partition. An update's
+    preimage equals the row it replaces (the unique-key case pairs
+    exactly as a per-key ordering would), while duplicate-key parallel
+    rows close ONE per close event: a partial delete of one copy
+    leaves the other current, a full-key delete emits one close per
+    copy and closes them all. A close with no matching open (or one
+    pairing an open that starts after it) raises in-plan — feed
+    desync, never silent. One ``rewrite_by_keys`` per batch: O(churn +
+    touched history files), fenced ``(app, upto)`` — crash replay
+    applies exactly once.
 
     The invariant the tests pin, for EVERY base version v:
     ``rows where _scd_start_v <= v < coalesce(_scd_end_v, inf)`` ==
@@ -222,69 +226,77 @@ def scd2_apply_changes(
             .alias("__open"),
         ).localCheckpoint(eager=False)
 
-        w = Window.partitionBy(key).orderBy(
-            "__v", F.col("__open").cast("int")  # close sorts before open
+        # MULTISET-EXACT close pairing (r11, hardening the r10 ADVICE
+        # fix): a CDF close event (delete / update_preimage) carries the
+        # exact row it removed, so each close pairs FIFO with the
+        # OLDEST still-open history row holding the IDENTICAL column
+        # tuple — per (all columns) partition, closes ranked by version
+        # pair with opens ranked by start version. Duplicate-key
+        # parallel rows therefore close ONE per close event (a partial
+        # delete of one copy leaves the other current), while
+        # well-formed unique-key streams pair exactly as before (an
+        # update's preimage tuple equals the row it replaces). Two
+        # in-plan guards catch feed desync: a close with no matching
+        # open, and a close pairing an open that starts after it.
+        w_open = Window.partitionBy(*cols).orderBy("_scd_start_v")
+        w_close = Window.partitionBy(*cols).orderBy("__v")
+        batch_opens = ev.filter(F.col("__open")).select(
+            *cols,
+            F.col("__v").alias("_scd_start_v"),
+            F.col("__ts").alias("_scd_start_ts"),
         )
-        # an open row ends at the key's next CLOSE event, not merely the
-        # next event: a duplicate-key append (two inserts, no close
-        # between) must leave BOTH rows current — parallel current rows,
-        # mirroring the duplicate in the base — instead of the later
-        # insert silently expiring the earlier one (r10 ADVICE).
-        wf = w.rowsBetween(1, Window.unboundedFollowing)
-        close_v = F.when(~F.col("__open"), F.col("__v"))
-        close_ts = F.when(~F.col("__open"), F.col("__ts"))
-        opens = (
-            ev.withColumn(
-                "__next_v", F.first(close_v, ignorenulls=True).over(wf)
-            )
-            .withColumn(
-                "__next_ts", F.first(close_ts, ignorenulls=True).over(wf)
-            )
-            .filter(F.col("__open"))
-            .select(
-                *cols,
-                F.col("__v").alias("_scd_start_v"),
-                F.col("__ts").alias("_scd_start_ts"),
-                F.col("__next_v").alias("_scd_end_v"),
-                F.col("__next_ts").alias("_scd_end_ts"),
-            )
-        )
-        first_close = (
+        closes = (
             ev.filter(~F.col("__open"))
-            .groupBy(key)
-            .agg(
-                F.min("__v").alias("__cv"),
-                F.min_by("__ts", "__v").alias("__cts"),
-            )
+            .select(*cols, F.col("__v").alias("__cv"),
+                    F.col("__ts").alias("__cts"))
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy(*cols).orderBy("__cv")))
         )
 
-        def apply_batch(cur: DataFrame, opens=opens, first_close=first_close):
-            # the slice's CURRENT row for a key with any close event
-            # ends at that key's first close; everything else carries
-            closed = (
-                cur.alias("h")
-                .join(
-                    F.broadcast(first_close.alias("c")),
-                    F.col(f"h.{key}").eqNullSafe(F.col(f"c.{key}")),
-                    "left",
-                )
-                .select(
-                    *[F.col(f"h.{c}").alias(c) for c in cols],
-                    F.col("h._scd_start_v").alias("_scd_start_v"),
-                    F.col("h._scd_start_ts").alias("_scd_start_ts"),
-                    F.when(
-                        F.col("h._scd_end_v").isNull(), F.col("c.__cv")
-                    )
-                    .otherwise(F.col("h._scd_end_v"))
-                    .alias("_scd_end_v"),
-                    F.when(
-                        F.col("h._scd_end_ts").isNull(), F.col("c.__cts")
-                    )
-                    .otherwise(F.col("h._scd_end_ts"))
-                    .alias("_scd_end_ts"),
+        def apply_batch(
+            cur: DataFrame, batch_opens=batch_opens, closes=closes
+        ):
+            # history rows already closed pass through untouched; the
+            # slice's CURRENT rows join this batch's opens as one
+            # FIFO-ordered open stream (sink rows start strictly before
+            # every batch event — earlier batches ended at start-1)
+            done = cur.filter(F.col("_scd_end_v").isNotNull())
+            open_stream = (
+                cur.filter(F.col("_scd_end_v").isNull())
+                .select(*cols, "_scd_start_v", "_scd_start_ts")
+                .unionByName(batch_opens)
+                .withColumn("__rn", F.row_number().over(w_open))
+            )
+            cond = F.col("o.__rn") == F.col("c.__rn")
+            for c in cols:
+                cond = cond & F.col(f"o.{c}").eqNullSafe(F.col(f"c.{c}"))
+            paired = open_stream.alias("o").join(
+                closes.alias("c"), cond, "full_outer"
+            )
+            desync = F.raise_error(
+                F.lit(
+                    "scd2_apply_changes: close event with no matching "
+                    "open row — sink out of sync with the source feed"
                 )
             )
-            return closed.unionByName(opens)
+            end_v = (
+                F.when(F.col("o._scd_start_v").isNull(),
+                       desync.cast("bigint"))
+                .when(
+                    F.col("c.__cv") < F.col("o._scd_start_v"),
+                    desync.cast("bigint"),
+                )
+                .otherwise(F.col("c.__cv"))
+            )
+            return done.unionByName(
+                paired.select(
+                    *[F.col(f"o.{c}").alias(c) for c in cols],
+                    F.col("o._scd_start_v").alias("_scd_start_v"),
+                    F.col("o._scd_start_ts").alias("_scd_start_ts"),
+                    end_v.alias("_scd_end_v"),
+                    F.col("c.__cts").alias("_scd_end_ts"),
+                )
+            )
 
         r = sink.rewrite_by_keys(ev.select(key), apply_batch, txn=(app, upto))
         done += 0 if r.get("skipped") else 1

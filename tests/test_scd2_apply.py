@@ -232,3 +232,40 @@ def test_duplicate_key_append_split_across_batches(spark, tmp_path):
     cur = hist.read().filter(F.col("_scd_end_v").isNull())
     assert _bag(cur, ["id", "v"]) == Counter({(1, "a"): 1, (1, "a2"): 1})
     _asof_invariant(spark, src, hist, ["id", "v"])
+
+
+def test_duplicate_key_partial_delete_closes_one_copy(spark, tmp_path):
+    # r11 (review finding): with two parallel current rows for one key,
+    # a delete matching only ONE copy (distinguishable by a non-key
+    # column) must close exactly that copy — closes pair with opens on
+    # the full row tuple, not the key alone.
+    src = TxTable.create(
+        spark, tmp_path / "src",
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        key="id",
+    )
+    src.append(spark.createDataFrame([(1, "a2")], "id long, v string"))
+    src.delete((F.col("id") == 1) & (F.col("v") == "a"), mode="dv")
+    hroot = str(tmp_path / "hist")
+    scd2_apply_changes(spark, str(src.root), hroot, APP)
+    hist = TxTable(spark, tmp_path / "hist")
+    rows = {(r["v"], r["_scd_end_v"]) for r in hist.read().collect()}
+    assert rows == {("a", 2), ("a2", None)}
+    _asof_invariant(spark, src, hist, ["id", "v"])
+
+    # the same shape split ACROSS batches: the sink's parallel current
+    # rows must also pair per-tuple, not per-key
+    src2 = TxTable.create(
+        spark, tmp_path / "src2",
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        key="id",
+    )
+    src2.append(spark.createDataFrame([(1, "a2")], "id long, v string"))
+    h2 = str(tmp_path / "hist2")
+    scd2_apply_changes(spark, str(src2.root), h2, APP)
+    src2.delete((F.col("id") == 1) & (F.col("v") == "a2"))
+    scd2_apply_changes(spark, str(src2.root), h2, APP)
+    hist2 = TxTable(spark, tmp_path / "hist2")
+    rows2 = {(r["v"], r["_scd_end_v"]) for r in hist2.read().collect()}
+    assert rows2 == {("a", None), ("a2", 2)}
+    _asof_invariant(spark, src2, hist2, ["id", "v"])

@@ -372,7 +372,7 @@ def test_writer_refuses_schema_drift_and_checks(registered, tmp_path):
     _w(spark.createDataFrame([(2, 7)], "k long, v long"), t2root)
     assert t2.latest_version() == 1 and t2.read().count() == 2
     t2.add_constraint("sparky", "v <=> v")  # Spark-only operator
-    with pytest.raises(Exception, match="does not evaluate"):
+    with pytest.raises(Exception, match="not portable"):
         _w(spark.createDataFrame([(3, 8)], "k long, v long"), t2root)
     assert t2.read().count() == 2  # untouched
 

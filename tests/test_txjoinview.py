@@ -940,3 +940,72 @@ def test_joinview_distinct_support_crash_catchup(spark, tmp_path):
     assert v2._support_vec(v2._support("uniq")) == list(
         v2.applied_versions()
     )
+
+
+def test_joinview_distinct_support_create_crash_heals(spark, tmp_path):
+    """Crash INSIDE create(), after the view's v0 commit but before the
+    support table lands: the view must not be stranded — the next
+    refresh rebuilds the missing support at the view's cursor and
+    converges (create-if-absent in _support)."""
+    import shutil as _shutil
+
+    fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5), (2, 20, 7)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a"), (20, "b")])
+    view = TxJoinAggView.create(
+        spark, tmp_path / "v", fact, dim,
+        fk="cust", group_expr="seg", group_col="seg",
+        measures={"total": "amt", "uniq": ("distinct", "amt")},
+    )
+    _shutil.rmtree(tmp_path / "v" / "_vals_uniq")  # the simulated crash
+
+    fact.append(spark.createDataFrame([(3, 10, 5), (4, 10, 9)],
+                                      FACT_SCHEMA))
+    fact.delete(F.col("oid") == 1, mode="dv")  # amt 5 NOT last in 'a'
+    v2 = TxJoinAggView(spark, tmp_path / "v")
+    v2.refresh()
+    got = {r["seg"]: (r["total"], r["uniq"])
+           for r in v2.read().collect()}
+    assert got == {"a": (14, 2), "b": (7, 1)}
+    # the healed support equals a fresh per-(group, value) recompute
+    got_s = sorted((r["seg"], r["__val"], r["__cnt"])
+                   for r in v2._support("uniq").read().collect())
+    assert got_s == [("a", 5, 1), ("a", 9, 1), ("b", 7, 1)]
+    assert v2._support_vec(v2._support("uniq")) == list(
+        v2.applied_versions())
+
+
+def test_joinview_distinct_vacuumed_window_rebuilds(spark, tmp_path):
+    """Support lagging behind the view across a window whose change
+    feeds were VACUUMED (crash after a big jump, then retention): the
+    catch-up cannot replay the feeds, so it rebuilds the support
+    wholesale at the view's cursor — the view is never trapped behind
+    a gone feed, and refresh(mode=\"recompute\") also heals."""
+    fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5), (2, 20, 7)])
+    dim = _mk_dim(spark, tmp_path / "d", [(10, "a"), (20, "b")])
+    view = TxJoinAggView.create(
+        spark, tmp_path / "v", fact, dim,
+        fk="cust", group_expr="seg", group_col="seg",
+        measures={"total": "amt", "uniq": ("distinct", "amt")},
+    )
+    fact.append(spark.createDataFrame([(3, 10, 9)], FACT_SCHEMA))
+    orig = TxJoinAggView._apply_support
+    TxJoinAggView._apply_support = lambda self, sup, dv, fence: None
+    try:
+        view.refresh()  # view folds; support commit "crashes"
+    finally:
+        TxJoinAggView._apply_support = orig
+    # retention reaps the window's manifests: the feed replay is gone
+    fact.vacuum(retain_versions=1, min_age_s=0, force=True)
+    v2 = TxJoinAggView(spark, tmp_path / "v")
+    r = v2.refresh()  # no new movement: catch-up rebuilds, then skips
+    assert r["skipped"]
+    got_s = sorted((r0["seg"], r0["__val"], r0["__cnt"])
+                   for r0 in v2._support("uniq").read().collect())
+    assert got_s == [("a", 5, 1), ("a", 9, 1), ("b", 7, 1)]
+    # and further churn folds incrementally on the healed support
+    fact.append(spark.createDataFrame([(4, 20, 7)], FACT_SCHEMA))
+    fact.delete(F.col("oid") == 3)  # amt 9, last occurrence in 'a'
+    v2.refresh()
+    got = {r0["seg"]: (r0["total"], r0["uniq"])
+           for r0 in v2.read().collect()}
+    assert got == {"a": (5, 1), "b": (14, 1)}
