@@ -43,6 +43,17 @@ Data Eng. Bulletin 1995):
   view is ε-approximate BY CONTRACT: estimates carry HLL's standard
   ~1.6% relative error at the default lgK=12, and the test pins a 5%
   envelope against the exact distinct count plus refresh determinism.
+- DISTINCT (r11) is the EXACT twin without the delete tax: the
+  dual-level aggregation (Gupta & Mumick §4 — COUNT(DISTINCT x) is
+  COUNT over the auxiliary view GROUP BY g, x), with the per-(group,
+  value) occurrence counts in a support ``TxTable`` under the view
+  root and the view's count moving by 0↔positive transitions. A
+  delete folds as a decrement and never rescans the base. State is
+  O(Σ_g distinct values) — dimension-scale for a customer-id measure,
+  fact-scale for a unique-id one (pick approx_distinct there). Same
+  crash contract as ``TxJoinAggView``: view first, support second,
+  one fence, feed-replay catch-up (wholesale rebuild if the window
+  was vacuumed).
 
 Exactness contract: SUM/AVG measure expressions should be
 integer-valued (cents, micros — the house rule for every
@@ -73,7 +84,7 @@ from .txtable import TXLOG_DIR, TxError, TxTable, _live
 
 _SIDECAR = "_view.json"
 _N = "n_rows"  # hidden support count: a group at 0 leaves the view
-_FNS = ("sum", "count", "avg", "min", "max", "approx_distinct")
+_FNS = ("sum", "count", "avg", "min", "max", "approx_distinct", "distinct")
 
 
 def churn_rows(table: TxTable, lo: int, hi: int) -> int:
@@ -151,6 +162,10 @@ def _physical_agg(measures: dict[str, dict]) -> list:
             aggs.append(F.min(e).alias(f"__m_{n}"))
         elif m["fn"] == "max":
             aggs.append(F.max(e).alias(f"__m_{n}"))
+        elif m["fn"] == "distinct":
+            # exact, transition-maintained against a per-(group, value)
+            # support table — see TxAggView's class docstring
+            aggs.append(F.count_distinct(e).alias(f"__d_{n}"))
         else:  # approx_distinct: the HLL sketch IS the physical state
             aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
     aggs.append(F.count(F.lit(1)).alias(_N))
@@ -164,7 +179,7 @@ class TxAggView:
 
     ``measures`` maps output column -> SQL expression over base columns
     (bare string = SUM) or ``(fn, expr)`` with fn in sum / count / avg
-    / min / max / approx_distinct. ``read()`` projects the logical
+    / min / max / approx_distinct / distinct. ``read()`` projects the logical
     view: the group
     column, each measure under its own name with exact SQL aggregate
     semantics (NULL for empty-of-non-null SUM/AVG), plus ``n_rows``
@@ -243,7 +258,11 @@ class TxAggView:
             f.flush()
             os.fsync(f.fileno())
         TxTable.create(spark, root, full, key=group_col)
-        return cls(spark, root)
+        view = cls(spark, root)
+        for n, m in norm.items():
+            if m["fn"] == "distinct":
+                view._support(n, at=base_v)  # create-if-absent builds it
+        return view
 
     # ---------------------------------------------------------- reads
 
@@ -277,6 +296,9 @@ class TxAggView:
                         F.hll_sketch_estimate(F.col(f"__h_{n}")), F.lit(0)
                     ).alias(n)
                 )
+            elif m["fn"] == "distinct":
+                # exact, transition-maintained (class docstring)
+                cols.append(F.col(f"__d_{n}").alias(n))
             else:  # min / max
                 cols.append(F.col(f"__m_{n}").alias(n))
         cols.append(F.col(_N))
@@ -315,6 +337,156 @@ class TxAggView:
         base scan."""
         return churn_rows(self.base, lo, hi)
 
+    # ---------------------------------------------- distinct supports
+    # Exact DISTINCT without the sketch's any-delete repair: the
+    # dual-level aggregation (Gupta & Mumick 1995 §4 — COUNT(DISTINCT
+    # x) is COUNT over the auxiliary view GROUP BY g, x). Mechanics,
+    # crash contract, and trade-offs are identical to
+    # TxJoinAggView's (sources/txjoinview.py module docstring): a
+    # per-(group, value) occurrence-count TxTable under the view root
+    # folds the same signed churn additively; the view's count moves
+    # by 0<->positive transitions computed against the PRE-fold
+    # support; the view commits first, the support second, both
+    # fenced at the target base version; a lagging or missing support
+    # is healed from the feeds (or rebuilt wholesale when the window
+    # was vacuumed) before the next fold.
+
+    def _distinct_names(self) -> list[str]:
+        return [
+            n for n, m in self.spec["measures"].items()
+            if m["fn"] == "distinct"
+        ]
+
+    def _support_full(self, n: str, at: int) -> DataFrame:
+        g = self.spec["group_col"]
+        e = F.expr(self.spec["measures"][n]["expr"])
+        return (
+            self.base.read(at)
+            .filter(e.isNotNull())
+            .groupBy(g, e.alias("__val"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+
+    def _support(self, n: str, at: int | None = None) -> TxTable:
+        """Create-if-absent: a crash between the view's commit and the
+        support's create must not strand the view — rebuild at ``at``
+        (default: the view's applied base version)."""
+        root = self.root / f"_vals_{n}"
+        try:
+            return TxTable(self.spark, root)
+        except TxError:
+            pass
+        v = self.applied_base_version() if at is None else int(at)
+        full = self._support_full(n, v)
+        try:
+            t = TxTable.create(
+                self.spark, root, full, key=self.spec["group_col"]
+            )
+        except TxError:
+            return TxTable(self.spark, root)  # lost a concurrent create
+        if v != int(self.spec["base_version_at_create"]):
+            # record the rebuilt state's cursor (empty fenced append)
+            t.append(
+                self.spark.createDataFrame([], full.schema),
+                txn=(self.APP, v),
+            )
+        return t
+
+    def _support_ver(self, sup: TxTable) -> int:
+        f = sup.txn_version(self.APP)
+        base = int(self.spec["base_version_at_create"])
+        return base if f is None else max(int(f), base)
+
+    def _dv_frame(self, churn: DataFrame, n: str) -> DataFrame:
+        g = self.spec["group_col"]
+        e = F.expr(self.spec["measures"][n]["expr"])
+        return (
+            churn.filter(e.isNotNull())
+            .groupBy(g, e.alias("__val"))
+            .agg(F.sum(F.col("__vw_sign")).alias("__dc"))
+            .filter(F.col("__dc") != 0)
+            .localCheckpoint(eager=False)
+        )
+
+    def _transitions(self, sup: TxTable, dv: DataFrame, n: str) -> DataFrame:
+        g = self.spec["group_col"]
+        sl = sup.read_for_keys(dv.select(g))
+        cond = F.col(f"d.{g}").eqNullSafe(F.col(f"s.{g}")) & (
+            F.col("d.__val") == F.col("s.__val")
+        )
+        j = dv.alias("d").join(sl.alias("s"), cond, "left")
+        old = F.coalesce(F.col("s.__cnt"), F.lit(0))
+        new = old + F.col("d.__dc")
+        trans = (
+            F.when(
+                new < 0,
+                F.raise_error(
+                    F.lit(
+                        f"txview: distinct measure {n!r} occurrence "
+                        "count went negative — view out of sync with "
+                        "the base change feed"
+                    )
+                ).cast("long"),
+            )
+            .when((old == 0) & (new > 0), F.lit(1))
+            .when((old > 0) & (new == 0), F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        return j.groupBy(F.col(f"d.{g}")).agg(
+            F.sum(trans).alias(f"__dd_{n}")
+        )
+
+    def _apply_support(self, sup: TxTable, dv: DataFrame, fence: int) -> None:
+        g = self.spec["group_col"]
+
+        def xform(slice_df: DataFrame) -> DataFrame:
+            cond = F.col(f"s.{g}").eqNullSafe(F.col(f"d.{g}")) & (
+                F.col("s.__val") == F.col("d.__val")
+            )
+            merged = slice_df.alias("s").join(dv.alias("d"), cond, "full_outer")
+            s_here = F.col("s.__cnt").isNotNull()
+            cnt = (
+                F.coalesce(F.col("s.__cnt"), F.lit(0))
+                + F.coalesce(F.col("d.__dc"), F.lit(0))
+            )
+            out = merged.select(
+                F.when(s_here, F.col(f"s.{g}"))
+                .otherwise(F.col(f"d.{g}"))
+                .alias(g),
+                F.when(s_here, F.col("s.__val"))
+                .otherwise(F.col("d.__val"))
+                .alias("__val"),
+                cnt.alias("__cnt"),
+            )
+            guard = F.when(
+                F.col("__cnt") < 0,
+                F.raise_error(
+                    F.lit(
+                        "txview: support count negative — view out of "
+                        "sync with the base change feed"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col("__cnt") > 0)
+            return out.filter(guard)
+
+        sup.rewrite_by_keys(dv.select(g), xform, txn=(self.APP, fence))
+
+    def _catchup_supports(self, applied: int) -> None:
+        for n in self._distinct_names():
+            sup = self._support(n)
+            s_v = self._support_ver(sup)
+            if s_v >= applied:
+                continue
+            try:
+                churn = _signed(self.base.read_changes(s_v + 1, applied))
+                self._apply_support(sup, self._dv_frame(churn, n), applied)
+                continue
+            except TxError:
+                pass  # window's feeds vacuumed — rebuild wholesale
+            sup.overwrite(
+                self._support_full(n, applied), txn=(self.APP, applied)
+            )
+
     def _recompute(self, target: int) -> dict:
         """Full GROUP BY recompute at base version ``target``, landed
         as a fenced overwrite of the view table — same exactly-once
@@ -325,6 +497,11 @@ class TxAggView:
             *_physical_agg(self.spec["measures"])
         )
         r = self.table.overwrite(full, txn=(self.APP, target))
+        if not r.get("skipped"):
+            for n in self._distinct_names():
+                self._support(n, at=target).overwrite(
+                    self._support_full(n, target), txn=(self.APP, target)
+                )
         return {
             "refreshed_to": target,
             "mode": "recompute",
@@ -352,6 +529,9 @@ class TxAggView:
         if mode not in ("incremental", "recompute", "auto"):
             raise TxError(f"refresh mode: {mode!r}")
         applied = self.applied_base_version()
+        # converge any lagging/missing distinct support BEFORE the skip
+        # check, or a movement-free replay would strand it forever
+        self._catchup_supports(applied)
         target = self.base.latest_version()
         if target <= applied:
             return {"refreshed_to": applied, "groups_touched": 0, "skipped": True}
@@ -408,12 +588,33 @@ class TxAggView:
                     ).alias(f"__x_{n}")
                 )
         delta_aggs.append(F.sum(sign).alias(_N))
-        delta = (
-            _signed(self.base.read_changes(applied + 1, target))
-            .groupBy(g)
-            .agg(*delta_aggs)
-            .localCheckpoint(eager=False)
-        )
+        churn = _signed(self.base.read_changes(applied + 1, target))
+        dnames = self._distinct_names()
+        if dnames:
+            churn = churn.localCheckpoint(eager=False)
+        delta = churn.groupBy(g).agg(*delta_aggs)
+        # distinct measures: value-level deltas -> transitions against
+        # the PRE-fold support -> one per-group count delta, left-joined
+        # into the main delta (its groups are a subset of the churn's)
+        dvs: dict[str, DataFrame] = {}
+        for n in dnames:
+            dvs[n] = self._dv_frame(churn, n)
+            dg = self._transitions(self._support(n), dvs[n], n)
+            delta = (
+                delta.alias("a")
+                .join(
+                    dg.alias("b"),
+                    F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")),
+                    "left",
+                )
+                .select(
+                    *[F.col(f"a.{c}").alias(c) for c in delta.columns],
+                    F.coalesce(F.col(f"b.__dd_{n}"), F.lit(0)).alias(
+                        f"__dd_{n}"
+                    ),
+                )
+            )
+        delta = delta.localCheckpoint(eager=False)
 
         def combine_sum(n: str):
             v, d = F.col(f"v.__s_{n}"), F.col(f"d.__s_{n}")
@@ -449,6 +650,14 @@ class TxAggView:
                     out_cols.append(combine_cnt(n))
                 elif m["fn"] == "count":
                     out_cols.append(combine_cnt(n))
+                elif m["fn"] == "distinct":
+                    # exact transition fold — deletes never dirty
+                    out_cols.append(
+                        (
+                            F.coalesce(F.col(f"v.__d_{n}"), F.lit(0))
+                            + F.coalesce(F.col(f"d.__dd_{n}"), F.lit(0))
+                        ).alias(f"__d_{n}")
+                    )
                 elif m["fn"] == "approx_distinct":
                     vh = F.col(f"v.__h_{n}")
                     ins = F.col(f"d.__i_{n}")
@@ -551,6 +760,8 @@ class TxAggView:
                         ]
                     if m["fn"] == "count":
                         return [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
+                    if m["fn"] == "distinct":
+                        return [F.col(f"m.__d_{n}").alias(f"__d_{n}")]
                     phys = "__h_" if m["fn"] == "approx_distinct" else "__m_"
                     return [
                         F.when(
@@ -594,6 +805,11 @@ class TxAggView:
         r = self.table.rewrite_by_keys(
             delta.select(g), apply_delta, txn=(self.APP, target)
         )
+        if not r.get("skipped"):
+            # supports fold AFTER the view commit behind the same
+            # fence; a crash here is healed by _catchup_supports
+            for n in dnames:
+                self._apply_support(self._support(n), dvs[n], target)
         return {
             "refreshed_to": target,
             "mode": "incremental",

@@ -422,6 +422,10 @@ def test_view_avg_min_max_with_extremal_deletes(spark, tmp_path):
             "mean": ("avg", "amt"),
             "lo": ("min", "amt"),
             "hi": ("max", "amt"),
+            # r11: the exact transition-maintained distinct rides the
+            # same randomized op-log (deletes of extremal rows are also
+            # often last-occurrence deletes of their value)
+            "uniq": ("distinct", "amt"),
         },
     )
     oracle = [
@@ -430,6 +434,7 @@ def test_view_avg_min_max_with_extremal_deletes(spark, tmp_path):
         F.avg("amt").alias("mean"),
         F.min("amt").alias("lo"),
         F.max("amt").alias("hi"),
+        F.count_distinct(F.col("amt")).alias("uniq"),
         F.count(F.lit(1)).alias("n_rows"),
     ]
     _view_equals_recompute(view, base, oracle)
@@ -816,3 +821,76 @@ def test_view_approx_distinct_envelope_and_determinism_at_scale(spark, tmp_path)
     got_rc = {r["g"]: r["nd"] for r in view.read().collect()}
     for g in exact2:
         assert abs(got_rc[g] - exact2[g]) <= 0.05 * exact2[g]
+
+
+def test_view_distinct_never_reads_base(spark, tmp_path):
+    """The exact distinct measure folds EVERY churn shape — including
+    last-occurrence deletes — without reading the base: occurrence
+    counts live in the support table, transitions move the count."""
+    base = TxTable.create(
+        spark, tmp_path / "base",
+        spark.createDataFrame(
+            [(1, 0, 5), (2, 0, 5), (3, 0, 7), (4, 1, 5)],
+            "id long, g long, amt long",
+        ),
+        key="id",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"total": ("sum", "amt"), "uniq": ("distinct", "amt")},
+    )
+    base.append(spark.createDataFrame(
+        [(5, 0, 9), (6, 1, None)], "id long, g long, amt long"))
+    base.delete(F.col("id") == 1, mode="dv")  # amt 5: NOT last in g=0
+    base.delete(F.col("id") == 3)             # amt 7: last in g=0
+
+    def boom(*a, **k):
+        raise AssertionError("base scanned during a distinct-only fold")
+
+    view.base.read = boom
+    r = view.refresh()
+    assert r["mode"] == "incremental" and not r["skipped"]
+    got = {r0["g"]: (r0["total"], r0["uniq"], r0["n_rows"])
+           for r0 in view.read().collect()}
+    assert got == {0: (14, 2, 2), 1: (5, 1, 2)}
+
+
+def test_view_distinct_support_crash_and_vacuum_heal(spark, tmp_path):
+    """Crash between the view and support commits, then retention reaps
+    the window's manifests: the next refresh rebuilds the support
+    wholesale at the view's cursor and later churn folds exactly."""
+    base = TxTable.create(
+        spark, tmp_path / "base",
+        spark.createDataFrame([(1, 0, 5), (2, 1, 7)],
+                              "id long, g long, amt long"),
+        key="id",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"uniq": ("distinct", "amt")},
+    )
+    base.append(spark.createDataFrame([(3, 0, 9)],
+                                      "id long, g long, amt long"))
+    orig = TxAggView._apply_support
+    TxAggView._apply_support = lambda self, sup, dv, fence: None
+    try:
+        view.refresh()
+    finally:
+        TxAggView._apply_support = orig
+    base.vacuum(retain_versions=1, min_age_s=0, force=True)
+    v2 = TxAggView(spark, tmp_path / "view")
+    assert v2.refresh()["skipped"]  # catch-up rebuilt, then fenced skip
+    got_s = sorted((r["g"], r["__val"], r["__cnt"])
+                   for r in v2._support("uniq").read().collect())
+    assert got_s == [(0, 5, 1), (0, 9, 1), (1, 7, 1)]
+    # a missing support (crash inside create) heals the same way
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp_path / "view" / "_vals_uniq")
+    base.append(spark.createDataFrame([(4, 1, 7)],
+                                      "id long, g long, amt long"))
+    base.delete(F.col("id") == 2)  # amt 7 now NOT last in g=1
+    v3 = TxAggView(spark, tmp_path / "view")
+    v3.refresh()
+    got = {r["g"]: r["uniq"] for r in v3.read().collect()}
+    assert got == {0: 2, 1: 1}
