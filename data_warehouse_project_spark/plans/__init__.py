@@ -46,6 +46,7 @@ _NEVER_DRIVER_GREEN_R10 = [
     # multi-dim incremental join-aggregate views.
     "join_view_geo_rollup",
     "join_view_two_dim_rollup",
+    "agg_view_distinct_rollup",
 ]
 
 _NEVER_DRIVER_GREEN_R9 = [

@@ -1038,3 +1038,84 @@ def join_view_two_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "agg_view_distinct_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS ok, o_orderstatus AS status, o_custkey AS ck,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus, o_custkey,
+             CAST(2 * ROUND(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    live AS (SELECT * FROM base WHERE ok % 7 <> 0)
+    SELECT status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(amt) AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT ck) AS BIGINT) AS uniq_buyers
+    FROM live
+    GROUP BY status
+    ORDER BY status
+    """,
+    doc="Single-table incremental aggregate view with the r11 EXACT "
+    "DISTINCT measure (sources/txview.TxAggView): orders land in a "
+    "TxTable, a view groups by status with sum/count/distinct-buyers, "
+    "then an append + a dv correction delete fold in ONE incremental "
+    "refresh. The distinct count maintains via the dual-level "
+    "aggregation's per-(group, value) support table — the delete "
+    "decrements occurrence counts (some buyers lose their LAST order "
+    "in a status, some don't) with NO base rescan, unlike the HLL "
+    "sketch whose any-delete repair rereads the dirty groups. Oracle "
+    "recomputes the final GROUP BY, including COUNT(DISTINCT), in "
+    "plain SQL. Scale shape: refresh is O(churn + touched groups + "
+    "touched support values).",
+    tags=("tx", "ivm"),
+    eager=True,
+)
+def agg_view_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txtable import TxTable
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt"),
+    )
+    tmp = tempfile.mkdtemp(prefix="aggdv_")
+    try:
+        base = TxTable.create(spark, tmp + "/t", o, key="ok")
+        view = TxAggView.create(
+            spark, tmp + "/view", base, group_col="status",
+            measures={
+                "total_cents": "amt",
+                "n_orders": ("count", "amt"),
+                "uniq_buyers": ("distinct", "ck"),
+            },
+        )
+        base.append(
+            o.filter(F.col("ok") % 5 == 0).select(
+                (F.col("ok") + 100000000).alias("ok"),
+                "status", "ck",
+                (F.col("amt") * 2).alias("amt"),
+            )
+        )
+        base.delete(F.col("ok") % 7 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        res = view.read().select(
+            "status",
+            F.col("n_rows").alias("n_orders"),
+            "total_cents",
+            F.col("uniq_buyers").cast("long").alias("uniq_buyers"),
+        ).orderBy("status")
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
