@@ -1009,3 +1009,82 @@ def test_joinview_distinct_vacuumed_window_rebuilds(spark, tmp_path):
     got = {r0["seg"]: (r0["total"], r0["uniq"])
            for r0 in v2.read().collect()}
     assert got == {"a": (5, 1), "b": (14, 1)}
+
+
+def test_joinview_three_dims_generalizes(spark, tmp_path):
+    """The telescoping expansion is k-ary by construction — pin it at
+    THREE dims with churn on all four bases in one refresh window,
+    against a Python oracle."""
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame(
+            [(1, 10, 7, 3, 5), (2, 20, 8, 4, 7), (3, 10, 8, 3, 2),
+             (4, 30, 7, 4, None)],
+            "oid long, a long, b long, c long, amt long",
+        ),
+        key="oid", stats_cols=["a", "b", "c"],
+    )
+    d1 = TxTable.create(spark, tmp_path / "d1", spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "x")], "a long, va string"), key="a")
+    d2 = TxTable.create(spark, tmp_path / "d2", spark.createDataFrame(
+        [(7, "p"), (8, "q")], "b long, vb string"), key="b")
+    d3 = TxTable.create(spark, tmp_path / "d3", spark.createDataFrame(
+        [(3, "m"), (4, "n")], "c long, vc string"), key="c")
+    view = TxJoinAggView.create(
+        spark, tmp_path / "v", fact, d1,
+        fk="a", group_expr=["va", "vb", "vc"],
+        group_col=["va", "vb", "vc"],
+        measures={"total": "amt", "n_amt": ("count", "amt"),
+                  "uniq": ("distinct", "amt")},
+        extra_dims=[{"dim": d2, "fk": "b"}, {"dim": d3, "fk": "c"}],
+        group_dims=[0, 1, 2],
+    )
+    model_f = {1: (10, 7, 3, 5), 2: (20, 8, 4, 7), 3: (10, 8, 3, 2),
+               4: (30, 7, 4, None)}
+    m1 = {10: "x", 20: "y", 30: "x"}
+    m2 = {7: "p", 8: "q"}
+    m3 = {3: "m", 4: "n"}
+
+    def expected():
+        agg = {}
+        for a, b, c, amt in model_f.values():
+            if a in m1 and b in m2 and c in m3:
+                g = agg.setdefault((m1[a], m2[b], m3[c]), [0, 0, set()])
+                g[1] += 1
+                if amt is not None:
+                    g[0] += amt
+                    g[2].add(amt)
+        return {k: (s if vals else None, n, len(vals))
+                for k, (s, n, vals) in agg.items()}
+
+    def actual():
+        return {(r["va"], r["vb"], r["vc"]):
+                (r["total"], r["n_rows"], r["uniq"])
+                for r in view.read().collect()}
+
+    assert actual() == expected()
+    assert view.applied_versions() == (0, 0, 0, 0)
+
+    # churn ALL FOUR bases in one window
+    fact.append(spark.createDataFrame(
+        [(5, 20, 7, 3, 9), (6, 10, 8, 4, 5)],
+        "oid long, a long, b long, c long, amt long"))
+    model_f[5] = (20, 7, 3, 9)
+    model_f[6] = (10, 8, 4, 5)
+    fact.delete(F.col("oid") == 2, mode="dv")
+    del model_f[2]
+    d1.merge(spark.createDataFrame([(10, "z")], "a long, va string"))
+    m1[10] = "z"
+    d2.delete(F.col("b") == 7)
+    del m2[7]
+    d3.merge(spark.createDataFrame([(4, "o")], "c long, vc string"))
+    m3[4] = "o"
+    r = view.refresh()
+    assert r["mode"] == "incremental" and not r["skipped"]
+    assert actual() == expected()
+    assert view.applied_versions() == (2, 1, 1, 1)
+    # fenced replay, then recompute lands the identical state
+    assert view.refresh()["skipped"]
+    state = actual()
+    view.refresh(mode="recompute")
+    assert actual() == state == expected()
