@@ -1,0 +1,411 @@
+"""Aggregate navigation: answer GROUP BY queries from maintained views.
+
+The reference points every BI consumer at hand-picked gold rollups
+(readme.md "Data Analysis"; dw_etl_tests.py:470-506 re-derives each
+rollup wholesale to check it). This module generalizes that into an
+automatic *aggregate navigator* (the materialized-view rewriting of
+Gupta & Mumick, IEEE Data Eng. Bulletin 1995, restricted to the sound
+core): a query asking for ``GROUP BY g1..gn`` with derivable measures
+is answered by RE-AGGREGATING a registered view whose grain is at
+least as fine — O(view rows), never touching the base fact. At 100 TB
+that is the difference between a dashboard query scanning a
+trillion-row fact and one scanning a few thousand pre-aggregated
+groups.
+
+Soundness rests on the views' PHYSICAL state being re-aggregable:
+
+====================  =========================  =====================
+query aggregate       view physical columns      coarser-grain plan
+====================  =========================  =====================
+SUM(e)                ``__s`` + ``__c``          SUM of sums
+COUNT(e)              ``__c``                    SUM of counts
+AVG(e)                ``__s`` + ``__c``          SUM(__s)/SUM(__c)
+MIN(e) / MAX(e)       ``__m``                    MIN/MAX of extrema
+COUNT(*)              ``n_rows``                 SUM of n_rows
+approx COUNT(DIST.)   ``__h`` (HLL sketch)       ``hll_union_agg``
+exact COUNT(DIST.)    support table              COUNT(DISTINCT __val)
+                      (per-(group, value) cnt)   over the support
+====================  =========================  =====================
+
+Notably AVG re-aggregates exactly (the view stores the sum/count pair,
+never the quotient), HLL sketches merge losslessly (register-wise max,
+so the routed estimate is bit-identical to a direct sketch of the same
+rows), and exact COUNT(DISTINCT) — which is NOT re-aggregable from the
+view's ``__d`` column — routes through the measure's support table,
+the per-(group, value) occurrence relation the transition maintenance
+already keeps.
+
+Matching is deliberately conservative and textual: a query measure
+matches a view measure only when their SQL expressions are identical
+up to case and whitespace (no algebraic equivalence), filters may
+reference GROUP columns only (filtering on grouping columns commutes
+with re-aggregation; anything else is refused), and a candidate whose
+distinct-support cursor disagrees with the view cursor (a crashed
+refresh's torn window — the next refresh repairs it) is refused
+rather than risking a mixed-version answer.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .txjoinview import TxJoinAggView
+from .txtable import TxError, TxTable
+from .txview import _N, TxAggView
+
+__all__ = ["AggRouter", "NoRouteError"]
+
+
+class NoRouteError(TxError):
+    """No registered view can answer the query; ``.reasons`` holds one
+    refusal line per candidate so the caller can see exactly why
+    (wrong grain, non-derivable measure, stale, torn support, ...)."""
+
+    def __init__(self, msg: str, reasons: list[str]):
+        super().__init__(msg + "".join(f"\n  - {r}" for r in reasons))
+        self.reasons = reasons
+
+
+def _norm_expr(e: str) -> str:
+    return " ".join(str(e).lower().split())
+
+
+#: query fn -> view fns whose physical state can derive it at ANY grain
+_DERIVABLE = {
+    "sum": ("sum", "avg"),
+    "avg": ("sum", "avg"),
+    "count": ("sum", "avg", "count"),
+    "min": ("min",),
+    "max": ("max",),
+    "approx_distinct": ("approx_distinct",),
+    "distinct": ("distinct",),
+}
+
+
+def _norm_query_measures(measures: dict) -> dict[str, dict]:
+    """Like txview._norm_measures but also admits ``("count", "*")`` —
+    the row count, answered from the views' ``n_rows``."""
+    out: dict[str, dict] = {}
+    for name, spec in measures.items():
+        if name == _N or name.startswith("__"):
+            raise TxError(f"query measure name reserved: {name!r}")
+        if isinstance(spec, str):
+            fn, expr = "sum", spec
+        elif isinstance(spec, dict):
+            fn, expr = spec["fn"], spec["expr"]
+        else:
+            fn, expr = spec
+        fn = fn.lower()
+        if fn not in _DERIVABLE:
+            raise TxError(
+                f"query measure {name!r}: unsupported fn {fn!r} "
+                f"(supported: {sorted(_DERIVABLE)} + ('count', '*'))"
+            )
+        if expr == "*" and fn != "count":
+            raise TxError(f"query measure {name!r}: '*' only with count")
+        out[name] = {"fn": fn, "expr": expr}
+    return out
+
+
+class _Adapted:
+    """Uniform handle over TxAggView / TxJoinAggView internals."""
+
+    def __init__(self, view):
+        self.view = view
+        if isinstance(view, TxJoinAggView):
+            self.kind = "join"
+            self.gcols = view._gcols()
+            self.bases = view.base_roots()
+            self.applied = lambda: tuple(view.applied_versions())
+        elif isinstance(view, TxAggView):
+            self.kind = "agg"
+            self.gcols = [view.spec["group_col"]]
+            self.bases = [view.spec["base_root"]]
+            self.applied = lambda: (view.applied_base_version(),)
+        else:
+            raise TxError(
+                f"not a routable view: {type(view).__name__} "
+                "(register TxAggView or TxJoinAggView instances)"
+            )
+        self.measures = view.spec["measures"]  # already normalized
+        self.name = Path(view.root).name
+
+    def lag(self) -> dict[str, int]:
+        """Versions each base has advanced past the view's cursor."""
+        applied = self.applied()
+        out = {}
+        for root, av in zip(self.bases, applied):
+            out[root] = TxTable(self.view.spark, root).latest_version() - av
+        return out
+
+    def support_in_sync(self, vm_name: str):
+        """The distinct measure's support table iff its cursor matches
+        the view's (else None — a crashed refresh's torn window)."""
+        v = self.view
+        sup = v._support(vm_name)
+        if self.kind == "join":
+            ok = v._support_vec(sup) == list(v.applied_versions())
+        else:
+            ok = v._support_ver(sup) == v.applied_base_version()
+        return sup if ok else None
+
+
+class AggRouter:
+    """Routes aggregate queries to the cheapest registered view that
+    can answer them exactly (see module docstring for the algebra).
+
+    >>> router = AggRouter(spark)
+    >>> router.register(brand_segment_view)   # grain (brand, segment)
+    >>> df, how = router.route(
+    ...     ["brand"],                          # coarser grain: roll up
+    ...     {"revenue": "cast(round(extended_price*100) as bigint)",
+    ...      "n": ("count", "*")},
+    ...     where="brand like 'B%'",
+    ... )
+
+    ``route`` returns the answer DataFrame plus a decision dict naming
+    the view, whether the grain matched exactly, the base versions the
+    answer reflects, and each base's version lag. Raises
+    :class:`NoRouteError` (with per-candidate reasons) when nothing
+    matches — callers fall back to their base-table plan.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._views: list[_Adapted] = []
+
+    def register(self, view) -> "AggRouter":
+        self._views.append(_Adapted(view))
+        return self
+
+    # ----------------------------------------------------------- match
+
+    def _match(
+        self, a: _Adapted, gcols: list[str], qm: dict, where: str | None
+    ) -> tuple[dict | None, str | None]:
+        """(measure name mapping, None) if ``a`` can answer, else
+        (None, refusal reason)."""
+        missing = [g for g in gcols if g not in a.gcols]
+        if missing:
+            return None, f"{a.name}: grain lacks group column(s) {missing}"
+        mapping: dict[str, str] = {}
+        by_expr: dict[str, list[tuple[str, dict]]] = {}
+        for n, m in a.measures.items():
+            by_expr.setdefault(_norm_expr(m["expr"]), []).append((n, m))
+        for qn, q in qm.items():
+            if q["expr"] == "*":
+                mapping[qn] = _N
+                continue
+            cands = [
+                n
+                for n, m in by_expr.get(_norm_expr(q["expr"]), [])
+                if m["fn"] in _DERIVABLE[q["fn"]]
+            ]
+            if not cands:
+                return None, (
+                    f"{a.name}: no measure derives "
+                    f"{q['fn']}({q['expr']})"
+                )
+            mapping[qn] = cands[0]
+        if where is not None:
+            # analysis-only probe on the GROUP columns alone: a
+            # predicate reaching any other column fails to resolve
+            # here, so only re-aggregation-commuting filters pass
+            try:
+                self._physical(a).select(*a.gcols).filter(where)
+            except Exception as exc:  # AnalysisException and kin
+                return None, (
+                    f"{a.name}: filter not expressible over group "
+                    f"columns alone ({type(exc).__name__})"
+                )
+        for qn, q in qm.items():
+            if q["fn"] == "distinct" and set(gcols) != set(a.gcols):
+                if a.support_in_sync(mapping[qn]) is None:
+                    return None, (
+                        f"{a.name}: distinct support for "
+                        f"{mapping[qn]!r} is mid-repair (crashed "
+                        "refresh) — run refresh() first"
+                    )
+        return mapping, None
+
+    # ------------------------------------------------------------ plan
+
+    def _physical(self, a: _Adapted) -> DataFrame:
+        return a.view.table.read()
+
+    def _plan(
+        self,
+        a: _Adapted,
+        gcols: list[str],
+        qm: dict,
+        mapping: dict,
+        where: str | None,
+    ) -> DataFrame:
+        exact = set(gcols) == set(a.gcols)
+        phys = self._physical(a)
+        if where is not None:
+            phys = phys.filter(where)
+        aggs, post = [], [F.col(g) for g in gcols]
+        distincts: list[tuple[str, str]] = []  # (query name, view name)
+        for qn, q in qm.items():
+            vn, fn = mapping[qn], q["fn"]
+            if q["expr"] == "*":
+                aggs.append(F.sum(_N).alias(f"__r_{qn}"))
+                post.append(F.col(f"__r_{qn}").alias(qn))
+            elif fn in ("sum", "avg", "count"):
+                vfn = a.measures[vn]["fn"] if vn != _N else "count"
+                c = (
+                    F.sum(F.col(f"__c_{vn}")).alias(f"__rc_{qn}")
+                )
+                aggs.append(c)
+                if fn != "count" and vfn in ("sum", "avg"):
+                    aggs.append(F.sum(F.col(f"__s_{vn}")).alias(f"__rs_{qn}"))
+                if fn == "count":
+                    post.append(F.col(f"__rc_{qn}").alias(qn))
+                elif fn == "sum":
+                    post.append(
+                        F.when(
+                            F.col(f"__rc_{qn}") > 0, F.col(f"__rs_{qn}")
+                        ).alias(qn)
+                    )
+                else:  # avg
+                    post.append(
+                        F.when(
+                            F.col(f"__rc_{qn}") > 0,
+                            F.col(f"__rs_{qn}") / F.col(f"__rc_{qn}"),
+                        ).alias(qn)
+                    )
+            elif fn in ("min", "max"):
+                agg = F.min if fn == "min" else F.max
+                aggs.append(agg(F.col(f"__m_{vn}")).alias(f"__r_{qn}"))
+                post.append(F.col(f"__r_{qn}").alias(qn))
+            elif fn == "approx_distinct":
+                # register-wise max: the union sketch is identical to a
+                # direct sketch of the union of the rows
+                aggs.append(
+                    F.hll_union_agg(F.col(f"__h_{vn}")).alias(f"__r_{qn}")
+                )
+                post.append(
+                    F.coalesce(
+                        F.hll_sketch_estimate(F.col(f"__r_{qn}")), F.lit(0)
+                    ).alias(qn)
+                )
+            else:  # exact distinct
+                if exact:
+                    # one view row per output group: read __d directly
+                    aggs.append(F.max(F.col(f"__d_{vn}")).alias(f"__r_{qn}"))
+                    post.append(
+                        F.coalesce(F.col(f"__r_{qn}"), F.lit(0)).alias(qn)
+                    )
+                else:
+                    distincts.append((qn, vn))
+        if aggs:
+            out = phys.groupBy(*gcols).agg(*aggs).select(*post)
+        else:
+            # every requested measure is a coarse exact-distinct: the
+            # group list still comes from the VIEW (it defines which
+            # groups exist, incl. all-null-value ones the support lacks)
+            out = phys.select(*gcols).distinct()
+        for qn, vn in distincts:
+            sup = a.support_in_sync(vn)
+            sdf = sup.read().filter(F.col("__cnt") > 0)
+            if where is not None:
+                sdf = sdf.filter(where)
+            d = sdf.groupBy(*gcols).agg(
+                F.count_distinct(F.col("__val")).alias(qn)
+            )
+            cond = reduce(
+                lambda x, y: x & y,
+                [
+                    F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
+                    for g in gcols
+                ],
+            )
+            out = (
+                out.alias("a")
+                .join(d.alias("b"), cond, "left")
+                .select(
+                    *[F.col(f"a.{c}") for c in out.columns if c != qn],
+                    F.coalesce(F.col(f"b.{qn}"), F.lit(0)).alias(qn),
+                )
+            )
+        return out.select(*gcols, *qm)
+
+    # ----------------------------------------------------------- route
+
+    def route(
+        self,
+        group_cols: list[str] | str,
+        measures: dict,
+        where: str | None = None,
+        max_lag: int | None = None,
+        refresh_stale: bool = False,
+        base_root: str | Path | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Answer ``GROUP BY group_cols`` + ``measures`` from the
+        cheapest view that can. ``measures`` maps output name to a SQL
+        expression over BASE columns (bare string = SUM) or
+        ``(fn, expr)`` with fn in sum / count / avg / min / max /
+        distinct / approx_distinct, plus ``("count", "*")``.
+
+        ``where`` (optional) may reference the GROUP columns only.
+        ``max_lag`` refuses views any of whose bases has advanced more
+        than that many versions past the view's cursor (0 = fully
+        fresh); with ``refresh_stale=True`` a too-stale candidate is
+        refreshed (mode="auto") instead of refused. ``base_root``
+        restricts candidates to views over that fact/base table.
+        """
+        gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+        if not gcols:
+            raise TxError("route needs at least one group column")
+        qm = _norm_query_measures(measures)
+        clash = [n for n in qm if n in gcols]
+        if clash:
+            raise TxError(f"measure name(s) collide with group cols: {clash}")
+        reasons: list[str] = []
+        cands: list[tuple[_Adapted, dict]] = []
+        for a in self._views:
+            if base_root is not None and str(base_root) != a.bases[0]:
+                reasons.append(f"{a.name}: different base table")
+                continue
+            mapping, why = self._match(a, gcols, qm, where)
+            if mapping is None:
+                reasons.append(why)
+                continue
+            if max_lag is not None:
+                lag = a.lag()
+                if max(lag.values()) > max_lag:
+                    if refresh_stale:
+                        a.view.refresh(mode="auto")
+                    else:
+                        reasons.append(
+                            f"{a.name}: stale by {lag} versions "
+                            f"(max_lag={max_lag})"
+                        )
+                        continue
+            cands.append((a, mapping))
+        if not cands:
+            raise NoRouteError(
+                f"no registered view answers GROUP BY {gcols} with "
+                f"{ {n: (m['fn'], m['expr']) for n, m in qm.items()} }",
+                reasons,
+            )
+        # cheapest = fewest materialized view rows (manifest metadata,
+        # zero Spark jobs) — the classic aggregate-navigator choice
+        a, mapping = min(
+            cands, key=lambda c: c[0].view.table.row_count()
+        )
+        decision = {
+            "view": str(a.view.root),
+            "kind": a.kind,
+            "exact_grain": set(gcols) == set(a.gcols),
+            "measure_map": mapping,
+            "applied_versions": tuple(a.applied()),
+            "lag": a.lag(),
+            "view_rows": a.view.table.row_count(),
+        }
+        return self._plan(a, gcols, qm, mapping, where), decision

@@ -1,0 +1,327 @@
+"""Aggregate navigation (sources/txrouter.AggRouter): routed answers
+must equal a direct base recompute at every grain, and every unsound
+route must be refused with a named reason.
+
+Reference parity: the reference's BI layer reads hand-picked gold
+rollups (readme.md Data Analysis; dw_etl_tests.py:470-506); the router
+automates the choice and adds sound roll-up compensation.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+from data_warehouse_project_spark.sources.txrouter import AggRouter, NoRouteError
+from data_warehouse_project_spark.sources.txtable import TxError, TxTable
+from data_warehouse_project_spark.sources.txview import TxAggView
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    """A fact ⋈ dim star over sf0.001 orders/customer with CHURN
+    already applied (append + dim move + deletes), one join view at
+    grain (seg, nk), one at grain (seg), and one single-table agg view
+    — the candidate pool every test routes against."""
+    tmp = tempfile.mkdtemp(prefix="router_")
+    o = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_custkey").alias("ck"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("amt"),
+        )
+    )
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg0"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    fact = TxTable.create(spark, tmp + "/fact", o, key="ok", stats_cols=["ck"])
+    dim = TxTable.create(spark, tmp + "/dim", c, key="c_custkey")
+    measures = {
+        "rev": "amt",
+        "n": ("count", "amt"),
+        "avg_amt": ("avg", "amt"),
+        "min_amt": ("min", "amt"),
+        "max_amt": ("max", "amt"),
+        "buyers": ("distinct", "ck"),
+        "approx_buyers": ("approx_distinct", "ck"),
+    }
+    fine = TxJoinAggView.create(
+        spark, tmp + "/fine", fact, dim, fk="ck",
+        group_expr=["seg0", "nk"], group_col=["seg", "nk"],
+        measures=measures,
+    )
+    coarse = TxJoinAggView.create(
+        spark, tmp + "/coarse", fact, dim, fk="ck",
+        group_expr="seg0", group_col="seg",
+        measures={"rev": "amt", "n": ("count", "amt")},
+    )
+    by_cust = TxAggView.create(
+        spark, tmp + "/by_cust", fact, group_col="ck",
+        measures={
+            "rev": "amt",
+            "n": ("count", "amt"),
+            "avg_amt": ("avg", "amt"),
+            "orders": ("distinct", "ok"),
+        },
+    )
+    # churn: late append, a segment move, a dim delete, a fact dv
+    # delete killing extrema — then refresh everything incrementally
+    fact.append(
+        o.filter(F.col("ok") % 5 == 0).select(
+            (F.col("ok") + 10_000_000).alias("ok"), "ck",
+            (F.col("amt") * 2).alias("amt"),
+        )
+    )
+    dim.merge(
+        c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+            "seg0", F.lit("MOVED")
+        )
+    )
+    dim.delete(F.col("c_custkey") % 13 == 0)
+    fact.delete(F.col("ok") % 7 == 0, mode="dv")
+    for v in (fine, coarse, by_cust):
+        v.refresh(mode="incremental")
+    # frames pinned at the refreshed state (read() resolves the
+    # manifest NOW, so later fixture-mutating tests don't shift them)
+    base = {
+        "fact_df": fact.read(),
+        "dim_df": dim.read(),
+        "joined": fact.read().join(
+            dim.read(), F.col("ck") == F.col("c_custkey")
+        ),
+    }
+    yield {
+        "spark": spark, "tmp": tmp, "fact": fact, "dim": dim,
+        "fine": fine, "coarse": coarse, "by_cust": by_cust, **base,
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.fixture()
+def router(star):
+    return (
+        AggRouter(star["spark"])
+        .register(star["fine"])
+        .register(star["coarse"])
+        .register(star["by_cust"])
+    )
+
+
+def test_exact_grain_matches_recompute(star, router):
+    df, how = router.route(
+        ["seg", "nk"],
+        {"rev": "amt", "n": ("count", "amt"), "buyers": ("distinct", "ck")},
+    )
+    assert how["exact_grain"] and how["view"].endswith("fine")
+    want = star["joined"].groupBy(
+        F.col("seg0").alias("seg"), "nk"
+    ).agg(
+        F.sum("amt").alias("rev"),
+        F.count("amt").alias("n"),
+        F.count_distinct("ck").alias("buyers"),
+    )
+    assert _rows(df, "seg", "nk") == _rows(want, "seg", "nk")
+
+
+def test_rollup_all_fns_match_recompute(star, router):
+    """Coarser grain (seg from (seg, nk)): every re-aggregable fn."""
+    df, how = router.route(
+        ["seg"],
+        {
+            "rev": "amt",
+            "n": ("count", "amt"),
+            "avg_amt": ("avg", "amt"),
+            "min_amt": ("min", "amt"),
+            "max_amt": ("max", "amt"),
+            "rows": ("count", "*"),
+        },
+    )
+    # both the fine view (rolled up) and the coarse view qualify for
+    # sum/count, but only fine carries avg/min/max — decision must name
+    # a view that actually derives everything
+    assert how["view"].endswith("fine") and not how["exact_grain"]
+    want = star["joined"].groupBy(F.col("seg0").alias("seg")).agg(
+        F.sum("amt").alias("rev"),
+        F.count("amt").alias("n"),
+        F.avg("amt").alias("avg_amt"),
+        F.min("amt").alias("min_amt"),
+        F.max("amt").alias("max_amt"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+    got, exp = _rows(df, "seg"), _rows(want, "seg")
+    assert [r[:3] + r[4:] for r in got] == [r[:3] + r[4:] for r in exp]
+    for g, e in zip(got, exp):  # avg (index 3): float compare
+        assert g[3] == pytest.approx(e[3], rel=1e-12)
+
+
+def test_rollup_exact_distinct_via_support(star, router):
+    df, _ = router.route(["seg"], {"buyers": ("distinct", "ck")})
+    want = star["joined"].groupBy(F.col("seg0").alias("seg")).agg(
+        F.count_distinct("ck").alias("buyers")
+    )
+    assert _rows(df, "seg") == _rows(want, "seg")
+
+
+def test_rollup_approx_distinct_sketch_union(star, router):
+    df, _ = router.route(["seg"], {"ab": ("approx_distinct", "ck")})
+    want = star["joined"].groupBy(F.col("seg0").alias("seg")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("ck")).alias("ab")
+    )
+    # register-wise max union == direct sketch of the same rows
+    assert _rows(df, "seg") == _rows(want, "seg")
+
+
+def test_where_on_group_cols_pushes_and_matches(star, router):
+    df, _ = router.route(
+        ["seg"],
+        {"rev": "amt", "buyers": ("distinct", "ck")},
+        where="seg <> 'MOVED' and seg like '%A%'",
+    )
+    want = (
+        star["joined"]
+        .filter((F.col("seg0") != "MOVED") & F.col("seg0").like("%A%"))
+        .groupBy(F.col("seg0").alias("seg"))
+        .agg(
+            F.sum("amt").alias("rev"),
+            F.count_distinct("ck").alias("buyers"),
+        )
+    )
+    assert _rows(df, "seg") == _rows(want, "seg")
+
+
+def test_cheapest_candidate_wins(star, router):
+    """seg-only sum/count is answerable by BOTH join views; the coarse
+    one has fewer materialized rows and must win."""
+    _, how = router.route(["seg"], {"rev": "amt", "n": ("count", "amt")})
+    assert how["view"].endswith("coarse")
+    assert how["exact_grain"]
+    n_fine = star["fine"].table.row_count()
+    assert how["view_rows"] <= n_fine
+
+
+def test_single_table_view_routes(star, router):
+    df, how = router.route(
+        ["ck"], {"orders": ("distinct", "ok"), "rev": "amt"},
+        where="ck % 10 = 3",
+    )
+    assert how["kind"] == "agg"
+    want = (
+        star["fact_df"]
+        .filter(F.col("ck") % 10 == 3)
+        .groupBy("ck")
+        .agg(
+            F.count_distinct("ok").alias("orders"),
+            F.sum("amt").alias("rev"),
+        )
+    )
+    assert _rows(df, "ck") == _rows(want, "ck")
+
+
+def test_refusals_name_reasons(router):
+    # unknown grain
+    with pytest.raises(NoRouteError, match="group column"):
+        router.route(["warehouse"], {"rev": "amt"})
+    # measure expression no view carries
+    with pytest.raises(NoRouteError, match="no measure derives"):
+        router.route(["seg"], {"x": ("sum", "amt * 3")})
+    # min is not derivable from a sum-only view, nor carried coarsely
+    with pytest.raises(NoRouteError) as ei:
+        router.route(["nk"], {"m": ("min", "ck")})
+    assert "no measure derives" in str(ei.value)
+    # filter touching a non-group column
+    with pytest.raises(NoRouteError, match="filter not expressible"):
+        router.route(["seg"], {"rev": "amt"}, where="amt > 100")
+
+
+def test_distinct_and_approx_are_not_interchangeable(star, router):
+    """Exact distinct must never be derived from an approx sketch and
+    vice versa: the coarse view (no distinct measures at all) and a
+    fine view carrying approx-only for a given expr both refuse."""
+    with pytest.raises(NoRouteError, match="no measure derives"):
+        router.route(["seg"], {"b": ("distinct", "amt")})
+    only_approx = AggRouter(star["spark"]).register(star["coarse"])
+    with pytest.raises(NoRouteError, match="no measure derives"):
+        only_approx.route(["seg"], {"b": ("distinct", "ck")})
+    with pytest.raises(NoRouteError, match="no measure derives"):
+        only_approx.route(["seg"], {"b": ("approx_distinct", "ck")})
+
+
+def test_staleness_refused_then_refreshed(star):
+    spark = star["spark"]
+    router = AggRouter(spark).register(star["coarse"])
+    star["fact"].append(
+        star["fact"].read().limit(5).select(
+            (F.col("ok") + 77_000_000).alias("ok"), "ck", "amt"
+        )
+    )
+    with pytest.raises(NoRouteError, match="stale"):
+        router.route(["seg"], {"rev": "amt"}, max_lag=0)
+    # allow staleness: routes, reports the lag honestly
+    _, how = router.route(["seg"], {"rev": "amt"})
+    assert max(how["lag"].values()) >= 1
+    # refresh_stale folds the lag away and routes fresh
+    df, how = router.route(
+        ["seg"], {"rev": "amt"}, max_lag=0, refresh_stale=True
+    )
+    assert max(how["lag"].values()) == 0
+    want = (
+        star["fact"].read()
+        .join(star["dim"].read(), F.col("ck") == F.col("c_custkey"))
+        .groupBy(F.col("seg0").alias("seg"))
+        .agg(F.sum("amt").alias("rev"))
+    )
+    assert _rows(df, "seg") == _rows(want, "seg")
+
+
+def test_base_root_restriction(star, router):
+    with pytest.raises(NoRouteError, match="different base"):
+        router.route(
+            ["seg"], {"rev": "amt"}, base_root=star["tmp"] + "/nowhere"
+        )
+    _, how = router.route(
+        ["seg"], {"rev": "amt"}, base_root=star["fact"].root
+    )
+    assert how["view"].endswith("coarse")
+
+
+def test_torn_support_is_refused(star, router, monkeypatch):
+    """A support cursor behind the view cursor (crashed refresh window)
+    must refuse the coarse distinct route, not mix versions."""
+    monkeypatch.setattr(
+        TxJoinAggView, "_support_vec", lambda self, sup: [-1, -1]
+    )
+    with pytest.raises(NoRouteError, match="mid-repair"):
+        router.route(["seg"], {"buyers": ("distinct", "ck")})
+    # exact grain still routes: it reads the view's own __d column
+    df, how = router.route(["seg", "nk"], {"buyers": ("distinct", "ck")})
+    assert how["exact_grain"]
+    df.collect()
+
+
+def test_reserved_and_colliding_names(router):
+    with pytest.raises(TxError, match="reserved"):
+        router.route(["seg"], {"n_rows": "amt"})
+    with pytest.raises(TxError, match="collide"):
+        router.route(["seg"], {"seg": "amt"})
+    with pytest.raises(TxError, match="unsupported fn"):
+        router.route(["seg"], {"x": ("median", "amt")})
+    with pytest.raises(TxError, match="only with count"):
+        router.route(["seg"], {"x": ("sum", "*")})
+
+
+def test_register_rejects_non_views(spark):
+    with pytest.raises(TxError, match="not a routable view"):
+        AggRouter(spark).register(object())
