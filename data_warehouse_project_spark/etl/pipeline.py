@@ -1165,6 +1165,31 @@ def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
     return out
 
 
+def gold_router(wh: Warehouse):
+    """Aggregate navigator over every MATERIALIZED gold view (the ones
+    ``refresh_gold_views`` has created under ``<root>/gold_views``):
+    ``gold_router(wh).route(["brand"], {"rev": ...})`` answers a
+    dashboard query from the cheapest rollup that can derive it —
+    O(view rows), base fact untouched — or raises ``NoRouteError``
+    naming why each candidate refused (see sources/txrouter). The
+    automated version of the reference pointing BI at hand-picked
+    marts (readme.md Data Analysis)."""
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+    from data_warehouse_project_spark.sources.txtable import TxError
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    router = AggRouter(wh.spark)
+    for name, cls in [(n, TxAggView) for n in GOLD_VIEWS] + [
+        (n, TxJoinAggView) for n in GOLD_JOIN_VIEWS
+    ]:
+        try:
+            router.register(cls(wh.spark, wh.root / "gold_views" / name))
+        except TxError:
+            pass  # not materialized yet — routing sees what exists
+    return router
+
+
 def load_3nf_sales(
     spark: SparkSession,
     wh: Warehouse,

@@ -47,6 +47,8 @@ _NEVER_DRIVER_GREEN_R10 = [
     "join_view_geo_rollup",
     "join_view_two_dim_rollup",
     "agg_view_distinct_rollup",
+    # aggregate navigation: coarse query answered from a finer view
+    "routed_rollup_navigator",
 ]
 
 _NEVER_DRIVER_GREEN_R9 = [

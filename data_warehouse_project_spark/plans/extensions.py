@@ -1119,3 +1119,137 @@ def agg_view_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "routed_rollup_navigator",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey AS ok, o_custkey AS ck,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey,
+             CAST(2 * ROUND(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    live AS (SELECT * FROM fact WHERE ok % 7 <> 0),
+    dim AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg,
+             CAST(c_nationkey AS BIGINT) AS nk
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT seg,
+           COUNT(amt) AS n_orders,
+           CAST(SUM(amt) AS BIGINT) AS total_cents,
+           CAST(MAX(amt) AS BIGINT) AS max_cents,
+           CAST(COUNT(DISTINCT ck) AS BIGINT) AS uniq_buyers,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(amt) AS BIGINT) * 1000 // COUNT(amt) AS avg_millicents
+    FROM live JOIN dim ON ck = c_custkey
+    WHERE seg <> 'MOVED'
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    doc="AGGREGATE NAVIGATION (r11, sources/txrouter.AggRouter): the "
+    "maintained join view has grain (seg, nk), but the query asks for "
+    "seg ALONE — the router answers it by re-aggregating the view's "
+    "PHYSICAL state (sum-of-sums, count-of-counts, max-of-maxes, "
+    "COUNT(*) from n_rows) and resolves the EXACT uniq_buyers through "
+    "the distinct measure's per-(group, value) support table, since "
+    "distinct counts do not re-aggregate. The filter is pushed onto "
+    "the view's group column (re-aggregation commutes with group-column "
+    "filters). avg_millicents is derived from the routed exact "
+    "sum/count pair with integer division, proving AVG routes "
+    "losslessly (the view stores the pair, never the quotient). The "
+    "whole answer is O(view rows): the base fact is NEVER read — the "
+    "100 TB dashboard path, vs the reference pointing BI at hand-"
+    "picked marts (readme.md Data Analysis). Oracle recomputes from "
+    "the base join in SQL. Churn before routing: fact append, segment "
+    "moves, a dim delete, and a dv correction delete, folded by one "
+    "incremental refresh.",
+    tags=("tx", "ivm", "router"),
+    eager=True,
+)
+def routed_rollup_navigator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg0"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    tmp = tempfile.mkdtemp(prefix="router_")
+    try:
+        fact = TxTable.create(
+            spark, tmp + "/fact", o, key="ok", stats_cols=["ck"]
+        )
+        dim = TxTable.create(spark, tmp + "/dim", c, key="c_custkey")
+        view = TxJoinAggView.create(
+            spark, tmp + "/view", fact, dim,
+            fk="ck",
+            group_expr=["seg0", "cast(nk as bigint)"],
+            group_col=["seg", "nk"],
+            measures={
+                "total_cents": "amt",
+                "n_orders": ("count", "amt"),
+                "max_cents": ("max", "amt"),
+                "uniq_buyers": ("distinct", "ck"),
+            },
+        )
+        fact.append(
+            o.filter(F.col("ok") % 5 == 0).select(
+                (F.col("ok") + 100000000).alias("ok"),
+                "ck",
+                (F.col("amt") * 2).alias("amt"),
+            )
+        )
+        dim.merge(
+            c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+                "seg0", F.lit("MOVED")
+            )
+        )
+        dim.delete(F.col("c_custkey") % 13 == 0)
+        fact.delete(F.col("ok") % 7 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        routed, how = AggRouter(spark).register(view).route(
+            ["seg"],
+            {
+                "total_cents": "amt",
+                "n_orders": ("count", "amt"),
+                "max_cents": ("max", "amt"),
+                "uniq_buyers": ("distinct", "ck"),
+                "n_live": ("count", "*"),
+            },
+            where="seg <> 'MOVED'",
+            max_lag=0,
+        )
+        assert not how["exact_grain"] and how["kind"] == "join", how
+        assert max(how["lag"].values()) == 0, how
+        res = routed.select(
+            "seg",
+            "n_orders",
+            "total_cents",
+            F.col("max_cents").cast("long").alias("max_cents"),
+            F.col("uniq_buyers").cast("long").alias("uniq_buyers"),
+            "n_live",
+            # exact integer derivation of the routed AVG from the pair
+            F.expr("(total_cents * 1000) div n_orders")
+            .alias("avg_millicents"),
+        ).orderBy("seg")
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

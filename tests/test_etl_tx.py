@@ -376,6 +376,66 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
         refresh_gold_views(Warehouse(spark, root_s))
 
 
+def test_gold_router_answers_dashboards_from_views(spark, tmp_path):
+    """gold_router: dashboard queries route to the cheapest gold view
+    that can derive them — a brand-only rollup re-aggregates a finer
+    (brand, X) view, exact distinct buyers resolve at grain, and a
+    grain no single view carries refuses with reasons."""
+    from data_warehouse_project_spark.etl.pipeline import (
+        gold_router,
+        refresh_gold_views,
+    )
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txrouter import NoRouteError
+
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
+    wh = Warehouse(spark, root)
+    refresh_gold_views(wh)
+    router = gold_router(wh)
+    rev = "cast(round(extended_price * 100) as bigint)"
+
+    # brand-only: no gold view has that grain, two have (brand, X) —
+    # routed answer must equal re-aggregating the finer view (itself
+    # pinned == base recompute by the churn test above)
+    df, how = router.route(
+        ["brand"], {"rev": rev, "n": ("count", "sale_src_id")}, max_lag=0
+    )
+    assert not how["exact_grain"] and "sales_by" in how["view"]
+    pl = TxJoinAggView(
+        spark, wh.root / "gold_views" / "sales_by_product_line"
+    )
+    want = (
+        pl.read()
+        .groupBy("brand")
+        .agg(F.sum("revenue_cents").alias("rev"),
+             F.sum("n_sales").alias("n"))
+    )
+    assert _sorted_rows(df, ["brand"]) == _sorted_rows(want, ["brand"])
+
+    # exact grain with exact distinct: the navigator picks the segment
+    # view (fewest rows among (brand, segment) and (segment) carriers)
+    df2, how2 = router.route(
+        ["market_segment"],
+        {"rev": rev, "buyers": ("distinct", "customer_id")},
+        max_lag=0,
+    )
+    assert how2["view"].endswith("sales_by_segment"), how2
+    seg = TxJoinAggView(spark, wh.root / "gold_views" / "sales_by_segment")
+    want2 = seg.read().select(
+        "market_segment",
+        F.col("revenue_cents").alias("rev"),
+        F.col("distinct_buyers").cast("long").alias("buyers"),
+    )
+    assert _sorted_rows(df2, ["market_segment"]) == _sorted_rows(
+        want2, ["market_segment"]
+    )
+
+    # a grain spanning two views' group columns has no sound route
+    with pytest.raises(NoRouteError, match="grain lacks"):
+        router.route(["order_month", "market_segment"], {"rev": rev})
+
+
 def test_warehouse_footer_stats_on_tx_tables(spark, tmp_path):
     """Warehouse footer stats resolve a tx table's LIVE manifest files
     (orphans/superseded versions invisible) and refuse metadata answers
