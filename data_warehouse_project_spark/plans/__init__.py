@@ -49,6 +49,8 @@ _NEVER_DRIVER_GREEN_R10 = [
     "agg_view_distinct_rollup",
     # aggregate navigation: coarse query answered from a finer view
     "routed_rollup_navigator",
+    # bloom-filter file skipping: point lookup on a scattered column
+    "bloom_point_lookup",
 ]
 
 _NEVER_DRIVER_GREEN_R9 = [

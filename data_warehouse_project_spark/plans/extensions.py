@@ -1253,3 +1253,70 @@ def routed_rollup_navigator(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "bloom_point_lookup",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_custkey IN (7, 131)
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="BLOOM-FILTER FILE SKIPPING (r11, sources/txtable bloom "
+    "sidecars): orders land in an 8-file TxTable keyed by o_orderkey "
+    "with blooms on o_custkey — a column SCATTERED across every file, "
+    "so min/max stats can never prune a point lookup on it (and it "
+    "carries no range stats at all here). read_for_values probes the "
+    "per-file bitmaps (built executor-side at write, one Spark job "
+    "over the per-batch sidecar parquet at probe; bits never visit "
+    "the driver) and reads only the files that may hold the probed "
+    "customers; the query asserts the probe touched STRICTLY fewer "
+    "files than the table holds, then filters exactly and aggregates. "
+    "At 100 TB this is the needle-in-haystack path: O(matching files) "
+    "opened instead of every live file. No false negatives by "
+    "construction (build and probe share one position function); the "
+    "oracle recomputes from the raw table.",
+    tags=("tx", "bloom"),
+    eager=True,
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    probe = [7, 131]
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).repartition(32)
+    tmp = tempfile.mkdtemp(prefix="bloomq_")
+    try:
+        t = TxTable.create(
+            spark, tmp + "/t", o, key="o_orderkey",
+            bloom_cols=["o_custkey"],
+        )
+        n_files = len(t._manifest()["files"])
+        touched = t.files_for_values("o_custkey", probe)
+        assert 0 < len(touched) < n_files, (
+            f"bloom should skip files: {len(touched)}/{n_files}"
+        )
+        res = (
+            t.read_for_values("o_custkey", probe)
+            .filter(F.col("o_custkey").isin(probe))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("total_cents"),
+            )
+            .orderBy("o_custkey")
+        )
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

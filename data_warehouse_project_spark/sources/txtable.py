@@ -55,6 +55,7 @@ import os
 import shutil
 import time
 import uuid
+from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +71,13 @@ from pyspark.sql.window import Window
 
 TXLOG_DIR = "_txlog"
 DATA_DIR = "data"
+BLOOMS_DIR = "blooms"  # per-write-batch bloom-filter sidecar dirs
+_BLOOM_SIDE = "_bloom.json"  # table-level bloom config (cols, params)
+#: position space the double-hash scheme maps into before masking down
+#: to a file's own 2^j bitmap — a power of two, so the mask keeps the
+#: distribution uniform and writer/prober agree bit-for-bit
+_BLOOM_SPACE = 1 << 30
+_BLOOM_SALT = -6700417  # second-hash seed column (any fixed long)
 _V_WIDTH = 20
 
 # explain-audit hook, mirroring etl.warehouse.PLAN_CAPTURE: when set to
@@ -136,6 +144,63 @@ def _mname(version: int) -> str:
     return f"v{version:0{_V_WIDTH}d}.json"
 
 
+def _bloom_positions(h1, h2, k: int, m_bits: int):
+    """The k bit positions of each hashed value, Kirsch–Mitzenmacher
+    double hashing: pos_i = (h1 + i*h2) masked into the power-of-two
+    position space, then down to the file's own 2^j bitmap. ONE shared
+    function for the build and probe sides — membership has no false
+    negatives by construction. h1/h2 are Spark ``xxhash64`` outputs
+    (signed int64); arithmetic wraps in uint64, identically everywhere
+    numpy runs."""
+    import numpy as np
+
+    h1u = np.ascontiguousarray(h1, dtype=np.int64).view(np.uint64)
+    h2u = np.ascontiguousarray(h2, dtype=np.int64).view(np.uint64)
+    ks = np.arange(k, dtype=np.uint64)
+    pos = (h1u[:, None] + ks[None, :] * h2u[:, None]) & np.uint64(
+        _BLOOM_SPACE - 1
+    )
+    return (pos & np.uint64(m_bits - 1)).astype(np.int64)
+
+
+def _bloom_builder(bits_per_key: int, k: int, max_m_bits: int):
+    """applyInPandas group function: one (file, column) group of
+    xxhash64 pairs in, ONE bitmap row out — the bitmap is built on the
+    EXECUTOR, so sidecar bits never pass through the driver no matter
+    how many files a write lands. The bitmap is sized from the group's
+    row count (next power of two of rows*bits_per_key, floored at 1 Kib
+    and capped at ``max_m_bits``)."""
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = max(1, len(pdf))
+        m_bits = 1 << max(10, int(np.ceil(np.log2(n * bits_per_key))))
+        m_bits = min(m_bits, max_m_bits)
+        pos = _bloom_positions(
+            pdf["__h1"].to_numpy(dtype=np.int64),
+            pdf["__h2"].to_numpy(dtype=np.int64),
+            k,
+            m_bits,
+        ).ravel()
+        buf = np.zeros(m_bits >> 3, dtype=np.uint8)
+        np.bitwise_or.at(
+            buf, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+        )
+        return pd.DataFrame(
+            {
+                "f": [pdf["__f"].iloc[0]],
+                "c": [pdf["__c"].iloc[0]],
+                "m": [int(m_bits)],
+                "k": [int(k)],
+                "bits": [buf.tobytes()],
+            }
+        )
+
+    return build
+
+
 class TxTable:
     """Handle to one transactional table rooted at ``root``.
 
@@ -155,6 +220,12 @@ class TxTable:
     #: (0.483s vs 0.596s); 0.25 over-folds (45.7s writes) for no read
     #: win (0.544s).
     DV_FOLD_THRESHOLD = 0.5
+
+    #: bloom pruning only fires for probe sets at most this many
+    #: DISTINCT non-null values: beyond it nearly every file matches
+    #: anyway (a bulk merge's key set saturates the filters) and the
+    #: probe's broadcast of hash pairs stops being metadata-sized
+    BLOOM_PROBE_MAX_KEYS = 1024
 
     def __init__(self, spark: SparkSession, root: str | Path, claim=None):
         """``claim(tmp_path, target_path) -> bool`` is the pluggable
@@ -180,6 +251,7 @@ class TxTable:
         key: str | None = None,
         checks: dict | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> "TxTable":
         """Create a new table at ``root`` (must not already be one) and
         commit ``df`` as version 0. ``key`` declares the merge key whose
@@ -194,7 +266,14 @@ class TxTable:
         e.g. key=customer_id for merges, stats on event_date for
         time-range scans. Same INT32/INT64-physical exactness contract
         as the key stats; columns whose footers aren't usable simply
-        never prune (conservative)."""
+        never prune (conservative).
+
+        ``bloom_cols`` declares columns that get PER-FILE bloom-filter
+        sidecars (see :meth:`enable_bloom`) — equality probes on them
+        (``read_for_keys``, merges, :meth:`read_for_values`) then skip
+        files min/max ranges alone cannot, the decisive case being a
+        key whose values are SCATTERED so every file's range spans
+        everything."""
         root = Path(root)
         if (root / TXLOG_DIR).exists():
             raise TxError(f"already a transactional table: {root}")
@@ -203,11 +282,16 @@ class TxTable:
         for c in stats_cols or []:
             if c not in df.columns:
                 raise TxError(f"stats column {c!r} not in dataframe")
+        for c in bloom_cols or []:
+            if c not in df.columns:
+                raise TxError(f"bloom column {c!r} not in dataframe")
         root.mkdir(parents=True, exist_ok=True)
         (root / TXLOG_DIR).mkdir()
         (root / DATA_DIR).mkdir(exist_ok=True)
         t = cls(spark, root)
         try:
+            if bloom_cols:
+                t.enable_bloom(bloom_cols)
             files = t._write_files(_checked(df, checks), key, stats_cols)
             t._commit(0, "create", files, _schema_json(df.schema), key,
                       checks=checks, stats_cols=stats_cols)
@@ -215,6 +299,7 @@ class TxTable:
             # a failed v0 (e.g. CHECK violation inside the write job)
             # must not leave a manifest-less husk that blocks a retry
             shutil.rmtree(root / TXLOG_DIR, ignore_errors=True)
+            (root / _BLOOM_SIDE).unlink(missing_ok=True)
             raise
         return t
 
@@ -386,7 +471,54 @@ class TxTable:
                 entries.append(entry)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        cfg = self.bloom_config()
+        if cfg and entries:
+            cols = [c for c in cfg["cols"] if c in df.columns]
+            if cols:
+                self._write_bloom_sidecars(entries, cols, cfg)
         return entries
+
+    def _write_bloom_sidecars(
+        self, entries: list[dict], cols: list[str], cfg: dict
+    ) -> None:
+        """One bloom-filter row per (new data file, column), built in a
+        single executor-side pass over the just-written files (hashes
+        computed by Spark's ``xxhash64`` on the values AS WRITTEN — the
+        canonical table types — so probes hash identically) and landed
+        as ONE per-batch sidecar dir of parquet part files. Bits never
+        visit the driver: a 10k-file append's sidecars stream from
+        executors to storage. Every entry of the batch references the
+        dir; files written before bloom was enabled simply lack the
+        reference and are never pruned by it (conservative)."""
+        paths = [str(self.root / e["path"]) for e in entries]
+        src = self.spark.read.parquet(*paths)
+        frames = [
+            src.filter(F.col(c).isNotNull()).select(
+                F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias(
+                    "__f"
+                ),
+                F.lit(c).alias("__c"),
+                F.xxhash64(F.col(c)).alias("__h1"),
+                F.xxhash64(F.col(c), F.lit(_BLOOM_SALT)).alias("__h2"),
+            )
+            for c in cols
+        ]
+        res = (
+            reduce(DataFrame.union, frames)
+            .groupBy("__f", "__c")
+            .applyInPandas(
+                _bloom_builder(
+                    int(cfg["bits_per_key"]), int(cfg["k"]),
+                    int(cfg["max_m_bits"]),
+                ),
+                "f string, c string, m long, k long, bits binary",
+            )
+        )
+        dname = f"{BLOOMS_DIR}/{uuid.uuid4().hex[:12]}"
+        (self.root / BLOOMS_DIR).mkdir(exist_ok=True)
+        res.write.mode("overwrite").parquet(str(self.root / dname))
+        for e in entries:
+            e["bloom"] = dname
 
     def _read_files(self, manifest: dict, paths: list[str]) -> DataFrame:
         schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -542,6 +674,220 @@ class TxTable:
         if m["key"] is None:
             raise TxError("read_for_keys requires a table created with key=...")
         return self._read_files(m, self._touched_by_keys(m, keys))
+
+    # -------------------------------------------------- bloom skipping
+
+    def bloom_config(self) -> dict | None:
+        """The table's bloom-filter config (None = not enabled)."""
+        p = self.root / _BLOOM_SIDE
+        if not p.is_file():
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def enable_bloom(
+        self,
+        cols: list[str],
+        bits_per_key: int = 10,
+        k: int = 7,
+        max_m_bits: int = 1 << 23,
+    ) -> dict:
+        """Declare per-file bloom-filter sidecars for ``cols`` — the
+        data-skipping index for EQUALITY probes on columns whose values
+        are scattered across files (a uuid-ish key gives every file a
+        [min, max] spanning the whole domain, so range stats prune
+        nothing; blooms prune to the files that really may hold the
+        probed values). Writes from now on build sidecars; existing
+        files gain them at their next rewrite (``compact`` /
+        copy-on-write), and until then are simply never bloom-pruned.
+
+        Defaults: 10 bits/key with k=7 ≈ 0.8% false-positive rate;
+        per-file bitmaps are sized from the file's row count and capped
+        at ``max_m_bits`` (2^23 = 1 MiB — a cap hit means the fpp
+        degrades gracefully, never correctness). The config is
+        table-level TUNING metadata (like Delta's table properties),
+        not part of any snapshot: flipping it mid-stream changes which
+        future files carry sidecars, nothing else."""
+        if k < 1 or bits_per_key < 1:
+            raise TxError("enable_bloom: k and bits_per_key must be >= 1")
+        if max_m_bits & (max_m_bits - 1) or max_m_bits < 1024:
+            raise TxError(
+                "enable_bloom: max_m_bits must be a power of two >= 1024"
+            )
+        if max_m_bits > _BLOOM_SPACE:
+            raise TxError(
+                f"enable_bloom: max_m_bits beyond the position space "
+                f"({_BLOOM_SPACE})"
+            )
+        if self._versions():
+            known = _schema_cols(self._manifest())
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise TxError(f"bloom column(s) not in schema: {bad}")
+        cfg = {
+            "cols": list(cols),
+            "bits_per_key": int(bits_per_key),
+            "k": int(k),
+            "max_m_bits": int(max_m_bits),
+        }
+        tmp = self.root / f".tmp-bloom-{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.root / _BLOOM_SIDE)
+        return cfg
+
+    def disable_bloom(self) -> None:
+        """Stop building sidecars (existing ones stay until their files
+        age out; probes ignore them once the config is gone)."""
+        (self.root / _BLOOM_SIDE).unlink(missing_ok=True)
+
+    def _bloom_prune(
+        self, m: dict, paths: list[str], keys, col: str
+    ) -> list[str]:
+        """Drop candidates whose bloom filter PROVES no probe value is
+        present. ``keys``: a DataFrame carrying ``col``, or a list of
+        literal values. Conservative everywhere — no config, column
+        not covered, file without a sidecar row (pre-bloom write or
+        evolved-in column), probe set over ``BLOOM_PROBE_MAX_KEYS``,
+        NULL probes: all keep. The membership check runs as a Spark
+        job over the sidecar parquet (one boolean per candidate file
+        comes back; bitmap bits NEVER visit the driver)."""
+        import numpy as np
+        import pandas as pd
+
+        cfg = self.bloom_config()
+        if not cfg or col not in cfg["cols"] or not paths:
+            return paths
+        by_path = {f["path"]: f for f in m["files"]}
+        cands = [p for p in paths if "bloom" in by_path.get(p, {})]
+        if not cands:
+            return paths
+        # hash probes under the CANONICAL column type (what the writer
+        # hashed) — an int32 probe frame against a bigint column must
+        # not hash differently
+        dt = StructType.fromJson(json.loads(m["schema"]))[col].dataType
+        if isinstance(keys, DataFrame):
+            kdf = keys.select(F.col(col).cast(dt).alias("__v"))
+        else:
+            kdf = self.spark.createDataFrame(
+                [(v,) for v in keys], StructType([StructField("__v", dt)])
+            )
+        hashed = (
+            kdf.where(F.col("__v").isNotNull())
+            .distinct()
+            .select(
+                F.xxhash64("__v").alias("h1"),
+                F.xxhash64("__v", F.lit(_BLOOM_SALT)).alias("h2"),
+            )
+            .limit(self.BLOOM_PROBE_MAX_KEYS + 1)
+            .collect()
+        )
+        if not hashed or len(hashed) > self.BLOOM_PROBE_MAX_KEYS:
+            return paths
+        h1 = np.array([r["h1"] for r in hashed], dtype=np.int64)
+        h2 = np.array([r["h2"] for r in hashed], dtype=np.int64)
+
+        def member(bits, mm, kk):
+            out = []
+            for b, m_bits, k in zip(bits, mm, kk):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                pos = _bloom_positions(h1, h2, int(k), int(m_bits))
+                out.append(
+                    bool(
+                        ((arr[pos >> 3] >> (pos & 7)) & 1)
+                        .all(axis=1)
+                        .any()
+                    )
+                )
+            return pd.Series(out)
+
+        # real class objects, not strings — the module's `from
+        # __future__ import annotations` would otherwise leave hints
+        # pandas_udf cannot resolve from its own eval context
+        member.__annotations__ = {
+            "bits": pd.Series, "mm": pd.Series, "kk": pd.Series,
+            "return": pd.Series,
+        }
+        names = {os.path.basename(p) for p in cands}
+        dirs = sorted({by_path[p]["bloom"] for p in cands})
+        rows = (
+            self.spark.read.parquet(*[str(self.root / d) for d in dirs])
+            .filter((F.col("c") == col) & F.col("f").isin(list(names)))
+            .select(
+                "f",
+                F.pandas_udf(member, "boolean")(
+                    F.col("bits"), F.col("m"), F.col("k")
+                ).alias("hit"),
+            )
+            .collect()
+        )
+        present = {r["f"] for r in rows}
+        maybe = {r["f"] for r in rows if r["hit"]}
+        return [
+            p
+            for p in paths
+            if p not in cands
+            or os.path.basename(p) not in present  # no sidecar row: keep
+            or os.path.basename(p) in maybe
+        ]
+
+    def files_for_values(
+        self, col: str, values: list, version: int | None = None
+    ) -> list[str]:
+        """Point-lookup file pruning on ``col``: manifest min/max stats
+        first (key stats or declared ``stats_cols`` — per VALUE, not
+        the values' envelope), then the bloom sidecars. Returns the
+        live file paths that MAY hold any of the values; files without
+        usable stats/sidecars are kept. NULL in ``values``: key column
+        → files whose recorded null count is nonzero (or unknown);
+        other columns → conservatively all files (cs ranges describe
+        non-null values only)."""
+        m = self._manifest(version)
+        vals = [v for v in values if v is not None]
+        want_null = len(vals) != len(list(values))
+        files = m["files"]
+        kept: list[dict] = []
+        for f in files:
+            if col == m["key"] and "kmin" in f:
+                ok = any(
+                    v is not None and f["kmin"] <= v <= f["kmax"]
+                    for v in vals
+                    if isinstance(v, int)
+                ) or any(not isinstance(v, int) for v in vals)
+                if want_null and f.get("knulls", 1) != 0:
+                    ok = True
+            elif col in f.get("cs", {}):
+                lo, hi = f["cs"][col]
+                ok = want_null or any(lo <= v <= hi for v in vals)
+            else:
+                ok = True
+            if ok:
+                kept.append(f)
+        paths = [f["path"] for f in kept]
+        pruned = set(self._bloom_prune(m, paths, list(vals), col))
+        if want_null:
+            # bloom encodes non-null values only — a file kept for its
+            # possible NULLs must survive regardless of the bitmaps
+            for f in kept:
+                if col == m["key"] and "kmin" in f:
+                    if f.get("knulls", 1) != 0:
+                        pruned.add(f["path"])
+                else:
+                    pruned.add(f["path"])
+        return [p for p in paths if p in pruned]
+
+    def read_for_values(
+        self, col: str, values: list, version: int | None = None
+    ) -> DataFrame:
+        """The rows of ONLY the files that may hold any of ``values``
+        in ``col`` (stats + bloom pruning — see ``files_for_values``).
+        Same contract as ``read_for_keys``: every matching row is
+        present, other rows from the same files may be — compose with
+        a ``.filter``/semi-join for exact membership."""
+        m = self._manifest(version)
+        return self._read_files(m, self.files_for_values(col, values, version))
 
     def pruned_df(self, version: int | None = None) -> DataFrame:
         """A FRESH native-source relation
@@ -1071,6 +1417,11 @@ class TxTable:
             .collect()
         )
         paths = {r["__tx_path"] for r in hit if r["__tx_path"] is not None}
+        # bloom sidecars cut the RANGE survivors further (scattered keys
+        # make every range match; the bitmaps know better) — before the
+        # NULL union, since blooms encode non-null values only and must
+        # never veto a file kept for its possible NULL-key rows
+        paths = set(self._bloom_prune(m, sorted(paths), source, key))
         if any(r["__tx_path"] is None and r["__tx_nul"] == 1 for r in hit):
             paths |= {f["path"] for f in with_stats if f.get("knulls", 1) != 0}
         return no_stats + sorted(paths)
@@ -2162,11 +2513,14 @@ class TxTable:
         vs = self._versions()
         keep_vs = vs[-retain_versions:]
         referenced = set()
+        ref_blooms = set()
         for v in keep_vs:
             for f in self._manifest(v)["files"]:
                 referenced.add(os.path.basename(f["path"]))
                 if "dv" in f:
                     referenced.add(os.path.basename(f["dv"]["path"]))
+                if "bloom" in f:
+                    ref_blooms.add(os.path.basename(f["bloom"]))
         dropped_manifests = 0
         for v in vs[:-retain_versions]:
             (self.log_dir / _mname(v)).unlink(missing_ok=True)
@@ -2185,9 +2539,22 @@ class TxTable:
             if item.is_dir() and item.name.startswith("_staging-"):
                 if now - item.stat().st_mtime >= min_age_s:
                     shutil.rmtree(item, ignore_errors=True)
+        # bloom sidecar dirs referenced by no retained manifest (aged
+        # out with their batch's files, or a crashed write's orphans)
+        dropped_blooms = 0
+        bdir = self.root / BLOOMS_DIR
+        if bdir.is_dir():
+            for item in bdir.iterdir():
+                if not item.is_dir() or item.name in ref_blooms:
+                    continue
+                if now - item.stat().st_mtime < min_age_s:
+                    continue
+                shutil.rmtree(item, ignore_errors=True)
+                dropped_blooms += 1
         return {
             "dropped_manifests": dropped_manifests,
             "dropped_files": dropped_files,
+            "dropped_blooms": dropped_blooms,
         }
 
 

@@ -1,0 +1,237 @@
+"""Bloom-filter file skipping (TxTable bloom sidecars): equality
+probes must skip files min/max ranges cannot — with NO false negatives
+ever (every matching row always comes back), and every unsure case
+(no sidecar, huge probe set, NULL probes, disabled config) degrading
+to the plain stats behavior.
+
+Reference analogue: the reference's loads probe dimensions by natural
+key through B-tree indexes (create_ddl_objects_3NF_layer.sql PRIMARY
+KEYs); at 100 TB on immutable parquet the equivalent point-lookup
+structure is per-file bloom sidecars, Delta/Iceberg-style.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txtable import (
+    BLOOMS_DIR,
+    TxError,
+    TxTable,
+)
+
+N = 4000
+FILES = 8
+
+
+def _scattered(spark, n=N, parts=FILES, extra=0):
+    """Rows whose int key is SCATTERED (Knuth multiplicative hash): in
+    any row subset the key range spans nearly the whole domain, so
+    per-file [kmin, kmax] stats prune nothing — the bloom's home turf.
+    """
+    return (
+        spark.range(extra, n + extra, 1, parts)
+        .select(
+            ((F.col("id") * 2654435761) % (1 << 31)).alias("k"),
+            (F.col("id") % 97).alias("grp"),
+            F.concat(F.lit("tag-"), F.col("id") % 53).alias("tag"),
+            (F.col("id") * 7).alias("val"),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def bloomed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bloom") / "t"
+    df = _scattered(spark)
+    t = TxTable.create(
+        spark, root, df, key="k", bloom_cols=["k", "tag"]
+    )
+    return t, df
+
+
+def _key_of(i: int) -> int:
+    return (i * 2654435761) % (1 << 31)
+
+
+def test_scattered_keys_prune_where_ranges_cannot(spark, bloomed):
+    t, df = bloomed
+    m = t._manifest()
+    assert len(m["files"]) == FILES
+    # ranges are useless by construction: every file spans (almost)
+    # the whole key domain, so range-only pruning keeps everything
+    lo = max(f["kmin"] for f in m["files"])
+    hi = min(f["kmax"] for f in m["files"])
+    assert lo < hi, "fixture must produce overlapping ranges"
+    probe = spark.createDataFrame(
+        [(_key_of(3),), (_key_of(777),), (_key_of(3999),)], "k long"
+    )
+    touched = t._touched_by_keys(m, probe)
+    assert len(touched) < FILES, (
+        f"bloom should beat ranges: touched {len(touched)}/{FILES}"
+    )
+    # and the contract holds: every matching row is in the pruned read
+    got = (
+        t.read_for_keys(probe)
+        .join(probe.hint("broadcast"), "k", "left_semi")
+        .orderBy("k")
+        .collect()
+    )
+    assert [r["k"] for r in got] == sorted(
+        _key_of(i) for i in (3, 777, 3999)
+    )
+
+
+def test_no_false_negatives_across_many_probes(spark, bloomed):
+    t, df = bloomed
+    # every 83rd key individually: each must come back from the pruned
+    # read — a single false negative is silent row loss in a merge
+    keys = [_key_of(i) for i in range(0, N, 83)]
+    got = (
+        t.read_for_values("k", keys)
+        .filter(F.col("k").isin(keys))
+        .select("k")
+        .distinct()
+        .count()
+    )
+    assert got == len(keys)
+
+
+def test_absent_values_prune_to_near_zero(spark, bloomed):
+    t, _ = bloomed
+    absent = [(1 << 40) + i for i in range(20)]  # outside every range
+    assert t.files_for_values("k", absent) == []
+    # in-range but never written: blooms must cut most files (fpp ~1%)
+    absent_in_range = [_key_of(i) + 1 for i in range(50, 70)]
+    paths = t.files_for_values("k", absent_in_range)
+    assert len(paths) <= 2, f"expected ~0 fp files, got {len(paths)}"
+    assert t.read_for_values("k", absent_in_range).filter(
+        F.col("k").isin(absent_in_range)
+    ).count() == 0
+
+
+def test_string_column_blooms_prune_without_stats(spark, bloomed):
+    t, df = bloomed
+    # tag has NO range stats (string), so stats keep all 8 files;
+    # blooms prune to the files holding the tag — here every file
+    # (tags repeat mod 53 in each), so probe an ABSENT tag instead
+    assert len(t.files_for_values("tag", ["tag-7"])) == FILES
+    assert t.files_for_values("tag", ["no-such-tag"]) == []
+    got = (
+        t.read_for_values("tag", ["tag-7"])
+        .filter(F.col("tag") == "tag-7")
+        .count()
+    )
+    assert got == df.filter(F.col("tag") == "tag-7").count()
+
+
+def test_pre_bloom_files_never_pruned_post_enable(spark, tmp_path):
+    df = _scattered(spark, n=1000, parts=4)
+    t = TxTable.create(spark, tmp_path / "t", df, key="k")
+    t.enable_bloom(["k"])
+    t.append(_scattered(spark, n=1000, parts=4, extra=5000))
+    m = t._manifest()
+    old = {f["path"] for f in m["files"] if "bloom" not in f}
+    assert len(old) == 4 and len(m["files"]) == 8
+    # a key absent everywhere: pre-bloom files all kept, new all cut
+    paths = set(t.files_for_values("k", [(1 << 40)]))
+    assert paths == set() , "range stats already exclude out-of-range"
+    in_range_absent = [_key_of(i) + 1 for i in range(30)]
+    paths = set(t.files_for_values("k", in_range_absent))
+    assert old <= paths, "files without sidecars must be kept"
+    assert len(paths - old) <= 1  # new files bloom-pruned (fpp slack)
+
+
+def test_null_probe_keeps_null_holding_files(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(None, "x")] + [(_key_of(i), "y") for i in range(200)],
+        "k long, s string",
+    ).repartition(4)
+    t = TxTable.create(spark, tmp_path / "t", df, key="k",
+                       bloom_cols=["k"])
+    paths = t.files_for_values("k", [None])
+    rows = t._read_files(t._manifest(), paths)
+    assert rows.filter(F.col("k").isNull()).count() == 1
+    # and via the merge/read_for_keys path
+    probe = spark.createDataFrame([(None,)], "k long")
+    assert (
+        t.read_for_keys(probe).filter(F.col("k").isNull()).count() == 1
+    )
+
+
+def test_oversized_probe_set_bypasses_blooms(spark, bloomed):
+    t, _ = bloomed
+    m = t._manifest()
+    big = spark.range(0, 3000).select(
+        ((F.col("id") * 2654435761) % (1 << 31)).alias("k")
+    )
+    # > BLOOM_PROBE_MAX_KEYS distinct keys: blooms step aside, the
+    # range probe's answer comes back unchanged (here: all files)
+    assert len(t._touched_by_keys(m, big)) == FILES
+
+
+def test_merge_on_bloomed_table_is_exact(spark, tmp_path):
+    df = _scattered(spark, n=1200, parts=6)
+    t = TxTable.create(spark, tmp_path / "t", df, key="k",
+                       bloom_cols=["k"])
+    upd = spark.createDataFrame(
+        [(_key_of(5), 11, "tag-5", -1), (_key_of(4321) + 1, 1, "new", -2)],
+        "k long, grp long, tag string, val long",
+    )
+    r = t.merge(upd)
+    assert r["rows_delta"] == 1  # one insert; the update is in place
+    assert t.read().filter(F.col("val") < 0).count() == 2
+    assert t.read().count() == 1201
+    # merged-in rows are probeable through the fresh sidecars
+    assert (
+        t.read_for_values("k", [_key_of(4321) + 1])
+        .filter(F.col("val") == -2)
+        .count()
+        == 1
+    )
+
+
+def test_vacuum_reaps_unreferenced_bloom_dirs(spark, tmp_path):
+    df = _scattered(spark, n=500, parts=2)
+    t = TxTable.create(spark, tmp_path / "t", df, key="k",
+                       bloom_cols=["k"])
+    t.overwrite(_scattered(spark, n=500, parts=2, extra=9000))
+    t.overwrite(_scattered(spark, n=500, parts=2, extra=18000))
+    n_dirs = len(list((t.root / BLOOMS_DIR).iterdir()))
+    assert n_dirs == 3
+    r = t.vacuum(retain_versions=1, min_age_s=0, force=True)
+    assert r["dropped_blooms"] == 2
+    left = list((t.root / BLOOMS_DIR).iterdir())
+    assert len(left) == 1
+    # the survivor still prunes and reads exactly
+    k = (9000 + 18000) * 0  # keys from the LAST overwrite only
+    keys = [_key_of(18000 + i) for i in range(3)]
+    got = t.read_for_values("k", keys).filter(F.col("k").isin(keys))
+    assert got.count() == 3
+
+
+def test_disable_bloom_degrades_to_stats_only(spark, tmp_path):
+    df = _scattered(spark, n=600, parts=3)
+    t = TxTable.create(spark, tmp_path / "t", df, key="k",
+                       bloom_cols=["k"])
+    assert len(t.files_for_values("k", [_key_of(1) + 1])) <= 1
+    t.disable_bloom()
+    assert t.bloom_config() is None
+    # ranges alone: scattered keys keep everything
+    assert len(t.files_for_values("k", [_key_of(1) + 1])) == 3
+    got = t.read_for_values("k", [_key_of(7)])
+    assert got.filter(F.col("k") == _key_of(7)).count() == 1
+
+
+def test_enable_bloom_validation(spark, tmp_path):
+    df = _scattered(spark, n=100, parts=1)
+    t = TxTable.create(spark, tmp_path / "t", df, key="k")
+    with pytest.raises(TxError, match="not in schema"):
+        t.enable_bloom(["nope"])
+    with pytest.raises(TxError, match="power of two"):
+        t.enable_bloom(["k"], max_m_bits=3000)
+    with pytest.raises(TxError, match=">= 1"):
+        t.enable_bloom(["k"], k=0)
+    with pytest.raises(TxError, match="bloom column"):
+        TxTable.create(spark, tmp_path / "t2", df, bloom_cols=["zz"])
