@@ -51,6 +51,8 @@ _NEVER_DRIVER_GREEN_R10 = [
     "routed_rollup_navigator",
     # bloom-filter file skipping: point lookup on a scattered column
     "bloom_point_lookup",
+    # additively-maintained second moments, pooled by the router
+    "routed_variance_rollup",
 ]
 
 _NEVER_DRIVER_GREEN_R9 = [

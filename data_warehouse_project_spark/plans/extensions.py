@@ -1320,3 +1320,139 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "routed_variance_rollup",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey AS ok, o_custkey AS ck,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS amt
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey,
+             CAST(2 * ROUND(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    live AS (SELECT * FROM fact WHERE ok % 7 <> 0),
+    dim AS (
+      SELECT c_custkey, c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 13 <> 0
+    ),
+    agg AS (
+      SELECT seg,
+             COUNT(amt) AS n,
+             SUM(amt) AS s,
+             SUM(amt * amt) AS qq
+      FROM live JOIN dim ON ck = c_custkey
+      GROUP BY seg
+    )
+    SELECT seg,
+           CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS total_cents,
+           CAST((n * qq - s * s) * 10000 // (n * (n - 1)) AS BIGINT)
+             AS var_e4
+    FROM agg
+    WHERE n > 1
+    ORDER BY seg
+    """,
+    doc="ROUTED POOLED VARIANCE (r11): the join view maintains "
+    "additive second moments ((Σx, Σx², n), squares held EXACTLY in "
+    "DECIMAL(38,0) — sources/txview._sq) at grain (seg, nation); the "
+    "router pools them to seg alone and the query derives sample "
+    "variance scaled to 1e-4 units ENTIRELY in integer arithmetic "
+    "((n·Σx² − (Σx)²)·10⁴ div n(n−1)), so Spark and DuckDB agree "
+    "bit-for-bit — no floating-point summation-order hazard. Unlike "
+    "MIN/MAX or HLL sketches, variance deletes SUBTRACT exactly: the "
+    "churn window's dv correction delete folds with no repair read "
+    "(the same fold as SUM). The reference has no incremental "
+    "statistics at all — its profile queries recompute from the base "
+    "each run.",
+    tags=("tx", "ivm", "router"),
+    eager=True,
+)
+def routed_variance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg0"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    tmp = tempfile.mkdtemp(prefix="varroute_")
+    try:
+        fact = TxTable.create(spark, tmp + "/fact", o, key="ok")
+        dim = TxTable.create(spark, tmp + "/dim", c, key="c_custkey")
+        view = TxJoinAggView.create(
+            spark, tmp + "/view", fact, dim,
+            fk="ck",
+            group_expr=["seg0", "cast(nk as bigint)"],
+            group_col=["seg", "nk"],
+            measures={
+                "amt_var": ("var", "amt"),
+                "qq": ("sumsq", "amt"),
+                "total_cents": "amt",
+                "n": ("count", "amt"),
+            },
+        )
+        fact.append(
+            o.filter(F.col("ok") % 5 == 0).select(
+                (F.col("ok") + 100000000).alias("ok"),
+                "ck",
+                (F.col("amt") * 2).alias("amt"),
+            )
+        )
+        dim.delete(F.col("c_custkey") % 13 == 0)
+        fact.delete(F.col("ok") % 7 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        routed, how = AggRouter(spark).register(view).route(
+            ["seg"],
+            {
+                "total_cents": "amt",
+                "n": ("count", "amt"),
+                "qq": ("sumsq", "amt"),
+                "amt_var": ("var", "amt"),
+            },
+        )
+        assert not how["exact_grain"], how
+        res = (
+            routed.filter(F.col("n") > 1)
+            .select(
+                "seg",
+                "n",
+                "total_cents",
+                F.expr(
+                    "(n * qq - cast(total_cents as decimal(38,0)) "
+                    "* total_cents) * 10000 div (n * (n - 1))"
+                ).cast("long").alias("var_e4"),
+                # the routed double must agree with the exact integer
+                # derivation to fp precision — checked in-plan below
+                F.col("amt_var").alias("__v"),
+            )
+        )
+        chk = res.select(
+            F.max(
+                F.abs(
+                    F.col("__v")
+                    - F.col("var_e4").cast("double") / 10000.0
+                )
+                / F.greatest(F.col("__v"), F.lit(1.0))
+            ).alias("rel")
+        ).first()
+        assert chk["rel"] < 1e-9, chk
+        return (
+            res.drop("__v").orderBy("seg").localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

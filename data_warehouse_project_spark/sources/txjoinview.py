@@ -129,7 +129,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .txtable import TXLOG_DIR, TxError, TxTable
-from .txview import _N, _signed, churn_rows
+from .txview import _N, _signed, _sq, churn_rows
 
 _SIDECAR = "_joinview.json"
 _DIM_BITS = 31  # fence packing: fact << 31k | d1 << 31(k-1) | ... | dk
@@ -148,12 +148,12 @@ def _norm_measures(measures: dict) -> dict[str, dict]:
         fn = fn.lower()
         if fn not in (
             "sum", "count", "avg", "min", "max", "approx_distinct",
-            "distinct",
+            "distinct", "var", "stddev", "sumsq",
         ):
             raise TxError(
                 f"measure {name!r}: join views maintain "
-                f"sum/count/avg/min/max/approx_distinct/distinct; "
-                f"got {fn!r}"
+                f"sum/count/avg/min/max/approx_distinct/distinct/"
+                f"var/stddev/sumsq; got {fn!r}"
             )
         out[name] = {"fn": fn, "expr": expr}
     return out
@@ -456,9 +456,11 @@ class TxJoinAggView:
         aggs = []
         for n, m in spec["measures"].items():
             e = F.col(f"__e_{n}")
-            if m["fn"] in ("sum", "avg"):
+            if m["fn"] in ("sum", "avg", "var", "stddev"):
                 aggs.append(F.sum(e).alias(f"__s_{n}"))
-            if m["fn"] in ("sum", "avg", "count"):
+            if m["fn"] in ("var", "stddev", "sumsq"):
+                aggs.append(F.sum(_sq(e)).alias(f"__q_{n}"))
+            if m["fn"] in ("sum", "avg", "count", "var", "stddev", "sumsq"):
                 aggs.append(F.count(e).alias(f"__c_{n}"))
             if m["fn"] == "min":
                 aggs.append(F.min(e).alias(f"__m_{n}"))
@@ -513,6 +515,20 @@ class TxJoinAggView:
                         F.col(f"__c_{n}") > 0,
                         F.col(f"__s_{n}") / F.col(f"__c_{n}"),
                     ).alias(n)
+                )
+            elif m["fn"] in ("var", "stddev"):
+                # VAR_SAMP/STDDEV_SAMP from the exact second-moment
+                # state (see txview._sq): NULL under 2 values
+                c = F.col(f"__c_{n}")
+                s = F.col(f"__s_{n}").cast("double")
+                q = F.col(f"__q_{n}").cast("double")
+                v = (q - s * s / c) / (c - 1)
+                if m["fn"] == "stddev":
+                    v = F.sqrt(F.greatest(v, F.lit(0.0)))
+                cols.append(F.when(c > 1, v).alias(n))
+            elif m["fn"] == "sumsq":
+                cols.append(
+                    F.when(F.col(f"__c_{n}") > 0, F.col(f"__q_{n}")).alias(n)
                 )
             elif m["fn"] == "count":
                 cols.append(F.col(f"__c_{n}").alias(n))
@@ -889,9 +905,11 @@ class TxJoinAggView:
         delta_aggs = []
         for n, m in spec["measures"].items():
             e = F.col(f"__e_{n}")
-            if m["fn"] in ("sum", "avg"):
+            if m["fn"] in ("sum", "avg", "var", "stddev"):
                 delta_aggs.append(F.sum(sign * e).alias(f"__s_{n}"))
-            if m["fn"] in ("sum", "avg", "count"):
+            if m["fn"] in ("var", "stddev", "sumsq"):
+                delta_aggs.append(F.sum(sign * _sq(e)).alias(f"__q_{n}"))
+            if m["fn"] in ("sum", "avg", "count", "var", "stddev", "sumsq"):
                 delta_aggs.append(
                     F.sum(
                         F.when(e.isNotNull(), sign).otherwise(F.lit(0))
@@ -964,14 +982,22 @@ class TxJoinAggView:
             ]
             dirty_flags = []
             for n, m in spec["measures"].items():
-                if m["fn"] in ("sum", "avg"):
+                if m["fn"] in ("sum", "avg", "var", "stddev"):
                     out_cols.append(
                         (
                             F.coalesce(F.col(f"v.__s_{n}"), F.lit(0))
                             + F.coalesce(F.col(f"d.__s_{n}"), F.lit(0))
                         ).alias(f"__s_{n}")
                     )
-                if m["fn"] in ("sum", "avg", "count"):
+                if m["fn"] in ("var", "stddev", "sumsq"):
+                    out_cols.append(
+                        (
+                            F.coalesce(F.col(f"v.__q_{n}"), F.lit(0))
+                            + F.coalesce(F.col(f"d.__q_{n}"), F.lit(0))
+                        ).cast("decimal(38,0)").alias(f"__q_{n}")
+                    )
+                if m["fn"] in ("sum", "avg", "count", "var", "stddev",
+                               "sumsq"):
                     out_cols.append(
                         (
                             F.coalesce(F.col(f"v.__c_{n}"), F.lit(0))
@@ -1118,6 +1144,17 @@ class TxJoinAggView:
                 if m["fn"] in ("sum", "avg"):
                     return [
                         F.col(f"m.__s_{n}").alias(f"__s_{n}"),
+                        F.col(f"m.__c_{n}").alias(f"__c_{n}"),
+                    ]
+                if m["fn"] in ("var", "stddev"):
+                    return [
+                        F.col(f"m.__s_{n}").alias(f"__s_{n}"),
+                        F.col(f"m.__q_{n}").alias(f"__q_{n}"),
+                        F.col(f"m.__c_{n}").alias(f"__c_{n}"),
+                    ]
+                if m["fn"] == "sumsq":
+                    return [
+                        F.col(f"m.__q_{n}").alias(f"__q_{n}"),
                         F.col(f"m.__c_{n}").alias(f"__c_{n}"),
                     ]
                 if m["fn"] == "count":

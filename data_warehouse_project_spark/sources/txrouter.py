@@ -75,14 +75,20 @@ def _norm_expr(e: str) -> str:
 
 
 #: query fn -> view fns whose physical state can derive it at ANY grain
+#: (var/stddev store the (Σx, Σx², n) triple, so they also answer
+#: sum/avg/count; the triple re-aggregates additively, so variance at
+#: a COARSER grain is exact too — pooled variance from pooled moments)
 _DERIVABLE = {
-    "sum": ("sum", "avg"),
-    "avg": ("sum", "avg"),
-    "count": ("sum", "avg", "count"),
+    "sum": ("sum", "avg", "var", "stddev"),
+    "avg": ("sum", "avg", "var", "stddev"),
+    "count": ("sum", "avg", "count", "var", "stddev", "sumsq"),
     "min": ("min",),
     "max": ("max",),
     "approx_distinct": ("approx_distinct",),
     "distinct": ("distinct",),
+    "var": ("var", "stddev"),
+    "stddev": ("var", "stddev"),
+    "sumsq": ("var", "stddev", "sumsq"),
 }
 
 
@@ -262,7 +268,7 @@ class AggRouter:
                     F.sum(F.col(f"__c_{vn}")).alias(f"__rc_{qn}")
                 )
                 aggs.append(c)
-                if fn != "count" and vfn in ("sum", "avg"):
+                if fn != "count" and vfn in ("sum", "avg", "var", "stddev"):
                     aggs.append(F.sum(F.col(f"__s_{vn}")).alias(f"__rs_{qn}"))
                 if fn == "count":
                     post.append(F.col(f"__rc_{qn}").alias(qn))
@@ -279,6 +285,31 @@ class AggRouter:
                             F.col(f"__rs_{qn}") / F.col(f"__rc_{qn}"),
                         ).alias(qn)
                     )
+            elif fn in ("var", "stddev"):
+                # pooled second moments re-aggregate exactly: variance
+                # at the coarser grain from summed (Σx, Σx², n)
+                aggs.append(F.sum(F.col(f"__s_{vn}")).alias(f"__rs_{qn}"))
+                aggs.append(F.sum(F.col(f"__q_{vn}")).alias(f"__rq_{qn}"))
+                aggs.append(F.sum(F.col(f"__c_{vn}")).alias(f"__rc_{qn}"))
+                c = F.col(f"__rc_{qn}")
+                s = F.col(f"__rs_{qn}").cast("double")
+                q = F.col(f"__rq_{qn}").cast("double")
+                v = (q - s * s / c) / (c - 1)
+                if fn == "stddev":
+                    v = F.sqrt(F.greatest(v, F.lit(0.0)))
+                post.append(F.when(c > 1, v).alias(qn))
+            elif fn == "sumsq":
+                aggs.append(
+                    F.sum(F.col(f"__q_{vn}"))
+                    .cast("decimal(38,0)")
+                    .alias(f"__rq_{qn}")
+                )
+                aggs.append(F.sum(F.col(f"__c_{vn}")).alias(f"__rc_{qn}"))
+                post.append(
+                    F.when(
+                        F.col(f"__rc_{qn}") > 0, F.col(f"__rq_{qn}")
+                    ).alias(qn)
+                )
             elif fn in ("min", "max"):
                 agg = F.min if fn == "min" else F.max
                 aggs.append(agg(F.col(f"__m_{vn}")).alias(f"__r_{qn}"))

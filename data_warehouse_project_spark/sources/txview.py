@@ -84,7 +84,18 @@ from .txtable import TXLOG_DIR, TxError, TxTable, _live
 
 _SIDECAR = "_view.json"
 _N = "n_rows"  # hidden support count: a group at 0 leaves the view
-_FNS = ("sum", "count", "avg", "min", "max", "approx_distinct", "distinct")
+_FNS = ("sum", "count", "avg", "min", "max", "approx_distinct", "distinct",
+        "var", "stddev", "sumsq")
+
+
+def _sq(e):
+    """The square used by var/stddev/sumsq physical state: computed in
+    DECIMAL(38,0) so the signed fold is EXACT and sums cannot silently
+    wrap a bigint (cents² × millions of rows exceeds int64). Contract:
+    integer-unit expressions (cents, micros — same rule as exact_sum);
+    fractional inputs truncate at the cast and should be pre-scaled."""
+    d = e.cast("decimal(19,0)")
+    return (d * d).cast("decimal(38,0)")
 
 
 def churn_rows(table: TxTable, lo: int, hi: int) -> int:
@@ -155,6 +166,15 @@ def _physical_agg(measures: dict[str, dict]) -> list:
         e = F.expr(m["expr"])
         if m["fn"] in ("sum", "avg"):
             aggs.append(F.sum(e).alias(f"__s_{n}"))
+            aggs.append(F.count(e).alias(f"__c_{n}"))
+        elif m["fn"] in ("var", "stddev"):
+            # additive second-moment state: (Σx, Σx², count) — variance
+            # derives at read time, the fold never needs a repair
+            aggs.append(F.sum(e).alias(f"__s_{n}"))
+            aggs.append(F.sum(_sq(e)).alias(f"__q_{n}"))
+            aggs.append(F.count(e).alias(f"__c_{n}"))
+        elif m["fn"] == "sumsq":
+            aggs.append(F.sum(_sq(e)).alias(f"__q_{n}"))
             aggs.append(F.count(e).alias(f"__c_{n}"))
         elif m["fn"] == "count":
             aggs.append(F.count(e).alias(f"__c_{n}"))
@@ -284,6 +304,21 @@ class TxAggView:
                         F.col(f"__c_{n}") > 0,
                         F.col(f"__s_{n}") / F.col(f"__c_{n}"),
                     ).alias(n)
+                )
+            elif m["fn"] in ("var", "stddev"):
+                # VAR_SAMP/STDDEV_SAMP from the exact second-moment
+                # state: (Σx² − (Σx)²/n)/(n−1), NULL under 2 values
+                c = F.col(f"__c_{n}")
+                s = F.col(f"__s_{n}").cast("double")
+                q = F.col(f"__q_{n}").cast("double")
+                v = (q - s * s / c) / (c - 1)
+                if m["fn"] == "stddev":
+                    # folded-state rounding can leave a tiny negative
+                    v = F.sqrt(F.greatest(v, F.lit(0.0)))
+                cols.append(F.when(c > 1, v).alias(n))
+            elif m["fn"] == "sumsq":
+                cols.append(
+                    F.when(F.col(f"__c_{n}") > 0, F.col(f"__q_{n}")).alias(n)
                 )
             elif m["fn"] == "count":
                 cols.append(F.col(f"__c_{n}").alias(n))
@@ -562,9 +597,11 @@ class TxAggView:
         delta_aggs = []
         for n, m in measures.items():
             e = F.expr(m["expr"])
-            if m["fn"] in ("sum", "avg"):
+            if m["fn"] in ("sum", "avg", "var", "stddev"):
                 delta_aggs.append(F.sum(sign * e).alias(f"__s_{n}"))
-            if m["fn"] in ("sum", "avg", "count"):
+            if m["fn"] in ("var", "stddev", "sumsq"):
+                delta_aggs.append(F.sum(sign * _sq(e)).alias(f"__q_{n}"))
+            if m["fn"] in ("sum", "avg", "count", "var", "stddev", "sumsq"):
                 delta_aggs.append(
                     F.sum(
                         F.when(e.isNotNull(), sign).otherwise(F.lit(0))
@@ -643,10 +680,23 @@ class TxAggView:
             out_cols = [
                 F.when(v_here, F.col(f"v.{g}")).otherwise(F.col(f"d.{g}")).alias(g)
             ]
+            def combine_q(n: str):
+                v, d = F.col(f"v.__q_{n}"), F.col(f"d.__q_{n}")
+                return (
+                    F.coalesce(v, F.lit(0)) + F.coalesce(d, F.lit(0))
+                ).cast("decimal(38,0)").alias(f"__q_{n}")
+
             dirty_flags = []
             for n, m in measures.items():
                 if m["fn"] in ("sum", "avg"):
                     out_cols.append(combine_sum(n))
+                    out_cols.append(combine_cnt(n))
+                elif m["fn"] in ("var", "stddev"):
+                    out_cols.append(combine_sum(n))
+                    out_cols.append(combine_q(n))
+                    out_cols.append(combine_cnt(n))
+                elif m["fn"] == "sumsq":
+                    out_cols.append(combine_q(n))
                     out_cols.append(combine_cnt(n))
                 elif m["fn"] == "count":
                     out_cols.append(combine_cnt(n))
@@ -756,6 +806,17 @@ class TxAggView:
                     if m["fn"] in ("sum", "avg"):
                         return [
                             F.col(f"m.__s_{n}").alias(f"__s_{n}"),
+                            F.col(f"m.__c_{n}").alias(f"__c_{n}"),
+                        ]
+                    if m["fn"] in ("var", "stddev"):
+                        return [
+                            F.col(f"m.__s_{n}").alias(f"__s_{n}"),
+                            F.col(f"m.__q_{n}").alias(f"__q_{n}"),
+                            F.col(f"m.__c_{n}").alias(f"__c_{n}"),
+                        ]
+                    if m["fn"] == "sumsq":
+                        return [
+                            F.col(f"m.__q_{n}").alias(f"__q_{n}"),
                             F.col(f"m.__c_{n}").alias(f"__c_{n}"),
                         ]
                     if m["fn"] == "count":
