@@ -1169,8 +1169,11 @@ def agg_view_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "picked marts (readme.md Data Analysis). Oracle recomputes from "
     "the base join in SQL. Churn before routing: fact append, segment "
     "moves, a dim delete, and a dv correction delete, folded by one "
-    "incremental refresh.",
+    "incremental refresh. Bench note: a LIFECYCLE benchmark (scratch "
+    "TxTables + view + churn + refresh + routed read), not a query "
+    "latency — compare round-over-round only.",
     tags=("tx", "ivm", "router"),
+    bench=True,
     eager=True,
 )
 def routed_rollup_navigator(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,6 +1285,7 @@ def routed_rollup_navigator(spark: SparkSession, sf_dir: str) -> DataFrame:
     "construction (build and probe share one position function); the "
     "oracle recomputes from the raw table.",
     tags=("tx", "bloom"),
+    bench=True,
     eager=True,
 )
 def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

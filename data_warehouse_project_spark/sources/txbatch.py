@@ -221,12 +221,28 @@ class TxBatchReader(DataSourceReader):
             return "cs"
         return None
 
+    def _bloom_cols(self) -> list[str]:
+        side = self.root / "_bloom.json"
+        if not side.is_file():
+            return []
+        with open(side) as fh:
+            return json.load(fh).get("cols", [])
+
     def _prunable(self, flt) -> bool:
         attr = getattr(flt, "attribute", None)
         if not (isinstance(attr, tuple) and len(attr) == 1):
             return False
         where = self._stats_for(attr[0])
         if where is None:
+            # no range stats — but equality/IN on a bloom-covered
+            # column still file-prunes through the sidecars (incl.
+            # string columns, which never carry range stats at all)
+            if attr[0] not in self._bloom_cols():
+                return False
+            if isinstance(flt, (EqualTo, EqualNullSafe)):
+                return flt.value is not None
+            if isinstance(flt, In):
+                return all(v is not None for v in flt.value)
             return False
         if isinstance(flt, (IsNull, IsNotNull)):
             return where == "key"  # null counts ride the key stats only
@@ -309,10 +325,113 @@ class TxBatchReader(DataSourceReader):
                 out.append((col, "in", list(flt.value)))
         return out or None
 
+    # ------------------------------------------------- bloom (driver)
+
+    #: stop bloom-probing when more candidate files than this survive
+    #: the stats pass — each probed file costs one sidecar-row read on
+    #: the driver, and a probe that keeps thousands of files wasn't
+    #: going to be a point lookup anyway
+    BLOOM_PROBE_MAX_FILES = 4096
+
+    def _bloom_filter_files(self, files: list[dict]) -> list[dict]:
+        """Drop files whose bloom sidecar PROVES a pushed equality/IN
+        can't match. Runs at PLANNING time on the driver — no Spark
+        jobs are possible here, so hashing uses the pure-Python twin of
+        executor-side ``xxhash64`` (functions/xxh64.py, pinned
+        bit-for-bit) and sidecar rows come through pyarrow directly.
+        Conservative: no config, uncovered column, unsupported type,
+        file without a sidecar row, oversized candidate set — keep."""
+        side = self.root / "_bloom.json"
+        if not self._filters or not side.is_file():
+            return files
+        if len(files) > self.BLOOM_PROBE_MAX_FILES:
+            return files
+        with open(side) as fh:
+            cfg = json.load(fh)
+        types = _schema_types(self.schema_json)
+        probes: list[tuple[str, list]] = []
+        for flt in self._filters:
+            attr = getattr(flt, "attribute", None)
+            if not (isinstance(attr, tuple) and len(attr) == 1):
+                continue
+            col = attr[0]
+            if col not in cfg["cols"]:
+                continue
+            if types.get(col) not in ("long", "integer", "short", "byte",
+                                      "string"):
+                continue
+            if isinstance(flt, EqualTo) and flt.value is not None:
+                probes.append((col, [flt.value]))
+            elif isinstance(flt, EqualNullSafe) and flt.value is not None:
+                probes.append((col, [flt.value]))
+            elif isinstance(flt, In):
+                vals = [v for v in flt.value if v is not None]
+                if vals and len(vals) == len(list(flt.value)):
+                    probes.append((col, vals))
+        if not probes:
+            return files
+        from data_warehouse_project_spark.functions.xxh64 import (
+            spark_xxhash64,
+            spark_xxhash64_salted,
+        )
+        from data_warehouse_project_spark.sources.txtable import (
+            _BLOOM_SALT,
+            _BLOOM_SPACE,
+            _bloom_positions,
+        )
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        assert _BLOOM_SPACE  # shared position space with the builders
+        rows_cache: dict[str, dict] = {}
+
+        def sidecar_rows(dname: str) -> dict:
+            if dname not in rows_cache:
+                t = pq.read_table(
+                    str(self.root / dname), columns=["f", "c", "m", "k", "bits"]
+                )
+                rows_cache[dname] = {
+                    (r["f"], r["c"]): r for r in t.to_pylist()
+                }
+            return rows_cache[dname]
+
+        out = []
+        for f in files:
+            if "bloom" not in f:
+                out.append(f)
+                continue
+            keep = True
+            for col, vals in probes:
+                row = sidecar_rows(f["bloom"]).get(
+                    (os.path.basename(f["path"]), col)
+                )
+                if row is None:
+                    continue  # no sidecar row for this column: unknown
+                h1 = np.array(
+                    [spark_xxhash64(v, types[col]) for v in vals],
+                    dtype=np.int64,
+                )
+                h2 = np.array(
+                    [
+                        spark_xxhash64_salted(v, types[col], _BLOOM_SALT)
+                        for v in vals
+                    ],
+                    dtype=np.int64,
+                )
+                pos = _bloom_positions(h1, h2, int(row["k"]), int(row["m"]))
+                arr = np.frombuffer(row["bits"], dtype=np.uint8)
+                if not ((arr[pos >> 3] >> (pos & 7)) & 1).all(axis=1).any():
+                    keep = False  # PROVEN: no probed value in this file
+                    break
+            if keep:
+                out.append(f)
+        return out
+
     def partitions(self):
         files = self.m["files"]
         for flt in self._filters:
             files = [f for f in files if self._may_match(f, flt)]
+        files = self._bloom_filter_files(files)
         rf = self._row_filters()
         parts = [
             TxFilePartition(

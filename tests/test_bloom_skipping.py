@@ -235,3 +235,115 @@ def test_enable_bloom_validation(spark, tmp_path):
         t.enable_bloom(["k"], k=0)
     with pytest.raises(TxError, match="bloom column"):
         TxTable.create(spark, tmp_path / "t2", df, bloom_cols=["zz"])
+
+
+# ------------------------- native data source (driver-side planning)
+
+
+def test_python_xxh64_matches_spark_bit_for_bit(spark):
+    """The pure-Python xxh64 twin (functions/xxh64.py) must equal
+    F.xxhash64 exactly — it is what lets the native source's planner
+    probe executor-built bloom sidecars without launching a job."""
+    from data_warehouse_project_spark.functions.xxh64 import (
+        spark_xxhash64,
+        spark_xxhash64_salted,
+    )
+    from data_warehouse_project_spark.sources.txtable import _BLOOM_SALT
+
+    longs = [0, 1, -1, 42, 2654435761, -(1 << 62), (1 << 62) + 12345]
+    strs = ["", "a", "hello world", "ünïcødé-ßtring", "x" * 7, "y" * 8,
+            "z" * 31, "w" * 32, "v" * 100]
+    ints = [0, -1, 7, -(1 << 31), (1 << 31) - 1]
+    df = spark.createDataFrame(
+        [(l, None, None) for l in longs]
+        + [(None, t, None) for t in strs]
+        + [(None, None, i) for i in ints],
+        "l long, t string, i int",
+    )
+    got = df.select(
+        "l", "t", "i",
+        F.xxhash64("l").alias("hl"),
+        F.xxhash64("l", F.lit(_BLOOM_SALT)).alias("hl2"),
+        F.xxhash64("t").alias("ht"),
+        F.xxhash64("t", F.lit(_BLOOM_SALT)).alias("ht2"),
+        F.xxhash64("i").alias("hi"),
+        F.xxhash64("i", F.lit(_BLOOM_SALT)).alias("hi2"),
+    ).collect()
+    for r in got:
+        for v, ty, h, h2 in (
+            (r["l"], "long", r["hl"], r["hl2"]),
+            (r["t"], "string", r["ht"], r["ht2"]),
+            (r["i"], "integer", r["hi"], r["hi2"]),
+        ):
+            if v is None:
+                continue
+            assert spark_xxhash64(v, ty) == h, (v, ty)
+            assert spark_xxhash64_salted(v, ty, _BLOOM_SALT) == h2, (v, ty)
+
+
+def test_native_source_bloom_prunes_partitions(spark, tmp_path):
+    """spark.read.format('txtable') with pruneFiles: a pushed equality
+    on a bloom column plans FEWER partitions than stats allow, and the
+    result is exact."""
+    from data_warehouse_project_spark.sources.txbatch import (
+        TxBatchDataSource,
+        TxBatchPruningReader,
+        TxBatchReader,
+    )
+    from pyspark.sql.datasource import EqualTo, In
+
+    spark.dataSource.register(TxBatchDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _scattered(spark), key="k", bloom_cols=["k", "tag"]
+    )
+    total = len(TxBatchReader({"path": root}).partitions())
+    assert total == FILES
+
+    def planned(*filters):
+        r = TxBatchPruningReader({"path": root})
+        assert list(r.pushFilters(list(filters))) == list(filters)
+        return len(r.partitions())
+
+    # scattered key: ranges keep all 8, blooms cut to the real holders
+    k3 = _key_of(3)
+    assert planned(EqualTo(("k",), k3)) < total
+    assert planned(In(("k",), (k3, _key_of(777)))) < total
+    # string bloom column with no stats at all
+    assert planned(EqualTo(("tag",), "no-such-tag")) == 1  # empty fallback
+    # end-to-end through the real reader: exact rows
+    got = (
+        t.pruned_df().filter(F.col("k") == k3).collect()
+    )
+    assert len(got) == 1 and got[0]["k"] == k3
+    # absent value: zero rows, and the plan collapsed to the fallback
+    assert t.pruned_df().filter(F.col("k") == k3 + 1).count() == 0
+
+
+def test_native_source_bloom_conservative_paths(spark, tmp_path):
+    """Files without sidecars and oversized candidate sets must pass
+    through untouched."""
+    from data_warehouse_project_spark.sources.txbatch import (
+        TxBatchPruningReader,
+        TxBatchReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _scattered(spark, n=1000, parts=4),
+                       key="k")
+    t.enable_bloom(["k"])
+    t.append(_scattered(spark, n=1000, parts=4, extra=5000))
+    r = TxBatchPruningReader({"path": root})
+    r.pushFilters([EqualTo(("k",), 12345678901)])  # absent everywhere
+    # in-range absent: 4 pre-bloom files kept, 4 bloomed files cut
+    r2 = TxBatchPruningReader({"path": root})
+    r2.pushFilters([EqualTo(("k",), _key_of(20) + 1)])
+    kept = len(r2.partitions())
+    assert 4 <= kept <= 5  # pre-bloom files + fpp slack
+    # oversized candidate set: bloom steps aside entirely
+    r3 = TxBatchPruningReader({"path": root})
+    r3.BLOOM_PROBE_MAX_FILES = 2
+    r3.pushFilters([EqualTo(("k",), _key_of(20) + 1)])
+    assert len(r3.partitions()) == 8
