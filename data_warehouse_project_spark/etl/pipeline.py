@@ -1000,6 +1000,9 @@ GOLD_VIEWS: dict[str, tuple[str, dict]] = {
             "revenue_cents": ("sum", "cast(round(extended_price * 100) as bigint)"),
             "n_sales": ("count", "sale_src_id"),
             "avg_qty": ("avg", "cast(quantity as bigint)"),
+            # incremental statistics (r11): exact second moments fold
+            # additively — deletes subtract, never a base repair
+            "qty_var": ("var", "cast(quantity as bigint)"),
             "first_order_dt": ("min", "order_dt"),
             "last_order_dt": ("max", "order_dt"),
         },
@@ -1039,6 +1042,9 @@ GOLD_JOIN_VIEWS: dict[str, dict] = {
             # extremal measure: rides the dirty-group repair when a
             # correction delete (or a segment move) kills a maximum
             "max_sale_cents": ("max", "cast(round(extended_price * 100) as bigint)"),
+            # incremental statistics (r11): per-segment sale-value
+            # spread, maintained from BOTH feeds with no repair path
+            "sale_cents_var": ("var", "cast(round(extended_price * 100) as bigint)"),
             # distinct buyers per segment — EXACT, transition-maintained
             # (r11): a correction delete decrements occurrence counts
             # and never rescans the bases, unlike the HLL sketch whose

@@ -227,6 +227,16 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
     run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
     wh = Warehouse(spark, root)
 
+    def var_formula(e):
+        """VAR_SAMP via the views' exact derivation — identical float
+        ops over identical exact integer/decimal aggregates, so the
+        comparison is byte-equal, not approx (txview.read)."""
+        d = e.cast("decimal(19,0)")
+        q = F.sum((d * d).cast("decimal(38,0)")).cast("double")
+        s = F.sum(e).cast("double")
+        c = F.count(e)
+        return F.when(c > 1, (q - s * s / c) / (c - 1))
+
     def check_join():
         """Every join gold view == a fresh fact ⋈ dims GROUP BY
         (single- or multi-dim, scalar or composite group keys)."""
@@ -237,7 +247,8 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
                 agg = {"sum": F.sum, "count": F.count, "avg": F.avg,
                        "min": F.min, "max": F.max,
                        "approx_distinct": F.countDistinct,
-                       "distinct": F.countDistinct}[fn](F.expr(expr))
+                       "distinct": F.countDistinct,
+                       "var": var_formula}[fn](F.expr(expr))
                 aggs.append(agg.alias(out_name))
             aggs.append(F.count(F.lit(1)).alias("n_rows"))
             dims = [{"dim": js["dim"], "fk": js["fk"],
@@ -278,7 +289,8 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
                 # past the distinct buyers a smoke month has)
                 agg = {"sum": F.sum, "count": F.count, "avg": F.avg,
                        "min": F.min, "max": F.max,
-                       "approx_distinct": F.countDistinct}[fn](e)
+                       "approx_distinct": F.countDistinct,
+                       "var": var_formula}[fn](e)
                 aggs.append(agg.alias(out_name))
             aggs.append(F.count(F.lit(1)).alias("n_rows"))
             want_df = wh.read("bl_3nf", "ce_sales").groupBy(g).agg(*aggs)
