@@ -347,3 +347,24 @@ def test_native_source_bloom_conservative_paths(spark, tmp_path):
     r3.BLOOM_PROBE_MAX_FILES = 2
     r3.pushFilters([EqualTo(("k",), _key_of(20) + 1)])
     assert len(r3.partitions()) == 8
+
+
+def test_compaction_rebuilds_bloom_sidecars(spark, tmp_path):
+    """compact() goes through the same write path, so rewritten files
+    get FRESH sidecars and point probes stay exact — this is also how
+    pre-bloom files acquire filters after enable_bloom."""
+    t = TxTable.create(spark, tmp_path / "t",
+                       _scattered(spark, n=800, parts=8), key="k")
+    t.enable_bloom(["k"])
+    m = t._manifest()
+    assert all("bloom" not in f for f in m["files"])
+    t.compact(target_files=2)
+    m = t._manifest()
+    assert m["files"] and all("bloom" in f for f in m["files"])
+    # post-compaction probes prune and read exactly
+    k = _key_of(123)
+    paths = t.files_for_values("k", [k])
+    assert len(paths) < len(m["files"]) or len(m["files"]) == 1
+    assert t.read_for_values("k", [k]).filter(
+        F.col("k") == k
+    ).count() == 1

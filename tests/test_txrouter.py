@@ -325,3 +325,90 @@ def test_reserved_and_colliding_names(router):
 def test_register_rejects_non_views(spark):
     with pytest.raises(TxError, match="not a routable view"):
         AggRouter(spark).register(object())
+
+
+def test_every_grain_subset_every_fn_matches_recompute(spark, tmp_path):
+    """Combinatorial soundness: a 3-column-grain join view answers all
+    7 non-empty grain subsets, for every re-aggregable fn at once —
+    each routed answer equal to a direct base recompute (variance via
+    the view's exact formula; HLL via a direct sketch of the rows)."""
+    import itertools
+
+    f = spark.range(0, 900, 1, 4).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 11).alias("fk"),
+        ((F.col("id") * 37) % 500 - 100).alias("amt"),
+        (F.col("id") % 13).alias("who"),
+    )
+    d = spark.range(0, 11).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("a"), F.col("id") % 2).alias("a"),
+        F.concat(F.lit("b"), F.col("id") % 3).alias("b"),
+        F.concat(F.lit("c"), F.col("id") % 4).alias("c"),
+    )
+    fact = TxTable.create(spark, tmp_path / "f", f, key="k")
+    dim = TxTable.create(spark, tmp_path / "d", d, key="dk")
+    view = TxJoinAggView.create(
+        spark, tmp_path / "v", fact, dim, fk="fk",
+        group_expr=["a", "b", "c"], group_col=["a", "b", "c"],
+        measures={
+            "s": "amt",
+            "n": ("count", "amt"),
+            "av": ("avg", "amt"),
+            "mn": ("min", "amt"),
+            "mx": ("max", "amt"),
+            "vr": ("var", "amt"),
+            "uq": ("distinct", "who"),
+            "aq": ("approx_distinct", "who"),
+        },
+    )
+    # churn so folded state (not just the create) is what routes
+    fact.append(
+        f.filter(F.col("k") % 3 == 0).select(
+            (F.col("k") + 10000).alias("k"), "fk",
+            (F.col("amt") * 2).alias("amt"), "who",
+        )
+    )
+    fact.delete(F.col("k") % 7 == 0, mode="dv")
+    view.refresh(mode="incremental")
+    router = AggRouter(spark).register(view)
+    joined = fact.read().join(dim.read(), F.col("fk") == F.col("dk"))
+    dec = F.col("amt").cast("decimal(19,0)")
+    for r in range(1, 4):
+        for gcols in itertools.combinations(["a", "b", "c"], r):
+            got, how = router.route(
+                list(gcols),
+                {
+                    "s": "amt", "n": ("count", "amt"),
+                    "av": ("avg", "amt"), "mn": ("min", "amt"),
+                    "mx": ("max", "amt"), "vr": ("var", "amt"),
+                    "uq": ("distinct", "who"),
+                    "aq": ("approx_distinct", "who"),
+                    "rows": ("count", "*"),
+                },
+            )
+            assert how["exact_grain"] == (r == 3)
+            q = F.sum((dec * dec).cast("decimal(38,0)")).cast("double")
+            s = F.sum("amt").cast("double")
+            c = F.count("amt")
+            want = joined.groupBy(*gcols).agg(
+                F.sum("amt").alias("s"),
+                F.count("amt").alias("n"),
+                F.avg("amt").alias("av"),
+                F.min("amt").alias("mn"),
+                F.max("amt").alias("mx"),
+                F.when(c > 1, (q - s * s / c) / (c - 1)).alias("vr"),
+                F.count_distinct("who").alias("uq"),
+                F.hll_sketch_estimate(F.hll_sketch_agg("who")).alias("aq"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            g = [tuple(x) for x in got.orderBy(*gcols).collect()]
+            w = [tuple(x) for x in want.orderBy(*gcols).collect()]
+            for gr, wr in zip(g, w):
+                assert gr[: r] == wr[: r], (gcols, gr, wr)
+                for i, (x, y) in enumerate(zip(gr[r:], wr[r:])):
+                    if isinstance(x, float) and isinstance(y, float):
+                        assert x == pytest.approx(y, rel=1e-9), (gcols, i)
+                    else:
+                        assert x == y, (gcols, i, gr, wr)
+            assert len(g) == len(w), gcols
