@@ -2445,6 +2445,35 @@ class TxTable:
                     "files; a z-order rewrite makes the ranges tight",
                 }
             )
+        # bloom: a column whose per-file ranges each span (almost) the
+        # whole domain — depth comparable to the FILE COUNT itself, the
+        # hash-scattered/uuid-key signature. Clustering would tighten
+        # the ranges but decays with every unsorted append; bloom
+        # sidecars keep point probes selective regardless of layout.
+        # Config is metadata-only, so maintain() runs it (sidecars then
+        # arrive with the next writes / the compaction pass below).
+        bloom_cols_due = []
+        cfg_cols = (self.bloom_config() or {}).get("cols", [])
+        if depth is not None and len(ranged) >= 4:
+            if m["key"] not in cfg_cols and depth >= 0.5 * len(ranged):
+                bloom_cols_due.append(m["key"])
+        for col, cdepth in col_depths.items():
+            n_spans = sum(1 for f in files if col in f.get("cs", {}))
+            if col not in cfg_cols and cdepth >= 0.5 * n_spans:
+                bloom_cols_due.append(col)
+        stats["bloom_cols"] = cfg_cols
+        if bloom_cols_due:
+            actions.append(
+                {
+                    "action": "bloom",
+                    "args": {"cols": sorted(set(cfg_cols) | set(bloom_cols_due))},
+                    "reason": "per-file ranges on "
+                    + ", ".join(bloom_cols_due)
+                    + " each span most of the domain (depth ≈ file "
+                    "count) — range stats can't prune point probes; "
+                    "bloom sidecars stay selective under any layout",
+                }
+            )
         if live_b and dead_b > reclaim_fraction * live_b:
             actions.append(
                 {
@@ -2464,13 +2493,19 @@ class TxTable:
         never re-reads files the bin-packing pass was about to fold.
         Returns per-action results plus the plan it executed."""
         plan = plan if plan is not None else self.maintenance_plan(**plan_kw)
-        order = {"compact_small": 0, "cluster": 1, "zorder": 1}
+        # bloom config lands FIRST so any rewrite in the same pass
+        # builds the sidecars it just enabled
+        order = {"bloom": 0, "compact_small": 1, "cluster": 2, "zorder": 2}
         done: dict = {"plan": plan, "results": {}}
         for a in sorted(
             (a for a in plan["actions"] if a["action"] in order),
             key=lambda a: order[a["action"]],
         ):
-            if a["action"] == "compact_small":
+            if a["action"] == "bloom":
+                done["results"]["bloom"] = self.enable_bloom(
+                    a["args"]["cols"]
+                )
+            elif a["action"] == "compact_small":
                 done["results"]["compact_small"] = self.compact_small(
                     **a["args"]
                 )

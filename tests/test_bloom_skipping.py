@@ -368,3 +368,29 @@ def test_compaction_rebuilds_bloom_sidecars(spark, tmp_path):
     assert t.read_for_values("k", [k]).filter(
         F.col("k") == k
     ).count() == 1
+
+
+def test_advisor_recommends_bloom_for_scattered_keys(spark, tmp_path):
+    """maintenance_plan (zero jobs): a key whose per-file ranges each
+    span the whole domain gets a 'bloom' action; maintain() enables the
+    config FIRST so the same pass's rewrite builds sidecars; the next
+    plan is quiet about bloom."""
+    t = TxTable.create(spark, tmp_path / "t",
+                       _scattered(spark, n=2000, parts=8), key="k")
+    plan = TxTable(None, tmp_path / "t").maintenance_plan()
+    acts = {a["action"]: a for a in plan["actions"]}
+    assert "bloom" in acts, plan
+    assert acts["bloom"]["args"]["cols"] == ["k"]
+    assert plan["stats"]["bloom_cols"] == []
+    r = t.maintain(plan)
+    assert r["results"]["bloom"]["cols"] == ["k"]
+    # the same pass's cluster/compact rewrite built sidecars
+    m = t._manifest()
+    assert any("bloom" in f for f in m["files"])
+    # point probes are now selective, and the advisor has moved on
+    k = _key_of(55)
+    assert len(t.files_for_values("k", [k])) <= 2
+    assert t.read_for_values("k", [k]).filter(F.col("k") == k).count() == 1
+    plan2 = t.maintenance_plan()
+    assert "bloom" not in {a["action"] for a in plan2["actions"]}
+    assert plan2["stats"]["bloom_cols"] == ["k"]
