@@ -54,6 +54,18 @@ def _incarnation(checkpoint_dir: str) -> str:
         ).hexdigest()[:8]
 
 
+def _resolve_view(spark, root):
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    for cls in (TxAggView, TxJoinAggView):
+        try:
+            return cls(spark, root)
+        except TxError:
+            continue
+    raise TxError(f"maintain: not a TxAggView/TxJoinAggView root: {root}")
+
+
 def txtable_ingest(
     stream_df: DataFrame,
     table_root: str,
@@ -62,6 +74,8 @@ def txtable_ingest(
     key: str | None = None,
     available_now: bool = True,
     merge_mode: str = "rewrite",
+    maintain: list | None = None,
+    maintain_mode: str = "incremental",
 ):
     """Start a ``foreachBatch`` stream writing every micro-batch into
     the transactional table at ``table_root`` with exactly-once
@@ -82,6 +96,18 @@ def txtable_ingest(
     table followed by a fenced append/merge, so a crash between
     creation and the first data commit replays into the fenced path
     instead of duplicating version 0's rows.
+
+    ``maintain`` lists aggregate-view roots (``TxAggView`` /
+    ``TxJoinAggView``, resolved per trigger) refreshed INSIDE the same
+    micro-batch, right after the fenced write — continuously-maintained
+    gold under streaming ingest. Every crash interleaving converges:
+    refresh is idempotent against the base version cursor, so a replay
+    whose append fence-skips either no-ops the refresh (it already
+    folded) or folds the pending window now. The views must exist
+    before the stream starts (create them from the table, then attach);
+    a non-view root fails the trigger loudly. ``maintain_mode``
+    defaults to the O(churn) incremental fold — per-trigger cost
+    O(batch + touched groups), independent of table history.
     """
     if mode not in ("append", "merge"):
         raise ValueError(f"txtable_ingest: mode {mode!r}")
@@ -89,6 +115,8 @@ def txtable_ingest(
         raise ValueError("txtable_ingest: merge mode requires key=...")
     if merge_mode not in ("rewrite", "dv"):
         raise ValueError(f"txtable_ingest: merge_mode {merge_mode!r}")
+    if maintain_mode not in ("incremental", "recompute", "auto"):
+        raise ValueError(f"txtable_ingest: maintain_mode {maintain_mode!r}")
     app: list[str] = []  # resolved on the first trigger
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
@@ -105,6 +133,8 @@ def txtable_ingest(
             t.append(batch_df, txn=txn)
         else:
             t.merge(batch_df, txn=txn, mode=merge_mode)
+        for vroot in maintain or []:
+            _resolve_view(spark, vroot).refresh(mode=maintain_mode)
 
     writer = stream_df.writeStream.foreachBatch(admit).option(
         "checkpointLocation", checkpoint_dir
