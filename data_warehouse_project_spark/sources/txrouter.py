@@ -25,6 +25,8 @@ COUNT(*)              ``n_rows``                 SUM of n_rows
 approx COUNT(DIST.)   ``__h`` (HLL sketch)       ``hll_union_agg``
 exact COUNT(DIST.)    support table              COUNT(DISTINCT __val)
                       (per-(group, value) cnt)   over the support
+VAR/STDDEV (samp)     ``__s`` + ``__q`` + ``__c``  pooled moments
+SUMSQ                 ``__q`` + ``__c``          SUM of Σx²
 ====================  =========================  =====================
 
 Notably AVG re-aggregates exactly (the view stores the sum/count pair,
