@@ -161,6 +161,43 @@ class _Adapted:
             ok = v._support_ver(sup) == v.applied_base_version()
         return sup if ok else None
 
+    def support_at(self, vm_name: str, view_version: int):
+        """(support table, support version) whose cursor matches the
+        view AT ``view_version`` — scans the support's retained
+        manifests newest-first for the fence the view had then, so a
+        routed read stays SNAPSHOT-CONSISTENT across the view and its
+        support even when a refresh lands mid-route. None when no
+        retained support version matches (vacuumed past it, or a torn
+        crash window — the caller refuses rather than mixing)."""
+        v = self.view
+        sup = v._support(vm_name)
+        want = tuple(v.applied_versions(at=view_version)) if (
+            self.kind == "join"
+        ) else (v.applied_base_version(at=view_version),)
+        from .txjoinview import _dec as _jdec
+
+        created_j = None
+        if self.kind == "join":
+            created_j = tuple(
+                int(x) for x in v.spec["versions_at_create"]
+            )
+        for sv in reversed(sup._versions()):
+            fence = sup._manifest(sv).get("txns", {}).get(v.APP)
+            if self.kind == "join":
+                have = (
+                    created_j
+                    if fence is None
+                    else _jdec(int(fence), len(v.spec["dims"]))
+                )
+            else:
+                base0 = int(v.spec["base_version_at_create"])
+                have = (base0 if fence is None else max(int(fence), base0),)
+            if have == want:
+                return sup, sv
+            if have < want:
+                break  # fences are monotone: older versions only recede
+        return None
+
 
 class AggRouter:
     """Routes aggregate queries to the cheapest registered view that
@@ -254,7 +291,11 @@ class AggRouter:
         where: str | None,
     ) -> DataFrame:
         exact = set(gcols) == set(a.gcols)
-        phys = self._physical(a)
+        # pin the snapshot NOW: distinct supports are then resolved at
+        # the version whose fence matches this exact view state, so a
+        # refresh landing mid-route can never mix versions
+        view_v = a.view.table.latest_version()
+        phys = a.view.table.read(view_v)
         if where is not None:
             phys = phys.filter(where)
         aggs, post = [], [F.col(g) for g in gcols]
@@ -344,8 +385,17 @@ class AggRouter:
             # groups exist, incl. all-null-value ones the support lacks)
             out = phys.select(*gcols).distinct()
         for qn, vn in distincts:
-            sup = a.support_in_sync(vn)
-            sdf = sup.read().filter(F.col("__cnt") > 0)
+            pinned = a.support_at(vn, view_v)
+            if pinned is None:
+                raise NoRouteError(
+                    "distinct support lost its matching snapshot "
+                    "mid-route (concurrent refresh + vacuum, or a "
+                    "crashed refresh) — retry, or refresh() first",
+                    [f"{a.name}: no support version matches view "
+                     f"v{view_v} for measure {vn!r}"],
+                )
+            sup, sup_v = pinned
+            sdf = sup.read(sup_v).filter(F.col("__cnt") > 0)
             if where is not None:
                 sdf = sdf.filter(where)
             d = sdf.groupBy(*gcols).agg(

@@ -412,3 +412,59 @@ def test_every_grain_subset_every_fn_matches_recompute(spark, tmp_path):
                     else:
                         assert x == y, (gcols, i, gr, wr)
             assert len(g) == len(w), gcols
+
+
+def test_support_pinned_to_view_snapshot_across_refreshes(spark, tmp_path):
+    """support_at: every RETAINED view version resolves the support
+    version whose fence matches it exactly — the mechanism that keeps
+    a routed distinct snapshot-consistent when a refresh lands
+    mid-route. Derived distinct at each historical pair equals a
+    recompute against the base AT that pair's applied version."""
+    from data_warehouse_project_spark.sources.txrouter import _Adapted
+
+    df = spark.range(0, 300, 1, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 23).alias("who"),
+    )
+    base = TxTable.create(spark, tmp_path / "t", df, key="k")
+    view = TxAggView.create(
+        spark, tmp_path / "v", base, group_col="g",
+        measures={"uq": ("distinct", "who")},
+    )
+    snapshots = [(view.table.latest_version(), base.latest_version())]
+    for round_ in range(2):
+        base.append(
+            df.filter(F.col("k") % 3 == round_).select(
+                (F.col("k") + 1000 * (round_ + 1)).alias("k"),
+                "g",
+                (F.col("who") + 40 * (round_ + 1)).alias("who"),
+            )
+        )
+        base.delete(F.col("k") % (7 + round_) == 0, mode="dv")
+        view.refresh(mode="incremental")
+        snapshots.append(
+            (view.table.latest_version(), base.latest_version())
+        )
+    a = _Adapted(view)
+    for view_v, base_v in snapshots:
+        pinned = a.support_at("uq", view_v)
+        assert pinned is not None, view_v
+        sup, sup_v = pinned
+        got = sorted(
+            tuple(r)
+            for r in sup.read(sup_v)
+            .filter(F.col("__cnt") > 0)
+            .groupBy("g")
+            .agg(F.count_distinct("__val").alias("uq"))
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in base.read(base_v)
+            .filter(F.col("who").isNotNull())
+            .groupBy("g")
+            .agg(F.count_distinct("who").alias("uq"))
+            .collect()
+        )
+        assert got == want, (view_v, base_v)
