@@ -181,8 +181,21 @@ class _Adapted:
             created_j = tuple(
                 int(x) for x in v.spec["versions_at_create"]
             )
-        for sv in reversed(sup._versions()):
-            fence = sup._manifest(sv).get("txns", {}).get(v.APP)
+        vs = sup._versions()
+        for idx in range(len(vs) - 1, -1, -1):
+            sv = vs[idx]
+            man = sup._manifest(sv)
+            fence = man.get("txns", {}).get(v.APP)
+            if fence is None and idx + 1 < len(vs):
+                # crash-rebuilt supports record their true cursor as an
+                # EMPTY fenced append right after create (txview/
+                # txjoinview _support): v0 then holds v1's state, not
+                # the sidecar's create state — never match it as such
+                nxt = sup._manifest(vs[idx + 1])
+                if [f["path"] for f in nxt["files"]] == [
+                    f["path"] for f in man["files"]
+                ]:
+                    fence = nxt.get("txns", {}).get(v.APP)
             if self.kind == "join":
                 have = (
                     created_j

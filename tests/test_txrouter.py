@@ -468,3 +468,42 @@ def test_support_pinned_to_view_snapshot_across_refreshes(spark, tmp_path):
             .collect()
         )
         assert got == want, (view_v, base_v)
+
+
+def test_rebuilt_support_never_masquerades_as_create_state(spark, tmp_path):
+    """A support rebuilt AFTER refreshes (crash between view create and
+    support create, repaired later) holds post-refresh state at its v0
+    with the true cursor in v1's empty fenced append — support_at must
+    map v0 to THAT cursor, not the sidecar's create version."""
+    import shutil as _sh
+
+    from data_warehouse_project_spark.sources.txrouter import _Adapted
+
+    df = spark.range(0, 200, 1, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 17).alias("who"),
+    )
+    base = TxTable.create(spark, tmp_path / "t", df, key="k")
+    view = TxAggView.create(
+        spark, tmp_path / "v", base, group_col="g",
+        measures={"uq": ("distinct", "who")},
+    )
+    v0 = view.table.latest_version()
+    base.append(
+        df.select((F.col("k") + 1000).alias("k"), "g",
+                  (F.col("who") + 20).alias("who"))
+    )
+    view.refresh(mode="incremental")
+    v1 = view.table.latest_version()
+    # destroy the support and let create-if-absent rebuild it at the
+    # CURRENT applied state (the crash-repair path)
+    _sh.rmtree(tmp_path / "v" / "_vals_uq")
+    a = _Adapted(view)
+    sup = view._support("uq")  # rebuilt: v0 = post-refresh state
+    assert view._support_ver(sup) == view.applied_base_version()
+    # the post-refresh view version matches the rebuilt support
+    assert a.support_at("uq", v1) is not None
+    # the CREATE-version view must NOT match the rebuilt v0 (its state
+    # is newer than the create cursor) — refuse rather than lie
+    assert a.support_at("uq", v0) is None
