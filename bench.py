@@ -143,6 +143,46 @@ def main() -> None:
         # join view's repair path is the expensive one under deletes)
         for vn, vr in r.items():
             cdc_stages[f"view_{vn}"] = vr.get("secs", 0.0)
+        # routed dashboard A/B (r11): the same segment rollup answered
+        # from the maintained view via the aggregate navigator vs from
+        # the base fact⋈dim — the number that shows WHY the gold layer
+        # exists (view rows vs fact rows). Recorded as stages, not as
+        # separate headline entries (they'd double-count the warehouse
+        # build above).
+        from data_warehouse_project_spark.etl.pipeline import gold_router
+
+        router = gold_router(wh)
+        spec = {
+            "rev": "cast(round(extended_price * 100) as bigint)",
+            "n": ("count", "sale_src_id"),
+            "buyers": ("distinct", "customer_id"),
+        }
+        t0 = time.perf_counter()
+        routed, how = router.route(["market_segment"], spec, max_lag=0)
+        routed.collect()
+        cdc_stages["routed_segment_rollup"] = round(
+            time.perf_counter() - t0, 3
+        )
+        assert how["view"].endswith("sales_by_segment"), how
+        t0 = time.perf_counter()
+        dim = wh.read("bl_3nf", "ce_customers")
+        (
+            fact.read()
+            .join(
+                dim.select("customer_id", "market_segment"),
+                "customer_id",
+            )
+            .groupBy("market_segment")
+            .agg(
+                F.sum(F.expr(spec["rev"])).alias("rev"),
+                F.count("sale_src_id").alias("n"),
+                F.count_distinct("customer_id").alias("buyers"),
+            )
+            .collect()
+        )
+        cdc_stages["base_segment_rollup"] = round(
+            time.perf_counter() - t0, 3
+        )
         timings["gold_views_refresh"] = cdc_stages["refresh_incremental"]
         stage_tables["gold_views_refresh"] = cdc_stages
 
