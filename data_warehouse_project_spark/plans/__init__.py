@@ -53,6 +53,8 @@ _NEVER_DRIVER_GREEN_R10 = [
     "bloom_point_lookup",
     # additively-maintained second moments, pooled by the router
     "routed_variance_rollup",
+    # mergeable histograms: delete-subtractable quantile state
+    "routed_histogram_rollup",
 ]
 
 _NEVER_DRIVER_GREEN_R9 = [

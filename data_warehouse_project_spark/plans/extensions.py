@@ -1460,3 +1460,126 @@ def routed_variance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "routed_histogram_rollup",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey AS ok, o_custkey AS ck,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS amt
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey,
+             CAST(2 * ROUND(o_totalprice) AS BIGINT)
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    live AS (SELECT * FROM fact WHERE ok % 7 <> 0),
+    dim AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             CAST(c_nationkey AS BIGINT) AS nk
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT seg,
+           CAST(LEAST(25, GREATEST(0,
+                FLOOR(amt * 24.0 / 600000) + 1)) AS INT) AS bin,
+           COUNT(*) AS cnt
+    FROM live JOIN dim ON ck = c_custkey
+    GROUP BY seg, bin
+    HAVING COUNT(*) <> 0
+    ORDER BY seg, bin
+    """,
+    doc="MERGEABLE-HISTOGRAM measure routed to a coarser grain (r11): "
+    "the join view at (seg, nation) maintains per-bin order-value "
+    "counts ([underflow, 24 bins over [0, 600k), overflow]) as "
+    "additive state — a dv correction delete SUBTRACTS from its cells "
+    "(no repair read, the property KLL/t-digest sketches lack), and "
+    "the router rolls the grid up to seg with an element-wise array "
+    "sum. The query explodes the routed arrays to (seg, bin, cnt) "
+    "rows for the SQL oracle, and asserts in-plan that the derived "
+    "median (functions/histograms.hist_percentile, linear "
+    "interpolation) lands within one bin width of the exact "
+    "percentile. Reference analogue: its profile/report queries "
+    "recompute distribution stats from scratch each run.",
+    tags=("tx", "ivm", "router", "hist"),
+    eager=True,
+)
+def routed_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.functions.histograms import (
+        hist_percentile,
+    )
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    LO, HI, BINS = 0, 600_000, 24
+    H = {"fn": "hist", "expr": "amt", "lo": LO, "hi": HI, "bins": BINS}
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice")).cast("long").alias("amt"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg0"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    tmp = tempfile.mkdtemp(prefix="histroute_")
+    try:
+        fact = TxTable.create(spark, tmp + "/fact", o, key="ok")
+        dim = TxTable.create(spark, tmp + "/dim", c, key="c_custkey")
+        view = TxJoinAggView.create(
+            spark, tmp + "/view", fact, dim,
+            fk="ck",
+            group_expr=["seg0", "cast(nk as bigint)"],
+            group_col=["seg", "nk"],
+            measures={"order_value_hist": H},
+        )
+        fact.append(
+            o.filter(F.col("ok") % 5 == 0).select(
+                (F.col("ok") + 100000000).alias("ok"),
+                "ck",
+                (F.col("amt") * 2).alias("amt"),
+            )
+        )
+        dim.delete(F.col("c_custkey") % 13 == 0)
+        fact.delete(F.col("ok") % 7 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        routed, how = AggRouter(spark).register(view).route(
+            ["seg"], {"order_value_hist": H}
+        )
+        assert not how["exact_grain"], how
+        # in-plan accuracy check: derived median within one bin width
+        # of the exact percentile over the live joined rows
+        exact = {
+            row["seg"]: row["p50"]
+            for row in fact.read()
+            .join(dim.read(), F.col("ck") == F.col("c_custkey"))
+            .groupBy(F.col("seg0").alias("seg"))
+            .agg(F.expr("percentile(amt, 0.5)").alias("p50"))
+            .collect()
+        }
+        width = (HI - LO) / BINS
+        for row in routed.select(
+            "seg",
+            hist_percentile("order_value_hist", 0.5, LO, HI, BINS).alias(
+                "p50"
+            ),
+        ).collect():
+            true = min(max(exact[row["seg"]], LO), HI)
+            assert abs(row["p50"] - true) <= width, (row, true)
+        res = (
+            routed.select(
+                "seg",
+                F.posexplode("order_value_hist").alias("bin", "cnt"),
+            )
+            .filter(F.col("cnt") != 0)
+            .orderBy("seg", "bin")
+        )
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -129,7 +129,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .txtable import TXLOG_DIR, TxError, TxTable
-from .txview import _N, _signed, _sq, churn_rows
+from .txview import (
+    _N,
+    _hist_cells,
+    _hist_zeros,
+    _signed,
+    _sq,
+    churn_rows,
+)
 
 _SIDECAR = "_joinview.json"
 _DIM_BITS = 31  # fence packing: fact << 31k | d1 << 31(k-1) | ... | dk
@@ -137,26 +144,11 @@ _GK = "__gk"  # physical composite view key (multi-column groups only)
 
 
 def _norm_measures(measures: dict) -> dict[str, dict]:
-    out: dict[str, dict] = {}
-    for name, spec in measures.items():
-        if isinstance(spec, str):
-            fn, expr = "sum", spec
-        elif isinstance(spec, dict):
-            fn, expr = spec["fn"], spec["expr"]
-        else:
-            fn, expr = spec
-        fn = fn.lower()
-        if fn not in (
-            "sum", "count", "avg", "min", "max", "approx_distinct",
-            "distinct", "var", "stddev", "sumsq",
-        ):
-            raise TxError(
-                f"measure {name!r}: join views maintain "
-                f"sum/count/avg/min/max/approx_distinct/distinct/"
-                f"var/stddev/sumsq; got {fn!r}"
-            )
-        out[name] = {"fn": fn, "expr": expr}
-    return out
+    # join views maintain the same measure algebra as TxAggView —
+    # one normalizer (incl. hist lo/hi/bins validation), one fn set
+    from .txview import _norm_measures as _agg_norm
+
+    return _agg_norm(measures)
 
 
 def _norm_spec(spec: dict) -> dict:
@@ -470,6 +462,10 @@ class TxJoinAggView:
                 aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
             if m["fn"] == "distinct":
                 aggs.append(F.count_distinct(e).alias(f"__d_{n}"))
+            if m["fn"] == "hist":
+                aggs.append(
+                    F.array(*_hist_cells(e, m, F.lit(1))).alias(f"__g_{n}")
+                )
         aggs.append(F.count(F.lit(1)).alias(_N))
         out = j.groupBy(*cls._spec_gcols(spec)).agg(*aggs)
         if cls._composite(spec):
@@ -530,6 +526,8 @@ class TxJoinAggView:
                 cols.append(
                     F.when(F.col(f"__c_{n}") > 0, F.col(f"__q_{n}")).alias(n)
                 )
+            elif m["fn"] == "hist":
+                cols.append(F.col(f"__g_{n}").alias(n))
             elif m["fn"] == "count":
                 cols.append(F.col(f"__c_{n}").alias(n))
             elif m["fn"] == "approx_distinct":
@@ -909,6 +907,10 @@ class TxJoinAggView:
                 delta_aggs.append(F.sum(sign * e).alias(f"__s_{n}"))
             if m["fn"] in ("var", "stddev", "sumsq"):
                 delta_aggs.append(F.sum(sign * _sq(e)).alias(f"__q_{n}"))
+            if m["fn"] == "hist":
+                delta_aggs.append(
+                    F.array(*_hist_cells(e, m, sign)).alias(f"__g_{n}")
+                )
             if m["fn"] in ("sum", "avg", "count", "var", "stddev", "sumsq"):
                 delta_aggs.append(
                     F.sum(
@@ -1003,6 +1005,15 @@ class TxJoinAggView:
                             F.coalesce(F.col(f"v.__c_{n}"), F.lit(0))
                             + F.coalesce(F.col(f"d.__c_{n}"), F.lit(0))
                         ).alias(f"__c_{n}")
+                    )
+                if m["fn"] == "hist":
+                    zeros = _hist_zeros(m)
+                    out_cols.append(
+                        F.zip_with(
+                            F.coalesce(F.col(f"v.__g_{n}"), zeros),
+                            F.coalesce(F.col(f"d.__g_{n}"), zeros),
+                            lambda x, y: x + y,
+                        ).alias(f"__g_{n}")
                     )
                 if m["fn"] == "distinct":
                     # exact transition fold — deletes never dirty
@@ -1157,6 +1168,8 @@ class TxJoinAggView:
                         F.col(f"m.__q_{n}").alias(f"__q_{n}"),
                         F.col(f"m.__c_{n}").alias(f"__c_{n}"),
                     ]
+                if m["fn"] == "hist":
+                    return [F.col(f"m.__g_{n}").alias(f"__g_{n}")]
                 if m["fn"] == "count":
                     return [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
                 if m["fn"] == "distinct":

@@ -57,7 +57,8 @@ from pyspark.sql import functions as F
 
 from .txjoinview import TxJoinAggView
 from .txtable import TxError, TxTable
-from .txview import _N, TxAggView
+from .txview import _N, TxAggView, _hist_zeros
+from .txview import _norm_measures as _view_norm_measures
 
 __all__ = ["AggRouter", "NoRouteError"]
 
@@ -91,6 +92,9 @@ _DERIVABLE = {
     "var": ("var", "stddev"),
     "stddev": ("var", "stddev"),
     "sumsq": ("var", "stddev", "sumsq"),
+    # per-bin counts are cell-wise SUMs: rollup = array sum — but only
+    # against the IDENTICAL (lo, hi, bins) grid (checked in _match)
+    "hist": ("hist",),
 }
 
 
@@ -101,21 +105,26 @@ def _norm_query_measures(measures: dict) -> dict[str, dict]:
     for name, spec in measures.items():
         if name == _N or name.startswith("__"):
             raise TxError(f"query measure name reserved: {name!r}")
-        if isinstance(spec, str):
-            fn, expr = "sum", spec
-        elif isinstance(spec, dict):
-            fn, expr = spec["fn"], spec["expr"]
-        else:
-            fn, expr = spec
-        fn = fn.lower()
-        if fn not in _DERIVABLE:
-            raise TxError(
-                f"query measure {name!r}: unsupported fn {fn!r} "
-                f"(supported: {sorted(_DERIVABLE)} + ('count', '*'))"
-            )
-        if expr == "*" and fn != "count":
+        if spec == "*":
             raise TxError(f"query measure {name!r}: '*' only with count")
-        out[name] = {"fn": fn, "expr": expr}
+        if (
+            isinstance(spec, tuple)
+            and len(spec) == 2
+            and spec[1] == "*"
+        ) or (isinstance(spec, dict) and spec.get("expr") == "*"):
+            fn = (spec[0] if isinstance(spec, tuple) else spec["fn"]).lower()
+            if fn != "count":
+                raise TxError(f"query measure {name!r}: '*' only with count")
+            out[name] = {"fn": "count", "expr": "*"}
+            continue
+        # the views' own normalizer: fn whitelist + hist lo/hi/bins
+        norm = _view_norm_measures({name: spec})[name]
+        if norm["fn"] not in _DERIVABLE:
+            raise TxError(
+                f"query measure {name!r}: {norm['fn']!r} is not routable "
+                f"(routable: {sorted(_DERIVABLE)} + ('count', '*'))"
+            )
+        out[name] = norm
     return out
 
 
@@ -262,6 +271,10 @@ class AggRouter:
                 n
                 for n, m in by_expr.get(_norm_expr(q["expr"]), [])
                 if m["fn"] in _DERIVABLE[q["fn"]]
+                and (
+                    q["fn"] != "hist"
+                    or all(m.get(k) == q.get(k) for k in ("lo", "hi", "bins"))
+                )
             ]
             if not cands:
                 return None, (
@@ -364,6 +377,22 @@ class AggRouter:
                 post.append(
                     F.when(
                         F.col(f"__rc_{qn}") > 0, F.col(f"__rq_{qn}")
+                    ).alias(qn)
+                )
+            elif fn == "hist":
+                # cell-wise SUM across merged groups: collect the
+                # (view-rows-bounded) arrays and fold with zip_with
+                zeros = _hist_zeros(a.measures[vn])
+                aggs.append(
+                    F.collect_list(F.col(f"__g_{vn}")).alias(f"__rl_{qn}")
+                )
+                post.append(
+                    F.aggregate(
+                        F.col(f"__rl_{qn}"),
+                        zeros,
+                        lambda acc, x: F.zip_with(
+                            acc, x, lambda p, c: p + c
+                        ),
                     ).alias(qn)
                 )
             elif fn in ("min", "max"):

@@ -85,7 +85,44 @@ from .txtable import TXLOG_DIR, TxError, TxTable, _live
 _SIDECAR = "_view.json"
 _N = "n_rows"  # hidden support count: a group at 0 leaves the view
 _FNS = ("sum", "count", "avg", "min", "max", "approx_distinct", "distinct",
-        "var", "stddev", "sumsq")
+        "var", "stddev", "sumsq", "hist")
+
+#: hist bin-count ceiling: each bin is one aggregate expression in the
+#: fold plan, so this bounds plan size, and the array column stays a
+#: few hundred bytes per group
+_HIST_MAX_BINS = 64
+
+
+def _hist_params(m: dict) -> tuple[int, int, int]:
+    lo, hi, bins = int(m["lo"]), int(m["hi"]), int(m["bins"])
+    return lo, hi, bins
+
+
+def _hist_idx(e, m: dict):
+    """Bin index of a value: 0 = underflow, 1..bins = in-range buckets
+    of equal width over [lo, hi), bins+1 = overflow. NULLs are excluded
+    by the caller (COUNT semantics)."""
+    lo, hi, bins = _hist_params(m)
+    raw = F.floor((e - F.lit(lo)) * bins / F.lit(hi - lo)) + 1
+    return F.least(F.lit(bins + 1), F.greatest(F.lit(0), raw)).cast("int")
+
+
+def _hist_zeros(m: dict):
+    _, _, bins = _hist_params(m)
+    return F.array_repeat(F.lit(0).cast("long"), bins + 2)
+
+
+def _hist_cells(e, m: dict, weight) -> list:
+    """One SUM per bin cell — the additive physical/delta aggregate
+    (weight = 1 for recompute, the churn sign for the fold)."""
+    _, _, bins = _hist_params(m)
+    idx = _hist_idx(e, m)
+    return [
+        F.sum(
+            F.when(e.isNotNull() & (idx == i), weight).otherwise(F.lit(0))
+        ).cast("long")
+        for i in range(bins + 2)
+    ]
 
 
 def _sq(e):
@@ -144,17 +181,39 @@ def _norm_measures(measures: dict) -> dict[str, dict]:
     aggregate."""
     out: dict[str, dict] = {}
     for name, spec in measures.items():
+        extra: dict = {}
         if isinstance(spec, str):
             fn, expr = "sum", spec
         elif isinstance(spec, dict):
             fn, expr = spec["fn"], spec["expr"]
+            extra = {k: v for k, v in spec.items() if k not in ("fn", "expr")}
         else:
             fn, expr = spec
         fn = fn.lower()
         if fn not in _FNS:
             raise TxError(f"measure {name!r}: unsupported fn {fn!r} "
                           f"(supported: {_FNS})")
-        out[name] = {"fn": fn, "expr": expr}
+        if fn == "hist":
+            try:
+                lo, hi, bins = _hist_params(extra)
+            except (KeyError, TypeError, ValueError):
+                raise TxError(
+                    f"measure {name!r}: hist needs integer lo/hi/bins, "
+                    'e.g. {"fn": "hist", "expr": E, "lo": 0, "hi": 1000, '
+                    '"bins": 20}'
+                ) from None
+            if not (lo < hi):
+                raise TxError(f"measure {name!r}: hist needs lo < hi")
+            if not (2 <= bins <= _HIST_MAX_BINS):
+                raise TxError(
+                    f"measure {name!r}: hist bins must be in "
+                    f"[2, {_HIST_MAX_BINS}] (each bin is one aggregate "
+                    "expression in the fold plan)"
+                )
+            extra = {"lo": lo, "hi": hi, "bins": bins}
+        else:
+            extra = {}
+        out[name] = {"fn": fn, "expr": expr, **extra}
     return out
 
 
@@ -176,6 +235,10 @@ def _physical_agg(measures: dict[str, dict]) -> list:
         elif m["fn"] == "sumsq":
             aggs.append(F.sum(_sq(e)).alias(f"__q_{n}"))
             aggs.append(F.count(e).alias(f"__c_{n}"))
+        elif m["fn"] == "hist":
+            # additive per-bin counts (underflow + bins + overflow),
+            # one array column — folds with zip_with, like SUM per cell
+            aggs.append(F.array(*_hist_cells(e, m, F.lit(1))).alias(f"__g_{n}"))
         elif m["fn"] == "count":
             aggs.append(F.count(e).alias(f"__c_{n}"))
         elif m["fn"] == "min":
@@ -320,6 +383,11 @@ class TxAggView:
                 cols.append(
                     F.when(F.col(f"__c_{n}") > 0, F.col(f"__q_{n}")).alias(n)
                 )
+            elif m["fn"] == "hist":
+                # the measure column IS the per-bin count array:
+                # [underflow, bin1..binN, overflow] over [lo, hi) —
+                # derive quantiles with functions.histograms
+                cols.append(F.col(f"__g_{n}").alias(n))
             elif m["fn"] == "count":
                 cols.append(F.col(f"__c_{n}").alias(n))
             elif m["fn"] == "approx_distinct":
@@ -601,6 +669,10 @@ class TxAggView:
                 delta_aggs.append(F.sum(sign * e).alias(f"__s_{n}"))
             if m["fn"] in ("var", "stddev", "sumsq"):
                 delta_aggs.append(F.sum(sign * _sq(e)).alias(f"__q_{n}"))
+            if m["fn"] == "hist":
+                delta_aggs.append(
+                    F.array(*_hist_cells(e, m, sign)).alias(f"__g_{n}")
+                )
             if m["fn"] in ("sum", "avg", "count", "var", "stddev", "sumsq"):
                 delta_aggs.append(
                     F.sum(
@@ -698,6 +770,15 @@ class TxAggView:
                 elif m["fn"] == "sumsq":
                     out_cols.append(combine_q(n))
                     out_cols.append(combine_cnt(n))
+                elif m["fn"] == "hist":
+                    zeros = _hist_zeros(m)
+                    out_cols.append(
+                        F.zip_with(
+                            F.coalesce(F.col(f"v.__g_{n}"), zeros),
+                            F.coalesce(F.col(f"d.__g_{n}"), zeros),
+                            lambda x, y: x + y,
+                        ).alias(f"__g_{n}")
+                    )
                 elif m["fn"] == "count":
                     out_cols.append(combine_cnt(n))
                 elif m["fn"] == "distinct":
@@ -819,6 +900,8 @@ class TxAggView:
                             F.col(f"m.__q_{n}").alias(f"__q_{n}"),
                             F.col(f"m.__c_{n}").alias(f"__c_{n}"),
                         ]
+                    if m["fn"] == "hist":
+                        return [F.col(f"m.__g_{n}").alias(f"__g_{n}")]
                     if m["fn"] == "count":
                         return [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
                     if m["fn"] == "distinct":

@@ -1,0 +1,197 @@
+"""Mergeable-histogram measures (``hist``): additive per-bin counts
+([underflow, bin1..binN, overflow] over [lo, hi)) maintained by both
+view classes — deletes SUBTRACT (no repair read, like SUM), rollups
+are array sums, quantiles derive at read via functions/histograms.
+The fixed-bin grid is chosen over KLL/t-digest precisely because it is
+the only quantile summary that both merges and subtracts exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.functions.histograms import (
+    hist_percentile,
+    hist_total,
+)
+from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+from data_warehouse_project_spark.sources.txrouter import AggRouter, NoRouteError
+from data_warehouse_project_spark.sources.txtable import TxError, TxTable
+from data_warehouse_project_spark.sources.txview import TxAggView
+
+LO, HI, BINS = 0, 1000, 20
+H = {"fn": "hist", "expr": "amt", "lo": LO, "hi": HI, "bins": BINS}
+
+
+def _df(spark, n=600, extra=0):
+    return spark.range(extra, n + extra, 1, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        # values straddle the grid: some below LO, some above HI
+        ((F.col("id") * 53) % 1400 - 200).alias("amt"),
+    )
+
+
+def _expected(df):
+    idx = F.least(
+        F.lit(BINS + 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("amt") - LO) * BINS / (HI - LO)) + 1,
+        ),
+    ).cast("int")
+    return (
+        df.filter(F.col("amt").isNotNull())
+        .groupBy("g", idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _explode(view_df, col="h"):
+    return view_df.select(
+        "g", F.posexplode(F.col(col)).alias("bin", "cnt")
+    ).filter(F.col("cnt") != 0)
+
+
+def test_aggview_hist_folds_churn_without_repair(spark, tmp_path):
+    base = TxTable.create(spark, tmp_path / "t", _df(spark), key="k")
+    view = TxAggView.create(
+        spark, tmp_path / "v", base, group_col="g", measures={"h": H}
+    )
+    base.append(_df(spark, n=200, extra=5000))
+    base.merge(
+        _df(spark).filter(F.col("k") % 9 == 0).withColumn(
+            "amt", F.col("amt") + 333
+        )
+    )
+    base.delete(F.col("k") % 7 == 0, mode="dv")
+    r = view.refresh(mode="incremental")
+    assert not r["skipped"]
+    got = sorted(tuple(x) for x in _explode(view.read()).collect())
+    want = sorted(tuple(x) for x in _expected(base.read()).collect())
+    assert got == want
+    # byte-identical to a from-scratch view
+    fresh = TxAggView.create(
+        spark, tmp_path / "v2", base, group_col="g", measures={"h": H}
+    )
+    assert got == sorted(
+        tuple(x) for x in _explode(fresh.read()).collect()
+    )
+
+
+def test_joinview_hist_across_dim_moves(spark, tmp_path):
+    f = _df(spark).withColumnRenamed("g", "fk")
+    d = spark.range(0, 5).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("s"), F.col("id") % 2).alias("g"),
+    )
+    fact = TxTable.create(spark, tmp_path / "f", f, key="k")
+    dim = TxTable.create(spark, tmp_path / "d", d, key="dk")
+    view = TxJoinAggView.create(
+        spark, tmp_path / "v", fact, dim, fk="fk",
+        group_expr="g", group_col="g", measures={"h": H},
+    )
+    fact.append(_df(spark, n=150, extra=9000).withColumnRenamed("g", "fk"))
+    dim.merge(
+        d.filter(F.col("dk") % 2 == 0).withColumn("g", F.lit("s-MOVED"))
+    )
+    fact.delete(F.col("k") % 11 == 0, mode="dv")
+    r = view.refresh(mode="incremental")
+    assert not r["skipped"] and r["mode"] == "incremental"
+    joined = fact.read().join(dim.read(), F.col("fk") == F.col("dk"))
+    got = sorted(tuple(x) for x in _explode(view.read()).collect())
+    want = sorted(tuple(x) for x in _expected(joined).collect())
+    assert got == want
+
+
+def test_hist_percentiles_and_router_rollup(spark, tmp_path):
+    f = _df(spark, n=800).withColumnRenamed("g", "fk")
+    d = spark.range(0, 5).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("a"), F.col("id") % 2).alias("a"),
+        F.concat(F.lit("b"), F.col("id") % 3).alias("b"),
+    )
+    fact = TxTable.create(spark, tmp_path / "f", f, key="k")
+    dim = TxTable.create(spark, tmp_path / "d", d, key="dk")
+    view = TxJoinAggView.create(
+        spark, tmp_path / "v", fact, dim, fk="fk",
+        group_expr=["a", "b"], group_col=["a", "b"],
+        measures={"h": H, "n": ("count", "amt")},
+    )
+    router = AggRouter(spark).register(view)
+    got, how = router.route(["a"], {"h": H, "n": ("count", "amt")})
+    assert not how["exact_grain"]
+    joined = fact.read().join(dim.read(), F.col("fk") == F.col("dk"))
+    want_bins = sorted(
+        tuple(x)
+        for x in joined.filter(F.col("amt").isNotNull())
+        .groupBy(
+            "a",
+            F.least(
+                F.lit(BINS + 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("amt") - LO) * BINS / (HI - LO)) + 1,
+                ),
+            ).cast("int").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    got_bins = sorted(
+        tuple(x)
+        for x in got.select(
+            "a", F.posexplode("h").alias("bin", "cnt")
+        ).filter(F.col("cnt") != 0).collect()
+    )
+    assert got_bins == want_bins
+    # quantiles: exact to bin resolution against percentile_approx
+    q = got.select(
+        "a",
+        hist_percentile("h", 0.5, LO, HI, BINS).alias("p50"),
+        hist_total("h").alias("n2"),
+        "n",
+    ).collect()
+    exact = {
+        r["a"]: r["p50"]
+        for r in joined.groupBy("a")
+        .agg(F.expr("percentile(amt, 0.5)").alias("p50"))
+        .collect()
+    }
+    width = (HI - LO) / BINS
+    for r in q:
+        assert r["n2"] == r["n"]
+        true = min(max(exact[r["a"]], LO), HI)  # clamped like the grid
+        assert abs(r["p50"] - true) <= width, (r["a"], r["p50"], true)
+    # a DIFFERENT grid must refuse, not silently mix bins
+    with pytest.raises(NoRouteError, match="no measure derives"):
+        router.route(["a"], {"h": {**H, "bins": 10}})
+
+
+def test_hist_validation_and_reader_edges(spark, tmp_path):
+    base = TxTable.create(
+        spark, tmp_path / "t", _df(spark, n=50), key="k"
+    )
+    for bad, msg in [
+        ({"fn": "hist", "expr": "amt"}, "lo/hi/bins"),
+        ({**H, "lo": 5, "hi": 5}, "lo < hi"),
+        ({**H, "bins": 1}, "bins must be"),
+        ({**H, "bins": 4096}, "bins must be"),
+    ]:
+        with pytest.raises(TxError, match=msg):
+            TxAggView.create(
+                spark, tmp_path / f"v_{msg[:2]}", base,
+                group_col="g", measures={"h": bad},
+            )
+    with pytest.raises(ValueError, match="p must be"):
+        hist_percentile("h", 0.0, LO, HI, BINS)
+    # empty histogram -> NULL percentile, zero total
+    df = spark.createDataFrame(
+        [([0] * (BINS + 2),)], f"h array<long>"
+    )
+    r = df.select(
+        hist_percentile("h", 0.5, LO, HI, BINS).alias("p"),
+        hist_total("h").alias("t"),
+    ).first()
+    assert r["p"] is None and r["t"] == 0
