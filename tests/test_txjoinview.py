@@ -325,7 +325,7 @@ def test_joinview_term_b_pruned_reads_by_fact_layout(spark, tmp_path):
 def test_joinview_guards(spark, tmp_path):
     fact = _mk_fact(spark, tmp_path / "f", [(1, 10, 5)])
     dim = _mk_dim(spark, tmp_path / "d", [(10, "a")])
-    with pytest.raises(TxError, match="sum/count/avg/min/max"):
+    with pytest.raises(TxError, match="unsupported fn"):
         TxJoinAggView.create(
             spark, tmp_path / "v", fact, dim, fk="cust",
             group_expr="seg", group_col="seg",
