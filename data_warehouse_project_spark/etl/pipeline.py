@@ -1016,6 +1016,14 @@ GOLD_VIEWS: dict[str, tuple[str, dict]] = {
             # HLL sketch: appends FOLD (union), deletes dirty-repair —
             # the one ε-approximate gold measure (see txview docstring)
             "approx_buyers": ("approx_distinct", "customer_id"),
+            # mergeable histogram (r11): per-month sale-value
+            # distribution, deletes subtract per cell — quantiles via
+            # functions/histograms.hist_percentile
+            "value_hist": {
+                "fn": "hist",
+                "expr": "cast(round(extended_price) as bigint)",
+                "lo": 0, "hi": 120_000, "bins": 24,
+            },
         },
     ),
 }

@@ -394,3 +394,41 @@ def test_advisor_recommends_bloom_for_scattered_keys(spark, tmp_path):
     plan2 = t.maintenance_plan()
     assert "bloom" not in {a["action"] for a in plan2["actions"]}
     assert plan2["stats"]["bloom_cols"] == ["k"]
+
+
+def test_concurrent_appends_keep_sidecars_isolated(spark, tmp_path):
+    """Two racing appends each land their OWN per-batch sidecar dir —
+    the loser's retry re-stages files but never cross-references the
+    winner's sidecars, and probes over the merged manifest stay exact.
+    """
+    import threading
+
+    t = TxTable.create(spark, tmp_path / "t",
+                       _scattered(spark, n=400, parts=2), key="k",
+                       bloom_cols=["k"])
+    errs = []
+
+    def append(extra):
+        try:
+            TxTable(spark, tmp_path / "t").append(
+                _scattered(spark, n=400, parts=2, extra=extra)
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=append, args=(e,)) for e in (5000, 9000)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    m = t._manifest()
+    assert len(m["files"]) == 6 and all("bloom" in f for f in m["files"])
+    assert len({f["bloom"] for f in m["files"]}) == 3  # one dir per batch
+    # every batch's keys probe exactly through the merged manifest
+    for i in (3, 5003, 9003):
+        k = _key_of(i)
+        got = t.read_for_values("k", [k]).filter(F.col("k") == k)
+        assert got.count() == 1, i
+    r = t.vacuum(retain_versions=1, min_age_s=0, force=True)
+    assert r["dropped_blooms"] == 0  # all three dirs still referenced

@@ -237,19 +237,36 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
         c = F.count(e)
         return F.when(c > 1, (q - s * s / c) / (c - 1))
 
+    def measure_agg(fn, e, spec):
+        if fn == "hist":
+            from data_warehouse_project_spark.sources.txview import (
+                _hist_cells,
+            )
+
+            return F.array(*_hist_cells(e, spec, F.lit(1)))
+        return {"sum": F.sum, "count": F.count, "avg": F.avg,
+                "min": F.min, "max": F.max,
+                "approx_distinct": F.countDistinct,
+                "distinct": F.countDistinct,
+                "var": var_formula}[fn](e)
+
+    def parse_measure(spec):
+        if isinstance(spec, dict):
+            return spec["fn"], spec["expr"], spec
+        fn, expr = spec
+        return fn, expr, {}
+
     def check_join():
         """Every join gold view == a fresh fact ⋈ dims GROUP BY
         (single- or multi-dim, scalar or composite group keys)."""
         for name, js in GOLD_JOIN_VIEWS.items():
             view = TxJoinAggView(spark, wh.root / "gold_views" / name)
             aggs = []
-            for out_name, (fn, expr) in js["measures"].items():
-                agg = {"sum": F.sum, "count": F.count, "avg": F.avg,
-                       "min": F.min, "max": F.max,
-                       "approx_distinct": F.countDistinct,
-                       "distinct": F.countDistinct,
-                       "var": var_formula}[fn](F.expr(expr))
-                aggs.append(agg.alias(out_name))
+            for out_name, mspec in js["measures"].items():
+                fn, expr, extra = parse_measure(mspec)
+                aggs.append(
+                    measure_agg(fn, F.expr(expr), extra).alias(out_name)
+                )
             aggs.append(F.count(F.lit(1)).alias("n_rows"))
             dims = [{"dim": js["dim"], "fk": js["fk"],
                      "dim_on": js["dim_on"]}] + js.get("extra_dims", [])
@@ -282,16 +299,14 @@ def test_incremental_gold_views_track_fact_churn(spark, tmp_path):
         for name, (g, measures) in GOLD_VIEWS.items():
             view = TxAggView(spark, wh.root / "gold_views" / name)
             aggs = []
-            for out_name, (fn, expr) in measures.items():
-                e = F.expr(expr)
+            for out_name, mspec in measures.items():
                 # approx_distinct: exact at sf-smoke cardinality (the
                 # DataSketches HLL stays in its exact SET mode well
                 # past the distinct buyers a smoke month has)
-                agg = {"sum": F.sum, "count": F.count, "avg": F.avg,
-                       "min": F.min, "max": F.max,
-                       "approx_distinct": F.countDistinct,
-                       "var": var_formula}[fn](e)
-                aggs.append(agg.alias(out_name))
+                fn, expr, extra = parse_measure(mspec)
+                aggs.append(
+                    measure_agg(fn, F.expr(expr), extra).alias(out_name)
+                )
             aggs.append(F.count(F.lit(1)).alias("n_rows"))
             want_df = wh.read("bl_3nf", "ce_sales").groupBy(g).agg(*aggs)
             want = sorted(
