@@ -55,6 +55,8 @@ _NEVER_DRIVER_GREEN_R10 = [
     "routed_variance_rollup",
     # mergeable histograms: delete-subtractable quantile state
     "routed_histogram_rollup",
+    # streaming-maintained gold: per-trigger fenced append + refresh
+    "streamed_gold_maintenance",
 ]
 
 _NEVER_DRIVER_GREEN_R9 = [

@@ -1583,3 +1583,79 @@ def routed_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streamed_gold_maintenance",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS uniq_buyers
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    doc="STREAMING-MAINTAINED GOLD on the oracle surface (r11, "
+    "streaming/txsink.txtable_ingest(maintain=...)): orders arrive as "
+    "FOUR separate micro-batches (maxFilesPerTrigger=1 over a 4-file "
+    "source) through the exactly-once foreachBatch sink; after each "
+    "fenced append the SAME trigger incrementally refreshes a "
+    "by-status aggregate view (sum + count + EXACT transition-"
+    "maintained distinct buyers). The query asserts one table commit "
+    "per micro-batch landed and the view cursor caught the table, "
+    "then returns the VIEW state — the oracle recomputes from the raw "
+    "orders in SQL, so the whole stream→fence→fold→support pipeline "
+    "is value-hashed end-to-end. 100 TB shape: per-trigger cost is "
+    "O(batch + touched groups), independent of table history.",
+    tags=("tx", "streaming", "ivm"),
+    eager=True,
+)
+def streamed_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txtable import TxTable
+    from data_warehouse_project_spark.sources.txview import TxAggView
+    from data_warehouse_project_spark.streaming.txsink import txtable_ingest
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="streamgold_")
+    try:
+        src = tmp + "/src"
+        o.repartition(4).write.parquet(src)
+        t = TxTable.create(spark, tmp + "/t", o.limit(0), key="ok")
+        view = TxAggView.create(
+            spark, tmp + "/view", t, group_col="status",
+            measures={
+                "total_cents": "cents",
+                "n_orders": ("count", "ok"),
+                "uniq_buyers": ("distinct", "ck"),
+            },
+        )
+        stream = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = txtable_ingest(
+            stream, tmp + "/t", tmp + "/ck", maintain=[tmp + "/view"]
+        )
+        q.awaitTermination(300)
+        assert t.latest_version() >= 4, t.history()  # one commit/batch
+        assert view.applied_base_version() == t.latest_version()
+        res = view.read().select(
+            "status",
+            F.col("n_rows").alias("n_orders"),
+            "total_cents",
+            F.col("uniq_buyers").cast("long").alias("uniq_buyers"),
+        ).orderBy("status")
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
