@@ -432,3 +432,38 @@ def test_concurrent_appends_keep_sidecars_isolated(spark, tmp_path):
         assert got.count() == 1, i
     r = t.vacuum(retain_versions=1, min_age_s=0, force=True)
     assert r["dropped_blooms"] == 0  # all three dirs still referenced
+
+
+def test_property_no_false_negative_over_random_probes(spark, bloomed):
+    """Hypothesis over probe subsets of the written keys: a bloom may
+    keep extra files, but a file holding a probed value must ALWAYS
+    survive — checked at the files_for_values level (cheaper than a
+    read) against the ground-truth file assignment."""
+    from hypothesis import given, settings, strategies as st
+
+    t, _ = bloomed
+    m = t._manifest()
+    truth = {}  # key -> file basename set
+    for f in m["files"]:
+        rows = spark.read.parquet(str(t.root / f["path"])).select("k")
+        import os as _os
+
+        b = _os.path.basename(f["path"])
+        for r in rows.collect():
+            truth.setdefault(r["k"], set()).add(b)
+    keys = sorted(truth)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(st.sampled_from(keys), min_size=1, max_size=6, unique=True)
+    )
+    def check(probe):
+        import os as _os
+
+        got = {
+            _os.path.basename(p) for p in t.files_for_values("k", probe)
+        }
+        need = set().union(*(truth[k] for k in probe))
+        assert need <= got, (sorted(need - got), probe)
+
+    check()

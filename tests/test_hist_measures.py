@@ -195,3 +195,70 @@ def test_hist_validation_and_reader_edges(spark, tmp_path):
         hist_total("h").alias("t"),
     ).first()
     assert r["p"] is None and r["t"] == 0
+
+
+def test_hist_random_oplog_equals_recompute(spark, tmp_path):
+    """Seeded random op-log (appends, value-moving merges, dv and cow
+    deletes), incremental refresh every 2 ops: the hist arrays equal a
+    fresh recompute at every refresh, and a final recompute-mode
+    refresh changes nothing."""
+    import random
+
+    rng = random.Random(20260816)
+    rows = [
+        (i, rng.randrange(4), rng.choice([None, rng.randrange(-300, 1400)]))
+        for i in range(120)
+    ]
+    schema = "k long, g long, amt long"
+    base = TxTable.create(
+        spark, tmp_path / "t", spark.createDataFrame(rows, schema), key="k"
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "v", base, group_col="g", measures={"h": H}
+    )
+    model = {k: (g, a) for k, g, a in rows}
+    nxt = 10_000
+
+    def check():
+        got = sorted(tuple(x) for x in _explode(view.read()).collect())
+        want = sorted(
+            tuple(x)
+            for x in _expected(base.read()).collect()
+        )
+        assert got == want
+
+    for step in range(10):
+        op = rng.choice(["append", "merge", "delete"])
+        if op == "append" or not model:
+            nonlocal_rows = [
+                (nxt + j, rng.randrange(4),
+                 rng.choice([None, rng.randrange(-300, 1400)]))
+                for j in range(rng.randint(1, 6))
+            ]
+            nxt += len(nonlocal_rows)
+            base.append(spark.createDataFrame(nonlocal_rows, schema))
+            model.update({k: (g, a) for k, g, a in nonlocal_rows})
+        elif op == "merge":
+            ids = rng.sample(sorted(model), min(4, len(model)))
+            upd = [
+                (k, model[k][0],
+                 rng.choice([None, rng.randrange(-300, 1400)]))
+                for k in ids
+            ]
+            base.merge(spark.createDataFrame(upd, schema))
+            model.update({k: (g, a) for k, g, a in upd})
+        else:
+            ids = rng.sample(sorted(model), min(3, len(model)))
+            base.delete(
+                F.col("k").isin(ids), mode=rng.choice(["dv", "rewrite"])
+            )
+            for k in ids:
+                del model[k]
+        if step % 2 == 1:
+            r = view.refresh(mode="incremental")
+            assert not r.get("skipped"), r
+            check()
+    view.refresh(mode="incremental")
+    check()
+    r = view.refresh(mode="recompute")
+    check()
