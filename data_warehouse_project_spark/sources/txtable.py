@@ -2462,6 +2462,24 @@ class TxTable:
             if col not in cfg_cols and cdepth >= 0.5 * n_spans:
                 bloom_cols_due.append(col)
         stats["bloom_cols"] = cfg_cols
+        # backfill: a bloom-enabled table whose live files mostly LACK
+        # sidecars (written by the native writer, whose commit runs in
+        # a sessionless planner worker and cannot launch the sidecar
+        # job, or written before enable_bloom) — a rewrite builds them
+        if cfg_cols and files:
+            missing = sum(1 for f in files if "bloom" not in f)
+            stats["bloom_missing_files"] = missing
+            if missing / len(files) > 0.5 and len(files) >= 4:
+                actions.append(
+                    {
+                        "action": "bloom_backfill",
+                        "args": {},
+                        "reason": f"{missing}/{len(files)} live files "
+                        "carry no bloom sidecar (native-writer batches "
+                        "or pre-enable files) — point probes can't "
+                        "skip them until a rewrite builds the filters",
+                    }
+                )
         if bloom_cols_due:
             actions.append(
                 {
@@ -2495,7 +2513,8 @@ class TxTable:
         plan = plan if plan is not None else self.maintenance_plan(**plan_kw)
         # bloom config lands FIRST so any rewrite in the same pass
         # builds the sidecars it just enabled
-        order = {"bloom": 0, "compact_small": 1, "cluster": 2, "zorder": 2}
+        order = {"bloom": 0, "compact_small": 1, "cluster": 2, "zorder": 2,
+                 "bloom_backfill": 3}
         done: dict = {"plan": plan, "results": {}}
         for a in sorted(
             (a for a in plan["actions"] if a["action"] in order),
@@ -2511,6 +2530,14 @@ class TxTable:
                 )
             elif a["action"] == "cluster":
                 done["results"]["cluster"] = self.compact(cluster=True)
+            elif a["action"] == "bloom_backfill":
+                # skip when an earlier action in THIS pass already
+                # rewrote everything (fresh files carry sidecars)
+                m2 = self._manifest()
+                if any("bloom" not in f for f in m2["files"]):
+                    done["results"]["bloom_backfill"] = self.compact(
+                        target_files=max(4, len(m2["files"]) // 2)
+                    )
             else:
                 done["results"]["zorder"] = self.compact(
                     zorder=a["args"]["zorder"]

@@ -467,3 +467,39 @@ def test_property_no_false_negative_over_random_probes(spark, bloomed):
         assert need <= got, (sorted(need - got), probe)
 
     check()
+
+
+def test_native_writer_batches_backfill_via_advisor(spark, tmp_path):
+    """df.write.format('txtable') cannot build sidecars (its commit
+    runs in a sessionless planner worker) — the advisor detects the
+    sidecar-less majority and maintain() backfills with a rewrite;
+    probes are selective afterwards."""
+    from data_warehouse_project_spark.sources.txbatch import (
+        TxBatchDataSource,
+    )
+
+    spark.dataSource.register(TxBatchDataSource)
+    root = str(tmp_path / "t")
+    t = TxTable.create(spark, root, _scattered(spark, n=200, parts=2),
+                       key="k", bloom_cols=["k"])
+    # native batches: land with NO sidecars (honest limit)
+    for e in (5000, 9000, 13000):
+        _scattered(spark, n=400, parts=2, extra=e).write.format(
+            "txtable"
+        ).mode("append").save(root)
+    m = t._manifest()
+    assert sum(1 for f in m["files"] if "bloom" not in f) == 6
+    plan = t.maintenance_plan()
+    acts = {a["action"] for a in plan["actions"]}
+    assert "bloom_backfill" in acts, plan
+    t.maintain(plan)
+    m2 = t._manifest()
+    assert all("bloom" in f for f in m2["files"])
+    # selective again, and exact
+    k = _key_of(9003)
+    assert len(t.files_for_values("k", [k])) < len(m2["files"])
+    assert t.read_for_values("k", [k]).filter(F.col("k") == k).count() == 1
+    # quiet on the next plan
+    assert "bloom_backfill" not in {
+        a["action"] for a in t.maintenance_plan()["actions"]
+    }
