@@ -548,6 +548,13 @@ class TxBatchWriter(DataSourceArrowWriter):
     table, ``key`` and ``statsCols`` (comma-separated) declare the
     layout and the write commits as version 0 (CREATE).
 
+    Honest limit — bloom sidecars: ``commit`` runs in a sessionless
+    planner-side Python worker, so it cannot launch the sidecar build
+    job; natively-written files land WITHOUT bloom filters (correct,
+    just never bloom-pruned). They gain sidecars at their next rewrite
+    — ``maintenance_plan`` reports the sidecar-less count and
+    schedules ``bloom_backfill`` once they are the majority.
+
     CHECK constraints are enforced EXECUTOR-SIDE (r11): every write
     task validates each Arrow batch against the manifest's predicates
     with DuckDB before a byte lands; a violating batch fails the task
