@@ -14,8 +14,8 @@ Spark semantics reproduced here (catalyst XxHash64 / XXH64.java):
   never probes NULL, so this path is unused but kept for fidelity).
 
 Pinned bit-for-bit against ``F.xxhash64`` in
-tests/test_txbatch_bloom.py over negatives, unicode, empty strings and
-the salt-chained second hash.
+tests/test_bloom_skipping.py over negatives, unicode, empty strings
+and the salt-chained second hash.
 """
 
 from __future__ import annotations
@@ -135,3 +135,133 @@ def spark_xxhash64_salted(value, spark_type: str, salt: int) -> int:
     layer's second hash. SIGNED, like Spark's."""
     h = spark_xxhash64_step(value, spark_type, SPARK_SEED)
     return _to_signed(hash_int(salt, h))
+
+
+# ----------------------------------------------------- numpy-vectorized
+# The native writer's write TASKS build bloom sidecars as rows stream
+# through them (sources/txbatch.py) — a sessionless pyarrow context
+# where the scalar twin above would hash one value per Python call.
+# These are the same algorithms lifted onto numpy uint64 arrays
+# (overflow wraps silently, identical to the masked scalar math),
+# pinned bit-for-bit against the scalar twin — and therefore against
+# ``F.xxhash64`` itself — in tests/test_bloom_skipping.py.
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _rotl_np(x, r: int):
+    np = _np()
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _fmix_np(h):
+    np = _np()
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_P2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_P3)
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def hash_long_np(values, seed=SPARK_SEED):
+    """XXH64.hashLong over an int64 array; ``seed`` is a scalar or a
+    broadcastable uint64 array. Returns uint64."""
+    np = _np()
+    v = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)
+    h = np.asarray(seed, dtype=np.uint64) + np.uint64((_P5 + 8) & _M)
+    h = h ^ (_rotl_np(v * np.uint64(_P2), 31) * np.uint64(_P1))
+    h = _rotl_np(h, 27) * np.uint64(_P1) + np.uint64(_P4)
+    return _fmix_np(h)
+
+
+def hash_int_np(patterns, seed=SPARK_SEED):
+    """XXH64.hashInt over 32-bit patterns (uint32 array or scalar —
+    sign-extend short/byte to int32 first); scalar or array seed."""
+    np = _np()
+    v = np.asarray(patterns, dtype=np.uint32).astype(np.uint64)
+    h = np.asarray(seed, dtype=np.uint64) + np.uint64(_P5 + 4)
+    h = h ^ (v * np.uint64(_P1))
+    h = _rotl_np(h, 23) * np.uint64(_P2) + np.uint64(_P3)
+    return _fmix_np(h)
+
+
+def _word_np(mat, off: int, nbytes: int):
+    np = _np()
+    w = np.ascontiguousarray(mat[:, off:off + nbytes])
+    dt = "<u8" if nbytes == 8 else "<u4"
+    return w.view(dt).ravel().astype(np.uint64)
+
+
+def _hash_bytes_fixed_np(mat, seed: int):
+    """XXH64 of n equal-length byte rows (an (n, L) uint8 matrix) —
+    the per-length kernel behind :func:`hash_bytes_np`."""
+    np = _np()
+    n, L = mat.shape
+    p1, p2, p3, p4 = (np.uint64(p) for p in (_P1, _P2, _P3, _P4))
+    off = 0
+    if L >= 32:
+        v1 = np.full(n, (seed + _P1 + _P2) & _M, dtype=np.uint64)
+        v2 = np.full(n, (seed + _P2) & _M, dtype=np.uint64)
+        v3 = np.full(n, seed & _M, dtype=np.uint64)
+        v4 = np.full(n, (seed - _P1) & _M, dtype=np.uint64)
+        while off + 32 <= L:
+            v1 = _rotl_np(v1 + _word_np(mat, off, 8) * p2, 31) * p1
+            v2 = _rotl_np(v2 + _word_np(mat, off + 8, 8) * p2, 31) * p1
+            v3 = _rotl_np(v3 + _word_np(mat, off + 16, 8) * p2, 31) * p1
+            v4 = _rotl_np(v4 + _word_np(mat, off + 24, 8) * p2, 31) * p1
+            off += 32
+        h = (
+            _rotl_np(v1, 1) + _rotl_np(v2, 7)
+            + _rotl_np(v3, 12) + _rotl_np(v4, 18)
+        )
+        for v in (v1, v2, v3, v4):
+            h = h ^ (_rotl_np(v * p2, 31) * p1)
+            h = h * p1 + p4
+    else:
+        h = np.full(n, (seed + _P5) & _M, dtype=np.uint64)
+    h = h + np.uint64(L)
+    while off + 8 <= L:
+        h = h ^ (_rotl_np(_word_np(mat, off, 8) * p2, 31) * p1)
+        h = _rotl_np(h, 27) * p1 + p4
+        off += 8
+    if off + 4 <= L:
+        h = h ^ (_word_np(mat, off, 4) * p1)
+        h = _rotl_np(h, 23) * p2 + p3
+        off += 4
+    while off < L:
+        h = h ^ (mat[:, off].astype(np.uint64) * np.uint64(_P5))
+        h = _rotl_np(h, 11) * p1
+        off += 1
+    return _fmix_np(h)
+
+
+def hash_bytes_np(data, starts, lengths, seed=SPARK_SEED):
+    """XXH64 of n variable-length byte slices
+    ``data[starts[i] : starts[i] + lengths[i]]`` (``data`` a flat uint8
+    array — e.g. an Arrow string array's value buffer with its offsets,
+    zero Python work per value). Vectorized by grouping equal lengths:
+    each distinct length gathers its rows into one (n_g, L) matrix and
+    runs the fixed-length kernel once — UTF-8 corpora concentrate on
+    few distinct lengths, so the group count stays tiny. Returns
+    uint64, row-aligned with ``starts``."""
+    np = _np()
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    out = np.zeros(len(starts), dtype=np.uint64)
+    for L in np.unique(lengths):
+        idx = np.nonzero(lengths == L)[0]
+        if L == 0:
+            mat = np.zeros((len(idx), 0), dtype=np.uint8)
+        else:
+            mat = data[
+                starts[idx][:, None]
+                + np.arange(int(L), dtype=np.int64)[None, :]
+            ]
+        out[idx] = _hash_bytes_fixed_np(mat, seed)
+    return out

@@ -102,12 +102,15 @@ from pyspark.sql.types import StructType
 
 from data_warehouse_project_spark.sources.txcdf import _dv_positions
 from data_warehouse_project_spark.sources.txtable import (
+    BLOOMS_DIR,
     DATA_DIR,
     TXLOG_DIR,
     TxConflictError,
     TxError,
     TxTable,
     TxVacuumedError,
+    _BLOOM_SALT,
+    _bloom_positions,
     _footer_nulls,
     _footer_range,
     _mname,
@@ -333,6 +336,12 @@ class TxBatchReader(DataSourceReader):
     #: going to be a point lookup anyway
     BLOOM_PROBE_MAX_FILES = 4096
 
+    #: skip probing a pushed IN larger than this (mirrors
+    #: TxTable.BLOOM_PROBE_MAX_KEYS): every value is hashed with the
+    #: pure-Python xxh64 twin on the driver at PLANNING time, and an
+    #: IN that wide isn't a point lookup anyway
+    BLOOM_PROBE_MAX_KEYS = 1024
+
     def _bloom_filter_files(self, files: list[dict]) -> list[dict]:
         """Drop files whose bloom sidecar PROVES a pushed equality/IN
         can't match. Runs at PLANNING time on the driver — no Spark
@@ -366,7 +375,11 @@ class TxBatchReader(DataSourceReader):
                 probes.append((col, [flt.value]))
             elif isinstance(flt, In):
                 vals = [v for v in flt.value if v is not None]
-                if vals and len(vals) == len(list(flt.value)):
+                if (
+                    vals
+                    and len(vals) == len(list(flt.value))
+                    and len(vals) <= self.BLOOM_PROBE_MAX_KEYS
+                ):
                     probes.append((col, vals))
         if not probes:
             return files
@@ -383,6 +396,25 @@ class TxBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         assert _BLOOM_SPACE  # shared position space with the builders
+        # hash once per probe, not per (probe, file): the value hashes
+        # are probe-invariant; only the (k, m)-dependent positions vary
+        hashed: list[tuple[str, "np.ndarray", "np.ndarray"]] = [
+            (
+                col,
+                np.array(
+                    [spark_xxhash64(v, types[col]) for v in vals],
+                    dtype=np.int64,
+                ),
+                np.array(
+                    [
+                        spark_xxhash64_salted(v, types[col], _BLOOM_SALT)
+                        for v in vals
+                    ],
+                    dtype=np.int64,
+                ),
+            )
+            for col, vals in probes
+        ]
         rows_cache: dict[str, dict] = {}
 
         def sidecar_rows(dname: str) -> dict:
@@ -401,23 +433,12 @@ class TxBatchReader(DataSourceReader):
                 out.append(f)
                 continue
             keep = True
-            for col, vals in probes:
+            for col, h1, h2 in hashed:
                 row = sidecar_rows(f["bloom"]).get(
                     (os.path.basename(f["path"]), col)
                 )
                 if row is None:
                     continue  # no sidecar row for this column: unknown
-                h1 = np.array(
-                    [spark_xxhash64(v, types[col]) for v in vals],
-                    dtype=np.int64,
-                )
-                h2 = np.array(
-                    [
-                        spark_xxhash64_salted(v, types[col], _BLOOM_SALT)
-                        for v in vals
-                    ],
-                    dtype=np.int64,
-                )
                 pos = _bloom_positions(h1, h2, int(row["k"]), int(row["m"]))
                 arr = np.frombuffer(row["bits"], dtype=np.uint8)
                 if not ((arr[pos >> 3] >> (pos & 7)) & 1).all(axis=1).any():
@@ -526,6 +547,143 @@ def _schema_types(schema_json: str) -> dict:
     }
 
 
+#: bloom-probed type whitelist — must stay equal to the probe sides'
+#: (TxBatchPruningReader._bloom_filter_files, TxTable._bloom_prune)
+_BLOOM_TYPES = ("long", "integer", "short", "byte", "string")
+
+
+class _TaskBlooms:
+    """Write-TASK-side bloom sidecar builder: folds every Arrow batch's
+    per-column ``xxhash64`` values as they stream through
+    :meth:`TxBatchWriter.write` — no Spark job, no second read of the
+    file. Only the FIRST hash is stored per value (8 bytes): the salted
+    second hash chains off it (``h2 = hashInt(salt, seed=h1)``), so it
+    is derived in one vectorized pass at finalize time. Hashing is the
+    numpy-vectorized Spark-exact XXH64 (functions/xxh64.py), with Arrow
+    string buffers hashed straight from their offsets — zero Python
+    work per value. A column with no non-null values still lands a row
+    with an all-zero bitmap: that PROVES absence (probes never probe
+    NULL), strictly better than the conservative missing-row keep."""
+
+    def __init__(self, cfg: dict, schema_json: str):
+        self.cfg = cfg
+        self.types = _schema_types(schema_json)
+        self.h1: dict[str, list] = {c: [] for c in cfg["cols"]}
+
+    def update(self, batch) -> None:
+        import numpy as np
+        import pyarrow as pa
+
+        from data_warehouse_project_spark.functions.xxh64 import (
+            hash_bytes_np,
+            hash_long_np,
+            hash_int_np,
+        )
+
+        for c in self.cfg["cols"]:
+            idx = batch.schema.get_field_index(c)
+            if idx < 0:
+                continue
+            arr = batch.column(idx)
+            if arr.null_count:
+                arr = arr.drop_null()
+            if len(arr) == 0:
+                continue
+            t = self.types[c]
+            if t == "long":
+                h = hash_long_np(
+                    np.asarray(arr.to_numpy(zero_copy_only=False),
+                               dtype=np.int64)
+                )
+            elif t in ("integer", "short", "byte"):
+                pats = (
+                    np.asarray(arr.to_numpy(zero_copy_only=False))
+                    .astype(np.int32)   # sign-extend to the 32-bit pattern
+                    .astype(np.uint32)
+                )
+                h = hash_int_np(pats)
+            else:  # string
+                if not (
+                    pa.types.is_string(arr.type)
+                    or pa.types.is_large_string(arr.type)
+                ):
+                    arr = arr.cast(pa.large_string())
+                odt = (
+                    np.int64
+                    if pa.types.is_large_string(arr.type)
+                    else np.int32
+                )
+                bufs = arr.buffers()
+                offsets = np.frombuffer(bufs[1], dtype=odt)[
+                    arr.offset : arr.offset + len(arr) + 1
+                ].astype(np.int64)
+                data = (
+                    np.frombuffer(bufs[2], dtype=np.uint8)
+                    if bufs[2] is not None
+                    else np.zeros(0, dtype=np.uint8)
+                )
+                h = hash_bytes_np(data, offsets[:-1], np.diff(offsets))
+            self.h1[c].append(h)
+
+    def land(self, root: Path, dname: str, fname: str) -> None:
+        """Write this task's (file, column) bitmap rows as one parquet
+        part under the job's shared sidecar dir — the same physical
+        layout (and exact bit positions) as the Spark-built sidecars,
+        so the probe sides need no new code path."""
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_warehouse_project_spark.functions.xxh64 import hash_int_np
+
+        bpk = int(self.cfg["bits_per_key"])
+        k = int(self.cfg["k"])
+        max_m = int(self.cfg["max_m_bits"])
+        salt = np.uint32(_BLOOM_SALT & 0xFFFFFFFF)
+        rows = {"f": [], "c": [], "m": [], "k": [], "bits": []}
+        for c in self.cfg["cols"]:
+            parts = self.h1[c]
+            h1 = (
+                np.concatenate(parts)
+                if parts
+                else np.zeros(0, dtype=np.uint64)
+            )
+            n = max(1, len(h1))
+            m_bits = 1 << max(10, int(np.ceil(np.log2(n * bpk))))
+            m_bits = min(m_bits, max_m)
+            buf = np.zeros(m_bits >> 3, dtype=np.uint8)
+            if len(h1):
+                h2 = hash_int_np(salt, h1)
+                pos = _bloom_positions(
+                    h1.view(np.int64), h2.view(np.int64), k, m_bits
+                ).ravel()
+                np.bitwise_or.at(
+                    buf, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+            rows["f"].append(fname)
+            rows["c"].append(c)
+            rows["m"].append(int(m_bits))
+            rows["k"].append(int(k))
+            rows["bits"].append(buf.tobytes())
+        d = root / dname
+        d.mkdir(parents=True, exist_ok=True)
+        t = pa.table(
+            rows,
+            schema=pa.schema(
+                [
+                    ("f", pa.string()),
+                    ("c", pa.string()),
+                    ("m", pa.int64()),
+                    ("k", pa.int64()),
+                    ("bits", pa.binary()),
+                ]
+            ),
+        )
+        pq.write_table(t, str(d / f"part-{uuid.uuid4().hex}.parquet"))
+
+
 class TxBatchWriter(DataSourceArrowWriter):
     """The write half of ``format("txtable")`` — Delta-shaped batch
     writes from plain ``df.write``:
@@ -548,12 +706,18 @@ class TxBatchWriter(DataSourceArrowWriter):
     table, ``key`` and ``statsCols`` (comma-separated) declare the
     layout and the write commits as version 0 (CREATE).
 
-    Honest limit — bloom sidecars: ``commit`` runs in a sessionless
-    planner-side Python worker, so it cannot launch the sidecar build
-    job; natively-written files land WITHOUT bloom filters (correct,
-    just never bloom-pruned). They gain sidecars at their next rewrite
-    — ``maintenance_plan`` reports the sidecar-less count and
-    schedules ``bloom_backfill`` once they are the majority.
+    Bloom sidecars are built IN the write tasks (r12): when the table
+    has a bloom config at plan time, every task folds its batches'
+    per-column ``xxhash64`` values (numpy-vectorized Spark-exact twin,
+    functions/xxh64.py) into per-(file, column) bitmaps and lands them
+    as parquet parts under one job-shared sidecar dir; the manifest
+    entries reference it, so natively-written files bloom-prune
+    IMMEDIATELY — no ``maintain()``/``bloom_backfill`` pass needed
+    (the advisor backfill remains for files written before bloom was
+    enabled, or under a config that appeared between plan and commit).
+    A fenced replay or abort removes the job's sidecar dir with its
+    data files; any part a failed task leaves behind is unreferenced
+    and reaped by ``vacuum`` like other orphans.
 
     CHECK constraints are enforced EXECUTOR-SIDE (r11): every write
     task validates each Arrow batch against the manifest's predicates
@@ -649,6 +813,29 @@ class TxBatchWriter(DataSourceArrowWriter):
                 )
             self.key = m["key"]
             self.stats_cols = m.get("stats_cols") or []
+        # bloom sidecar plan: resolved ONCE here (driver/plan side) and
+        # pickled to every task, so all tasks share one sidecar dir and
+        # a config change mid-job can't split the batch. A config that
+        # appears AFTER planning simply means these files wait for the
+        # advisor backfill — conservative, never wrong.
+        self.bloom_cfg = None
+        self.bloom_dname = None
+        side = self.root / "_bloom.json"
+        if not self.creating and side.is_file():
+            with open(side) as fh:
+                cfg = json.load(fh)
+            types = _schema_types(self.schema_json)
+            cols = [
+                c for c in cfg.get("cols", [])
+                if types.get(c) in _BLOOM_TYPES
+            ]
+            if cols:
+                import uuid as _uuid
+
+                self.bloom_cfg = {**cfg, "cols": cols}
+                self.bloom_dname = (
+                    f"{BLOOMS_DIR}/{_uuid.uuid4().hex[:12]}"
+                )
 
     # ------------------------------------------------------ executors
 
@@ -711,6 +898,11 @@ class TxBatchWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
 
         path = self.root / DATA_DIR / f"{uuid.uuid4().hex}.parquet"
+        blooms = (
+            _TaskBlooms(self.bloom_cfg, self.schema_json)
+            if self.bloom_cfg
+            else None
+        )
         writer = None
         try:
             for batch in iterator:
@@ -718,6 +910,8 @@ class TxBatchWriter(DataSourceArrowWriter):
                 if writer is None:
                     writer = pq.ParquetWriter(str(path), batch.schema)
                 writer.write_batch(batch)
+                if blooms is not None:
+                    blooms.update(batch)
         except TxError:
             if writer is not None:
                 writer.close()
@@ -751,6 +945,9 @@ class TxBatchWriter(DataSourceArrowWriter):
                 cs[c] = [r[0], r[1]]
         if cs:
             entry["cs"] = cs
+        if blooms is not None:
+            blooms.land(self.root, self.bloom_dname, path.name)
+            entry["bloom"] = self.bloom_dname
         return TxWriteCommit(str(path), entry)
 
     # --------------------------------------------------------- driver
@@ -815,7 +1012,26 @@ class TxBatchWriter(DataSourceArrowWriter):
                         os.unlink(m.path)
                     except FileNotFoundError:
                         pass
+            self._drop_bloom_dirs(messages)
         return r
+
+    def _drop_bloom_dirs(self, messages) -> None:
+        """Remove the job's sidecar dir(s) when its data files are
+        being discarded (fenced replay / abort). Dir names come from
+        the messages' entries — the streaming path re-instantiates the
+        writer for the commit phase, so ``self.bloom_dname`` there is a
+        fresh unused name, not the one the tasks wrote under."""
+        import shutil
+
+        dirs = {
+            m.entry["bloom"]
+            for m in messages
+            if m is not None and m.entry and "bloom" in m.entry
+        }
+        if self.bloom_dname:
+            dirs.add(self.bloom_dname)
+        for d in dirs:
+            shutil.rmtree(self.root / d, ignore_errors=True)
 
     def commit(self, messages):
         self._land(messages, self.txn)
@@ -827,6 +1043,7 @@ class TxBatchWriter(DataSourceArrowWriter):
                     os.unlink(m.path)
                 except FileNotFoundError:
                     pass
+        self._drop_bloom_dirs(messages)
         if self.creating:
             # no manifest ever landed: remove the husk so TxTable.create
             # / a retried write can claim the path again

@@ -493,8 +493,15 @@ class AggRouter:
             raise TxError(f"measure name(s) collide with group cols: {clash}")
         reasons: list[str] = []
         cands: list[tuple[_Adapted, dict]] = []
+        # normalize before comparing: a trailing slash, relative path,
+        # or Path-vs-str mismatch must not silently exclude candidates
+        want_root = (
+            str(Path(base_root).resolve()) if base_root is not None else None
+        )
         for a in self._views:
-            if base_root is not None and str(base_root) != a.bases[0]:
+            if want_root is not None and want_root != str(
+                Path(a.bases[0]).resolve()
+            ):
                 reasons.append(f"{a.name}: different base table")
                 continue
             mapping, why = self._match(a, gcols, qm, where)
@@ -506,6 +513,16 @@ class AggRouter:
                 if max(lag.values()) > max_lag:
                     if refresh_stale:
                         a.view.refresh(mode="auto")
+                        # re-check: a base committing concurrently (or
+                        # an auto-refresh that skipped) must not pass
+                        # the freshness gate on faith
+                        lag = a.lag()
+                        if max(lag.values()) > max_lag:
+                            reasons.append(
+                                f"{a.name}: still stale by {lag} after "
+                                f"refresh (max_lag={max_lag})"
+                            )
+                            continue
                     else:
                         reasons.append(
                             f"{a.name}: stale by {lag} versions "
@@ -519,18 +536,34 @@ class AggRouter:
                 f"{ {n: (m['fn'], m['expr']) for n, m in qm.items()} }",
                 reasons,
             )
-        # cheapest = fewest materialized view rows (manifest metadata,
-        # zero Spark jobs) — the classic aggregate-navigator choice
-        a, mapping = min(
-            cands, key=lambda c: c[0].view.table.row_count()
-        )
-        decision = {
-            "view": str(a.view.root),
-            "kind": a.kind,
-            "exact_grain": set(gcols) == set(a.gcols),
-            "measure_map": mapping,
-            "applied_versions": tuple(a.applied()),
-            "lag": a.lag(),
-            "view_rows": a.view.table.row_count(),
-        }
-        return self._plan(a, gcols, qm, mapping, where), decision
+        # cheapest first = fewest materialized view rows (manifest
+        # metadata, zero Spark jobs) — the classic aggregate-navigator
+        # choice. A candidate whose distinct support lost its matching
+        # snapshot between _match and _plan (concurrent refresh +
+        # vacuum) falls through to the next cheapest match instead of
+        # failing the whole route.
+        cands.sort(key=lambda c: c[0].view.table.row_count())
+        torn: NoRouteError | None = None
+        for a, mapping in cands:
+            try:
+                plan = self._plan(a, gcols, qm, mapping, where)
+            except NoRouteError as exc:
+                reasons.extend(exc.reasons)
+                torn = exc
+                continue
+            decision = {
+                "view": str(a.view.root),
+                "kind": a.kind,
+                "exact_grain": set(gcols) == set(a.gcols),
+                "measure_map": mapping,
+                "applied_versions": tuple(a.applied()),
+                "lag": a.lag(),
+                "view_rows": a.view.table.row_count(),
+            }
+            return plan, decision
+        raise NoRouteError(
+            "every matching view lost its distinct-support snapshot "
+            "mid-route (concurrent refresh + vacuum) — retry, or "
+            "refresh() first",
+            reasons,
+        ) from torn

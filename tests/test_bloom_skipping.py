@@ -469,11 +469,12 @@ def test_property_no_false_negative_over_random_probes(spark, bloomed):
     check()
 
 
-def test_native_writer_batches_backfill_via_advisor(spark, tmp_path):
-    """df.write.format('txtable') cannot build sidecars (its commit
-    runs in a sessionless planner worker) — the advisor detects the
-    sidecar-less majority and maintain() backfills with a rewrite;
-    probes are selective afterwards."""
+def test_pre_bloom_native_batches_backfill_via_advisor(spark, tmp_path):
+    """Files natively written BEFORE bloom was enabled have no
+    sidecars; the advisor detects the sidecar-less majority and
+    maintain() backfills with a rewrite; probes are selective
+    afterwards. (Writes AFTER enable_bloom build sidecars in their
+    write tasks — test_native_writer_builds_sidecars_at_write_time.)"""
     from data_warehouse_project_spark.sources.txbatch import (
         TxBatchDataSource,
     )
@@ -481,14 +482,15 @@ def test_native_writer_batches_backfill_via_advisor(spark, tmp_path):
     spark.dataSource.register(TxBatchDataSource)
     root = str(tmp_path / "t")
     t = TxTable.create(spark, root, _scattered(spark, n=200, parts=2),
-                       key="k", bloom_cols=["k"])
-    # native batches: land with NO sidecars (honest limit)
+                       key="k")
+    # native batches land while bloom is OFF: no sidecars
     for e in (5000, 9000, 13000):
         _scattered(spark, n=400, parts=2, extra=e).write.format(
             "txtable"
         ).mode("append").save(root)
+    t.enable_bloom(["k"])
     m = t._manifest()
-    assert sum(1 for f in m["files"] if "bloom" not in f) == 6
+    assert sum(1 for f in m["files"] if "bloom" not in f) == 8
     plan = t.maintenance_plan()
     acts = {a["action"] for a in plan["actions"]}
     assert "bloom_backfill" in acts, plan
@@ -503,3 +505,151 @@ def test_native_writer_batches_backfill_via_advisor(spark, tmp_path):
     assert "bloom_backfill" not in {
         a["action"] for a in t.maintenance_plan()["actions"]
     }
+
+
+def test_native_writer_builds_sidecars_at_write_time(spark, tmp_path):
+    """df.write.format('txtable') into a bloom-enabled table lands
+    per-(file, column) sidecars from its own write tasks — probing
+    works with NO maintain() pass, for long AND string columns, and a
+    fenced txn replay removes the replay's sidecar dir."""
+    import os
+
+    from data_warehouse_project_spark.sources.txbatch import (
+        TxBatchDataSource,
+        TxBatchPruningReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    spark.dataSource.register(TxBatchDataSource)
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _scattered(spark, n=200, parts=2), key="k",
+        bloom_cols=["k", "tag"],
+    )
+    for e in (5000, 9000):
+        _scattered(spark, n=400, parts=2, extra=e).write.format(
+            "txtable"
+        ).mode("append").save(root)
+    m = t._manifest()
+    assert all("bloom" in f for f in m["files"]), "write-time sidecars"
+    # long probe: exact, selective, no maintain() ran
+    k = _key_of(9003)
+    assert len(t.files_for_values("k", [k])) < len(m["files"])
+    assert t.read_for_values("k", [k]).filter(F.col("k") == k).count() == 1
+    # string probe: absent tag prunes natively-written files too
+    assert len(t.files_for_values("tag", ["no-such-tag"])) == 0
+    # native pruning reader agrees
+    r = TxBatchPruningReader({"path": root})
+    r.pushFilters([EqualTo(("k",), k)])
+    assert len(r.partitions()) < len(m["files"])
+    # fenced replay: second commit skips AND removes its sidecar dir
+    before = set(os.listdir(tmp_path / "t" / "blooms"))
+    df = _scattered(spark, n=100, parts=1, extra=20000)
+    for _ in range(2):
+        df.write.format("txtable").option("txnAppId", "app").option(
+            "txnVersion", "7"
+        ).mode("append").save(root)
+    after = set(os.listdir(tmp_path / "t" / "blooms"))
+    assert len(after) - len(before) == 1, (before, after)
+    # no false negatives across every key ever written
+    rows = t.read().count()
+    assert rows == 200 + 800 + 100
+
+
+def test_native_writer_all_null_bloom_column_proves_absence(spark, tmp_path):
+    """A natively-written file whose bloom column is entirely NULL
+    lands an all-zero bitmap — probes PRUNE it (provably no non-null
+    value), while NULL-probe reads still find the rows (blooms encode
+    non-null values only; the NULL union keeps the file)."""
+    from data_warehouse_project_spark.sources.txbatch import (
+        TxBatchDataSource,
+    )
+
+    spark.dataSource.register(TxBatchDataSource)
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, _scattered(spark, n=100, parts=1), key="k",
+        bloom_cols=["k", "tag"],
+    )
+    nulls = _scattered(spark, n=100, parts=1, extra=3000).withColumn(
+        "tag", F.lit(None).cast("string")
+    )
+    nulls.write.format("txtable").mode("append").save(root)
+    m = t._manifest()
+    assert all("bloom" in f for f in m["files"])
+    # a tag value that exists only in the FIRST file: the all-null
+    # file is pruned by its empty bitmap
+    kept = t.files_for_values("tag", ["tag-1"])
+    assert len(kept) == 1
+    # NULL lookups still see the all-null file's rows
+    assert t.read().filter(F.col("tag").isNull()).count() == 100
+
+
+def test_vectorized_xxh64_matches_scalar_twin():
+    """The numpy-vectorized XXH64 used by the native writer's tasks is
+    bit-for-bit the scalar twin (itself pinned against F.xxhash64
+    below) — longs, 32-bit patterns with array seeds (the salted
+    second hash), and byte streams across every length class."""
+    import random
+
+    import numpy as np
+
+    from data_warehouse_project_spark.functions import xxh64 as x
+
+    rng = random.Random(1234)
+    longs = [rng.randint(-(2**63), 2**63 - 1) for _ in range(500)] + [
+        0, -1, 1, 2**63 - 1, -(2**63)
+    ]
+    got = x.hash_long_np(np.array(longs, dtype=np.int64), 42)
+    assert all(
+        int(g) == x.hash_long(v, 42) for g, v in zip(got, longs)
+    )
+    pats = np.array(
+        [rng.randint(0, 2**32 - 1) for _ in range(500)], dtype=np.uint32
+    )
+    seeds = got[:500]
+    got2 = x.hash_int_np(pats, seeds)
+    assert all(
+        int(g) == x.hash_int(int(p), int(s))
+        for g, p, s in zip(got2, pats, seeds)
+    )
+    blobs = [
+        bytes(rng.randrange(256) for _ in range(L))
+        for L in list(range(0, 70)) * 4
+    ] + ["héllo wörld — ünïcode".encode("utf-8"), b""]
+    rng.shuffle(blobs)
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    starts, lengths, o = [], [], 0
+    for b in blobs:
+        starts.append(o)
+        lengths.append(len(b))
+        o += len(b)
+    got3 = x.hash_bytes_np(data, starts, lengths, 42)
+    assert all(
+        int(g) == x.hash_bytes(b, 42) for g, b in zip(got3, blobs)
+    )
+
+
+def test_oversized_in_list_bypasses_bloom_planning(spark, tmp_path):
+    """A pushed IN wider than BLOOM_PROBE_MAX_KEYS must skip bloom
+    probing (every value would be hashed with driver-side pure-Python
+    xxh64 at PLANNING time) — all stats-surviving files are kept."""
+    from data_warehouse_project_spark.sources.txbatch import (
+        TxBatchPruningReader,
+    )
+    from pyspark.sql.datasource import In
+
+    root = str(tmp_path / "t")
+    TxTable.create(
+        spark, root, _scattered(spark), key="k", bloom_cols=["k"]
+    )
+    # in-range but absent: stats keep everything, only blooms prune
+    absent = tuple(_key_of(i) + 1 for i in range(20, 28))
+    r = TxBatchPruningReader({"path": root})
+    r.pushFilters([In(("k",), absent)])
+    pruned = len(r.partitions())
+    assert pruned < FILES  # blooms pruned (fpp slack allowed)
+    r2 = TxBatchPruningReader({"path": root})
+    r2.BLOOM_PROBE_MAX_KEYS = 4  # now the same IN is "oversized"
+    r2.pushFilters([In(("k",), absent)])
+    assert len(r2.partitions()) == FILES  # bloom stepped aside

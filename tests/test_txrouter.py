@@ -507,3 +507,83 @@ def test_rebuilt_support_never_masquerades_as_create_state(spark, tmp_path):
     # the CREATE-version view must NOT match the rebuilt v0 (its state
     # is newer than the create cursor) — refuse rather than lie
     assert a.support_at("uq", v0) is None
+
+
+def test_torn_support_falls_back_to_next_cheapest(spark, tmp_path):
+    """route(): a candidate whose distinct support loses its matching
+    snapshot between _match and _plan (concurrent refresh + vacuum)
+    must FALL BACK to the next cheapest matching view, not fail the
+    whole route; only when every match is torn does NoRouteError
+    surface."""
+    f = spark.range(0, 400, 1, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("fk"),
+        ((F.col("id") * 13) % 90).alias("amt"),
+        (F.col("id") % 19).alias("who"),
+    )
+    d = spark.range(0, 7).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("a"), F.col("id") % 2).alias("a"),
+        F.concat(F.lit("b"), F.col("id") % 3).alias("b"),
+    )
+    fact = TxTable.create(spark, tmp_path / "f", f, key="k")
+    dim = TxTable.create(spark, tmp_path / "d", d, key="dk")
+    mk = lambda p: TxJoinAggView.create(
+        spark, tmp_path / p, fact, dim, fk="fk",
+        group_expr=["a", "b"], group_col=["a", "b"],
+        measures={"uq": ("distinct", "who")},
+    )
+    v1, v2 = mk("v1"), mk("v2")
+    router = AggRouter(spark).register(v1).register(v2)
+    cheap = min(router._views, key=lambda a: a.view.table.row_count())
+    other = [a for a in router._views if a is not cheap][0]
+    # tear only the cheapest candidate's support resolution
+    cheap.support_at = lambda *a, **k: None
+    got, how = router.route(["a"], {"uq": ("distinct", "who")})
+    assert how["view"] == str(other.view.root)
+    want = (
+        fact.read().join(dim.read(), F.col("fk") == F.col("dk"))
+        .groupBy("a").agg(F.count_distinct("who").alias("uq"))
+    )
+    assert _rows(got, "a") == _rows(want, "a")
+    # both torn: the route finally fails, naming the torn-support cause
+    other.support_at = lambda *a, **k: None
+    with pytest.raises(NoRouteError, match="lost its distinct-support"):
+        router.route(["a"], {"uq": ("distinct", "who")})
+
+
+def test_refresh_stale_rechecks_lag_after_refresh(spark, tmp_path, monkeypatch):
+    """route(refresh_stale=True) must re-verify lag <= max_lag AFTER
+    the refresh: an auto-refresh that skips (or a base committing
+    concurrently) may leave the candidate still stale — refuse it
+    rather than passing the freshness gate on faith."""
+    df = spark.range(0, 100, 1, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 9).alias("amt"),
+    )
+    base = TxTable.create(spark, tmp_path / "t", df, key="k")
+    view = TxAggView.create(
+        spark, tmp_path / "v", base, group_col="g",
+        measures={"rev": "amt"},
+    )
+    base.append(df.select((F.col("k") + 500).alias("k"), "g", "amt"))
+    router = AggRouter(spark).register(view)
+    monkeypatch.setattr(
+        TxAggView, "refresh", lambda self, mode="auto": None
+    )
+    with pytest.raises(NoRouteError, match="still stale"):
+        router.route(
+            ["g"], {"rev": "amt"}, max_lag=0, refresh_stale=True
+        )
+
+
+def test_base_root_matches_up_to_path_normalization(star, router):
+    """base_root is compared path-normalized: trailing slashes and
+    Path-vs-str spellings must not silently exclude candidates."""
+    from pathlib import Path as _P
+
+    root = str(star["fact"].root)
+    for spelling in (root + "/", _P(root), root + "/./"):
+        _, how = router.route(["seg"], {"rev": "amt"}, base_root=spelling)
+        assert how["view"].endswith("coarse"), spelling
