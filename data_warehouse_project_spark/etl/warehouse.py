@@ -312,6 +312,145 @@ class Warehouse:
                 out[f"global_temp.{gname}"] = "gold_global_view"
         return out
 
+    # -- persistent tx/gold publish ---------------------------------------
+
+    def catalog_publish(
+        self, database: str = "wh", location: str | None = None
+    ) -> dict[str, str]:
+        """Close the tx-catalog persistence gap: materialize every
+        TRANSACTIONAL table's CURRENT snapshot — and every gold view's
+        LOGICAL projection — as a plain-parquet directory under
+        ``<root>/_published`` and register each as a persistent
+        EXTERNAL metastore table, so a brand-new SparkSession (or any
+        other parquet reader: DuckDB, Trino, a BI tool — the
+        reference's Power BI reads ``bl_dm.*`` straight off the
+        catalog, readme.md:360-366) queries ``<database>.<layer>_<name>``
+        and ``<database>.gold_<name>`` with NO bootstrap call.
+
+        This is Delta's symlink-manifest publish pattern adapted to a
+        local/posix filesystem: live snapshot files HARDLINK into a
+        per-version publish dir (zero bytes copied; the link keeps the
+        data alive even if ``vacuum`` later unlinks the original),
+        files carrying deletion vectors are materialized through one
+        Spark job, and the version dir swaps in atomically before the
+        catalog pointer moves. The published surface is a PINNED
+        snapshot — re-run after refreshes/loads (the same contract as
+        Delta's ``GENERATE symlink_format_manifest``); the previous
+        version dir is retained for readers mid-query and older ones
+        are reaped.
+
+        Plain tables and the session-scoped live views are registered
+        on the way (``register_catalog``) — one call yields the full
+        surface. Returns {qualified name: kind}."""
+        out = self.register_catalog(database, location)
+        pub_root = self.root / "_published"
+        names: list[tuple[str, object, object]] = []  # (sql name, TxTable, view|None)
+        for layer, name in self.tables():
+            if self.is_tx(layer, name):
+                names.append((f"{layer}_{name}", self.tx(layer, name), None))
+        gold = self.root / "gold_views"
+        if gold.is_dir():
+            from data_warehouse_project_spark.sources.txjoinview import (
+                TxJoinAggView,
+            )
+            from data_warehouse_project_spark.sources.txview import TxAggView
+
+            for p in sorted(gold.iterdir()):
+                view = None
+                for cls in (TxAggView, TxJoinAggView):
+                    try:
+                        view = cls(self.spark, p)
+                        break
+                    except Exception:
+                        continue
+                if view is not None:
+                    names.append((f"gold_{p.name}", None, view))
+        for sql_name, t, view in names:
+            dest = pub_root / sql_name
+            if t is not None:
+                vdir, ddl = self._publish_tx_snapshot(t, dest)
+            else:
+                vdir, ddl = self._publish_gold_snapshot(view, dest)
+            tbl = f"{database}.{sql_name}"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"LOCATION '{vdir}'"
+            )
+            out[tbl] = "published_parquet"
+            # reap all but the current and previous published versions
+            kept = sorted(
+                (d for d in dest.iterdir() if d.name.startswith("v")),
+                key=lambda d: d.name,
+            )
+            for old in kept[:-2]:
+                shutil.rmtree(old, ignore_errors=True)
+        return out
+
+    @staticmethod
+    def _ddl_of(schema: T.StructType) -> str:
+        return ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+
+    def _publish_tx_snapshot(self, t, dest: Path) -> tuple[Path, str]:
+        """One tx table's current snapshot into ``dest/v<version>`` —
+        idempotent (an existing version dir is reused as-is)."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        v = t.latest_version()
+        vdir = dest / f"v{v:020d}"
+        m = t._manifest(v)
+        schema = StructType.fromJson(_json.loads(m["schema"]))
+        if vdir.is_dir():
+            return vdir, self._ddl_of(schema)
+        tmp = dest / f".tmp-{uuid.uuid4().hex}"
+        tmp.mkdir(parents=True)
+        dv_paths = [f["path"] for f in m["files"] if "dv" in f]
+        for f in m["files"]:
+            if "dv" in f:
+                continue
+            src = t.root / f["path"]
+            link = tmp / os.path.basename(f["path"])
+            try:
+                os.link(src, link)
+            except OSError:
+                shutil.copy2(src, link)  # cross-device fallback
+        if dv_paths:
+            # one job materializes every DV-carrying file (merge-on-read
+            # applied), then its parts move up flat into the version dir
+            stage = tmp / ".mat"
+            t._read_files(m, dv_paths).write.parquet(str(stage))
+            for p in stage.iterdir():
+                if p.suffix == ".parquet":
+                    os.replace(p, tmp / f"mat-{p.name.lstrip('.')}")
+            shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.replace(tmp, vdir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent publisher won
+        return vdir, self._ddl_of(schema)
+
+    def _publish_gold_snapshot(self, view, dest: Path) -> tuple[Path, str]:
+        """A gold view's LOGICAL projection (measure names, SQL
+        aggregate semantics) materialized at its current table version
+        — aggregate-scale rows, one small write."""
+        v = view.table.latest_version()
+        vdir = dest / f"v{v:020d}"
+        df = view.read(v)
+        if vdir.is_dir():
+            return vdir, self._ddl_of(df.schema)
+        dest.mkdir(parents=True, exist_ok=True)
+        tmp = dest / f".tmp-{uuid.uuid4().hex}"
+        df.write.parquet(str(tmp))
+        try:
+            os.replace(tmp, vdir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent publisher won
+        return vdir, self._ddl_of(df.schema)
+
     def _gold_snapshot_version(self, view, pin_map: dict | None) -> int | None:
         """Newest version of a gold view table whose applied
         base-version vector is <= the catalog pins for EVERY base —

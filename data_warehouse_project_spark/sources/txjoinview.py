@@ -68,17 +68,20 @@ group.
 
 Measures: SUM / COUNT / AVG (self-maintainable — the view stores
 per-measure running sum + non-null count, so SQL NULL semantics are
-exact) plus MIN / MAX with the standard delete-repair: inserts fold
+exact) plus MIN / MAX with per-file delete-repair (r12): inserts fold
 (least/greatest), but a negative contribution at or past a group's
 stored extremum — a fact delete, OR a dim change moving rows out of
-the group — dirties it, and dirty groups recompute from the CURRENT
-joined bases, restricted to exactly those groups (each dim scan
-filtered to the dirty groups' rows, fact read pruned to their keys).
-Repair cost is O(dims + dirty groups' fact rows), never O(fact).
+the group — dirties it, and dirty groups re-aggregate their PER-FILE
+partials from the ``_fparts`` support table (one row per live fact
+file and group, maintained from the fact manifest diff plus the fact
+files holding churned dim keys). Repair cost is O(dirty groups'
+support rows) — file-count scale — with the support maintenance
+itself O(affected files ⋈ dims), never O(dirty groups' fact rows).
 APPROX_DISTINCT maintains a per-group HyperLogLog sketch like
 ``TxAggView``: inserts fold (HLL union), any deleted non-null value
-rides the same repair path, and ``read()`` keeps COUNT(DISTINCT)
-surface semantics.
+repairs as the register-wise union of the group's per-file sketches
+(identical to a direct sketch of its rows), and ``read()`` keeps
+COUNT(DISTINCT) surface semantics.
 
 DISTINCT (r11) is the EXACT twin without the delete tax — the
 dual-level aggregation of the IVM literature (Gupta & Mumick 1995 §4:
@@ -128,7 +131,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .txtable import TXLOG_DIR, TxError, TxTable
+from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable
 from .txview import (
     _N,
     _hist_cells,
@@ -387,7 +390,10 @@ class TxJoinAggView:
                     cls._support_full(spec, fact_df, dim_dfs, n),
                     key=key,
                 )
-        return cls(spark, root)
+        view = cls(spark, root)
+        if view._use_fparts():
+            view._fparts(at=versions)  # per-file repair partials
+        return view
 
     # -------------------------------------------------------- internals
 
@@ -414,7 +420,9 @@ class TxJoinAggView:
         ]
         for n, m in spec["measures"].items():
             cols.append(F.expr(m["expr"]).alias(f"__e_{n}"))
-        extra = [c for c in ("__vw_sign",) if c in fact_df.columns]
+        # passthroughs: the churn sign, and the per-file repair
+        # partials' file tag (present only on _fparts builds)
+        extra = [c for c in ("__vw_sign", "__f") if c in fact_df.columns]
         return fact_df.select(*cols, *extra)
 
     @staticmethod
@@ -823,6 +831,205 @@ class TxJoinAggView:
             )
             sup.overwrite(full, txn=(self.APP, _enc(v_vec)))
 
+    # Per-FILE repair partials for MIN/MAX/APPROX_DISTINCT — the join
+    # twin of txview's ``_fparts`` (see its comment block for the
+    # algebra and crash contract). One row per (live FACT file, group)
+    # holding that file's joined partial extremum / HLL sketch; a
+    # repair aggregates the dirty groups' SUPPORT rows (MIN of minima,
+    # register-wise HLL union) instead of rescanning their fact rows
+    # through the join. The affected-file set per refresh is the fact
+    # manifest diff (added / removed / dv-grown files) PLUS the fact
+    # files holding any CHURNED dim key (a dim insert/delete/update
+    # changes those rows' join membership or group attribution;
+    # ``files_for_values`` bounds the set via fk stats/bloom, keeping
+    # everything when the fk carries no stats — the honest fallback).
+    # Cost: O(affected files ⋈ dims) per refresh — churn-proportional,
+    # never O(dirty groups' fact rows).
+
+    #: stop collecting churned dim keys past this many — re-partial
+    #: every file instead (a dim churn that wide approaches a
+    #: recompute anyway; mode="auto" usually picks one first)
+    FPARTS_MAX_MOVED_KEYS = 100_000
+
+    #: per-file partials only for grains at most this many groups —
+    #: same complementarity as txview.FPARTS_MAX_GROUPS: dashboard
+    #: grains repair from file partials; high-cardinality grains keep
+    #: the dirty-group joined recompute (dims filtered to the dirty
+    #: groups, fact point-pruned to their keys), whose cost is already
+    #: proportional to the few dirty groups' rows.
+    FPARTS_MAX_GROUPS = 8192
+
+    def _repair_names(self) -> dict:
+        return {
+            n: m for n, m in self.spec["measures"].items()
+            if m["fn"] in ("min", "max", "approx_distinct")
+        }
+
+    def _use_fparts(self) -> bool:
+        return bool(self._repair_names()) and (
+            self.table.row_count() <= self.FPARTS_MAX_GROUPS
+        )
+
+    def _fparts_aggs(self) -> list:
+        aggs = []
+        for n, m in self._repair_names().items():
+            e = F.col(f"__e_{n}")
+            if m["fn"] == "min":
+                aggs.append(F.min(e).alias(f"__m_{n}"))
+            elif m["fn"] == "max":
+                aggs.append(F.max(e).alias(f"__m_{n}"))
+            else:
+                aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
+        return aggs
+
+    def _files_with_name(self, m: dict, paths: list[str]) -> DataFrame:
+        """Live fact rows of ``paths`` at manifest ``m`` tagged ``__f``
+        — one metadata-column scan with DVs applied (txview's shared
+        helper)."""
+        from .txview import _tagged_rows
+
+        return _tagged_rows(self.fact, m, paths)
+
+    def _fparts_for_files(
+        self, paths: list[str], vec: list[int]
+    ) -> DataFrame:
+        """(file, group) partials for ``paths``' live rows at the
+        ``vec`` snapshot — each dim read pruned to the slice's fks."""
+        spec = self.spec
+        m = self.fact._manifest(vec[0])
+        fproj = self._fact_proj(
+            spec, self._files_with_name(m, paths)
+        ).localCheckpoint(eager=False)
+        dim_slices = [
+            self._dim_proj(
+                spec, i,
+                _pruned_rows(
+                    d, spec["dims"][i]["dim_key"],
+                    fproj.select(f"__jk{i}"), vec[i + 1],
+                ),
+            )
+            for i, d in enumerate(self.dims)
+        ]
+        return (
+            self._join_all(fproj, dim_slices)
+            .groupBy(F.col("__f"), *self._gcols())
+            .agg(*self._fparts_aggs())
+        )
+
+    def _fparts_full(self, vec: list[int]) -> DataFrame:
+        paths = [f["path"] for f in self.fact._manifest(vec[0])["files"]]
+        return self._fparts_for_files(paths, vec)
+
+    def _fparts(self, at: list[int] | None = None) -> TxTable:
+        root = self.root / "_fparts"
+        try:
+            return TxTable(self.spark, root)
+        except TxError:
+            pass
+        vec = list(self.applied_versions()) if at is None else list(at)
+        full = self._fparts_full(vec)
+        try:
+            t = TxTable.create(self.spark, root, full, key="__f")
+        except TxError:
+            return TxTable(self.spark, root)  # lost a concurrent create
+        if vec != [int(v) for v in self.spec["versions_at_create"]]:
+            t.append(
+                self.spark.createDataFrame([], full.schema),
+                txn=(self.APP, _enc(vec)),
+            )
+        return t
+
+    def _fparts_vec(self, sup: TxTable) -> list[int]:
+        f = sup.txn_version(self.APP)
+        if f is None:
+            return [int(v) for v in self.spec["versions_at_create"]]
+        return list(_dec(int(f), len(self.spec["dims"])))
+
+    def _affected_files(
+        self, s_vec: list[int], v_vec: list[int]
+    ) -> tuple[list[str], list[str]]:
+        """(changed, fresh): support rows of ``changed`` fact files are
+        dropped; ``fresh`` files re-partial at the ``v_vec`` snapshot.
+        Raises TxError when a needed manifest/feed was vacuumed — the
+        caller rebuilds wholesale."""
+        m_old = self.fact._manifest(s_vec[0])
+        m_new = self.fact._manifest(v_vec[0])
+        old = {f["path"]: f for f in m_old["files"]}
+        new = {f["path"]: f for f in m_new["files"]}
+        removed = [p for p in old if p not in new]
+        added = [p for p in new if p not in old]
+        dv_grown = [
+            p for p in new
+            if p in old and new[p].get("dv") != old[p].get("dv")
+        ]
+        moved: set[str] = set()
+        for i, d in enumerate(self.dims):
+            if v_vec[i + 1] <= s_vec[i + 1]:
+                continue
+            dd = d.read_changes(s_vec[i + 1] + 1, v_vec[i + 1])
+            dk = self.spec["dims"][i]["dim_key"]
+            rows = (
+                dd.select(dk).distinct()
+                .limit(self.FPARTS_MAX_MOVED_KEYS + 1).collect()
+            )
+            if len(rows) > self.FPARTS_MAX_MOVED_KEYS:
+                moved = set(new)  # dim churn too wide: re-partial all
+                break
+            vals = [r[0] for r in rows]
+            if vals:
+                moved.update(
+                    self.fact.files_for_values(
+                        self.spec["dims"][i]["fk"], vals, v_vec[0]
+                    )
+                )
+        fresh = sorted(set(added) | set(dv_grown) | (moved & set(new)))
+        changed = sorted(set(removed) | set(fresh))
+        return changed, fresh
+
+    def _apply_fparts(
+        self,
+        sup: TxTable,
+        changed: list[str],
+        fresh: list[str],
+        parts: DataFrame,
+        fence: int,
+    ) -> None:
+        if not changed and not fresh:
+            sup.append(
+                self.spark.createDataFrame([], sup.read().schema),
+                txn=(self.APP, fence),
+            )
+            return
+        keys = self.spark.createDataFrame(
+            [(p,) for p in {*changed, *fresh}], "__f string"
+        )
+        drop = sorted({*changed, *fresh})
+
+        def xform(slice_df: DataFrame) -> DataFrame:
+            return slice_df.filter(
+                ~F.col("__f").isin(drop)
+            ).unionByName(parts)
+
+        sup.rewrite_by_keys(keys, xform, txn=(self.APP, fence))
+
+    def _catchup_fparts(self, v_vec: list[int]) -> None:
+        if not self._use_fparts():
+            return
+        sup = self._fparts()
+        s_vec = self._fparts_vec(sup)
+        if _enc(s_vec) >= _enc(v_vec):
+            return
+        try:
+            changed, fresh = self._affected_files(s_vec, v_vec)
+            parts = self._fparts_for_files(fresh, v_vec).localCheckpoint(
+                eager=False
+            )
+            self._apply_fparts(sup, changed, fresh, parts, _enc(v_vec))
+        except TxError:
+            sup.overwrite(
+                self._fparts_full(v_vec), txn=(self.APP, _enc(v_vec))
+            )
+
     # -------------------------------------------------------- refresh
 
     def _recompute(self, targets: list[int]) -> dict:
@@ -834,6 +1041,11 @@ class TxJoinAggView:
             for n in self._distinct_names():
                 self._support(n, at=targets).overwrite(
                     self._support_full(self.spec, fact_df, dim_dfs, n),
+                    txn=(self.APP, _enc(targets)),
+                )
+            if self._use_fparts():
+                self._fparts(at=targets).overwrite(
+                    self._fparts_full(targets),
                     txn=(self.APP, _enc(targets)),
                 )
         return {
@@ -861,6 +1073,7 @@ class TxJoinAggView:
         # supports lagging — converge them BEFORE the skip check, or a
         # movement-free replay would strand them forever
         self._catchup_supports(v0)
+        self._catchup_fparts(v0)
         v1 = [self.fact.latest_version()] + [
             d.latest_version() for d in self.dims
         ]
@@ -958,10 +1171,29 @@ class TxJoinAggView:
                 )
             )
         delta = delta.localCheckpoint(eager=False)
-        repairable = {
-            n: m for n, m in spec["measures"].items()
-            if m["fn"] in ("min", "max", "approx_distinct")
-        }
+        repairable = self._repair_names()
+        fsup = f_parts = rep_source = None
+        f_changed: list[str] = []
+        f_fresh: list[str] = []
+        if repairable and self._use_fparts():
+            fsup = self._fparts()
+            try:
+                f_changed, f_fresh = self._affected_files(v0, v1)
+                f_parts = self._fparts_for_files(
+                    f_fresh, v1
+                ).localCheckpoint(eager=False)
+                eff = fsup.read()
+                if f_changed:
+                    eff = eff.filter(~F.col("__f").isin(f_changed))
+                rep_source = eff.unionByName(f_parts)
+            except TxError:
+                # manifest/feed window vacuumed — rebuild wholesale at
+                # the target; the fence makes the later apply a no-op
+                fsup.overwrite(
+                    self._fparts_full(v1), txn=(self.APP, _enc(v1))
+                )
+                f_changed, f_fresh, f_parts = [], [], None
+                rep_source = fsup.read()
         composite = self._composite(spec)
         view_key = _GK if composite else gcols[0]
 
@@ -1101,55 +1333,87 @@ class TxJoinAggView:
             if out.filter(any_dirty).limit(1).count() == 0:
                 return finish(out.drop(*dirty_flags))
 
-            # repair: recompute EXACTLY the dirty groups from the
-            # CURRENT joined bases — each group-bearing dim scan
-            # filtered to those groups' rows (group membership lives in
-            # the dim attrs, O(dim)), fact read pruned to their keys
             dirty_keys = out.filter(any_dirty).select(*gcols)
-            d_slices = []
-            anchor = None  # first dim carrying group cols: fact pruner
-            for i, dj in enumerate(self.dims):
-                proj = self._dim_proj(spec, i, dj.read(v1[i + 1]))
-                own = [g["col"] for g in spec["group"] if g["dim"] == i]
-                if own:
-                    cond = _and_all(
-                        F.col(f"b.{c}").eqNullSafe(F.col(f"k.{c}"))
-                        for c in own
-                    )
-                    proj = proj.alias("b").join(
-                        F.broadcast(
-                            dirty_keys.select(*own).distinct().alias("k")
-                        ),
-                        cond,
+            if rep_source is not None:
+                # LOW-cardinality grain (r12): aggregate the dirty
+                # groups' PER-FILE partials from the _fparts support —
+                # O(dirty groups' support rows), never their fact
+                # slice. The support state at the target snapshot is
+                # (persisted rows minus changed files) ∪ this window's
+                # fresh partials — built above.
+                rep = (
+                    rep_source.alias("b")
+                    .join(
+                        F.broadcast(dirty_keys.alias("k")),
+                        _on_gcols("b", "k"),
                         "left_semi",
                     )
-                    if anchor is None:
-                        anchor = i
-                d_slices.append(proj)
-            anchor = 0 if anchor is None else anchor
-            f_slice = self._fact_proj(
-                spec,
-                _pruned_rows(
-                    self.fact, spec["dims"][anchor]["fk"],
-                    d_slices[anchor].select(f"__dk{anchor}"), v1[0],
-                ),
-            )
-            rep = (
-                self._join_all(f_slice, d_slices)
-                .groupBy(*gcols)
-                .agg(
-                    *[
-                        (
-                            F.hll_sketch_agg(F.col(f"__e_{n}"))
-                            if m["fn"] == "approx_distinct"
-                            else (F.min if m["fn"] == "min" else F.max)(
-                                F.col(f"__e_{n}")
-                            )
-                        ).alias(f"__r_{n}")
-                        for n, m in repairable.items()
-                    ]
+                    .groupBy(*gcols)
+                    .agg(
+                        *[
+                            (
+                                F.hll_union_agg(F.col(f"__h_{n}"))
+                                if m["fn"] == "approx_distinct"
+                                else (F.min if m["fn"] == "min" else F.max)(
+                                    F.col(f"__m_{n}")
+                                )
+                            ).alias(f"__r_{n}")
+                            for n, m in repairable.items()
+                        ]
+                    )
                 )
-            )
+            else:
+                # HIGH-cardinality grain: recompute exactly the dirty
+                # groups from the CURRENT joined bases — each group-
+                # bearing dim scan filtered to those groups' rows
+                # (group membership lives in the dim attrs, O(dim)),
+                # fact read pruned to their keys
+                d_slices = []
+                anchor = None  # first dim carrying group cols
+                for i, dj in enumerate(self.dims):
+                    proj = self._dim_proj(spec, i, dj.read(v1[i + 1]))
+                    own = [
+                        g["col"] for g in spec["group"] if g["dim"] == i
+                    ]
+                    if own:
+                        cond = _and_all(
+                            F.col(f"b.{c}").eqNullSafe(F.col(f"k.{c}"))
+                            for c in own
+                        )
+                        proj = proj.alias("b").join(
+                            F.broadcast(
+                                dirty_keys.select(*own).distinct().alias("k")
+                            ),
+                            cond,
+                            "left_semi",
+                        )
+                        if anchor is None:
+                            anchor = i
+                    d_slices.append(proj)
+                anchor = 0 if anchor is None else anchor
+                f_slice = self._fact_proj(
+                    spec,
+                    _pruned_rows(
+                        self.fact, spec["dims"][anchor]["fk"],
+                        d_slices[anchor].select(f"__dk{anchor}"), v1[0],
+                    ),
+                )
+                rep = (
+                    self._join_all(f_slice, d_slices)
+                    .groupBy(*gcols)
+                    .agg(
+                        *[
+                            (
+                                F.hll_sketch_agg(F.col(f"__e_{n}"))
+                                if m["fn"] == "approx_distinct"
+                                else (F.min if m["fn"] == "min" else F.max)(
+                                    F.col(f"__e_{n}")
+                                )
+                            ).alias(f"__r_{n}")
+                            for n, m in repairable.items()
+                        ]
+                    )
+                )
 
             def repaired_cols(n: str, m: dict) -> list:
                 if m["fn"] in ("sum", "avg"):
@@ -1210,6 +1474,10 @@ class TxJoinAggView:
             # won) leaves supports to the winner / the catch-up.
             for n in dnames:
                 self._apply_support(self._support(n), dvs[n], _enc(v1))
+            if repairable and f_parts is not None:
+                self._apply_fparts(
+                    fsup, f_changed, f_fresh, f_parts, _enc(v1)
+                )
         return {
             "refreshed_to": tuple(v1),
             "mode": "incremental",

@@ -159,6 +159,25 @@ class _Adapted:
             out[root] = TxTable(self.view.spark, root).latest_version() - av
         return out
 
+    def churn_fraction(self) -> float:
+        """UNCONSUMED churn as a fraction of the largest base's live
+        rows — the advisor-style staleness metric (manifest metadata
+        only, zero Spark jobs): version counts say nothing about how
+        much data moved, so ``max_lag="auto"`` weighs the change
+        feed's actual row volume instead."""
+        from .txview import churn_rows
+
+        applied = self.applied()
+        worst = 0.0
+        for root, av in zip(self.bases, applied):
+            t = TxTable(self.view.spark, root)
+            latest = t.latest_version()
+            if latest <= av:
+                continue
+            rows = max(t.row_count(), 1)
+            worst = max(worst, churn_rows(t, av + 1, latest) / rows)
+        return worst
+
     def support_in_sync(self, vm_name: str):
         """The distinct measure's support table iff its cursor matches
         the view's (else None — a crashed refresh's torn window)."""
@@ -315,6 +334,7 @@ class AggRouter:
         qm: dict,
         mapping: dict,
         where: str | None,
+        having: str | None = None,
     ) -> DataFrame:
         exact = set(gcols) == set(a.gcols)
         # pin the snapshot NOW: distinct supports are then resolved at
@@ -458,18 +478,41 @@ class AggRouter:
                     F.coalesce(F.col(f"b.{qn}"), F.lit(0)).alias(qn),
                 )
             )
-        return out.select(*gcols, *qm)
+        out = out.select(*gcols, *qm)
+        if having is not None:
+            # HAVING over the RE-AGGREGATED output always commutes: it
+            # filters final groups, so routing through any finer view
+            # then filtering is identical to filtering a direct GROUP
+            # BY. The predicate may reference group columns and the
+            # query's measure OUTPUT names only.
+            try:
+                out = out.filter(having)
+            except Exception as exc:
+                raise TxError(
+                    f"having predicate {having!r} must reference only "
+                    f"the group columns {gcols} and measure names "
+                    f"{list(qm)} ({type(exc).__name__}: {exc})"
+                ) from None
+        return out
 
     # ----------------------------------------------------------- route
+
+    #: ``max_lag="auto"``: a candidate is stale when its bases'
+    #: UNCONSUMED churn exceeds this fraction of live rows — the
+    #: advisor metric (row volume from manifest metadata), not a raw
+    #: version count; a thousand tiny fence commits stay fresh while
+    #: one big correction batch trips it
+    AUTO_STALE_FRACTION = 0.01
 
     def route(
         self,
         group_cols: list[str] | str,
         measures: dict,
         where: str | None = None,
-        max_lag: int | None = None,
+        max_lag: int | str | None = None,
         refresh_stale: bool = False,
         base_root: str | Path | None = None,
+        having: str | None = None,
     ) -> tuple[DataFrame, dict]:
         """Answer ``GROUP BY group_cols`` + ``measures`` from the
         cheapest view that can. ``measures`` maps output name to a SQL
@@ -478,10 +521,17 @@ class AggRouter:
         distinct / approx_distinct, plus ``("count", "*")``.
 
         ``where`` (optional) may reference the GROUP columns only.
+        ``having`` (optional) filters the aggregated OUTPUT — it may
+        reference the group columns and the measure output names
+        (HAVING over re-aggregated groups always commutes, so the
+        routed answer equals a direct GROUP BY ... HAVING).
         ``max_lag`` refuses views any of whose bases has advanced more
         than that many versions past the view's cursor (0 = fully
-        fresh); with ``refresh_stale=True`` a too-stale candidate is
-        refreshed (mode="auto") instead of refused. ``base_root``
+        fresh); ``max_lag="auto"`` refuses on the advisor metric
+        instead — unconsumed churn ROWS above ``AUTO_STALE_FRACTION``
+        of the base's live rows (manifest metadata, zero jobs). With
+        ``refresh_stale=True`` a too-stale candidate is refreshed
+        (mode="auto") and re-checked instead of refused. ``base_root``
         restricts candidates to views over that fact/base table.
         """
         gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
@@ -509,25 +559,33 @@ class AggRouter:
                 reasons.append(why)
                 continue
             if max_lag is not None:
-                lag = a.lag()
-                if max(lag.values()) > max_lag:
+                if max_lag == "auto":
+                    stale = lambda: (  # noqa: E731
+                        a.churn_fraction() > self.AUTO_STALE_FRACTION
+                    )
+                    desc = lambda: (  # noqa: E731
+                        f"unconsumed churn {a.churn_fraction():.2%} > "
+                        f"{self.AUTO_STALE_FRACTION:.2%} of base rows"
+                    )
+                else:
+                    stale = lambda: max(a.lag().values()) > max_lag  # noqa: E731
+                    desc = lambda: (  # noqa: E731
+                        f"{a.lag()} versions (max_lag={max_lag})"
+                    )
+                if stale():
                     if refresh_stale:
                         a.view.refresh(mode="auto")
                         # re-check: a base committing concurrently (or
                         # an auto-refresh that skipped) must not pass
                         # the freshness gate on faith
-                        lag = a.lag()
-                        if max(lag.values()) > max_lag:
+                        if stale():
                             reasons.append(
-                                f"{a.name}: still stale by {lag} after "
-                                f"refresh (max_lag={max_lag})"
+                                f"{a.name}: still stale by {desc()} "
+                                "after refresh"
                             )
                             continue
                     else:
-                        reasons.append(
-                            f"{a.name}: stale by {lag} versions "
-                            f"(max_lag={max_lag})"
-                        )
+                        reasons.append(f"{a.name}: stale by {desc()}")
                         continue
             cands.append((a, mapping))
         if not cands:
@@ -546,7 +604,7 @@ class AggRouter:
         torn: NoRouteError | None = None
         for a, mapping in cands:
             try:
-                plan = self._plan(a, gcols, qm, mapping, where)
+                plan = self._plan(a, gcols, qm, mapping, where, having)
             except NoRouteError as exc:
                 reasons.extend(exc.reasons)
                 torn = exc

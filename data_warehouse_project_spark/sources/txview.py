@@ -26,11 +26,11 @@ Data Eng. Bulletin 1995):
   NULL, not 0; ``AVG`` derives as sum/count, NULL at count 0).
 - MIN / MAX are NOT self-maintainable under deletes: inserts only
   improve them (fold with least/greatest), but a delete at the current
-  extremum dirties the group. The standard delete-repair path applies —
-  recompute ONLY the groups whose extremal row died, via a semi-join of
-  the base table against the dirty-group set: O(churn + dirty groups'
-  base rows), still never O(table) unless every group loses its
-  extremum at once.
+  extremum dirties the group. Repair (r12) aggregates PER-FILE partial
+  extrema from the ``_fparts`` support table (one row per live base
+  file and group, maintained by manifest snapshot diff) — O(churn +
+  dirty groups' support rows), never a base rescan: a correction
+  delete re-aggregates only the files that actually lost rows.
 - APPROX_DISTINCT maintains a per-group HyperLogLog sketch (Spark's
   Apache DataSketches ``hll_sketch_agg`` / ``hll_union`` /
   ``hll_sketch_estimate``). DISTINCT counts are the textbook
@@ -38,8 +38,12 @@ Data Eng. Bulletin 1995):
   would need the full value multiset per group — but the sketch makes
   INSERTS foldable (HLL union is lossless on the register state), so
   the common append-mostly fact workload refreshes in O(churn).
-  Deletes dirty the group (sketches are not subtractable) and ride
-  the same base-repair path as MIN/MAX. The one measure where the
+  Deletes dirty the group (sketches are not subtractable) and repair
+  from per-file sketches in the same ``_fparts`` support — the HLL
+  union of a group's per-file sketches is register-identical to a
+  direct sketch of its live rows, so the repair reads file-count
+  metadata-scale state instead of the group's base rows. The one
+  measure where the
   view is ε-approximate BY CONTRACT: estimates carry HLL's standard
   ~1.6% relative error at the default lgK=12, and the test pins a 5%
   envelope against the exact distinct count plus refresh determinism.
@@ -80,7 +84,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .txtable import TXLOG_DIR, TxError, TxTable, _live
+from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable, _live
 
 _SIDECAR = "_view.json"
 _N = "n_rows"  # hidden support count: a group at 0 leaves the view
@@ -133,6 +137,37 @@ def _sq(e):
     fractional inputs truncate at the cast and should be pre-scaled."""
     d = e.cast("decimal(19,0)")
     return (d * d).cast("decimal(38,0)")
+
+
+def _tagged_rows(table: TxTable, m: dict, paths: list[str]) -> DataFrame:
+    """Live rows of ``paths`` at manifest ``m`` tagged with their
+    manifest-relative path as ``__f`` — the per-file-partials read.
+    One metadata-column scan covers every standard-layout file (DVs
+    applied inside ``_read_with_positions``); odd layouts fall back to
+    per-file reads."""
+    std = [p for p in paths if os.path.dirname(p) == DATA_DIR]
+    frames = []
+    if std:
+        frames.append(
+            table._read_with_positions(m, std)
+            .withColumn(
+                "__f",
+                F.concat(F.lit(DATA_DIR + "/"), F.col("__tx_fname")),
+            )
+            .drop("__tx_fname", "__tx_ri")
+        )
+    for p in paths:
+        if p in std:
+            continue
+        frames.append(table._read_files(m, [p]).withColumn("__f", F.lit(p)))
+    if not frames:
+        return table._read_files(m, []).withColumn(
+            "__f", F.lit(None).cast("string")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def churn_rows(table: TxTable, lo: int, hi: int) -> int:
@@ -345,6 +380,8 @@ class TxAggView:
         for n, m in norm.items():
             if m["fn"] == "distinct":
                 view._support(n, at=base_v)  # create-if-absent builds it
+        if view._use_fparts():
+            view._fparts(at=base_v)  # per-file repair partials
         return view
 
     # ---------------------------------------------------------- reads
@@ -590,6 +627,204 @@ class TxAggView:
                 self._support_full(n, applied), txn=(self.APP, applied)
             )
 
+    # Per-FILE partial aggregates for the delete-repair measures —
+    # MIN/MAX (extremum loss) and APPROX_DISTINCT (sketches are not
+    # subtractable). The r11 repair path recomputed a dirty group from
+    # the BASE (semi-join scan: O(dirty groups' base rows), and a full
+    # base scan when the group column carries no file stats). This
+    # support bounds that tax to O(churned files): a TxTable
+    # ``_fparts`` under the view root holds one row per (live base
+    # file, group) with that file's partial extremum / HLL sketch, and
+    # a repair aggregates the dirty groups' rows FROM THE SUPPORT —
+    # MIN of per-file minima, register-wise HLL union of per-file
+    # sketches (bit-exact vs a direct sketch, test-pinned). The
+    # support itself is maintained by SNAPSHOT DIFF of the base's
+    # manifests (applied -> target): files removed drop their rows,
+    # files added (or whose deletion vector grew) are (re)aggregated
+    # at the target snapshot — exactly "the buckets holding deleted
+    # rows", never the dirty group's whole base slice. Cost model: the
+    # insert path pays one extra pass over the churned files' rows
+    # (~2x the fold-only read); the delete path drops from O(base) to
+    # O(churned files). Crash contract mirrors the distinct supports:
+    # view commits first, support second behind the same fence; a
+    # lagging support is healed by snapshot diff (or rebuilt wholesale
+    # when the manifest window was vacuumed). Ops with no change feed
+    # (compact) still reshape files — the state-based diff tracks them
+    # where the feed-based fold correctly sees nothing.
+
+    #: per-file partials are maintained only for grains at most this
+    #: many groups. The two repair shapes are complementary: a LOW-
+    #: cardinality grain (dashboard rollups — months, segments) has
+    #: every group spread across every file, so dirty-group pruning is
+    #: hopeless and per-file partials bound the repair by the churned
+    #: files; a HIGH-cardinality grain (per-customer) has each dirty
+    #: group in FEW files, so the dirty-group repair with point-read
+    #: file pruning on the group column is already O(dirty groups'
+    #: files) — and per-(file, group) partials would balloon to
+    #: fact-scale state for no gain.
+    FPARTS_MAX_GROUPS = 8192
+
+    def _repair_names(self) -> dict:
+        return {
+            n: m
+            for n, m in self.spec["measures"].items()
+            if m["fn"] in ("min", "max", "approx_distinct")
+        }
+
+    def _use_fparts(self) -> bool:
+        return bool(self._repair_names()) and (
+            self.table.row_count() <= self.FPARTS_MAX_GROUPS
+        )
+
+    def _fparts_aggs(self) -> list:
+        aggs = []
+        for n, m in self._repair_names().items():
+            e = F.expr(m["expr"])
+            if m["fn"] == "min":
+                aggs.append(F.min(e).alias(f"__m_{n}"))
+            elif m["fn"] == "max":
+                aggs.append(F.max(e).alias(f"__m_{n}"))
+            else:
+                aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
+        return aggs
+
+    def _files_with_name(self, m: dict, paths: list[str]) -> DataFrame:
+        """Live rows of ``paths`` at manifest ``m``, tagged with their
+        manifest-relative path as ``__f`` — ONE scan for everything:
+        ``_read_with_positions`` already surfaces each row's file
+        basename from the scan's metadata columns with deletion
+        vectors applied (plain and DV files share the plan, no
+        per-file union). Files outside the standard data dir (none in
+        practice) read per-file, tagged literally."""
+        return _tagged_rows(self.base, m, paths)
+
+    def _fparts_full(self, at: int) -> DataFrame:
+        g = self.spec["group_col"]
+        m = self.base._manifest(at)
+        src = self._files_with_name(m, [f["path"] for f in m["files"]])
+        return src.groupBy(F.col("__f"), F.col(g)).agg(*self._fparts_aggs())
+
+    def _fparts(self, at: int | None = None) -> TxTable:
+        """Create-if-absent, like the distinct supports — a crash
+        between the view's commit and the support's must not strand
+        the view."""
+        root = self.root / "_fparts"
+        try:
+            return TxTable(self.spark, root)
+        except TxError:
+            pass
+        v = self.applied_base_version() if at is None else int(at)
+        full = self._fparts_full(v)
+        try:
+            t = TxTable.create(self.spark, root, full, key="__f")
+        except TxError:
+            return TxTable(self.spark, root)  # lost a concurrent create
+        if v != int(self.spec["base_version_at_create"]):
+            t.append(
+                self.spark.createDataFrame([], full.schema),
+                txn=(self.APP, v),
+            )
+        return t
+
+    def _fparts_ver(self, sup: TxTable) -> int:
+        f = sup.txn_version(self.APP)
+        base = int(self.spec["base_version_at_create"])
+        return base if f is None else max(int(f), base)
+
+    def _fparts_delta(
+        self, lo: int, hi: int
+    ) -> tuple[list[str], list[str], DataFrame]:
+        """(changed, fresh, parts): support rows of ``changed`` files
+        are dropped; ``fresh`` files' partials (``parts``, aggregated
+        at the ``hi`` snapshot) replace/extend them. Derived from the
+        manifest diff alone — O(churned files), any op shape
+        (append, rewrite, dv delete, overwrite, restore, compact)."""
+        m_old = self.base._manifest(lo)
+        m_new = self.base._manifest(hi)
+        old = {f["path"]: f for f in m_old["files"]}
+        new = {f["path"]: f for f in m_new["files"]}
+        removed = [p for p in old if p not in new]
+        added = [p for p in new if p not in old]
+        dv_grown = [
+            p
+            for p in new
+            if p in old and new[p].get("dv") != old[p].get("dv")
+        ]
+        g = self.spec["group_col"]
+        parts = (
+            self._files_with_name(m_new, added + dv_grown)
+            .groupBy(F.col("__f"), F.col(g))
+            .agg(*self._fparts_aggs())
+            .localCheckpoint(eager=False)
+        )
+        return removed + dv_grown, added + dv_grown, parts
+
+    def _apply_fparts(
+        self,
+        sup: TxTable,
+        changed: list[str],
+        fresh: list[str],
+        parts: DataFrame,
+        fence: int,
+    ) -> None:
+        if not changed and not fresh:
+            # version advanced with no file reshape (fence/constraint
+            # commits): advance the cursor so catch-up converges
+            sup.append(
+                self.spark.createDataFrame([], sup.read().schema),
+                txn=(self.APP, fence),
+            )
+            return
+        keys = self.spark.createDataFrame(
+            [(p,) for p in {*changed, *fresh}], "__f string"
+        )
+        # drop BOTH changed and fresh files' rows before re-adding the
+        # fresh partials: if a crash-recovery rebuild already advanced
+        # the support past this fence's state, re-applying must replace
+        # rather than duplicate (the txn fence also skips exact replays)
+        drop = sorted({*changed, *fresh})
+
+        def xform(slice_df: DataFrame) -> DataFrame:
+            return slice_df.filter(
+                ~F.col("__f").isin(drop)
+            ).unionByName(parts)
+
+        sup.rewrite_by_keys(keys, xform, txn=(self.APP, fence))
+
+    def _pruned_group_rows(self, keys: DataFrame, at: int) -> DataFrame:
+        """Base rows that MAY hold a group from ``keys`` — the high-
+        cardinality repair's read, pruned as tightly as the base layout
+        allows (group column is the key → exact file pruning; declared
+        in stats_cols → manifest range skip; else the honest full
+        read). Exactness comes from the caller's semi-join."""
+        g = self.spec["group_col"]
+        m = self.base._manifest(at)
+        keyed = keys.select(F.col(g)).distinct()
+        if m["key"] == g:
+            return self.base.read_for_keys(keyed, version=at)
+        if g in (m.get("stats_cols") or []):
+            r = keyed.agg(F.min(g).alias("lo"), F.max(g).alias("hi")).first()
+            if r["lo"] is None:
+                return self.base.read(at)
+            return self.base.read(version=at, prune={g: (r["lo"], r["hi"])})
+        return self.base.read(at)
+
+    def _catchup_fparts(self, applied: int) -> None:
+        if not self._use_fparts():
+            return
+        sup = self._fparts()
+        s_v = self._fparts_ver(sup)
+        if s_v >= applied:
+            return
+        try:
+            changed, fresh, parts = self._fparts_delta(s_v, applied)
+            self._apply_fparts(sup, changed, fresh, parts, applied)
+        except TxError:
+            # manifest window vacuumed past the lag — rebuild wholesale
+            sup.overwrite(
+                self._fparts_full(applied), txn=(self.APP, applied)
+            )
+
     def _recompute(self, target: int) -> dict:
         """Full GROUP BY recompute at base version ``target``, landed
         as a fenced overwrite of the view table — same exactly-once
@@ -604,6 +839,10 @@ class TxAggView:
             for n in self._distinct_names():
                 self._support(n, at=target).overwrite(
                     self._support_full(n, target), txn=(self.APP, target)
+                )
+            if self._use_fparts():
+                self._fparts(at=target).overwrite(
+                    self._fparts_full(target), txn=(self.APP, target)
                 )
         return {
             "refreshed_to": target,
@@ -632,9 +871,10 @@ class TxAggView:
         if mode not in ("incremental", "recompute", "auto"):
             raise TxError(f"refresh mode: {mode!r}")
         applied = self.applied_base_version()
-        # converge any lagging/missing distinct support BEFORE the skip
-        # check, or a movement-free replay would strand it forever
+        # converge any lagging/missing supports BEFORE the skip check,
+        # or a movement-free replay would strand them forever
         self._catchup_supports(applied)
+        self._catchup_fparts(applied)
         target = self.base.latest_version()
         if target <= applied:
             return {"refreshed_to": applied, "groups_touched": 0, "skipped": True}
@@ -651,15 +891,35 @@ class TxAggView:
             return self._recompute(target)
         g = self.spec["group_col"]
         measures = self.spec["measures"]
-        # measures that need a base repair when a delete can invalidate
-        # the folded state: MIN/MAX (extremal row died) and
-        # APPROX_DISTINCT (sketches are not subtractable — ANY deleted
-        # non-null value dirties the group)
-        repairable = {
-            n: m
-            for n, m in measures.items()
-            if m["fn"] in ("min", "max", "approx_distinct")
-        }
+        # measures that need a repair when a delete can invalidate the
+        # folded state: MIN/MAX (extremal row died) and APPROX_DISTINCT
+        # (sketches are not subtractable — ANY deleted non-null value
+        # dirties the group). Repairs aggregate the _fparts per-file
+        # partials, never the base (see the support's comment block).
+        repairable = self._repair_names()
+        fsup = f_parts = rep_source = None
+        f_changed: list[str] = []
+        f_fresh: list[str] = []
+        if repairable and self._use_fparts():
+            fsup = self._fparts()
+            try:
+                f_changed, f_fresh, f_parts = self._fparts_delta(
+                    applied, target
+                )
+                eff = fsup.read()
+                if f_changed:
+                    eff = eff.filter(~F.col("__f").isin(f_changed))
+                rep_source = eff.unionByName(f_parts)
+            except TxError:
+                # manifest window vacuumed past the lag — rebuild at
+                # the target wholesale. An AHEAD support is safe: the
+                # fence makes the later _apply_fparts a no-op, and a
+                # crash replay's catch-up sees it already converged.
+                fsup.overwrite(
+                    self._fparts_full(target), txn=(self.APP, target)
+                )
+                f_changed, f_fresh, f_parts = [], [], None
+                rep_source = fsup.read()
 
         sign = F.col("__vw_sign")
         delta_aggs = []
@@ -862,18 +1122,40 @@ class TxAggView:
                             ).cast("boolean"),
                         ).otherwise(F.col(_N) > 0)
                     )
-                def repair_agg(n: str, m: dict):
-                    e = F.expr(m["expr"])
-                    if m["fn"] == "min":
-                        return F.min(e).alias(f"__r_{n}")
-                    if m["fn"] == "max":
-                        return F.max(e).alias(f"__r_{n}")
-                    return F.hll_sketch_agg(e).alias(f"__r_{n}")
-
                 dirty_keys = out.filter(any_dirty).select(g)
+                if rep_source is not None:
+                    # LOW-cardinality grain: aggregate the dirty
+                    # groups' PER-FILE partials (r12) — O(dirty
+                    # groups' support rows), never their base rows
+                    def repair_agg(n: str, m: dict):
+                        if m["fn"] == "min":
+                            return F.min(F.col(f"__m_{n}")).alias(f"__r_{n}")
+                        if m["fn"] == "max":
+                            return F.max(F.col(f"__m_{n}")).alias(f"__r_{n}")
+                        # register-wise max: the union of per-file
+                        # sketches equals a direct sketch of the rows
+                        return F.hll_union_agg(F.col(f"__h_{n}")).alias(
+                            f"__r_{n}"
+                        )
+
+                    src = rep_source
+                else:
+                    # HIGH-cardinality grain: recompute exactly the
+                    # dirty groups, base read POINT-PRUNED on the
+                    # group column (r12; was an unpruned base scan) —
+                    # O(dirty groups' files) when the group is the
+                    # key or stats-declared
+                    def repair_agg(n: str, m: dict):
+                        e = F.expr(m["expr"])
+                        if m["fn"] == "min":
+                            return F.min(e).alias(f"__r_{n}")
+                        if m["fn"] == "max":
+                            return F.max(e).alias(f"__r_{n}")
+                        return F.hll_sketch_agg(e).alias(f"__r_{n}")
+
+                    src = self._pruned_group_rows(dirty_keys, target)
                 rep = (
-                    self.base.read(target)
-                    .alias("b")
+                    src.alias("b")
                     .join(
                         F.broadcast(dirty_keys.alias("k")),
                         F.col(f"b.{g}").eqNullSafe(F.col(f"k.{g}")),
@@ -951,9 +1233,11 @@ class TxAggView:
         )
         if not r.get("skipped"):
             # supports fold AFTER the view commit behind the same
-            # fence; a crash here is healed by _catchup_supports
+            # fence; a crash here is healed by the catch-up paths
             for n in dnames:
                 self._apply_support(self._support(n), dvs[n], target)
+            if repairable and f_parts is not None:
+                self._apply_fparts(fsup, f_changed, f_fresh, f_parts, target)
         return {
             "refreshed_to": target,
             "mode": "incremental",

@@ -1088,3 +1088,181 @@ def test_joinview_three_dims_generalizes(spark, tmp_path):
     state = actual()
     view.refresh(mode="recompute")
     assert actual() == state == expected()
+
+
+def _live_fact_files(fact):
+    return {f["path"] for f in fact._manifest()["files"]}
+
+
+def _fparts_files(view):
+    return {
+        r["__f"]
+        for r in view._fparts().read().select("__f").distinct().collect()
+    }
+
+
+def _recompute_rows(fact, dim):
+    return (
+        fact.read().alias("f")
+        .join(dim.read().alias("d"), F.col("f.cust") == F.col("d.cust"))
+        .groupBy("seg")
+        .agg(
+            F.sum("amt").alias("total"),
+            F.count("amt").alias("n_amt"),
+            F.avg("amt").alias("mean_amt"),
+            F.min("amt").alias("lo_amt"),
+            F.max("amt").alias("hi_amt"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("amt")).alias("uniq_amt"),
+            F.count_distinct("amt").alias("uniq_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _assert_view_equals(view, fact, dim):
+    got = {
+        tuple(r[c] for c in view.read().columns)
+        for r in view.read().collect()
+    }
+    want_df = _recompute_rows(fact, dim)
+    want = {tuple(r[c] for c in want_df.columns) for r in want_df.collect()}
+    assert got == want, f"\nview: {sorted(got)}\nwant: {sorted(want)}"
+
+
+def test_joinview_fact_delete_repairs_without_fact_read(spark, tmp_path):
+    """A fact correction delete at a group's extremum must repair from
+    the per-file partials support — the refresh never calls the fact's
+    full-table reader (the feed and the partials' file reads are the
+    only fact IO)."""
+    fact = _mk_fact(
+        spark, tmp_path / "f",
+        [(i, i % 4, (i * 37) % 100) for i in range(40)],
+    )
+    dim = _mk_dim(
+        spark, tmp_path / "d", [(c, f"seg{c % 3}") for c in range(4)]
+    )
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    top = (
+        fact.read().orderBy(F.col("amt").desc()).first()
+    )
+    fact.delete(F.col("oid") == top["oid"])
+
+    def boom(*a, **kw):
+        raise AssertionError("repair read the fact table")
+
+    view.fact.read = boom
+    r = view.refresh()
+    assert not r["skipped"]
+    view.fact = TxTable(spark, view.fact.root)
+    _assert_view_equals(view, fact, dim)
+    assert _fparts_files(view) == _live_fact_files(fact)
+
+
+def test_joinview_dim_move_repairs_from_partials(spark, tmp_path):
+    """A dim attribute update moves a customer's rows between groups —
+    the group that LOST its extremum repairs from re-partialed files
+    (the files holding the moved key were re-aggregated under the new
+    dim state)."""
+    fact = _mk_fact(
+        spark, tmp_path / "f",
+        [(i, i % 4, (i * 37) % 100) for i in range(40)],
+    )
+    dim = _mk_dim(
+        spark, tmp_path / "d", [(c, f"seg{c % 2}") for c in range(4)]
+    )
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    # find the customer holding the global max and move their segment
+    top = (
+        fact.read().alias("f")
+        .join(dim.read().alias("d"), F.col("f.cust") == F.col("d.cust"))
+        .orderBy(F.col("amt").desc())
+        .first()
+    )
+    dim.update(
+        F.col("cust") == top["cust"], {"seg": F.lit("segX")}
+    )
+    view.refresh()
+    _assert_view_equals(view, fact, dim)
+    assert _fparts_files(view) == _live_fact_files(fact)
+    # and a follow-up fact delete in the NEW group still repairs right
+    fact.delete(F.col("oid") == top["oid"])
+    view.refresh()
+    _assert_view_equals(view, fact, dim)
+
+
+def test_joinview_fparts_crash_and_vacuum_heal(spark, tmp_path):
+    """Crash between the view and _fparts commits + vacuumed window:
+    catch-up rebuilds the partials wholesale at the view's cursor and
+    later repairs stay exact."""
+    fact = _mk_fact(
+        spark, tmp_path / "f",
+        [(i, i % 3, (i * 11) % 60) for i in range(30)],
+    )
+    dim = _mk_dim(
+        spark, tmp_path / "d", [(c, f"seg{c}") for c in range(3)]
+    )
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    fact.append(
+        spark.createDataFrame([(500, 1, 999)], FACT_SCHEMA)
+    )
+    orig = TxJoinAggView._apply_fparts
+    TxJoinAggView._apply_fparts = lambda self, *a, **k: None
+    try:
+        view.refresh()
+    finally:
+        TxJoinAggView._apply_fparts = orig
+    fact.vacuum(retain_versions=1, min_age_s=0, force=True)
+    v2 = TxJoinAggView(spark, tmp_path / "v")
+    assert v2.refresh()["skipped"]  # catch-up healed, fenced skip
+    assert _fparts_files(v2) == _live_fact_files(fact)
+    # the healed partials repair the next extremal delete correctly
+    fact.delete(F.col("oid") == 500)
+    v2.refresh()
+    _assert_view_equals(v2, fact, dim)
+
+
+def test_joinview_fparts_random_oplog_equals_recompute(spark, tmp_path):
+    """Mixed fact deletes (cow + dv), appends, dim moves and dim
+    deletes: view equals recompute after every refresh and the
+    partials track the live fact files throughout."""
+    rng = random.Random(777)
+    fact = _mk_fact(
+        spark, tmp_path / "f",
+        [(i, i % 5, (i * 37) % 100) for i in range(50)],
+    )
+    dim = _mk_dim(
+        spark, tmp_path / "d", [(c, f"seg{c % 3}") for c in range(5)]
+    )
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    next_id = 9000
+    for step in range(5):
+        op = rng.choice(
+            ["append", "del_top", "del_dv", "dim_move", "dim_del"]
+        )
+        if op == "append":
+            rows = [
+                (next_id + j, rng.randint(0, 5), rng.randint(-20, 120))
+                for j in range(rng.randint(1, 3))
+            ]
+            next_id += 10
+            fact.append(spark.createDataFrame(rows, FACT_SCHEMA))
+        elif op == "del_top":
+            top = fact.read().orderBy(F.col("amt").desc()).first()
+            if top:
+                fact.delete(F.col("oid") == top["oid"])
+        elif op == "del_dv":
+            row = fact.read().orderBy("oid").first()
+            if row:
+                fact.delete(F.col("oid") == row["oid"], mode="dv")
+        elif op == "dim_move":
+            c = rng.randint(0, 4)
+            dim.update(
+                F.col("cust") == c,
+                {"seg": F.lit(f"seg{rng.randint(0, 4)}")},
+            )
+        else:
+            c = rng.randint(0, 4)
+            dim.delete(F.col("cust") == c)
+        view.refresh()
+        _assert_view_equals(view, fact, dim)
+        assert _fparts_files(view) == _live_fact_files(fact)

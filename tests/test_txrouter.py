@@ -587,3 +587,83 @@ def test_base_root_matches_up_to_path_normalization(star, router):
     for spelling in (root + "/", _P(root), root + "/./"):
         _, how = router.route(["seg"], {"rev": "amt"}, base_root=spelling)
         assert how["view"].endswith("coarse"), spelling
+
+
+def test_having_on_aggregated_measures_matches_recompute(star, router):
+    """HAVING over the re-aggregated output commutes with routing: a
+    coarse rollup with a measure-level HAVING equals the direct
+    GROUP BY ... HAVING, answered from the finer view."""
+    # earlier tests churn the shared fact without refreshing the views
+    star["fine"].refresh()
+    df, how = router.route(
+        ["seg"],
+        {"rev": "amt", "n": ("count", "amt"), "min_amt": ("min", "amt")},
+        having="rev > 1000000 and n >= 3",
+    )
+    # min_amt lives only on the finer (seg, nk) view: rolled up from it
+    assert not how["exact_grain"] and how["view"].endswith("fine")
+    want = (
+        star["fact"].read()
+        .join(star["dim"].read(), F.col("ck") == F.col("c_custkey"))
+        .groupBy(F.col("seg0").alias("seg"))
+        .agg(
+            F.sum("amt").alias("rev"),
+            F.count("amt").alias("n"),
+            F.min("amt").alias("min_amt"),
+        )
+        .filter("rev > 1000000 and n >= 3")
+    )
+    assert _rows(df, "seg") == _rows(want, "seg")
+    # HAVING over a distinct measure routed through the support
+    df2, _ = router.route(
+        ["seg"], {"buyers": ("distinct", "ck")}, having="buyers > 1"
+    )
+    want2 = (
+        star["fact"].read()
+        .join(star["dim"].read(), F.col("ck") == F.col("c_custkey"))
+        .groupBy(F.col("seg0").alias("seg"))
+        .agg(F.count_distinct("ck").alias("buyers"))
+        .filter("buyers > 1")
+    )
+    assert _rows(df2, "seg") == _rows(want2, "seg")
+
+
+def test_having_referencing_unknown_columns_refuses(star, router):
+    with pytest.raises(TxError, match="having predicate"):
+        router.route(["seg"], {"rev": "amt"}, having="no_such_col > 0")
+
+
+def test_auto_staleness_weighs_churn_rows_not_versions(spark, tmp_path):
+    """max_lag='auto': many tiny commits stay routable (churn fraction
+    under the bar) while one big correction batch trips staleness —
+    version counts alone would refuse both."""
+    df = spark.range(0, 4000, 1, 4).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 97).alias("amt"),
+    )
+    base = TxTable.create(spark, tmp_path / "t", df, key="k")
+    view = TxAggView.create(
+        spark, tmp_path / "v", base, group_col="g",
+        measures={"rev": "amt"},
+    )
+    router = AggRouter(spark).register(view)
+    # 3 tiny commits: 3 versions of lag, but ~0.2% churn — fresh enough
+    for j in range(3):
+        base.append(
+            spark.createDataFrame(
+                [(100000 + j, j % 5, 7)], "k long, g long, amt long"
+            )
+        )
+    _, how = router.route(["g"], {"rev": "amt"}, max_lag="auto")
+    assert max(how["lag"].values()) == 3  # versions lag, still routed
+    # one big correction: >1% of rows — now stale under the advisor bar
+    base.delete(F.col("k") % 13 == 0)
+    with pytest.raises(NoRouteError, match="unconsumed churn"):
+        router.route(["g"], {"rev": "amt"}, max_lag="auto")
+    # refresh_stale folds it away and re-checks
+    got, how = router.route(
+        ["g"], {"rev": "amt"}, max_lag="auto", refresh_stale=True
+    )
+    want = base.read().groupBy("g").agg(F.sum("amt").alias("rev"))
+    assert _rows(got, "g") == _rows(want, "g")
