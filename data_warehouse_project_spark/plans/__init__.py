@@ -38,6 +38,13 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 # string-carrier fix has had parity coverage ever since but no driver
 # re-sample). tools/rotation_guard.py now enforces this invariant
 # mechanically: every never-green query must sit inside the prefix.
+_NEVER_DRIVER_GREEN_R11 = [
+    # new in round 12 (never sampled yet): the two-level auto-ranging
+    # histogram grid and the router's measure-level HAVING pushdown
+    "hist_two_level_shift",
+    "routed_having_rollup",
+]
+
 _NEVER_DRIVER_GREEN_R10 = [
     # naming convention: the list is named for the last CLOSED round —
     # it holds queries never driver-green AS OF the end of that round,
@@ -154,8 +161,11 @@ _NEVER_DRIVER_HASHED_R7 = [
     "rolling_28d_active_users",
 ]
 _rotated = {
-    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R10 if k in QUERIES
+    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R11 if k in QUERIES
 }
+_rotated.update(
+    {k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R10 if k in QUERIES}
+)
 _rotated.update(
     {k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R9 if k in QUERIES}
 )

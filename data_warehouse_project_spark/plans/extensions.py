@@ -1659,3 +1659,203 @@ def streamed_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "hist_two_level_shift",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS ok, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS amt
+      FROM orders
+    ),
+    live AS (
+      SELECT status, amt FROM src WHERE ok % 7 <> 0
+      UNION ALL
+      SELECT status, amt * 16 AS amt FROM src
+      WHERE ok % 5 = 0 AND (ok + 100000000) % 7 <> 0
+    )
+    SELECT status,
+           CASE
+             WHEN amt >= 5000 THEN 29 + (
+               CASE WHEN amt - 5000 < 5000 THEN 1
+                    WHEN amt - 5000 < 15000 THEN 2
+                    WHEN amt - 5000 < 35000 THEN 3
+                    WHEN amt - 5000 < 75000 THEN 4
+                    WHEN amt - 5000 < 155000 THEN 5
+                    WHEN amt - 5000 < 315000 THEN 6
+                    WHEN amt - 5000 < 635000 THEN 7
+                    WHEN amt - 5000 < 1275000 THEN 8
+                    WHEN amt - 5000 < 2555000 THEN 9
+                    ELSE 10 END)
+             ELSE 10 + CAST(FLOOR(amt * 20 / 5000.0) AS INT)
+           END AS bin,
+           COUNT(*) AS cnt
+    FROM live
+    GROUP BY status, bin
+    HAVING COUNT(*) <> 0
+    ORDER BY status, bin
+    """,
+    doc="TWO-LEVEL (auto-ranging) HISTOGRAM measure (r12): the view's "
+    "hist grid is [0, 5000) in 20 fine bins plus outer=10 GEOMETRIC "
+    "bins per side (bin j spans 5000*2^(j-1)), so a distribution "
+    "shift that lands 16x past the original grid — appended AFTER the "
+    "view was created — still folds additively (correction deletes "
+    "subtract per cell, no repair) and quantiles to the containing "
+    "outer bin's width instead of clamping to the grid edge. The "
+    "outer mapping is a when-ladder over integer-exact boundaries "
+    "(never floor(log2): libm ulps would bin boundary values "
+    "differently across engines), which is why the DuckDB oracle can "
+    "reproduce every cell bit-for-bit. An in-plan assertion pins the "
+    "derived p90 of the shifted data within its containing bin's "
+    "width of the exact percentile. Closes r11 verdict item 7.",
+    tags=("tx", "ivm", "hist"),
+    eager=True,
+)
+def hist_two_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.functions.histograms import (
+        _cell_edges,
+        hist_percentile,
+    )
+    from data_warehouse_project_spark.sources.txtable import TxTable
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    LO, HI, BINS, K = 0, 5000, 20, 10
+    H = {"fn": "hist", "expr": "amt", "lo": LO, "hi": HI, "bins": BINS,
+         "outer": K}
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice")).cast("long").alias("amt"),
+    )
+    tmp = tempfile.mkdtemp(prefix="hist2l_")
+    try:
+        base = TxTable.create(spark, tmp + "/t", o, key="ok")
+        view = TxAggView.create(
+            spark, tmp + "/v", base, group_col="status", measures={"h": H}
+        )
+        # the shift: every 5th order re-lands at 16x the value —
+        # far beyond the original [0, 5000) grid
+        base.append(
+            o.filter(F.col("ok") % 5 == 0).select(
+                (F.col("ok") + 100_000_000).alias("ok"),
+                "status",
+                (F.col("amt") * 16).alias("amt"),
+            )
+        )
+        base.delete(F.col("ok") % 7 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        # in-plan accuracy: p90 of the SHIFTED distribution within the
+        # containing outer bin's width (legacy clamp would pin to 5000)
+        exact = {
+            row["status"]: row["p"]
+            for row in base.read()
+            .groupBy("status")
+            .agg(F.expr("percentile(amt, 0.9)").alias("p"))
+            .collect()
+        }
+        ncells = BINS + 2 * K
+        edges = [_cell_edges(i, LO, HI, BINS, K) for i in range(ncells)]
+        for row in view.read().select(
+            "status",
+            hist_percentile("h", 0.9, LO, HI, BINS, outer=K).alias("p"),
+        ).collect():
+            true = exact[row["status"]]
+            cell = next(
+                (i for i, (left, w) in enumerate(edges)
+                 if left <= true < left + w),
+                ncells - 1,
+            )
+            assert abs(row["p"] - true) <= edges[cell][1], (row, true)
+        res = (
+            view.read()
+            .select("status", F.posexplode("h").alias("bin", "cnt"))
+            .filter(F.col("cnt") != 0)
+            .orderBy("status", "bin")
+        )
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "routed_having_rollup",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS seg FROM customer
+    ),
+    agg AS (
+      SELECT seg,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             COUNT(o_orderkey) AS n_orders,
+             MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS min_cents
+      FROM orders JOIN dim ON o_custkey = c_custkey
+      GROUP BY seg
+    )
+    SELECT seg, rev_cents, n_orders, min_cents
+    FROM agg
+    WHERE rev_cents > 1000000000 AND n_orders >= 100
+    ORDER BY seg
+    """,
+    doc="ROUTED HAVING (r12, r11 verdict item 4): a GROUP BY seg query "
+    "with a HAVING over AGGREGATED measures (revenue + order count) "
+    "routes through the aggregate navigator to the FINER (seg, nation) "
+    "join view — min_cents forces the finer candidate — and the HAVING "
+    "applies AFTER re-aggregation, which always commutes: the routed "
+    "answer equals a direct GROUP BY ... HAVING over the bases. The "
+    "plan touches only view rows (no base scan); the decision dict is "
+    "asserted in-plan (non-exact grain, the fine view).",
+    tags=("tx", "ivm", "router"),
+    eager=True,
+)
+def routed_having_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg0"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    tmp = tempfile.mkdtemp(prefix="havroute_")
+    try:
+        fact = TxTable.create(spark, tmp + "/fact", o, key="ok")
+        dim = TxTable.create(spark, tmp + "/dim", c, key="c_custkey")
+        view = TxJoinAggView.create(
+            spark, tmp + "/view", fact, dim, fk="ck",
+            group_expr=["seg0", "cast(nk as bigint)"],
+            group_col=["seg", "nk"],
+            measures={
+                "rev_cents": "cents",
+                "n_orders": ("count", "cents"),
+                "min_cents": ("min", "cents"),
+            },
+        )
+        routed, how = AggRouter(spark).register(view).route(
+            ["seg"],
+            {
+                "rev_cents": "cents",
+                "n_orders": ("count", "cents"),
+                "min_cents": ("min", "cents"),
+            },
+            having="rev_cents > 1000000000 and n_orders >= 100",
+        )
+        assert not how["exact_grain"], how
+        assert how["view"].endswith("view"), how
+        return routed.orderBy("seg").localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -292,7 +292,10 @@ class AggRouter:
                 if m["fn"] in _DERIVABLE[q["fn"]]
                 and (
                     q["fn"] != "hist"
-                    or all(m.get(k) == q.get(k) for k in ("lo", "hi", "bins"))
+                    or all(
+                        m.get(k) == q.get(k)
+                        for k in ("lo", "hi", "bins", "outer")
+                    )
                 )
             ]
             if not cands:

@@ -102,30 +102,75 @@ def _hist_params(m: dict) -> tuple[int, int, int]:
     return lo, hi, bins
 
 
+def _hist_outer(m: dict) -> int:
+    """Outer (two-level) bins per side. 1 = the legacy layout: one
+    catch-all underflow + one overflow cell, values clamped to
+    [lo, hi]. K > 1 = K GEOMETRIC outer bins per side — outer bin j
+    (1 = nearest the grid) spans ``span·2^(j-1)`` where span = hi−lo,
+    so K=10 covers 1023× the span beyond each edge. A distribution
+    shift that overflows the fine grid then still quantiles to the
+    containing outer bin's width instead of clamping — the view stays
+    useful without a rebuild. Still plain additive cells: folds,
+    rollups, and correction-delete subtraction all unchanged."""
+    return int(m.get("outer", 1))
+
+
+def _hist_ncells(m: dict) -> int:
+    _, _, bins = _hist_params(m)
+    return bins + 2 * _hist_outer(m)
+
+
 def _hist_idx(e, m: dict):
-    """Bin index of a value: 0 = underflow, 1..bins = in-range buckets
-    of equal width over [lo, hi), bins+1 = overflow. NULLs are excluded
-    by the caller (COUNT semantics)."""
+    """Cell index of a value in the (possibly two-level) layout
+    ``[u_K..u_1, bin_1..bin_N, o_1..o_K]`` — ascending by value, the
+    extreme outer cells catch everything beyond their span. NULLs are
+    excluded by the caller (COUNT semantics). K=1 reproduces the
+    legacy [underflow, bins, overflow] cells exactly."""
     lo, hi, bins = _hist_params(m)
-    raw = F.floor((e - F.lit(lo)) * bins / F.lit(hi - lo)) + 1
-    return F.least(F.lit(bins + 1), F.greatest(F.lit(0), raw)).cast("int")
+    k = _hist_outer(m)
+    span = hi - lo
+    inr = (F.lit(k) + F.floor((e - F.lit(lo)) * bins / F.lit(span))).cast(
+        "int"
+    )
+    if k == 1:
+        return (
+            F.when(e < lo, F.lit(0))
+            .when(e >= hi, F.lit(bins + 1))
+            .otherwise(inr)
+            .cast("int")
+        )
+
+    def outer_j(dist):
+        # geometric distance index: bin j covers
+        # [span·(2^(j-1)−1), span·(2^j−1)), the k-th is the catch-all.
+        # A when-ladder over INTEGER-EXACT boundaries (k ≤ 10), not
+        # floor(log2(·)) — libm log differs by ulps across engines, so
+        # a boundary value could bin differently in an SQL oracle.
+        c = F.when(dist < F.lit(span * (2**1 - 1)), F.lit(1))
+        for j in range(2, k):
+            c = c.when(dist < F.lit(span * (2**j - 1)), F.lit(j))
+        return c.otherwise(F.lit(k))
+
+    under = F.lit(k) - outer_j(F.lit(lo) - e)
+    over = F.lit(k - 1 + bins) + outer_j(e - F.lit(hi))
+    return (
+        F.when(e < lo, under).when(e >= hi, over).otherwise(inr).cast("int")
+    )
 
 
 def _hist_zeros(m: dict):
-    _, _, bins = _hist_params(m)
-    return F.array_repeat(F.lit(0).cast("long"), bins + 2)
+    return F.array_repeat(F.lit(0).cast("long"), _hist_ncells(m))
 
 
 def _hist_cells(e, m: dict, weight) -> list:
-    """One SUM per bin cell — the additive physical/delta aggregate
+    """One SUM per cell — the additive physical/delta aggregate
     (weight = 1 for recompute, the churn sign for the fold)."""
-    _, _, bins = _hist_params(m)
     idx = _hist_idx(e, m)
     return [
         F.sum(
             F.when(e.isNotNull() & (idx == i), weight).otherwise(F.lit(0))
         ).cast("long")
-        for i in range(bins + 2)
+        for i in range(_hist_ncells(m))
     ]
 
 
@@ -245,7 +290,14 @@ def _norm_measures(measures: dict) -> dict[str, dict]:
                     f"[2, {_HIST_MAX_BINS}] (each bin is one aggregate "
                     "expression in the fold plan)"
                 )
-            extra = {"lo": lo, "hi": hi, "bins": bins}
+            outer = int(extra.get("outer", 1))
+            if not (1 <= outer <= 10):
+                raise TxError(
+                    f"measure {name!r}: hist outer must be in [1, 10] "
+                    "(K geometric overflow bins per side; K=10 covers "
+                    "1023x the grid span)"
+                )
+            extra = {"lo": lo, "hi": hi, "bins": bins, "outer": outer}
         else:
             extra = {}
         out[name] = {"fn": fn, "expr": expr, **extra}

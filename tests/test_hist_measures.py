@@ -262,3 +262,153 @@ def test_hist_random_oplog_equals_recompute(spark, tmp_path):
     check()
     r = view.refresh(mode="recompute")
     check()
+
+
+# ------------------------------------------------ two-level (outer) grid
+
+H2 = {"fn": "hist", "expr": "amt", "lo": LO, "hi": HI, "bins": BINS,
+      "outer": 6}
+
+
+def test_two_level_grid_survives_distribution_shift(spark, tmp_path):
+    """outer=K geometric bins: data that OVERFLOWS the original
+    [lo, hi) grid after view create still folds additively (incl.
+    correction-delete subtraction) and quantiles to the containing
+    outer bin's width — the view stays useful without a rebuild."""
+    from data_warehouse_project_spark.sources.txview import (
+        _hist_cells,
+        _hist_ncells,
+        _hist_outer,
+    )
+
+    base = TxTable.create(spark, tmp_path / "t", _df(spark), key="k")
+    view = TxAggView.create(
+        spark, tmp_path / "v", base, group_col="g", measures={"h": H2}
+    )
+    norm = view.spec["measures"]["h"]
+    assert _hist_outer(norm) == 6 and _hist_ncells(norm) == BINS + 12
+    # the distribution shifts: new values land 8-30x past the grid
+    shifted = spark.range(20000, 20400, 1, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 53) % 22000 + 8000).alias("amt"),
+    )
+    base.append(shifted)
+    base.delete(F.col("k") % 11 == 0, mode="dv")  # incl. shifted rows
+    r = view.refresh(mode="incremental")
+    assert not r["skipped"]
+    # folded state equals a recompute through the SAME cell mapping
+    got = sorted(tuple(x) for x in _explode(view.read()).collect())
+    want = sorted(
+        tuple(x)
+        for x in base.read()
+        .filter(F.col("amt").isNotNull())
+        .groupBy("g")
+        .agg(F.array(*_hist_cells(F.col("amt"), norm, F.lit(1))).alias("h"))
+        .select("g", F.posexplode("h").alias("bin", "cnt"))
+        .filter(F.col("cnt") != 0)
+        .collect()
+    )
+    assert got == want
+    # p90 of the shifted distribution: within the containing outer
+    # bin's width of the exact percentile (legacy clamp would pin it
+    # to hi=1000 — orders of magnitude off)
+    from data_warehouse_project_spark.functions.histograms import (
+        _cell_edges,
+    )
+
+    exact = {
+        row["g"]: row["p"]
+        for row in base.read()
+        .groupBy("g")
+        .agg(F.expr("percentile(amt, 0.9)").alias("p"))
+        .collect()
+    }
+    got_p = view.read().select(
+        "g",
+        hist_percentile("h", 0.9, LO, HI, BINS, outer=6).alias("p"),
+    ).collect()
+    ncells = BINS + 12
+    for row in got_p:
+        true = exact[row["g"]]
+        assert true > HI, "test data must overflow the grid"
+        # containing cell's width bounds the error
+        widths = [
+            _cell_edges(i, LO, HI, BINS, 6) for i in range(ncells)
+        ]
+        cell = next(
+            (i for i, (left, w) in enumerate(widths)
+             if left <= true < left + w),
+            ncells - 1,
+        )
+        assert abs(row["p"] - true) <= widths[cell][1], (row, true)
+
+
+def test_two_level_router_rollup_and_param_match(spark, tmp_path):
+    """The router rolls two-level grids up like any hist (element-wise
+    array sum) and refuses a query whose outer differs from the
+    view's — silently mixing layouts would mis-bin every cell."""
+    f = _df(spark).withColumnRenamed("g", "fk")
+    d = spark.range(0, 5).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("s"), F.col("id") % 2).alias("seg"),
+        F.col("id").alias("sub"),
+    )
+    fact = TxTable.create(spark, tmp_path / "f", f, key="k")
+    dim = TxTable.create(spark, tmp_path / "d", d, key="dk")
+    view = TxJoinAggView.create(
+        spark, tmp_path / "v", fact, dim, fk="fk",
+        group_expr=["seg", "cast(sub as bigint)"],
+        group_col=["seg", "sub"], measures={"h": H2},
+    )
+    fact.append(
+        spark.range(50000, 50200, 1, 2).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("fk"),
+            ((F.col("id") * 7) % 50000).alias("amt"),  # overflows grid
+        )
+    )
+    view.refresh()
+    router = AggRouter(spark).register(view)
+    routed, how = router.route(["seg"], {"h": H2})
+    assert not how["exact_grain"]
+    want = (
+        fact.read().join(dim.read(), F.col("fk") == F.col("dk"))
+        .filter(F.col("amt").isNotNull())
+        .groupBy("seg")
+    )
+    from data_warehouse_project_spark.sources.txview import _hist_cells
+
+    norm = view.spec["measures"]["h"]
+    want = want.agg(
+        F.array(*_hist_cells(F.col("amt"), norm, F.lit(1))).alias("h")
+    )
+    got = sorted(
+        tuple(x)
+        for x in routed.select(
+            "seg", F.posexplode("h").alias("b", "c")
+        ).collect()
+    )
+    exp = sorted(
+        tuple(x)
+        for x in want.select(
+            "seg", F.posexplode("h").alias("b", "c")
+        ).collect()
+    )
+    assert got == exp
+    with pytest.raises(NoRouteError):
+        router.route(["seg"], {"h": H})  # outer mismatch: refuse
+
+
+def test_hist_outer_validation(spark, tmp_path):
+    base = TxTable.create(spark, tmp_path / "t", _df(spark, n=50), key="k")
+    with pytest.raises(TxError, match="outer"):
+        TxAggView.create(
+            spark, tmp_path / "v", base, group_col="g",
+            measures={"h": {**H, "outer": 0}},
+        )
+    with pytest.raises(TxError, match="outer"):
+        TxAggView.create(
+            spark, tmp_path / "v2", base, group_col="g",
+            measures={"h": {**H, "outer": 99}},
+        )
