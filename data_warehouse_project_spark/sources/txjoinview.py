@@ -271,6 +271,16 @@ class TxJoinAggView:
     APP = "txjoinview"
     RECOMPUTE_FLOOR_ROWS = 10_000_000
     RECOMPUTE_CHURN_FRACTION = 0.2
+    #: skew hardening for the ΔF ⋈ dim delta joins: when the signed
+    #: fact churn is at least PROBE_FLOOR rows, a one-agg probe finds
+    #: each dim key column's hottest fk; any fk above SHARE_PPM of the
+    #: churn salts that dim's join (salted_join, small side replicated
+    #: SKEW_SALT ways) so the hot key's rows spread over SKEW_SALT
+    #: reducers instead of piling one. Below the floor the probe never
+    #: runs — ordinary refreshes pay zero.
+    SKEW_SALT = 8
+    SKEW_PROBE_FLOOR_ROWS = 1_000_000
+    SKEW_SHARE_PPM = 100_000  # hottest fk > 10% of the churn
     #: a dim rewriting this fraction of its keys moves a comparable
     #: fraction of the fact between groups — recompute wins
     RECOMPUTE_DIM_FRACTION = 0.05
@@ -436,11 +446,27 @@ class TxJoinAggView:
 
     @classmethod
     def _join_all(
-        cls, fact_proj: DataFrame, dim_projs: list[DataFrame]
+        cls,
+        fact_proj: DataFrame,
+        dim_projs: list[DataFrame],
+        salt_dims: frozenset | set = frozenset(),
     ) -> DataFrame:
+        """fact ⋈ every dim. Dims in ``salt_dims`` join SALTED
+        (operators/skew.salted_join — the pruned dim slice replicates
+        over the salt space, the fact side scatters), so one power-law
+        fk in a large delta cannot pile a reducer; the others join
+        plain (AQE's skew split covers ordinary skew)."""
+        from data_warehouse_project_spark.operators.skew import salted_join
+
         j = fact_proj
         for i, dp in enumerate(dim_projs):
-            j = j.join(dp, F.col(f"__jk{i}") == F.col(f"__dk{i}"))
+            if i in salt_dims:
+                small = dp.withColumnRenamed(f"__dk{i}", f"__jk{i}")
+                j = salted_join(
+                    j, small, f"__jk{i}", how="inner", salt=cls.SKEW_SALT
+                ).withColumn(f"__dk{i}", F.col(f"__jk{i}"))
+            else:
+                j = j.join(dp, F.col(f"__jk{i}") == F.col(f"__dk{i}"))
         return j
 
     @classmethod
@@ -739,6 +765,7 @@ class TxJoinAggView:
         frame. None when no base moved."""
         spec = self.spec
         terms = []
+        self._last_salted_dims: tuple[int, ...] = ()
         if v1[0] > v0[0]:
             # term A: ΔF ⋈ D1@new ⋈ … — signed fact churn, every dim
             # read pruned to the churned fks and pinned at its NEW
@@ -756,7 +783,9 @@ class TxJoinAggView:
                 )
                 for i, d in enumerate(self.dims)
             ]
-            terms.append(self._join_all(df, dim_slices))
+            hot = self._hot_fk_dims(df)
+            self._last_salted_dims = tuple(sorted(hot))
+            terms.append(self._join_all(df, dim_slices, salt_dims=hot))
         for i, d in enumerate(self.dims):
             if v1[i + 1] <= v0[i + 1]:
                 continue
@@ -794,6 +823,29 @@ class TxJoinAggView:
         if not terms:
             return None
         return reduce(lambda a, b: a.unionByName(b), terms)
+
+    def _hot_fk_dims(self, fact_churn: DataFrame) -> set[int]:
+        """Dims whose fk in this window's fact churn has a hot key —
+        the skew diagnostic gating the salted delta join. One count
+        (the churn is checkpointed anyway) plus one tiny top-1 agg per
+        dim, and ONLY for deltas at least SKEW_PROBE_FLOOR_ROWS."""
+        if self.SKEW_SALT <= 1:
+            return set()
+        n = fact_churn.count()
+        if n < self.SKEW_PROBE_FLOOR_ROWS:
+            return set()
+        hot: set[int] = set()
+        for i in range(len(self.dims)):
+            top = (
+                fact_churn.groupBy(f"__jk{i}")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"))
+                .select("c")
+                .first()
+            )
+            if top and top["c"] * 1_000_000 > self.SKEW_SHARE_PPM * n:
+                hot.add(i)
+        return hot
 
     def _catchup_supports(self, v_vec: list[int]) -> None:
         """A crash between the view commit and a support commit leaves
@@ -1484,4 +1536,5 @@ class TxJoinAggView:
             "groups_touched": delta.count(),
             "files_rewritten": r.get("files_rewritten", 0),
             "skipped": bool(r.get("skipped", False)),
+            "skew_salted_dims": getattr(self, "_last_salted_dims", ()),
         }

@@ -1266,3 +1266,79 @@ def test_joinview_fparts_random_oplog_equals_recompute(spark, tmp_path):
         view.refresh()
         _assert_view_equals(view, fact, dim)
         assert _fparts_files(view) == _live_fact_files(fact)
+
+
+def test_skewed_delta_join_salts_and_matches_recompute(
+    spark, tmp_path, monkeypatch
+):
+    """A power-law fk in a large fact delta trips the skew diagnostic:
+    the ΔF ⋈ dim term salts that dim's join (hot key spread over the
+    salt space — balanced task inputs), the refresh reports which dims
+    salted, and the folded view state is UNCHANGED vs a recompute."""
+    monkeypatch.setattr(TxJoinAggView, "SKEW_PROBE_FLOOR_ROWS", 100)
+    fact = _mk_fact(
+        spark, tmp_path / "f",
+        [(i, i % 5, (i * 37) % 100) for i in range(20)],
+    )
+    dim = _mk_dim(
+        spark, tmp_path / "d", [(c, f"seg{c % 3}") for c in range(5)]
+    )
+    view = _mk_view(spark, tmp_path / "v", fact, dim)
+    # the hot delta: 90% of 4000 appended rows share cust=1
+    hot = spark.range(1000, 5000, 1, 8).select(
+        F.col("id").alias("oid"),
+        F.when(F.col("id") % 10 < 9, F.lit(1))
+        .otherwise(F.col("id") % 5)
+        .alias("cust"),
+        (F.col("id") % 97).alias("amt"),
+    )
+    fact.append(hot)
+    r = view.refresh()
+    assert r["skew_salted_dims"] == (0,), r
+    # view state identical to a full joined recompute
+    got = {
+        tuple(x)
+        for x in view.read().collect()
+    }
+    want_df = (
+        fact.read().alias("f")
+        .join(dim.read().alias("d"), F.col("f.cust") == F.col("d.cust"))
+        .groupBy("seg")
+        .agg(
+            F.sum("amt").alias("total"),
+            F.count("amt").alias("n_amt"),
+            F.avg("amt").alias("mean_amt"),
+            F.min("amt").alias("lo_amt"),
+            F.max("amt").alias("hi_amt"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("amt")).alias(
+                "uniq_amt"
+            ),
+            F.count_distinct("amt").alias("uniq_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    want = {tuple(x) for x in want_df.collect()}
+    assert got == want
+    # balance: the salted join spreads the hot key across the salt
+    # space — no single shuffle partition holds more than ~2x its
+    # fair share of the delta (unsalted, one reducer would hold 90%)
+    from data_warehouse_project_spark.operators.skew import salted_join
+
+    churn = hot.select(F.col("cust").alias("__jk0"), "amt")
+    small = dim.read().select(F.col("cust").alias("__jk0"), "seg")
+    sizes = [
+        r["n"]
+        for r in salted_join(churn, small, "__jk0",
+                             salt=TxJoinAggView.SKEW_SALT)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes)), sizes
+    # a quiet follow-up delta does NOT probe or salt (below the floor)
+    monkeypatch.setattr(TxJoinAggView, "SKEW_PROBE_FLOOR_ROWS", 10**6)
+    fact.append(
+        spark.createDataFrame([(99999, 2, 7)], FACT_SCHEMA)
+    )
+    r2 = view.refresh()
+    assert r2["skew_salted_dims"] == ()
