@@ -251,12 +251,16 @@ class Warehouse:
         - every TRANSACTIONAL table and every gold aggregate view
           becomes a GLOBAL TEMP view (``global_temp.<layer>_<name>``,
           ``global_temp.gold_<name>``) — shared by every session of
-          the application. They cannot be metastore tables yet: Spark
+          the application and always LIVE (reads resolve the current
+          snapshot). They cannot be metastore tables directly: Spark
           4.1 does not thread a catalog table's OPTIONS into a Python
           data source's reader (options arrive empty — pinned in
           tests/test_txbatch_source.py so an upstream fix surfaces),
           and a manifest-resolved snapshot is not expressible as a
-          parquet LOCATION.
+          parquet LOCATION. For a PERSISTENT no-bootstrap surface use
+          :meth:`catalog_publish` (r12), which materializes pinned
+          snapshots as published parquet dirs behind metastore
+          external tables.
 
         Returns {qualified name: kind}. Idempotent — re-registering
         refreshes every pointer to the current snapshot."""
