@@ -354,14 +354,17 @@ class TxJoinAggView:
                 f"group_dims must tag each group column with a dim index "
                 f"in [0, {len(dim_specs)})"
             )
-        norm = _norm_measures(measures)
+        from .txview import _resolve_auto_hist
+
+        fact_v0 = fact.latest_version()
+        norm = _norm_measures(_resolve_auto_hist(measures, fact, fact_v0))
         bad = {
             n for n in list(norm) + cols
             if n == _N or n.startswith("__")
         }
         if bad:
             raise TxError(f"measure/group name(s) reserved: {sorted(bad)}")
-        versions = [fact.latest_version()] + [
+        versions = [fact_v0] + [
             d.latest_version() for d, _, _ in dim_specs
         ]
         spec = _norm_spec({

@@ -184,6 +184,66 @@ def _sq(e):
     return (d * d).cast("decimal(38,0)")
 
 
+def _auto_hist_bounds(base: TxTable, expr: str, at: int) -> tuple[int, int]:
+    """Advisor-derived hist grid bounds: when ``expr`` is a bare
+    stats-covered column (the base key or a declared stats col), the
+    [min, max] comes straight from the manifest's footer stats — ZERO
+    Spark jobs; anything else costs one MIN/MAX aggregate at version
+    ``at`` (view create already scans the base, so this disappears
+    into that pass). Bounds are padded 25% each side so near-term
+    drift stays in the fine grid — the geometric outer bins catch the
+    rest (see ``_hist_outer``)."""
+    import re
+
+    m = base._manifest(at)
+    col = expr.strip()
+    lo = hi = None
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+        if col == m["key"]:
+            mins = [f["kmin"] for f in m["files"] if "kmin" in f]
+            maxs = [f["kmax"] for f in m["files"] if "kmax" in f]
+            if mins and len(mins) == len(m["files"]):
+                lo, hi = min(mins), max(maxs)
+        else:
+            rngs = [f["cs"][col] for f in m["files"] if col in f.get("cs", {})]
+            if rngs and len(rngs) == len(m["files"]):
+                lo, hi = min(r[0] for r in rngs), max(r[1] for r in rngs)
+    if lo is None:
+        row = base.read(at).agg(
+            F.min(F.expr(expr)).alias("lo"), F.max(F.expr(expr)).alias("hi")
+        ).first()
+        lo, hi = row["lo"], row["hi"]
+    if lo is None or not isinstance(lo, int) or not isinstance(hi, int):
+        raise TxError(
+            f"hist auto bounds: {expr!r} has no integer min/max at "
+            f"version {at} (empty base, or a non-integer expression) — "
+            "declare lo/hi explicitly"
+        )
+    pad = max(1, (int(hi) - int(lo)) // 4)
+    return int(lo) - pad, int(hi) + pad + 1
+
+
+def _resolve_auto_hist(measures: dict, base: TxTable, at: int) -> dict:
+    """Replace ``"lo"/"hi": "auto"`` in raw hist measure specs with
+    advisor-derived bounds (see ``_auto_hist_bounds``) — runs at view
+    CREATE, so the persisted sidecar always stores resolved ints."""
+    out = {}
+    for n, spec in measures.items():
+        if (
+            isinstance(spec, dict)
+            and str(spec.get("fn", "")).lower() == "hist"
+            and "auto" in (spec.get("lo"), spec.get("hi"))
+        ):
+            lo, hi = _auto_hist_bounds(base, str(spec["expr"]), at)
+            spec = {
+                **spec,
+                "lo": lo if spec.get("lo") == "auto" else spec["lo"],
+                "hi": hi if spec.get("hi") == "auto" else spec["hi"],
+            }
+        out[n] = spec
+    return out
+
+
 def _tagged_rows(table: TxTable, m: dict, paths: list[str]) -> DataFrame:
     """Live rows of ``paths`` at manifest ``m`` tagged with their
     manifest-relative path as ``__f`` — the per-file-partials read.
@@ -405,11 +465,12 @@ class TxAggView:
         root = Path(root)
         if (root / TXLOG_DIR).exists() or (root / _SIDECAR).exists():
             raise TxError(f"already a view or table: {root}")
-        norm = _norm_measures(measures)
+        base_v0 = base.latest_version()
+        norm = _norm_measures(_resolve_auto_hist(measures, base, base_v0))
         bad = {n for n in norm if n == _N or n.startswith("__")}
         if bad:
             raise TxError(f"measure name(s) reserved: {sorted(bad)}")
-        base_v = base.latest_version()
+        base_v = base_v0  # the same snapshot the auto bounds derive from
         full = base.read(base_v).groupBy(group_col).agg(*_physical_agg(norm))
         root.mkdir(parents=True, exist_ok=True)
         # sidecar first: a crash before the v0 commit leaves a root that

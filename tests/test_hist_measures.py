@@ -412,3 +412,70 @@ def test_hist_outer_validation(spark, tmp_path):
             spark, tmp_path / "v2", base, group_col="g",
             measures={"h": {**H, "outer": 99}},
         )
+
+
+def test_auto_grid_bounds_from_footer_stats(spark, tmp_path):
+    """lo/hi='auto' (r12): grid bounds derive from the base manifest's
+    footer stats at view create — zero-job for the key or a declared
+    stats column, one agg otherwise — padded 25% each side, and the
+    resolved ints persist in the sidecar."""
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    df = spark.range(0, 400, 1, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 800 + 100).alias("amt"),  # amt in [100, 499]
+    )
+    base = TxTable.create(
+        spark, tmp_path / "t", df, key="k", stats_cols=["amt"]
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "v", base, group_col="g",
+        measures={"h": {"fn": "hist", "expr": "amt", "lo": "auto",
+                        "hi": "auto", "bins": 20, "outer": 4}},
+    )
+    m = view.spec["measures"]["h"]
+    # padded bounds contain the data with ~25% headroom each side
+    assert m["lo"] < 100 and m["hi"] > 499, m
+    assert m["lo"] >= 100 - 100 - 1 and m["hi"] <= 499 + 100 + 2, m
+    # reload from the sidecar: resolved ints persisted
+    again = TxAggView(spark, tmp_path / "v")
+    assert again.spec["measures"]["h"]["lo"] == m["lo"]
+    # the view folds churn and matches a recompute through its grid
+    from data_warehouse_project_spark.sources.txview import _hist_cells
+
+    base.append(df.select((F.col("k") + 1000).alias("k"), "g",
+                          (F.col("amt") + 50).alias("amt")))
+    base.delete(F.col("k") % 9 == 0, mode="dv")
+    view.refresh()
+    got = sorted(tuple(x) for x in _explode(view.read()).collect())
+    want = sorted(
+        tuple(x)
+        for x in base.read()
+        .filter(F.col("amt").isNotNull())
+        .groupBy("g")
+        .agg(F.array(*_hist_cells(F.col("amt"), m, F.lit(1))).alias("h"))
+        .select("g", F.posexplode("h").alias("bin", "cnt"))
+        .filter(F.col("cnt") != 0)
+        .collect()
+    )
+    assert got == want
+    # a non-stats expression falls back to one MIN/MAX agg
+    view2 = TxAggView.create(
+        spark, tmp_path / "v2", base, group_col="g",
+        measures={"h": {"fn": "hist", "expr": "amt * 2", "lo": "auto",
+                        "hi": "auto", "bins": 10}},
+    )
+    m2 = view2.spec["measures"]["h"]
+    assert m2["lo"] < 200 and m2["hi"] > 1098, m2  # amt*2 max ~1098
+    # empty base: refuse loudly rather than invent a grid
+    empty = TxTable.create(
+        spark, tmp_path / "e",
+        spark.createDataFrame([], "k long, g long, amt long"), key="k",
+    )
+    with pytest.raises(TxError, match="auto bounds"):
+        TxAggView.create(
+            spark, tmp_path / "v3", empty, group_col="g",
+            measures={"h": {"fn": "hist", "expr": "amt", "lo": "auto",
+                            "hi": "auto", "bins": 10}},
+        )
