@@ -1055,12 +1055,12 @@ GOLD_JOIN_VIEWS: dict[str, dict] = {
             "sale_cents_var": ("var", "cast(round(extended_price * 100) as bigint)"),
             # distinct buyers per segment — EXACT, transition-maintained
             # (r11): a correction delete decrements occurrence counts
-            # and never rescans the bases, unlike the HLL sketch whose
-            # any-delete repair was the dominant share of the gold
-            # refresh (r10 bench: 4.38 s of 10.95). The sketch remains
-            # the right choice for fact-unique ids (sales_by_month's
-            # approx_buyers keeps it); buyer-per-segment support state
-            # is customer-scale, so exact wins here.
+            # and never rescans the bases. (Since r12 the HLL sketch's
+            # delete repair is also base-free — per-file partial
+            # sketches in the _fparts support — but exact still wins
+            # here: buyer-per-segment support state is customer-scale,
+            # while the sketch stays the right choice for fact-unique
+            # ids like sales_by_month's approx_buyers.)
             "distinct_buyers": ("distinct", "customer_id"),
         },
     },

@@ -2463,9 +2463,11 @@ class TxTable:
                 bloom_cols_due.append(col)
         stats["bloom_cols"] = cfg_cols
         # backfill: a bloom-enabled table whose live files mostly LACK
-        # sidecars (written by the native writer, whose commit runs in
-        # a sessionless planner worker and cannot launch the sidecar
-        # job, or written before enable_bloom) — a rewrite builds them
+        # sidecars — files written BEFORE enable_bloom, or native-
+        # writer batches whose bloom config appeared between plan and
+        # commit (since r12 the native write tasks build sidecars
+        # themselves, so this is the residual long tail, not every
+        # native batch) — a rewrite builds them
         if cfg_cols and files:
             missing = sum(1 for f in files if "bloom" not in f)
             stats["bloom_missing_files"] = missing
@@ -2475,9 +2477,10 @@ class TxTable:
                         "action": "bloom_backfill",
                         "args": {},
                         "reason": f"{missing}/{len(files)} live files "
-                        "carry no bloom sidecar (native-writer batches "
-                        "or pre-enable files) — point probes can't "
-                        "skip them until a rewrite builds the filters",
+                        "carry no bloom sidecar (pre-enable files, or "
+                        "a config that landed mid-write) — point "
+                        "probes can't skip them until a rewrite "
+                        "builds the filters",
                     }
                 )
         if bloom_cols_due:
