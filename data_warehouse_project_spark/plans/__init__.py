@@ -40,9 +40,11 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 # mechanically: every never-green query must sit inside the prefix.
 _NEVER_DRIVER_GREEN_R11 = [
     # new in round 12 (never sampled yet): the two-level auto-ranging
-    # histogram grid and the router's measure-level HAVING pushdown
+    # histogram grid, the router's measure-level HAVING pushdown, and
+    # the exact top-k (heavy hitters) view measure
     "hist_two_level_shift",
     "routed_having_rollup",
+    "topk_heavy_hitters",
 ]
 
 _NEVER_DRIVER_GREEN_R10 = [

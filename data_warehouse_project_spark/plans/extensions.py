@@ -1859,3 +1859,92 @@ def routed_having_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return routed.orderBy("seg").localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "topk_heavy_hitters",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS ok, o_orderstatus AS status,
+             o_custkey AS ck
+      FROM orders
+    ),
+    live AS (
+      SELECT status, ck FROM src WHERE ok % 11 <> 0
+      UNION ALL
+      SELECT status, ck FROM src
+      WHERE ok % 3 = 0 AND (ok + 200000000) % 11 <> 0
+    ),
+    cnt AS (
+      SELECT status, ck, COUNT(*) AS cnt
+      FROM live GROUP BY status, ck
+    ),
+    ranked AS (
+      SELECT status, ck, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY status ORDER BY cnt DESC, ck
+             ) AS rn
+      FROM cnt
+    )
+    SELECT status, CAST(rn AS INT) AS rank, ck AS buyer,
+           CAST(cnt AS BIGINT) AS n_orders
+    FROM ranked WHERE rn <= 5
+    ORDER BY status, rank
+    """,
+    doc="EXACT TOP-K (heavy hitters) view measure (r12): per-status "
+    "top-5 buyers by order count, maintained INCREMENTALLY — the "
+    "measure lives entirely in the per-(group, value) occurrence "
+    "support the exact-distinct machinery keeps (additive folds, "
+    "deletes subtract, no sketch error, no repair read), and read() "
+    "ranks it on demand with deterministic ties (count desc, value "
+    "asc). The query churns the base AFTER view create (a 1/3 "
+    "re-append + a 1/11 dv correction delete), refreshes, and "
+    "explodes the ranked arrays to rows for the SQL oracle. Unlike "
+    "SpaceSaving/Misra-Gries sketches this is exact under deletes — "
+    "the property that matters for correction-heavy warehouses. "
+    "Reference analogue: its reports re-derive top-group rollups "
+    "wholesale each run (dw_etl_tests.py:480-506).",
+    tags=("tx", "ivm", "topk"),
+    eager=True,
+)
+def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txtable import TxTable
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_custkey").alias("ck"),
+    )
+    tmp = tempfile.mkdtemp(prefix="topk_")
+    try:
+        base = TxTable.create(spark, tmp + "/t", o, key="ok")
+        view = TxAggView.create(
+            spark, tmp + "/v", base, group_col="status",
+            measures={"top_buyers": {"fn": "topk", "expr": "ck", "k": 5}},
+        )
+        base.append(
+            o.filter(F.col("ok") % 3 == 0).select(
+                (F.col("ok") + 200_000_000).alias("ok"), "status", "ck"
+            )
+        )
+        base.delete(F.col("ok") % 11 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        res = (
+            view.read()
+            .select("status", F.explode("top_buyers").alias("t"))
+            .select(
+                "status",
+                F.col("t.rank").cast("int").alias("rank"),
+                F.col("t.value").alias("buyer"),
+                F.col("t.cnt").cast("long").alias("n_orders"),
+            )
+            .orderBy("status", "rank")
+        )
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -397,7 +397,7 @@ class TxJoinAggView:
         key = _GK if len(cols) > 1 else cols[0]
         TxTable.create(spark, root, full, key=key)
         for n, m in norm.items():
-            if m["fn"] == "distinct":
+            if m["fn"] in ("distinct", "topk"):
                 TxTable.create(
                     spark, root / f"_vals_{n}",
                     cls._support_full(spec, fact_df, dim_dfs, n),
@@ -578,10 +578,78 @@ class TxJoinAggView:
             elif m["fn"] == "distinct":
                 # exact, transition-maintained — see module docstring
                 cols.append(F.col(f"__d_{n}").alias(n))
+            elif m["fn"] == "topk":
+                continue  # derived from the support, joined below
             else:  # min / max
                 cols.append(F.col(f"__m_{n}").alias(n))
         cols.append(F.col(_N))
-        return self.table.read(version).select(*cols)
+        out = self.table.read(version).select(*cols)
+        tks = [
+            (n, int(m["k"]))
+            for n, m in self.spec["measures"].items()
+            if m["fn"] == "topk"
+        ]
+        for n, k in tks:
+            out = self._join_topk(out, n, k, version)
+        if tks:
+            out = out.select(
+                *self._gcols(), *list(self.spec["measures"]), _N
+            )
+        return out
+
+    def _join_topk(
+        self, out: DataFrame, n: str, k: int, version: int | None
+    ) -> DataFrame:
+        """Left-join measure ``n``'s exact top-k array from the
+        occurrence support (count desc, value asc — deterministic
+        ties); refuses when the support cursor does not match the view
+        state being read (crash window / time-travel mismatch). See
+        TxAggView._join_topk."""
+        from pyspark.sql import Window
+
+        gcols = self._gcols()
+        sup = self._support(n)
+        want = list(self.applied_versions(at=version))
+        have = self._support_vec(sup)
+        if have != want:
+            raise TxError(
+                f"topk measure {n!r}: support cursor at base versions "
+                f"{have} but the view state read reflects {want} — "
+                "refresh() first (or retry after the concurrent "
+                "refresh completes)"
+            )
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col("__cnt").desc(), F.col("__val").asc()
+        )
+        tk = (
+            sup.read()
+            .filter(F.col("__cnt") > 0)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .groupBy(*gcols)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__rk").alias("rank"),
+                            F.col("__val").alias("value"),
+                            F.col("__cnt").alias("cnt"),
+                        )
+                    )
+                ).alias(n)
+            )
+        )
+        cond = _and_all(
+            F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in gcols
+        )
+        return (
+            out.alias("a")
+            .join(tk.alias("b"), cond, "left")
+            .select(
+                *[F.col(f"a.{c}") for c in out.columns],
+                F.col(f"b.{n}").alias(n),
+            )
+        )
 
     def applied_versions(self, at: int | None = None) -> tuple[int, ...]:
         """(fact version, dim versions…) whose effects the view
@@ -610,6 +678,14 @@ class TxJoinAggView:
         return [
             n for n, m in self.spec["measures"].items()
             if m["fn"] == "distinct"
+        ]
+
+    def _value_support_names(self) -> list[str]:
+        """Measures backed by the per-(group, value) occurrence
+        support: exact DISTINCT and TOPK (see txview)."""
+        return [
+            n for n, m in self.spec["measures"].items()
+            if m["fn"] in ("distinct", "topk")
         ]
 
     def _view_key(self) -> str:
@@ -864,7 +940,7 @@ class TxJoinAggView:
         support recompute at the view's cursor — so an explicit
         ``refresh(mode="recompute")`` can always heal, never trapped
         behind a gone feed."""
-        for n in self._distinct_names():
+        for n in self._value_support_names():
             sup = self._support(n)
             s_vec = self._support_vec(sup)
             if _enc(s_vec) >= _enc(v_vec):
@@ -1093,7 +1169,7 @@ class TxJoinAggView:
         full = self._joined_agg(self.spec, fact_df, dim_dfs)
         r = self.table.overwrite(full, txn=(self.APP, _enc(targets)))
         if not r.get("skipped"):
-            for n in self._distinct_names():
+            for n in self._value_support_names():
                 self._support(n, at=targets).overwrite(
                     self._support_full(self.spec, fact_df, dim_dfs, n),
                     txn=(self.APP, _enc(targets)),
@@ -1163,7 +1239,8 @@ class TxJoinAggView:
         gcols = self._gcols()
         churn = self._churn_frame(v0, v1)
         dnames = self._distinct_names()
-        if dnames:
+        snames = self._value_support_names()
+        if snames:
             # the same signed churn feeds the measure deltas AND each
             # distinct measure's value-level delta — pin it once
             churn = churn.localCheckpoint(eager=False)
@@ -1209,8 +1286,9 @@ class TxJoinAggView:
         # count delta joined into the main delta frame (its groups are
         # a subset of the churn's, so a left join is complete)
         dvs: dict[str, DataFrame] = {}
-        for n in dnames:
+        for n in snames:
             dvs[n] = self._dv_frame(churn, n)
+        for n in dnames:
             dg = self._transitions(self._support(n), dvs[n], n)
             cond = _and_all(
                 F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in gcols
@@ -1493,6 +1571,8 @@ class TxJoinAggView:
                     return [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
                 if m["fn"] == "distinct":
                     return [F.col(f"m.__d_{n}").alias(f"__d_{n}")]
+                if m["fn"] == "topk":
+                    return []  # no physical column
                 phys = "__h_" if m["fn"] == "approx_distinct" else "__m_"
                 return [
                     F.when(F.col(f"m.__dirty_{n}"), F.col(f"r.__r_{n}"))
@@ -1527,7 +1607,7 @@ class TxJoinAggView:
             # refresh's _catchup_supports re-derives this window from
             # the feeds; a fenced-skip view (a concurrent refresher
             # won) leaves supports to the winner / the catch-up.
-            for n in dnames:
+            for n in snames:
                 self._apply_support(self._support(n), dvs[n], _enc(v1))
             if repairable and f_parts is not None:
                 self._apply_fparts(

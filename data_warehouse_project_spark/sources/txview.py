@@ -47,6 +47,13 @@ Data Eng. Bulletin 1995):
   view is ε-approximate BY CONTRACT: estimates carry HLL's standard
   ~1.6% relative error at the default lgK=12, and the test pins a 5%
   envelope against the exact distinct count plus refresh determinism.
+- TOPK (r12) rides the same per-(group, value) occurrence support:
+  the exact top-k values per group by live count, ranked at READ time
+  (count desc, value asc — deterministic ties) as an
+  array<struct<rank, value, cnt>>. No view column at all, additive
+  folds, deletes subtract — exact under correction churn where
+  SpaceSaving/Misra-Gries sketches drift. State cost = the support
+  (same trade as DISTINCT below).
 - DISTINCT (r11) is the EXACT twin without the delete tax: the
   dual-level aggregation (Gupta & Mumick §4 — COUNT(DISTINCT x) is
   COUNT over the auxiliary view GROUP BY g, x), with the per-(group,
@@ -89,7 +96,7 @@ from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable, _live
 _SIDECAR = "_view.json"
 _N = "n_rows"  # hidden support count: a group at 0 leaves the view
 _FNS = ("sum", "count", "avg", "min", "max", "approx_distinct", "distinct",
-        "var", "stddev", "sumsq", "hist")
+        "var", "stddev", "sumsq", "hist", "topk")
 
 #: hist bin-count ceiling: each bin is one aggregate expression in the
 #: fold plan, so this bounds plan size, and the array column stays a
@@ -358,6 +365,20 @@ def _norm_measures(measures: dict) -> dict[str, dict]:
                     "1023x the grid span)"
                 )
             extra = {"lo": lo, "hi": hi, "bins": bins, "outer": outer}
+        elif fn == "topk":
+            try:
+                k = int(extra["k"])
+            except (KeyError, TypeError, ValueError):
+                raise TxError(
+                    f"measure {name!r}: topk needs integer k, e.g. "
+                    '{"fn": "topk", "expr": E, "k": 10}'
+                ) from None
+            if not (1 <= k <= 100):
+                raise TxError(
+                    f"measure {name!r}: topk k must be in [1, 100] "
+                    "(read() materializes k struct rows per group)"
+                )
+            extra = {"k": k}
         else:
             extra = {}
         out[name] = {"fn": fn, "expr": expr, **extra}
@@ -396,6 +417,11 @@ def _physical_agg(measures: dict[str, dict]) -> list:
             # exact, transition-maintained against a per-(group, value)
             # support table — see TxAggView's class docstring
             aggs.append(F.count_distinct(e).alias(f"__d_{n}"))
+        elif m["fn"] == "topk":
+            # no physical view column: the measure lives ENTIRELY in
+            # the per-(group, value) occurrence support; read() ranks
+            # it on demand (exact heavy hitters, delete-safe)
+            pass
         else:  # approx_distinct: the HLL sketch IS the physical state
             aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
     aggs.append(F.count(F.lit(1)).alias(_N))
@@ -491,7 +517,7 @@ class TxAggView:
         TxTable.create(spark, root, full, key=group_col)
         view = cls(spark, root)
         for n, m in norm.items():
-            if m["fn"] == "distinct":
+            if m["fn"] in ("distinct", "topk"):
                 view._support(n, at=base_v)  # create-if-absent builds it
         if view._use_fparts():
             view._fparts(at=base_v)  # per-file repair partials
@@ -552,10 +578,82 @@ class TxAggView:
             elif m["fn"] == "distinct":
                 # exact, transition-maintained (class docstring)
                 cols.append(F.col(f"__d_{n}").alias(n))
+            elif m["fn"] == "topk":
+                continue  # derived from the support, joined below
             else:  # min / max
                 cols.append(F.col(f"__m_{n}").alias(n))
         cols.append(F.col(_N))
-        return self.table.read(version).select(*cols)
+        out = self.table.read(version).select(*cols)
+        tks = [
+            (n, int(m["k"]))
+            for n, m in self.spec["measures"].items()
+            if m["fn"] == "topk"
+        ]
+        for n, k in tks:
+            out = self._join_topk(out, n, k, version)
+        if tks:  # restore the canonical column order
+            out = out.select(
+                g, *list(self.spec["measures"]), _N
+            )
+        return out
+
+    def _join_topk(
+        self, out: DataFrame, n: str, k: int, version: int | None
+    ) -> DataFrame:
+        """Left-join measure ``n``'s exact top-k — an ordered
+        array<struct<rank, value, cnt>> ranked from the occurrence
+        support (count desc, value asc — deterministic ties). The
+        support cursor must match the view state being read: a lagging
+        support (crash window) or a time-travel read at a version the
+        support no longer reflects refuses loudly rather than pairing
+        mismatched snapshots. NULL for a group with no non-null
+        values (COUNT-family semantics)."""
+        from pyspark.sql import Window
+
+        g = self.spec["group_col"]
+        sup = self._support(n)
+        want = self.applied_base_version(at=version)
+        have = self._support_ver(sup)
+        if have != want:
+            raise TxError(
+                f"topk measure {n!r}: support cursor is at base "
+                f"v{have} but the view state read reflects v{want} — "
+                "refresh() first (or retry after the concurrent "
+                "refresh completes)"
+            )
+        w = Window.partitionBy(g).orderBy(
+            F.col("__cnt").desc(), F.col("__val").asc()
+        )
+        tk = (
+            sup.read()
+            .filter(F.col("__cnt") > 0)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .groupBy(g)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__rk").alias("rank"),
+                            F.col("__val").alias("value"),
+                            F.col("__cnt").alias("cnt"),
+                        )
+                    )
+                ).alias(n)
+            )
+        )
+        return (
+            out.alias("a")
+            .join(
+                tk.alias("b"),
+                F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")),
+                "left",
+            )
+            .select(
+                *[F.col(f"a.{c}") for c in out.columns],
+                F.col(f"b.{n}").alias(n),
+            )
+        )
 
     def applied_base_version(self, at: int | None = None) -> int:
         """The base version whose effects the view reflects — at the
@@ -608,6 +706,16 @@ class TxAggView:
         return [
             n for n, m in self.spec["measures"].items()
             if m["fn"] == "distinct"
+        ]
+
+    def _value_support_names(self) -> list[str]:
+        """Measures backed by the per-(group, value) occurrence-count
+        support: exact DISTINCT (the view folds its 0<->positive
+        transitions) and TOPK (no view column at all — read() ranks
+        the support on demand). One maintenance path for both."""
+        return [
+            n for n, m in self.spec["measures"].items()
+            if m["fn"] in ("distinct", "topk")
         ]
 
     def _support_full(self, n: str, at: int) -> DataFrame:
@@ -725,7 +833,7 @@ class TxAggView:
         sup.rewrite_by_keys(dv.select(g), xform, txn=(self.APP, fence))
 
     def _catchup_supports(self, applied: int) -> None:
-        for n in self._distinct_names():
+        for n in self._value_support_names():
             sup = self._support(n)
             s_v = self._support_ver(sup)
             if s_v >= applied:
@@ -949,7 +1057,7 @@ class TxAggView:
         )
         r = self.table.overwrite(full, txn=(self.APP, target))
         if not r.get("skipped"):
-            for n in self._distinct_names():
+            for n in self._value_support_names():
                 self._support(n, at=target).overwrite(
                     self._support_full(n, target), txn=(self.APP, target)
                 )
@@ -1072,15 +1180,18 @@ class TxAggView:
         delta_aggs.append(F.sum(sign).alias(_N))
         churn = _signed(self.base.read_changes(applied + 1, target))
         dnames = self._distinct_names()
-        if dnames:
+        snames = self._value_support_names()
+        if snames:
             churn = churn.localCheckpoint(eager=False)
         delta = churn.groupBy(g).agg(*delta_aggs)
-        # distinct measures: value-level deltas -> transitions against
-        # the PRE-fold support -> one per-group count delta, left-joined
+        # value-support measures: per-(group, value) signed deltas —
+        # folded into the support after the view commit; DISTINCT
+        # additionally turns them into 0<->positive transitions joined
         # into the main delta (its groups are a subset of the churn's)
         dvs: dict[str, DataFrame] = {}
-        for n in dnames:
+        for n in snames:
             dvs[n] = self._dv_frame(churn, n)
+        for n in dnames:
             dg = self._transitions(self._support(n), dvs[n], n)
             delta = (
                 delta.alias("a")
@@ -1162,6 +1273,8 @@ class TxAggView:
                             + F.coalesce(F.col(f"d.__dd_{n}"), F.lit(0))
                         ).alias(f"__d_{n}")
                     )
+                elif m["fn"] == "topk":
+                    pass  # no physical column: lives in the support
                 elif m["fn"] == "approx_distinct":
                     vh = F.col(f"v.__h_{n}")
                     ins = F.col(f"d.__i_{n}")
@@ -1301,6 +1414,8 @@ class TxAggView:
                         return [F.col(f"m.__c_{n}").alias(f"__c_{n}")]
                     if m["fn"] == "distinct":
                         return [F.col(f"m.__d_{n}").alias(f"__d_{n}")]
+                    if m["fn"] == "topk":
+                        return []  # no physical column
                     phys = "__h_" if m["fn"] == "approx_distinct" else "__m_"
                     return [
                         F.when(
@@ -1347,7 +1462,7 @@ class TxAggView:
         if not r.get("skipped"):
             # supports fold AFTER the view commit behind the same
             # fence; a crash here is healed by the catch-up paths
-            for n in dnames:
+            for n in snames:
                 self._apply_support(self._support(n), dvs[n], target)
             if repairable and f_parts is not None:
                 self._apply_fparts(fsup, f_changed, f_fresh, f_parts, target)
