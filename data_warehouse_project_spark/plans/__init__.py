@@ -45,6 +45,7 @@ _NEVER_DRIVER_GREEN_R11 = [
     "hist_two_level_shift",
     "routed_having_rollup",
     "topk_heavy_hitters",
+    "routed_topk_rollup",
 ]
 
 _NEVER_DRIVER_GREEN_R10 = [

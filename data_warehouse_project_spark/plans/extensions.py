@@ -1948,3 +1948,84 @@ def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "routed_topk_rollup",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS seg FROM customer
+    ),
+    cnt AS (
+      SELECT seg, o_custkey AS ck, COUNT(*) AS cnt
+      FROM orders JOIN dim ON o_custkey = c_custkey
+      GROUP BY seg, ck
+    ),
+    ranked AS (
+      SELECT seg, ck, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY seg ORDER BY cnt DESC, ck
+             ) AS rn
+      FROM cnt
+    )
+    SELECT seg, CAST(rn AS INT) AS rank, ck AS buyer,
+           CAST(cnt AS BIGINT) AS n_orders
+    FROM ranked WHERE rn <= 3
+    ORDER BY seg, rank
+    """,
+    doc="ROUTED TOP-K (r12): a GROUP BY seg top-3-buyers query answered "
+    "by the aggregate navigator from a FINER (seg, nation) join view — "
+    "the view's per-(group, value) occurrence support holds FULL "
+    "counts, so the router SUMS them to the coarse grain and re-ranks, "
+    "exact for ANY requested k (here 3, while the view declared k=5). "
+    "The support snapshot is pinned to the view version mid-route "
+    "(support_at), so a concurrent refresh can never mix cursors. "
+    "Explodes the ranked arrays to rows for the DuckDB ROW_NUMBER "
+    "oracle.",
+    tags=("tx", "ivm", "router", "topk"),
+    eager=True,
+)
+def routed_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg0"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    tmp = tempfile.mkdtemp(prefix="topkroute_")
+    try:
+        fact = TxTable.create(spark, tmp + "/fact", o, key="ok")
+        dim = TxTable.create(spark, tmp + "/dim", c, key="c_custkey")
+        view = TxJoinAggView.create(
+            spark, tmp + "/view", fact, dim, fk="ck",
+            group_expr=["seg0", "cast(nk as bigint)"],
+            group_col=["seg", "nk"],
+            measures={"top5": {"fn": "topk", "expr": "ck", "k": 5}},
+        )
+        routed, how = AggRouter(spark).register(view).route(
+            ["seg"], {"top3": {"fn": "topk", "expr": "ck", "k": 3}}
+        )
+        assert not how["exact_grain"], how
+        res = (
+            routed.select("seg", F.explode("top3").alias("t"))
+            .select(
+                "seg",
+                F.col("t.rank").cast("int").alias("rank"),
+                F.col("t.value").alias("buyer"),
+                F.col("t.cnt").cast("long").alias("n_orders"),
+            )
+            .orderBy("seg", "rank")
+        )
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

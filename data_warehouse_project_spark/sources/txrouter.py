@@ -25,6 +25,9 @@ COUNT(*)              ``n_rows``                 SUM of n_rows
 approx COUNT(DIST.)   ``__h`` (HLL sketch)       ``hll_union_agg``
 exact COUNT(DIST.)    support table              COUNT(DISTINCT __val)
                       (per-(group, value) cnt)   over the support
+TOPK (heavy hitters)  support table              SUM counts to the
+                      (per-(group, value) cnt)   coarse grain, re-rank
+                                                 (ANY k — full counts)
 VAR/STDDEV (samp)     ``__s`` + ``__q`` + ``__c``  pooled moments
 SUMSQ                 ``__q`` + ``__c``          SUM of Σx²
 ====================  =========================  =====================
@@ -88,6 +91,7 @@ _DERIVABLE = {
     "min": ("min",),
     "max": ("max",),
     "approx_distinct": ("approx_distinct",),
+    "topk": ("topk",),
     "distinct": ("distinct",),
     "var": ("var", "stddev"),
     "stddev": ("var", "stddev"),
@@ -316,13 +320,15 @@ class AggRouter:
                     f"columns alone ({type(exc).__name__})"
                 )
         for qn, q in qm.items():
-            if q["fn"] == "distinct" and set(gcols) != set(a.gcols):
-                if a.support_in_sync(mapping[qn]) is None:
-                    return None, (
-                        f"{a.name}: distinct support for "
-                        f"{mapping[qn]!r} is mid-repair (crashed "
-                        "refresh) — run refresh() first"
-                    )
+            needs_support = q["fn"] == "topk" or (
+                q["fn"] == "distinct" and set(gcols) != set(a.gcols)
+            )
+            if needs_support and a.support_in_sync(mapping[qn]) is None:
+                return None, (
+                    f"{a.name}: value support for "
+                    f"{mapping[qn]!r} is mid-repair (crashed "
+                    "refresh) — run refresh() first"
+                )
         return mapping, None
 
     # ------------------------------------------------------------ plan
@@ -349,6 +355,7 @@ class AggRouter:
             phys = phys.filter(where)
         aggs, post = [], [F.col(g) for g in gcols]
         distincts: list[tuple[str, str]] = []  # (query name, view name)
+        topks: list[tuple[str, str, int]] = []  # (+ requested k)
         for qn, q in qm.items():
             vn, fn = mapping[qn], q["fn"]
             if q["expr"] == "*":
@@ -433,6 +440,11 @@ class AggRouter:
                         F.hll_sketch_estimate(F.col(f"__r_{qn}")), F.lit(0)
                     ).alias(qn)
                 )
+            elif fn == "topk":
+                # the support holds FULL per-(group, value) counts, so
+                # any coarser grain re-aggregates exactly — and any k,
+                # not just the view's (the view stores no topk column)
+                topks.append((qn, vn, int(q["k"])))
             else:  # exact distinct
                 if exact:
                     # one view row per output group: read __d directly
@@ -445,9 +457,10 @@ class AggRouter:
         if aggs:
             out = phys.groupBy(*gcols).agg(*aggs).select(*post)
         else:
-            # every requested measure is a coarse exact-distinct: the
-            # group list still comes from the VIEW (it defines which
-            # groups exist, incl. all-null-value ones the support lacks)
+            # every requested measure is support-derived (coarse exact
+            # distinct / topk): the group list still comes from the
+            # VIEW (it defines which groups exist, incl. all-null-value
+            # ones the support lacks)
             out = phys.select(*gcols).distinct()
         for qn, vn in distincts:
             pinned = a.support_at(vn, view_v)
@@ -479,6 +492,59 @@ class AggRouter:
                 .select(
                     *[F.col(f"a.{c}") for c in out.columns if c != qn],
                     F.coalesce(F.col(f"b.{qn}"), F.lit(0)).alias(qn),
+                )
+            )
+        for qn, vn, k in topks:
+            from pyspark.sql import Window
+
+            pinned = a.support_at(vn, view_v)
+            if pinned is None:
+                raise NoRouteError(
+                    "value support lost its matching snapshot "
+                    "mid-route (concurrent refresh + vacuum, or a "
+                    "crashed refresh) — retry, or refresh() first",
+                    [f"{a.name}: no support version matches view "
+                     f"v{view_v} for measure {vn!r}"],
+                )
+            sup, sup_v = pinned
+            sdf = sup.read(sup_v).filter(F.col("__cnt") > 0)
+            if where is not None:
+                sdf = sdf.filter(where)
+            c2 = sdf.groupBy(*gcols, F.col("__val")).agg(
+                F.sum(F.col("__cnt")).alias("__c2")
+            )
+            w = Window.partitionBy(*gcols).orderBy(
+                F.col("__c2").desc(), F.col("__val").asc()
+            )
+            tk = (
+                c2.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= k)
+                .groupBy(*gcols)
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__rk").alias("rank"),
+                                F.col("__val").alias("value"),
+                                F.col("__c2").alias("cnt"),
+                            )
+                        )
+                    ).alias(qn)
+                )
+            )
+            cond = reduce(
+                lambda x, y: x & y,
+                [
+                    F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
+                    for g in gcols
+                ],
+            )
+            out = (
+                out.alias("a")
+                .join(tk.alias("b"), cond, "left")
+                .select(
+                    *[F.col(f"a.{c}") for c in out.columns if c != qn],
+                    F.col(f"b.{qn}").alias(qn),
                 )
             )
         out = out.select(*gcols, *qm)

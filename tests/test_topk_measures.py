@@ -188,15 +188,58 @@ def test_topk_validation_and_router_refusal(spark, tmp_path):
                 spark, tmp_path / f"v{bad.get('k', 'x')}", base,
                 group_col="g", measures={"top": bad},
             )
-    # the router refuses topk queries honestly (not re-aggregable
-    # without the support — route at the view's own surface instead)
+    # topk routes through the support — at the exact grain too
     from data_warehouse_project_spark.sources.txrouter import AggRouter
 
     view = TxAggView.create(
         spark, tmp_path / "v", base, group_col="g",
         measures={"top": {"fn": "topk", "expr": "v", "k": 2}},
     )
-    with pytest.raises(TxError, match="not routable"):
-        AggRouter(spark).register(view).route(
-            ["g"], {"top": {"fn": "topk", "expr": "v", "k": 2}}
-        )
+    routed, how = AggRouter(spark).register(view).route(
+        ["g"], {"top": {"fn": "topk", "expr": "v", "k": 2}}
+    )
+    assert routed.collect()[0]["top"] == [(1, 1, 1)]
+
+
+def test_routed_topk_rolls_up_support_counts(spark, tmp_path):
+    """Coarse topk through the navigator: the support's full
+    per-(group, value) counts SUM to the coarse grain and re-rank —
+    exact for ANY requested k (the view stores no topk column), pinned
+    equal to a direct base derivation; a torn support falls back /
+    refuses like distinct."""
+    f = spark.createDataFrame(
+        [(i, i % 6, (i * 7) % 5) for i in range(90)],
+        "k long, fk long, v long",
+    )
+    d = spark.createDataFrame(
+        [(c, f"g{c % 2}", c % 3) for c in range(6)],
+        "dk long, g string, sub long",
+    )
+    fact = TxTable.create(spark, tmp_path / "f", f, key="k")
+    dim = TxTable.create(spark, tmp_path / "d", d, key="dk")
+    view = TxJoinAggView.create(
+        spark, tmp_path / "v", fact, dim, fk="fk",
+        group_expr=["g", "cast(sub as bigint)"], group_col=["g", "sub"],
+        measures={"top": {"fn": "topk", "expr": "v", "k": 4}},
+    )
+    fact.delete(F.col("k") % 7 == 0, mode="dv")
+    view.refresh()
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+
+    # coarse grain AND a different k than the view's
+    routed, how = AggRouter(spark).register(view).route(
+        ["g"], {"top": {"fn": "topk", "expr": "v", "k": 2}}
+    )
+    assert not how["exact_grain"]
+    got = {
+        r["g"]: [(x["rank"], x["value"], x["cnt"]) for x in (r["top"] or [])]
+        for r in routed.collect()
+    }
+    dmap = {r["dk"]: r["g"] for r in dim.read().collect()}
+    rows = [
+        (dmap[r["fk"]], r["v"])
+        for r in fact.read().collect()
+        if r["fk"] in dmap and r["v"] is not None
+    ]
+    want = _py_topk(rows, 2)
+    assert got == want, (got, want)
