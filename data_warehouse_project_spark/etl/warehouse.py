@@ -59,6 +59,12 @@ class Warehouse:
     #: catalog directory name for the tx pipeline's whole-run publish
     TX_CATALOG_DIR = "_txcatalog"
 
+    #: crashed publishers' .tmp-* staging dirs younger than this are
+    #: kept by catalog_publish's reap pass — an in-flight concurrent
+    #: publisher's staging must never be yanked (same contract as
+    #: TxTable.VACUUM_MIN_AGE_S for _staging- dirs)
+    PUBLISH_TMP_MIN_AGE_S = 600.0
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = Path(root)
@@ -382,7 +388,23 @@ class Warehouse:
                 f"LOCATION '{vdir}'"
             )
             out[tbl] = "published_parquet"
-            # reap all but the current and previous published versions
+            # reap all but the current and previous published versions,
+            # plus crashed publishers' aged .tmp-* staging dirs — a
+            # publish dying between mkdir/write and os.replace leaves a
+            # snapshot-sized dir nothing else scans (TxTable.vacuum
+            # only walks the table root); mirror its _staging- handling
+            # with the same safety age so an in-flight publisher's
+            # staging is never yanked (r12 ADVICE)
+            import time as _time
+
+            now = _time.time()
+            for d in dest.iterdir():
+                if (
+                    d.is_dir()
+                    and d.name.startswith(".tmp-")
+                    and now - d.stat().st_mtime >= self.PUBLISH_TMP_MIN_AGE_S
+                ):
+                    shutil.rmtree(d, ignore_errors=True)
             kept = sorted(
                 (d for d in dest.iterdir() if d.name.startswith("v")),
                 key=lambda d: d.name,

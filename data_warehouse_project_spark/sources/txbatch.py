@@ -716,8 +716,12 @@ class TxBatchWriter(DataSourceArrowWriter):
     (the advisor backfill remains for files written before bloom was
     enabled, or under a config that appeared between plan and commit).
     A fenced replay or abort removes the job's sidecar dir with its
-    data files; any part a failed task leaves behind is unreferenced
-    and reaped by ``vacuum`` like other orphans.
+    data files. A part a failed/RETRIED task leaves inside a dir the
+    successful tasks committed can never cause false pruning (its 'f'
+    basename matches no manifest entry) and is reaped part-by-part by
+    ``vacuum``, which drops aged parquet parts whose 'f' values match
+    no retained manifest file (r12 ADVICE: whole-dir reaping alone
+    left such parts permanently unreclaimable).
 
     CHECK constraints are enforced EXECUTOR-SIDE (r11): every write
     task validates each Arrow batch against the manifest's predicates

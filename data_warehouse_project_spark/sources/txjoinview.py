@@ -905,26 +905,38 @@ class TxJoinAggView:
 
     def _hot_fk_dims(self, fact_churn: DataFrame) -> set[int]:
         """Dims whose fk in this window's fact churn has a hot key —
-        the skew diagnostic gating the salted delta join. One count
-        (the churn is checkpointed anyway) plus one tiny top-1 agg per
-        dim, and ONLY for deltas at least SKEW_PROBE_FLOOR_ROWS."""
+        the skew diagnostic gating the salted delta join. The gating
+        count() is the churn checkpoint's FIRST action (it materializes
+        the lazy localCheckpoint, so nothing downstream re-reads the
+        change feed), and past the floor ALL dims' top-1 key counts
+        come from ONE job — posexplode the fk tuple to (dim, key) rows,
+        count per pair, max per dim — instead of one churn pass per dim
+        (r12 ADVICE)."""
         if self.SKEW_SALT <= 1:
             return set()
         n = fact_churn.count()
         if n < self.SKEW_PROBE_FLOOR_ROWS:
             return set()
-        hot: set[int] = set()
-        for i in range(len(self.dims)):
-            top = (
-                fact_churn.groupBy(f"__jk{i}")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .orderBy(F.desc("c"))
-                .select("c")
-                .first()
+        nd = len(self.dims)
+        tops = (
+            fact_churn.select(
+                F.posexplode(
+                    F.array(
+                        *[F.col(f"__jk{i}").cast("string") for i in range(nd)]
+                    )
+                ).alias("__d", "__key")
             )
-            if top and top["c"] * 1_000_000 > self.SKEW_SHARE_PPM * n:
-                hot.add(i)
-        return hot
+            .groupBy("__d", "__key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("__d")
+            .agg(F.max("c").alias("top"))
+            .collect()
+        )
+        return {
+            int(r["__d"])
+            for r in tops
+            if r["top"] * 1_000_000 > self.SKEW_SHARE_PPM * n
+        }
 
     def _catchup_supports(self, v_vec: list[int]) -> None:
         """A crash between the view commit and a support commit leaves

@@ -2607,19 +2607,49 @@ class TxTable:
         # bloom sidecar dirs referenced by no retained manifest (aged
         # out with their batch's files, or a crashed write's orphans)
         dropped_blooms = 0
+        dropped_bloom_parts = 0
         bdir = self.root / BLOOMS_DIR
         if bdir.is_dir():
             for item in bdir.iterdir():
-                if not item.is_dir() or item.name in ref_blooms:
+                if not item.is_dir():
                     continue
-                if now - item.stat().st_mtime < min_age_s:
+                if item.name not in ref_blooms:
+                    if now - item.stat().st_mtime < min_age_s:
+                        continue
+                    shutil.rmtree(item, ignore_errors=True)
+                    dropped_blooms += 1
                     continue
-                shutil.rmtree(item, ignore_errors=True)
-                dropped_blooms += 1
+                # inside a REFERENCED dir, a failed/retried write task
+                # can leave a part whose 'f' basenames match no
+                # retained manifest entry (the retry landed its own
+                # part; the orphan can never cause false pruning but
+                # would otherwise be unreclaimable forever). Reading
+                # one string column per part is footer-cheap.
+                for part in item.iterdir():
+                    if (
+                        not part.is_file()
+                        or not part.name.endswith(".parquet")
+                        or now - part.stat().st_mtime < min_age_s
+                    ):
+                        continue
+                    try:
+                        import pyarrow.parquet as _pq
+
+                        fnames = set(
+                            _pq.read_table(str(part), columns=["f"])
+                            .column("f")
+                            .to_pylist()
+                        )
+                    except Exception:
+                        continue  # unreadable ≠ deletable
+                    if fnames and fnames.isdisjoint(referenced):
+                        part.unlink(missing_ok=True)
+                        dropped_bloom_parts += 1
         return {
             "dropped_manifests": dropped_manifests,
             "dropped_files": dropped_files,
             "dropped_blooms": dropped_blooms,
+            "dropped_bloom_parts": dropped_bloom_parts,
         }
 
 

@@ -158,7 +158,23 @@ def _hist_idx(e, m: dict):
             c = c.when(dist < F.lit(span * (2**j - 1)), F.lit(j))
         return c.otherwise(F.lit(k))
 
-    under = F.lit(k) - outer_j(F.lit(lo) - e)
+    def under_j(val):
+        # the UNDERFLOW ladder compares on the VALUE, not the distance:
+        # mirroring the distance ladder with `<` would make the value
+        # intervals left-open/right-closed, so a value exactly at
+        # lo − span·(2^j − 1) would count in the FARTHER cell while
+        # _cell_edges / hist_percentile treat every cell as
+        # [left, left + width) — the boundary row would interpolate in
+        # a cell whose nominal range excludes it (r12 ADVICE). Bin j
+        # (1 = nearest the grid) covers
+        # [lo − span·(2^j − 1), lo − span·(2^(j−1) − 1)) — half-open,
+        # integer-exact, same edges as _cell_edges.
+        c = F.when(val >= F.lit(lo - span * (2**1 - 1)), F.lit(1))
+        for j in range(2, k):
+            c = c.when(val >= F.lit(lo - span * (2**j - 1)), F.lit(j))
+        return c.otherwise(F.lit(k))
+
+    under = F.lit(k) - under_j(e)
     over = F.lit(k - 1 + bins) + outer_j(e - F.lit(hi))
     return (
         F.when(e < lo, under).when(e >= hi, over).otherwise(inr).cast("int")

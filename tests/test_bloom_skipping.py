@@ -653,3 +653,41 @@ def test_oversized_in_list_bypasses_bloom_planning(spark, tmp_path):
     r2.BLOOM_PROBE_MAX_KEYS = 4  # now the same IN is "oversized"
     r2.pushFilters([In(("k",), absent)])
     assert len(r2.partitions()) == FILES  # bloom stepped aside
+
+
+def test_vacuum_reaps_orphan_parts_in_referenced_dirs(spark, tmp_path):
+    """A failed/retried write task's sidecar part inside a dir the
+    successful tasks committed (so the manifest references the DIR)
+    can never cause false pruning — its 'f' basename matches no
+    manifest entry — but whole-dir reaping alone would leave it
+    unreclaimable forever (r12 ADVICE). vacuum drops such parts
+    part-by-part and keeps every live one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = _scattered(spark, n=500, parts=2)
+    t = TxTable.create(spark, tmp_path / "t", df, key="k",
+                       bloom_cols=["k"])
+    bdirs = [d for d in (t.root / BLOOMS_DIR).iterdir() if d.is_dir()]
+    assert len(bdirs) == 1
+    live_parts = {
+        p.name for p in bdirs[0].iterdir() if p.suffix == ".parquet"
+    }
+    # forge the retried task's leftover: a well-formed sidecar part
+    # whose 'f' references a data file no manifest ever committed
+    orphan = bdirs[0] / "part-orphan.parquet"
+    pq.write_table(
+        pa.table(
+            {"f": ["never-committed.parquet"], "c": ["k"],
+             "m": [1024], "k": [7], "bits": [b"\x00" * 128]},
+        ),
+        str(orphan),
+    )
+    r = t.vacuum(retain_versions=1, min_age_s=0, force=True)
+    assert r["dropped_bloom_parts"] == 1
+    left = {p.name for p in bdirs[0].iterdir() if p.suffix == ".parquet"}
+    assert left == live_parts  # orphan gone, every live part kept
+    # pruning still exact after the reap
+    keys = [_key_of(i) for i in range(3)]
+    got = t.read_for_values("k", keys).filter(F.col("k").isin(keys))
+    assert got.count() == 3

@@ -1057,12 +1057,27 @@ def test_catalog_publish_persists_tx_and_gold(spark, tmp_path):
               if c == "sale_src_id" else F.col(c)
               for c in fact.read().columns]
         ))
+        # a crashed publisher's staging dir (died between write and
+        # os.replace): AGED ones reap on the next publish, fresh ones
+        # (a concurrent in-flight publisher) are kept (r12 ADVICE)
+        import os as _os
+        import time as _time
+
+        pub = tmp_path / "wh" / "_published" / "bl_3nf_ce_sales"
+        stale = pub / ".tmp-deadbeefcrash"
+        stale.mkdir()
+        (stale / "junk.parquet").write_bytes(b"x" * 64)
+        old = _time.time() - 2 * Warehouse.PUBLISH_TMP_MIN_AGE_S
+        _os.utime(stale, (old, old))
+        fresh = pub / ".tmp-inflightpub"
+        fresh.mkdir()
         wh.catalog_publish(database="whpub_db")
+        assert not stale.exists(), "aged crash staging must be reaped"
+        assert fresh.exists(), "fresh (possibly live) staging kept"
         got2 = spark.newSession().sql(
             "select count(*) n from whpub_db.bl_3nf_ce_sales"
         ).first()["n"]
         assert got2 == want_rows + 5
-        pub = tmp_path / "wh" / "_published" / "bl_3nf_ce_sales"
         assert len([d for d in pub.iterdir() if d.name.startswith("v")]) == 2
     finally:
         spark.sql("DROP DATABASE IF EXISTS whpub_db CASCADE")

@@ -479,3 +479,48 @@ def test_auto_grid_bounds_from_footer_stats(spark, tmp_path):
             measures={"h": {"fn": "hist", "expr": "amt", "lo": "auto",
                             "hi": "auto", "bins": 10}},
         )
+
+
+def test_underflow_ladder_matches_cell_edges(spark):
+    """Boundary rows on the UNDERFLOW side bin into the cell whose
+    _cell_edges range contains them (half-open [left, left+width) in
+    value space, like the fine grid and the overflow side) — the r12
+    ADVICE enumeration: lo=0, hi=100, bins=10, outer=4 puts -100,
+    -300, -700 exactly on cell edges."""
+    from data_warehouse_project_spark.functions.histograms import (
+        _cell_edges,
+    )
+    from data_warehouse_project_spark.sources.txview import (
+        _hist_idx,
+        _norm_measures,
+    )
+
+    lo, hi, bins, k = 0, 100, 10, 4
+    m = _norm_measures(
+        {"h": {"fn": "hist", "expr": "v", "lo": lo, "hi": hi,
+               "bins": bins, "outer": k}}
+    )["h"]
+    ncells = bins + 2 * k
+    edges = [_cell_edges(i, lo, hi, bins, k) for i in range(ncells)]
+    # every edge value (both sides), plus one-off neighbours and the
+    # beyond-the-ladder extremes that land in the catch-all cells
+    vals = sorted(
+        {int(left) for left, _ in edges}
+        | {int(left) - 1 for left, _ in edges}
+        | {int(left + w) - 1 for left, w in edges}
+        | {-10_000, 10_000, -100, -300, -700}
+    )
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", _hist_idx(F.col("v"), m).alias("i"))
+        .collect()
+    )
+    for r in rows:
+        v, i = r["v"], r["i"]
+        left, w = edges[i]
+        if i == 0:  # farthest underflow cell is the catch-all
+            assert v < left + w, (v, i, edges[i])
+        elif i == ncells - 1:  # farthest overflow cell: catch-all
+            assert v >= left, (v, i, edges[i])
+        else:
+            assert left <= v < left + w, (v, i, edges[i])
