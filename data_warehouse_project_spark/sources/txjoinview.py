@@ -134,6 +134,7 @@ from pyspark.sql import functions as F
 from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable
 from .txview import (
     _N,
+    ChurnCache,
     _hist_cells,
     _hist_zeros,
     _signed,
@@ -837,11 +838,18 @@ class TxJoinAggView:
             dv.select(self._view_key()), xform, txn=(self.APP, fence)
         )
 
-    def _churn_frame(self, v0: list[int], v1: list[int]) -> DataFrame | None:
+    def _churn_frame(
+        self,
+        v0: list[int],
+        v1: list[int],
+        cache: ChurnCache | None = None,
+    ) -> DataFrame | None:
         """The signed joined churn for the window (v0, v1]: the union
         of term A and one term per moved dim (see refresh) — every
         measure and every distinct-value delta aggregates from this one
-        frame. None when no base moved."""
+        frame. None when no base moved. With a per-sweep ``cache`` the
+        raw signed feeds come from the sweep-shared checkpoints (the
+        per-view projection stays a narrow map on top)."""
         spec = self.spec
         terms = []
         self._last_salted_dims: tuple[int, ...] = ()
@@ -849,9 +857,14 @@ class TxJoinAggView:
             # term A: ΔF ⋈ D1@new ⋈ … — signed fact churn, every dim
             # read pruned to the churned fks and pinned at its NEW
             # version
-            df = self._fact_proj(
-                spec, _signed(self.fact.read_changes(v0[0] + 1, v1[0]))
-            ).localCheckpoint(eager=False)
+            raw = (
+                cache.signed(self.fact, v0[0] + 1, v1[0])
+                if cache is not None
+                else _signed(self.fact.read_changes(v0[0] + 1, v1[0]))
+            )
+            df = self._fact_proj(spec, raw)
+            if cache is None:
+                df = df.localCheckpoint(eager=False)
             dim_slices = [
                 self._dim_proj(
                     spec, i,
@@ -873,9 +886,14 @@ class TxJoinAggView:
             # fact read pruned to the changed dim keys and pinned at
             # its OLD version; the other dims pruned to the fact
             # slice's fks
-            dd = self._dim_proj(
-                spec, i, _signed(d.read_changes(v0[i + 1] + 1, v1[i + 1]))
-            ).localCheckpoint(eager=False)
+            raw_d = (
+                cache.signed(d, v0[i + 1] + 1, v1[i + 1])
+                if cache is not None
+                else _signed(d.read_changes(v0[i + 1] + 1, v1[i + 1]))
+            )
+            dd = self._dim_proj(spec, i, raw_d)
+            if cache is None:
+                dd = dd.localCheckpoint(eager=False)
             fact_slice = self._fact_proj(
                 spec,
                 _pruned_rows(
@@ -938,7 +956,9 @@ class TxJoinAggView:
             if r["top"] * 1_000_000 > self.SKEW_SHARE_PPM * n
         }
 
-    def _catchup_supports(self, v_vec: list[int]) -> None:
+    def _catchup_supports(
+        self, v_vec: list[int], cache: ChurnCache | None = None
+    ) -> None:
         """A crash between the view commit and a support commit leaves
         that support lagging the view's fence. Re-derive the missing
         window's value deltas from the feeds (deterministic at pinned
@@ -958,7 +978,7 @@ class TxJoinAggView:
             if _enc(s_vec) >= _enc(v_vec):
                 continue
             try:
-                churn = self._churn_frame(s_vec, v_vec)
+                churn = self._churn_frame(s_vec, v_vec, cache)
                 if churn is not None:
                     self._apply_support(
                         sup, self._dv_frame(churn, n), _enc(v_vec)
@@ -1034,15 +1054,21 @@ class TxJoinAggView:
         return _tagged_rows(self.fact, m, paths)
 
     def _fparts_for_files(
-        self, paths: list[str], vec: list[int]
+        self,
+        paths: list[str],
+        vec: list[int],
+        cache: ChurnCache | None = None,
     ) -> DataFrame:
         """(file, group) partials for ``paths``' live rows at the
         ``vec`` snapshot — each dim read pruned to the slice's fks."""
         spec = self.spec
         m = self.fact._manifest(vec[0])
-        fproj = self._fact_proj(
-            spec, self._files_with_name(m, paths)
-        ).localCheckpoint(eager=False)
+        tagged = (
+            cache.tagged(self.fact, vec[0], paths)
+            if cache is not None
+            else self._files_with_name(m, paths)
+        )
+        fproj = self._fact_proj(spec, tagged).localCheckpoint(eager=False)
         dim_slices = [
             self._dim_proj(
                 spec, i,
@@ -1089,7 +1115,10 @@ class TxJoinAggView:
         return list(_dec(int(f), len(self.spec["dims"])))
 
     def _affected_files(
-        self, s_vec: list[int], v_vec: list[int]
+        self,
+        s_vec: list[int],
+        v_vec: list[int],
+        cache: ChurnCache | None = None,
     ) -> tuple[list[str], list[str]]:
         """(changed, fresh): support rows of ``changed`` fact files are
         dropped; ``fresh`` files re-partial at the ``v_vec`` snapshot.
@@ -1109,7 +1138,11 @@ class TxJoinAggView:
         for i, d in enumerate(self.dims):
             if v_vec[i + 1] <= s_vec[i + 1]:
                 continue
-            dd = d.read_changes(s_vec[i + 1] + 1, v_vec[i + 1])
+            dd = (
+                cache.signed(d, s_vec[i + 1] + 1, v_vec[i + 1])
+                if cache is not None
+                else d.read_changes(s_vec[i + 1] + 1, v_vec[i + 1])
+            )
             dk = self.spec["dims"][i]["dim_key"]
             rows = (
                 dd.select(dk).distinct()
@@ -1155,7 +1188,9 @@ class TxJoinAggView:
 
         sup.rewrite_by_keys(keys, xform, txn=(self.APP, fence))
 
-    def _catchup_fparts(self, v_vec: list[int]) -> None:
+    def _catchup_fparts(
+        self, v_vec: list[int], cache: ChurnCache | None = None
+    ) -> None:
         if not self._use_fparts():
             return
         sup = self._fparts()
@@ -1163,10 +1198,10 @@ class TxJoinAggView:
         if _enc(s_vec) >= _enc(v_vec):
             return
         try:
-            changed, fresh = self._affected_files(s_vec, v_vec)
-            parts = self._fparts_for_files(fresh, v_vec).localCheckpoint(
-                eager=False
-            )
+            changed, fresh = self._affected_files(s_vec, v_vec, cache)
+            parts = self._fparts_for_files(
+                fresh, v_vec, cache
+            ).localCheckpoint(eager=False)
             self._apply_fparts(sup, changed, fresh, parts, _enc(v_vec))
         except TxError:
             sup.overwrite(
@@ -1197,7 +1232,9 @@ class TxJoinAggView:
             "skipped": bool(r.get("skipped", False)),
         }
 
-    def refresh(self, mode: str = "incremental") -> dict:
+    def refresh(
+        self, mode: str = "incremental", cache: ChurnCache | None = None
+    ) -> dict:
         """Fold every base's commits since the last refresh into the
         view: term A (fact feed ⋈ dims@new, each dim read key-pruned to
         the churned fks) plus one term per churned dim (dim feed ⋈
@@ -1207,7 +1244,10 @@ class TxJoinAggView:
         key-pruned rewrite. A replayed refresh is a fenced skip;
         unmoved bases are a no-op without a commit. ``mode`` as in
         ``TxAggView.refresh``: incremental / recompute / auto (cost
-        pick from manifest metadata alone — zero Spark jobs)."""
+        pick from manifest metadata alone — zero Spark jobs).
+        ``cache`` as in ``TxAggView.refresh``: a per-sweep
+        :class:`ChurnCache` sharing the raw feed reads across every
+        view refreshed in one pass."""
         if mode not in ("incremental", "recompute", "auto"):
             raise TxError(f"refresh mode: {mode!r}")
         spec = self.spec
@@ -1215,8 +1255,8 @@ class TxJoinAggView:
         # a crash between the view commit and a support commit leaves
         # supports lagging — converge them BEFORE the skip check, or a
         # movement-free replay would strand them forever
-        self._catchup_supports(v0)
-        self._catchup_fparts(v0)
+        self._catchup_supports(v0, cache)
+        self._catchup_fparts(v0, cache)
         v1 = [self.fact.latest_version()] + [
             d.latest_version() for d in self.dims
         ]
@@ -1249,12 +1289,14 @@ class TxJoinAggView:
             return self._recompute(v1)
 
         gcols = self._gcols()
-        churn = self._churn_frame(v0, v1)
+        churn = self._churn_frame(v0, v1, cache)
         dnames = self._distinct_names()
         snames = self._value_support_names()
         if snames:
             # the same signed churn feeds the measure deltas AND each
-            # distinct measure's value-level delta — pin it once
+            # distinct measure's value-level delta — pin it once (the
+            # sweep cache checkpoints the RAW feeds; this frame is the
+            # per-view JOINED churn, reused across this refresh only)
             churn = churn.localCheckpoint(eager=False)
         sign = F.col("__vw_sign")
         delta_aggs = []
@@ -1323,9 +1365,9 @@ class TxJoinAggView:
         if repairable and self._use_fparts():
             fsup = self._fparts()
             try:
-                f_changed, f_fresh = self._affected_files(v0, v1)
+                f_changed, f_fresh = self._affected_files(v0, v1, cache)
                 f_parts = self._fparts_for_files(
-                    f_fresh, v1
+                    f_fresh, v1, cache
                 ).localCheckpoint(eager=False)
                 eff = fsup.read()
                 if f_changed:

@@ -337,6 +337,59 @@ def _signed(changes: DataFrame) -> DataFrame:
     )
 
 
+class ChurnCache:
+    """One refresh SWEEP's shared change-feed reads.
+
+    ``refresh_gold_views`` folds the SAME unconsumed base-churn window
+    into 6+ views sequentially; without sharing, every view's
+    ``refresh()`` independently re-reads the window (manifest diff +
+    parquet scan of the churned files) and pays its own fixed plan
+    cost — measured as the most expensive stage of the bench (r12
+    verdict item 1; the reference's master proc likewise runs every
+    downstream load from ONE orchestrated pass,
+    run_full_etl_process.sql:36-104). The cache hands every view the
+    same lazily-localCheckpoint'ed frame per (table, window): the
+    first fold's action materializes it once, every later view's fold
+    reads the materialized blocks. Two surfaces:
+
+    - ``signed(table, lo, hi)``: the signed change feed — the fold
+      input of both view classes and the support catch-up path.
+    - ``tagged(table, at, paths)``: live rows of the churned files
+      tagged ``__f`` — the per-file repair-partials (``_fparts``)
+      re-partial read; the file set is the manifest diff, so views
+      over the same base at the same window share it and aggregate
+      their own measures on top.
+
+    Keys embed the exact window, so a view whose supports lag the
+    sweep window simply misses the cache and reads its own window —
+    correctness NEVER depends on a hit. Scope one instance to one
+    sweep and drop it; the checkpoint blocks free with the RDD
+    references."""
+
+    def __init__(self) -> None:
+        self._frames: dict[tuple, DataFrame] = {}
+
+    def signed(self, table: TxTable, lo: int, hi: int) -> DataFrame:
+        key = ("signed", str(table.root), int(lo), int(hi))
+        out = self._frames.get(key)
+        if out is None:
+            out = _signed(table.read_changes(lo, hi)).localCheckpoint(
+                eager=False
+            )
+            self._frames[key] = out
+        return out
+
+    def tagged(self, table: TxTable, at: int, paths: list[str]) -> DataFrame:
+        key = ("tagged", str(table.root), int(at), tuple(sorted(paths)))
+        out = self._frames.get(key)
+        if out is None:
+            out = _tagged_rows(table, table._manifest(at), paths)
+            if paths:
+                out = out.localCheckpoint(eager=False)
+            self._frames[key] = out
+        return out
+
+
 def _norm_measures(measures: dict) -> dict[str, dict]:
     """Normalize ``measures`` to {name: {"fn": fn, "expr": expr}}.
     A bare string value means SUM (the original surface); a
@@ -848,14 +901,20 @@ class TxAggView:
 
         sup.rewrite_by_keys(dv.select(g), xform, txn=(self.APP, fence))
 
-    def _catchup_supports(self, applied: int) -> None:
+    def _catchup_supports(
+        self, applied: int, cache: ChurnCache | None = None
+    ) -> None:
         for n in self._value_support_names():
             sup = self._support(n)
             s_v = self._support_ver(sup)
             if s_v >= applied:
                 continue
             try:
-                churn = _signed(self.base.read_changes(s_v + 1, applied))
+                churn = (
+                    cache.signed(self.base, s_v + 1, applied)
+                    if cache is not None
+                    else _signed(self.base.read_changes(s_v + 1, applied))
+                )
                 self._apply_support(sup, self._dv_frame(churn, n), applied)
                 continue
             except TxError:
@@ -969,7 +1028,7 @@ class TxAggView:
         return base if f is None else max(int(f), base)
 
     def _fparts_delta(
-        self, lo: int, hi: int
+        self, lo: int, hi: int, cache: ChurnCache | None = None
     ) -> tuple[list[str], list[str], DataFrame]:
         """(changed, fresh, parts): support rows of ``changed`` files
         are dropped; ``fresh`` files' partials (``parts``, aggregated
@@ -988,9 +1047,13 @@ class TxAggView:
             if p in old and new[p].get("dv") != old[p].get("dv")
         ]
         g = self.spec["group_col"]
+        src = (
+            cache.tagged(self.base, hi, added + dv_grown)
+            if cache is not None
+            else self._files_with_name(m_new, added + dv_grown)
+        )
         parts = (
-            self._files_with_name(m_new, added + dv_grown)
-            .groupBy(F.col("__f"), F.col(g))
+            src.groupBy(F.col("__f"), F.col(g))
             .agg(*self._fparts_aggs())
             .localCheckpoint(eager=False)
         )
@@ -1046,7 +1109,9 @@ class TxAggView:
             return self.base.read(version=at, prune={g: (r["lo"], r["hi"])})
         return self.base.read(at)
 
-    def _catchup_fparts(self, applied: int) -> None:
+    def _catchup_fparts(
+        self, applied: int, cache: ChurnCache | None = None
+    ) -> None:
         if not self._use_fparts():
             return
         sup = self._fparts()
@@ -1054,7 +1119,7 @@ class TxAggView:
         if s_v >= applied:
             return
         try:
-            changed, fresh, parts = self._fparts_delta(s_v, applied)
+            changed, fresh, parts = self._fparts_delta(s_v, applied, cache)
             self._apply_fparts(sup, changed, fresh, parts, applied)
         except TxError:
             # manifest window vacuumed past the lag — rebuild wholesale
@@ -1087,7 +1152,9 @@ class TxAggView:
             "skipped": bool(r.get("skipped", False)),
         }
 
-    def refresh(self, mode: str = "incremental") -> dict:
+    def refresh(
+        self, mode: str = "incremental", cache: ChurnCache | None = None
+    ) -> dict:
         """Fold every base commit since the last refresh into the view.
 
         One change-feed read + one aggregation to per-group deltas +
@@ -1104,14 +1171,20 @@ class TxAggView:
         measured local crossover) or when the unconsumed churn exceeds
         ``RECOMPUTE_CHURN_FRACTION`` of the base; fold incrementally
         otherwise. Either path lands the identical view state
-        (test-pinned), so the choice is purely a cost decision."""
+        (test-pinned), so the choice is purely a cost decision.
+
+        ``cache``: a per-sweep :class:`ChurnCache` — when several views
+        over the same base refresh in one pass (``refresh_gold_views``),
+        the shared change-feed window and the churned-file re-partial
+        read materialize ONCE and every view folds from the cached
+        blocks instead of re-reading the feed per view."""
         if mode not in ("incremental", "recompute", "auto"):
             raise TxError(f"refresh mode: {mode!r}")
         applied = self.applied_base_version()
         # converge any lagging/missing supports BEFORE the skip check,
         # or a movement-free replay would strand them forever
-        self._catchup_supports(applied)
-        self._catchup_fparts(applied)
+        self._catchup_supports(applied, cache)
+        self._catchup_fparts(applied, cache)
         target = self.base.latest_version()
         if target <= applied:
             return {"refreshed_to": applied, "groups_touched": 0, "skipped": True}
@@ -1141,7 +1214,7 @@ class TxAggView:
             fsup = self._fparts()
             try:
                 f_changed, f_fresh, f_parts = self._fparts_delta(
-                    applied, target
+                    applied, target, cache
                 )
                 eff = fsup.read()
                 if f_changed:
@@ -1194,10 +1267,14 @@ class TxAggView:
                     ).alias(f"__x_{n}")
                 )
         delta_aggs.append(F.sum(sign).alias(_N))
-        churn = _signed(self.base.read_changes(applied + 1, target))
+        churn = (
+            cache.signed(self.base, applied + 1, target)
+            if cache is not None
+            else _signed(self.base.read_changes(applied + 1, target))
+        )
         dnames = self._distinct_names()
         snames = self._value_support_names()
-        if snames:
+        if snames and cache is None:
             churn = churn.localCheckpoint(eager=False)
         delta = churn.groupBy(g).agg(*delta_aggs)
         # value-support measures: per-(group, value) signed deltas —
