@@ -1037,10 +1037,29 @@ class Warehouse:
         gold = self.root / "gold_views"
         if gold.is_dir():
             for p in sorted(gold.iterdir()):
-                if (p / TXLOG_DIR).is_dir():
-                    out[f"gold_views/{p.name}"] = TxTable(self.spark, p).vacuum(
-                        retain_versions=max(retain_runs, 1), **kw
-                    )
+                if not (p / TXLOG_DIR).is_dir():
+                    continue
+                out[f"gold_views/{p.name}"] = TxTable(self.spark, p).vacuum(
+                    retain_versions=max(retain_runs, 1), **kw
+                )
+                # the view's nested auxiliary tables (occurrence
+                # supports, repair partials) churn every refresh and
+                # have no external pin: their only readers are the
+                # view itself and the router, both at the CURRENT
+                # support cursor — retain the same count and reap the
+                # rest (r12 verdict item 3)
+                for q in sorted(p.iterdir()):
+                    if (
+                        q.is_dir()
+                        and (
+                            q.name.startswith("_vals_")
+                            or q.name == "_fparts"
+                        )
+                        and (q / TXLOG_DIR).is_dir()
+                    ):
+                        out[f"gold_views/{p.name}/{q.name}"] = TxTable(
+                            self.spark, q
+                        ).vacuum(retain_versions=max(retain_runs, 1), **kw)
         return out
 
     def maintain_tx(self, execute: bool = True, **plan_kw) -> dict:
@@ -1081,13 +1100,31 @@ class Warehouse:
             for p in sorted(ldir.iterdir()):
                 if not (p / TXLOG_DIR).is_dir():
                     continue
-                t = TxTable(self.spark, p)
-                plan = t.maintenance_plan(**plan_kw)
-                if not execute:
-                    out[f"{layer}/{p.name}"] = {"plan": plan, "results": {}}
-                    continue
-                if plan["actions"]:
-                    out[f"{layer}/{p.name}"] = t.maintain(plan=plan)
+                # a view root nests auxiliary TxTables (occurrence
+                # supports `_vals_*`, repair partials `_fparts`) that
+                # churn by key-pruned rewrite every refresh — without
+                # sweeping them too, their dead files and manifests
+                # grow monotonically (r12 verdict item 3: support
+                # tables never shed dead state). Their LIVE rows are
+                # already shed eagerly by the fold (zero-count rows
+                # drop inside _apply_support; removed files' partials
+                # drop in _apply_fparts — test-pinned), so physical
+                # reclaim is the whole job.
+                members = [(f"{layer}/{p.name}", p)] + [
+                    (f"{layer}/{p.name}/{q.name}", q)
+                    for q in sorted(p.iterdir())
+                    if q.is_dir()
+                    and (q.name.startswith("_vals_") or q.name == "_fparts")
+                    and (q / TXLOG_DIR).is_dir()
+                ]
+                for label, path in members:
+                    t = TxTable(self.spark, path)
+                    plan = t.maintenance_plan(**plan_kw)
+                    if not execute:
+                        out[label] = {"plan": plan, "results": {}}
+                        continue
+                    if plan["actions"]:
+                        out[label] = t.maintain(plan=plan)
         acted = {
             k: sorted(v["results"]) for k, v in out.items() if v["results"]
         }
