@@ -1105,7 +1105,9 @@ GOLD_JOIN_VIEWS: dict[str, dict] = {
 }
 
 
-def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
+def refresh_gold_views(
+    wh: Warehouse, mode: str = "auto", publish: dict | None = None
+) -> dict[str, dict]:
     """Maintain the incremental gold aggregates over the transactional
     fact (requires ``scd_strategy="tx"`` — ce_sales must be a TxTable).
     First call full-computes each view at the fact's current version;
@@ -1189,6 +1191,12 @@ def refresh_gold_views(wh: Warehouse, mode: str = "auto") -> dict[str, dict]:
         t0 = time.perf_counter()
         out[name] = jview.refresh(mode=mode, cache=cache)
         out[name]["secs"] = round(time.perf_counter() - t0, 3)
+    if publish is not None:
+        # publish-on-refresh: the metastore/DuckDB surface tracks gold
+        # automatically — aggregate-scale writes only (gold_only), the
+        # previous published version retained for readers mid-query and
+        # older ones reaped (catalog_publish's retention window)
+        wh.catalog_publish(gold_only=True, **publish)
     return out
 
 

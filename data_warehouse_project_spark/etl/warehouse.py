@@ -325,7 +325,10 @@ class Warehouse:
     # -- persistent tx/gold publish ---------------------------------------
 
     def catalog_publish(
-        self, database: str = "wh", location: str | None = None
+        self,
+        database: str = "wh",
+        location: str | None = None,
+        gold_only: bool = False,
     ) -> dict[str, str]:
         """Close the tx-catalog persistence gap: materialize every
         TRANSACTIONAL table's CURRENT snapshot — and every gold view's
@@ -351,13 +354,23 @@ class Warehouse:
 
         Plain tables and the session-scoped live views are registered
         on the way (``register_catalog``) — one call yields the full
-        surface. Returns {qualified name: kind}."""
+        surface. Returns {qualified name: kind}.
+
+        ``gold_only=True`` publishes ONLY the gold views — aggregate-
+        scale writes, no tx-snapshot hardlink pass — the cheap form a
+        refresh sweep or a streaming micro-batch rides so the
+        metastore/DuckDB surface tracks gold automatically (the
+        reference's BI reads live ``bl_dm.*`` tables, readme.md:360-366;
+        r12 verdict item 5)."""
         out = self.register_catalog(database, location)
         pub_root = self.root / "_published"
         names: list[tuple[str, object, object]] = []  # (sql name, TxTable, view|None)
-        for layer, name in self.tables():
-            if self.is_tx(layer, name):
-                names.append((f"{layer}_{name}", self.tx(layer, name), None))
+        if not gold_only:
+            for layer, name in self.tables():
+                if self.is_tx(layer, name):
+                    names.append(
+                        (f"{layer}_{name}", self.tx(layer, name), None)
+                    )
         gold = self.root / "gold_views"
         if gold.is_dir():
             from data_warehouse_project_spark.sources.txjoinview import (

@@ -76,6 +76,7 @@ def txtable_ingest(
     merge_mode: str = "rewrite",
     maintain: list | None = None,
     maintain_mode: str = "incremental",
+    publish: dict | None = None,
 ):
     """Start a ``foreachBatch`` stream writing every micro-batch into
     the transactional table at ``table_root`` with exactly-once
@@ -97,6 +98,15 @@ def txtable_ingest(
     creation and the first data commit replays into the fenced path
     instead of duplicating version 0's rows.
 
+    ``publish`` (requires ``maintain``) rides a gold-only
+    ``Warehouse.catalog_publish`` after each trigger's refreshes:
+    ``{"root": <warehouse root>, "database": ..., "location": ...}`` —
+    the metastore/DuckDB surface then tracks the streamed gold state
+    with no manual publish step (the reference's BI reads live
+    ``bl_dm.*``). Publish cost is aggregate-scale (the gold views'
+    logical rows), idempotent per view version, with the built-in
+    two-version retention window.
+
     ``maintain`` lists aggregate-view roots (``TxAggView`` /
     ``TxJoinAggView``, resolved per trigger) refreshed INSIDE the same
     micro-batch, right after the fenced write — continuously-maintained
@@ -117,6 +127,11 @@ def txtable_ingest(
         raise ValueError(f"txtable_ingest: merge_mode {merge_mode!r}")
     if maintain_mode not in ("incremental", "recompute", "auto"):
         raise ValueError(f"txtable_ingest: maintain_mode {maintain_mode!r}")
+    if publish is not None and ("root" not in publish or not maintain):
+        raise ValueError(
+            "txtable_ingest: publish requires maintain=[...] and a "
+            "'root' key (the warehouse root owning the gold views)"
+        )
     app: list[str] = []  # resolved on the first trigger
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
@@ -133,8 +148,23 @@ def txtable_ingest(
             t.append(batch_df, txn=txn)
         else:
             t.merge(batch_df, txn=txn, mode=merge_mode)
-        for vroot in maintain or []:
-            _resolve_view(spark, vroot).refresh(mode=maintain_mode)
+        if maintain:
+            from data_warehouse_project_spark.sources.txview import (
+                ChurnCache,
+            )
+
+            sweep = ChurnCache()  # one shared churn read per trigger
+            for vroot in maintain:
+                _resolve_view(spark, vroot).refresh(
+                    mode=maintain_mode, cache=sweep
+                )
+        if publish is not None:
+            from data_warehouse_project_spark.etl.warehouse import Warehouse
+
+            p = dict(publish)
+            Warehouse(spark, p.pop("root")).catalog_publish(
+                gold_only=True, **p
+            )
 
     writer = stream_df.writeStream.foreachBatch(admit).option(
         "checkpointLocation", checkpoint_dir

@@ -207,3 +207,77 @@ def test_maintain_mode_validation(spark, tmp_path):
     stream = spark.readStream.schema("id long").parquet(str(tmp_path / "x"))
     with pytest.raises(ValueError, match="maintain_mode"):
         txtable_ingest(stream, "r", "c", maintain_mode="eager")
+
+
+def test_publish_on_refresh_tracks_streamed_gold(spark, tmp_path):
+    """publish=: after each micro-batch's maintain refreshes, a
+    gold-only catalog_publish lands — a FRESH session (or DuckDB)
+    queries the metastore table and sees the streamed state with NO
+    manual publish step; old published version dirs reap past the
+    two-version retention window (r12 verdict item 5)."""
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    src, root, ckpt = tmp_path / "src", tmp_path / "t", tmp_path / "ck"
+    wh_root = tmp_path / "wh"
+    vroot = wh_root / "gold_views" / "by_v"
+    _write_batch(spark, src, [(1, "a"), (2, "b"), (3, "a")], 3)
+    _run(spark, src, root, ckpt)
+    t = TxTable(spark, root)
+    TxAggView.create(
+        spark, vroot, t, group_col="v",
+        measures={"n": ("count", "id"), "s": "id"},
+    )
+    pub = {
+        "root": str(wh_root),
+        "database": "whlive_db",
+        "location": str(tmp_path / "db"),
+    }
+
+    def want():
+        return sorted(
+            (r["v"], r["n"], r["s"])
+            for r in t.read().groupBy("v").agg(
+                F.count("id").alias("n"), F.sum("id").alias("s")
+            ).collect()
+        )
+
+    try:
+        _write_batch(spark, src, [(4, "b"), (5, "c")], 5)
+        _run(spark, src, root, ckpt, maintain=[vroot], publish=pub)
+        got = sorted(
+            (r["v"], r["n"], r["s"])
+            for r in spark.newSession().sql(
+                "select v, n, s from whlive_db.gold_by_v"
+            ).collect()
+        )
+        assert got == want()
+        # second and third micro-batches: each fresh session sees the
+        # NEW state, never the first publish's pinned snapshot
+        for batch, total in ([(6, "a"), (7, "c")], 7), ([(8, "b")], 8):
+            _write_batch(spark, src, batch, total)
+            _run(spark, src, root, ckpt, maintain=[vroot], publish=pub)
+            got = sorted(
+                (r["v"], r["n"], r["s"])
+                for r in spark.newSession().sql(
+                    "select v, n, s from whlive_db.gold_by_v"
+                ).collect()
+            )
+            assert got == want()
+        # retention: three publishes at three view versions keep only
+        # the current + previous published dirs
+        pubdir = wh_root / "_published" / "gold_by_v"
+        vdirs = [d for d in pubdir.iterdir() if d.name.startswith("v")]
+        assert len(vdirs) == 2, sorted(d.name for d in vdirs)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS whlive_db CASCADE")
+
+
+def test_publish_validation(spark, tmp_path):
+    (tmp_path / "x").mkdir()
+    stream = spark.readStream.schema("id long").parquet(str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="publish requires"):
+        txtable_ingest(stream, "r", "c", publish={"root": "x"})
+    with pytest.raises(ValueError, match="publish requires"):
+        txtable_ingest(
+            stream, "r", "c", maintain=["v"], publish={"database": "d"}
+        )
