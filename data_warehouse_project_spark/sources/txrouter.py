@@ -663,15 +663,41 @@ class AggRouter:
                 f"{ {n: (m['fn'], m['expr']) for n, m in qm.items()} }",
                 reasons,
             )
-        # cheapest first = fewest materialized view rows (manifest
-        # metadata, zero Spark jobs) — the classic aggregate-navigator
-        # choice. A candidate whose distinct support lost its matching
-        # snapshot between _match and _plan (concurrent refresh +
-        # vacuum) falls through to the next cheapest match instead of
-        # failing the whole route.
-        cands.sort(key=lambda c: c[0].view.table.row_count())
+        # cheapest first = fewest rows the routed plan will actually
+        # SCAN (manifest metadata, zero Spark jobs) — the classic
+        # aggregate-navigator choice, but charging each candidate for
+        # its SUPPORT reads too: a topk (any grain) or an exact
+        # distinct at a coarser-than-view grain scans the per-(group,
+        # value) occurrence support, which can dwarf the view itself
+        # (r12 verdict item 6 — view rows alone inverted the choice
+        # whenever a tiny view carried a fact-scale support). A
+        # candidate whose distinct support lost its matching snapshot
+        # between _match and _plan (concurrent refresh + vacuum) falls
+        # through to the next cheapest match instead of failing the
+        # whole route.
+        def _support_rows(a, mapping) -> int:
+            exact = set(gcols) == set(a.gcols)
+            total = 0
+            for qn, q in qm.items():
+                if q["fn"] == "topk" or (
+                    q["fn"] == "distinct" and not exact
+                ):
+                    try:
+                        total += TxTable(
+                            a.view.spark,
+                            Path(a.view.root) / f"_vals_{mapping[qn]}",
+                        ).row_count()
+                    except TxError:
+                        pass  # missing support: _plan refuses later
+            return total
+
+        costed = [
+            (a.view.table.row_count() + _support_rows(a, mapping), a, mapping)
+            for a, mapping in cands
+        ]
+        costed.sort(key=lambda c: c[0])
         torn: NoRouteError | None = None
-        for a, mapping in cands:
+        for cost, a, mapping in costed:
             try:
                 plan = self._plan(a, gcols, qm, mapping, where, having)
             except NoRouteError as exc:
@@ -686,6 +712,8 @@ class AggRouter:
                 "applied_versions": tuple(a.applied()),
                 "lag": a.lag(),
                 "view_rows": a.view.table.row_count(),
+                "support_rows": _support_rows(a, mapping),
+                "route_cost": cost,
             }
             return plan, decision
         raise NoRouteError(

@@ -667,3 +667,68 @@ def test_auto_staleness_weighs_churn_rows_not_versions(spark, tmp_path):
     )
     want = base.read().groupBy("g").agg(F.sum("amt").alias("rev"))
     assert _rows(got, "g") == _rows(want, "g")
+
+
+def test_support_rows_charge_routes_the_truly_cheaper_view(
+    spark, tmp_path
+):
+    """r12 verdict item 6: candidate choice must weigh the SUPPORT a
+    support-backed measure will scan, not just view rows. Constructed
+    inversion: view A (36 rows, grain seg x month) carries a
+    near-fact-scale distinct support (every (seg, month, bucket)
+    triple); view B (~6k rows) keys its grain on the distinct expr
+    itself, so its support collapses to view-scale. The old
+    view-rows-only model picked A; charging view_rows + support_rows
+    routes B — genuinely fewer rows scanned — and the routed answer
+    still equals the base recompute."""
+    n = 20_000
+    # month is BLOCK-wise (oid // 2000) so every (seg, month, bucket)
+    # triple is distinct (a_sup == n) while (seg, bkt) collapses to
+    # lcm(3, 2000) = 6000 pairs — the inversion shape
+    fact_df = spark.range(0, n, 1, 8).select(
+        F.col("id").alias("oid"),
+        (F.col("id") % 2000).alias("bucket"),
+        ((F.col("id") * 13) % 1000).alias("amt"),
+    )
+    dim_df = spark.range(0, n, 1, 8).select(
+        F.col("id").alias("oid"),
+        (F.col("id") % 3).alias("seg"),
+        ((F.col("id") / 2000).cast("long") % 12).alias("month"),
+        (F.col("id") % 2000).alias("bkt"),
+    )
+    fact = TxTable.create(spark, tmp_path / "f", fact_df, key="oid")
+    dim = TxTable.create(spark, tmp_path / "d", dim_df, key="oid")
+    va = TxJoinAggView.create(
+        spark, tmp_path / "va", fact, dim, fk="oid",
+        group_expr=["seg", "month"], group_col=["seg", "month"],
+        measures={"nb": ("distinct", "bucket")},
+    )
+    vb = TxJoinAggView.create(
+        spark, tmp_path / "vb", fact, dim, fk="oid",
+        group_expr=["seg", "bkt"], group_col=["seg", "bkt"],
+        measures={"nb": ("distinct", "bucket")},
+    )
+    router = AggRouter(spark).register(va).register(vb)
+    a_rows, b_rows = va.table.row_count(), vb.table.row_count()
+    assert a_rows < b_rows  # the OLD model would have picked A
+    a_sup = TxTable(spark, tmp_path / "va" / "_vals_nb").row_count()
+    b_sup = TxTable(spark, tmp_path / "vb" / "_vals_nb").row_count()
+    assert a_rows + a_sup > b_rows + b_sup  # B is genuinely cheaper
+    routed, how = router.route(["seg"], {"nb": ("distinct", "bucket")})
+    assert how["view"].endswith("vb"), how
+    assert how["route_cost"] == b_rows + b_sup, how
+    assert how["support_rows"] == b_sup, how
+    want = sorted(
+        tuple(r)
+        for r in fact.read().join(dim.read(), "oid")
+        .groupBy("seg")
+        .agg(F.count_distinct("bucket").alias("nb"))
+        .collect()
+    )
+    assert sorted(tuple(r) for r in routed.collect()) == want
+    # a measure answered from the VIEW column (exact grain) charges no
+    # support: same pool, exact-grain query routes by view rows alone
+    routed2, how2 = router.route(
+        ["seg", "month"], {"nb": ("distinct", "bucket")}
+    )
+    assert how2["view"].endswith("va") and how2["support_rows"] == 0, how2
