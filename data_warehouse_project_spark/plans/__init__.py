@@ -38,6 +38,13 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 # string-carrier fix has had parity coverage ever since but no driver
 # re-sample). tools/rotation_guard.py now enforces this invariant
 # mechanically: every never-green query must sit inside the prefix.
+_NEVER_DRIVER_GREEN_R12 = [
+    # new in round 13 (never sampled yet): bounded-state Misra-Gries
+    # heavy hitters (view measure + routed GLOBAL register merge)
+    "topk_approx_heavy_hitters",
+    "routed_topk_approx_global",
+]
+
 _NEVER_DRIVER_GREEN_R11 = [
     # new in round 12 (never sampled yet): the two-level auto-ranging
     # histogram grid, the router's measure-level HAVING pushdown, and
@@ -164,8 +171,11 @@ _NEVER_DRIVER_HASHED_R7 = [
     "rolling_28d_active_users",
 ]
 _rotated = {
-    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R11 if k in QUERIES
+    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R12 if k in QUERIES
 }
+_rotated.update(
+    {k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R11 if k in QUERIES}
+)
 _rotated.update(
     {k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R10 if k in QUERIES}
 )

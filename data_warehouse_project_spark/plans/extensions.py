@@ -2029,3 +2029,219 @@ def routed_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "topk_approx_heavy_hitters",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderstatus AS status,
+             CASE WHEN o_custkey % 4 < 2
+                  THEN 'H' || CAST(o_custkey % 2 AS VARCHAR)
+                  ELSE 'T' || CAST(o_custkey % 5000 AS VARCHAR) END AS v
+      FROM orders WHERE o_orderkey % 977 <> 0
+    ),
+    counts AS (
+      SELECT status, v, COUNT(*) AS c FROM live GROUP BY status, v
+    ),
+    tot AS (SELECT status, COUNT(*) AS n FROM live GROUP BY status)
+    SELECT c.status AS status, c.v AS value
+    FROM counts c JOIN tot t ON c.status = t.status
+    WHERE c.c * 10 > t.n
+    ORDER BY c.status, c.v
+    """,
+    doc="BOUNDED-STATE heavy hitters (r13): the `topk_approx` measure "
+    "carries Misra-Gries registers as ONE map<string,bigint> column "
+    "per group plus an exact error counter — m registers total, no "
+    "per-(group, value) support table, so the state stays dashboard-"
+    "scale even over a 10^8-cardinality value domain where the exact "
+    "topk's occurrence support is fact-scale (the r12 verdict's TOP-K "
+    "caveat). The fold is pure Column expressions: map_zip_with merges "
+    "the window's exact per-value deltas into the registers, then one "
+    "compress step (subtract the (m+1)-th largest, drop non-positive, "
+    "accumulate into err) — MG invariant true-err <= est <= true, "
+    "err <= inserted/(m+1), mergeable across groups (Agarwal et al. "
+    "2012). Deletes clamp at 0 (documented drift; exact topk remains "
+    "the churn-exact choice). The oracle-matched output is the "
+    "DETECTED heavy set at a 10%-of-group threshold: planted heavies "
+    "carry ~25% of each group's rows and the tail ~0.01% each, so "
+    "with m=64 (err <= 1.6%) detection from the undercounting "
+    "estimates equals detection from true counts — which DuckDB "
+    "computes exactly. In-plan asserts pin the register count bound, "
+    "est <= true, and the drift-adjusted lower bound.",
+    tags=("tx", "ivm", "topk", "approx"),
+    eager=True,
+)
+def topk_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txtable import TxTable
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    M = 64
+    v_expr = (
+        "CASE WHEN o_custkey % 4 < 2 "
+        "THEN concat('H', CAST(o_custkey % 2 AS STRING)) "
+        "ELSE concat('T', CAST(o_custkey % 5000 AS STRING)) END"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(v_expr).alias("v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="mgtopk_")
+    try:
+        # lifecycle: half the rows at create, half folded, then a
+        # correction delete — the driver checks the FOLDED state
+        base = TxTable.create(
+            spark, tmp + "/t", o.filter(F.col("ok") % 2 == 0), key="ok"
+        )
+        view = TxAggView.create(
+            spark, tmp + "/v", base, group_col="status",
+            measures={
+                "top": {"fn": "topk_approx", "expr": "v", "k": 10,
+                        "m": M},
+                "n": ("count", "ok"),
+            },
+        )
+        base.append(o.filter(F.col("ok") % 2 == 1))
+        base.delete(F.col("ok") % 977 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+
+        # in-plan accuracy: every register obeys est <= true and
+        # est >= true - err - deleted(v) (delete drift allowance);
+        # state bounded by m registers per group
+        exact = {
+            (row["status"], row["v"]): row["c"]
+            for row in base.read().groupBy("status", "v").agg(
+                F.count("*").alias("c")
+            ).collect()
+        }
+        dels = {
+            (row["status"], row["v"]): row["c"]
+            for row in o.filter(F.col("ok") % 977 == 0)
+            .groupBy("status", "v").agg(F.count("*").alias("c")).collect()
+        }
+        for row in view.table.read().select(
+            "status", "__a_top", "__ae_top"
+        ).collect():
+            regs, err = row["__a_top"], row["__ae_top"]
+            assert len(regs) <= M, (row["status"], len(regs))
+            for v, est in regs.items():
+                t = exact.get((row["status"], v), 0)
+                assert est <= t, (row["status"], v, est, t)
+                assert est >= t - err - dels.get((row["status"], v), 0), (
+                    row["status"], v, est, t, err,
+                )
+
+        # the oracle-matched DETECTED set: registers whose estimate
+        # clears 10% of the group's live rows (est undercounts by
+        # <= err ~1.6%, heavies carry ~25%, tail ~0.01% — separation
+        # makes approx detection == exact detection)
+        res = (
+            view.read()
+            .select("status", F.col("n"), F.explode("top").alias("t"))
+            .filter(F.col("t.cnt") * 10 > F.col("n"))
+            .select("status", F.col("t.value").alias("value"))
+            .orderBy("status", "value")
+        )
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "routed_topk_approx_global",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderstatus AS status,
+             CASE WHEN o_custkey % 4 < 2
+                  THEN 'H' || CAST(o_custkey % 2 AS VARCHAR)
+                  ELSE 'T' || CAST(o_custkey % 5000 AS VARCHAR) END AS v
+      FROM orders
+    ),
+    counts AS (SELECT v, COUNT(*) AS c FROM src GROUP BY v),
+    tot AS (SELECT COUNT(*) AS n FROM src)
+    SELECT c.v AS value, CAST(c.c AS BIGINT) AS exact_cnt
+    FROM counts c, tot t
+    WHERE c.c * 10 > t.n
+    ORDER BY value
+    """,
+    doc="GLOBAL heavy-hitter rollup through the aggregate navigator "
+    "(r13): route([]) — GROUP BY nothing — merges every group cell's "
+    "Misra-Gries register map key-wise (the Agarwal et al. 2012 "
+    "summary merge as one aggregate expression), adds the cells' err "
+    "counters plus the one merge-compress subtraction, and ranks the "
+    "merged registers. The router charges the measure zero support "
+    "rows (the registers ARE the state — cost model r12 item 6) and "
+    "refuses support-backed exact topk/distinct at the global grain "
+    "(they would rank the whole support in one partition). Output = "
+    "the detected global heavy set at a 10% threshold with EXACT "
+    "counts recomputed per detected value (bounded: <= k values), so "
+    "the oracle matches bit-for-bit while detection itself came from "
+    "the approximate merged registers — asserted in-plan against the "
+    "exact global counts.",
+    tags=("tx", "ivm", "router", "topk", "approx"),
+    eager=True,
+)
+def routed_topk_approx_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+    from data_warehouse_project_spark.sources.txtable import TxTable
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(
+            "CASE WHEN o_custkey % 4 < 2 "
+            "THEN concat('H', CAST(o_custkey % 2 AS STRING)) "
+            "ELSE concat('T', CAST(o_custkey % 5000 AS STRING)) END"
+        ).alias("v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="mgroute_")
+    try:
+        base = TxTable.create(spark, tmp + "/t", o, key="ok")
+        view = TxAggView.create(
+            spark, tmp + "/v", base, group_col="status",
+            measures={
+                "top": {"fn": "topk_approx", "expr": "v", "k": 8,
+                        "m": 64},
+                "n": ("count", "ok"),
+            },
+        )
+        router = AggRouter(spark).register(view)
+        routed, how = router.route(
+            [], {"top": {"fn": "topk_approx", "expr": "v", "k": 8},
+                 "n": ("count", "ok")}
+        )
+        assert how["support_rows"] == 0 and not how["exact_grain"], how
+        row = routed.collect()[0]
+        g_exact = {
+            r["v"]: r["c"]
+            for r in base.read().groupBy("v").agg(
+                F.count("*").alias("c")
+            ).collect()
+        }
+        for e in row["top"]:  # merged-register MG invariant, in-plan
+            t = g_exact[e["value"]]
+            assert t - row["top_err"] <= e["cnt"] <= t, (e, t, row)
+        detected = [
+            e["value"] for e in row["top"] if e["cnt"] * 10 > row["n"]
+        ]
+        # exact counts for the detected values only (<= k of them):
+        # deterministic output DuckDB reproduces, detection approximate
+        res = (
+            base.read()
+            .filter(F.col("v").isin(detected))
+            .groupBy(F.col("v").alias("value"))
+            .agg(F.count("*").cast("long").alias("exact_cnt"))
+            .orderBy("value")
+        )
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -149,10 +149,25 @@ _GK = "__gk"  # physical composite view key (multi-column groups only)
 
 def _norm_measures(measures: dict) -> dict[str, dict]:
     # join views maintain the same measure algebra as TxAggView —
-    # one normalizer (incl. hist lo/hi/bins validation), one fn set
+    # one normalizer (incl. hist lo/hi/bins validation), one fn set —
+    # EXCEPT topk_approx: the bounded-register fold composes with the
+    # trilinear delta decomposition in principle, but a dim-churn term
+    # re-attributes rows between groups as paired −old/+new deltas
+    # whose negative side hits weight a past compress may already have
+    # shed, so the register drift would be dim-churn-shaped, not just
+    # correction-shaped. Until that accounting is designed, refuse
+    # loudly; exact `topk` (support-backed) covers join views.
     from .txview import _norm_measures as _agg_norm
 
-    return _agg_norm(measures)
+    out = _agg_norm(measures)
+    bad = [n for n, m in out.items() if m["fn"] == "topk_approx"]
+    if bad:
+        raise TxError(
+            f"measure(s) {bad}: topk_approx is not supported on join "
+            "views — use the exact 'topk' (occurrence-support) measure, "
+            "or a TxAggView over the pre-joined grain"
+        )
+    return out
 
 
 def _norm_spec(spec: dict) -> dict:

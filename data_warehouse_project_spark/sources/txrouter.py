@@ -60,7 +60,7 @@ from pyspark.sql import functions as F
 
 from .txjoinview import TxJoinAggView
 from .txtable import TxError, TxTable
-from .txview import _N, TxAggView, _hist_zeros
+from .txview import _MG_EMPTY, _N, TxAggView, _hist_zeros, _mg_display
 from .txview import _norm_measures as _view_norm_measures
 
 __all__ = ["AggRouter", "NoRouteError"]
@@ -92,6 +92,9 @@ _DERIVABLE = {
     "max": ("max",),
     "approx_distinct": ("approx_distinct",),
     "topk": ("topk",),
+    # bounded-register heavy hitters: mergeable (Agarwal et al. 2012),
+    # so any coarser grain re-merges the register maps; err adds
+    "topk_approx": ("topk_approx",),
     "distinct": ("distinct",),
     "var": ("var", "stddev"),
     "stddev": ("var", "stddev"),
@@ -282,6 +285,18 @@ class AggRouter:
         missing = [g for g in gcols if g not in a.gcols]
         if missing:
             return None, f"{a.name}: grain lacks group column(s) {missing}"
+        if not gcols:
+            bad = sorted(
+                qn for qn, q in qm.items()
+                if q["fn"] in ("distinct", "topk")
+            )
+            if bad:
+                return None, (
+                    f"{a.name}: global grain over support-backed "
+                    f"measure(s) {bad} is not routed (would rank the "
+                    "whole support in one partition) — query at a "
+                    "grouped grain, or use approx_distinct/topk_approx"
+                )
         mapping: dict[str, str] = {}
         by_expr: dict[str, list[tuple[str, dict]]] = {}
         for n, m in a.measures.items():
@@ -300,6 +315,10 @@ class AggRouter:
                         m.get(k) == q.get(k)
                         for k in ("lo", "hi", "bins", "outer")
                     )
+                )
+                and (
+                    q["fn"] != "topk_approx"
+                    or int(q["k"]) <= int(m["m"])
                 )
             ]
             if not cands:
@@ -440,6 +459,41 @@ class AggRouter:
                         F.hll_sketch_estimate(F.col(f"__r_{qn}")), F.lit(0)
                     ).alias(qn)
                 )
+            elif fn == "topk_approx":
+                # mergeable summaries: union the cells' register maps
+                # (key-wise sum), ONE compress against the merged
+                # (m+1)-th largest, err = Σ cell errs + the subtraction
+                # — the Agarwal et al. 2012 merge, as pure expressions.
+                # Exact grain degenerates to a single-cell fold.
+                mm = int(a.measures[vn]["m"])
+                aggs.append(
+                    F.collect_list(F.col(f"__a_{vn}")).alias(f"__rl_{qn}")
+                )
+                aggs.append(F.sum(F.col(f"__ae_{vn}")).alias(f"__re_{qn}"))
+                merged = F.aggregate(
+                    F.col(f"__rl_{qn}"),
+                    F.expr(_MG_EMPTY),
+                    lambda acc, x: F.map_zip_with(
+                        acc,
+                        x,
+                        lambda kk, va, vb: F.coalesce(va, F.lit(0))
+                        + F.coalesce(vb, F.lit(0)),
+                    ),
+                )
+                cstar = F.coalesce(
+                    F.get(
+                        F.sort_array(F.map_values(merged), asc=False), mm
+                    ),
+                    F.lit(0),
+                )
+                regs = F.map_filter(
+                    F.transform_values(merged, lambda kk, v: v - cstar),
+                    lambda kk, v: v > 0,
+                )
+                post.append(_mg_display(regs, int(q["k"])).alias(qn))
+                post.append(
+                    (F.col(f"__re_{qn}") + cstar).alias(f"{qn}_err")
+                )
             elif fn == "topk":
                 # the support holds FULL per-(group, value) counts, so
                 # any coarser grain re-aggregates exactly — and any k,
@@ -547,7 +601,12 @@ class AggRouter:
                     F.col(f"b.{qn}").alias(qn),
                 )
             )
-        out = out.select(*gcols, *qm)
+        ordered: list[str] = []
+        for qn, q in qm.items():
+            ordered.append(qn)
+            if q["fn"] == "topk_approx":
+                ordered.append(f"{qn}_err")  # the bound rides along
+        out = out.select(*gcols, *ordered)
         if having is not None:
             # HAVING over the RE-AGGREGATED output always commutes: it
             # filters final groups, so routing through any finer view
@@ -604,8 +663,11 @@ class AggRouter:
         restricts candidates to views over that fact/base table.
         """
         gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-        if not gcols:
-            raise TxError("route needs at least one group column")
+        # gcols == [] is the GLOBAL rollup (GROUP BY nothing): every
+        # additive/mergeable measure re-aggregates across all view
+        # rows; support-backed measures (exact distinct / exact topk)
+        # refuse at that grain in _match — their global plan would rank
+        # the whole support in one partition
         qm = _norm_query_measures(measures)
         clash = [n for n in qm if n in gcols]
         if clash:

@@ -96,7 +96,11 @@ from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable, _live
 _SIDECAR = "_view.json"
 _N = "n_rows"  # hidden support count: a group at 0 leaves the view
 _FNS = ("sum", "count", "avg", "min", "max", "approx_distinct", "distinct",
-        "var", "stddev", "sumsq", "hist", "topk")
+        "var", "stddev", "sumsq", "hist", "topk", "topk_approx")
+
+#: topk_approx register ceiling — the per-group map column is the
+#: WHOLE state (that is the point), so bound it like hist bins
+_TOPK_APPROX_MAX_REGS = 4096
 
 #: hist bin-count ceiling: each bin is one aggregate expression in the
 #: fold plan, so this bounds plan size, and the array column stays a
@@ -448,6 +452,27 @@ def _norm_measures(measures: dict) -> dict[str, dict]:
                     "(read() materializes k struct rows per group)"
                 )
             extra = {"k": k}
+        elif fn == "topk_approx":
+            try:
+                k = int(extra["k"])
+            except (KeyError, TypeError, ValueError):
+                raise TxError(
+                    f"measure {name!r}: topk_approx needs integer k, "
+                    'e.g. {"fn": "topk_approx", "expr": E, "k": 10, '
+                    '"m": 80}'
+                ) from None
+            if not (1 <= k <= 100):
+                raise TxError(
+                    f"measure {name!r}: topk_approx k must be in [1, 100]"
+                )
+            mregs = int(extra.get("m", max(8 * k, 64)))
+            if not (k <= mregs <= _TOPK_APPROX_MAX_REGS):
+                raise TxError(
+                    f"measure {name!r}: topk_approx m (registers) must "
+                    f"be in [k, {_TOPK_APPROX_MAX_REGS}] — the map "
+                    "column IS the whole per-group state"
+                )
+            extra = {"k": k, "m": mregs}
         else:
             extra = {}
         out[name] = {"fn": fn, "expr": expr, **extra}
@@ -491,10 +516,136 @@ def _physical_agg(measures: dict[str, dict]) -> list:
             # the per-(group, value) occurrence support; read() ranks
             # it on demand (exact heavy hitters, delete-safe)
             pass
+        elif m["fn"] == "topk_approx":
+            # bounded-state registers — attached by _attach_mg (needs a
+            # two-level plan: per-(group, value) counts first)
+            pass
         else:  # approx_distinct: the HLL sketch IS the physical state
             aggs.append(F.hll_sketch_agg(e).alias(f"__h_{n}"))
     aggs.append(F.count(F.lit(1)).alias(_N))
     return aggs
+
+
+# --------- topk_approx: bounded-state heavy hitters (Misra-Gries) ---------
+#
+# The EXACT topk measure's occurrence support is per-(group, value)
+# state — fact-scale when the value domain is high-cardinality (top
+# buyers over 10^8 customers). topk_approx bounds the state to m
+# registers PER GROUP, carried as one map<string,bigint> view column
+# plus an exact error counter, with the classic Misra-Gries contract
+# (Misra & Gries 1982; mergeable per Agarwal et al., "Mergeable
+# Summaries", PODS 2012):
+#
+#   true(v) − err_g  <=  est(v)  <=  true(v)        (est 0 if absent)
+#   any value with true(v) > err_g is IN the registers
+#   err_g <= inserted_weight(g) / (m + 1)
+#
+# The fold is a pure Column expression (no support table, no Python):
+# merge the window's exact per-value deltas into the register map
+# (map_zip_with), then one compress step — subtract the (m+1)-th
+# largest register from all and drop the non-positive — accumulating
+# the subtraction into the err counter. Correction DELETES subtract
+# from a matching register (clamped at 0) but cannot restore weight a
+# past compress already shed, so under delete-heavy churn the estimate
+# may drift below true − err: the documented trade against the exact
+# measure (see the r12 verdict's TOP-K caveat) — err accounting stays
+# an upper bound on insert-side undercount only. Choose exact `topk`
+# when corrections matter more than state size.
+
+#: SQL snippet for an empty register map (typed)
+_MG_EMPTY = "cast(map() as map<string,bigint>)"
+
+
+def _mg_cmp(x, y):
+    """Register comparator: count desc, value-string asc — the same
+    deterministic tie order as the exact topk read."""
+    return (
+        F.when(x["value"] > y["value"], F.lit(-1))
+        .when(x["value"] < y["value"], F.lit(1))
+        .when(x["key"] < y["key"], F.lit(-1))
+        .when(x["key"] > y["key"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def _mg_display(regs, k: int):
+    """The measure's read shape from a register map: ordered
+    array<struct<rank, value, cnt>> of the top k registers (cnt = the
+    MG estimate, an undercount by at most ``err``), NULL for a group
+    with no registered values."""
+    sorted_e = F.array_sort(F.map_entries(regs), _mg_cmp)
+    arr = F.transform(
+        F.slice(sorted_e, 1, k),
+        lambda x, i: F.struct(
+            (i + 1).cast("int").alias("rank"),
+            x["key"].alias("value"),
+            x["value"].alias("cnt"),
+        ),
+    )
+    return F.when(F.size(sorted_e) > 0, arr)
+
+
+def _mg_full(src: DataFrame, g: str, m: dict) -> DataFrame:
+    """(group, __a registers, __ae err) computed EXACTLY at a snapshot:
+    registers = the top-m values by exact count (count desc, value
+    asc), err = the (m+1)-th count — the tightest state satisfying the
+    MG invariant (any absent value's true count is at most err).
+    Distributed: per-group work is a window rank, never a whole-domain
+    collect."""
+    from pyspark.sql import Window
+
+    e = F.expr(m["expr"])
+    mm = int(m["m"])
+    counts = (
+        src.filter(e.isNotNull())
+        .groupBy(g, e.cast("string").alias("__val"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(g).orderBy(
+        F.col("__c").desc(), F.col("__val").asc()
+    )
+    ranked = counts.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= mm + 1
+    )
+    return ranked.groupBy(g).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("__rk") <= mm, F.struct("__val", "__c")
+                )
+            )
+        ).alias("__a"),
+        F.coalesce(
+            F.max(F.when(F.col("__rk") == mm + 1, F.col("__c"))), F.lit(0)
+        ).alias("__ae"),
+    )
+
+
+def _attach_mg(
+    src: DataFrame, full: DataFrame, g: str, measures: dict
+) -> DataFrame:
+    """Left-join every topk_approx measure's exact-snapshot MG state
+    onto the physical aggregate frame (create / recompute path)."""
+    for n, m in measures.items():
+        if m["fn"] != "topk_approx":
+            continue
+        mg = _mg_full(src, g, m)
+        full = (
+            full.alias("a")
+            .join(
+                mg.alias("b"),
+                F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")),
+                "left",
+            )
+            .select(
+                *[F.col(f"a.{c}").alias(c) for c in full.columns],
+                F.coalesce(F.col("b.__a"), F.expr(_MG_EMPTY)).alias(
+                    f"__a_{n}"
+                ),
+                F.coalesce(F.col("b.__ae"), F.lit(0)).alias(f"__ae_{n}"),
+            )
+        )
+    return full
 
 
 class TxAggView:
@@ -566,7 +717,11 @@ class TxAggView:
         if bad:
             raise TxError(f"measure name(s) reserved: {sorted(bad)}")
         base_v = base_v0  # the same snapshot the auto bounds derive from
-        full = base.read(base_v).groupBy(group_col).agg(*_physical_agg(norm))
+        src = base.read(base_v)
+        full = _attach_mg(
+            src, src.groupBy(group_col).agg(*_physical_agg(norm)),
+            group_col, norm,
+        )
         root.mkdir(parents=True, exist_ok=True)
         # sidecar first: a crash before the v0 commit leaves a root that
         # read/refresh reject loudly ("no committed version"), and
@@ -649,6 +804,15 @@ class TxAggView:
                 cols.append(F.col(f"__d_{n}").alias(n))
             elif m["fn"] == "topk":
                 continue  # derived from the support, joined below
+            elif m["fn"] == "topk_approx":
+                # same array<struct<rank, value, cnt>> shape as exact
+                # topk, derived from the bounded register map — cnt is
+                # the MG estimate (undercount <= the companion err
+                # column), value is the expr cast to string
+                cols.append(
+                    _mg_display(F.col(f"__a_{n}"), int(m["k"])).alias(n)
+                )
+                cols.append(F.col(f"__ae_{n}").alias(f"{n}_err"))
             else:  # min / max
                 cols.append(F.col(f"__m_{n}").alias(n))
         cols.append(F.col(_N))
@@ -661,9 +825,12 @@ class TxAggView:
         for n, k in tks:
             out = self._join_topk(out, n, k, version)
         if tks:  # restore the canonical column order
-            out = out.select(
-                g, *list(self.spec["measures"]), _N
-            )
+            order = []
+            for n, m in self.spec["measures"].items():
+                order.append(n)
+                if m["fn"] == "topk_approx":
+                    order.append(f"{n}_err")
+            out = out.select(g, *order, _N)
         return out
 
     def _join_topk(
@@ -829,7 +996,10 @@ class TxAggView:
 
     def _dv_frame(self, churn: DataFrame, n: str) -> DataFrame:
         g = self.spec["group_col"]
-        e = F.expr(self.spec["measures"][n]["expr"])
+        m = self.spec["measures"][n]
+        e = F.expr(m["expr"])
+        if m["fn"] == "topk_approx":
+            e = e.cast("string")  # register keys are strings
         return (
             churn.filter(e.isNotNull())
             .groupBy(g, e.alias("__val"))
@@ -1133,8 +1303,10 @@ class TxAggView:
         replay contract as the incremental path (a crash after the
         commit skips on rerun)."""
         g = self.spec["group_col"]
-        full = self.base.read(target).groupBy(g).agg(
-            *_physical_agg(self.spec["measures"])
+        src = self.base.read(target)
+        full = _attach_mg(
+            src, src.groupBy(g).agg(*_physical_agg(self.spec["measures"])),
+            g, self.spec["measures"],
         )
         r = self.table.overwrite(full, txn=(self.APP, target))
         if not r.get("skipped"):
@@ -1274,7 +1446,10 @@ class TxAggView:
         )
         dnames = self._distinct_names()
         snames = self._value_support_names()
-        if snames and cache is None:
+        anames = [
+            n for n, m in measures.items() if m["fn"] == "topk_approx"
+        ]
+        if (snames or anames) and cache is None:
             churn = churn.localCheckpoint(eager=False)
         delta = churn.groupBy(g).agg(*delta_aggs)
         # value-support measures: per-(group, value) signed deltas —
@@ -1298,6 +1473,32 @@ class TxAggView:
                     F.coalesce(F.col(f"b.__dd_{n}"), F.lit(0)).alias(
                         f"__dd_{n}"
                     ),
+                )
+            )
+        for n in anames:
+            # topk_approx: the window's EXACT per-value signed deltas
+            # as one map per touched group — transient (O(churn
+            # distinct values)), merged into the bounded registers and
+            # compressed inside apply_delta. No support table.
+            dm = (
+                self._dv_frame(churn, n)
+                .groupBy(g)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__val", "__dc"))
+                    ).alias(f"__dm_{n}")
+                )
+            )
+            delta = (
+                delta.alias("a")
+                .join(
+                    dm.alias("b"),
+                    F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")),
+                    "left",
+                )
+                .select(
+                    *[F.col(f"a.{c}").alias(c) for c in delta.columns],
+                    F.col(f"b.__dm_{n}").alias(f"__dm_{n}"),
                 )
             )
         delta = delta.localCheckpoint(eager=False)
@@ -1368,6 +1569,58 @@ class TxAggView:
                     )
                 elif m["fn"] == "topk":
                     pass  # no physical column: lives in the support
+                elif m["fn"] == "topk_approx":
+                    mm = int(m["m"])
+                    old = F.coalesce(
+                        F.col(f"v.__a_{n}"), F.expr(_MG_EMPTY)
+                    )
+                    dm = F.col(f"d.__dm_{n}")
+                    # merge the window's exact value deltas into the
+                    # registers (union of keys; deletes clamp at 0 —
+                    # see the module comment's drift note), then ONE
+                    # Misra-Gries compress: subtract the (m+1)-th
+                    # largest register from all, drop the non-positive,
+                    # accumulate the subtraction into the err counter
+                    merged_map = F.when(dm.isNull(), old).otherwise(
+                        F.map_filter(
+                            F.map_zip_with(
+                                old,
+                                dm,
+                                lambda k, a, b: F.greatest(
+                                    F.coalesce(a, F.lit(0))
+                                    + F.coalesce(b, F.lit(0)),
+                                    F.lit(0),
+                                ),
+                            ),
+                            lambda k, v: v > 0,
+                        )
+                    )
+                    # F.get is 0-based and NULL past the end (ANSI-safe
+                    # where element_at would throw): index mm IS the
+                    # (m+1)-th largest
+                    cstar = F.coalesce(
+                        F.get(
+                            F.sort_array(
+                                F.map_values(merged_map), asc=False
+                            ),
+                            mm,
+                        ),
+                        F.lit(0),
+                    )
+                    out_cols.append(
+                        F.map_filter(
+                            F.transform_values(
+                                merged_map, lambda k, v: v - cstar
+                            ),
+                            lambda k, v: v > 0,
+                        ).alias(f"__a_{n}")
+                    )
+                    out_cols.append(
+                        (
+                            F.coalesce(F.col(f"v.__ae_{n}"), F.lit(0))
+                            + cstar
+                        ).alias(f"__ae_{n}")
+                    )
                 elif m["fn"] == "approx_distinct":
                     vh = F.col(f"v.__h_{n}")
                     ins = F.col(f"d.__i_{n}")

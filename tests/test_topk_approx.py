@@ -1,0 +1,232 @@
+"""Bounded-state heavy hitters (``topk_approx``, r12 verdict item 4):
+Misra-Gries registers carried as ONE map column per group (plus an
+exact error counter) — no support table, so state is m registers per
+group regardless of the value domain. Contract (insert-side):
+
+    true(v) - err_g <= est(v) <= true(v)     (est 0 if absent)
+    any value with true(v) > err_g is IN the registers
+    err_g <= inserted_weight(g) / (m + 1)
+
+Folds are pure Column expressions (map_zip_with merge + one compress);
+summaries MERGE across groups (Agarwal et al. 2012), which the router
+uses for coarser/global grains. Correction deletes clamp registers at
+0 and may drift below the bound (documented); exact `topk` remains the
+churn-exact choice.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+from data_warehouse_project_spark.sources.txrouter import AggRouter, NoRouteError
+from data_warehouse_project_spark.sources.txtable import TxError, TxTable
+from data_warehouse_project_spark.sources.txview import TxAggView
+
+SCHEMA = "oid long, g long, v string"
+
+
+def _skewed(base_oid, groups=3, heavies=5, heavy_n=80, tail=150):
+    rows, oid = [], base_oid
+    for g in range(groups):
+        for h in range(heavies):
+            for _ in range(heavy_n + 10 * h):
+                rows.append((oid, g, f"h{h}"))
+                oid += 1
+        for t in range(tail):
+            rows.append((oid, g, f"t{t:04d}"))
+            oid += 1
+    return rows
+
+
+def _exact(fact):
+    return {
+        (r["g"], r["v"]): r["c"]
+        for r in fact.read()
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+
+
+def _check_bounds(view, fact, n="top"):
+    """The MG invariant on every register, plus the guarantee that
+    every value with true > err appears among the registers (checked
+    through the raw map column, not just the top-k display)."""
+    exact = _exact(fact)
+    regs_rows = view.table.read().select(
+        "g", F.col(f"__a_{n}").alias("regs"), F.col(f"__ae_{n}").alias("err")
+    ).collect()
+    by_g = {r["g"]: (r["regs"], r["err"]) for r in regs_rows}
+    for (g, v), true in exact.items():
+        regs, err = by_g[g]
+        est = regs.get(v, 0)
+        assert est <= true, (g, v, est, true)
+        if v in regs:
+            assert true - err <= est, (g, v, est, true, err)
+        else:
+            assert true <= err, f"heavy value missing: {(g, v, true, err)}"
+    return by_g
+
+
+def test_create_fold_bounds_and_state_size(spark, tmp_path):
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame(_skewed(0), SCHEMA), key="oid",
+    )
+    M = 32
+    view = TxAggView.create(
+        spark, tmp_path / "v", fact, group_col="g",
+        measures={"top": {"fn": "topk_approx", "expr": "v", "k": 5,
+                          "m": M}},
+    )
+    by_g = _check_bounds(view, fact)
+    # STATE SIZE PIN: never more than m registers per group, however
+    # many distinct values flowed through (the whole point vs `topk`)
+    assert all(len(regs) <= M for regs, _ in by_g.values())
+    assert not (tmp_path / "v" / "_vals_top").exists()  # no support
+
+    # fold a second wave (new heavy h9 + more weight on h1)
+    wave = [(10**6 + i, i % 3, "h9") for i in range(900)] + [
+        (2 * 10**6 + i, i % 3, "h1") for i in range(450)
+    ]
+    fact.append(spark.createDataFrame(wave, SCHEMA))
+    r = view.refresh(mode="incremental")
+    assert r["mode"] == "incremental" and not r["skipped"], r
+    by_g = _check_bounds(view, fact)
+    assert all(len(regs) <= M for regs, _ in by_g.values())
+    # err stays under inserted_weight/(m+1) per group
+    ins = {
+        r["g"]: r["c"]
+        for r in fact.read().groupBy("g").agg(
+            F.count("*").alias("c")
+        ).collect()
+    }
+    for g, (_, err) in by_g.items():
+        assert err <= ins[g] / (M + 1), (g, err, ins[g])
+    # display: rank/value/cnt struct array, top-k by est desc
+    row = view.read().filter(F.col("g") == 0).first()
+    assert [e["rank"] for e in row["top"]] == [1, 2, 3, 4, 5]
+    assert row["top"][0]["value"] in ("h9", "h1")  # the new heavies
+    assert row["top_err"] == by_g[0][1]
+
+
+def test_deletes_clamp_and_never_crash(spark, tmp_path):
+    """Correction deletes subtract from matching registers (clamped at
+    0). The insert-side invariant est <= true can drift only BELOW —
+    never over-counting a value — and the fold stays green."""
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame(_skewed(0), SCHEMA), key="oid",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "v", fact, group_col="g",
+        measures={"top": {"fn": "topk_approx", "expr": "v", "k": 5,
+                          "m": 32}},
+    )
+    fact.delete(F.col("v") == "h0", mode="dv")  # kill a heavy entirely
+    fact.delete(F.col("v") == "h1", mode="dv")
+    assert not view.refresh(mode="incremental")["skipped"]
+    exact = _exact(fact)
+    for r in view.table.read().select(
+        "g", F.col("__a_top").alias("regs")
+    ).collect():
+        for v, est in r["regs"].items():
+            assert est <= exact.get((r["g"], v), 0), (r["g"], v, est)
+        assert "h0" not in r["regs"] and "h1" not in r["regs"]
+    # recompute converges to the exact-snapshot MG state
+    view.refresh(mode="recompute")
+    _check_bounds(view, fact)
+
+
+def test_join_view_refuses_topk_approx(spark, tmp_path):
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame([(0, 0, "a")], SCHEMA), key="oid",
+    )
+    dim = TxTable.create(
+        spark, tmp_path / "d",
+        spark.createDataFrame([(0, "s")], "g long, seg string"), key="g",
+    )
+    with pytest.raises(TxError, match="topk_approx is not supported"):
+        TxJoinAggView.create(
+            spark, tmp_path / "jv", fact, dim, fk="g",
+            group_expr=["seg"], group_col=["seg"],
+            measures={"top": {"fn": "topk_approx", "expr": "v", "k": 3}},
+        )
+
+
+def test_router_exact_global_and_refusals(spark, tmp_path):
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame(_skewed(0, groups=6), SCHEMA), key="oid",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "v", fact, group_col="g",
+        measures={
+            "top": {"fn": "topk_approx", "expr": "v", "k": 5, "m": 32},
+            "n": ("count", "oid"),
+        },
+    )
+    router = AggRouter(spark).register(view)
+    # exact grain: registers pass through (any k <= m)
+    out, how = router.route(
+        ["g"], {"top": {"fn": "topk_approx", "expr": "v", "k": 3}}
+    )
+    assert how["support_rows"] == 0  # bounded state: nothing extra
+    exact = _exact(fact)
+    for r in out.collect():
+        err = r["top_err"]
+        for e in r["top"]:
+            t = exact[(r["g"], e["value"])]
+            assert t - err <= e["cnt"] <= t
+    # GLOBAL rollup: the multi-cell register merge (6 cells -> 1),
+    # err = sum of cell errs + the merge compress subtraction
+    gout, ghow = router.route(
+        [], {"top": {"fn": "topk_approx", "expr": "v", "k": 4},
+             "n": ("count", "oid")}
+    )
+    grow = gout.collect()[0]
+    g_exact = {
+        r["v"]: r["c"]
+        for r in fact.read().groupBy("v").agg(
+            F.count("*").alias("c")
+        ).collect()
+    }
+    for e in grow["top"]:
+        t = g_exact[e["value"]]
+        assert t - grow["top_err"] <= e["cnt"] <= t
+    assert grow["n"] == fact.row_count()
+    # k beyond the view's registers: refuse with a named reason
+    with pytest.raises(NoRouteError):
+        router.route(
+            ["g"], {"top": {"fn": "topk_approx", "expr": "v", "k": 64,
+                            "m": 64}}
+        )
+    # global grain over a SUPPORT-backed measure refuses loudly
+    view2 = TxAggView.create(
+        spark, tmp_path / "v2", fact, group_col="g",
+        measures={"top": {"fn": "topk", "expr": "v", "k": 5}},
+    )
+    r2 = AggRouter(spark).register(view2)
+    with pytest.raises(NoRouteError, match="global grain"):
+        r2.route([], {"top": {"fn": "topk", "expr": "v", "k": 5}})
+
+
+def test_param_validation(spark, tmp_path):
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame([(0, 0, "a")], SCHEMA), key="oid",
+    )
+    with pytest.raises(TxError, match="needs integer k"):
+        TxAggView.create(
+            spark, tmp_path / "v", fact, group_col="g",
+            measures={"t": {"fn": "topk_approx", "expr": "v"}},
+        )
+    with pytest.raises(TxError, match="registers"):
+        TxAggView.create(
+            spark, tmp_path / "v", fact, group_col="g",
+            measures={"t": {"fn": "topk_approx", "expr": "v", "k": 10,
+                            "m": 5}},
+        )
