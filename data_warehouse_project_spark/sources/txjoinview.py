@@ -1029,13 +1029,18 @@ class TxJoinAggView:
     #: recompute anyway; mode="auto" usually picks one first)
     FPARTS_MAX_MOVED_KEYS = 100_000
 
-    #: per-file partials only for grains at most this many groups —
-    #: same complementarity as txview.FPARTS_MAX_GROUPS: dashboard
-    #: grains repair from file partials; high-cardinality grains keep
-    #: the dirty-group joined recompute (dims filtered to the dirty
+    #: per-file partials for grains up to this many groups — same
+    #: complementarity (and same r12-item-2 mid-cardinality raise from
+    #: 8192, see txview.FPARTS_MAX_GROUPS's comment) as the single-
+    #: table twin: low/mid grains repair from file partials bounded by
+    #: SUPPORT rows; truly high-cardinality grains keep the
+    #: dirty-group joined recompute (dims filtered to the dirty
     #: groups, fact point-pruned to their keys), whose cost is already
     #: proportional to the few dirty groups' rows.
-    FPARTS_MAX_GROUPS = 8192
+    FPARTS_MAX_GROUPS = 131_072
+
+    #: repair-read bucket pre-filter granularity (txview twin)
+    FPARTS_BUCKETS = 1024
 
     def _repair_names(self) -> dict:
         return {
@@ -1537,14 +1542,39 @@ class TxJoinAggView:
 
             dirty_keys = out.filter(any_dirty).select(*gcols)
             if rep_source is not None:
-                # LOW-cardinality grain (r12): aggregate the dirty
+                # LOW/MID-cardinality grain (r12): aggregate the dirty
                 # groups' PER-FILE partials from the _fparts support —
                 # O(dirty groups' support rows), never their fact
                 # slice. The support state at the target snapshot is
                 # (persisted rows minus changed files) ∪ this window's
-                # fresh partials — built above.
+                # fresh partials — built above. Bucket pre-filter
+                # (r13, txview twin): hash the dirty group tuples into
+                # FPARTS_BUCKETS and keep only dirty buckets' support
+                # rows before the semi-join — bounded driver state,
+                # derived on the fly (no support schema change).
+                B = self.FPARTS_BUCKETS
+                bcol = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in gcols]), F.lit(B)
+                )
+                dirty_b = [
+                    r[0]
+                    for r in dirty_keys.select(
+                        bcol.alias("__b")
+                    ).distinct().collect()
+                ]
+                rsrc = rep_source
+                if len(dirty_b) < B:
+                    # NULL group values are covered: xxhash64 skips
+                    # NULL inputs (an all-NULL tuple hashes to the
+                    # seed), so every group tuple owns a real bucket
+                    rsrc = rsrc.filter(
+                        F.pmod(
+                            F.xxhash64(*[F.col(c) for c in gcols]),
+                            F.lit(B),
+                        ).isin(dirty_b)
+                    )
                 rep = (
-                    rep_source.alias("b")
+                    rsrc.alias("b")
                     .join(
                         F.broadcast(dirty_keys.alias("k")),
                         _on_gcols("b", "k"),

@@ -1118,17 +1118,33 @@ class TxAggView:
     # (compact) still reshape files — the state-based diff tracks them
     # where the feed-based fold correctly sees nothing.
 
-    #: per-file partials are maintained only for grains at most this
-    #: many groups. The two repair shapes are complementary: a LOW-
-    #: cardinality grain (dashboard rollups — months, segments) has
-    #: every group spread across every file, so dirty-group pruning is
-    #: hopeless and per-file partials bound the repair by the churned
-    #: files; a HIGH-cardinality grain (per-customer) has each dirty
-    #: group in FEW files, so the dirty-group repair with point-read
-    #: file pruning on the group column is already O(dirty groups'
-    #: files) — and per-(file, group) partials would balloon to
-    #: fact-scale state for no gain.
-    FPARTS_MAX_GROUPS = 8192
+    #: per-file partials are maintained for grains up to this many
+    #: groups. The two repair shapes are complementary: a LOW/MID-
+    #: cardinality grain (dashboard rollups up to ~100k groups) has
+    #: groups spread across many files, so dirty-group file pruning is
+    #: hopeless and per-file partials bound the repair by SUPPORT
+    #: rows (Σ per-file distinct groups — a small multiple of the view,
+    #: never the base); a truly HIGH-cardinality grain (per-customer,
+    #: group ≈ row) has each dirty group in FEW files, so the
+    #: dirty-group repair with point-read file pruning on the group
+    #: column is already O(dirty groups' files) — and per-(file,
+    #: group) partials would balloon to fact-scale state for no gain.
+    #: r12 verdict item 2 raised this cap from 8192: between it and
+    #: the point-prunable regime, a scattered correction delete
+    #: approached O(base) again (a mid-cardinality grain gets neither
+    #: bound). The trade for 8k–131k-group views: every refresh now
+    #: pays the churned-file re-partial pass (~2x the fold-only read)
+    #: and support storage of roughly files x groups-per-file rows —
+    #: bought back the first time a correction delete lands.
+    FPARTS_MAX_GROUPS = 131_072
+
+    #: repair-read pre-filter granularity: dirty groups hash into this
+    #: many buckets (derived on the fly — no support schema change)
+    #: and the repair scans only support rows in dirty buckets; with
+    #: ~1024 buckets a localized correction delete reads ~dirty/1024
+    #: of the support while a scattered one degrades to the full
+    #: support scan — still support-scale, never base-scale
+    FPARTS_BUCKETS = 1024
 
     def _repair_names(self) -> dict:
         return {
@@ -1696,7 +1712,7 @@ class TxAggView:
                     )
                 dirty_keys = out.filter(any_dirty).select(g)
                 if rep_source is not None:
-                    # LOW-cardinality grain: aggregate the dirty
+                    # LOW/MID-cardinality grain: aggregate the dirty
                     # groups' PER-FILE partials (r12) — O(dirty
                     # groups' support rows), never their base rows
                     def repair_agg(n: str, m: dict):
@@ -1711,6 +1727,31 @@ class TxAggView:
                         )
 
                     src = rep_source
+                    # bucket pre-filter (r13): hash the dirty groups
+                    # into FPARTS_BUCKETS and keep only support rows in
+                    # dirty buckets before the semi-join — bounded
+                    # driver state (<= FPARTS_BUCKETS ints), derived on
+                    # the fly so pre-r13 supports need no migration; a
+                    # localized delete then scans a sliver of the
+                    # support, a scattered one the whole support
+                    # (support-scale either way, never base-scale)
+                    B = self.FPARTS_BUCKETS
+                    bcol = F.pmod(F.xxhash64(F.col(g)), F.lit(B))
+                    dirty_b = [
+                        r[0]
+                        for r in dirty_keys.select(
+                            bcol.alias("__b")
+                        ).distinct().collect()
+                    ]
+                    if len(dirty_b) < B:
+                        # NULL groups are covered too: xxhash64(NULL)
+                        # is the seed (42), never NULL, so the NULL
+                        # group owns an ordinary bucket (probed above)
+                        src = src.filter(
+                            F.pmod(F.xxhash64(F.col(g)), F.lit(B)).isin(
+                                dirty_b
+                            )
+                        )
                 else:
                     # HIGH-cardinality grain: recompute exactly the
                     # dirty groups, base read POINT-PRUNED on the

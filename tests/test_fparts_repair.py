@@ -35,13 +35,13 @@ def _mk(spark, tmp_path, measures, n=80, groups=5):
 
 
 def _equal(view, base, aggs):
-    got = {
-        tuple(r[c] for c in view.read().columns)
-        for r in view.read().collect()
-    }
+    df = view.read()
+    cols = df.columns  # hoisted: view.read() per ROW was a py4j storm
+    got = {tuple(r[c] for c in cols) for r in df.collect()}
     want_df = base.read().groupBy("g").agg(*aggs)
-    want = {tuple(r[c] for c in want_df.columns) for r in want_df.collect()}
-    assert got == want, f"\nview: {sorted(got)}\nwant: {sorted(want)}"
+    wcols = want_df.columns
+    want = {tuple(r[c] for c in wcols) for r in want_df.collect()}
+    assert got == want, f"\nview: {sorted(got)[:5]}\nwant: {sorted(want)[:5]}"
 
 
 def _no_base_read(view):
@@ -292,6 +292,80 @@ def test_high_cardinality_grain_skips_fparts_and_prunes_repair(
         view, base,
         [
             F.max("amt").alias("hi"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("amt")).alias("uq"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    )
+
+
+def test_mid_cardinality_scattered_delete_repairs_from_support(
+    spark, tmp_path
+):
+    """r12 verdict item 2 (the mid-cardinality gap): a ~50k-group
+    grain — far past the old 8192-group fparts cap, far below the
+    point-prunable per-row regime — used to fall back to dirty-group
+    base reads that approach O(base) when the delete scatters across
+    every file. The raised cap keeps such grains on the per-file
+    partials: an every-file correction delete (5k group maxima spread
+    over all 8 files) repairs with the base read FORBIDDEN, through
+    the bucket-pre-filtered support scan, and lands the exact
+    recompute state; subsequent churn keeps folding equal."""
+    n, G = 100_000, 50_000
+    df = spark.range(0, n, 1, 8).select(
+        F.col("id"),
+        (F.col("id") % G).alias("g"),
+        # each group has two rows in two different files; the MAX row
+        # sits in the LOW file for even groups, HIGH file for odd —
+        # so extremal deletes touch every file
+        F.when(
+            (F.col("id") < G) == (F.col("id") % 2 == 0),
+            F.lit(100) + F.col("id") % 7,
+        )
+        .otherwise(F.col("id") % 50)
+        .alias("amt"),
+    )
+    base = TxTable.create(spark, tmp_path / "base", df, key="id")
+    view = TxAggView.create(
+        spark, tmp_path / "view", base, group_col="g",
+        measures={"hi": ("max", "amt"), "lo": ("min", "amt"),
+                  "uq": ("approx_distinct", "amt")},
+    )
+    assert view.table.row_count() == G > 8192
+    assert view._use_fparts(), "mid-cardinality grain must keep fparts"
+    # every-file correction delete: the max row of every 10th group
+    base.delete((F.col("amt") >= 100) & (F.col("g") % 10 == 3),
+                mode="dv")
+    _no_base_read(view)
+    r = view.refresh(mode="incremental")
+    assert r["mode"] == "incremental" and not r["skipped"], r
+    view.base = TxTable(spark, view.base.root)
+    _equal(
+        view, base,
+        [
+            F.max("amt").alias("hi"),
+            F.min("amt").alias("lo"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("amt")).alias("uq"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+    )
+    # keep churning: append new maxima + another scattered delete —
+    # the fold stays equal to recompute (base read again forbidden)
+    base.append(
+        spark.range(n, n + 4000, 1, 4).select(
+            F.col("id"),
+            (F.col("id") % G).alias("g"),
+            (F.lit(200) + F.col("id") % 5).alias("amt"),
+        )
+    )
+    base.delete((F.col("amt") >= 200) & (F.col("g") % 7 == 2), mode="dv")
+    _no_base_read(view)
+    assert not view.refresh(mode="incremental")["skipped"]
+    view.base = TxTable(spark, view.base.root)
+    _equal(
+        view, base,
+        [
+            F.max("amt").alias("hi"),
+            F.min("amt").alias("lo"),
             F.hll_sketch_estimate(F.hll_sketch_agg("amt")).alias("uq"),
             F.count(F.lit(1)).alias("n_rows"),
         ],
