@@ -1106,7 +1106,10 @@ GOLD_JOIN_VIEWS: dict[str, dict] = {
 
 
 def refresh_gold_views(
-    wh: Warehouse, mode: str = "auto", publish: dict | None = None
+    wh: Warehouse,
+    mode: str = "auto",
+    publish: dict | None = None,
+    max_parallel: int = 4,
 ) -> dict[str, dict]:
     """Maintain the incremental gold aggregates over the transactional
     fact (requires ``scd_strategy="tx"`` — ce_sales must be a TxTable).
@@ -1153,6 +1156,7 @@ def refresh_gold_views(
     base = wh.tx("bl_3nf", "ce_sales")
     out: dict[str, dict] = {}
     cache = ChurnCache()
+    jobs: list[tuple[str, object]] = []
     for name, (group_col, measures) in GOLD_VIEWS.items():
         root = wh.root / "gold_views" / name
         try:
@@ -1164,9 +1168,7 @@ def refresh_gold_views(
             out[name] = {"created": True,
                          "base_version": view.applied_base_version()}
             continue
-        t0 = time.perf_counter()
-        out[name] = view.refresh(mode=mode, cache=cache)
-        out[name]["secs"] = round(time.perf_counter() - t0, 3)
+        jobs.append((name, view))
     for name, jspec in GOLD_JOIN_VIEWS.items():
         root = wh.root / "gold_views" / name
         try:
@@ -1188,9 +1190,40 @@ def refresh_gold_views(
             out[name] = {"created": True,
                          "base_versions": jview.applied_versions()}
             continue
+        jobs.append((name, jview))
+
+    def _run(nv):
+        name, v = nv
         t0 = time.perf_counter()
-        out[name] = jview.refresh(mode=mode, cache=cache)
-        out[name]["secs"] = round(time.perf_counter() - t0, 3)
+        r = v.refresh(mode=mode, cache=cache)
+        r["secs"] = round(time.perf_counter() - t0, 3)
+        return name, r
+
+    # the first refresh runs ALONE: its fold materializes the sweep's
+    # shared churn checkpoint, so the pooled rest never race to compute
+    # it. The remaining views fold CONCURRENTLY — they commit to
+    # DISJOINT TxTables (per-table os.link claims, no shared state
+    # beyond the read-only cache, which locks its dict), and on a real
+    # cluster concurrent jobs are how independent view maintenance
+    # hides per-job scheduling latency; locally the same effect
+    # overlaps each fold's driver-side planning with the others'
+    # executor work.
+    if jobs:
+        name0, r0 = _run(jobs[0])
+        out[name0] = r0
+        rest = jobs[1:]
+        if len(rest) > 1 and max_parallel > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(max_parallel, len(rest))
+            ) as ex:
+                for name, r in ex.map(_run, rest):
+                    out[name] = r
+        else:
+            for nv in rest:
+                name, r = _run(nv)
+                out[name] = r
     if publish is not None:
         # publish-on-refresh: the metastore/DuckDB surface tracks gold
         # automatically — aggregate-scale writes only (gold_only), the

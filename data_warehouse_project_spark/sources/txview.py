@@ -371,26 +371,35 @@ class ChurnCache:
     references."""
 
     def __init__(self) -> None:
+        import threading
+
         self._frames: dict[tuple, DataFrame] = {}
+        # refresh_gold_views folds views CONCURRENTLY (thread pool);
+        # the lock only guards the dict + plan construction — the
+        # expensive part (block materialization) stays lazy and
+        # happens inside Spark actions outside the lock
+        self._lock = threading.Lock()
 
     def signed(self, table: TxTable, lo: int, hi: int) -> DataFrame:
         key = ("signed", str(table.root), int(lo), int(hi))
-        out = self._frames.get(key)
-        if out is None:
-            out = _signed(table.read_changes(lo, hi)).localCheckpoint(
-                eager=False
-            )
-            self._frames[key] = out
+        with self._lock:
+            out = self._frames.get(key)
+            if out is None:
+                out = _signed(table.read_changes(lo, hi)).localCheckpoint(
+                    eager=False
+                )
+                self._frames[key] = out
         return out
 
     def tagged(self, table: TxTable, at: int, paths: list[str]) -> DataFrame:
         key = ("tagged", str(table.root), int(at), tuple(sorted(paths)))
-        out = self._frames.get(key)
-        if out is None:
-            out = _tagged_rows(table, table._manifest(at), paths)
-            if paths:
-                out = out.localCheckpoint(eager=False)
-            self._frames[key] = out
+        with self._lock:
+            out = self._frames.get(key)
+            if out is None:
+                out = _tagged_rows(table, table._manifest(at), paths)
+                if paths:
+                    out = out.localCheckpoint(eager=False)
+                self._frames[key] = out
         return out
 
 
