@@ -140,6 +140,142 @@ def test_deletes_clamp_and_never_crash(spark, tmp_path):
     _check_bounds(view, fact)
 
 
+def test_fold_intermediates_bounded_high_cardinality(spark, tmp_path):
+    """r14 (r13 verdict item 1): the incremental fold's merge operands
+    stay <= m-entry maps even when ONE group's churn window carries
+    1e5 distinct values — the regime the measure exists for. The old
+    fold packed the window's exact per-value deltas into one map cell
+    per group (O(window distinct values) in a single row); the r14
+    fold pre-compresses inserts to <= m registers (shed weight charged
+    to err) and restricts deletes to registered values, so the delta
+    map is <= 2m entries by construction. Checked white-box on the
+    actual operand frame the refresh folds, then the MG invariants on
+    the refreshed state."""
+    from data_warehouse_project_spark.sources.txview import _signed
+
+    M = 16
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame(_skewed(0, groups=1), SCHEMA), key="oid",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "v", fact, group_col="g",
+        measures={"top": {"fn": "topk_approx", "expr": "v", "k": 5,
+                          "m": M}},
+    )
+    # churn window: 100_000 distinct singleton values + 2 heavies, all
+    # in group 0 (spark.range — no driver-side row materialization)
+    n_distinct = 100_000
+    wave = spark.range(n_distinct).select(
+        (F.col("id") + 10**7).alias("oid"),
+        F.lit(0).cast("long").alias("g"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("v"),
+    )
+    heavy = spark.range(3000).select(
+        (F.col("id") + 2 * 10**7).alias("oid"),
+        F.lit(0).cast("long").alias("g"),
+        F.concat(F.lit("H"), (F.col("id") % 2).cast("string")).alias("v"),
+    )
+    fact.append(wave.unionByName(heavy))
+    # WHITE-BOX PIN: the bounded operand frame this refresh will fold
+    churn = _signed(
+        fact.read_changes(
+            view.applied_base_version() + 1, fact.latest_version()
+        )
+    )
+    dmf = view._mg_delta_frame(churn, "top")
+    mx = dmf.agg(F.max(F.size("__dm")).alias("mx")).first()["mx"]
+    assert mx is not None and mx <= 2 * M, mx
+    r = view.refresh(mode="incremental")
+    assert r["mode"] == "incremental" and not r["skipped"], r
+    by_g = _check_bounds(view, fact)  # full per-value MG invariant
+    assert all(len(regs) <= M for regs, _ in by_g.values())
+    # the two heavies (1500 inserts each) must be registered: their
+    # true count dwarfs err (<= inserted_weight / (m+1))
+    regs, err = by_g[0]
+    assert "H0" in regs and "H1" in regs, (sorted(regs)[:5], err)
+    ins = fact.read().filter(F.col("g") == 0).count()
+    assert err <= ins / (M + 1), (err, ins)
+
+
+def test_delete_drift_surfaced_at_read(spark, tmp_path):
+    """r14 (r13 verdict item 5): a delete-heavy op-log makes the
+    ``{n}_deleted`` drift column nonzero and the widened bound
+    true ∈ [est, est + err + deleted] still contains the exact count
+    for every registered value — ``{n}_err`` alone only bounds the
+    insert-side undercount."""
+    M = 8
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame(_skewed(0, groups=2), SCHEMA), key="oid",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "v", fact, group_col="g",
+        measures={"top": {"fn": "topk_approx", "expr": "v", "k": 5,
+                          "m": M}},
+    )
+    # default read shape unchanged; include_error adds the drift twin
+    assert "top_deleted" not in view.read().columns
+    assert view.read(include_error=True).columns == [
+        "g", "top", "top_err", "top_deleted", "n_rows"
+    ]
+    assert all(
+        r["top_deleted"] == 0
+        for r in view.read(include_error=True).collect()
+    )
+    # delete-heavy churn: kill one heavy outright, halve another
+    fact.delete(F.col("v") == "h0", mode="dv")
+    fact.delete((F.col("v") == "h1") & (F.col("oid") % 2 == 0), mode="dv")
+    assert not view.refresh(mode="incremental")["skipped"]
+    exact = _exact(fact)
+    rows = view.table.read().select(
+        "g", "__a_top", "__ae_top", "__ad_top"
+    ).collect()
+    for row in rows:
+        assert row["__ad_top"] > 0, row  # the drift column moved
+        for v, est in row["__a_top"].items():
+            t = exact.get((row["g"], v), 0)
+            assert est <= t, (row["g"], v, est, t)
+            assert t <= est + row["__ae_top"] + row["__ad_top"], (
+                row["g"], v, est, t, row["__ae_top"], row["__ad_top"],
+            )
+    # recompute resets the drift accumulator (fresh exact state) — move
+    # the base first, else the fenced recompute is a replay skip
+    fact.append(
+        spark.createDataFrame([(10**9, 0, "h2"), (10**9 + 1, 1, "h2")],
+                              SCHEMA)
+    )
+    assert not view.refresh(mode="recompute")["skipped"]
+    assert all(
+        r["top_deleted"] == 0
+        for r in view.read(include_error=True).collect()
+    )
+
+
+def test_reserved_err_name_collision(spark, tmp_path):
+    """r13 ADVICE: a sibling measure (or the group column) literally
+    named '{n}_err' / '{n}_deleted' of a topk_approx measure would
+    produce duplicate output columns at read/route time — rejected at
+    create."""
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame([(0, 0, "a")], SCHEMA), key="oid",
+    )
+    with pytest.raises(TxError, match="collide"):
+        TxAggView.create(
+            spark, tmp_path / "v", fact, group_col="g",
+            measures={
+                "top": {"fn": "topk_approx", "expr": "v", "k": 3},
+                "top_err": ("count", "oid"),
+            },
+        )
+    with pytest.raises(TxError, match="collide"):
+        TxAggView.create(
+            spark, tmp_path / "v2", fact, group_col="top_deleted",
+            measures={"top": {"fn": "topk_approx", "expr": "v", "k": 3}},
+        )
+
+
 def test_join_view_refuses_topk_approx(spark, tmp_path):
     fact = TxTable.create(
         spark, tmp_path / "f",
