@@ -46,9 +46,48 @@ def host_yardstick() -> float:
     return round(min(trials), 4)
 
 
+def host_yardstick_mc(threads: int = 8) -> float:
+    """Multi-core companion to :func:`host_yardstick` (r13 verdict
+    item 2): the single-threaded probe calibrates one core while the
+    bench runs on 32, so it under-detects multi-core contention — r13's
+    driver run showed ~40% uniform ETL-stage inflation on a host whose
+    single-thread yardstick said 'faster'. This runs the SAME pinned
+    matmul concurrently on ``threads`` Python threads (numpy releases
+    the GIL inside BLAS) and reports the wall for all to finish —
+    phantom load that steals whole cores shows up here first."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(20240101)
+    a = rng.standard_normal((512, 512))
+    b = rng.standard_normal((512, 512))
+
+    def work(_):
+        x = a
+        for _ in range(20):
+            x = (x @ b) * 1e-3
+        return x[0, 0]
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(work, range(threads)))  # warm-up
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(ex.map(work, range(threads)))
+            trials.append(time.perf_counter() - t0)
+    return round(min(trials), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # the lifecycle queries' in-plan exact cross-checks stay ON for
+    # parity/driver correctness runs but OFF here, so the timed number
+    # measures the operator, not the assertion harness (r13 item 8)
+    os.environ.setdefault("SPARK_GRAFT_INPLAN_ASSERTS", "0")
+    # bracket the whole run with yardstick samples (r13 item 2): a
+    # phantom-load spike mid-run shows as pre/post divergence, and the
+    # multi-core variant catches contention the 1-thread probe misses
+    yard_pre = {"t1": host_yardstick(), "mc8": host_yardstick_mc()}
     spark = get_spark("bench")
 
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
@@ -85,6 +124,11 @@ def main() -> None:
         ("etl_full_pipeline_merge", "merge"),
         ("etl_full_pipeline_tx", "tx"),
     ):
+        # bracket each ETL entry with its own yardstick samples (r13
+        # item 2): the ETL totals are the entries most sensitive to
+        # multi-core phantom load, and a per-entry bracket localizes a
+        # spike to the entry it actually hit
+        etl_yard = {"pre_t1": host_yardstick(), "pre_mc8": host_yardstick_mc()}
         etl_trials = []
         for i in range(2):
             wh_root = tempfile.mkdtemp(prefix="bench_wh_")
@@ -103,6 +147,11 @@ def main() -> None:
                     tx_root = wh_root
                 else:
                     shutil.rmtree(wh_root, ignore_errors=True)
+        etl_yard["post_t1"] = host_yardstick()
+        etl_yard["post_mc8"] = host_yardstick_mc()
+        stage_tables[label].update(
+            {f"yard_{k}": v for k, v in etl_yard.items()}
+        )
         timings[label] = round(min(etl_trials), 3)
 
     # CDC surfaces (round 10): the incremental gold-view churn-fold and
@@ -235,6 +284,7 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    yard_post = {"t1": host_yardstick(), "mc8": host_yardstick_mc()}
     print(
         json.dumps(
             {
@@ -242,7 +292,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "host_yardstick": host_yardstick(),
+                # host calibration (r13 item 2): compare rounds ONLY
+                # after normalizing — pre/post divergence flags a
+                # phantom-load spike mid-run, mc8 catches multi-core
+                # contention the single-thread probe misses
+                "host_yardstick": yard_post["t1"],
+                "yard_pre": yard_pre,
+                "yard_post": yard_post,
+                "yard_mc": yard_post["mc8"],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

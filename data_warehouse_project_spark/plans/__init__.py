@@ -38,9 +38,18 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 # string-carrier fix has had parity coverage ever since but no driver
 # re-sample). tools/rotation_guard.py now enforces this invariant
 # mechanically: every never-green query must sit inside the prefix.
+_NEVER_DRIVER_GREEN_R13 = [
+    # new in round 14 (never sampled yet): exact global top-k through
+    # the router (two-phase TakeOrdered re-rank of the support) and
+    # bounded-state Misra-Gries heavy hitters on a JOIN view (fact
+    # churn + dim re-bucketing folds, drift-accounted)
+    "routed_topk_global_exact",
+    "join_view_topk_approx_heavy_buyers",
+]
+
 _NEVER_DRIVER_GREEN_R12 = [
-    # new in round 13 (never sampled yet): bounded-state Misra-Gries
-    # heavy hitters (view measure + routed GLOBAL register merge)
+    # new in round 13 (driver-green in CORRECTNESS_r13): bounded-state
+    # Misra-Gries heavy hitters (view measure + routed GLOBAL merge)
     "topk_approx_heavy_hitters",
     "routed_topk_approx_global",
 ]
@@ -171,8 +180,11 @@ _NEVER_DRIVER_HASHED_R7 = [
     "rolling_28d_active_users",
 ]
 _rotated = {
-    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R12 if k in QUERIES
+    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R13 if k in QUERIES
 }
+_rotated.update(
+    {k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R12 if k in QUERIES}
+)
 _rotated.update(
     {k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R11 if k in QUERIES}
 )

@@ -19,6 +19,20 @@ from data_warehouse_project_spark.plans.queries import (
 )
 
 
+def _inplan_asserts() -> bool:
+    """Gate for the lifecycle queries' in-plan exact cross-checks
+    (full groupBy().collect() comparisons against the maintained
+    state). ON by default — the parity sweep and the driver's
+    correctness runs exercise them — but bench.py exports
+    SPARK_GRAFT_INPLAN_ASSERTS=0 so the timed number measures the
+    OPERATOR, not the assertion harness (r13 verdict item 8: the
+    cross-checks dominated topk_approx_heavy_hitters' 15 s bench
+    entry). Read at call time, not import time."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_INPLAN_ASSERTS", "1") != "0"
+
+
 @register(
     "rollup_geo_revenue",
     oracle=f"""
@@ -2110,31 +2124,35 @@ def topk_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = view.refresh(mode="incremental")
         assert r["mode"] == "incremental" and not r["skipped"], r
 
-        # in-plan accuracy: every register obeys est <= true and
-        # est >= true - err - deleted(v) (delete drift allowance);
-        # state bounded by m registers per group
-        exact = {
-            (row["status"], row["v"]): row["c"]
-            for row in base.read().groupBy("status", "v").agg(
-                F.count("*").alias("c")
-            ).collect()
-        }
-        dels = {
-            (row["status"], row["v"]): row["c"]
-            for row in o.filter(F.col("ok") % 977 == 0)
-            .groupBy("status", "v").agg(F.count("*").alias("c")).collect()
-        }
-        for row in view.table.read().select(
-            "status", "__a_top", "__ae_top"
-        ).collect():
-            regs, err = row["__a_top"], row["__ae_top"]
-            assert len(regs) <= M, (row["status"], len(regs))
-            for v, est in regs.items():
-                t = exact.get((row["status"], v), 0)
-                assert est <= t, (row["status"], v, est, t)
-                assert est >= t - err - dels.get((row["status"], v), 0), (
-                    row["status"], v, est, t, err,
-                )
+        # in-plan accuracy (gated: bench.py turns these exact
+        # cross-checks off so the timed number measures the fold, not
+        # the assertion harness — parity/driver runs keep them on):
+        # every register obeys est <= true and est >= true - err -
+        # deleted(v); state bounded by m registers per group
+        if _inplan_asserts():
+            exact = {
+                (row["status"], row["v"]): row["c"]
+                for row in base.read().groupBy("status", "v").agg(
+                    F.count("*").alias("c")
+                ).collect()
+            }
+            dels = {
+                (row["status"], row["v"]): row["c"]
+                for row in o.filter(F.col("ok") % 977 == 0)
+                .groupBy("status", "v").agg(F.count("*").alias("c"))
+                .collect()
+            }
+            for row in view.table.read().select(
+                "status", "__a_top", "__ae_top"
+            ).collect():
+                regs, err = row["__a_top"], row["__ae_top"]
+                assert len(regs) <= M, (row["status"], len(regs))
+                for v, est in regs.items():
+                    t = exact.get((row["status"], v), 0)
+                    assert est <= t, (row["status"], v, est, t)
+                    assert est >= t - err - dels.get(
+                        (row["status"], v), 0
+                    ), (row["status"], v, est, t, err)
 
         # the oracle-matched DETECTED set: registers whose estimate
         # clears 10% of the group's live rows (est undercounts by
@@ -2221,15 +2239,16 @@ def routed_topk_approx_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert how["support_rows"] == 0 and not how["exact_grain"], how
         row = routed.collect()[0]
-        g_exact = {
-            r["v"]: r["c"]
-            for r in base.read().groupBy("v").agg(
-                F.count("*").alias("c")
-            ).collect()
-        }
-        for e in row["top"]:  # merged-register MG invariant, in-plan
-            t = g_exact[e["value"]]
-            assert t - row["top_err"] <= e["cnt"] <= t, (e, t, row)
+        if _inplan_asserts():  # merged-register MG invariant (gated)
+            g_exact = {
+                r["v"]: r["c"]
+                for r in base.read().groupBy("v").agg(
+                    F.count("*").alias("c")
+                ).collect()
+            }
+            for e in row["top"]:
+                t = g_exact[e["value"]]
+                assert t - row["top_err"] <= e["cnt"] <= t, (e, t, row)
         detected = [
             e["value"] for e in row["top"] if e["cnt"] * 10 > row["n"]
         ]
@@ -2243,5 +2262,251 @@ def routed_topk_approx_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("value")
         )
         return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "routed_topk_global_exact",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS ok,
+             'C' || CAST(o_custkey % 500 AS VARCHAR) AS v
+      FROM orders
+    ),
+    live AS (
+      SELECT v FROM src WHERE ok % 11 <> 0
+      UNION ALL
+      SELECT v FROM src
+      WHERE ok % 3 = 0 AND (ok + 200000000) % 11 <> 0
+    ),
+    cnt AS (SELECT v, COUNT(*) AS c FROM live GROUP BY v),
+    ranked AS (
+      SELECT v, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, v ASC) AS rn
+      FROM cnt
+    )
+    SELECT CAST(rn AS INT) AS rank, v AS value,
+           CAST(c AS BIGINT) AS cnt
+    FROM ranked WHERE rn <= 10
+    ORDER BY rank
+    """,
+    doc="EXACT GLOBAL TOP-K through the aggregate navigator (r14; "
+    "refused through r13): route([]) — GROUP BY nothing — over an "
+    "exact topk view measure re-ranks the per-(group, value) "
+    "occurrence support in two distributed phases: SUM the support to "
+    "per-value global counts (hash shuffle on value), then "
+    "orderBy+limit(k), which Spark plans as TakeOrderedAndProject — "
+    "each partition keeps only its own top k and the driver merges "
+    "<= k x partitions rows — never a single-partition rank over the "
+    "whole support (the reason the r13 router refused this grain). "
+    "The <= k survivors pack into the ordered display array with "
+    "deterministic ties (count desc, value asc), exploded back to "
+    "rows for the ROW_NUMBER oracle. Lifecycle: the base churns "
+    "(1/3 re-append + a 1/11 correction delete) and the support folds "
+    "incrementally before routing. Reference analogue: the geo top-10 "
+    "rollup at its coarsest grain (dw_etl_tests.py:494-506).",
+    tags=("tx", "ivm", "router", "topk"),
+    eager=True,
+)
+def routed_topk_global_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+    from data_warehouse_project_spark.sources.txtable import TxTable
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.concat(
+            F.lit("C"), (F.col("o_custkey") % 500).cast("string")
+        ).alias("v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="gtopk_")
+    try:
+        base = TxTable.create(spark, tmp + "/t", o, key="ok")
+        view = TxAggView.create(
+            spark, tmp + "/v", base, group_col="status",
+            measures={"top": {"fn": "topk", "expr": "v", "k": 10}},
+        )
+        base.append(
+            o.filter(F.col("ok") % 3 == 0).select(
+                (F.col("ok") + 200_000_000).alias("ok"), "status", "v"
+            )
+        )
+        base.delete(F.col("ok") % 11 == 0, mode="dv")
+        r = view.refresh(mode="incremental")
+        assert r["mode"] == "incremental" and not r["skipped"], r
+        routed, how = AggRouter(spark).register(view).route(
+            [], {"top": {"fn": "topk", "expr": "v", "k": 10}}
+        )
+        assert how["support_rows"] > 0, how  # support reads charged
+        res = (
+            routed.select(F.explode("top").alias("t"))
+            .select(
+                F.col("t.rank").cast("int").alias("rank"),
+                F.col("t.value").alias("value"),
+                F.col("t.cnt").cast("long").alias("cnt"),
+            )
+            .orderBy("rank")
+        )
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "join_view_topk_approx_heavy_buyers",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS ok, o_custkey AS ck,
+             CASE WHEN o_custkey % 4 < 2
+                  THEN 'H' || CAST(o_custkey % 2 AS VARCHAR)
+                  ELSE 'T' || CAST(o_custkey % 5000 AS VARCHAR) END AS v
+      FROM orders
+    ),
+    live AS (
+      SELECT ck, v FROM src WHERE ok % 11 <> 0
+      UNION ALL
+      SELECT ck, v FROM src
+      WHERE ok % 3 = 0 AND (ok + 200000000) % 11 <> 0
+    ),
+    dim AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 997 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    ),
+    joined AS (
+      SELECT d.seg, l.v
+      FROM live l JOIN dim d ON l.ck = d.c_custkey
+    ),
+    cnt AS (SELECT seg, v, COUNT(*) AS c FROM joined GROUP BY seg, v),
+    tot AS (SELECT seg, COUNT(*) AS n FROM joined GROUP BY seg)
+    SELECT cnt.seg AS seg, cnt.v AS value,
+           CAST(cnt.c AS BIGINT) AS exact_cnt
+    FROM cnt JOIN tot ON cnt.seg = tot.seg
+    WHERE cnt.c * 10 > tot.n
+    ORDER BY cnt.seg, value
+    """,
+    doc="Bounded-state heavy hitters on a JOIN view (r14; refused "
+    "through r13): topk_approx composes with the trilinear delta "
+    "decomposition because the MG fold is measure-local — fact churn "
+    "AND dim-churn re-bucketing both land as per-(group, value) net "
+    "signed deltas, pre-compressed to <= m registers before the merge "
+    "(txview._mg_window_delta). Lifecycle: create over orders ⋈ "
+    "customer grouped by market segment, then a 1/3 re-append, a 1/11 "
+    "correction delete, AND a dim move (every c_custkey % 997 == 0 "
+    "customer re-segmented to 'MOVED' — its order rows re-bucket as "
+    "paired −old/+new deltas whose negative side clamps the old "
+    "segment's registers, accounted in the __ad drift column). Output "
+    "= the per-segment DETECTED heavy set at a 10% threshold with "
+    "EXACT counts recomputed per detected value (engineered heavies "
+    "carry ~25% of each segment vs err+drift <= ~11%, so approximate "
+    "detection == exact detection), exploded for the SQL oracle; the "
+    "MG invariant est <= true and the widened delete bound are "
+    "asserted in-plan (gated for bench).",
+    tags=("tx", "ivm", "join", "topk", "approx"),
+    eager=True,
+)
+def join_view_topk_approx_heavy_buyers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.expr(
+            "CASE WHEN o_custkey % 4 < 2 "
+            "THEN concat('H', CAST(o_custkey % 2 AS STRING)) "
+            "ELSE concat('T', CAST(o_custkey % 5000 AS STRING)) END"
+        ).alias("v"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    tmp = tempfile.mkdtemp(prefix="jvmg_")
+    try:
+        fact = TxTable.create(spark, tmp + "/f", o, key="ok")
+        dim = TxTable.create(spark, tmp + "/d", c, key="ck")
+        view = TxJoinAggView.create(
+            spark, tmp + "/jv", fact, dim, fk="ck",
+            group_expr="seg", group_col="seg",
+            measures={
+                "top": {"fn": "topk_approx", "expr": "v", "k": 8,
+                        "m": 64},
+                "n": ("count", "ok"),
+            },
+        )
+        # fact churn + correction delete + a dim re-segmentation: all
+        # three delta terms of the decomposition fold incrementally
+        fact.append(
+            o.filter(F.col("ok") % 3 == 0).select(
+                (F.col("ok") + 200_000_000).alias("ok"), "ck", "v"
+            )
+        )
+        fact.delete(F.col("ok") % 11 == 0, mode="dv")
+        dim.merge(
+            c.filter(F.col("ck") % 997 == 0)
+            .select("ck", F.lit("MOVED").alias("seg"))
+        )
+        r = view.refresh(mode="incremental")
+        assert not r["skipped"], r
+        if _inplan_asserts():  # MG invariant + delete bound (gated)
+            exact = {
+                (row["seg"], row["v"]): row["c"]
+                for row in fact.read()
+                .join(dim.read(), "ck")
+                .groupBy("seg", "v")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            }
+            for row in view.table.read().select(
+                "seg", "__a_top", "__ae_top", "__ad_top"
+            ).collect():
+                assert len(row["__a_top"]) <= 64
+                for v, est in row["__a_top"].items():
+                    t = exact.get((row["seg"], v), 0)
+                    assert est <= t, (row["seg"], v, est, t)
+                    assert t <= est + row["__ae_top"] + row["__ad_top"], (
+                        row["seg"], v, est, t,
+                    )
+        res = (
+            view.read()
+            .select("seg", F.col("n"), F.explode("top").alias("t"))
+            .filter(F.col("t.cnt") * 10 > F.col("n"))
+            .select("seg", F.col("t.value").alias("value"))
+        )
+        # exact counts for the detected (seg, value) pairs only
+        # (bounded: <= k per segment) — deterministic output DuckDB
+        # reproduces while detection itself came from the registers
+        joined = (
+            fact.read()
+            .join(dim.read(), "ck")
+            .groupBy("seg", "v")
+            .agg(F.count("*").cast("long").alias("exact_cnt"))
+        )
+        out = (
+            joined.alias("j")
+            .join(
+                res.alias("d"),
+                (F.col("j.seg") == F.col("d.seg"))
+                & (F.col("j.v") == F.col("d.value")),
+                "left_semi",
+            )
+            .select(
+                F.col("seg"), F.col("v").alias("value"), "exact_cnt"
+            )
+            .orderBy("seg", "value")
+        )
+        return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

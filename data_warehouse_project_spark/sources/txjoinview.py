@@ -149,25 +149,20 @@ _GK = "__gk"  # physical composite view key (multi-column groups only)
 
 def _norm_measures(measures: dict) -> dict[str, dict]:
     # join views maintain the same measure algebra as TxAggView —
-    # one normalizer (incl. hist lo/hi/bins validation), one fn set —
-    # EXCEPT topk_approx: the bounded-register fold composes with the
-    # trilinear delta decomposition in principle, but a dim-churn term
-    # re-attributes rows between groups as paired −old/+new deltas
-    # whose negative side hits weight a past compress may already have
-    # shed, so the register drift would be dim-churn-shaped, not just
-    # correction-shaped. Until that accounting is designed, refuse
-    # loudly; exact `topk` (support-backed) covers join views.
+    # one normalizer (incl. hist lo/hi/bins validation), one fn set.
+    # topk_approx (refused until r14): the MG fold is measure-local,
+    # so it composes with the trilinear delta decomposition — every
+    # term (fact churn AND dim-churn re-bucketing) lands as the same
+    # per-(group, value) net signed deltas the single-base fold eats.
+    # A dim-churn term's negative side (rows leaving a group) clamps
+    # registers and can hit weight a past compress already shed, so
+    # the drift is dim-churn-shaped, not just correction-shaped —
+    # which is exactly what the per-group __ad delete-weight column
+    # (read(include_error=True) → {n}_deleted) accounts for: the
+    # consumer bound true ∈ [est, est + err + deleted] covers both.
     from .txview import _norm_measures as _agg_norm
 
-    out = _agg_norm(measures)
-    bad = [n for n, m in out.items() if m["fn"] == "topk_approx"]
-    if bad:
-        raise TxError(
-            f"measure(s) {bad}: topk_approx is not supported on join "
-            "views — use the exact 'topk' (occurrence-support) measure, "
-            "or a TxAggView over the pre-joined grain"
-        )
-    return out
+    return _agg_norm(measures)
 
 
 def _norm_spec(spec: dict) -> dict:
@@ -380,6 +375,9 @@ class TxJoinAggView:
         }
         if bad:
             raise TxError(f"measure/group name(s) reserved: {sorted(bad)}")
+        from .txview import _check_mg_reserved
+
+        _check_mg_reserved(list(norm) + cols, norm)
         versions = [fact_v0] + [
             d.latest_version() for d, _, _ in dim_specs
         ]
@@ -498,6 +496,15 @@ class TxJoinAggView:
             cls._fact_proj(spec, fact_df),
             [cls._dim_proj(spec, i, d) for i, d in enumerate(dim_dfs)],
         )
+        anames = [
+            n for n, m in spec["measures"].items()
+            if m["fn"] == "topk_approx"
+        ]
+        if anames:
+            # the MG snapshot state needs a second (two-level)
+            # aggregation over the SAME joined rows — pin the join
+            # once instead of recomputing it per pass
+            j = j.localCheckpoint(eager=False)
         aggs = []
         for n, m in spec["measures"].items():
             e = F.col(f"__e_{n}")
@@ -520,9 +527,38 @@ class TxJoinAggView:
                     F.array(*_hist_cells(e, m, F.lit(1))).alias(f"__g_{n}")
                 )
         aggs.append(F.count(F.lit(1)).alias(_N))
-        out = j.groupBy(*cls._spec_gcols(spec)).agg(*aggs)
+        gcols = cls._spec_gcols(spec)
+        out = j.groupBy(*gcols).agg(*aggs)
+        for n in anames:
+            # exact-snapshot Misra-Gries state (txview._mg_full_cols,
+            # generalized to composite groups); __ad (cumulative
+            # delete-side weight — the read-time drift signal) is 0 on
+            # a fresh exact state
+            from .txview import _MG_EMPTY, _mg_full_cols
+
+            mg = _mg_full_cols(
+                j, gcols, F.col(f"__e_{n}"),
+                int(spec["measures"][n]["m"]),
+            )
+            cond = _and_all(
+                F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in gcols
+            )
+            out = (
+                out.alias("a")
+                .join(mg.alias("b"), cond, "left")
+                .select(
+                    *[F.col(f"a.{c}").alias(c) for c in out.columns],
+                    F.coalesce(F.col("b.__a"), F.expr(_MG_EMPTY)).alias(
+                        f"__a_{n}"
+                    ),
+                    F.coalesce(F.col("b.__ae"), F.lit(0)).alias(
+                        f"__ae_{n}"
+                    ),
+                    F.lit(0).cast("bigint").alias(f"__ad_{n}"),
+                )
+            )
         if cls._composite(spec):
-            out = out.withColumn(_GK, _gk_expr(cls._spec_gcols(spec)))
+            out = out.withColumn(_GK, _gk_expr(gcols))
         return out
 
     @classmethod
@@ -548,10 +584,19 @@ class TxJoinAggView:
 
     # ---------------------------------------------------------- reads
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, include_error: bool = False
+    ) -> DataFrame:
         """The LOGICAL view: group column(s) + each measure with exact
         SQL aggregate semantics (NULL SUM/AVG for empty-of-non-null
-        groups) + ``n_rows`` (live joined row count)."""
+        groups) + ``n_rows`` (live joined row count).
+
+        ``include_error=True`` adds ``{n}_deleted`` per topk_approx
+        measure — cumulative delete-side weight (fact deletes AND rows
+        a dim change moved out of the group), bounding the register
+        drift: ``true ∈ [est, est + err + deleted]`` (see TxAggView
+        .read)."""
+        phys = self.table.read(version)
         cols = [F.col(c) for c in self._gcols()]
         for n, m in self.spec["measures"].items():
             if m["fn"] == "sum":
@@ -596,10 +641,24 @@ class TxJoinAggView:
                 cols.append(F.col(f"__d_{n}").alias(n))
             elif m["fn"] == "topk":
                 continue  # derived from the support, joined below
+            elif m["fn"] == "topk_approx":
+                from .txview import _mg_display
+
+                cols.append(
+                    _mg_display(F.col(f"__a_{n}"), int(m["k"])).alias(n)
+                )
+                cols.append(F.col(f"__ae_{n}").alias(f"{n}_err"))
+                if include_error:
+                    ad = (
+                        F.col(f"__ad_{n}")
+                        if f"__ad_{n}" in phys.columns
+                        else F.lit(None).cast("bigint")  # pre-r14 state
+                    )
+                    cols.append(ad.alias(f"{n}_deleted"))
             else:  # min / max
                 cols.append(F.col(f"__m_{n}").alias(n))
         cols.append(F.col(_N))
-        out = self.table.read(version).select(*cols)
+        out = phys.select(*cols)
         tks = [
             (n, int(m["k"]))
             for n, m in self.spec["measures"].items()
@@ -607,10 +666,15 @@ class TxJoinAggView:
         ]
         for n, k in tks:
             out = self._join_topk(out, n, k, version)
-        if tks:
-            out = out.select(
-                *self._gcols(), *list(self.spec["measures"]), _N
-            )
+        if tks:  # restore the canonical column order
+            order = []
+            for n, m in self.spec["measures"].items():
+                order.append(n)
+                if m["fn"] == "topk_approx":
+                    order.append(f"{n}_err")
+                    if include_error:
+                        order.append(f"{n}_deleted")
+            out = out.select(*self._gcols(), *order, _N)
         return out
 
     def _join_topk(
@@ -754,15 +818,39 @@ class TxJoinAggView:
         NULL values excluded (COUNT DISTINCT ignores them), net-zero
         rows dropped."""
         gcols = self._gcols()
+        e = F.col(f"__e_{n}")
+        if self.spec["measures"][n]["fn"] == "topk_approx":
+            e = e.cast("string")  # register keys are strings
         dv = (
-            churn.filter(F.col(f"__e_{n}").isNotNull())
-            .groupBy(*gcols, F.col(f"__e_{n}").alias("__val"))
+            churn.filter(e.isNotNull())
+            .groupBy(*gcols, e.alias("__val"))
             .agg(F.sum(F.col("__vw_sign")).alias("__dc"))
             .filter(F.col("__dc") != 0)
         )
         if self._composite(self.spec):
             dv = dv.withColumn(_GK, _gk_expr(gcols))
         return dv.localCheckpoint(eager=False)
+
+    def _mg_delta_frame(self, churn: DataFrame, n: str) -> DataFrame:
+        """Bounded (groups, __dm, __dae) fold operands for a
+        topk_approx measure (txview._mg_window_delta) — every delta
+        term of the trilinear decomposition (fact churn and dim-churn
+        re-bucketing alike) arrives here as net per-(group, value)
+        signed deltas, so the same bounded merge applies. Delete-side
+        values are filtered to the group's CURRENT registers, read
+        key-pruned to the delete-touched groups."""
+        from .txview import _mg_window_delta
+
+        gcols = self._gcols()
+        mm = int(self.spec["measures"][n]["m"])
+        dv = self._dv_frame(churn, n)
+        regs = self.table.read_for_keys(
+            dv.filter(F.col("__dc") < 0).select(self._view_key())
+        ).select(
+            *gcols,
+            F.explode(F.map_keys(F.col(f"__a_{n}"))).alias("__val"),
+        )
+        return _mg_window_delta(dv, gcols, mm, regs)
 
     def _transitions(self, sup: TxTable, dv: DataFrame, n: str) -> DataFrame:
         """Per-group distinct-count delta: +1 for every value whose
@@ -1312,7 +1400,11 @@ class TxJoinAggView:
         churn = self._churn_frame(v0, v1, cache)
         dnames = self._distinct_names()
         snames = self._value_support_names()
-        if snames:
+        anames = [
+            n for n, m in spec["measures"].items()
+            if m["fn"] == "topk_approx"
+        ]
+        if snames or anames:
             # the same signed churn feeds the measure deltas AND each
             # distinct measure's value-level delta — pin it once (the
             # sweep cache checkpoints the RAW feeds; this frame is the
@@ -1353,6 +1445,17 @@ class TxJoinAggView:
                         ).otherwise(F.lit(0))
                     ).alias(f"__x_{n}")
                 )
+            if m["fn"] == "topk_approx":
+                # delete-side weight (fact deletes AND rows a dim
+                # change moved out of the group) → the __ad drift
+                # accumulator surfaced by read(include_error=True)
+                delta_aggs.append(
+                    F.sum(
+                        F.when(
+                            (sign < 0) & e.isNotNull(), F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ).alias(f"__adw_{n}")
+                )
         delta_aggs.append(F.sum(sign).alias(_N))
         delta = churn.groupBy(*gcols).agg(*delta_aggs)
         # distinct measures: value-level deltas → transitions against
@@ -1374,6 +1477,24 @@ class TxJoinAggView:
                     *[F.col(f"a.{c}").alias(c) for c in delta.columns],
                     F.coalesce(F.col(f"b.__dd_{n}"), F.lit(0)).alias(
                         f"__dd_{n}"
+                    ),
+                )
+            )
+        for n in anames:
+            # topk_approx: BOUNDED fold operands (r14) — see
+            # _mg_delta_frame / txview._mg_window_delta
+            dmf = self._mg_delta_frame(churn, n)
+            cond = _and_all(
+                F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in gcols
+            )
+            delta = (
+                delta.alias("a")
+                .join(dmf.alias("b"), cond, "left")
+                .select(
+                    *[F.col(f"a.{c}").alias(c) for c in delta.columns],
+                    F.col("b.__dm").alias(f"__dm_{n}"),
+                    F.coalesce(F.col("b.__dae"), F.lit(0)).alias(
+                        f"__dae_{n}"
                     ),
                 )
             )
@@ -1462,6 +1583,64 @@ class TxJoinAggView:
                             + F.coalesce(F.col(f"d.__dd_{n}"), F.lit(0))
                         ).alias(f"__d_{n}")
                     )
+                if m["fn"] == "topk_approx":
+                    from .txview import _MG_EMPTY
+
+                    mm = int(m["m"])
+                    old = F.coalesce(
+                        F.col(f"v.__a_{n}"), F.expr(_MG_EMPTY)
+                    )
+                    dm = F.col(f"d.__dm_{n}")
+                    # merge the BOUNDED delta map (<= 2m keys) into the
+                    # registers, then ONE Misra-Gries compress — same
+                    # fold as TxAggView.apply_delta (txview)
+                    merged_map = F.when(dm.isNull(), old).otherwise(
+                        F.map_filter(
+                            F.map_zip_with(
+                                old,
+                                dm,
+                                lambda k, a, b: F.greatest(
+                                    F.coalesce(a, F.lit(0))
+                                    + F.coalesce(b, F.lit(0)),
+                                    F.lit(0),
+                                ),
+                            ),
+                            lambda k, v: v > 0,
+                        )
+                    )
+                    cstar = F.coalesce(
+                        F.get(
+                            F.sort_array(
+                                F.map_values(merged_map), asc=False
+                            ),
+                            mm,
+                        ),
+                        F.lit(0),
+                    )
+                    out_cols.append(
+                        F.map_filter(
+                            F.transform_values(
+                                merged_map, lambda k, v: v - cstar
+                            ),
+                            lambda k, v: v > 0,
+                        ).alias(f"__a_{n}")
+                    )
+                    out_cols.append(
+                        (
+                            F.coalesce(F.col(f"v.__ae_{n}"), F.lit(0))
+                            + F.coalesce(F.col(f"d.__dae_{n}"), F.lit(0))
+                            + cstar
+                        ).alias(f"__ae_{n}")
+                    )
+                    if f"__ad_{n}" in view_slice.columns:
+                        out_cols.append(
+                            (
+                                F.coalesce(F.col(f"v.__ad_{n}"), F.lit(0))
+                                + F.coalesce(
+                                    F.col(f"d.__adw_{n}"), F.lit(0)
+                                )
+                            ).alias(f"__ad_{n}")
+                        )
                 if m["fn"] == "approx_distinct":
                     vh = F.col(f"v.__h_{n}")
                     ins = F.col(f"d.__i_{n}")
@@ -1672,6 +1851,17 @@ class TxJoinAggView:
                     return [F.col(f"m.__d_{n}").alias(f"__d_{n}")]
                 if m["fn"] == "topk":
                     return []  # no physical column
+                if m["fn"] == "topk_approx":
+                    # register state never repairs — pass through
+                    keep = [
+                        F.col(f"m.__a_{n}").alias(f"__a_{n}"),
+                        F.col(f"m.__ae_{n}").alias(f"__ae_{n}"),
+                    ]
+                    if f"__ad_{n}" in view_slice.columns:
+                        keep.append(
+                            F.col(f"m.__ad_{n}").alias(f"__ad_{n}")
+                        )
+                    return keep
                 phys = "__h_" if m["fn"] == "approx_distinct" else "__m_"
                 return [
                     F.when(F.col(f"m.__dirty_{n}"), F.col(f"r.__r_{n}"))

@@ -60,7 +60,15 @@ from pyspark.sql import functions as F
 
 from .txjoinview import TxJoinAggView
 from .txtable import TxError, TxTable
-from .txview import _MG_EMPTY, _N, TxAggView, _hist_zeros, _mg_display
+from .txview import (
+    _MG_EMPTY,
+    _N,
+    TxAggView,
+    _check_mg_reserved,
+    _hist_zeros,
+    _mg_cmp,
+    _mg_display,
+)
 from .txview import _norm_measures as _view_norm_measures
 
 __all__ = ["AggRouter", "NoRouteError"]
@@ -285,18 +293,14 @@ class AggRouter:
         missing = [g for g in gcols if g not in a.gcols]
         if missing:
             return None, f"{a.name}: grain lacks group column(s) {missing}"
-        if not gcols:
-            bad = sorted(
-                qn for qn, q in qm.items()
-                if q["fn"] in ("distinct", "topk")
-            )
-            if bad:
-                return None, (
-                    f"{a.name}: global grain over support-backed "
-                    f"measure(s) {bad} is not routed (would rank the "
-                    "whole support in one partition) — query at a "
-                    "grouped grain, or use approx_distinct/topk_approx"
-                )
+        # gcols == [] (the GLOBAL rollup) routes support-backed
+        # measures too (r14; refused through r13): exact DISTINCT is a
+        # two-phase global count_distinct over the support (partial
+        # aggregation, never one partition), and exact TOPK is a
+        # two-phase re-rank — per-value counts shuffled on value, then
+        # orderBy+limit(k), which Spark plans as TakeOrderedAndProject
+        # (per-partition top-k heads merged on the driver, <= k rows
+        # per partition) — no SinglePartition rank over the support.
         mapping: dict[str, str] = {}
         by_expr: dict[str, list[tuple[str, dict]]] = {}
         for n, m in a.measures.items():
@@ -379,7 +383,13 @@ class AggRouter:
             vn, fn = mapping[qn], q["fn"]
             if q["expr"] == "*":
                 aggs.append(F.sum(_N).alias(f"__r_{qn}"))
-                post.append(F.col(f"__r_{qn}").alias(qn))
+                # GLOBAL grain over an EMPTY view: SUM returns NULL but
+                # a direct global COUNT(*) returns 0 — coalesce so the
+                # routed answer matches direct aggregation (r13 ADVICE)
+                cnt = F.col(f"__r_{qn}")
+                if not gcols:
+                    cnt = F.coalesce(cnt, F.lit(0))
+                post.append(cnt.alias(qn))
             elif fn in ("sum", "avg", "count"):
                 vfn = a.measures[vn]["fn"] if vn != _N else "count"
                 c = (
@@ -389,7 +399,10 @@ class AggRouter:
                 if fn != "count" and vfn in ("sum", "avg", "var", "stddev"):
                     aggs.append(F.sum(F.col(f"__s_{vn}")).alias(f"__rs_{qn}"))
                 if fn == "count":
-                    post.append(F.col(f"__rc_{qn}").alias(qn))
+                    cnt = F.col(f"__rc_{qn}")
+                    if not gcols:  # empty-view global COUNT(e) is 0
+                        cnt = F.coalesce(cnt, F.lit(0))
+                    post.append(cnt.alias(qn))
                 elif fn == "sum":
                     post.append(
                         F.when(
@@ -530,6 +543,15 @@ class AggRouter:
             sdf = sup.read(sup_v).filter(F.col("__cnt") > 0)
             if where is not None:
                 sdf = sdf.filter(where)
+            if not gcols:
+                # GLOBAL exact distinct (r14): one two-phase global
+                # count_distinct over the support — Spark expands to a
+                # partial/final aggregation, never one partition. agg()
+                # always yields exactly one row (0 on an empty
+                # support), so the 1x1 cross join is total.
+                d = sdf.agg(F.count_distinct(F.col("__val")).alias(qn))
+                out = out.drop(qn).crossJoin(d)
+                continue
             d = sdf.groupBy(*gcols).agg(
                 F.count_distinct(F.col("__val")).alias(qn)
             )
@@ -567,6 +589,41 @@ class AggRouter:
             c2 = sdf.groupBy(*gcols, F.col("__val")).agg(
                 F.sum(F.col("__cnt")).alias("__c2")
             )
+            if not gcols:
+                # GLOBAL exact top-k (r14; refused through r13): the
+                # per-value counts above already merged the support to
+                # one row per value (hash shuffle on value); the global
+                # k head comes from orderBy+limit, which Spark plans as
+                # TakeOrderedAndProject — each partition keeps its own
+                # top k and the driver merges <= k x partitions rows —
+                # never a single-partition rank over the whole support.
+                # The <= k survivors then pack into the same ordered
+                # array<struct<rank, value, cnt>> display shape
+                # (count desc, value asc ties) without any window.
+                head = c2.orderBy(
+                    F.col("__c2").desc(), F.col("__val").asc()
+                ).limit(k)
+                packed = F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__c2").alias("value"),
+                                F.col("__val").alias("key"),
+                            )
+                        ),
+                        _mg_cmp,  # count desc, value asc
+                    ),
+                    lambda x, i: F.struct(
+                        (i + 1).cast("int").alias("rank"),
+                        x["key"].alias("value"),
+                        x["value"].alias("cnt"),
+                    ),
+                )
+                tk = head.agg(
+                    F.when(F.count(F.lit(1)) > 0, packed).alias(qn)
+                )
+                out = out.drop(qn).crossJoin(tk)  # both exactly 1 row
+                continue
             w = Window.partitionBy(*gcols).orderBy(
                 F.col("__c2").desc(), F.col("__val").asc()
             )
@@ -672,6 +729,10 @@ class AggRouter:
         clash = [n for n in qm if n in gcols]
         if clash:
             raise TxError(f"measure name(s) collide with group cols: {clash}")
+        # a query measure or group column named '{n}_err'/'{n}_deleted'
+        # of a topk_approx measure would duplicate the derived output
+        # columns (r13 ADVICE) — refuse up front
+        _check_mg_reserved(list(qm) + gcols, qm)
         reasons: list[str] = []
         cands: list[tuple[_Adapted, dict]] = []
         # normalize before comparing: a trailing slash, relative path,

@@ -2016,6 +2016,17 @@ class TxAggView:
                         return [F.col(f"m.__d_{n}").alias(f"__d_{n}")]
                     if m["fn"] == "topk":
                         return []  # no physical column
+                    if m["fn"] == "topk_approx":
+                        # register state never repairs — pass through
+                        keep = [
+                            F.col(f"m.__a_{n}").alias(f"__a_{n}"),
+                            F.col(f"m.__ae_{n}").alias(f"__ae_{n}"),
+                        ]
+                        if f"__ad_{n}" in view_slice.columns:
+                            keep.append(
+                                F.col(f"m.__ad_{n}").alias(f"__ad_{n}")
+                            )
+                        return keep
                     phys = "__h_" if m["fn"] == "approx_distinct" else "__m_"
                     return [
                         F.when(

@@ -276,21 +276,87 @@ def test_reserved_err_name_collision(spark, tmp_path):
         )
 
 
-def test_join_view_refuses_topk_approx(spark, tmp_path):
+def test_join_view_topk_approx(spark, tmp_path):
+    """r14 (r13 verdict item 4): topk_approx on a JOIN view — the MG
+    fold is measure-local, so every delta term of the trilinear
+    decomposition (fact churn AND a dim change re-bucketing a key's
+    fact rows between groups) lands as the same per-(group, value)
+    net signed deltas. Checked against a joined exact recompute after
+    every fold; the dim-move drift rides the __ad accumulator."""
+    M = 32
     fact = TxTable.create(
         spark, tmp_path / "f",
-        spark.createDataFrame([(0, 0, "a")], SCHEMA), key="oid",
+        spark.createDataFrame(_skewed(0, groups=4), SCHEMA), key="oid",
     )
     dim = TxTable.create(
         spark, tmp_path / "d",
-        spark.createDataFrame([(0, "s")], "g long, seg string"), key="g",
+        spark.createDataFrame(
+            [(0, "A"), (1, "A"), (2, "B"), (3, "B")],
+            "g long, seg string",
+        ),
+        key="g",
     )
-    with pytest.raises(TxError, match="topk_approx is not supported"):
-        TxJoinAggView.create(
-            spark, tmp_path / "jv", fact, dim, fk="g",
-            group_expr=["seg"], group_col=["seg"],
-            measures={"top": {"fn": "topk_approx", "expr": "v", "k": 3}},
+    view = TxJoinAggView.create(
+        spark, tmp_path / "jv", fact, dim, fk="g",
+        group_expr="seg", group_col="seg",
+        measures={
+            "top": {"fn": "topk_approx", "expr": "v", "k": 5, "m": M},
+            "n": ("count", "oid"),
+        },
+    )
+
+    def exact():
+        return {
+            (r["seg"], r["v"]): r["c"]
+            for r in fact.read()
+            .join(dim.read(), "g")
+            .groupBy("seg", "v")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+    def check(insert_only: bool):
+        ex = exact()
+        rows = view.table.read().select(
+            "seg", "__a_top", "__ae_top", "__ad_top"
+        ).collect()
+        for r in rows:
+            assert len(r["__a_top"]) <= M
+            for v, est in r["__a_top"].items():
+                t = ex.get((r["seg"], v), 0)
+                assert est <= t, (r["seg"], v, est, t)
+                bound = r["__ae_top"] + (
+                    0 if insert_only else r["__ad_top"]
+                )
+                assert t - bound <= est, (r["seg"], v, est, t, bound)
+        return {r["seg"]: r for r in rows}
+
+    check(insert_only=True)
+    # fact churn: a new joint heavy across both segments
+    fact.append(
+        spark.createDataFrame(
+            [(10**6 + i, i % 4, "J0") for i in range(400)], SCHEMA
         )
+    )
+    assert not view.refresh(mode="incremental")["skipped"]
+    by_seg = check(insert_only=True)
+    assert "J0" in by_seg["A"]["__a_top"]
+    # display surface: err + (include_error) deleted ride along
+    out = view.read(include_error=True)
+    assert out.columns == [
+        "seg", "top", "top_err", "top_deleted", "n", "n_rows"
+    ]
+    # dim churn: move g=1 from A to B — the re-bucketing term's
+    # negative side clamps A's registers; drift lands in __ad
+    dim.merge(spark.createDataFrame([(1, "B")], "g long, seg string"))
+    assert not view.refresh(mode="incremental")["skipped"]
+    by_seg = check(insert_only=False)
+    assert by_seg["A"]["__ad_top"] > 0  # the move was accounted
+    # recompute converges to the exact-snapshot MG state (and the
+    # incremental state equals a recompute for the display top-k)
+    fact.append(spark.createDataFrame([(2 * 10**6, 0, "J0")], SCHEMA))
+    assert not view.refresh(mode="recompute")["skipped"]
+    check(insert_only=True)
 
 
 def test_router_exact_global_and_refusals(spark, tmp_path):
@@ -340,14 +406,29 @@ def test_router_exact_global_and_refusals(spark, tmp_path):
             ["g"], {"top": {"fn": "topk_approx", "expr": "v", "k": 64,
                             "m": 64}}
         )
-    # global grain over a SUPPORT-backed measure refuses loudly
+    # GLOBAL grain over SUPPORT-backED measures (r14; refused through
+    # r13): exact topk re-ranks the support in two phases (per-value
+    # counts shuffled on value, then TakeOrderedAndProject head) and
+    # exact distinct is a two-phase global count_distinct — both
+    # distributed, both charged support rows by the cost model
     view2 = TxAggView.create(
         spark, tmp_path / "v2", fact, group_col="g",
-        measures={"top": {"fn": "topk", "expr": "v", "k": 5}},
+        measures={
+            "top": {"fn": "topk", "expr": "v", "k": 5},
+            "nv": ("distinct", "v"),
+        },
     )
     r2 = AggRouter(spark).register(view2)
-    with pytest.raises(NoRouteError, match="global grain"):
-        r2.route([], {"top": {"fn": "topk", "expr": "v", "k": 5}})
+    g2out, g2how = r2.route(
+        [], {"top": {"fn": "topk", "expr": "v", "k": 5},
+             "nv": ("distinct", "v")}
+    )
+    assert g2how["support_rows"] > 0  # support reads are charged
+    g2row = g2out.collect()[0]
+    expected = sorted(g_exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(e["value"], e["cnt"]) for e in g2row["top"]] == expected
+    assert [e["rank"] for e in g2row["top"]] == [1, 2, 3, 4, 5]
+    assert g2row["nv"] == len(g_exact)
 
 
 def test_param_validation(spark, tmp_path):
