@@ -1105,6 +1105,24 @@ GOLD_JOIN_VIEWS: dict[str, dict] = {
 }
 
 
+class GoldRefreshError(RuntimeError):
+    """One or more gold-view creates/refreshes failed. Raised AFTER
+    the whole sweep drained and publish ran (r13 ADVICE: the old
+    pooled ``ex.map`` let the first failure propagate mid-iteration,
+    discarding completed views' results and silently skipping
+    publish). ``failures`` maps view name -> error string;
+    ``results`` holds the full per-view outcome map, completed
+    refreshes included."""
+
+    def __init__(self, failures: dict[str, str], results: dict):
+        super().__init__(
+            "gold view sweep: "
+            + "; ".join(f"{k}: {v}" for k, v in failures.items())
+        )
+        self.failures = failures
+        self.results = results
+
+
 def refresh_gold_views(
     wh: Warehouse,
     mode: str = "auto",
@@ -1157,46 +1175,97 @@ def refresh_gold_views(
     out: dict[str, dict] = {}
     cache = ChurnCache()
     jobs: list[tuple[str, object]] = []
+    creates: list[tuple[str, object]] = []  # (name, thunk(src))
     for name, (group_col, measures) in GOLD_VIEWS.items():
         root = wh.root / "gold_views" / name
         try:
-            view = TxAggView(wh.spark, root)
+            jobs.append((name, TxAggView(wh.spark, root)))
         except TxError:
-            view = TxAggView.create(
-                wh.spark, root, base, group_col=group_col, measures=measures
-            )
-            out[name] = {"created": True,
-                         "base_version": view.applied_base_version()}
-            continue
-        jobs.append((name, view))
+            def _mk_agg(name=name, root=root, group_col=group_col,
+                        measures=measures):
+                def thunk(src):
+                    v = TxAggView.create(
+                        wh.spark, root, base, group_col=group_col,
+                        measures=measures, src=src,
+                    )
+                    return {"created": True,
+                            "base_version": v.applied_base_version()}
+                return thunk
+            creates.append((name, _mk_agg()))
     for name, jspec in GOLD_JOIN_VIEWS.items():
         root = wh.root / "gold_views" / name
         try:
-            jview = TxJoinAggView(wh.spark, root)
+            jobs.append((name, TxJoinAggView(wh.spark, root)))
         except TxError:
-            extra = [
-                {"dim": wh.tx("bl_3nf", e["dim"]), "fk": e["fk"],
-                 "dim_on": e.get("dim_on")}
-                for e in jspec.get("extra_dims", [])
-            ]
-            jview = TxJoinAggView.create(
-                wh.spark, root, base, wh.tx("bl_3nf", jspec["dim"]),
-                fk=jspec["fk"], group_expr=jspec["group_expr"],
-                group_col=jspec["group_col"], measures=jspec["measures"],
-                dim_on=jspec.get("dim_on"),
-                extra_dims=extra or None,
-                group_dims=jspec.get("group_dims"),
-            )
-            out[name] = {"created": True,
-                         "base_versions": jview.applied_versions()}
-            continue
-        jobs.append((name, jview))
+            def _mk_join(name=name, root=root, jspec=jspec):
+                def thunk(src):
+                    extra = [
+                        {"dim": wh.tx("bl_3nf", e["dim"]), "fk": e["fk"],
+                         "dim_on": e.get("dim_on")}
+                        for e in jspec.get("extra_dims", [])
+                    ]
+                    v = TxJoinAggView.create(
+                        wh.spark, root, base, wh.tx("bl_3nf", jspec["dim"]),
+                        fk=jspec["fk"], group_expr=jspec["group_expr"],
+                        group_col=jspec["group_col"],
+                        measures=jspec["measures"],
+                        dim_on=jspec.get("dim_on"),
+                        extra_dims=extra or None,
+                        group_dims=jspec.get("group_dims"),
+                        src=src,
+                    )
+                    return {"created": True,
+                            "base_versions": v.applied_versions()}
+                return thunk
+            creates.append((name, _mk_join()))
+
+    if creates:
+        # first-call full computes SHARE one base read (r13 verdict
+        # item 6: the sequential creates each re-scanned the fact —
+        # 6+ scans for one sweep). The snapshot materializes EAGERLY
+        # once, then every create's aggregation (and any distinct/topk
+        # support build) reads the cached blocks; creates land in
+        # DISJOINT roots, so they also run concurrently like the
+        # refresh sweep below.
+        shared = base.read(base.latest_version()).localCheckpoint(
+            eager=True
+        )
+
+        def _create(nt):
+            name, thunk = nt
+            t0 = time.perf_counter()
+            try:
+                r = thunk(shared)
+                r["secs"] = round(time.perf_counter() - t0, 3)
+                return name, r
+            except Exception as exc:  # contained per view (r13 ADVICE)
+                return name, {"error": f"{type(exc).__name__}: {exc}"}
+
+        if len(creates) > 1 and max_parallel > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(max_parallel, len(creates))
+            ) as ex:
+                for name, r in ex.map(_create, creates):
+                    out[name] = r
+        else:
+            for nt in creates:
+                name, r = _create(nt)
+                out[name] = r
 
     def _run(nv):
         name, v = nv
         t0 = time.perf_counter()
-        r = v.refresh(mode=mode, cache=cache)
-        r["secs"] = round(time.perf_counter() - t0, 3)
+        # per-view containment (r13 ADVICE): one failing refresh must
+        # not discard the sweep's completed results, abandon the rest
+        # of the pool, or silently skip publish — errors collect into
+        # out[name] and re-raise AFTER the drain + publish
+        try:
+            r = v.refresh(mode=mode, cache=cache)
+            r["secs"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            r = {"error": f"{type(exc).__name__}: {exc}"}
         return name, r
 
     # the first refresh runs ALONE: its fold materializes the sweep's
@@ -1228,8 +1297,17 @@ def refresh_gold_views(
         # publish-on-refresh: the metastore/DuckDB surface tracks gold
         # automatically — aggregate-scale writes only (gold_only), the
         # previous published version retained for readers mid-query and
-        # older ones reaped (catalog_publish's retention window)
+        # older ones reaped (catalog_publish's retention window). Runs
+        # even when a view failed: the healthy views' committed state
+        # deserves its publish; the failed view's published snapshot
+        # just stays at its previous (consistent) version.
         wh.catalog_publish(gold_only=True, **publish)
+    failures = {
+        k: v["error"] for k, v in out.items()
+        if isinstance(v, dict) and "error" in v
+    }
+    if failures:
+        raise GoldRefreshError(failures, out)
     return out
 
 

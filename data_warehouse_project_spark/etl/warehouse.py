@@ -424,6 +424,28 @@ class Warehouse:
             )
             for old in kept[:-2]:
                 shutil.rmtree(old, ignore_errors=True)
+        # the per-name reap above only visits tables published THIS
+        # call — under gold_only=True (the steady-state streaming /
+        # refresh-sweep path) a crashed TX-SNAPSHOT publisher's staging
+        # dir would otherwise linger until someone runs a full publish
+        # (r13 ADVICE). Sweep aged .tmp-* across every _published
+        # subdir regardless, keeping the same safety age so an
+        # in-flight publisher's staging is never yanked.
+        if pub_root.is_dir():
+            import time as _time
+
+            now = _time.time()
+            for sub in pub_root.iterdir():
+                if not sub.is_dir():
+                    continue
+                for d in sub.iterdir():
+                    if (
+                        d.is_dir()
+                        and d.name.startswith(".tmp-")
+                        and now - d.stat().st_mtime
+                        >= self.PUBLISH_TMP_MIN_AGE_S
+                    ):
+                        shutil.rmtree(d, ignore_errors=True)
         return out
 
     @staticmethod

@@ -328,6 +328,7 @@ class TxJoinAggView:
         dim_on: str | None = None,
         extra_dims: list[dict] | None = None,
         group_dims: list[int] | None = None,
+        src: DataFrame | None = None,
     ) -> "TxJoinAggView":
         """Full-compute the view at every base's CURRENT version and
         persist the definition; later ``refresh()`` calls fold feeds
@@ -341,7 +342,12 @@ class TxJoinAggView:
         ``{"dim": TxTable, "fk": str, "dim_on": str | None}``;
         ``group_expr``/``group_col`` may then be lists, with
         ``group_dims`` tagging which dim each expression reads
-        (default: the first dim)."""
+        (default: the first dim).
+
+        ``src``: optional caller-pinned frame equal to
+        ``fact.read(fact.latest_version())`` — a create sweep's shared
+        checkpoint, so several views' full computes read cached blocks
+        instead of re-scanning the fact (r13 verdict item 6)."""
         root = Path(root)
         if (root / TXLOG_DIR).exists() or (root / _SIDECAR).exists():
             raise TxError(f"already a view or table: {root}")
@@ -398,7 +404,7 @@ class TxJoinAggView:
             "measures": norm,
             "versions_at_create": versions,
         })
-        fact_df = fact.read(versions[0])
+        fact_df = fact.read(versions[0]) if src is None else src
         dim_dfs = [
             d.read(v) for (d, _, _), v in zip(dim_specs, versions[1:])
         ]

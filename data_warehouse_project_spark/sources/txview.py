@@ -855,10 +855,19 @@ class TxAggView:
         base: TxTable,
         group_col: str,
         measures: dict,
+        src: DataFrame | None = None,
     ) -> "TxAggView":
         """Full-compute the view at the base's CURRENT version and
         persist the definition; later ``refresh()`` calls are
-        incremental from that version."""
+        incremental from that version.
+
+        ``src`` (optional) is a caller-pinned frame EQUAL to
+        ``base.read(base.latest_version())`` — pass a shared
+        ``localCheckpoint`` when creating several views over the same
+        base in one sweep so the full computes read the cached blocks
+        instead of each re-scanning the base (r13 verdict item 6). The
+        caller must not commit to the base between pinning and
+        create."""
         root = Path(root)
         if (root / TXLOG_DIR).exists() or (root / _SIDECAR).exists():
             raise TxError(f"already a view or table: {root}")
@@ -869,7 +878,8 @@ class TxAggView:
             raise TxError(f"measure name(s) reserved: {sorted(bad)}")
         _check_mg_reserved(list(norm) + [group_col], norm)
         base_v = base_v0  # the same snapshot the auto bounds derive from
-        src = base.read(base_v)
+        if src is None:
+            src = base.read(base_v)
         full = _attach_mg(
             src, src.groupBy(group_col).agg(*_physical_agg(norm)),
             group_col, norm,
@@ -894,7 +904,8 @@ class TxAggView:
         view = cls(spark, root)
         for n, m in norm.items():
             if m["fn"] in ("distinct", "topk"):
-                view._support(n, at=base_v)  # create-if-absent builds it
+                # create-if-absent builds it (from the shared read)
+                view._support(n, at=base_v, src=src)
         if view._use_fparts():
             view._fparts(at=base_v)  # per-file repair partials
         return view
@@ -1127,27 +1138,37 @@ class TxAggView:
             if m["fn"] in ("distinct", "topk")
         ]
 
-    def _support_full(self, n: str, at: int) -> DataFrame:
+    def _support_full(
+        self, n: str, at: int, src: DataFrame | None = None
+    ) -> DataFrame:
         g = self.spec["group_col"]
         e = F.expr(self.spec["measures"][n]["expr"])
+        base_df = self.base.read(at) if src is None else src
         return (
-            self.base.read(at)
+            base_df
             .filter(e.isNotNull())
             .groupBy(g, e.alias("__val"))
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
 
-    def _support(self, n: str, at: int | None = None) -> TxTable:
+    def _support(
+        self,
+        n: str,
+        at: int | None = None,
+        src: DataFrame | None = None,
+    ) -> TxTable:
         """Create-if-absent: a crash between the view's commit and the
         support's create must not strand the view — rebuild at ``at``
-        (default: the view's applied base version)."""
+        (default: the view's applied base version). ``src``: optional
+        caller-pinned frame equal to ``base.read(at)`` (the create
+        sweep's shared checkpoint)."""
         root = self.root / f"_vals_{n}"
         try:
             return TxTable(self.spark, root)
         except TxError:
             pass
         v = self.applied_base_version() if at is None else int(at)
-        full = self._support_full(n, v)
+        full = self._support_full(n, v, src)
         try:
             t = TxTable.create(
                 self.spark, root, full, key=self.spec["group_col"]

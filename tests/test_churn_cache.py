@@ -156,3 +156,50 @@ def test_dim_churn_flows_through_cache(spark, tmp_path):
         )
     )
     assert _state(jv.read().select("seg", "rev", "lo")) == want
+
+
+def test_shared_src_create_lands_identical_state(spark, tmp_path):
+    """r14 (r13 verdict item 6): creates fed a shared caller-pinned
+    checkpoint of base.read() land identical view state to independent
+    creates — including a distinct measure's support table, which also
+    builds from the shared frame instead of re-reading the base."""
+    fact = TxTable.create(
+        spark, tmp_path / "f", spark.createDataFrame(_rows(0, 400), FACT),
+        key="oid",
+    )
+    dim = TxTable.create(
+        spark, tmp_path / "d",
+        spark.createDataFrame([(c, f"s{c % 3}") for c in range(7)], DIM),
+        key="cust",
+    )
+    shared = fact.read(fact.latest_version()).localCheckpoint(eager=True)
+    a_shared = TxAggView.create(
+        spark, tmp_path / "as", fact, group_col="cust",
+        measures={"rev": ("sum", "amt"), "vals": ("distinct", "amt")},
+        src=shared,
+    )
+    a_plain = TxAggView.create(
+        spark, tmp_path / "ap", fact, group_col="cust",
+        measures={"rev": ("sum", "amt"), "vals": ("distinct", "amt")},
+    )
+    assert _state(a_shared.read()) == _state(a_plain.read())
+    j_shared = TxJoinAggView.create(
+        spark, tmp_path / "js", fact, dim, fk="cust",
+        group_expr=["seg"], group_col=["seg"],
+        measures={"rev": ("sum", "amt"), "n": ("count", "oid")},
+        src=shared,
+    )
+    j_plain = TxJoinAggView.create(
+        spark, tmp_path / "jp", fact, dim, fk="cust",
+        group_expr=["seg"], group_col=["seg"],
+        measures={"rev": ("sum", "amt"), "n": ("count", "oid")},
+    )
+    assert _state(j_shared.read()) == _state(j_plain.read())
+    # the created cursor is live: later churn folds incrementally and
+    # both twins stay equal (the shared read pinned the right version)
+    fact.append(spark.createDataFrame(_rows(400, 450), FACT))
+    fact.delete(F.col("amt") > 95, mode="dv")
+    for v in (a_shared, a_plain, j_shared, j_plain):
+        assert not v.refresh(mode="incremental")["skipped"]
+    assert _state(a_shared.read()) == _state(a_plain.read())
+    assert _state(j_shared.read()) == _state(j_plain.read())

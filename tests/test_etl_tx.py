@@ -1081,3 +1081,96 @@ def test_catalog_publish_persists_tx_and_gold(spark, tmp_path):
         assert len([d for d in pub.iterdir() if d.name.startswith("v")]) == 2
     finally:
         spark.sql("DROP DATABASE IF EXISTS whpub_db CASCADE")
+
+
+def test_gold_refresh_contains_per_view_failures(spark, tmp_path):
+    """r14 (r13 ADVICE): one failing view refresh must not discard the
+    sweep's completed results, abandon the pool mid-iteration, or
+    silently skip publish — errors collect per view and the sweep
+    raises GoldRefreshError AFTER draining + publishing, carrying the
+    full per-view outcome map."""
+    from data_warehouse_project_spark.etl.pipeline import (
+        GOLD_JOIN_VIEWS,
+        GOLD_VIEWS,
+        GoldRefreshError,
+        refresh_gold_views,
+    )
+    from data_warehouse_project_spark.sources.txview import TxAggView
+
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
+    wh = Warehouse(spark, root)
+    refresh_gold_views(wh)  # create sweep
+    # churn so every view has a real window to fold
+    fact = wh.tx("bl_3nf", "ce_sales")
+    sample = fact.read().limit(1).collect()
+    late = [{**sample[0].asDict(), "sale_src_id": "late-x"}]
+    fact.append(spark.createDataFrame(late, fact.read().schema))
+
+    victim = "sales_by_month"
+    real_refresh = TxAggView.refresh
+
+    def sabotaged(self, *a, **kw):
+        if self.root.name == victim:
+            raise RuntimeError("boom: injected refresh failure")
+        return real_refresh(self, *a, **kw)
+
+    TxAggView.refresh = sabotaged
+    try:
+        with pytest.raises(GoldRefreshError) as ei:
+            refresh_gold_views(
+                wh, mode="incremental",
+                publish={"database": "wh_goldfail"},
+            )
+    finally:
+        TxAggView.refresh = real_refresh
+    exc = ei.value
+    assert set(exc.failures) == {victim}
+    assert "boom" in exc.failures[victim]
+    # every OTHER view's completed result survived in .results
+    others = (set(GOLD_VIEWS) | set(GOLD_JOIN_VIEWS)) - {victim}
+    for name in others:
+        assert exc.results[name].get("mode") == "incremental", (
+            name, exc.results[name],
+        )
+    # publish still ran: the healthy gold views are queryable from the
+    # metastore at their refreshed state
+    assert spark.sql(
+        "SELECT COUNT(*) c FROM wh_goldfail.gold_sales_by_customer"
+    ).first()["c"] > 0
+    spark.sql("DROP DATABASE IF EXISTS wh_goldfail CASCADE")
+    # the next clean sweep converges the sabotaged view again
+    r = refresh_gold_views(wh, mode="incremental")
+    assert r[victim].get("mode") == "incremental"
+
+
+def test_gold_only_publish_reaps_aged_tx_tmp(spark, tmp_path):
+    """r14 (r13 ADVICE): a crashed TX-snapshot publisher's aged .tmp-*
+    staging dir is reclaimed even by gold_only=True publishes (the
+    steady-state streaming path) — previously only a full publish
+    visiting that table swept it. Fresh staging stays untouched (the
+    PUBLISH_TMP_MIN_AGE_S guard)."""
+    import os
+
+    from data_warehouse_project_spark.etl.pipeline import refresh_gold_views
+
+    root = str(tmp_path / "wh")
+    run_full_etl(spark, SF_SMOKE, root, run_ts=T0, scd_strategy="tx")
+    wh = Warehouse(spark, root)
+    refresh_gold_views(wh)
+    wh.catalog_publish(database="whreap_db")  # full publish: tx + gold
+    try:
+        tx_pub = wh.root / "_published" / "bl_3nf_ce_sales"
+        assert tx_pub.is_dir()
+        aged = tx_pub / ".tmp-crashed"
+        fresh = tx_pub / ".tmp-inflight"
+        aged.mkdir()
+        (aged / "part-0.parquet").write_bytes(b"x")
+        fresh.mkdir()
+        old = dt.datetime.now().timestamp() - 2 * wh.PUBLISH_TMP_MIN_AGE_S
+        os.utime(aged, (old, old))
+        wh.catalog_publish(database="whreap_db", gold_only=True)
+        assert not aged.exists(), "aged staging must be reclaimed"
+        assert fresh.exists(), "in-flight staging must survive"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS whreap_db CASCADE")
