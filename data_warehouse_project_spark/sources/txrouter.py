@@ -367,6 +367,7 @@ class AggRouter:
         mapping: dict,
         where: str | None,
         having: str | None = None,
+        include_error: bool = False,
     ) -> DataFrame:
         exact = set(gcols) == set(a.gcols)
         # pin the snapshot NOW: distinct supports are then resolved at
@@ -507,6 +508,23 @@ class AggRouter:
                 post.append(
                     (F.col(f"__re_{qn}") + cstar).alias(f"{qn}_err")
                 )
+                if include_error:
+                    # merged delete-side weight: cells' __ad sums, so
+                    # the consumer bound true ∈ [est, est+err+deleted]
+                    # survives re-aggregation (NULL for pre-r14 state)
+                    if f"__ad_{vn}" in phys.columns:
+                        aggs.append(
+                            F.sum(F.col(f"__ad_{vn}")).alias(f"__rd_{qn}")
+                        )
+                        post.append(
+                            F.col(f"__rd_{qn}").alias(f"{qn}_deleted")
+                        )
+                    else:
+                        post.append(
+                            F.lit(None).cast("bigint").alias(
+                                f"{qn}_deleted"
+                            )
+                        )
             elif fn == "topk":
                 # the support holds FULL per-(group, value) counts, so
                 # any coarser grain re-aggregates exactly — and any k,
@@ -663,6 +681,8 @@ class AggRouter:
             ordered.append(qn)
             if q["fn"] == "topk_approx":
                 ordered.append(f"{qn}_err")  # the bound rides along
+                if include_error:
+                    ordered.append(f"{qn}_deleted")
         out = out.select(*gcols, *ordered)
         if having is not None:
             # HAVING over the RE-AGGREGATED output always commutes: it
@@ -698,6 +718,7 @@ class AggRouter:
         refresh_stale: bool = False,
         base_root: str | Path | None = None,
         having: str | None = None,
+        include_error: bool = False,
     ) -> tuple[DataFrame, dict]:
         """Answer ``GROUP BY group_cols`` + ``measures`` from the
         cheapest view that can. ``measures`` maps output name to a SQL
@@ -718,6 +739,10 @@ class AggRouter:
         ``refresh_stale=True`` a too-stale candidate is refreshed
         (mode="auto") and re-checked instead of refused. ``base_root``
         restricts candidates to views over that fact/base table.
+        ``include_error=True`` adds ``{n}_deleted`` per topk_approx
+        measure — the merged cells' cumulative delete-side weight, so
+        the consumer bound ``true ∈ [est, est + err + deleted]``
+        survives re-aggregation (see TxAggView.read).
         """
         gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
         # gcols == [] is the GLOBAL rollup (GROUP BY nothing): every
@@ -822,7 +847,9 @@ class AggRouter:
         torn: NoRouteError | None = None
         for cost, a, mapping in costed:
             try:
-                plan = self._plan(a, gcols, qm, mapping, where, having)
+                plan = self._plan(
+                    a, gcols, qm, mapping, where, having, include_error
+                )
             except NoRouteError as exc:
                 reasons.extend(exc.reasons)
                 torn = exc

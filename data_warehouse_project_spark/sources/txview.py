@@ -391,6 +391,18 @@ class ChurnCache:
                 self._frames[key] = out
         return out
 
+    def prime(self, table: TxTable, lo: int, hi: int) -> None:
+        """Materialize the signed window's checkpoint blocks NOW (one
+        action over the churn rows) so a fully CONCURRENT sweep reads
+        blocks instead of racing to compute the frame. r14: replaces
+        refresh_gold_views' run-the-first-view-alone rule, which
+        serialized the sweep behind whichever view came first — at sf1
+        that was also the most expensive view, making the wall
+        first + max(rest) instead of prime + max(all)."""
+        if hi < lo:
+            return
+        self.signed(table, lo, hi).count()
+
     def tagged(self, table: TxTable, at: int, paths: list[str]) -> DataFrame:
         key = ("tagged", str(table.root), int(at), tuple(sorted(paths)))
         with self._lock:

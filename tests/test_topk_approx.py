@@ -352,6 +352,35 @@ def test_join_view_topk_approx(spark, tmp_path):
     assert not view.refresh(mode="incremental")["skipped"]
     by_seg = check(insert_only=False)
     assert by_seg["A"]["__ad_top"] > 0  # the move was accounted
+    # routed through the navigator: join-view MG measures merge at any
+    # grain (exact + global), and include_error carries the merged
+    # delete-side weight so the widened bound survives re-aggregation
+    router = AggRouter(spark).register(view)
+    ex = exact()
+    rout, how = router.route(
+        ["seg"], {"top": {"fn": "topk_approx", "expr": "v", "k": 5}},
+        include_error=True,
+    )
+    assert how["kind"] == "join" and how["support_rows"] == 0, how
+    for r in rout.collect():
+        assert r["top_deleted"] >= 0
+        for e in r["top"]:
+            t = ex.get((r["seg"], e["value"]), 0)
+            assert e["cnt"] <= t
+            assert t <= e["cnt"] + r["top_err"] + r["top_deleted"]
+    g_ex = {}
+    for (seg, v), c in ex.items():
+        g_ex[v] = g_ex.get(v, 0) + c
+    grow = router.route(
+        [], {"top": {"fn": "topk_approx", "expr": "v", "k": 4}},
+        include_error=True,
+    )[0].collect()[0]
+    for e in grow["top"]:
+        t = g_ex.get(e["value"], 0)
+        assert e["cnt"] <= t
+        assert t <= e["cnt"] + grow["top_err"] + grow["top_deleted"]
+    # global heavies: h4 (120x4), h3 (110x4), J0 (400) lead the merge
+    assert {"h4", "h3", "J0"} <= {e["value"] for e in grow["top"]}
     # recompute converges to the exact-snapshot MG state (and the
     # incremental state equals a recompute for the display top-k)
     fact.append(spark.createDataFrame([(2 * 10**6, 0, "J0")], SCHEMA))
