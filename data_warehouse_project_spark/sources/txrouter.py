@@ -541,6 +541,12 @@ class AggRouter:
                     distincts.append((qn, vn))
         if aggs:
             out = phys.groupBy(*gcols).agg(*aggs).select(*post)
+        elif not gcols:
+            # GLOBAL grain, every measure support-derived: the anchor
+            # must still be EXACTLY ONE row even over an empty view
+            # (a zero-column distinct would be zero rows there and the
+            # cross joins below would wrongly erase the answer)
+            out = phys.groupBy().agg(F.count(F.lit(1))).select()
         else:
             # every requested measure is support-derived (coarse exact
             # distinct / topk): the group list still comes from the

@@ -732,3 +732,34 @@ def test_support_rows_charge_routes_the_truly_cheaper_view(
         ["seg", "month"], {"nb": ("distinct", "bucket")}
     )
     assert how2["view"].endswith("va") and how2["support_rows"] == 0, how2
+
+
+def test_global_grain_empty_view_edges(spark, tmp_path):
+    """r14: GLOBAL routing over an EMPTY view matches direct global
+    aggregation — counts coalesce to 0 (r13 ADVICE: SUM over no rows
+    is NULL), exact distinct answers 0, exact topk answers NULL, and
+    the support-only anchor is still exactly one row."""
+    fact = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame([], "oid long, g long, v string"),
+        key="oid",
+    )
+    view = TxAggView.create(
+        spark, tmp_path / "v", fact, group_col="g",
+        measures={
+            "top": {"fn": "topk", "expr": "v", "k": 3},
+            "nv": ("distinct", "v"),
+            "n": ("count", "oid"),
+        },
+    )
+    router = AggRouter(spark).register(view)
+    rows = router.route(
+        [], {"top": {"fn": "topk", "expr": "v", "k": 3},
+             "nv": ("distinct", "v")}
+    )[0].collect()
+    assert len(rows) == 1
+    assert rows[0]["nv"] == 0 and rows[0]["top"] is None
+    r2 = router.route(
+        [], {"n": ("count", "oid"), "nstar": ("count", "*")}
+    )[0].collect()[0]
+    assert r2["n"] == 0 and r2["nstar"] == 0
