@@ -137,6 +137,7 @@ from .txview import (
     ChurnCache,
     _hist_cells,
     _hist_zeros,
+    _pmap,
     _signed,
     _sq,
     churn_rows,
@@ -145,6 +146,8 @@ from .txview import (
 _SIDECAR = "_joinview.json"
 _DIM_BITS = 31  # fence packing: fact << 31k | d1 << 31(k-1) | ... | dk
 _GK = "__gk"  # physical composite view key (multi-column groups only)
+
+
 
 
 def _norm_measures(measures: dict) -> dict[str, dict]:
@@ -416,16 +419,24 @@ class TxJoinAggView:
             os.fsync(f.fileno())
         key = _GK if len(cols) > 1 else cols[0]
         TxTable.create(spark, root, full, key=key)
-        for n, m in norm.items():
-            if m["fn"] in ("distinct", "topk"):
-                TxTable.create(
-                    spark, root / f"_vals_{n}",
-                    cls._support_full(spec, fact_df, dim_dfs, n),
-                    key=key,
-                )
         view = cls(spark, root)
+        # the support tables and the per-file repair partials are
+        # independent sibling TxTables under the view root, all built
+        # from the same pinned snapshots — build them concurrently
+        # (r14): a crash mid-fanout leaves any subset missing, exactly
+        # the state _catchup_supports / _fparts create-if-absent heal.
+        aux = [
+            (lambda n=n: TxTable.create(
+                spark, root / f"_vals_{n}",
+                cls._support_full(spec, fact_df, dim_dfs, n),
+                key=key,
+            ))
+            for n, m in norm.items()
+            if m["fn"] in ("distinct", "topk")
+        ]
         if view._use_fparts():
-            view._fparts(at=versions)  # per-file repair partials
+            aux.append(lambda: view._fparts(at=versions))
+        _pmap(lambda f: f(), aux)
         return view
 
     # -------------------------------------------------------- internals
@@ -960,9 +971,15 @@ class TxJoinAggView:
         raw signed feeds come from the sweep-shared checkpoints (the
         per-view projection stays a narrow map on top)."""
         spec = self.spec
-        terms = []
         self._last_salted_dims: tuple[int, ...] = ()
-        if v1[0] > v0[0]:
+        has_a = v1[0] > v0[0]
+        churned = [
+            i for i in range(len(self.dims)) if v1[i + 1] > v0[i + 1]
+        ]
+        if not has_a and not churned:
+            return None
+
+        def _term_a() -> DataFrame:
             # term A: ΔF ⋈ D1@new ⋈ … — signed fact churn, every dim
             # read pruned to the churned fks and pinned at its NEW
             # version
@@ -974,27 +991,30 @@ class TxJoinAggView:
             df = self._fact_proj(spec, raw)
             if cache is None:
                 df = df.localCheckpoint(eager=False)
-            dim_slices = [
-                self._dim_proj(
+            # the gating count materializes the churn checkpoint BEFORE
+            # the per-dim probes fan out, so the concurrent probes read
+            # cached blocks instead of racing to compute the feed
+            hot = self._hot_fk_dims(df)
+            dim_slices = _pmap(
+                lambda i: self._dim_proj(
                     spec, i,
                     _pruned_rows(
-                        d, spec["dims"][i]["dim_key"],
+                        self.dims[i], spec["dims"][i]["dim_key"],
                         df.select(f"__jk{i}"), v1[i + 1],
                     ),
-                )
-                for i, d in enumerate(self.dims)
-            ]
-            hot = self._hot_fk_dims(df)
+                ),
+                range(len(self.dims)),
+            )
             self._last_salted_dims = tuple(sorted(hot))
-            terms.append(self._join_all(df, dim_slices, salt_dims=hot))
-        for i, d in enumerate(self.dims):
-            if v1[i + 1] <= v0[i + 1]:
-                continue
+            return self._join_all(df, dim_slices, salt_dims=hot)
+
+        def _term_d(i: int) -> DataFrame:
             # term for dim i: F@old ⋈ D<i@old ⋈ ΔDi ⋈ D>i@new — signed
             # dim churn (an attribute update is −old attr / +new attr),
             # fact read pruned to the changed dim keys and pinned at
             # its OLD version; the other dims pruned to the fact
             # slice's fks
+            d = self.dims[i]
             raw_d = (
                 cache.signed(d, v0[i + 1] + 1, v1[i + 1])
                 if cache is not None
@@ -1010,24 +1030,33 @@ class TxJoinAggView:
                     dd.select(f"__dk{i}"), v0[0],
                 ),
             ).localCheckpoint(eager=False)
-            others = []
-            for j, dj in enumerate(self.dims):
+
+            def _other(j: int) -> DataFrame:
                 if j == i:
-                    others.append(dd)
-                    continue
+                    return dd
                 vj = v0[j + 1] if j < i else v1[j + 1]
-                others.append(
-                    self._dim_proj(
-                        spec, j,
-                        _pruned_rows(
-                            dj, spec["dims"][j]["dim_key"],
-                            fact_slice.select(f"__jk{j}"), vj,
-                        ),
-                    )
+                return self._dim_proj(
+                    spec, j,
+                    _pruned_rows(
+                        self.dims[j], spec["dims"][j]["dim_key"],
+                        fact_slice.select(f"__jk{j}"), vj,
+                    ),
                 )
-            terms.append(self._join_all(fact_slice, others))
-        if not terms:
-            return None
+
+            others = _pmap(_other, range(len(self.dims)))
+            return self._join_all(fact_slice, others)
+
+        # every term reads version-PINNED snapshots and change windows,
+        # so the terms are independent plans that only meet in the
+        # final union — build them concurrently: each term's eager
+        # steps (feed checkpoint, prune-probe jobs, point reads) no
+        # longer serialize behind the other terms' (r14; measured 8.7 s
+        # of 10.5 s refresh wall spent in this sequential chain)
+        builders: list = []
+        if has_a:
+            builders.append(lambda: _term_a())
+        builders.extend((lambda i=i: _term_d(i)) for i in churned)
+        terms = _pmap(lambda b: b(), builders)
         return reduce(lambda a, b: a.unionByName(b), terms)
 
     def _hot_fk_dims(self, fact_churn: DataFrame) -> set[int]:
@@ -1183,16 +1212,16 @@ class TxJoinAggView:
             else self._files_with_name(m, paths)
         )
         fproj = self._fact_proj(spec, tagged).localCheckpoint(eager=False)
-        dim_slices = [
-            self._dim_proj(
+        dim_slices = _pmap(
+            lambda i: self._dim_proj(
                 spec, i,
                 _pruned_rows(
-                    d, spec["dims"][i]["dim_key"],
+                    self.dims[i], spec["dims"][i]["dim_key"],
                     fproj.select(f"__jk{i}"), vec[i + 1],
                 ),
-            )
-            for i, d in enumerate(self.dims)
-        ]
+            ),
+            range(len(self.dims)),
+        )
         return (
             self._join_all(fproj, dim_slices)
             .groupBy(F.col("__f"), *self._gcols())
@@ -1902,12 +1931,23 @@ class TxJoinAggView:
             # refresh's _catchup_supports re-derives this window from
             # the feeds; a fenced-skip view (a concurrent refresher
             # won) leaves supports to the winner / the catch-up.
-            for n in snames:
-                self._apply_support(self._support(n), dvs[n], _enc(v1))
+            # The applies target DISJOINT support tables behind the
+            # SAME fence, so they run concurrently (r14): a crash mid-
+            # fanout leaves any subset lagging, exactly the state the
+            # catch-up already heals.
+            post = [
+                (lambda n=n: self._apply_support(
+                    self._support(n), dvs[n], _enc(v1)
+                ))
+                for n in snames
+            ]
             if repairable and f_parts is not None:
-                self._apply_fparts(
-                    fsup, f_changed, f_fresh, f_parts, _enc(v1)
+                post.append(
+                    lambda: self._apply_fparts(
+                        fsup, f_changed, f_fresh, f_parts, _enc(v1)
+                    )
                 )
+            _pmap(lambda f: f(), post)
         return {
             "refreshed_to": tuple(v1),
             "mode": "incremental",

@@ -341,6 +341,25 @@ def _signed(changes: DataFrame) -> DataFrame:
     )
 
 
+def _pmap(fn, items):
+    """Map ``fn`` over ``items``, overlapping each item's EAGER Spark
+    work (prune-probe jobs, checkpoint materializations, fenced
+    commits to DISJOINT tables) on driver threads — Spark's scheduler
+    interleaves concurrently-submitted jobs, so independent point
+    reads/commits stop paying each other's fixed per-job latency (r14;
+    optimization guide §2.6 back-fill rule). Order-preserving; the
+    first exception re-raises with its type intact (the vacuumed-feed
+    ``TxError`` contract). Sequential when there is nothing to
+    overlap."""
+    items = list(items)
+    if len(items) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(items), 4)) as ex:
+        return list(ex.map(fn, items))
+
+
 class ChurnCache:
     """One refresh SWEEP's shared change-feed reads.
 
@@ -914,12 +933,19 @@ class TxAggView:
             os.fsync(f.fileno())
         TxTable.create(spark, root, full, key=group_col)
         view = cls(spark, root)
-        for n, m in norm.items():
-            if m["fn"] in ("distinct", "topk"):
-                # create-if-absent builds it (from the shared read)
-                view._support(n, at=base_v, src=src)
+        # the support tables and the per-file repair partials are
+        # independent sibling TxTables under the view root, all built
+        # from the same pinned snapshot — build them concurrently
+        # (r14): a crash mid-fanout leaves any subset missing, exactly
+        # the state _catchup_supports / _fparts create-if-absent heal.
+        aux = [
+            (lambda n=n: view._support(n, at=base_v, src=src))
+            for n, m in norm.items()
+            if m["fn"] in ("distinct", "topk")
+        ]
         if view._use_fparts():
-            view._fparts(at=base_v)  # per-file repair partials
+            aux.append(lambda: view._fparts(at=base_v))
+        _pmap(lambda f: f(), aux)
         return view
 
     # ---------------------------------------------------------- reads
@@ -2105,11 +2131,24 @@ class TxAggView:
         )
         if not r.get("skipped"):
             # supports fold AFTER the view commit behind the same
-            # fence; a crash here is healed by the catch-up paths
-            for n in snames:
-                self._apply_support(self._support(n), dvs[n], target)
+            # fence; a crash here is healed by the catch-up paths.
+            # The applies target DISJOINT support tables behind the
+            # SAME fence, so they run concurrently (r14): a crash mid-
+            # fanout leaves any subset lagging — the state the
+            # catch-up already converges.
+            post = [
+                (lambda n=n: self._apply_support(
+                    self._support(n), dvs[n], target
+                ))
+                for n in snames
+            ]
             if repairable and f_parts is not None:
-                self._apply_fparts(fsup, f_changed, f_fresh, f_parts, target)
+                post.append(
+                    lambda: self._apply_fparts(
+                        fsup, f_changed, f_fresh, f_parts, target
+                    )
+                )
+            _pmap(lambda f: f(), post)
         return {
             "refreshed_to": target,
             "mode": "incremental",
