@@ -33,6 +33,22 @@ def _inplan_asserts() -> bool:
     return os.environ.get("SPARK_GRAFT_INPLAN_ASSERTS", "1") != "0"
 
 
+def _overlap(*thunks):
+    """Run independent eager steps concurrently (r14; optimization
+    guide §2.6: overlap independent jobs so tasks from one back-fill
+    executors freed by another's tail). Used by the LIFECYCLE bench
+    queries for per-table commit chains that are mutually independent:
+    each thunk owns ONE TxTable's chain, per-table commit order is the
+    semantic contract and stays intact inside the thunk; cross-table
+    interleave is not observable — the view refresh folds the whole
+    multi-base window, invariant to it. Delegates to txview._pmap, so
+    ``SPARK_GRAFT_NO_OVERLAP=1`` restores the sequential r13 behavior
+    (the same-session A/B lever)."""
+    from data_warehouse_project_spark.sources.txview import _pmap
+
+    return _pmap(lambda f: f(), list(thunks))
+
+
 @register(
     "rollup_geo_revenue",
     oracle=f"""
@@ -701,10 +717,12 @@ def join_view_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="jview_")
     try:
-        fact = TxTable.create(
-            spark, tmp + "/fact", li, key="oid", stats_cols=["pk"]
+        fact, dim = _overlap(
+            lambda: TxTable.create(
+                spark, tmp + "/fact", li, key="oid", stats_cols=["pk"]
+            ),
+            lambda: TxTable.create(spark, tmp + "/dim", p, key="p_partkey"),
         )
-        dim = TxTable.create(spark, tmp + "/dim", p, key="p_partkey")
         view = TxJoinAggView.create(
             spark, tmp + "/view", fact, dim,
             fk="pk", group_expr="brand", group_col="brand",
@@ -713,21 +731,28 @@ def join_view_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_items": ("count", "amt"),
             },
         )
-        # churn BOTH sides, then one incremental refresh over the window
-        fact.append(
-            li.filter(F.col("pk") % 7 == 0).select(
-                (F.col("oid") + 100000000).alias("oid"),
-                "pk",
-                (F.col("amt") * 2).alias("amt"),
+
+        # churn BOTH sides — two independent per-table commit chains,
+        # overlapped — then one incremental refresh over the window
+        def churn_fact():
+            fact.append(
+                li.filter(F.col("pk") % 7 == 0).select(
+                    (F.col("oid") + 100000000).alias("oid"),
+                    "pk",
+                    (F.col("amt") * 2).alias("amt"),
+                )
             )
-        )
-        dim.merge(
-            p.filter(F.col("p_partkey") % 10 == 0).withColumn(
-                "brand", F.lit("MOVED")
+            fact.delete(F.col("oid") % 13 == 0, mode="dv")
+
+        def churn_dim():
+            dim.merge(
+                p.filter(F.col("p_partkey") % 10 == 0).withColumn(
+                    "brand", F.lit("MOVED")
+                )
             )
-        )
-        dim.delete(F.col("p_partkey") % 17 == 0)
-        fact.delete(F.col("oid") % 13 == 0, mode="dv")
+            dim.delete(F.col("p_partkey") % 17 == 0)
+
+        _overlap(churn_fact, churn_dim)
         r = view.refresh(mode="incremental")
         assert r["mode"] == "incremental" and not r["skipped"], r
         res = view.read().select(
@@ -891,10 +916,12 @@ def join_view_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="jvgeo_")
     try:
-        fact = TxTable.create(
-            spark, tmp + "/fact", o, key="ok", stats_cols=["ck"]
+        fact, dim = _overlap(
+            lambda: TxTable.create(
+                spark, tmp + "/fact", o, key="ok", stats_cols=["ck"]
+            ),
+            lambda: TxTable.create(spark, tmp + "/dim", c, key="c_custkey"),
         )
-        dim = TxTable.create(spark, tmp + "/dim", c, key="c_custkey")
         view = TxJoinAggView.create(
             spark, tmp + "/view", fact, dim,
             fk="ck",
@@ -907,20 +934,27 @@ def join_view_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "uniq_buyers": ("distinct", "ck"),
             },
         )
-        fact.append(
-            o.filter(F.col("ok") % 5 == 0).select(
-                (F.col("ok") + 100000000).alias("ok"),
-                "ck",
-                (F.col("amt") * 2).alias("amt"),
+
+        # two independent per-table churn chains, overlapped
+        def churn_fact():
+            fact.append(
+                o.filter(F.col("ok") % 5 == 0).select(
+                    (F.col("ok") + 100000000).alias("ok"),
+                    "ck",
+                    (F.col("amt") * 2).alias("amt"),
+                )
             )
-        )
-        dim.merge(
-            c.filter(F.col("c_custkey") % 11 == 0).withColumn(
-                "c_mktsegment", F.lit("MOVED")
+            fact.delete(F.col("ok") % 7 == 0, mode="dv")
+
+        def churn_dim():
+            dim.merge(
+                c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+                    "c_mktsegment", F.lit("MOVED")
+                )
             )
-        )
-        dim.delete(F.col("c_custkey") % 13 == 0)
-        fact.delete(F.col("ok") % 7 == 0, mode="dv")
+            dim.delete(F.col("c_custkey") % 13 == 0)
+
+        _overlap(churn_fact, churn_dim)
         r = view.refresh(mode="incremental")
         assert r["mode"] == "incremental" and not r["skipped"], r
         res = view.read().select(
@@ -1006,11 +1040,19 @@ def join_view_two_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     tmp = tempfile.mkdtemp(prefix="jv2d_")
     try:
-        fact = TxTable.create(
-            spark, tmp + "/fact", li, key="oid", stats_cols=["pk", "sk"]
+        # the three base tables are independent — create them
+        # concurrently (r14; guide §2.6: independent jobs back-fill
+        # each other's scheduling gaps). Per-table commit ORDER is the
+        # semantic contract; cross-table order is not (the refresh
+        # folds the whole multi-base window, invariant to interleave).
+        fact, d1, d2 = _overlap(
+            lambda: TxTable.create(
+                spark, tmp + "/fact", li, key="oid",
+                stats_cols=["pk", "sk"],
+            ),
+            lambda: TxTable.create(spark, tmp + "/d1", p, key="p_partkey"),
+            lambda: TxTable.create(spark, tmp + "/d2", s, key="s_suppkey"),
         )
-        d1 = TxTable.create(spark, tmp + "/d1", p, key="p_partkey")
-        d2 = TxTable.create(spark, tmp + "/d2", s, key="s_suppkey")
         view = TxJoinAggView.create(
             spark, tmp + "/view", fact, d1,
             fk="pk",
@@ -1023,27 +1065,37 @@ def join_view_two_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             extra_dims=[{"dim": d2, "fk": "sk"}],
             group_dims=[0, 1],
         )
-        # churn ALL THREE bases, then one incremental refresh window
-        fact.append(
-            li.filter(F.col("pk") % 7 == 0).select(
-                (F.col("oid") + 100000000).alias("oid"),
-                "pk", "sk",
-                (F.col("amt") * 2).alias("amt"),
+
+        # churn ALL THREE bases — three independent per-table commit
+        # chains, overlapped — then one incremental refresh window
+        def churn_fact():
+            fact.append(
+                li.filter(F.col("pk") % 7 == 0).select(
+                    (F.col("oid") + 100000000).alias("oid"),
+                    "pk", "sk",
+                    (F.col("amt") * 2).alias("amt"),
+                )
             )
-        )
-        d1.merge(
-            p.filter(F.col("p_partkey") % 10 == 0).withColumn(
-                "brand", F.lit("MOVED")
+            fact.delete(F.col("oid") % 13 == 0, mode="dv")
+
+        def churn_d1():
+            d1.merge(
+                p.filter(F.col("p_partkey") % 10 == 0).withColumn(
+                    "brand", F.lit("MOVED")
+                )
             )
-        )
-        d1.delete(F.col("p_partkey") % 17 == 0)
-        d2.merge(
-            s.filter(F.col("s_suppkey") % 6 == 0).withColumn(
-                "s_nationkey", F.lit(-1).cast(dict(s.dtypes)["s_nationkey"])
+            d1.delete(F.col("p_partkey") % 17 == 0)
+
+        def churn_d2():
+            d2.merge(
+                s.filter(F.col("s_suppkey") % 6 == 0).withColumn(
+                    "s_nationkey",
+                    F.lit(-1).cast(dict(s.dtypes)["s_nationkey"]),
+                )
             )
-        )
-        d2.delete(F.col("s_suppkey") % 9 == 0)
-        fact.delete(F.col("oid") % 13 == 0, mode="dv")
+            d2.delete(F.col("s_suppkey") % 9 == 0)
+
+        _overlap(churn_fact, churn_d1, churn_d2)
         r = view.refresh(mode="incremental")
         assert r["mode"] == "incremental" and not r["skipped"], r
         res = view.read().select(
@@ -1210,10 +1262,12 @@ def routed_rollup_navigator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="router_")
     try:
-        fact = TxTable.create(
-            spark, tmp + "/fact", o, key="ok", stats_cols=["ck"]
+        fact, dim = _overlap(
+            lambda: TxTable.create(
+                spark, tmp + "/fact", o, key="ok", stats_cols=["ck"]
+            ),
+            lambda: TxTable.create(spark, tmp + "/dim", c, key="c_custkey"),
         )
-        dim = TxTable.create(spark, tmp + "/dim", c, key="c_custkey")
         view = TxJoinAggView.create(
             spark, tmp + "/view", fact, dim,
             fk="ck",
@@ -1226,20 +1280,27 @@ def routed_rollup_navigator(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "uniq_buyers": ("distinct", "ck"),
             },
         )
-        fact.append(
-            o.filter(F.col("ok") % 5 == 0).select(
-                (F.col("ok") + 100000000).alias("ok"),
-                "ck",
-                (F.col("amt") * 2).alias("amt"),
+
+        # two independent per-table churn chains, overlapped
+        def churn_fact():
+            fact.append(
+                o.filter(F.col("ok") % 5 == 0).select(
+                    (F.col("ok") + 100000000).alias("ok"),
+                    "ck",
+                    (F.col("amt") * 2).alias("amt"),
+                )
             )
-        )
-        dim.merge(
-            c.filter(F.col("c_custkey") % 11 == 0).withColumn(
-                "seg0", F.lit("MOVED")
+            fact.delete(F.col("ok") % 7 == 0, mode="dv")
+
+        def churn_dim():
+            dim.merge(
+                c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+                    "seg0", F.lit("MOVED")
+                )
             )
-        )
-        dim.delete(F.col("c_custkey") % 13 == 0)
-        fact.delete(F.col("ok") % 7 == 0, mode="dv")
+            dim.delete(F.col("c_custkey") % 13 == 0)
+
+        _overlap(churn_fact, churn_dim)
         r = view.refresh(mode="incremental")
         assert r["mode"] == "incremental" and not r["skipped"], r
         routed, how = AggRouter(spark).register(view).route(

@@ -131,7 +131,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable
+from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable, _live
 from .txview import (
     _N,
     ChurnCache,
@@ -237,6 +237,19 @@ def _and_all(conds) -> "F.Column":
     return reduce(lambda a, b: a & b, conds)
 
 
+#: below this many LIVE rows (known from manifest stats alone — zero
+#: jobs) the prune-probe's own Spark job (distinct keys ⋈ file ranges,
+#: or a min/max agg) costs more than just scanning the extra rows
+#: inside the term's join job, so the slice reads whole. Probes stay
+#: on for anything bigger — at the 100 TB design point every base is
+#: far past the floor and pruning is what bounds the fold's IO.
+#: Env-tunable for cluster profiles (guide §1.2: config parameterized,
+#: scale-adaptive rather than tuned to either locale).
+PRUNE_PROBE_FLOOR_ROWS = int(
+    os.environ.get("SPARK_GRAFT_PRUNE_PROBE_FLOOR", 2_000_000)
+)
+
+
 def _pruned_rows(
     table: TxTable, col: str, keys: DataFrame, version: int
 ) -> DataFrame:
@@ -250,8 +263,16 @@ def _pruned_rows(
       the keys' [min, max] (tight after a z-order/cluster on the
       column, conservative otherwise);
     - neither: a full scan at ``version`` — the honest fallback. At
-      scale, key or stats-declare the join columns on both bases."""
+      scale, key or stats-declare the join columns on both bases.
+
+    Tables under ``PRUNE_PROBE_FLOOR_ROWS`` live rows skip the probe
+    JOB and read whole (r14): the result is a superset either way —
+    the caller's join supplies exactness — so only the cost model
+    changes, by manifest metadata alone."""
     m = table._manifest(version)
+    live = sum(_live(f) for f in m["files"])
+    if live <= PRUNE_PROBE_FLOOR_ROWS:
+        return table._read_files(m, [f["path"] for f in m["files"]])
     keyed = keys.select(F.col(keys.columns[0]).alias(col)).distinct()
     if m["key"] == col:
         return table.read_for_keys(keyed, version=version)

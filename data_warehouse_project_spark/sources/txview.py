@@ -350,9 +350,12 @@ def _pmap(fn, items):
     optimization guide §2.6 back-fill rule). Order-preserving; the
     first exception re-raises with its type intact (the vacuumed-feed
     ``TxError`` contract). Sequential when there is nothing to
-    overlap."""
+    overlap. ``SPARK_GRAFT_NO_OVERLAP=1`` forces the sequential path —
+    the debugging/ops kill-switch, and the honest same-session A/B
+    lever on a host with phantom-load spikes (cross-run comparisons
+    are noise-limited; same-session alternation cancels it)."""
     items = list(items)
-    if len(items) <= 1:
+    if len(items) <= 1 or os.environ.get("SPARK_GRAFT_NO_OVERLAP") == "1":
         return [fn(x) for x in items]
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1531,9 +1534,16 @@ class TxAggView:
         cardinality repair's read, pruned as tightly as the base layout
         allows (group column is the key → exact file pruning; declared
         in stats_cols → manifest range skip; else the honest full
-        read). Exactness comes from the caller's semi-join."""
+        read). Exactness comes from the caller's semi-join. Bases
+        under the prune-probe floor read whole — the probe job costs
+        more than the extra scanned rows (see txjoinview's
+        ``PRUNE_PROBE_FLOOR_ROWS``)."""
+        from .txjoinview import PRUNE_PROBE_FLOOR_ROWS
+
         g = self.spec["group_col"]
         m = self.base._manifest(at)
+        if sum(_live(f) for f in m["files"]) <= PRUNE_PROBE_FLOOR_ROWS:
+            return self.base._read_files(m, [f["path"] for f in m["files"]])
         keyed = keys.select(F.col(g)).distinct()
         if m["key"] == g:
             return self.base.read_for_keys(keyed, version=at)

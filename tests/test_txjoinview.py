@@ -277,9 +277,19 @@ def test_joinview_dim_is_never_scanned(spark, tmp_path):
                              "b": (3, 1, 1, 3, 3, 1, 1)}
 
 
-def test_joinview_term_b_pruned_reads_by_fact_layout(spark, tmp_path):
+def test_joinview_term_b_pruned_reads_by_fact_layout(
+    spark, tmp_path, monkeypatch
+):
     """Fact keyed BY the fk -> read_for_keys (fact.read never called);
-    fk in stats_cols -> read(prune={fk: range}); neither -> full read."""
+    fk in stats_cols -> read(prune={fk: range}); neither -> full read.
+    The r14 prune-probe floor is pinned to 0: this test checks the
+    pruning MACHINERY, which the floor (a cost-model bypass for bases
+    too small for the probe job to pay off) deliberately skips at this
+    scale — the floor itself is covered in
+    test_prune_probe_floor_reads_whole_below_threshold."""
+    from data_warehouse_project_spark.sources import txjoinview
+
+    monkeypatch.setattr(txjoinview, "PRUNE_PROBE_FLOOR_ROWS", 0)
     # layout 1: fact keyed by the fk itself
     f1 = TxTable.create(
         spark, tmp_path / "f1",
@@ -320,6 +330,35 @@ def test_joinview_term_b_pruned_reads_by_fact_layout(spark, tmp_path):
     v2.refresh()
     assert seen.get("prune") == {"cust": (20, 20)}
     assert _actual(v2) == {"a": (12, 2, 2, 5, 7, 2, 2)}
+
+
+def test_prune_probe_floor_reads_whole_below_threshold(spark, tmp_path):
+    """r14: bases whose manifest-live row count sits under
+    PRUNE_PROBE_FLOOR_ROWS skip the prune-probe JOB entirely — the
+    term read comes straight from _read_files (no .read, no
+    .read_for_keys) — and the refresh still lands the exact state,
+    because the caller's join supplies exactness over the superset."""
+    f = TxTable.create(
+        spark, tmp_path / "f",
+        spark.createDataFrame([(1, 10, 5), (2, 20, 7)], FACT_SCHEMA),
+        key="oid", stats_cols=["cust"],
+    )
+    d = _mk_dim(spark, tmp_path / "d", [(10, "a"), (20, "b")])
+    v = _mk_view(spark, tmp_path / "v", f, d)
+    d.merge(spark.createDataFrame([(20, "a")], DIM_SCHEMA))
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "prune-probe path used below the floor — the probe job "
+            "costs more than the whole-slice read here"
+        )
+
+    # default floor (2M) is far above this table: neither the pruned
+    # read() nor read_for_keys() may fire for the term-B fact slice
+    v.fact.read = boom
+    v.fact.read_for_keys = boom
+    v.refresh()
+    assert _actual(v) == {"a": (12, 2, 2, 5, 7, 2, 2)}
 
 
 def test_joinview_guards(spark, tmp_path):
