@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_warehouse_project_spark.localframe import local_rows
+
 LOG_SCHEMA = T.StructType(
     [
         T.StructField("log_ts", T.TimestampType()),
@@ -1254,7 +1256,11 @@ class Warehouse:
         buf = getattr(self, "_log_buffer", [])
         if not buf:
             return
-        self.spark.createDataFrame(buf, LOG_SCHEMA).coalesce(1).write.mode(
+        # local_rows (r14): a list-backed createDataFrame slices into
+        # defaultParallelism Python partitions and even coalesce(1)
+        # still computes every slice — ~5 s per flush at local[32];
+        # one slice is ~0.3 s and needs no coalesce.
+        local_rows(self.spark, buf, LOG_SCHEMA).write.mode(
             "append"
         ).parquet(str(self.path("bl_cl", "etl_log")))
         self._log_buffer = []

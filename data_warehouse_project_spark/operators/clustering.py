@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.functions.vectors import cos6, cosine
+from data_warehouse_project_spark.localframe import local_rows
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -99,7 +100,7 @@ def kmeans_fit(
         }
         updated = {r["cent_id"]: norm(list(r["ce"])) for r in rows}
         model = [(cid, updated.get(cid, prev[cid])) for cid in sorted(prev)]
-        cents = spark.createDataFrame(
-            model, "cent_id bigint, ce array<double>"
+        cents = local_rows(
+            spark, model, "cent_id bigint, ce array<double>"
         )
     return cents, objectives

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_warehouse_project_spark.localframe import local_rows
+
 # hard ceiling on the dense (single-task window) path: a dimension that
 # outgrows this is data-proportional and MUST move to
 # with_distributed_keys. Enforced inside the plan (raise_error), not by
@@ -176,7 +178,7 @@ def with_default_row(
     """
     spark = dim.sparkSession
     row = [tuple(defaults[c] for c in dim.columns)]
-    default_df = spark.createDataFrame(row, dim.schema)
+    default_df = local_rows(spark, row, dim.schema)
     missing = default_df.join(
         dim.filter(F.col(key_col) == F.lit(defaults[key_col])),
         on=key_col,

@@ -21,6 +21,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_warehouse_project_spark.localframe import local_rows
+
 
 @dataclass(frozen=True)
 class Rule:
@@ -72,8 +74,8 @@ def run_checks(df: DataFrame, rules: list[Rule]) -> DataFrame:
             raise ValueError(f"rule {r.name!r}: unknown kind {r.kind!r}; "
                              f"expected one of {_KNOWN_KINDS}")
     if not rules:
-        return spark.createDataFrame(
-            [], "rule_name string, kind string, n_violations bigint"
+        return local_rows(
+            spark, [], "rule_name string, kind string, n_violations bigint"
         )
     row_local = [r for r in rules if r.kind in ("not_null", "accepted_values", "expression")]
     results: list[DataFrame] = []

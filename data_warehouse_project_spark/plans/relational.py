@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_project_spark.catalog import table
+from data_warehouse_project_spark.localframe import local_rows
 from data_warehouse_project_spark.operators.keys import with_distributed_keys
 from data_warehouse_project_spark.plans.queries import (
     _sql_exact_sum,
@@ -288,8 +289,9 @@ def surrogate_keys_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation_name"),
         F.col("n_nationkey").alias("nation_src_id"),
     )
-    default_row = n.sparkSession.createDataFrame(
-        [(-1, "n.a.", -1)], "nation_surr_id bigint, nation_name string, nation_src_id bigint"
+    default_row = local_rows(
+        n.sparkSession, [(-1, "n.a.", -1)],
+        "nation_surr_id bigint, nation_name string, nation_src_id bigint",
     )
     return default_row.union(keyed).orderBy("nation_surr_id")
 

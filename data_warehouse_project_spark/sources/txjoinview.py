@@ -131,6 +131,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_warehouse_project_spark.localframe import local_rows
+
 from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable, _live
 from .txview import (
     _N,
@@ -839,7 +841,7 @@ class TxJoinAggView:
             # fenced append: no files, one manifest) so _support_vec and
             # the catch-up window start from the right cursor
             t.append(
-                self.spark.createDataFrame([], full.schema),
+                local_rows(self.spark, [], full.schema),
                 txn=(self.APP, _enc(vec)),
             )
         return t
@@ -1267,7 +1269,7 @@ class TxJoinAggView:
             return TxTable(self.spark, root)  # lost a concurrent create
         if vec != [int(v) for v in self.spec["versions_at_create"]]:
             t.append(
-                self.spark.createDataFrame([], full.schema),
+                local_rows(self.spark, [], full.schema),
                 txn=(self.APP, _enc(vec)),
             )
         return t
@@ -1336,12 +1338,12 @@ class TxJoinAggView:
     ) -> None:
         if not changed and not fresh:
             sup.append(
-                self.spark.createDataFrame([], sup.read().schema),
+                local_rows(self.spark, [], sup.read().schema),
                 txn=(self.APP, fence),
             )
             return
-        keys = self.spark.createDataFrame(
-            [(p,) for p in {*changed, *fresh}], "__f string"
+        keys = local_rows(
+            self.spark, [(p,) for p in {*changed, *fresh}], "__f string"
         )
         drop = sorted({*changed, *fresh})
 

@@ -69,6 +69,8 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from data_warehouse_project_spark.localframe import local_rows
+
 TXLOG_DIR = "_txlog"
 DATA_DIR = "data"
 BLOOMS_DIR = "blooms"  # per-write-batch bloom-filter sidecar dirs
@@ -523,7 +525,7 @@ class TxTable:
     def _read_files(self, manifest: dict, paths: list[str]) -> DataFrame:
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            return local_rows(self.spark, [], schema)
         by_path = {f["path"]: f for f in manifest["files"]}
         if not any("dv" in by_path.get(p, {}) for p in paths):
             # fast path — plan-identical to a plain parquet scan
@@ -544,7 +546,7 @@ class TxTable:
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         cols = [f.name for f in schema.fields]
         if not paths:
-            return self.spark.createDataFrame([], schema).select(
+            return local_rows(self.spark, [], schema).select(
                 "*",
                 F.lit(None).cast("string").alias("__tx_fname"),
                 F.lit(None).cast("long").alias("__tx_ri"),
@@ -771,8 +773,9 @@ class TxTable:
         if isinstance(keys, DataFrame):
             kdf = keys.select(F.col(col).cast(dt).alias("__v"))
         else:
-            kdf = self.spark.createDataFrame(
-                [(v,) for v in keys], StructType([StructField("__v", dt)])
+            kdf = local_rows(
+                self.spark, [(v,) for v in keys],
+                StructType([StructField("__v", dt)]),
             )
         hashed = (
             kdf.where(F.col("__v").isNotNull())
@@ -1013,7 +1016,7 @@ class TxTable:
                 StructField("_commit_ts", TimestampType(), True),
             ]
         )
-        out = self.spark.createDataFrame([], shell)
+        out = local_rows(self.spark, [], shell)
         for part in parts:
             out = out.unionByName(part, allowMissingColumns=True)
         return out
@@ -1138,7 +1141,7 @@ class TxTable:
                 if e.get("dv")
             ]
             if not paths:
-                return self.spark.createDataFrame([], "fname string, ri long")
+                return local_rows(self.spark, [], "fname string, ri long")
             return self.spark.read.schema("fname string, ri long").parquet(*paths)
 
         old_pos = pos_frame([p for p, _ in changed])
@@ -1395,7 +1398,8 @@ class TxTable:
         no_stats = [f["path"] for f in m["files"] if "kmin" not in f]
         if not with_stats:
             return no_stats
-        ranges = self.spark.createDataFrame(
+        ranges = local_rows(
+            self.spark,
             [(f["path"], f["kmin"], f["kmax"]) for f in with_stats],
             "__tx_path string, __tx_kmin long, __tx_kmax long",
         )
@@ -2028,7 +2032,7 @@ class TxTable:
         if matched_condition is not None:
             gate = F.coalesce(matched_condition, F.lit(False))
         new_rows = None
-        pos = self.spark.createDataFrame([], "fname string, ri long")
+        pos = local_rows(self.spark, [], "fname string, ri long")
         if when_matched in ("update", "delete"):
             hit = (
                 tpos.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "inner")

@@ -91,6 +91,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_warehouse_project_spark.localframe import local_rows
+
 from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable, _live
 
 _SIDECAR = "_view.json"
@@ -1219,7 +1221,7 @@ class TxAggView:
         if v != int(self.spec["base_version_at_create"]):
             # record the rebuilt state's cursor (empty fenced append)
             t.append(
-                self.spark.createDataFrame([], full.schema),
+                local_rows(self.spark, [], full.schema),
                 txn=(self.APP, v),
             )
         return t
@@ -1455,7 +1457,7 @@ class TxAggView:
             return TxTable(self.spark, root)  # lost a concurrent create
         if v != int(self.spec["base_version_at_create"]):
             t.append(
-                self.spark.createDataFrame([], full.schema),
+                local_rows(self.spark, [], full.schema),
                 txn=(self.APP, v),
             )
         return t
@@ -1509,12 +1511,12 @@ class TxAggView:
             # version advanced with no file reshape (fence/constraint
             # commits): advance the cursor so catch-up converges
             sup.append(
-                self.spark.createDataFrame([], sup.read().schema),
+                local_rows(self.spark, [], sup.read().schema),
                 txn=(self.APP, fence),
             )
             return
-        keys = self.spark.createDataFrame(
-            [(p,) for p in {*changed, *fresh}], "__f string"
+        keys = local_rows(
+            self.spark, [(p,) for p in {*changed, *fresh}], "__f string"
         )
         # drop BOTH changed and fresh files' rows before re-adding the
         # fresh partials: if a crash-recovery rebuild already advanced

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_warehouse_project_spark.localframe import local_rows
+
 
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
@@ -202,8 +204,8 @@ def cascade_ingest(
             return  # crash-replay of an already-merged batch
         rollup_cascade(wh, batch_df, ts_col, dims, measures, grains, prefix=prefix)
         wh.overwrite(
-            batch_df.sparkSession.createDataFrame(
-                [(batch_id,)], "batch_id long"
+            local_rows(
+                batch_df.sparkSession, [(batch_id,)], "batch_id long"
             ),
             "meta",
             fence_table(),
