@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from data_warehouse_project_spark.catalog import table
 from data_warehouse_project_spark.etl.warehouse import Warehouse
 from data_warehouse_project_spark.functions.scalars import initcap_pg
+from data_warehouse_project_spark.localframe import local_rows
 from data_warehouse_project_spark.operators.keys import (
     next_key_offset,
     with_distributed_keys,
@@ -223,6 +224,7 @@ def _insert_only_dim(
     run_ts: dt.datetime | None = None,
     return_frame: bool = False,
     dense_keys: bool = False,
+    write_pool=None,
 ) -> int | tuple[int, DataFrame]:
     """M1: seed default row, anti-join on the natural key, assign
     surrogate ids above MAX(existing), stamp audit columns, append.
@@ -237,7 +239,19 @@ def _insert_only_dim(
     independent of data volume (the geo chain: distinct world regions
     x nations x segments x 10 districts), where it deletes the
     per-level offset-frame broadcast job; everything data-proportional
-    keeps ``with_distributed_keys``."""
+    keeps ``with_distributed_keys``.
+
+    ``write_pool`` (r14, guide §2.6): the chained loaders' levels only
+    need the PARENT'S IN-MEMORY keyed frame for their FK lookup, never
+    the parquet it lands in — so with a pool the final frame is pinned
+    with ``localCheckpoint`` (a sub-second job on these few-hundred-row
+    dims), the parquet append is submitted to the pool, and the method
+    returns ``(future_rowcount, frame)`` immediately. The child level's
+    compute then overlaps the parent's write job (the chain's write
+    latency was the critical path: ~1-1.3 s fixed job cost per level,
+    strictly serialized). Callers must resolve every future before the
+    stage returns — the stage boundary is the durability fence, exactly
+    as it was when the writes were inline."""
     target = wh.read_or_none("bl_3nf", name)
     if target is not None:
         batch = batch.join(
@@ -272,19 +286,25 @@ def _insert_only_dim(
             **(extra_defaults or {}),
         }
         spark = batch.sparkSession
-        default_df = spark.createDataFrame(
-            [tuple(defaults.get(c) for c in keyed.columns)], keyed.schema
+        default_df = local_rows(
+            spark, [tuple(defaults.get(c) for c in keyed.columns)],
+            keyed.schema,
         )
         keyed = default_df.unionByName(keyed)
+    if write_pool is not None:
+        # pin the final frame (truncates the lazy-plan chain that
+        # multiplied AQE stage-jobs down the levels — measured
+        # 3/6/8/10 jobs for the four geo levels when reused lazily),
+        # then ship the write off-thread and return at once
+        keyed = keyed.localCheckpoint()
+        fut = write_pool.submit(wh.append, keyed, "bl_3nf", name)
+        return (fut, keyed) if return_frame else (fut, None)
     n = wh.append(keyed, "bl_3nf", name)
     if return_frame:
         # the write just materialized the batch — hand back the
         # freshly-written parquet (tiny: one file) rather than the lazy
-        # keyed plan. Lazy reuse multiplies AQE stage-jobs down the
-        # chain (each child level re-evaluates every ancestor's window
-        # inside its own action — measured 3/6/8/10 jobs for the four
-        # geo levels), and a localCheckpoint would cost its own job per
-        # level on top of the write.
+        # keyed plan (see the write_pool note above for why lazy reuse
+        # is the wrong default), sparing a checkpoint job.
         return n, wh.read("bl_3nf", name)
     return n
 
@@ -338,93 +358,122 @@ def load_3nf_geo(
         .filter(F.col("region_name").isNotNull() & (F.col("region_name") != ""))
         .distinct()
     )
-    n, reg = _insert_only_dim(
-        wh, regions, "ce_regions", "region_name", "region_id",
-        source_entity="customers,stores", run_ts=run_ts, return_frame=True,
-        dense_keys=True,
-    )
-    wh.log("load_3nf_ce_regions", "insert-only dim ok", n)
+    # the levels' WRITES overlap the chain (write_pool): each child
+    # joins its parent's in-memory keyed frame, so only the per-level
+    # key assignment is sequential — the four ~1 s parquet appends run
+    # behind it and are fenced before the stage returns (guide §2.6)
+    pool = ThreadPoolExecutor(max_workers=2)
+    futs: list[tuple[str, object]] = []
+    try:
+        fut, reg = _insert_only_dim(
+            wh, regions, "ce_regions", "region_name", "region_id",
+            source_entity="customers,stores", run_ts=run_ts,
+            return_frame=True, dense_keys=True, write_pool=pool,
+        )
+        futs.append(("load_3nf_ce_regions", fut))
 
-    # nations with case-insensitive FK lookup to regions (J2)
-    nations = (
-        geo_c.select("nation_name", "r_name")
-        .union(geo_s.select("nation_name", "r_name"))
-        .filter(F.col("nation_name").isNotNull() & (F.col("nation_name") != ""))
-        .dropDuplicates(["nation_name"])
-    )
-    nations = nations.join(
-        F.broadcast(reg.select("region_name", "region_id")),
-        F.upper(initcap_pg(nations.r_name)) == F.upper(F.col("region_name")),
-        "left",
-    ).select(
-        "nation_name",
-        F.coalesce(F.col("region_id"), F.lit(DEFAULT_ID)).alias("region_id"),
-    )
-    n, nat = _insert_only_dim(
-        wh, nations, "ce_nations", "nation_name", "nation_id",
-        extra_defaults={"region_id": DEFAULT_ID},
-        source_entity="customers,stores", run_ts=run_ts, return_frame=True,
-        dense_keys=True,
-    )
-    wh.log("load_3nf_ce_nations", "insert-only dim ok", n)
+        # nations with case-insensitive FK lookup to regions (J2)
+        nations = (
+            geo_c.select("nation_name", "r_name")
+            .union(geo_s.select("nation_name", "r_name"))
+            .filter(
+                F.col("nation_name").isNotNull()
+                & (F.col("nation_name") != "")
+            )
+            .dropDuplicates(["nation_name"])
+        )
+        nations = nations.join(
+            F.broadcast(reg.select("region_name", "region_id")),
+            F.upper(initcap_pg(nations.r_name))
+            == F.upper(F.col("region_name")),
+            "left",
+        ).select(
+            "nation_name",
+            F.coalesce(F.col("region_id"), F.lit(DEFAULT_ID))
+            .alias("region_id"),
+        )
+        fut, nat = _insert_only_dim(
+            wh, nations, "ce_nations", "nation_name", "nation_id",
+            extra_defaults={"region_id": DEFAULT_ID},
+            source_entity="customers,stores", run_ts=run_ts,
+            return_frame=True, dense_keys=True, write_pool=pool,
+        )
+        futs.append(("load_3nf_ce_nations", fut))
 
-    # Levels 3-4 of the reference's continent→country→state→city chain
-    # (create_ddl_objects_3NF_layer.sql:32-85). The TPC-H-ish sources
-    # have no state/city, so the lower levels are synthetic with a
-    # documented mapping: state := (nation, market segment), city :=
-    # (state, district — customer key mod 10). Same M1/J2 load
-    # shape as the real thing: natural-key dedup, case-insensitive FK
-    # lookup to the parent, default row, chained 4 deep.
-    states_src = (
-        geo_c.select(
-            F.col("nation_name").alias("nation_name_src"),
+        # Levels 3-4 of the reference's continent→country→state→city
+        # chain (create_ddl_objects_3NF_layer.sql:32-85). The TPC-H-ish
+        # sources have no state/city, so the lower levels are synthetic
+        # with a documented mapping: state := (nation, market segment),
+        # city := (state, district — customer key mod 10). Same M1/J2
+        # load shape as the real thing: natural-key dedup,
+        # case-insensitive FK lookup to the parent, default row,
+        # chained 4 deep.
+        states_src = (
+            geo_c.select(
+                F.col("nation_name").alias("nation_name_src"),
+                "segment",
+            )
+            .filter(F.col("segment").isNotNull() & (F.col("segment") != ""))
+            .dropDuplicates(["nation_name_src", "segment"])
+            .withColumn(
+                "state_src_id",
+                F.concat_ws("-", "nation_name_src", "segment"),
+            )
+        )
+        states = states_src.join(
+            F.broadcast(nat.select("nation_name", "nation_id")),
+            F.upper(states_src.nation_name_src)
+            == F.upper(F.col("nation_name")),
+            "left",
+        ).select(
+            "state_src_id",
             "segment",
+            F.coalesce(F.col("nation_id"), F.lit(DEFAULT_ID))
+            .alias("nation_id"),
         )
-        .filter(F.col("segment").isNotNull() & (F.col("segment") != ""))
-        .dropDuplicates(["nation_name_src", "segment"])
-        .withColumn(
-            "state_src_id", F.concat_ws("-", "nation_name_src", "segment")
+        fut, st = _insert_only_dim(
+            wh, states, "ce_states", "state_src_id", "state_id",
+            extra_defaults={"segment": NA, "nation_id": DEFAULT_ID},
+            source_entity="customers", run_ts=run_ts,
+            return_frame=True, dense_keys=True, write_pool=pool,
         )
-    )
-    states = states_src.join(
-        F.broadcast(nat.select("nation_name", "nation_id")),
-        F.upper(states_src.nation_name_src) == F.upper(F.col("nation_name")),
-        "left",
-    ).select(
-        "state_src_id",
-        "segment",
-        F.coalesce(F.col("nation_id"), F.lit(DEFAULT_ID)).alias("nation_id"),
-    )
-    n, st = _insert_only_dim(
-        wh, states, "ce_states", "state_src_id", "state_id",
-        extra_defaults={"segment": NA, "nation_id": DEFAULT_ID},
-        source_entity="customers", run_ts=run_ts, return_frame=True,
-        dense_keys=True,
-    )
-    wh.log("load_3nf_ce_states", "insert-only dim ok", n)
+        futs.append(("load_3nf_ce_states", fut))
 
-    cities_src = (
-        geo_c.select(
-            F.concat_ws("-", "nation_name", "segment").alias("state_src_id"),
-            "district",
+        cities_src = (
+            geo_c.select(
+                F.concat_ws("-", "nation_name", "segment")
+                .alias("state_src_id"),
+                "district",
+            )
+            .filter(F.col("district").isNotNull() & (F.col("district") != ""))
+            .dropDuplicates(["state_src_id", "district"])
+            .withColumn(
+                "city_src_id", F.concat_ws("-", "state_src_id", "district")
+            )
         )
-        .filter(F.col("district").isNotNull() & (F.col("district") != ""))
-        .dropDuplicates(["state_src_id", "district"])
-        .withColumn("city_src_id", F.concat_ws("-", "state_src_id", "district"))
-    )
-    cities = cities_src.join(
-        F.broadcast(st.select("state_src_id", "state_id")), "state_src_id", "left"
-    ).select(
-        "city_src_id",
-        "district",
-        F.coalesce(F.col("state_id"), F.lit(DEFAULT_ID)).alias("state_id"),
-    )
-    n = _insert_only_dim(
-        wh, cities, "ce_cities", "city_src_id", "city_id",
-        extra_defaults={"district": NA, "state_id": DEFAULT_ID},
-        source_entity="customers", run_ts=run_ts, dense_keys=True,
-    )
-    wh.log("load_3nf_ce_cities", "insert-only dim ok", n)
+        cities = cities_src.join(
+            F.broadcast(st.select("state_src_id", "state_id")),
+            "state_src_id", "left",
+        ).select(
+            "city_src_id",
+            "district",
+            F.coalesce(F.col("state_id"), F.lit(DEFAULT_ID))
+            .alias("state_id"),
+        )
+        fut, _ = _insert_only_dim(
+            wh, cities, "ce_cities", "city_src_id", "city_id",
+            extra_defaults={"district": NA, "state_id": DEFAULT_ID},
+            source_entity="customers", run_ts=run_ts, dense_keys=True,
+            write_pool=pool,
+        )
+        futs.append(("load_3nf_ce_cities", fut))
+
+        # durability fence: every deferred write lands before the stage
+        # returns; logs keep the reference's per-level order and counts
+        for stage_name, f in futs:
+            wh.log(stage_name, "insert-only dim ok", f.result())
+    finally:
+        pool.shutdown(wait=True)
 
 
 # --------------------------------------------------------------------------
@@ -468,27 +517,39 @@ def load_3nf_product_hierarchy(
     # spec independent of scale factor (and runtime-guarded by
     # DENSE_KEY_MAX_ROWS if a source ever breaks that shape)
     cats = brands.select("category_src_id").distinct()
-    n, cat = _insert_only_dim(
-        wh, cats, "ce_categories", "category_src_id", "category_id",
-        source_entity="products", run_ts=run_ts, return_frame=True,
-        dense_keys=True,
-    )
-    wh.log("load_3nf_ce_categories", "insert-only dim ok", n)
+    # same deferred-write chain as load_3nf_geo: the subcategory level
+    # joins the category level's in-memory frame, so the parent's
+    # parquet append overlaps the child's compute (guide §2.6)
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        fut_cat, cat = _insert_only_dim(
+            wh, cats, "ce_categories", "category_src_id", "category_id",
+            source_entity="products", run_ts=run_ts, return_frame=True,
+            dense_keys=True, write_pool=pool,
+        )
 
-    subs = brands.join(
-        F.broadcast(cat.select("category_src_id", "category_id")),
-        "category_src_id",
-        "left",
-    ).select(
-        "subcategory_src_id",
-        F.coalesce(F.col("category_id"), F.lit(DEFAULT_ID)).alias("category_id"),
-    )
-    n = _insert_only_dim(
-        wh, subs, "ce_subcategories", "subcategory_src_id", "subcategory_id",
-        extra_defaults={"category_id": DEFAULT_ID},
-        source_entity="products", run_ts=run_ts, dense_keys=True,
-    )
-    wh.log("load_3nf_ce_subcategories", "insert-only dim ok", n)
+        subs = brands.join(
+            F.broadcast(cat.select("category_src_id", "category_id")),
+            "category_src_id",
+            "left",
+        ).select(
+            "subcategory_src_id",
+            F.coalesce(F.col("category_id"), F.lit(DEFAULT_ID))
+            .alias("category_id"),
+        )
+        fut_sub, _ = _insert_only_dim(
+            wh, subs, "ce_subcategories", "subcategory_src_id",
+            "subcategory_id",
+            extra_defaults={"category_id": DEFAULT_ID},
+            source_entity="products", run_ts=run_ts, dense_keys=True,
+            write_pool=pool,
+        )
+        wh.log("load_3nf_ce_categories", "insert-only dim ok",
+               fut_cat.result())
+        wh.log("load_3nf_ce_subcategories", "insert-only dim ok",
+               fut_sub.result())
+    finally:
+        pool.shutdown(wait=True)
 
 
 # --------------------------------------------------------------------------
