@@ -1667,52 +1667,59 @@ class TxTable:
         file (old vector ∪ new positions — vectors stay
         one-file-per-data-file, superseded sidecars become vacuum
         food) and returns ``(new_file_list, n_newly_deleted)``, or
-        None when no position matched. Fully distributed: positions
-        never visit the driver; only per-file row counts (parquet
-        footers) do."""
+        None when no position matched.
+
+        r14 (guide §2.1/§2.2): ONE Spark job total. The new positions
+        write straight out partitioned by file (``partitionBy`` without
+        a repartition — no shuffle; a scan task writes the fnames it
+        holds), the touched files are read OFF THE WRITE'S OWN
+        partition dirs instead of a separate distinct-fnames collect
+        job over the same scan, and each touched file's old vector
+        joins by a driver-side pyarrow concat (sidecars are per-file
+        and small — KBs; the bulk positions still never visit the
+        driver)."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        dv_schema = pa.schema([("fname", pa.string()), ("ri", pa.int64())])
         by_name = {os.path.basename(f["path"]): f for f in m["files"]}
-        hit_names = [r["fname"] for r in pos.select("fname").distinct().collect()]
-        if not hit_names:
-            return None
-        old_dv_paths = [
-            str(self.root / by_name[n]["dv"]["path"])
-            for n in hit_names
-            if "dv" in by_name[n]
-        ]
-        merged = pos.filter(F.col("fname").isin(hit_names))
-        if old_dv_paths:
-            merged = merged.unionByName(
-                self.spark.read.schema("fname string, ri long").parquet(
-                    *old_dv_paths
-                )
-            )
-        # one sidecar file per data file: partition dirs keyed by a
-        # DUPLICATE of fname so the position rows keep fname inside the
-        # file; repartition puts each fname in exactly one task
+        # partition dirs keyed by a DUPLICATE of fname so the position
+        # rows keep fname inside the file
         staging = self.root / f"_staging-{uuid.uuid4().hex[:12]}"
         (
-            merged.withColumn("pf", F.col("fname"))
-            .repartition("pf")
+            pos.withColumn("pf", F.col("fname"))
             .write.partitionBy("pf")
             .parquet(str(staging))
         )
         new_dv: dict[str, dict] = {}
         old_deleted = 0
         try:
-            for part_dir in sorted(staging.glob("pf=*")):
+            part_dirs = sorted(staging.glob("pf=*"))
+            if not part_dirs:
+                return None
+            for part_dir in part_dirs:
                 name = part_dir.name[3:]
-                parts = [
-                    p
-                    for p in part_dir.iterdir()
+                tabs = [
+                    pq.read_table(str(p), columns=["fname", "ri"])
+                    .cast(dv_schema)
+                    for p in sorted(part_dir.iterdir())
                     if p.is_file() and not p.name.startswith(("_", "."))
                 ]
-                assert len(parts) == 1, "one task per fname writes one file"
+                old = by_name[name].get("dv")
+                if old:
+                    tabs.append(
+                        pq.read_table(
+                            str(self.root / old["path"]),
+                            columns=["fname", "ri"],
+                        ).cast(dv_schema)
+                    )
+                merged = pa.concat_tables(tabs)
                 final = self.data_dir / f"{uuid.uuid4().hex}.dv.parquet"
-                rows = pq.ParquetFile(str(parts[0])).metadata.num_rows
-                os.replace(parts[0], final)
-                new_dv[name] = {"path": f"{DATA_DIR}/{final.name}", "rows": rows}
+                pq.write_table(merged, str(final))
+                new_dv[name] = {
+                    "path": f"{DATA_DIR}/{final.name}",
+                    "rows": merged.num_rows,
+                }
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         files = []
@@ -1753,13 +1760,12 @@ class TxTable:
         )
 
     def _delete_dv(self, m: dict, condition) -> dict:
-        pos = (
-            self._read_with_positions(m, [f["path"] for f in m["files"]])
-            .filter(F.coalesce(condition, F.lit(False)))
-            .select(
-                F.col("__tx_fname").alias("fname"), F.col("__tx_ri").alias("ri")
-            )
-            .localCheckpoint(eager=False)
+        # no checkpoint: _dv_entries consumes pos in its single write
+        # job (r14) — pinning it would just add a block-materialize job
+        pos = self._read_with_positions(m, [f["path"] for f in m["files"]]).filter(
+            F.coalesce(condition, F.lit(False))
+        ).select(
+            F.col("__tx_fname").alias("fname"), F.col("__tx_ri").alias("ri")
         )
         res = self._dv_entries(m, pos)
         if res is None:
