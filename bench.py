@@ -241,6 +241,40 @@ def main() -> None:
             spark.dataSource.register(TxCdfDataSource)
         except Exception:
             pass  # already registered in this session
+        # Warm-up (r14, guide §1.4): every bench QUERY gets an untimed
+        # warm-up pass above, but the drain never did — its first run
+        # paid one-time Python-data-source worker spin-up + streaming
+        # machinery init (~3-4 s measured at sf0.01: addBatch 4.4 s
+        # cold vs 0.8 s warm on identical input) INSIDE the timed
+        # region. Drain a tiny scratch TxTable once, untimed, so the
+        # timed entry measures the change-feed path, not JVM/worker
+        # cold start. Same methodology as the query warm-ups; the
+        # timed drain still computes entirely from the real feed.
+        from data_warehouse_project_spark.sources.txtable import TxTable
+
+        warm_dir = tempfile.mkdtemp(prefix="bench_cdf_warm_")
+        try:
+            wt = TxTable.create(
+                spark, os.path.join(warm_dir, "t"),
+                spark.range(1000).select(
+                    F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+                ),
+                key="k",
+            )
+            wt.delete(F.col("k") % 7 == 0, mode="dv")
+            wq = (
+                spark.readStream.format("txcdf")
+                .option("path", os.path.join(warm_dir, "t"))
+                .load()
+                .writeStream.format("parquet")
+                .option("path", os.path.join(warm_dir, "out"))
+                .option("checkpointLocation", os.path.join(warm_dir, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            wq.awaitTermination(120)
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
         drain_dir = tempfile.mkdtemp(prefix="bench_cdf_")
         t0 = time.perf_counter()
         q = (

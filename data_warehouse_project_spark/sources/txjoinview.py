@@ -1455,6 +1455,46 @@ class TxJoinAggView:
             return self._recompute(v1)
 
         gcols = self._gcols()
+        # fparts maintenance needs only (v0, v1, cache) — never the
+        # churn frame — and its probes are EAGER (per-dim moved-key
+        # collects + file-value probes, ~1.2 s measured on the
+        # navigator refresh), so overlap them with _churn_frame's own
+        # eager chain (r14, guide §2.6). ChurnCache is lock-guarded and
+        # already serves concurrent view refreshes in the gold sweep;
+        # the except-path support rebuild committing while churn jobs
+        # run is the documented AHEAD-support state, healed by fence.
+        repairable = self._repair_names()
+
+        def _fparts_block():
+            if not (repairable and self._use_fparts()):
+                return None, [], [], None, None
+            fsup = self._fparts()
+            try:
+                f_changed, f_fresh = self._affected_files(v0, v1, cache)
+                f_parts = self._fparts_for_files(
+                    f_fresh, v1, cache
+                ).localCheckpoint(eager=False)
+                eff = fsup.read()
+                if f_changed:
+                    eff = eff.filter(~F.col("__f").isin(f_changed))
+                return (
+                    fsup, f_changed, f_fresh, f_parts,
+                    eff.unionByName(f_parts),
+                )
+            except TxError:
+                # manifest/feed window vacuumed — rebuild wholesale at
+                # the target; the fence makes the later apply a no-op
+                fsup.overwrite(
+                    self._fparts_full(v1), txn=(self.APP, _enc(v1))
+                )
+                return fsup, [], [], None, fsup.read()
+
+        _fp_ex = _fp_fut = None
+        if os.environ.get("SPARK_GRAFT_NO_OVERLAP") != "1":
+            from concurrent.futures import ThreadPoolExecutor
+
+            _fp_ex = ThreadPoolExecutor(max_workers=1)
+            _fp_fut = _fp_ex.submit(_fparts_block)
         churn = self._churn_frame(v0, v1, cache)
         dnames = self._distinct_names()
         snames = self._value_support_names()
@@ -1557,29 +1597,15 @@ class TxJoinAggView:
                 )
             )
         delta = delta.localCheckpoint(eager=False)
-        repairable = self._repair_names()
-        fsup = f_parts = rep_source = None
-        f_changed: list[str] = []
-        f_fresh: list[str] = []
-        if repairable and self._use_fparts():
-            fsup = self._fparts()
+        if _fp_fut is not None:
             try:
-                f_changed, f_fresh = self._affected_files(v0, v1, cache)
-                f_parts = self._fparts_for_files(
-                    f_fresh, v1, cache
-                ).localCheckpoint(eager=False)
-                eff = fsup.read()
-                if f_changed:
-                    eff = eff.filter(~F.col("__f").isin(f_changed))
-                rep_source = eff.unionByName(f_parts)
-            except TxError:
-                # manifest/feed window vacuumed — rebuild wholesale at
-                # the target; the fence makes the later apply a no-op
-                fsup.overwrite(
-                    self._fparts_full(v1), txn=(self.APP, _enc(v1))
+                fsup, f_changed, f_fresh, f_parts, rep_source = (
+                    _fp_fut.result()
                 )
-                f_changed, f_fresh, f_parts = [], [], None
-                rep_source = fsup.read()
+            finally:
+                _fp_ex.shutdown(wait=False)
+        else:
+            fsup, f_changed, f_fresh, f_parts, rep_source = _fparts_block()
         composite = self._composite(spec)
         view_key = _GK if composite else gcols[0]
 

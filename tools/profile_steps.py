@@ -380,12 +380,108 @@ def scenario_gold_refresh(spark, sf_dir):
         shutil.rmtree(wh_root, ignore_errors=True)
 
 
+def scenario_navigator(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_project_spark.catalog import table
+    from data_warehouse_project_spark.plans.extensions import _overlap
+    from data_warehouse_project_spark.sources.txjoinview import TxJoinAggView
+    from data_warehouse_project_spark.sources.txrouter import AggRouter
+    from data_warehouse_project_spark.sources.txtable import TxTable
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amt"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg0"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    tmp = tempfile.mkdtemp(prefix="prof_nav_")
+    try:
+        with step(spark, "creates"):
+            fact, dim = _overlap(
+                lambda: TxTable.create(
+                    spark, tmp + "/fact", o, key="ok", stats_cols=["ck"]
+                ),
+                lambda: TxTable.create(spark, tmp + "/dim", c, key="c_custkey"),
+            )
+        with step(spark, "view_create"):
+            view = TxJoinAggView.create(
+                spark, tmp + "/view", fact, dim,
+                fk="ck",
+                group_expr=["seg0", "cast(nk as bigint)"],
+                group_col=["seg", "nk"],
+                measures={
+                    "total_cents": "amt",
+                    "n_orders": ("count", "amt"),
+                    "max_cents": ("max", "amt"),
+                    "uniq_buyers": ("distinct", "ck"),
+                },
+            )
+        with step(spark, "churn"):
+            def churn_fact():
+                fact.append(
+                    o.filter(F.col("ok") % 5 == 0).select(
+                        (F.col("ok") + 100000000).alias("ok"),
+                        "ck",
+                        (F.col("amt") * 2).alias("amt"),
+                    )
+                )
+                fact.delete(F.col("ok") % 7 == 0, mode="dv")
+
+            def churn_dim():
+                dim.merge(
+                    c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+                        "seg0", F.lit("MOVED")
+                    )
+                )
+                dim.delete(F.col("c_custkey") % 13 == 0)
+
+            _overlap(churn_fact, churn_dim)
+        with step(spark, "refresh"):
+            if os.environ.get("PROF_CPROFILE"):
+                import cProfile
+                import pstats
+
+                pr = cProfile.Profile()
+                pr.enable()
+                r = view.refresh(mode="incremental")
+                pr.disable()
+                pstats.Stats(pr).sort_stats("cumulative").print_stats(45)
+            else:
+                r = view.refresh(mode="incremental")
+            assert r["mode"] == "incremental" and not r["skipped"], r
+        with step(spark, "route"):
+            routed, how = AggRouter(spark).register(view).route(
+                ["seg"],
+                {
+                    "total_cents": "amt",
+                    "n_orders": ("count", "amt"),
+                    "max_cents": ("max", "amt"),
+                    "uniq_buyers": ("distinct", "ck"),
+                    "n_live": ("count", "*"),
+                },
+                where="seg <> 'MOVED'",
+                max_lag=0,
+            )
+            routed.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SCENARIOS = {
     "jv2d": scenario_jv2d,
     "jvbrand": scenario_jvbrand,
     "etl_tx": scenario_etl_tx,
     "staging": scenario_staging,
     "gold_refresh": scenario_gold_refresh,
+    "navigator": scenario_navigator,
 }
 
 
