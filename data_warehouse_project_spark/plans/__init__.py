@@ -38,6 +38,15 @@ from data_warehouse_project_spark.plans import (  # noqa: F401,E402
 # string-carrier fix has had parity coverage ever since but no driver
 # re-sample). tools/rotation_guard.py now enforces this invariant
 # mechanically: every never-green query must sit inside the prefix.
+_RESAMPLE_R14 = [
+    # round 15 adds no queries; the r14 verdict (item 8) asks the
+    # prefix to rotate previously-green queries back through driver
+    # sampling, these two first: driver-green in r13, pushed to
+    # positions 51-52 when the two r14 additions front-loaded
+    "copurchase_triangles",
+    "scd2_snapshot_asof",
+]
+
 _NEVER_DRIVER_GREEN_R13 = [
     # new in round 14 (never sampled yet): exact global top-k through
     # the router (two-phase TakeOrdered re-rank of the support) and
@@ -179,9 +188,10 @@ _NEVER_DRIVER_HASHED_R7 = [
     "user_activity_streaks",
     "rolling_28d_active_users",
 ]
-_rotated = {
-    k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R13 if k in QUERIES
-}
+_rotated = {k: QUERIES[k] for k in _RESAMPLE_R14 if k in QUERIES}
+_rotated.update(
+    {k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R13 if k in QUERIES}
+)
 _rotated.update(
     {k: QUERIES[k] for k in _NEVER_DRIVER_GREEN_R12 if k in QUERIES}
 )

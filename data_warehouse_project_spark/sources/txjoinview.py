@@ -137,6 +137,7 @@ from .txtable import DATA_DIR, TXLOG_DIR, TxError, TxTable, _live
 from .txview import (
     _N,
     ChurnCache,
+    _apply_by_keys,
     _hist_cells,
     _hist_zeros,
     _pmap,
@@ -977,8 +978,8 @@ class TxJoinAggView:
                 out = out.withColumn(_GK, _gk_expr(gcols))
             return out.filter(guard)
 
-        sup.rewrite_by_keys(
-            dv.select(self._view_key()), xform, txn=(self.APP, fence)
+        _apply_by_keys(
+            sup, dv.select(self._view_key()), xform, txn=(self.APP, fence)
         )
 
     def _churn_frame(
@@ -1352,7 +1353,7 @@ class TxJoinAggView:
                 ~F.col("__f").isin(drop)
             ).unionByName(parts)
 
-        sup.rewrite_by_keys(keys, xform, txn=(self.APP, fence))
+        _apply_by_keys(sup, keys, xform, txn=(self.APP, fence))
 
     def _catchup_fparts(
         self, v_vec: list[int], cache: ChurnCache | None = None
@@ -1971,8 +1972,9 @@ class TxJoinAggView:
         keys = delta
         if composite:
             keys = delta.withColumn(_GK, _gk_expr(gcols))
-        r = self.table.rewrite_by_keys(
-            keys.select(view_key), apply_delta, txn=(self.APP, _enc(v1))
+        r = _apply_by_keys(
+            self.table, keys.select(view_key), apply_delta,
+            txn=(self.APP, _enc(v1)),
         )
         if not r.get("skipped"):
             # supports fold AFTER the view commit, behind the same

@@ -80,6 +80,16 @@ _BLOOM_SIDE = "_bloom.json"  # table-level bloom config (cols, params)
 #: distribution uniform and writer/prober agree bit-for-bit
 _BLOOM_SPACE = 1 << 30
 _BLOOM_SALT = -6700417  # second-hash seed column (any fixed long)
+
+#: above this many TOUCHED files a dv delete's per-file sidecar merge
+#: stops looping on the driver (read+concat+write per file — fine for
+#: the ≤32-file local case, 10⁵-10⁶ serialized tiny IOs for a
+#: hash-spread delete at 100 TB; guide §5: the driver does no data
+#: work) and runs as ONE distributed repartition-by-file job whose
+#: outputs the driver only renames. Env-tunable for cluster profiles.
+DV_DRIVER_MERGE_MAX = int(
+    os.environ.get("SPARK_GRAFT_DV_DRIVER_MERGE_MAX", 1024)
+)
 _V_WIDTH = 20
 
 # explain-audit hook, mirroring etl.warehouse.PLAN_CAPTURE: when set to
@@ -1677,7 +1687,17 @@ class TxTable:
         job over the same scan, and each touched file's old vector
         joins by a driver-side pyarrow concat (sidecars are per-file
         and small — KBs; the bulk positions still never visit the
-        driver)."""
+        driver).
+
+        r15 (guide §5 — bound driver-side work): a partition dir with
+        ONE part file and NO old vector needs no merge at all — the
+        staged file IS the sidecar, ``os.replace`` it (row count from
+        its footer, no read). And above
+        ``SPARK_GRAFT_DV_DRIVER_MERGE_MAX`` touched files the per-file
+        read+concat+write loop would serialize 10⁵-10⁶ tiny IOs on the
+        driver (a hash-spread delete at 100 TB), so the old∪new merge
+        runs DISTRIBUTED instead: one repartition("pf") job writes one
+        merged sidecar per touched file and the driver only renames."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1697,15 +1717,32 @@ class TxTable:
             part_dirs = sorted(staging.glob("pf=*"))
             if not part_dirs:
                 return None
+            if len(part_dirs) > DV_DRIVER_MERGE_MAX:
+                new_dv = self._dv_merge_distributed(by_name, staging, part_dirs)
+                part_dirs = []
             for part_dir in part_dirs:
                 name = part_dir.name[3:]
-                tabs = [
-                    pq.read_table(str(p), columns=["fname", "ri"])
-                    .cast(dv_schema)
+                parts = [
+                    p
                     for p in sorted(part_dir.iterdir())
                     if p.is_file() and not p.name.startswith(("_", "."))
                 ]
                 old = by_name[name].get("dv")
+                final = self.data_dir / f"{uuid.uuid4().hex}.dv.parquet"
+                if len(parts) == 1 and old is None:
+                    # already a complete sidecar: claim the file as-is
+                    n_rows = pq.ParquetFile(str(parts[0])).metadata.num_rows
+                    os.replace(parts[0], final)
+                    new_dv[name] = {
+                        "path": f"{DATA_DIR}/{final.name}",
+                        "rows": n_rows,
+                    }
+                    continue
+                tabs = [
+                    pq.read_table(str(p), columns=["fname", "ri"])
+                    .cast(dv_schema)
+                    for p in parts
+                ]
                 if old:
                     tabs.append(
                         pq.read_table(
@@ -1714,7 +1751,6 @@ class TxTable:
                         ).cast(dv_schema)
                     )
                 merged = pa.concat_tables(tabs)
-                final = self.data_dir / f"{uuid.uuid4().hex}.dv.parquet"
                 pq.write_table(merged, str(final))
                 new_dv[name] = {
                     "path": f"{DATA_DIR}/{final.name}",
@@ -1732,6 +1768,57 @@ class TxTable:
             files.append(f)
         n_deleted = sum(d["rows"] for d in new_dv.values()) - old_deleted
         return files, n_deleted
+
+    def _dv_merge_distributed(
+        self, by_name: dict, staging: Path, part_dirs: list
+    ) -> dict[str, dict]:
+        """The bounded-driver sidecar merge for deletes touching MORE
+        files than the per-file driver loop should serialize (guide §5:
+        the driver does no data work): ONE Spark job reads the staged
+        new positions plus the touched files' OLD vectors, shuffles by
+        file (repartition — one merged sidecar per touched file) and
+        writes them out; the driver only renames the results into
+        data/ and takes row counts from a manifest-bounded collect.
+        Returns the ``new_dv`` entry map (old vectors already folded
+        in)."""
+        names = [d.name[3:] for d in part_dirs]
+        merged = self.spark.read.schema(
+            "fname string, ri long, pf string"
+        ).parquet(str(staging)).select("fname", "ri", "pf")
+        old_paths = [
+            str(self.root / by_name[n]["dv"]["path"])
+            for n in names
+            if by_name[n].get("dv")
+        ]
+        if old_paths:
+            merged = merged.unionByName(
+                self.spark.read.schema("fname string, ri long")
+                .parquet(*old_paths)
+                .withColumn("pf", F.col("fname"))
+            )
+        merged = merged.repartition("pf").localCheckpoint(eager=False)
+        out = staging / "_merged"
+        merged.write.partitionBy("pf").parquet(str(out))
+        counts = {
+            r["pf"]: r["n"]
+            for r in merged.groupBy("pf").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        new_dv: dict[str, dict] = {}
+        for part_dir in sorted(out.glob("pf=*")):
+            name = part_dir.name[3:]
+            parts = [
+                p
+                for p in sorted(part_dir.iterdir())
+                if p.is_file() and not p.name.startswith(("_", "."))
+            ]
+            final = self.data_dir / f"{uuid.uuid4().hex}.dv.parquet"
+            os.replace(parts[0], final)
+            new_dv[name] = {
+                "path": f"{DATA_DIR}/{final.name}",
+                "rows": counts[name],
+            }
+        return new_dv
 
     def _fold_dense_dvs(self, m: dict, files: list[dict]):
         """Auto-compaction for merge-on-read: any file whose deletion
@@ -2126,6 +2213,101 @@ class TxTable:
             m, "rewrite", touched, replacement, {}, txns,
             conflict=("keys", keys.select(m["key"])),
         )
+
+    def merge_by_keys(
+        self, keys: DataFrame, transform, txn: tuple[str, int] | None = None
+    ) -> dict:
+        """Merge-on-read twin of ``rewrite_by_keys`` — the SAME
+        key-confined transform contract, committed without rewriting
+        any touched file: the keys' OLD rows go into deletion vectors
+        and the transform's output appends as new files, in ONE fused
+        fenced commit. Write cost is O(keys' rows + transform output),
+        not O(rows sharing files with them) — the difference between
+        O(churn) and O(view) when a refresh's touched keys are
+        hash-spread across every file of a high-cardinality table.
+
+        The transform receives ONLY the keys' current rows (a
+        key-confined transform is the identity on every other row, so
+        the passthrough rows would only inflate its join); a key absent
+        from its output is deleted — count-to-zero groups leave exactly
+        like the rewrite path. Because dv growth, appended files and
+        the fence land in one manifest, a NON-idempotent transform
+        (additive delta) can never double-apply across a crash — the
+        same guarantee ``rewrite_by_keys`` gives. Dense vectors fold in
+        the same commit (``_fold_dense_dvs``), bounding the read-side
+        anti-join; change-feed reads pair this commit's dv pre-images
+        with its appended post-images exactly like a dv MERGE."""
+        m = self._manifest()
+        skip, txns = _fence(m, txn)
+        if skip:
+            return {"files_rewritten": 0, "version": m["version"], "skipped": True}
+        key = m["key"]
+        if key is None:
+            raise TxError("merge_by_keys requires a table created with key=...")
+        touched = self._touched_by_keys(m, keys)
+        kdf = keys.select(F.col(key).alias("__tx_mk"))
+        old = (
+            self._read_with_positions(m, touched)
+            .join(
+                F.broadcast(kdf),
+                F.col(key).eqNullSafe(F.col("__tx_mk")),
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+        pos = old.select(
+            F.col("__tx_fname").alias("fname"), F.col("__tx_ri").alias("ri")
+        )
+        replacement = transform(old.drop("__tx_fname", "__tx_ri"))
+        cols = _schema_cols(m)
+        new_files = self._write_files(
+            _checked(replacement.select(*cols), m.get("checks")),
+            key,
+            m.get("stats_cols"),
+        )
+        res = self._dv_entries(m, pos)
+        if res is None and not new_files and txns == m.get("txns", {}):
+            return {"files_rewritten": 0, "rows_delta": 0,
+                    "version": m["version"]}
+        files, n_deleted = res if res is not None else (m["files"], 0)
+        files, n_folded = self._fold_dense_dvs(m, files)
+        n_added = sum(f["rows"] for f in new_files)
+        try:
+            self._commit(
+                m["version"] + 1,
+                "rewrite",
+                files + new_files,
+                m["schema"],
+                key,
+                {"rows_delta": n_added - n_deleted, "dv": True,
+                 "files_rewritten": 0, "files_folded": n_folded},
+                txns,
+                m.get("checks", {}),
+                m.get("stats_cols"),
+            )
+        except TxConflictError:
+            # a concurrent duplicate of the same fenced txn already
+            # landed: this op's effect is committed — degrade to a
+            # skip (the refresh-race contract rewrite_by_keys honors
+            # via _cow_commit). Any OTHER winner invalidates the dv
+            # entries computed against our base snapshot — re-raise.
+            latest = self._manifest()
+            for app, ver in txns.items():
+                if m.get("txns", {}).get(app) != ver and (
+                    latest.get("txns", {}).get(app, -(1 << 62)) >= ver
+                ):
+                    return {
+                        "files_rewritten": 0,
+                        "version": latest["version"],
+                        "skipped": True,
+                    }
+            raise
+        return {
+            "files_rewritten": 0,
+            "files_folded": n_folded,
+            "rows_delta": n_added - n_deleted,
+            "version": m["version"] + 1,
+        }
 
     def restore(self, version: int) -> dict:
         """RESTORE TABLE TO VERSION — a NEW commit re-pinning the old

@@ -365,6 +365,37 @@ def _pmap(fn, items):
         return list(ex.map(fn, items))
 
 
+#: at or above this many LIVE table rows (manifest metadata — zero
+#: jobs) the view/support apply commits merge-on-read
+#: (``merge_by_keys``: dv-delete the touched groups' old rows + append
+#: the merged rows, one fused fenced commit — write cost O(churn))
+#: instead of the copy-on-write ``rewrite_by_keys`` (write cost
+#: O(touched files' rows) — O(view) when the touched groups are
+#: hash-spread, the r14-measured 100 TB scale-killer: 5.5 s of a
+#: 10.6 s sf1 refresh rewriting ALL view files for 40k spread groups).
+#: Below the floor the whole table rewrites in about the bytes the
+#: MoR path would append anyway, and CoW keeps the file count flat
+#: with no dv sidecars to anti-join on later reads. Env-tunable;
+#: ``SPARK_GRAFT_VIEW_MOR=0`` is the kill-switch (forces CoW
+#: everywhere — the honest same-session A/B lever).
+MOR_APPLY_FLOOR_ROWS = int(
+    os.environ.get("SPARK_GRAFT_VIEW_MOR_FLOOR", 65_536)
+)
+
+
+def _apply_by_keys(table: TxTable, keys: DataFrame, transform, txn) -> dict:
+    """Commit a key-confined transform on ``table`` by whichever write
+    mode its size says is cheaper — merge-on-read above the floor,
+    copy-on-write below (identical table state either way, test-pinned;
+    the choice is purely a cost decision, like refresh mode='auto')."""
+    if (
+        os.environ.get("SPARK_GRAFT_VIEW_MOR") != "0"
+        and table.row_count() >= MOR_APPLY_FLOOR_ROWS
+    ):
+        return table.merge_by_keys(keys, transform, txn=txn)
+    return table.rewrite_by_keys(keys, transform, txn=txn)
+
+
 class ChurnCache:
     """One refresh SWEEP's shared change-feed reads.
 
@@ -1323,7 +1354,7 @@ class TxAggView:
             ).otherwise(F.col("__cnt") > 0)
             return out.filter(guard)
 
-        sup.rewrite_by_keys(dv.select(g), xform, txn=(self.APP, fence))
+        _apply_by_keys(sup, dv.select(g), xform, txn=(self.APP, fence))
 
     def _catchup_supports(
         self, applied: int, cache: ChurnCache | None = None
@@ -1529,7 +1560,7 @@ class TxAggView:
                 ~F.col("__f").isin(drop)
             ).unionByName(parts)
 
-        sup.rewrite_by_keys(keys, xform, txn=(self.APP, fence))
+        _apply_by_keys(sup, keys, xform, txn=(self.APP, fence))
 
     def _pruned_group_rows(self, keys: DataFrame, at: int) -> DataFrame:
         """Base rows that MAY hold a group from ``keys`` — the high-
@@ -2138,8 +2169,8 @@ class TxAggView:
                 ).otherwise(F.col(_N) > 0)
             )
 
-        r = self.table.rewrite_by_keys(
-            delta.select(g), apply_delta, txn=(self.APP, target)
+        r = _apply_by_keys(
+            self.table, delta.select(g), apply_delta, txn=(self.APP, target)
         )
         if not r.get("skipped"):
             # supports fold AFTER the view commit behind the same
