@@ -365,34 +365,49 @@ def _pmap(fn, items):
         return list(ex.map(fn, items))
 
 
-#: at or above this many LIVE table rows (manifest metadata — zero
-#: jobs) the view/support apply commits merge-on-read
-#: (``merge_by_keys``: dv-delete the touched groups' old rows + append
-#: the merged rows, one fused fenced commit — write cost O(churn))
-#: instead of the copy-on-write ``rewrite_by_keys`` (write cost
-#: O(touched files' rows) — O(view) when the touched groups are
-#: hash-spread, the r14-measured 100 TB scale-killer: 5.5 s of a
-#: 10.6 s sf1 refresh rewriting ALL view files for 40k spread groups).
-#: Below the floor the whole table rewrites in about the bytes the
-#: MoR path would append anyway, and CoW keeps the file count flat
-#: with no dv sidecars to anti-join on later reads. Env-tunable;
-#: ``SPARK_GRAFT_VIEW_MOR=0`` is the kill-switch (forces CoW
-#: everywhere — the honest same-session A/B lever).
+#: at or above this many LIVE table rows AND this many live files
+#: (both from manifest metadata — zero jobs) the view/support apply
+#: commits merge-on-read (``merge_by_keys``: dv-delete the touched
+#: groups' old rows + append the merged rows, one fused fenced commit
+#: — write cost O(churn)) instead of the copy-on-write
+#: ``rewrite_by_keys`` (write cost O(touched files' rows) — O(view)
+#: when the touched groups are hash-spread, the r14-measured 100 TB
+#: scale-killer: 5.5 s of a 10.6 s sf1 refresh rewriting ALL view
+#: files for 40k spread groups). Why BOTH floors (r15, measured):
+#: CoW's local cost is per-file fixed latency (sf1, 32-file view:
+#: 13.4 s CoW vs 8.8 s MoR first refresh) and its 100 TB cost is the
+#: table's bytes, so MoR wins exactly when the table has MANY files;
+#: a few-file table rewrites in one cheap job that beats the dv
+#: machinery (sf0.1 A/Bs: 15k-row 1-file view — CoW faster by ~2 s;
+#: 198k-row few-file support — CoW faster by ~0.5 s), and CoW's
+#: rewrite keeps such tables self-compacted. At the design point any
+#: refresh-worthy table holds dozens+ of 128 MB-1 GB files, so both
+#: floors only gate the small/local regime. Env-tunable;
+#: ``SPARK_GRAFT_VIEW_MOR_FLOOR=0`` forces MoR everywhere (the test/
+#: parity sweep lever), ``SPARK_GRAFT_VIEW_MOR=0`` forces CoW
+#: everywhere (the kill-switch and the same-session A/B lever).
 MOR_APPLY_FLOOR_ROWS = int(
     os.environ.get("SPARK_GRAFT_VIEW_MOR_FLOOR", 65_536)
+)
+MOR_APPLY_FLOOR_FILES = int(
+    os.environ.get("SPARK_GRAFT_VIEW_MOR_FLOOR_FILES", 16)
 )
 
 
 def _apply_by_keys(table: TxTable, keys: DataFrame, transform, txn) -> dict:
     """Commit a key-confined transform on ``table`` by whichever write
-    mode its size says is cheaper — merge-on-read above the floor,
+    mode its size says is cheaper — merge-on-read above the floors,
     copy-on-write below (identical table state either way, test-pinned;
     the choice is purely a cost decision, like refresh mode='auto')."""
-    if (
-        os.environ.get("SPARK_GRAFT_VIEW_MOR") != "0"
-        and table.row_count() >= MOR_APPLY_FLOOR_ROWS
-    ):
-        return table.merge_by_keys(keys, transform, txn=txn)
+    if os.environ.get("SPARK_GRAFT_VIEW_MOR") != "0":
+        if MOR_APPLY_FLOOR_ROWS == 0:
+            return table.merge_by_keys(keys, transform, txn=txn)
+        m = table._manifest()
+        if (
+            sum(_live(f) for f in m["files"]) >= MOR_APPLY_FLOOR_ROWS
+            and len(m["files"]) >= MOR_APPLY_FLOOR_FILES
+        ):
+            return table.merge_by_keys(keys, transform, txn=txn)
     return table.rewrite_by_keys(keys, transform, txn=txn)
 
 
