@@ -198,8 +198,15 @@ def pytest_runtestloop(session):
         executed = 0
         pending = list(procs)
         bad: list[int] = []
+        last_beat = time.time()
         while pending:
             time.sleep(2)
+            if time.time() - last_beat >= 60:
+                last_beat = time.time()
+                say(
+                    f"[parallel] heartbeat {time.time() - t0:.0f}s: "
+                    f"{len(pending)} worker(s) running"
+                )
             for rec in list(pending):
                 w, n_items, p, out = rec
                 rc = p.poll()
