@@ -248,7 +248,10 @@ def pytest_runtestloop(session):
                     say(f"[parallel] ---- worker {w} output ----")
                     for line in text.splitlines()[-200:]:
                         say(line)
-                    if exitfirst or rc != 0:
+                    # only -x cancels siblings; a plain run lets the
+                    # other workers finish and reports every failure,
+                    # like the sequential loop would
+                    if exitfirst:
                         for _, _, q, _ in pending:
                             q.terminate()
         wall = time.time() - t0
